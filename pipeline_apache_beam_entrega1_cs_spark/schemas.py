@@ -1,0 +1,78 @@
+"""Explicit schemas (SURVEY.md §1.2) and testdata table loaders.
+
+The reference is schemaless (Python dicts end-to-end); here every reader
+gets an explicit ``StructType`` so Catalyst can prune/pushdown and no
+inference pass is ever paid — at 100 TB an inference scan is a second
+full read of the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# --- Reference fan-engagement input (SURVEY.md §1.2 / reference
+#     src/pipeline.py:136-200; all 8 fields observed in input/*.json) ---
+FAN_ENGAGEMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("FanID", T.StringType()),
+        T.StructField("RaceID", T.StringType()),
+        T.StructField("Timestamp", T.StringType()),  # opaque string in the
+        # reference: never parsed (only appears in the KEEP projection,
+        # reference src/pipeline.py:190)
+        T.StructField("ViewerLocationCountry", T.StringType()),
+        T.StructField("DeviceType", T.StringType()),
+        T.StructField("EngagementMetric_secondswatched", T.LongType()),
+        T.StructField("PredictionClicked", T.BooleanType()),
+        T.StructField("MerchandisingClicked", T.BooleanType()),
+    ]
+)
+
+# LocationData output struct (reference src/pipeline.py:114-120, 174-181).
+# NOTE: "official language" legitimately contains a space — legal in Spark
+# structs; quote with backticks in SQL paths.
+LOCATION_FIELDS = ["country", "capital", "continent", "official language", "currency"]
+
+LOCATION_SCHEMA = T.StructType([T.StructField(f, T.StringType()) for f in LOCATION_FIELDS])
+
+# Output projection order (reference src/pipeline.py:187-196).
+KEEP = [
+    "FanID",
+    "RaceID",
+    "Timestamp",
+    "DeviceType",
+    "EngagementMetric_secondswatched",
+    "PredictionClicked",
+    "MerchandisingClicked",
+    "LocationData",
+]
+
+# --- Driver testdata tables (/root/testdata/sf*/; FIXTURES.md §4) ---
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata parquet table. Parquet carries its own schema;
+    column pruning + predicate pushdown apply automatically."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for the SQL API."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,40 @@
+"""Tolerant JSON-Lines source.
+
+Replicates the reference's ``ParseJson`` rule (reference
+src/pipeline.py:136-144): ``json.loads`` each line, keep only results that
+are dicts, silently drop anything else (malformed JSON, scalars, arrays,
+JSON ``null``).
+
+Spark-first translation: ``from_json`` alone cannot express "dict-only" —
+in PERMISSIVE mode it returns an all-null struct for BOTH ``{}`` (a dict,
+must be kept) and ``null``/``[1,2]``/garbage (must be dropped); verified
+empirically on PySpark 4.1. We therefore gate on the Variant parser:
+``try_parse_json`` returns NULL for malformed input, and
+``schema_of_variant`` starts with ``OBJECT`` exactly when the value is a
+JSON object. All native expressions — the scan + parse + filter is one
+narrow whole-stage-codegen pass, no Python involved.
+
+Scale note: the glob can span millions of files; the schema is explicit so
+no inference pass runs over the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def json_object_lines(lines: DataFrame, col: str = "value") -> DataFrame:
+    """Filter a text DataFrame down to lines that parse as JSON objects."""
+    v = F.try_parse_json(F.col(col))
+    return lines.filter(v.isNotNull() & F.startswith(F.schema_of_variant(v), F.lit("OBJECT")))
+
+
+def read_jsonl_dicts(spark: SparkSession, path_glob: str, schema: T.StructType) -> DataFrame:
+    """Read newline-delimited JSON keeping only well-formed JSON objects,
+    projected through an explicit schema (missing fields -> null, exactly
+    like ``dict.get`` in the reference's downstream operators)."""
+    lines = spark.read.text(path_glob)
+    kept = json_object_lines(lines)
+    return kept.select(F.from_json(F.col("value"), schema).alias("rec")).select("rec.*")
