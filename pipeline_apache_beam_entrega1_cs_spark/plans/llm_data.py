@@ -1,0 +1,368 @@
+"""LLM-training-data operator registry (SURVEY.md §2B: dedup, similarity
+search, text analysis, multimodal columns) over the documents and
+embeddings tables.
+
+Oracle policy: everything algorithmically deterministic gets full SQL
+parity (including SimHash — its md5-derived bits are reproduced in SQL);
+LSH-familia ops (MinHashLSH, BucketedRandomProjectionLSH) are rows-only
+with recall asserted against exact baselines in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import textops as T
+from ..operators.textops import LANG_MARKERS
+from ..schemas import load_table
+from .spec import QuerySpec
+
+_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_docs(spark, sf_dir)).withColumn(
+        "text_len", F.col("text_len").cast("long")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies,
+       CAST(length(text) AS BIGINT) AS text_len
+FROM documents GROUP BY text
+"""
+
+
+def dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.hash_dedup(_docs(spark, sf_dir))
+
+
+DEDUP_HASH_SQL = r"""
+SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+       MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5, max_df=100)
+
+
+DEDUP_NGRAM_JACCARD_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents WHERE trim(text) <> ''
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS g(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), kept AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100
+), shc AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shc a JOIN shc b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_docs(spark, sf_dir), bits=32)
+
+
+DEDUP_SIMHASH_SQL = rf"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t AS tok
+  FROM documents, UNNEST({_TOKS}) AS u(t)
+  WHERE trim(text) <> '' AND t <> ''
+), h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS hv FROM tok
+), bits AS (
+  SELECT doc_id, b.bit AS bit, ((hv >> b.bit) & 1) * 2 - 1 AS c
+  FROM h, UNNEST(generate_series(0, 31)) AS b(bit)
+), agg AS (
+  SELECT doc_id, bit, SUM(c) AS s FROM bits GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM agg GROUP BY doc_id
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_cosine_pairs(_emb(spark, sf_dir), block_col="label", threshold=0.35)
+
+
+DEDUP_EMBEDDING_COSINE_SQL = """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.35
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+QUERY_IDS = list(range(10))
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_topk(_emb(spark, sf_dir), QUERY_IDS, k=5)
+
+
+ANN_COSINE_TOPK_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, e.vec_id AS cand_id,
+         round(list_cosine_similarity(q.qe, e.emb), 6) AS cos_sim
+  FROM q JOIN e ON e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, cand_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, cand_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.lsh_ann_topk(_emb(spark, sf_dir), QUERY_IDS, k=5)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_stats(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        "avg_token_len",
+    )
+
+
+TEXT_TOKEN_STATS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+              ELSE {_TOKS} END AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       CASE WHEN len(toks) > 0
+            THEN round(CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+                       AS DOUBLE) / len(toks), 4)
+            ELSE 0.0 END AS avg_token_len
+FROM t
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.lang_id(_docs(spark, sf_dir))
+
+
+_MARKER_VALUES = ", ".join(
+    f"('{lang}', '{w}')" for lang, ws in LANG_MARKERS.items() for w in ws
+)
+
+TEXT_LANG_ID_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, t FROM documents, UNNEST({_TOKS}) AS u(t)
+  WHERE trim(text) <> ''
+), votes AS (
+  SELECT doc_id, cand_lang, COUNT(*) AS votes
+  FROM tok JOIN (VALUES {_MARKER_VALUES}) m(cand_lang, marker) ON t = marker
+  GROUP BY 1, 2
+), best AS (
+  SELECT doc_id, cand_lang, votes,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY votes DESC, cand_lang ASC) AS rn
+  FROM votes
+)
+SELECT d.doc_id,
+       COALESCE(b.cand_lang, 'und') AS pred_lang,
+       COALESCE(b.votes, 0) AS votes
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_score(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.col("len_chars").cast("long").alias("len_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "punct_ratio",
+        "upper_ratio",
+        "mean_word_len",
+        "quality_score",
+    )
+
+
+TEXT_QUALITY_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CASE WHEN trim(lower(text)) = '' THEN 0
+              ELSE len({_TOKS}) END AS n_tok,
+         length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
+  FROM documents
+), r AS (
+  SELECT doc_id, n_chars, CAST(n_tok AS BIGINT) AS n_tokens,
+         CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_chars > 0 THEN n_upper::DOUBLE / n_chars ELSE 0.0 END AS upper_ratio,
+         CASE WHEN n_tok > 0 THEN (n_chars - n_tok + 1)::DOUBLE / n_tok ELSE 0.0 END AS mean_word_len
+  FROM t
+)
+SELECT doc_id, n_chars AS len_chars, n_tokens,
+       round(punct_ratio, 4) AS punct_ratio,
+       round(upper_ratio, 4) AS upper_ratio,
+       round(mean_word_len, 4) AS mean_word_len,
+       CAST(round(CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 0.4::DOUBLE ELSE 0.0 END
+             + CASE WHEN punct_ratio < 0.2 THEN 0.3::DOUBLE ELSE 0.0 END
+             + CASE WHEN mean_word_len BETWEEN 3 AND 12 THEN 0.3::DOUBLE ELSE 0.0 END, 1)
+         AS DOUBLE) AS quality_score
+FROM r
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprint(_docs(spark, sf_dir))
+
+
+TEXT_FINGERPRINT_SQL = rf"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                ELSE {_TOKS} END)), ' ')) AS fp
+FROM documents
+"""
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+TEXT_TFIDF_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, t AS term FROM documents, UNNEST({_TOKS}) AS u(t)
+  WHERE trim(text) <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+), dfx AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+         round(tf.tf * (ln((n.n_docs + 1)::DOUBLE / (dfx.df + 1)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfx USING (term), n
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term ASC) AS BIGINT) AS term_rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, term_rank FROM ranked WHERE term_rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal
+# --------------------------------------------------------------------------
+
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.binary_metadata(_docs(spark, sf_dir)).withColumn(
+        "byte_len", F.col("byte_len").cast("long")
+    )
+
+
+MULTIMODAL_BINARY_META_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS content_sha256,
+       lower(hex(encode(substring(text, 1, 8)))) AS hex_prefix
+FROM documents
+"""
+
+
+def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-UDF (mapInPandas) decode plumbing with a deterministic fake
+    codec — the one Arrow-boundary operator in the registry, so the
+    driver's oracle also validates the Python batch path."""
+    return M.fake_decode_image(M.with_binary_payload(_docs(spark, sf_dir)))
+
+
+MULTIMODAL_DECODE_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+       CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+       CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'RGB' ELSE 'L' END AS mode
+FROM documents
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "dedup"),
+    "dedup_hash": QuerySpec(dedup_hash, DEDUP_HASH_SQL, "dedup"),
+    "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL, "dedup"),
+    "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL, "dedup"),
+    "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, None, "dedup",
+                                   doc="LSH banding not SQL-expressible; recall tested vs exact"),
+    "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL, "dedup"),
+    "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_COSINE_TOPK_SQL, "similarity"),
+    "ann_lsh_topk": QuerySpec(ann_lsh_topk, None, "similarity",
+                              doc="LSH buckets not SQL-expressible; recall tested vs exact"),
+    "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_STATS_SQL, "text"),
+    "text_lang_id": QuerySpec(text_lang_id, TEXT_LANG_ID_SQL, "text"),
+    "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL, "text"),
+    "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL, "text"),
+    "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, TEXT_TFIDF_SQL, "text"),
+    "multimodal_binary_meta": QuerySpec(multimodal_binary_meta, MULTIMODAL_BINARY_META_SQL, "multimodal"),
+    "multimodal_decode_fake": QuerySpec(multimodal_decode_fake, MULTIMODAL_DECODE_SQL, "multimodal"),
+}

@@ -1,0 +1,1114 @@
+"""Relational operator registry (SURVEY.md §2B rows: projection/filter,
+joins, aggregations, windows, sort/limit, set ops, scalar functions,
+subqueries, pivot). Each entry = Spark DataFrame plan + DuckDB oracle SQL.
+
+Plans are written declaratively so Catalyst owns the physical strategy:
+filters/projections push into the parquet scan, small sides broadcast,
+AQE re-plans skew. Explicit hints appear only where they document intent
+(broadcast dims, merge for large-large).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import davg, dsum, sql_davg, sql_dsum
+from ..operators.asof import asof_join
+from ..schemas import load_table
+from .spec import QuerySpec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Headline analytical queries (TPC-H-shaped)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy group-by with 8 aggregates. One shuffle;
+    partial aggregation collapses to 4 groups map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_base_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {sql_davg('l_quantity')} AS avg_qty,
+       {sql_davg('l_extendedprice')} AS avg_price,
+       {sql_davg('l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + group + top-10. The customer filter
+    shrinks that side enough to broadcast; lineitem⋈orders is the real
+    shuffle. Deterministic top-k: (revenue desc, orderkey asc)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("date")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("date")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(revenue).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1998-03-15'
+  AND l_shipdate  > DATE '1996-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join. region/nation/supplier broadcast
+    (tiny dims); customer⋈orders⋈lineitem shuffle on the fact keys.
+    The c_nationkey = s_nationkey condition makes it a genuine multi-way
+    constraint, not a chain."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue).alias("revenue"))
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Projection / filter
+# --------------------------------------------------------------------------
+
+def filter_project_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection pushed to the scan (ReadSchema carries only
+    4 columns); includes a null-safe inequality (reference A3 semantics:
+    null must be KEPT by a != filter)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 45)
+        & (F.coalesce(F.col("l_returnflag"), F.lit("")) != "A")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+    )
+
+
+FILTER_PROJECT_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       round(l_extendedprice * (1 - l_discount), 4) AS net_price
+FROM lineitem
+WHERE l_quantity > 45 AND COALESCE(l_returnflag, '') <> 'A'
+"""
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast(dim): no shuffle of the fact side at all — the
+    idiomatic replacement for the reference's driver-dict lookup (A7)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_revenue"),
+        )
+    )
+
+
+JOIN_BROADCAST_SQL = f"""
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total_revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large equi-join, explicitly hinted MERGE: both sides shuffle
+    on the key once; at scale this is the shape that must avoid a
+    broadcast OOM. Co-partitioning (bucketing) would drop the shuffle
+    entirely when both tables are bucketed by orderkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").hint("merge")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+JOIN_SORT_MERGE_SQL = f"""
+SELECT o_orderstatus, COUNT(*) AS n_lineitems,
+       {sql_dsum('l_extendedprice')} AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders; aggregates
+    with coalesce over the null side."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+JOIN_LEFT_OUTER_SQL = f"""
+SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+       COALESCE({sql_dsum('o_totalprice')}, 0.0) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: nations vs the nations of high-balance suppliers —
+    both unmatched sides survive with nulls."""
+    nation = _t(spark, sf_dir, "nation")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_rich_suppliers"))
+    )
+    return (
+        nation.join(supp, nation.n_nationkey == supp.s_nationkey, "full")
+        .select(
+            "n_nationkey",
+            "n_name",
+            "s_nationkey",
+            F.coalesce("n_rich_suppliers", F.lit(0).cast("long")).alias("n_rich_suppliers"),
+        )
+    )
+
+
+JOIN_FULL_OUTER_SQL = """
+SELECT n_nationkey, n_name, s_nationkey,
+       COALESCE(n_rich_suppliers, 0) AS n_rich_suppliers
+FROM nation
+FULL OUTER JOIN (
+    SELECT s_nationkey, COUNT(*) AS n_rich_suppliers
+    FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey
+) s ON n_nationkey = s_nationkey
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi (EXISTS): customers with at least one urgent order,
+    counted per nation. Semi joins shuffle only keys — no payload."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+JOIN_SEMI_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_customers
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti (NOT EXISTS): parts with no shipment in 2001, per brand.
+    (Unfiltered "never sold" is vacuously empty in this dataset — the
+    date filter makes the anti-join actually exclude rows.)"""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2001-01-01").cast("date")
+    )
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_unsold_parts"))
+    )
+
+
+JOIN_ANTI_SQL = """
+SELECT p_brand, COUNT(*) AS n_unsold_parts
+FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey
+                    AND l_shipdate >= DATE '2001-01-01')
+GROUP BY p_brand
+"""
+
+
+def join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + range predicate (repeat orders within 30 days): the
+    range condition evaluates as a post-join filter on the equi-join, so
+    the shuffle stays keyed on custkey — no cartesian blowup."""
+    o1 = _t(spark, sf_dir, "orders").alias("o1")
+    o2 = _t(spark, sf_dir, "orders").alias("o2")
+    cond = (
+        (F.col("o1.o_custkey") == F.col("o2.o_custkey"))
+        & (F.col("o2.o_orderdate") > F.col("o1.o_orderdate"))
+        & (F.col("o2.o_orderdate") <= F.col("o1.o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    return (
+        o1.join(o2, cond)
+        .groupBy(F.col("o1.o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_followups"),
+            dsum(F.col("o2.o_totalprice")).alias("followup_revenue"),
+        )
+    )
+
+
+JOIN_RANGE_SQL = f"""
+SELECT o1.o_custkey AS custkey, COUNT(*) AS n_followups,
+       {sql_dsum('o2.o_totalprice')} AS followup_revenue
+FROM orders o1
+JOIN orders o2 ON o1.o_custkey = o2.o_custkey
+  AND o2.o_orderdate > o1.o_orderdate
+  AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 30 DAY
+GROUP BY o1.o_custkey
+"""
+
+
+def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks up the user's latest signup
+    at-or-before it (union+window idiom, operators/asof.py — one shuffle,
+    no pair explosion). Oracle: DuckDB's native ASOF JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_event_id"))
+        .select("user_id", F.col("ts").alias("signup_ts"), "signup_event_id")
+    )
+    joined = asof_join(
+        purchases,
+        signups,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="signup_ts",
+        payload_cols=["signup_event_id", "signup_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "signup_event_id",
+        (F.unix_micros("ts") - F.unix_micros("signup_ts")).alias("us_since_signup"),
+    )
+
+
+JOIN_ASOF_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), signups AS (
+  SELECT user_id, ts AS signup_ts, max(event_id) AS signup_event_id
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       s.signup_event_id,
+       epoch_us(p.ts) - epoch_us(s.signup_ts) AS us_since_signup
+FROM purchases p
+ASOF LEFT JOIN signups s ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+"""
+
+
+# --------------------------------------------------------------------------
+# Aggregations
+# --------------------------------------------------------------------------
+
+def agg_basic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count/sum/avg/min/max + deterministic sample stddev computed from
+    exact decimal sums: sqrt((Σx² - (Σx)²/n)/(n-1)) — identical on any
+    partitioning and in any engine, unlike stddev_samp over doubles."""
+    orders = _t(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    sx = F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
+    sxx = F.sum(
+        (F.col("o_totalprice").cast("decimal(18,4)") * F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("decimal(38,8)")
+    ).cast("double")
+    std = F.sqrt((sxx - sx * sx / n) / (n - 1))
+    return orders.groupBy("o_orderpriority").agg(
+        n.alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+        davg("o_totalprice").alias("avg_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.round(std, 4).alias("std_price"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order"),
+    )
+
+
+AGG_BASIC_SQL = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS sum_price,
+       {sql_davg('o_totalprice')} AS avg_price,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       round(sqrt((CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(19,4)) * CAST(o_totalprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE)
+                   - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+                  / (COUNT(*) - 1)), 4) AS std_price,
+       strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_order,
+       strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_order
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) — Catalyst expands it to a two-phase
+    aggregate; distinct keys shuffle once."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+AGG_DISTINCT_SQL = """
+SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
+       COUNT(*) AS n_customers
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB path where exact
+    distinct would shuffle every key. Rows-only oracle (sketches are
+    engine-specific); accuracy vs exact is asserted in tests."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(returnflag, linestatus): hierarchical subtotals + grand
+    total in one pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+AGG_ROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(returnflag, linestatus): all grouping combinations."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("l_extendedprice").alias("sum_price")
+    )
+
+
+AGG_CUBE_SQL = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       {sql_dsum('l_extendedprice')} AS sum_price
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL frontend (same Catalyst plan as
+    the DataFrame rollup/cube forms)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+AGG_GROUPING_SETS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING over the aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_sold"), dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("n_sold") >= 40)
+    )
+
+
+AGG_HAVING_SQL = f"""
+SELECT l_partkey, COUNT(*) AS n_sold, {sql_dsum('l_quantity')} AS total_qty
+FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 40
+"""
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank per nation over a total order."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+WINDOW_RANK_SQL = """
+SELECT c_nationkey, c_custkey, c_acctbal, rn, rnk, drnk FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         CAST(row_number() OVER w AS BIGINT) AS rn,
+         CAST(rank() OVER w AS BIGINT) AS rnk,
+         CAST(dense_rank() OVER w AS BIGINT) AS drnk
+  FROM customer
+  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+) WHERE rn <= 5
+"""
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation per customer order history + day gap between
+    consecutive orders."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_date = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.lag("o_totalprice").over(w), 4).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 4).alias("next_price"),
+        F.datediff(F.col("o_orderdate"), prev_date).cast("long").alias("days_since_prev"),
+    )
+
+
+WINDOW_LAG_LEAD_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(lag(o_totalprice) OVER w, 4) AS prev_price,
+       round(lead(o_totalprice) OVER w, 4) AS next_price,
+       CAST(datediff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def window_running_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total (unbounded preceding) + 3-row moving sum per
+    supplier. Window sums run over DECIMAL so results are exact — double
+    window sums would diverge between Spark's incremental evaluation and
+    DuckDB's segment-tree evaluation."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 20)
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    dec = F.col("l_extendedprice").cast("decimal(18,4)")
+    running = F.sum(dec).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    moving3 = F.sum(dec).over(w.rowsBetween(-2, Window.currentRow))
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        running.cast("double").alias("running_total"),
+        moving3.cast("double").alias("moving_sum3"),
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) OVER
+            (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) OVER
+            (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3
+FROM lineitem WHERE l_suppkey <= 20
+"""
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by retail price per brand — the window row_number
+    idiom; only k rows per group survive the filter so downstream stages
+    stay small."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (
+        part.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rk")
+    )
+
+
+TOPK_PER_GROUP_SQL = """
+SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         CAST(row_number() OVER (PARTITION BY p_brand
+              ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rk
+  FROM part
+) WHERE rk <= 3
+"""
+
+
+def sort_limit_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT: Spark runs TakeOrderedAndProject — a
+    per-partition top-k then a k-row merge on the driver, never a full
+    global sort."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .limit(20)
+    )
+
+
+SORT_LIMIT_SQL = """
+SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two key sets."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = orders.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return a.union(b).distinct()
+
+
+SET_UNION_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION
+SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+"""
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) of two key sets."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersect(b)
+
+
+SET_INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers who ordered but never urgently."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.select("o_custkey")
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    # subtract == EXCEPT DISTINCT; exceptAll().distinct() would WRONGLY
+    # keep keys whose multiplicity in a merely exceeds that in b.
+    return a.subtract(b)
+
+
+SET_EXCEPT_SQL = """
+SELECT o_custkey FROM orders
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+# --------------------------------------------------------------------------
+# Pivot / unpivot
+# --------------------------------------------------------------------------
+
+def pivot_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: returnflag rows × linestatus columns (explicit value list so
+    the plan is a single pass — Catalyst turns it into conditional
+    aggregates, exactly what the oracle spells out)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"))
+        .withColumnsRenamed({"O": "qty_open", "F": "qty_fulfilled"})
+    )
+
+
+PIVOT_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_open,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_fulfilled
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT via stack(): wide per-status aggregate row -> long
+    (metric, value) form."""
+    orders = _t(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        dsum("o_totalprice").alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+    )
+    return wide.select(
+        "o_orderstatus",
+        F.expr("stack(2, 'sum_price', sum_price, 'n_orders', n_orders) AS (metric, value)"),
+    )
+
+
+UNPIVOT_SQL = f"""
+WITH wide AS (
+  SELECT o_orderstatus, {sql_dsum('o_totalprice')} AS sum_price,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, metric, value FROM (
+  SELECT o_orderstatus, 'sum_price' AS metric, sum_price AS value FROM wide
+  UNION ALL
+  SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM wide
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Subqueries / CTE (SQL frontend)
+# --------------------------------------------------------------------------
+
+def scalar_subquery_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: parts priced above the global average."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part_sq")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part_sq
+        WHERE p_retailprice > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE)
+                                      / COUNT(p_retailprice) FROM part_sq)
+        """
+    )
+
+
+SCALAR_SUBQUERY_SQL = f"""
+SELECT p_partkey, p_name, p_retailprice
+FROM part
+WHERE p_retailprice > (SELECT {sql_davg('p_retailprice')} FROM part)
+"""
+
+
+def cte_above_avg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + self-referencing aggregate: nations whose customer balance
+    total beats the all-nation average."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_cte")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_cte")
+    return spark.sql(
+        """
+        WITH per_nation AS (
+          SELECT c_nationkey, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+          FROM customer_cte GROUP BY c_nationkey
+        )
+        SELECT n_name, total_bal
+        FROM per_nation JOIN nation_cte ON c_nationkey = n_nationkey
+        WHERE total_bal > (SELECT CAST(SUM(CAST(total_bal AS DECIMAL(18,4))) AS DOUBLE)
+                                  / COUNT(total_bal) FROM per_nation)
+        """
+    )
+
+
+CTE_SQL = f"""
+WITH per_nation AS (
+  SELECT c_nationkey, {sql_dsum('c_acctbal')} AS total_bal
+  FROM customer GROUP BY c_nationkey
+)
+SELECT n_name, total_bal
+FROM per_nation JOIN nation ON c_nationkey = n_nationkey
+WHERE total_bal > (SELECT {sql_davg('total_bal')} FROM per_nation)
+"""
+
+
+# --------------------------------------------------------------------------
+# Scalar function families
+# --------------------------------------------------------------------------
+
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family over part names (upper/lower/substring/
+    length/concat/replace/pad/reverse/position/regexp)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    name = F.col("p_name")
+    return part.select(
+        "p_partkey",
+        F.upper(name).alias("upper_name"),
+        F.lower(name).alias("lower_name"),
+        F.substring(name, 1, 5).alias("first5"),
+        F.length(name).cast("long").alias("name_len"),
+        F.concat_ws("|", name, F.col("p_brand")).alias("name_brand"),
+        F.regexp_replace(name, "[aeiou]", "_").alias("devoweled"),
+        F.lpad(F.col("p_brand"), 12, "*").alias("brand_padded"),
+        F.reverse(name).alias("reversed_name"),
+        F.instr(name, "a").cast("long").alias("first_a_pos"),
+        F.regexp_extract(F.col("p_brand"), r"#(\d+)", 1).alias("brand_num"),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+        F.translate(name, "abc", "xyz").alias("translated"),
+    )
+
+
+STRING_FUNCTIONS_SQL = r"""
+SELECT p_partkey,
+       upper(p_name) AS upper_name,
+       lower(p_name) AS lower_name,
+       substring(p_name, 1, 5) AS first5,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       concat_ws('|', p_name, p_brand) AS name_brand,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       lpad(p_brand, 12, '*') AS brand_padded,
+       reverse(p_name) AS reversed_name,
+       CAST(strpos(p_name, 'a') AS BIGINT) AS first_a_pos,
+       regexp_extract(p_brand, '#(\d+)', 1) AS brand_num,
+       trim('  x  ') AS trimmed,
+       translate(p_name, 'abc', 'xyz') AS translated
+FROM part WHERE p_partkey <= 500
+"""
+
+
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: extract parts, truncate, offset, diff, last_day
+    (all emitted as strings/BIGINT so engine date types never disagree)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("yr"),
+        F.month(d).cast("long").alias("mo"),
+        F.dayofmonth(d).cast("long").alias("dom"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(d.cast("date"), 90), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date")).cast("long").alias("days_to_2002"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+DATE_FUNCTIONS_SQL = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mo,
+       CAST(day(o_orderdate) AS BIGINT) AS dom,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       strftime(CAST(o_orderdate AS DATE) + 90, '%Y-%m-%d') AS due_date,
+       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end
+FROM orders WHERE o_orderkey <= 2000
+"""
+
+
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. Transcendentals are rounded to 6 dp: libm vs JVM
+    Math differ in the last ulp."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    x = F.col("l_extendedprice")
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(x - 50000).alias("abs_diff"),
+        F.ceil(x).cast("long").alias("ceil_price"),
+        F.floor(x).cast("long").alias("floor_price"),
+        F.round(x / 1000, 2).alias("kprice"),
+        F.round(F.sqrt(x), 6).alias("sqrt_price"),
+        F.round(F.log(x), 6).alias("ln_price"),
+        F.round(F.log10(x), 6).alias("log10_price"),
+        F.round(F.pow(q, 2), 1).alias("qty_sq"),
+        (F.col("l_partkey") % 7).cast("long").alias("pk_mod7"),
+        F.signum(x - 50000).alias("sign_diff"),
+    )
+
+
+MATH_FUNCTIONS_SQL = """
+SELECT l_orderkey, l_linenumber,
+       abs(l_extendedprice - 50000) AS abs_diff,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+       CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+       round(l_extendedprice / 1000, 2) AS kprice,
+       round(sqrt(l_extendedprice), 6) AS sqrt_price,
+       round(ln(l_extendedprice), 6) AS ln_price,
+       round(log10(l_extendedprice), 6) AS log10_price,
+       round(pow(l_quantity, 2), 1) AS qty_sq,
+       CAST(l_partkey % 7 AS BIGINT) AS pk_mod7,
+       CAST(sign(l_extendedprice - 50000) AS DOUBLE) AS sign_diff
+FROM lineitem WHERE l_orderkey <= 1000
+"""
+
+
+def conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE / coalesce / nullif / greatest / least."""
+    cust = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        F.when(bal < 0, "overdrawn")
+        .when(bal < 1000, "low")
+        .when(bal < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("(machinery)"))
+        .alias("segment_masked"),
+        F.greatest(bal, F.lit(0.0)).alias("bal_floor0"),
+        F.least(bal, F.lit(9000.0)).alias("bal_cap9k"),
+    )
+
+
+CONDITIONAL_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+            WHEN c_acctbal < 1000 THEN 'low'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'high' END AS bal_band,
+       COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), '(machinery)') AS segment_masked,
+       greatest(c_acctbal, 0.0) AS bal_floor0,
+       least(c_acctbal, 9000.0) AS bal_cap9k
+FROM customer
+"""
+
+
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family over events.props: path extraction (string + typed)
+    and from_json struct access."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_num"),
+        F.from_json("props", "k LONG").getField("k").alias("k_struct"),
+        (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_mod10"),
+    )
+
+
+JSON_FUNCTIONS_SQL = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10
+FROM events WHERE event_id < 2000
+"""
+
+
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over tokenized document text: size, distinct,
+    contains, sort, join, element access, explode-free (scalar outputs
+    only — array cells don't hash portably across engines)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.array_contains(toks, "spark").alias("mentions_spark"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.element_at(F.array_sort(toks), 1).alias("min_token"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), ",").alias("top3_sorted"),
+    )
+
+
+ARRAY_FUNCTIONS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       list_contains(toks, 'spark') AS mentions_spark,
+       toks[1] AS first_token,
+       list_sort(toks)[1] AS min_token,
+       array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS top3_sorted
+FROM t
+"""
+
+
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: build a map from arrays, look up, size, key
+    membership (scalar outputs for portable hashing)."""
+    nation = _t(spark, sf_dir, "nation")
+    m = F.map_from_arrays(
+        F.array(F.lit("name"), F.lit("key")),
+        F.array(F.col("n_name"), F.col("n_nationkey").cast("string")),
+    )
+    return nation.select(
+        "n_nationkey",
+        F.element_at(m, "name").alias("m_name"),
+        F.element_at(m, "key").alias("m_key"),
+        F.size(m).cast("long").alias("m_size"),
+        F.array_contains(F.map_keys(m), "name").alias("has_name"),
+    )
+
+
+MAP_FUNCTIONS_SQL = """
+SELECT n_nationkey,
+       n_name AS m_name,
+       CAST(n_nationkey AS VARCHAR) AS m_key,
+       CAST(2 AS BIGINT) AS m_size,
+       TRUE AS has_name
+FROM nation
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL, "headline"),
+    "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL, "headline"),
+    "q5_region_revenue": QuerySpec(q5_region_revenue, Q5_SQL, "headline"),
+    "filter_project_nullsafe": QuerySpec(filter_project_nullsafe, FILTER_PROJECT_SQL, "projection_filter"),
+    "join_broadcast_dim": QuerySpec(join_broadcast_dim, JOIN_BROADCAST_SQL, "join"),
+    "join_sort_merge": QuerySpec(join_sort_merge, JOIN_SORT_MERGE_SQL, "join"),
+    "join_left_outer": QuerySpec(join_left_outer, JOIN_LEFT_OUTER_SQL, "join"),
+    "join_full_outer": QuerySpec(join_full_outer, JOIN_FULL_OUTER_SQL, "join"),
+    "join_semi": QuerySpec(join_semi, JOIN_SEMI_SQL, "join"),
+    "join_anti": QuerySpec(join_anti, JOIN_ANTI_SQL, "join"),
+    "join_range_nonequi": QuerySpec(join_range_nonequi, JOIN_RANGE_SQL, "join"),
+    "join_asof_events": QuerySpec(join_asof_events, JOIN_ASOF_SQL, "join"),
+    "agg_basic_stats": QuerySpec(agg_basic_stats, AGG_BASIC_SQL, "aggregation"),
+    "agg_distinct": QuerySpec(agg_distinct, AGG_DISTINCT_SQL, "aggregation"),
+    "agg_approx_distinct": QuerySpec(agg_approx_distinct, None, "aggregation",
+                                     doc="HLL sketch — engine-specific, rows-only oracle"),
+    "agg_rollup": QuerySpec(agg_rollup, AGG_ROLLUP_SQL, "aggregation"),
+    "agg_cube": QuerySpec(agg_cube, AGG_CUBE_SQL, "aggregation"),
+    "agg_grouping_sets": QuerySpec(agg_grouping_sets, AGG_GROUPING_SETS_SQL, "aggregation"),
+    "agg_having": QuerySpec(agg_having, AGG_HAVING_SQL, "aggregation"),
+    "window_rank": QuerySpec(window_rank, WINDOW_RANK_SQL, "window"),
+    "window_lag_lead": QuerySpec(window_lag_lead, WINDOW_LAG_LEAD_SQL, "window"),
+    "window_running_frames": QuerySpec(window_running_frames, WINDOW_RUNNING_SQL, "window"),
+    "topk_per_group": QuerySpec(topk_per_group, TOPK_PER_GROUP_SQL, "window"),
+    "sort_limit_global": QuerySpec(sort_limit_global, SORT_LIMIT_SQL, "sort_limit"),
+    "set_union": QuerySpec(set_union, SET_UNION_SQL, "set_op"),
+    "set_intersect": QuerySpec(set_intersect, SET_INTERSECT_SQL, "set_op"),
+    "set_except": QuerySpec(set_except, SET_EXCEPT_SQL, "set_op"),
+    "pivot_flag_status": QuerySpec(pivot_flag_status, PIVOT_SQL, "pivot"),
+    "unpivot_order_metrics": QuerySpec(unpivot_order_metrics, UNPIVOT_SQL, "pivot"),
+    "scalar_subquery_parts": QuerySpec(scalar_subquery_parts, SCALAR_SUBQUERY_SQL, "subquery"),
+    "cte_above_avg_nations": QuerySpec(cte_above_avg_nations, CTE_SQL, "subquery"),
+    "string_functions": QuerySpec(string_functions, STRING_FUNCTIONS_SQL, "scalar_fn"),
+    "date_functions": QuerySpec(date_functions, DATE_FUNCTIONS_SQL, "scalar_fn"),
+    "math_functions": QuerySpec(math_functions, MATH_FUNCTIONS_SQL, "scalar_fn"),
+    "conditional_functions": QuerySpec(conditional_functions, CONDITIONAL_SQL, "scalar_fn"),
+    "json_functions": QuerySpec(json_functions, JSON_FUNCTIONS_SQL, "scalar_fn"),
+    "array_functions": QuerySpec(array_functions, ARRAY_FUNCTIONS_SQL, "scalar_fn"),
+    "map_functions": QuerySpec(map_functions, MAP_FUNCTIONS_SQL, "scalar_fn"),
+}

@@ -1,0 +1,144 @@
+"""Time-window operators over the events table, batch form
+(SURVEY.md §2B "Streaming" row). The SAME window expressions run under
+Structured Streaming in streaming/windows.py — batch form here so the
+DuckDB oracle can check values; the streaming tests assert
+batch==streaming equivalence.
+
+Window starts are emitted as epoch integers: Spark's F.window aligns to
+the Unix epoch, so `unix_timestamp(window.start)` equals
+`floor(epoch(ts)/w)*w` — which is what the oracle computes. Gap/window
+arithmetic runs on microseconds (events carry sub-second timestamps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, sql_dsum
+from ..operators.sessionize import session_window_agg
+from ..schemas import load_table
+from .spec import QuerySpec
+
+
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows × event_type: count + value sum."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+WINDOW_TUMBLING_SQL = f"""
+SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start_s,
+       event_type, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour, slide 30 min): each event lands in
+    exactly 2 windows. Oracle reproduces the window-assignment rule with
+    generate_series over slide-aligned starts."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+WINDOW_SLIDING_SQL = f"""
+WITH assigned AS (
+  SELECT e.value, g.s AS window_start_s
+  FROM events e,
+       UNNEST(generate_series(CAST(floor(epoch(e.ts)/1800) AS BIGINT)*1800 - 1800,
+                              CAST(floor(epoch(e.ts)/1800) AS BIGINT)*1800,
+                              1800)) AS g(s)
+)
+SELECT window_start_s, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM assigned GROUP BY window_start_s
+"""
+
+
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user via native
+    F.session_window. Oracle: the lag+cumsum islands idiom — semantically
+    identical (new session when gap >= 30 min, microsecond precision)."""
+    ev = load_table(spark, sf_dir, "events")
+    return session_window_agg(ev, key="user_id", ts="ts", gap="30 minutes", value="value")
+
+
+WINDOW_SESSION_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, value, epoch_us(ts) AS tus,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tus
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_tus IS NULL OR tus - prev_tus >= 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), sess AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus
+                              ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, MIN(tus) AS session_start_us, COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
+def dedup_keyed_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup, batch analog of dropDuplicatesWithinWatermark: keep
+    the FIRST event per (user_id, event_type) by (ts, event_id) — a
+    deterministic total order, where dropDuplicates would keep an
+    arbitrary row."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us"))
+    )
+
+
+DEDUP_KEYED_FIRST_SQL = """
+SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window aggregation executed through Structured
+    Streaming (readStream over the same parquet, watermark, memory sink,
+    drained synchronously). Replayed cold all data is one batch, so no
+    rows fall past the watermark and the result equals the batch form —
+    hence the same oracle as window_tumbling."""
+    from ..streaming.windows import run_tumbling_stream
+
+    return run_tumbling_stream(spark, sf_dir)
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "window_tumbling": QuerySpec(window_tumbling, WINDOW_TUMBLING_SQL, "time_window"),
+    "window_sliding": QuerySpec(window_sliding, WINDOW_SLIDING_SQL, "time_window"),
+    "window_session": QuerySpec(window_session, WINDOW_SESSION_SQL, "time_window"),
+    "dedup_keyed_first": QuerySpec(dedup_keyed_first, DEDUP_KEYED_FIRST_SQL, "time_window"),
+    "streaming_tumbling": QuerySpec(streaming_tumbling, WINDOW_TUMBLING_SQL, "streaming"),
+}

@@ -64,8 +64,23 @@ TESTDATA_TABLES = [
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata parquet table. Parquet carries its own schema;
-    column pruning + predicate pushdown apply automatically."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    column pruning + predicate pushdown apply automatically.
+
+    events.ts is parquet TIMESTAMP(NANOS) — illegal for Spark's reader —
+    so it arrives as a nanosecond long (spark.sql.legacy.parquet.
+    nanosAsLong, set in session.py) and is truncated to a microsecond
+    timestamp here, matching DuckDB/Arrow ns->us truncation."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return normalize_nanos_ts(df)
+
+
+def normalize_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as TT
+
+    if col in df.columns and isinstance(df.schema[col].dataType, TT.LongType):
+        df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

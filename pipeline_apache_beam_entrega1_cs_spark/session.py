@@ -39,6 +39,10 @@ def get_spark(app_name: str = "pipeline_apache_beam_entrega1_cs_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The events table carries parquet TIMESTAMP(NANOS), which Spark's
+        # reader rejects outright; read as long and convert in the loader
+        # (schemas.load_table) — DuckDB/Arrow truncate ns->us the same way.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
