@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop sink (full materialization on
+the executors, nothing collected to the driver — the same shape a real
+cluster run would have). A warmup pass on sf0.001 first triggers JVM/
+codegen warm paths so measured numbers reflect steady-state execution,
+not first-query JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BENCH_QUERIES = [
+    # headline relational
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_sort_merge",
+    "join_range_nonequi",
+    "join_asof_events",
+    "agg_rollup",
+    "window_running_frames",
+    "topk_per_group",
+    # time windows
+    "window_tumbling",
+    "window_session",
+    # llm-data
+    "dedup_hash",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "text_tfidf_top_terms",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.registry import all_queries
+    from pipeline_apache_beam_entrega1_cs_spark.session import get_spark
+
+    spark = get_spark("bench")
+    registry = all_queries()
+
+    def run(name: str, d: str) -> float:
+        t0 = time.perf_counter()
+        df = registry[name].fn(spark, d)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # Warmup at the smallest SF: JVM JIT, codegen cache, shuffle services.
+    for name in BENCH_QUERIES:
+        try:
+            run(name, "/root/testdata/sf0.001")
+        except Exception as ex:  # keep the bench robust: report, don't die
+            print(f"warmup {name} failed: {ex}", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        try:
+            timings[name] = round(run(name, sf_dir), 3)
+        except Exception as ex:
+            print(f"bench {name} failed: {ex}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

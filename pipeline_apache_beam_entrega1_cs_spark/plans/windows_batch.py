@@ -135,10 +135,47 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tumbling_stream(spark, sf_dir)
 
 
+def streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running per-user totals. In a cold one-batch
+    replay each user emits exactly one final row, so the result equals a
+    plain per-user aggregate — giving the Python state-store path a full
+    value oracle."""
+    from ..streaming.stateful import run_stateful_counter
+
+    return run_stateful_counter(spark, sf_dir)
+
+
+STREAMING_STATEFUL_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark keyed on (user_id, event_type),
+    projected to the key set (which event survives depends on arrival
+    order across partitions — the KEY SET is the deterministic part)."""
+    from ..streaming.windows import run_dedup_within_watermark
+
+    return run_dedup_within_watermark(spark, sf_dir).select("user_id", "event_type")
+
+
+STREAMING_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "window_tumbling": QuerySpec(window_tumbling, WINDOW_TUMBLING_SQL, "time_window"),
     "window_sliding": QuerySpec(window_sliding, WINDOW_SLIDING_SQL, "time_window"),
     "window_session": QuerySpec(window_session, WINDOW_SESSION_SQL, "time_window"),
     "dedup_keyed_first": QuerySpec(dedup_keyed_first, DEDUP_KEYED_FIRST_SQL, "time_window"),
     "streaming_tumbling": QuerySpec(streaming_tumbling, WINDOW_TUMBLING_SQL, "streaming"),
+    "streaming_stateful_counter": QuerySpec(
+        streaming_stateful_counter, STREAMING_STATEFUL_SQL, "streaming"
+    ),
+    "streaming_dedup_watermark": QuerySpec(
+        streaming_dedup_watermark, STREAMING_DEDUP_SQL, "streaming"
+    ),
 }

@@ -1,0 +1,124 @@
+"""Quality tests for the non-oracle LLM-data operators: LSH ANN recall
+vs the exact baseline, MinHashLSH precision vs exact Jaccard pairs,
+SimHash near-dup behavior, and multimodal Pandas-UDF plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_lsh_ann_recall(spark, sf_dir):
+    """BucketedRandomProjectionLSH top-k must recall most of the exact
+    brute-force top-k (it prunes candidates; with generous tables recall
+    should be high on 500 vectors)."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.similarity import (
+        cosine_topk,
+        lsh_ann_topk,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(10))
+    exact = {
+        (r.query_id, r.cand_id) for r in cosine_topk(emb, qids, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.cand_id) for r in lsh_ann_topk(emb, qids, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH ANN recall too low: {recall}"
+
+
+def test_minhash_lsh_finds_planted_dups(spark, sf_dir):
+    """MinHashLSH candidate pairs should recover most exact-Jaccard>=0.5
+    pairs (the planted near-duplicates in documents)."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df=100).collect()
+    }
+    if not exact:
+        pytest.skip("no planted near-duplicates at this SF")
+    approx = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"MinHashLSH recall vs exact Jaccard: {recall}"
+
+
+def test_simhash_near_dups_have_small_hamming(spark, sf_dir):
+    """Near-duplicate docs (exact Jaccard >= 0.5) must have closer
+    SimHashes (hamming distance) than random pairs on average."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df=100).collect()
+    if not pairs:
+        pytest.skip("no planted near-duplicates at this SF")
+    sh = {r.doc_id: r.simhash for r in simhash(docs, bits=32).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    near = [hamming(sh[p.doc_a], sh[p.doc_b]) for p in pairs]
+    ids = sorted(sh)
+    rand = [hamming(sh[ids[i]], sh[ids[-(i + 1)]]) for i in range(min(50, len(ids) // 2))]
+    assert sum(near) / len(near) < sum(rand) / len(rand), (
+        f"near-dup hamming {sum(near)/len(near)} not below random {sum(rand)/len(rand)}"
+    )
+
+
+def test_multimodal_fake_decode_plumbing(spark, sf_dir):
+    """The mapInPandas decode path: schema contract, row alignment,
+    deterministic fake dims, null-payload handling."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.multimodal import (
+        fake_decode_image,
+        with_binary_payload,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    decoded = fake_decode_image(with_binary_payload(docs))
+    assert decoded.schema.simpleString() == (
+        "struct<doc_id:bigint,byte_len:bigint,width:int,height:int,mode:string>"
+    )
+    rows = {r.doc_id: r for r in decoded.collect()}
+    src = {r.doc_id: r for r in docs.collect()}
+    assert rows.keys() == src.keys()
+    for did, r in rows.items():
+        blen = len(src[did].text.encode("utf-8"))
+        assert r.byte_len == blen
+        assert r.width == blen % 640 + 1
+        assert r.height == blen % 480 + 1
+        assert r.mode == ("RGB" if blen % 2 == 0 else "L")
+
+    # null payload row flows through without crashing
+    from pyspark.sql import types as T
+
+    null_df = spark.createDataFrame(
+        [(999999, None)],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    out = fake_decode_image(null_df).collect()
+    assert out[0].byte_len == 0 and out[0].mode == "RGB"
+
+
+def test_real_decoder_is_marked_stub(spark):
+    from pipeline_apache_beam_entrega1_cs_spark.operators.multimodal import real_decode_image
+
+    with pytest.raises(NotImplementedError):
+        real_decode_image(None)
