@@ -90,14 +90,34 @@ def project_output(df: DataFrame) -> DataFrame:
     return df.select(*KEEP)
 
 
+def _transforms(events: DataFrame, country_dim: DataFrame) -> DataFrame:
+    return project_output(
+        enrich_with_country(standardize_race(filter_device_other(events)), country_dim)
+    )
+
+
 def build_fidelity_df(spark: SparkSession, json_glob: str, csv_path: str) -> DataFrame:
     """Assemble the full lazy plan (the analog of the reference's Beam
     graph construction at src/pipeline.py:279-296)."""
     events = read_jsonl_dicts(spark, json_glob, FAN_ENGAGEMENT_SCHEMA)
-    country_dim = read_country_dim(spark, csv_path)
-    return project_output(
-        enrich_with_country(standardize_race(filter_device_other(events)), country_dim)
-    )
+    return _transforms(events, read_country_dim(spark, csv_path))
+
+
+def build_fidelity_stream(spark: SparkSession, json_glob: str, csv_path: str) -> DataFrame:
+    """The same pipeline under Structured Streaming: a text file-source
+    stream through the identical transform chain (all narrow + a
+    stream-static broadcast join — legal in append mode with no
+    aggregation). One pipeline definition, two execution modes — the
+    declarative-plan payoff the reference's DoFn chain can't offer."""
+    from ..sources.jsonl import stream_jsonl_dicts
+
+    events = stream_jsonl_dicts(spark, json_glob, FAN_ENGAGEMENT_SCHEMA)
+    # Streaming plans reject monotonically_increasing_id even on the
+    # static join side — materialize the (tiny, by definition) dimension
+    # driver-side, the same eager-LUT shape the reference uses.
+    lazy_dim = read_country_dim(spark, csv_path)
+    country_dim = spark.createDataFrame(lazy_dim.collect(), lazy_dim.schema)
+    return _transforms(events, country_dim)
 
 
 def write_jsonl(df: DataFrame, out_dir: str, single_shard: bool = True) -> None:

@@ -1,0 +1,296 @@
+"""Relational operator registry, batch 2: right/multiset set ops, exact
+percentiles, higher-order array functions, ordered collects, arg-max
+aggregates, skew-salted aggregation, distribution window functions,
+a partitioned parquet sink round-trip, and seeded sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, sql_dsum
+from ..schemas import load_table
+from .spec import QuerySpec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (the mirrored preserve-side): order lines right-
+    joined to orders keeps orders with no 2001 shipments as null rows."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2001-01-01").cast("date")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "right")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("l_linenumber").alias("n_shipped_lines"),
+        )
+    )
+
+
+JOIN_RIGHT_OUTER_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_rows, COUNT(l_linenumber) AS n_shipped_lines
+FROM (SELECT * FROM lineitem WHERE l_shipdate >= DATE '2001-01-01') l
+RIGHT JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL preserving duplicates, with a provenance marker."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey", F.lit("urgent").alias("src")
+    )
+    b = orders.filter(F.col("o_totalprice") > 300000).select(
+        "o_custkey", F.lit("big").alias("src")
+    )
+    return a.unionAll(b)
+
+
+SET_UNION_ALL_SQL = """
+SELECT o_custkey, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT o_custkey, 'big' AS src FROM orders WHERE o_totalprice > 300000
+"""
+
+
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset semantics — min of the multiplicities)."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return a.intersectAll(b)
+
+
+SET_INTERSECT_ALL_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference of the multiplicities)."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.exceptAll(b)
+
+
+SET_EXCEPT_ALL_SQL = """
+SELECT o_custkey FROM orders
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (linear interpolation) + median — verified
+    bit-identical between Spark's percentile() and DuckDB's
+    quantile_cont(); rounded to 6 dp anyway. (approx_percentile is the
+    100 TB path; it is sketch-based and engine-specific, so the exact
+    form carries the oracle.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_price"),
+        F.round(F.median("l_discount"), 6).alias("med_discount"),
+    )
+
+
+AGG_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
+       round(median(l_discount), 6) AS med_discount
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda higher-order functions over the embedding arrays:
+    transform / filter / exists / forall / aggregate (fold) / zip_with —
+    all JVM-side, no Python. Scalar outputs only (portable hashing)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    v = F.col("embedding").cast("array<double>")
+    fsum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+    return emb.select(
+        "vec_id",
+        F.round(fsum(v), 6).alias("sum_all"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.exists(v, lambda x: x > 0.5).alias("any_gt_half"),
+        F.forall(v, lambda x: x < 1.0).alias("all_lt_one"),
+        F.round(fsum(F.transform(v, lambda x: x * 2.0)), 6).alias("sum_doubled"),
+        F.round(fsum(F.zip_with(v, v, lambda x, y: x * y)), 6).alias("dot_self"),
+    )
+
+
+HIGHER_ORDER_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 100
+)
+SELECT vec_id,
+       round(list_aggregate(v, 'sum'), 6) AS sum_all,
+       CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+       len(list_filter(v, x -> x > 0.5)) > 0 AS any_gt_half,
+       len(list_filter(v, x -> NOT (x < 1.0))) = 0 AS all_lt_one,
+       round(list_aggregate(list_transform(v, x -> x * 2.0), 'sum'), 6) AS sum_doubled,
+       round(list_aggregate(list_transform(list_zip(v, v), p -> p[1] * p[2]), 'sum'), 6) AS dot_self
+FROM e
+"""
+
+
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list / collect_set made deterministic: sort + join before
+    emitting (raw collect order is partition-arrival order — never hash
+    an unsorted collect)."""
+    supp = _t(spark, sf_dir, "supplier")
+    return supp.groupBy("s_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("s_name")), "|").alias("names_sorted"),
+        F.size(F.collect_set("s_name")).cast("long").alias("n_distinct_names"),
+    )
+
+
+AGG_COLLECT_SORTED_SQL = """
+SELECT s_nationkey,
+       string_agg(s_name, '|' ORDER BY s_name) AS names_sorted,
+       CAST(COUNT(DISTINCT s_name) AS BIGINT) AS n_distinct_names
+FROM supplier GROUP BY s_nationkey
+"""
+
+
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (argmax aggregates) with a composite struct
+    ordering for deterministic ties; oracle spells the same thing with a
+    ranking window."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.max_by("c_name", F.struct("c_acctbal", "c_custkey")).alias("richest"),
+        F.min_by("c_name", F.struct("c_acctbal", "c_custkey")).alias("poorest"),
+    )
+
+
+AGG_MIN_MAX_BY_SQL = """
+WITH ranked AS (
+  SELECT c_nationkey, c_name,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey DESC) AS rmax,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal ASC, c_custkey ASC) AS rmin
+  FROM customer
+)
+SELECT c_nationkey,
+       MAX(CASE WHEN rmax = 1 THEN c_name END) AS richest,
+       MAX(CASE WHEN rmin = 1 THEN c_name END) AS poorest
+FROM ranked GROUP BY c_nationkey
+"""
+
+
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys: phase 1 aggregates
+    on (key, salt) — spreading a hot key over 16 reducers — phase 2
+    merges the partials. events has only 5 event_type values, the worst
+    skew shape; at 100 TB this is the difference between one straggler
+    reducer and 16 balanced ones. Results identical to the direct
+    aggregate (decimal sums are associative), which is what the oracle
+    runs."""
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn("_salt", (F.col("user_id") % 16).cast("int"))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("pv"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("pv").cast("double").alias("sum_value"),
+    )
+
+
+SKEW_SALTED_SQL = f"""
+SELECT event_type, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank, cume_dist, ntile."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+WINDOW_DISTRIBUTION_SQL = """
+SELECT c_mktsegment, c_custkey,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+"""
+
+
+def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink surface: write orders partitioned by status, read back with a
+    partition filter (pruned at the file-listing level — the scan never
+    opens non-'F' directories), aggregate. Oracle: the same aggregate
+    straight off the source table."""
+    out = "/tmp/spark_graft_sink/orders_by_status"
+    orders = _t(spark, sf_dir, "orders")
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+SINK_PARQUET_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS sum_price
+FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
+"""
+
+
+def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sampling — deterministic for a fixed seed +
+    partitioning but not SQL-expressible, so rows-only; the sampling
+    fraction is asserted in tests."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "join_right_outer": QuerySpec(join_right_outer, JOIN_RIGHT_OUTER_SQL, "join"),
+    "set_union_all": QuerySpec(set_union_all, SET_UNION_ALL_SQL, "set_op"),
+    "set_intersect_all": QuerySpec(set_intersect_all, SET_INTERSECT_ALL_SQL, "set_op"),
+    "set_except_all": QuerySpec(set_except_all, SET_EXCEPT_ALL_SQL, "set_op"),
+    "agg_percentiles": QuerySpec(agg_percentiles, AGG_PERCENTILES_SQL, "aggregation"),
+    "higher_order_functions": QuerySpec(higher_order_functions, HIGHER_ORDER_SQL, "scalar_fn"),
+    "agg_collect_sorted": QuerySpec(agg_collect_sorted, AGG_COLLECT_SORTED_SQL, "aggregation"),
+    "agg_min_max_by": QuerySpec(agg_min_max_by, AGG_MIN_MAX_BY_SQL, "aggregation"),
+    "skew_salted_agg": QuerySpec(skew_salted_agg, SKEW_SALTED_SQL, "aggregation"),
+    "window_distribution": QuerySpec(window_distribution, WINDOW_DISTRIBUTION_SQL, "window"),
+    "sink_parquet_roundtrip": QuerySpec(sink_parquet_roundtrip, SINK_PARQUET_SQL, "sink"),
+    "sample_seeded": QuerySpec(sample_seeded, None, "sampling",
+                               doc="seeded Bernoulli sample; fraction asserted in tests"),
+}

@@ -43,6 +43,9 @@ def get_spark(app_name: str = "pipeline_apache_beam_entrega1_cs_spark",
         # reader rejects outright; read as long and convert in the loader
         # (schemas.load_table) — DuckDB/Arrow truncate ns->us the same way.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Warehouse for saveAsTable (bucketed-table demos); /tmp keeps the
+        # repo clean and the in-memory catalog scopes tables per session.
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -31,10 +31,20 @@ def json_object_lines(lines: DataFrame, col: str = "value") -> DataFrame:
     return lines.filter(v.isNotNull() & F.startswith(F.schema_of_variant(v), F.lit("OBJECT")))
 
 
+def parse_jsonl_dicts(lines: DataFrame, schema: T.StructType) -> DataFrame:
+    """Apply the dict-only rule + schema projection to a text DataFrame
+    (batch or streaming — the expressions are identical)."""
+    kept = json_object_lines(lines)
+    return kept.select(F.from_json(F.col("value"), schema).alias("rec")).select("rec.*")
+
+
 def read_jsonl_dicts(spark: SparkSession, path_glob: str, schema: T.StructType) -> DataFrame:
     """Read newline-delimited JSON keeping only well-formed JSON objects,
     projected through an explicit schema (missing fields -> null, exactly
     like ``dict.get`` in the reference's downstream operators)."""
-    lines = spark.read.text(path_glob)
-    kept = json_object_lines(lines)
-    return kept.select(F.from_json(F.col("value"), schema).alias("rec")).select("rec.*")
+    return parse_jsonl_dicts(spark.read.text(path_glob), schema)
+
+
+def stream_jsonl_dicts(spark: SparkSession, path_glob: str, schema: T.StructType) -> DataFrame:
+    """Streaming twin of read_jsonl_dicts (file-source text stream)."""
+    return parse_jsonl_dicts(spark.readStream.text(path_glob), schema)

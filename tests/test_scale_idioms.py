@@ -1,0 +1,108 @@
+"""Scale-idiom demonstrations with plan-shape assertions: bucketed
+co-located joins (no shuffle), broadcast joins (no fact-side exchange),
+seeded sampling bounds, and the fidelity pipeline under Structured
+Streaming."""
+
+from __future__ import annotations
+
+import io
+import json
+import contextlib
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def physical_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Tables bucketed on the join key co-locate: the join runs with NO
+    Exchange on either side — the bucketing contract that turns a daily
+    100 TB join into a shuffle-free merge."""
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    import shutil
+
+    # DROP TABLE only clears the in-memory catalog; stale files from a
+    # previous session make saveAsTable refuse the managed location.
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    for t in ("li_bucketed", "ord_bucketed"):
+        shutil.rmtree(f"/tmp/spark_graft_warehouse/{t}", ignore_errors=True)
+    load_table(spark, sf_dir, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).mode("overwrite").saveAsTable("li_bucketed")
+    load_table(spark, sf_dir, "orders").write.bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).mode("overwrite").saveAsTable("ord_bucketed")
+
+    li = spark.table("li_bucketed")
+    orders = spark.table("ord_bucketed").hint("merge")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+        "o_orderstatus"
+    ).count()
+    plan = physical_plan(joined)
+    join_section = plan.split("HashAggregate")[0]
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in join_section, f"bucketed join still shuffles:\n{join_section}"
+
+    # and the result matches the unbucketed join
+    plain = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(load_table(spark, sf_dir, "orders"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    assert Counter(map(tuple, joined.collect())) == Counter(map(tuple, plain.collect()))
+
+
+def test_broadcast_join_no_fact_exchange(spark, sf_dir):
+    from pipeline_apache_beam_entrega1_cs_spark.plans.relational import join_broadcast_dim
+
+    plan = physical_plan(join_broadcast_dim(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    pre_agg = plan.split("HashAggregate")[0]
+    assert "Exchange hashpartitioning" not in pre_agg
+
+
+def test_sample_seeded_bounds(spark, sf_dir):
+    from pipeline_apache_beam_entrega1_cs_spark.plans.relational2 import sample_seeded
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    n_total = load_table(spark, sf_dir, "lineitem").count()
+    n_sample = sample_seeded(spark, sf_dir).count()
+    assert 0.05 * n_total < n_sample < 0.2 * n_total
+    # seeded => reproducible within a session/partitioning
+    assert sample_seeded(spark, sf_dir).count() == n_sample
+
+
+def test_fidelity_pipeline_streaming(spark):
+    """The reference ETL executed as a Structured Streaming job produces
+    exactly the batch (= golden) result."""
+    from pipeline_apache_beam_entrega1_cs_spark.fidelity.pipeline import (
+        build_fidelity_df,
+        build_fidelity_stream,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.streaming.windows import _drain
+
+    glob = "/root/reference/input/*fan_engagement-000-of-001.json"
+    csv = "/root/reference/input_side/country_data_v2.csv"
+    stream_out = _drain(build_fidelity_stream(spark, glob, csv), "append")
+    batch_out = build_fidelity_df(spark, glob, csv)
+
+    def canon_rows(df):
+        return Counter(
+            json.dumps(r.asDict(recursive=True), sort_keys=True, ensure_ascii=False)
+            for r in df.collect()
+        )
+
+    s, b = canon_rows(stream_out), canon_rows(batch_out)
+    assert sum(s.values()) == 237
+    assert s == b
