@@ -23,6 +23,7 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
     "join_sort_merge",
     "join_range_nonequi",
     "join_asof_events",

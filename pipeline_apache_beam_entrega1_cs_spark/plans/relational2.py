@@ -269,6 +269,95 @@ FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive range filters + one global
+    aggregate — the canonical predicate-pushdown benchmark (every filter
+    reaches the parquet reader; no shuffle at all, just a partial+final
+    agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q6_SQL = f"""
+SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def filter_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=>): join on a nullable derived key where
+    NULL must equal NULL (plain = would drop those rows). The derived key
+    nulls out 'F'-status orders to exercise both sides."""
+    orders = _t(spark, sf_dir, "orders")
+    derived = orders.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("status_or_null"),
+    )
+    return (
+        derived.groupBy("status_or_null")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("status_or_null").eqNullSafe(F.lit(None).cast("string"))
+                | (F.col("status_or_null") == "O"))
+    )
+
+
+FILTER_NULL_SAFE_SQL = """
+SELECT status_or_null, COUNT(*) AS n
+FROM (SELECT o_orderkey, NULLIF(o_orderstatus, 'F') AS status_or_null FROM orders)
+GROUP BY status_or_null
+HAVING status_or_null IS NOT DISTINCT FROM NULL OR status_or_null = 'O'
+"""
+
+
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-hash join (hinted): both sides shuffle on the key but the
+    build side hashes instead of sorting — wins over sort-merge when one
+    side is much smaller but too big to broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").hint("shuffle_hash")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_lines"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+JOIN_SHUFFLE_HASH_SQL = f"""
+SELECT p_brand, COUNT(*) AS n_lines, {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/lateral surface: posexplode of the tokenized part name —
+    one output row per (row, position, token)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return part.select(
+        "p_partkey",
+        F.posexplode(F.split(F.col("p_name"), " ")).alias("pos", "word"),
+    ).select("p_partkey", F.col("pos").cast("long").alias("pos"), "word")
+
+
+EXPLODE_LATERAL_SQL = """
+SELECT p_partkey, CAST(i - 1 AS BIGINT) AS pos, words[i] AS word
+FROM (SELECT p_partkey, string_split(p_name, ' ') AS words
+      FROM part WHERE p_partkey <= 200),
+     UNNEST(generate_series(1, len(words))) AS g(i)
+"""
+
+
 def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sampling — deterministic for a fixed seed +
     partitioning but not SQL-expressible, so rows-only; the sampling
@@ -293,4 +382,8 @@ QUERIES: dict[str, QuerySpec] = {
     "sink_parquet_roundtrip": QuerySpec(sink_parquet_roundtrip, SINK_PARQUET_SQL, "sink"),
     "sample_seeded": QuerySpec(sample_seeded, None, "sampling",
                                doc="seeded Bernoulli sample; fraction asserted in tests"),
+    "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL, "headline"),
+    "filter_null_safe_eq": QuerySpec(filter_null_safe_eq, FILTER_NULL_SAFE_SQL, "projection_filter"),
+    "join_shuffle_hash": QuerySpec(join_shuffle_hash, JOIN_SHUFFLE_HASH_SQL, "join"),
+    "explode_lateral": QuerySpec(explode_lateral, EXPLODE_LATERAL_SQL, "scalar_fn"),
 }
