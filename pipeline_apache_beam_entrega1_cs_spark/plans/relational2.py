@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dsum, sql_dsum
+from ..functions.numeric import dsum, sql_davg, sql_dsum
 from ..schemas import load_table
 from .spec import QuerySpec
 
@@ -358,6 +358,92 @@ FROM (SELECT p_partkey, string_split(p_name, ' ') AS words
 """
 
 
+def correlated_subquery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders priced above their own
+    customer's average order value (Catalyst decorrelates this into an
+    aggregate + join — no per-row subquery execution)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_corr")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_corr o1
+        WHERE o_totalprice > 1.5 * (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(o_totalprice)
+            FROM orders_corr o2 WHERE o2.o_custkey = o1.o_custkey)
+        """
+    )
+
+
+CORRELATED_SUBQUERY_SQL = f"""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o1
+WHERE o_totalprice > 1.5 * (
+    SELECT {sql_davg('o_totalprice')}
+    FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)
+"""
+
+
+def q4_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with a cross-table correlated condition —
+    orders having at least one line shipped > 60 days after the order
+    date, counted per priority. Catalyst plans it as a left-semi join."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late_orders = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late_orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late_orders")
+    )
+
+
+Q4_LATE_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_late_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, 4-way join
+    + top-20. Deterministic order: (revenue desc, custkey)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(revenue).alias("lost_revenue"))
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS lost_revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sampling — deterministic for a fixed seed +
     partitioning but not SQL-expressible, so rows-only; the sampling
@@ -383,6 +469,11 @@ QUERIES: dict[str, QuerySpec] = {
     "sample_seeded": QuerySpec(sample_seeded, None, "sampling",
                                doc="seeded Bernoulli sample; fraction asserted in tests"),
     "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL, "headline"),
+    "correlated_subquery_orders": QuerySpec(
+        correlated_subquery_orders, CORRELATED_SUBQUERY_SQL, "subquery"
+    ),
+    "q4_late_shipments": QuerySpec(q4_late_shipments, Q4_LATE_SQL, "headline"),
+    "q10_returned_revenue": QuerySpec(q10_returned_revenue, Q10_SQL, "headline"),
     "filter_null_safe_eq": QuerySpec(filter_null_safe_eq, FILTER_NULL_SAFE_SQL, "projection_filter"),
     "join_shuffle_hash": QuerySpec(join_shuffle_hash, JOIN_SHUFFLE_HASH_SQL, "join"),
     "explode_lateral": QuerySpec(explode_lateral, EXPLODE_LATERAL_SQL, "scalar_fn"),

@@ -1,0 +1,47 @@
+"""Accuracy tests for approximate operators: HLL distinct counts within
+their advertised error, and the streaming session window equaling its
+batch twin."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    """approx_count_distinct(rsd=0.02) must land within ~5 sigma of the
+    exact distinct count."""
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+            F.countDistinct("l_partkey").alias("exact"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        rel_err = abs(r.approx - r.exact) / max(r.exact, 1)
+        assert rel_err < 0.10, f"{r.l_returnflag}: approx={r.approx} exact={r.exact}"
+
+
+def test_streaming_session_window_equals_batch(spark, sf_dir):
+    """Native session_window under Structured Streaming (watermark +
+    complete replay) must equal the batch session aggregation."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.sessionize import session_window_agg
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+    from pipeline_apache_beam_entrega1_cs_spark.streaming.windows import _drain, _stream_events
+
+    batch = session_window_agg(
+        load_table(spark, sf_dir, "events"), "user_id", "ts", "30 minutes", "value"
+    )
+    stream = session_window_agg(
+        _stream_events(spark, sf_dir).withWatermark("ts", "2 hours"),
+        "user_id", "ts", "30 minutes", "value",
+    )
+    out = _drain(stream, "complete")
+    assert Counter(map(tuple, out.collect())) == Counter(map(tuple, batch.collect()))
