@@ -102,6 +102,77 @@ def embedding_cosine_pairs(
     )
 
 
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors: k-means
+    partitions the corpus into centroid lists; each query probes only its
+    ``n_probe`` nearest lists and exact-cosine re-ranks the candidates.
+
+    The scale math: search cost drops from |corpus| to
+    ~|corpus| * n_probe / n_centroids per query, and the corpus-side
+    structure is a plain (cluster -> rows) partitioning — at 100 TB the
+    lists live as a cluster-partitioned table and a probe is a partition-
+    pruned scan. Centroids are tiny and broadcast. Recall is measured
+    against the exact baseline in tests."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = embeddings.select(
+        "vec_id",
+        _as_double("embedding").alias("emb"),
+        array_to_vector(_as_double("embedding")).alias("features"),
+    )
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(vecs)
+    assigned = model.transform(vecs).select(
+        "vec_id", "emb", F.col("prediction").alias("cluster")
+    )
+
+    # centroid table: tiny (n_centroids x dim) -> literal broadcast side
+    spark = embeddings.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster INT, centroid ARRAY<DOUBLE>",
+    )
+    q = assigned.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("c_dist").asc(), F.col("cluster").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "q_emb",
+            "cluster",
+            (1 - cosine(F.col("q_emb"), F.col("centroid"))).alias("c_dist"),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "q_emb", "cluster")
+    )
+    cands = probes.join(assigned, "cluster").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id").asc())
+    return (
+        cands.select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cand_id", "cos_sim", F.col("rk").alias("rank"))
+    )
+
+
 def lsh_ann_topk(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -171,6 +171,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(_emb(spark, sf_dir), QUERY_IDS, k=5)
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.ivf_ann_topk(_emb(spark, sf_dir), QUERY_IDS, k=5)
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
@@ -358,6 +362,8 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_COSINE_TOPK_SQL, "similarity"),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, None, "similarity",
                               doc="LSH buckets not SQL-expressible; recall tested vs exact"),
+    "ann_ivf_topk": QuerySpec(ann_ivf_topk, None, "similarity",
+                              doc="IVF k-means lists + probe; recall tested vs exact"),
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_STATS_SQL, "text"),
     "text_lang_id": QuerySpec(text_lang_id, TEXT_LANG_ID_SQL, "text"),
     "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL, "text"),

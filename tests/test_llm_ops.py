@@ -117,6 +117,50 @@ def test_multimodal_fake_decode_plumbing(spark, sf_dir):
     assert out[0].byte_len == 0 and out[0].mode == "RGB"
 
 
+def test_ivf_ann_recall(spark, sf_dir):
+    """IVF (k-means inverted lists + probe + exact re-rank) must recall
+    most of the exact top-k while scanning only n_probe/n_centroids of
+    the corpus per query."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(10))
+    exact = {(r.query_id, r.cand_id) for r in cosine_topk(emb, qids, k=5).collect()}
+    approx = {(r.query_id, r.cand_id) for r in ivf_ann_topk(emb, qids, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_transform_with_state_high_water_marks(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas: per-user record-breaking
+    events. Skips where the gRPC state server's protobuf dependency is
+    absent (this container)."""
+    from pipeline_apache_beam_entrega1_cs_spark.streaming.transform_state import (
+        run_high_water_marks,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("protobuf not installed; transformWithState needs it")
+    from pyspark.sql import functions as F2
+
+    out = run_high_water_marks(spark, sf_dir)
+    # per user: new_max strictly increasing, count matches emitted rows
+    bad = (
+        out.groupBy("user_id")
+        .agg(
+            (F2.count(F2.lit(1)) == F2.max("n_records")).alias("ok_count"),
+        )
+        .filter(~F2.col("ok_count"))
+        .count()
+    )
+    assert bad == 0
+
+
 def test_real_decoder_is_marked_stub(spark):
     from pipeline_apache_beam_entrega1_cs_spark.operators.multimodal import real_decode_image
 
