@@ -120,12 +120,24 @@ def build_fidelity_stream(spark: SparkSession, json_glob: str, csv_path: str) ->
     return _transforms(events, country_dim)
 
 
-def write_jsonl(df: DataFrame, out_dir: str, single_shard: bool = True) -> None:
+def write_jsonl(df: DataFrame, out_dir: str, single_shard: bool = True,
+                prefix: str | None = None) -> None:
     """JSONL sink. ``single_shard`` replicates the reference's
     ``num_shards=1`` (src/pipeline.py:296) — an explicit anti-scale choice
-    kept only for golden fidelity; at scale leave sharding to Spark."""
+    kept only for golden fidelity; at scale leave sharding to Spark.
+
+    With ``prefix``, the single shard is renamed to the reference's exact
+    output name ``<prefix>-00000-of-00001.jsonl`` (src/pipeline.py:292-296)
+    inside ``out_dir``."""
     writer = df.coalesce(1) if single_shard else df
     writer.write.mode("overwrite").json(out_dir)
+    if prefix is not None and single_shard:
+        import glob as _glob
+        import os as _os
+
+        parts = _glob.glob(_os.path.join(out_dir, "part-*.json"))
+        if len(parts) == 1:
+            _os.replace(parts[0], _os.path.join(out_dir, f"{prefix}-00000-of-00001.jsonl"))
 
 
 def resolve_paths(
@@ -152,6 +164,7 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--input_json_glob", default=None)
     parser.add_argument("--input_csv", default=None)
     parser.add_argument("--output_folder", default="output")
+    parser.add_argument("--output_prefix", default="result")
     parser.add_argument("--root", default=os.getcwd())
     args = parser.parse_args(argv)
 
@@ -161,7 +174,8 @@ def main(argv: list[str] | None = None) -> None:
     glob, csv_path, out_dir = resolve_paths(
         Path(args.root), args.output_folder, args.input_json_glob, args.input_csv
     )
-    write_jsonl(build_fidelity_df(spark, glob, csv_path), out_dir)
+    write_jsonl(build_fidelity_df(spark, glob, csv_path), out_dir,
+                prefix=args.output_prefix)
 
 
 if __name__ == "__main__":

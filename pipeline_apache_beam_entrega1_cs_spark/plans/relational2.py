@@ -444,6 +444,47 @@ LIMIT 20
 """
 
 
+def window_value_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit full-frame
+    (default frames end at CURRENT ROW — last_value without the explicit
+    frame is a classic silent bug)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first_value("o_totalprice").over(w).alias("first_price"),
+        F.last_value("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+WINDOW_VALUE_NAV_SQL = """
+SELECT o_custkey, o_orderkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER w AS last_price,
+       nth_value(o_totalprice, 2) OVER w AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest-ish sketch) — the 100 TB quantile
+    path. Sketch internals are engine-specific -> rows-only; accuracy vs
+    the exact percentile is the dedicated test's job."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.99, 1000).alias("p99_approx"),
+    )
+
+
 def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sampling — deterministic for a fixed seed +
     partitioning but not SQL-expressible, so rows-only; the sampling
@@ -474,6 +515,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q4_late_shipments": QuerySpec(q4_late_shipments, Q4_LATE_SQL, "headline"),
     "q10_returned_revenue": QuerySpec(q10_returned_revenue, Q10_SQL, "headline"),
+    "window_value_navigation": QuerySpec(window_value_navigation, WINDOW_VALUE_NAV_SQL, "window"),
+    "agg_approx_percentile": QuerySpec(agg_approx_percentile, None, "aggregation",
+                                       doc="sketch-based; accuracy tested vs exact percentile"),
     "filter_null_safe_eq": QuerySpec(filter_null_safe_eq, FILTER_NULL_SAFE_SQL, "projection_filter"),
     "join_shuffle_hash": QuerySpec(join_shuffle_hash, JOIN_SHUFFLE_HASH_SQL, "join"),
     "explode_lateral": QuerySpec(explode_lateral, EXPLODE_LATERAL_SQL, "scalar_fn"),

@@ -29,6 +29,22 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
         assert rel_err < 0.10, f"{r.l_returnflag}: approx={r.approx} exact={r.exact}"
 
 
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert abs(r.approx - r.exact) / r.exact < 0.05, r
+
+
 def test_streaming_session_window_equals_batch(spark, sf_dir):
     """Native session_window under Structured Streaming (watermark +
     complete replay) must equal the batch session aggregation."""
