@@ -485,6 +485,50 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source round-trip (columnar alternative to parquet, same
+    pushdown machinery): write suppliers, read back with a filter,
+    aggregate."""
+    out = "/tmp/spark_graft_sink/supplier_orc"
+    supp = _t(spark, sf_dir, "supplier")
+    supp.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out).filter(F.col("s_acctbal") > 0)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        dsum("s_acctbal").alias("sum_bal"),
+    )
+
+
+SINK_ORC_SQL = f"""
+SELECT s_nationkey, COUNT(*) AS n_suppliers, {sql_dsum('s_acctbal')} AS sum_bal
+FROM supplier WHERE s_acctbal > 0 GROUP BY s_nationkey
+"""
+
+
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink/source round-trip with an explicit read schema (header
+    on, no inference pass — schema inference is a second full scan at
+    100 TB). Doubles are formatted then re-parsed, so the aggregate runs
+    on round-tripped values; the oracle mirrors with a printf round-trip."""
+    out = "/tmp/spark_graft_sink/nation_csv"
+    nation = _t(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT").option(
+        "header", True
+    ).csv(out)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+    )
+
+
+SINK_CSV_SQL = """
+SELECT n_regionkey, COUNT(*) AS n_nations,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation GROUP BY n_regionkey
+"""
+
+
 def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sampling — deterministic for a fixed seed +
     partitioning but not SQL-expressible, so rows-only; the sampling
@@ -507,6 +551,8 @@ QUERIES: dict[str, QuerySpec] = {
     "skew_salted_agg": QuerySpec(skew_salted_agg, SKEW_SALTED_SQL, "aggregation"),
     "window_distribution": QuerySpec(window_distribution, WINDOW_DISTRIBUTION_SQL, "window"),
     "sink_parquet_roundtrip": QuerySpec(sink_parquet_roundtrip, SINK_PARQUET_SQL, "sink"),
+    "sink_orc_roundtrip": QuerySpec(sink_orc_roundtrip, SINK_ORC_SQL, "sink"),
+    "sink_csv_roundtrip": QuerySpec(sink_csv_roundtrip, SINK_CSV_SQL, "sink"),
     "sample_seeded": QuerySpec(sample_seeded, None, "sampling",
                                doc="seeded Bernoulli sample; fraction asserted in tests"),
     "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL, "headline"),
