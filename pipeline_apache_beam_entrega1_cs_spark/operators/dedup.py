@@ -132,7 +132,13 @@ def ngram_jaccard_pairs(
             ),
         )
     )
-    pairs = buckets.select(F.explode(pair_arrays).alias("p")).select("p.*")
+    # explode_outer again (see _explode_shingles): a plain explode makes
+    # InferFiltersFromGenerate evaluate the O(k²) pair construction twice.
+    pairs = (
+        buckets.select(F.explode_outer(pair_arrays).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select("p.*")
+    )
     return (
         pairs.groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -158,9 +164,9 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     (2*bit_i(token_hash) - 1) is positive. Expressed as explode(tokens)
     × explode(bit positions) + one aggregation — heavy but linear, and
     each stage is a plain shuffle."""
-    tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
-    )
+    from .textops import explode_tokens
+
+    tok = explode_tokens(docs, distinct=True)
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
     tok_h = tok.select("doc_id", h.alias("h"))
     pos = tok_h.select(

@@ -32,6 +32,20 @@ def tokens(col: Column) -> Column:
     )
 
 
+def explode_tokens(docs: DataFrame, distinct: bool = False,
+                   out: str = "tok") -> DataFrame:
+    """(doc_id, tok) rows via explode_outer + null filter — a plain
+    explode triggers InferFiltersFromGenerate, whose synthesized
+    size()>0 filter re-evaluates the tokenizer at the scan (see
+    operators/dedup._explode_shingles for the measured cost)."""
+    toks = tokens(F.col("text"))
+    if distinct:
+        toks = F.array_distinct(toks)
+    return docs.select(
+        "doc_id", F.explode_outer(toks).alias(out)
+    ).filter(F.col(out).isNotNull())
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Per-document token statistics (token count, distinct tokens,
     average token length)."""
@@ -63,7 +77,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
         [(lang, w) for lang, ws in LANG_MARKERS.items() for w in ws],
         ["cand_lang", "marker"],
     )
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tok = explode_tokens(docs)
     votes = (
         tok.join(F.broadcast(markers), tok.tok == markers.marker, "inner")
         .groupBy("doc_id", "cand_lang")
@@ -122,7 +136,7 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     """Top-k TF-IDF terms per document, built from first principles with
     explode + two aggregations (no ML pipeline). idf = ln((N+1)/(df+1))+1.
     Deterministic ordering: (round(tfidf,6) desc, term asc)."""
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tok = explode_tokens(docs, out="term")
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     total = docs.select(F.count(F.lit(1)).alias("n_docs"))
