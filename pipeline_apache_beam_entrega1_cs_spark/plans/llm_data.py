@@ -351,6 +351,111 @@ FROM documents
 """
 
 
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling operator (data-quality sweep a training-data
+    pipeline runs before ingestion): per-source row count, null/empty
+    text count, char-length stats, distinct languages."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("text").isNull() | (F.trim("text") == ""), 1).otherwise(0)
+        ).cast("long").alias("n_empty_text"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+PROFILE_DOCUMENTS_SQL = """
+SELECT source,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_empty_text,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents GROUP BY source
+"""
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LLM-data curation: quality-filter -> language-filter ->
+    fingerprint dedup -> per-source yield report. The composition shape of
+    a real pretraining-data pass, as ONE declarative plan (Catalyst fuses
+    the filters into the scan; the only shuffles are the dedup and the
+    final rollup)."""
+    d = _docs(spark, sf_dir)
+    quality = T.quality_score(d).select("doc_id", "quality_score")
+    lang = T.lang_id(d).select("doc_id", "pred_lang")
+    fp = T.fingerprint(d)
+    enriched = (
+        d.join(quality, "doc_id").join(lang, "doc_id").join(fp, "doc_id")
+        .filter((F.col("quality_score") >= 0.7) & (F.col("pred_lang") == "en"))
+    )
+    deduped = (
+        enriched.groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dupes"))
+    )
+    kept = enriched.join(
+        deduped.select(F.col("keep_doc_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+CURATION_PIPELINE_SQL = rf"""
+WITH q AS (
+  SELECT doc_id,
+         CASE WHEN (CASE WHEN trim(lower(text)) = '' THEN 0 ELSE len({_TOKS}) END)
+                   BETWEEN 5 AND 5000 THEN 0.4::DOUBLE ELSE 0.0 END
+         + CASE WHEN (CASE WHEN length(text) > 0 THEN
+                 (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+                 / length(text) ELSE 0.0 END) < 0.2 THEN 0.3::DOUBLE ELSE 0.0 END
+         + CASE WHEN (CASE WHEN (CASE WHEN trim(lower(text)) = '' THEN 0 ELSE len({_TOKS}) END) > 0 THEN
+                 (length(text) - (CASE WHEN trim(lower(text)) = '' THEN 0 ELSE len({_TOKS}) END) + 1)::DOUBLE
+                 / (CASE WHEN trim(lower(text)) = '' THEN 0 ELSE len({_TOKS}) END) ELSE 0.0 END)
+                   BETWEEN 3 AND 12 THEN 0.3::DOUBLE ELSE 0.0 END AS score
+  FROM documents
+), tok AS (
+  SELECT doc_id, t FROM documents, UNNEST({_TOKS}) AS u(t) WHERE trim(text) <> ''
+), votes AS (
+  SELECT doc_id, cand_lang, COUNT(*) AS votes
+  FROM tok JOIN (VALUES {_MARKER_VALUES}) m(cand_lang, marker) ON t = marker
+  GROUP BY 1, 2
+), best AS (
+  SELECT doc_id, cand_lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY votes DESC, cand_lang ASC) AS rn
+  FROM votes
+), lang AS (
+  SELECT d.doc_id, COALESCE(b.cand_lang, 'und') AS pred_lang
+  FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+), fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+             CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE {_TOKS} END)), ' ')) AS fp
+  FROM documents
+), enriched AS (
+  SELECT d.doc_id, d.source, d.n_chars, fp.fp
+  FROM documents d
+  JOIN q ON d.doc_id = q.doc_id
+  JOIN lang ON d.doc_id = lang.doc_id
+  JOIN fp ON d.doc_id = fp.doc_id
+  WHERE round(q.score, 1) >= 0.7 AND lang.pred_lang = 'en'
+), keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM enriched GROUP BY fp
+)
+SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM enriched WHERE doc_id IN (SELECT doc_id FROM keepers)
+GROUP BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "dedup"),
     "dedup_hash": QuerySpec(dedup_hash, DEDUP_HASH_SQL, "dedup"),
@@ -371,4 +476,6 @@ QUERIES: dict[str, QuerySpec] = {
     "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, TEXT_TFIDF_SQL, "text"),
     "multimodal_binary_meta": QuerySpec(multimodal_binary_meta, MULTIMODAL_BINARY_META_SQL, "multimodal"),
     "multimodal_decode_fake": QuerySpec(multimodal_decode_fake, MULTIMODAL_DECODE_SQL, "multimodal"),
+    "profile_documents": QuerySpec(profile_documents, PROFILE_DOCUMENTS_SQL, "text"),
+    "curation_pipeline": QuerySpec(curation_pipeline, CURATION_PIPELINE_SQL, "composition"),
 }

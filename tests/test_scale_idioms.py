@@ -83,6 +83,48 @@ def test_sample_seeded_bounds(spark, sf_dir):
     assert sample_seeded(spark, sf_dir).count() == n_sample
 
 
+def test_auto_broadcast_without_hint(spark, sf_dir):
+    """Catalyst must pick a broadcast join for an under-threshold dim on
+    its own (autoBroadcastJoinThreshold) — no hint in this plan."""
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    nation_cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = orders.join(nation_cust, orders.o_custkey == nation_cust.c_custkey).groupBy(
+        "c_nationkey"
+    ).count()
+    plan = physical_plan(joined)
+    assert "BroadcastHashJoin" in plan, plan[:800]
+
+
+def test_foreachbatch_sink(spark, sf_dir, tmp_path):
+    """foreachBatch: the custom-sink escape hatch (idempotent writes by
+    epoch at scale). Drain the events stream through it into parquet and
+    compare counts with the batch source."""
+    import uuid
+
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+    from pipeline_apache_beam_entrega1_cs_spark.streaming.windows import _stream_events
+
+    out = str(tmp_path / "fb_out")
+    stream = _stream_events(spark, sf_dir).select("event_id", "user_id", "value")
+
+    def write_batch(df, epoch_id):
+        df.write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .queryName(f"fb_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_stream = spark.read.parquet(out).count()
+    n_batch = load_table(spark, sf_dir, "events").count()
+    assert n_stream == n_batch
+    assert spark.read.parquet(out).select("event_id").distinct().count() == n_batch
+
+
 def test_fidelity_pipeline_streaming(spark):
     """The reference ETL executed as a Structured Streaming job produces
     exactly the batch (= golden) result."""
