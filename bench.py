@@ -66,11 +66,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        try:
-            timings[name] = round(run(name, sf_dir), 3)
-        except Exception as ex:
-            print(f"bench {name} failed: {ex}", file=sys.stderr)
-            timings[name] = -1.0
+        # min of 2 measured runs: local-mode wall times swing ±20% under
+        # shared-machine load; min is the stable estimator. Each run gets
+        # its own try so one transient failure doesn't discard a valid
+        # measurement from the other.
+        measured: list[float] = []
+        for _ in range(2):
+            try:
+                measured.append(run(name, sf_dir))
+            except Exception as ex:
+                print(f"bench {name} failed: {ex}", file=sys.stderr)
+        timings[name] = round(min(measured), 3) if measured else -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

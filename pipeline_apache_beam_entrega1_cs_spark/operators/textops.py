@@ -94,6 +94,26 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_score_col(text: Column) -> Column:
+    """Row-local composite quality score (rounded to 1 dp) — shared by
+    quality_score() and the curation pipeline so the heuristic lives in
+    exactly one place."""
+    n_chars = F.length(text)
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[\p{Punct}]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+    mean_word_len = F.when(
+        n_tokens > 0, (n_chars - n_tokens + 1).cast("double") / n_tokens
+    ).otherwise(0.0)
+    return F.round(
+        F.when((n_tokens >= 5) & (n_tokens <= 5000), F.lit(0.4)).otherwise(0.0)
+        + F.when(punct_ratio < 0.2, F.lit(0.3)).otherwise(0.0)
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 12), F.lit(0.3)).otherwise(0.0),
+        1,
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic quality features + composite score per document:
     length, punctuation ratio, uppercase ratio, mean word length.
@@ -107,11 +127,6 @@ def quality_score(docs: DataFrame) -> DataFrame:
     punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
     upper_ratio = F.when(n_chars > 0, n_upper.cast("double") / n_chars).otherwise(0.0)
     mean_word_len = F.when(n_tokens > 0, (n_chars - n_tokens + 1).cast("double") / n_tokens).otherwise(0.0)
-    score = (
-        F.when((n_tokens >= 5) & (n_tokens <= 5000), F.lit(0.4)).otherwise(0.0)
-        + F.when(punct_ratio < 0.2, F.lit(0.3)).otherwise(0.0)
-        + F.when((mean_word_len >= 3) & (mean_word_len <= 12), F.lit(0.3)).otherwise(0.0)
-    )
     return docs.select(
         "doc_id",
         n_chars.alias("len_chars"),
@@ -119,17 +134,21 @@ def quality_score(docs: DataFrame) -> DataFrame:
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(upper_ratio, 4).alias("upper_ratio"),
         F.round(mean_word_len, 4).alias("mean_word_len"),
-        F.round(score, 1).alias("quality_score"),
+        quality_score_col(text).alias("quality_score"),
     )
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Row-local canonical fingerprint expression (md5 of the sorted
+    distinct token set)."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text))), " "))
 
 
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Canonical-form document fingerprint: md5 of the sorted distinct
     token set. Word-order-insensitive near-exact dedup key (the
     "fingerprint" method of key-collision dedup)."""
-    toks = tokens(F.col("text"))
-    canonical = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
-    return docs.select("doc_id", F.md5(canonical).alias("fp"))
+    return docs.select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
 
 
 def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:

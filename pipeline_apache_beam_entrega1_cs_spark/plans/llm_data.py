@@ -23,6 +23,29 @@ from .spec import QuerySpec
 
 _TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
 
+# Shared SQL fragments (single source for every oracle that re-derives
+# these from raw text — mirrors textops.quality_score_col/fingerprint_col
+# on the Spark side).
+_SQL_NTOK = f"(CASE WHEN trim(lower(text)) = '' THEN 0 ELSE len({_TOKS}) END)"
+_SQL_PUNCT_RATIO = (
+    "(CASE WHEN length(text) > 0 THEN "
+    "(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE"
+    " / length(text) ELSE 0.0 END)"
+)
+_SQL_MWL = (
+    f"(CASE WHEN {_SQL_NTOK} > 0 THEN "
+    f"(length(text) - {_SQL_NTOK} + 1)::DOUBLE / {_SQL_NTOK} ELSE 0.0 END)"
+)
+_SQL_QSCORE = (
+    f"CAST(round(CASE WHEN {_SQL_NTOK} BETWEEN 5 AND 5000 THEN 0.4::DOUBLE ELSE 0.0 END"
+    f" + CASE WHEN {_SQL_PUNCT_RATIO} < 0.2 THEN 0.3::DOUBLE ELSE 0.0 END"
+    f" + CASE WHEN {_SQL_MWL} BETWEEN 3 AND 12 THEN 0.3::DOUBLE ELSE 0.0 END, 1) AS DOUBLE)"
+)
+_SQL_FP = (
+    f"md5(array_to_string(list_sort(list_distinct("
+    f"CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) ELSE {_TOKS} END)), ' '))"
+)
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
@@ -257,7 +280,7 @@ WITH t AS (
          length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
   FROM documents
 ), r AS (
-  SELECT doc_id, n_chars, CAST(n_tok AS BIGINT) AS n_tokens,
+  SELECT doc_id, text, n_chars, CAST(n_tok AS BIGINT) AS n_tokens,
          CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
          CASE WHEN n_chars > 0 THEN n_upper::DOUBLE / n_chars ELSE 0.0 END AS upper_ratio,
          CASE WHEN n_tok > 0 THEN (n_chars - n_tok + 1)::DOUBLE / n_tok ELSE 0.0 END AS mean_word_len
@@ -267,10 +290,7 @@ SELECT doc_id, n_chars AS len_chars, n_tokens,
        round(punct_ratio, 4) AS punct_ratio,
        round(upper_ratio, 4) AS upper_ratio,
        round(mean_word_len, 4) AS mean_word_len,
-       CAST(round(CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 0.4::DOUBLE ELSE 0.0 END
-             + CASE WHEN punct_ratio < 0.2 THEN 0.3::DOUBLE ELSE 0.0 END
-             + CASE WHEN mean_word_len BETWEEN 3 AND 12 THEN 0.3::DOUBLE ELSE 0.0 END, 1)
-         AS DOUBLE) AS quality_score
+       {_SQL_QSCORE} AS quality_score
 FROM r
 """
 
@@ -280,10 +300,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TEXT_FINGERPRINT_SQL = rf"""
-SELECT doc_id,
-       md5(array_to_string(list_sort(list_distinct(
-           CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
-                ELSE {_TOKS} END)), ' ')) AS fp
+SELECT doc_id, {_SQL_FP} AS fp
 FROM documents
 """
 
@@ -383,25 +400,24 @@ FROM documents GROUP BY source
 
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end LLM-data curation: quality-filter -> language-filter ->
-    fingerprint dedup -> per-source yield report. The composition shape of
-    a real pretraining-data pass, as ONE declarative plan (Catalyst fuses
-    the filters into the scan; the only shuffles are the dedup and the
-    final rollup)."""
+    fingerprint dedup -> per-source yield report — the composition shape
+    of a real pretraining-data pass as ONE declarative plan.
+
+    Quality score and fingerprint are ROW-LOCAL expressions (withColumn,
+    fused into the scan stage); only language-ID genuinely needs a join
+    (its votes come from an explode + broadcast-join aggregation). The
+    shuffles are: lang votes, the fingerprint dedup, and the final
+    rollup."""
     d = _docs(spark, sf_dir)
-    quality = T.quality_score(d).select("doc_id", "quality_score")
     lang = T.lang_id(d).select("doc_id", "pred_lang")
-    fp = T.fingerprint(d)
     enriched = (
-        d.join(quality, "doc_id").join(lang, "doc_id").join(fp, "doc_id")
+        d.withColumn("quality_score", T.quality_score_col(F.col("text")))
+        .withColumn("fp", T.fingerprint_col(F.col("text")))
+        .join(lang, "doc_id")
         .filter((F.col("quality_score") >= 0.7) & (F.col("pred_lang") == "en"))
     )
-    deduped = (
-        enriched.groupBy("fp")
-        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dupes"))
-    )
-    kept = enriched.join(
-        deduped.select(F.col("keep_doc_id").alias("doc_id")), "doc_id", "left_semi"
-    )
+    keepers = enriched.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = enriched.join(keepers, "doc_id", "left_semi")
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_chars").cast("long").alias("total_chars"),
@@ -409,19 +425,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CURATION_PIPELINE_SQL = rf"""
-WITH q AS (
-  SELECT doc_id,
-         CASE WHEN (CASE WHEN trim(lower(text)) = '' THEN 0 ELSE len({_TOKS}) END)
-                   BETWEEN 5 AND 5000 THEN 0.4::DOUBLE ELSE 0.0 END
-         + CASE WHEN (CASE WHEN length(text) > 0 THEN
-                 (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
-                 / length(text) ELSE 0.0 END) < 0.2 THEN 0.3::DOUBLE ELSE 0.0 END
-         + CASE WHEN (CASE WHEN (CASE WHEN trim(lower(text)) = '' THEN 0 ELSE len({_TOKS}) END) > 0 THEN
-                 (length(text) - (CASE WHEN trim(lower(text)) = '' THEN 0 ELSE len({_TOKS}) END) + 1)::DOUBLE
-                 / (CASE WHEN trim(lower(text)) = '' THEN 0 ELSE len({_TOKS}) END) ELSE 0.0 END)
-                   BETWEEN 3 AND 12 THEN 0.3::DOUBLE ELSE 0.0 END AS score
-  FROM documents
-), tok AS (
+WITH tok AS (
   SELECT doc_id, t FROM documents, UNNEST({_TOKS}) AS u(t) WHERE trim(text) <> ''
 ), votes AS (
   SELECT doc_id, cand_lang, COUNT(*) AS votes
@@ -434,19 +438,11 @@ WITH q AS (
 ), lang AS (
   SELECT d.doc_id, COALESCE(b.cand_lang, 'und') AS pred_lang
   FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
-), fp AS (
-  SELECT doc_id,
-         md5(array_to_string(list_sort(list_distinct(
-             CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
-                  ELSE {_TOKS} END)), ' ')) AS fp
-  FROM documents
 ), enriched AS (
-  SELECT d.doc_id, d.source, d.n_chars, fp.fp
+  SELECT d.doc_id, d.source, d.n_chars, {_SQL_FP} AS fp
   FROM documents d
-  JOIN q ON d.doc_id = q.doc_id
   JOIN lang ON d.doc_id = lang.doc_id
-  JOIN fp ON d.doc_id = fp.doc_id
-  WHERE round(q.score, 1) >= 0.7 AND lang.pred_lang = 'en'
+  WHERE {_SQL_QSCORE} >= 0.7 AND lang.pred_lang = 'en'
 ), keepers AS (
   SELECT MIN(doc_id) AS doc_id FROM enriched GROUP BY fp
 )

@@ -118,7 +118,10 @@ def test_foreachbatch_sink(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    try:
+        assert q.awaitTermination(120), "stream did not drain within 120s"
+    finally:
+        q.stop()
     n_stream = spark.read.parquet(out).count()
     n_batch = load_table(spark, sf_dir, "events").count()
     assert n_stream == n_batch
