@@ -485,6 +485,39 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): for each order, revenue
+    of the customer's orders in the preceding-30-epoch-days window —
+    peers are selected by ORDER-BY VALUE distance, so ties and gaps
+    behave differently from a ROWS frame."""
+    orders = _t(spark, sf_dir, "orders")
+    day = (F.unix_timestamp("o_orderdate") / 86400).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w)
+        .cast("double")
+        .alias("rev_30d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+    )
+
+
+WINDOW_RANGE_FRAME_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS rev_30d,
+       COUNT(*) OVER w AS n_orders_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY CAST(epoch(o_orderdate) / 86400 AS BIGINT)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+"""
+
+
 def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink/source round-trip (columnar alternative to parquet, same
     pushdown machinery): write suppliers, read back with a filter,
@@ -562,6 +595,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q4_late_shipments": QuerySpec(q4_late_shipments, Q4_LATE_SQL, "headline"),
     "q10_returned_revenue": QuerySpec(q10_returned_revenue, Q10_SQL, "headline"),
     "window_value_navigation": QuerySpec(window_value_navigation, WINDOW_VALUE_NAV_SQL, "window"),
+    "window_range_frame": QuerySpec(window_range_frame, WINDOW_RANGE_FRAME_SQL, "window"),
     "agg_approx_percentile": QuerySpec(agg_approx_percentile, None, "aggregation",
                                        doc="sketch-based; accuracy tested vs exact percentile"),
     "filter_null_safe_eq": QuerySpec(filter_null_safe_eq, FILTER_NULL_SAFE_SQL, "projection_filter"),
