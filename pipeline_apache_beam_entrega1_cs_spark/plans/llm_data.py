@@ -368,6 +368,53 @@ FROM documents
 """
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the Jaccard pair
+    graph (iterative min-label propagation, operators/components.py) —
+    the step that turns pairwise matches into 'keep one per cluster'.
+    Oracle: transitive closure via a recursive CTE."""
+    from ..operators.components import connected_components
+
+    edges = D.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5, max_df=100)
+    return connected_components(edges).select("node", F.col("comp").alias("component"))
+
+
+DEDUP_COMPONENTS_SQL = rf"""
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents WHERE trim(text) <> ''
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS g(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), kept AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100
+), shc AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shc a JOIN shc b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS node, LEAST(a, MIN(b)) AS component
+FROM reach GROUP BY a
+"""
+
+
 def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-profiling operator (data-quality sweep a training-data
     pipeline runs before ingestion): per-source row count, null/empty
@@ -472,6 +519,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, TEXT_TFIDF_SQL, "text"),
     "multimodal_binary_meta": QuerySpec(multimodal_binary_meta, MULTIMODAL_BINARY_META_SQL, "multimodal"),
     "multimodal_decode_fake": QuerySpec(multimodal_decode_fake, MULTIMODAL_DECODE_SQL, "multimodal"),
+    "dedup_components": QuerySpec(dedup_components, DEDUP_COMPONENTS_SQL, "dedup"),
     "profile_documents": QuerySpec(profile_documents, PROFILE_DOCUMENTS_SQL, "text"),
     "curation_pipeline": QuerySpec(curation_pipeline, CURATION_PIPELINE_SQL, "composition"),
 }

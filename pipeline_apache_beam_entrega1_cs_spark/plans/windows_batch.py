@@ -166,7 +166,29 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join (purchases ⋈ signups within 24 h,
+    same user). One-batch cold replay == the equivalent batch join, so
+    the oracle is plain SQL."""
+    from ..streaming.joins import purchases_after_signup_stream
+
+    return purchases_after_signup_stream(spark, sf_dir)
+
+
+STREAMING_STREAM_JOIN_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id, s.event_id AS signup_id,
+       epoch_us(p.ts) AS p_ts_us, epoch_us(s.ts) AS s_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id
+ AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 24 HOUR
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "streaming_stream_join": QuerySpec(
+        streaming_stream_join, STREAMING_STREAM_JOIN_SQL, "streaming"
+    ),
     "window_tumbling": QuerySpec(window_tumbling, WINDOW_TUMBLING_SQL, "time_window"),
     "window_sliding": QuerySpec(window_sliding, WINDOW_SLIDING_SQL, "time_window"),
     "window_session": QuerySpec(window_session, WINDOW_SESSION_SQL, "time_window"),
