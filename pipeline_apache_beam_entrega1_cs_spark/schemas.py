@@ -62,14 +62,30 @@ TESTDATA_TABLES = [
 ]
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Set the runtime SQL confs this package's correctness depends on —
+    idempotent and safe to call per-query, so results are right even when
+    the caller (e.g. the driver harness) built its own SparkSession
+    without session.get_spark():
+
+    - nanosAsLong: Spark's reader rejects parquet TIMESTAMP(NANOS)
+      (events.ts) outright without it;
+    - UTC session timezone: epoch/date-string outputs must match the
+      UTC-naive DuckDB oracle regardless of host timezone.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata parquet table. Parquet carries its own schema;
     column pruning + predicate pushdown apply automatically.
 
     events.ts is parquet TIMESTAMP(NANOS) — illegal for Spark's reader —
-    so it arrives as a nanosecond long (spark.sql.legacy.parquet.
-    nanosAsLong, set in session.py) and is truncated to a microsecond
-    timestamp here, matching DuckDB/Arrow ns->us truncation."""
+    so it arrives as a nanosecond long (nanosAsLong) and is truncated to
+    a microsecond timestamp here, matching DuckDB/Arrow ns->us
+    truncation."""
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return normalize_nanos_ts(df)
 
