@@ -415,6 +415,65 @@ FROM reach GROUP BY a
 """
 
 
+def text_winnow_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document sketch: the 8 smallest shingle hashes
+    (md5-derived, so both engines agree bit-for-bit) joined into a
+    compact fingerprint — the MOSS-style rolling/min-hash selection that
+    lets near-dup candidates compare k small ints instead of documents."""
+    sh = D.ngram_shingles(_docs(spark, sf_dir), n=3)
+    h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    return (
+        sh.select("doc_id", h.alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("h")), 1, 8), ","
+            ).alias("sketch"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+    )
+
+
+TEXT_WINNOW_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents WHERE trim(text) <> ''
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS g(i)
+), hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h FROM sh
+)
+SELECT doc_id,
+       array_to_string(list_sort(list(h))[1:8], ',') AS sketch,
+       COUNT(*) AS n_shingles
+FROM hashed GROUP BY doc_id
+"""
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregation: per-label element-wise centroid via posexplode
+    + (label, dim) average — the building block of IVF training and
+    cluster drift monitoring, as plain relational ops."""
+    emb = _emb(spark, sf_dir)
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    return (
+        ex.groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("centroid_v"), F.count(F.lit(1)).alias("n"))
+        .withColumn("dim", F.col("dim").cast("long"))
+    )
+
+
+EMBEDDING_CENTROIDS_SQL = """
+SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+       round(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_v,
+       COUNT(*) AS n
+FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+GROUP BY label, i
+"""
+
+
 def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-profiling operator (data-quality sweep a training-data
     pipeline runs before ingestion): per-source row count, null/empty
@@ -520,6 +579,8 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_binary_meta": QuerySpec(multimodal_binary_meta, MULTIMODAL_BINARY_META_SQL, "multimodal"),
     "multimodal_decode_fake": QuerySpec(multimodal_decode_fake, MULTIMODAL_DECODE_SQL, "multimodal"),
     "dedup_components": QuerySpec(dedup_components, DEDUP_COMPONENTS_SQL, "dedup"),
+    "text_winnow_sketch": QuerySpec(text_winnow_sketch, TEXT_WINNOW_SQL, "text"),
+    "embedding_centroids": QuerySpec(embedding_centroids, EMBEDDING_CENTROIDS_SQL, "similarity"),
     "profile_documents": QuerySpec(profile_documents, PROFILE_DOCUMENTS_SQL, "text"),
     "curation_pipeline": QuerySpec(curation_pipeline, CURATION_PIPELINE_SQL, "composition"),
 }

@@ -562,6 +562,28 @@ FROM nation GROUP BY n_regionkey
 """
 
 
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via floor bucketing — the plain-relational
+    distribution profile (bucket -> count, range edges)."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 10000).cast("long")
+    return (
+        li.groupBy(bucket.alias("price_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+    )
+
+
+AGG_HISTOGRAM_SQL = """
+SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS price_bucket,
+       COUNT(*) AS n, MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+FROM lineitem GROUP BY 1
+"""
+
+
 def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sampling — deterministic for a fixed seed +
     partitioning but not SQL-expressible, so rows-only; the sampling
@@ -598,6 +620,7 @@ QUERIES: dict[str, QuerySpec] = {
     "window_range_frame": QuerySpec(window_range_frame, WINDOW_RANGE_FRAME_SQL, "window"),
     "agg_approx_percentile": QuerySpec(agg_approx_percentile, None, "aggregation",
                                        doc="sketch-based; accuracy tested vs exact percentile"),
+    "agg_histogram": QuerySpec(agg_histogram, AGG_HISTOGRAM_SQL, "aggregation"),
     "filter_null_safe_eq": QuerySpec(filter_null_safe_eq, FILTER_NULL_SAFE_SQL, "projection_filter"),
     "join_shuffle_hash": QuerySpec(join_shuffle_hash, JOIN_SHUFFLE_HASH_SQL, "join"),
     "explode_lateral": QuerySpec(explode_lateral, EXPLODE_LATERAL_SQL, "scalar_fn"),
