@@ -562,6 +562,36 @@ FROM nation GROUP BY n_regionkey
 """
 
 
+def string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance string matching (fuzzy join shape): nation-name
+    pairs within levenshtein distance 6 — both engines implement the
+    identical Wagner-Fischer distance."""
+    a = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("key_a"), F.col("n_name").alias("name_a")
+    )
+    b = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("key_b"), F.col("n_name").alias("name_b")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 6)
+    )
+
+
+STRING_SIMILARITY_SQL = """
+SELECT a.n_nationkey AS key_a, b.n_nationkey AS key_b,
+       CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS edit_dist
+FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+WHERE levenshtein(a.n_name, b.n_name) <= 6
+"""
+
+
 def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram via floor bucketing — the plain-relational
     distribution profile (bucket -> count, range edges)."""
@@ -621,6 +651,7 @@ QUERIES: dict[str, QuerySpec] = {
     "agg_approx_percentile": QuerySpec(agg_approx_percentile, None, "aggregation",
                                        doc="sketch-based; accuracy tested vs exact percentile"),
     "agg_histogram": QuerySpec(agg_histogram, AGG_HISTOGRAM_SQL, "aggregation"),
+    "string_similarity": QuerySpec(string_similarity, STRING_SIMILARITY_SQL, "scalar_fn"),
     "filter_null_safe_eq": QuerySpec(filter_null_safe_eq, FILTER_NULL_SAFE_SQL, "projection_filter"),
     "join_shuffle_hash": QuerySpec(join_shuffle_hash, JOIN_SHUFFLE_HASH_SQL, "join"),
     "explode_lateral": QuerySpec(explode_lateral, EXPLODE_LATERAL_SQL, "scalar_fn"),
