@@ -562,6 +562,59 @@ FROM nation GROUP BY n_regionkey
 """
 
 
+def bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator family over integer keys."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    k = F.col("p_partkey")
+    return part.select(
+        "p_partkey",
+        (k.bitwiseAND(F.lit(255))).alias("and255"),
+        (k.bitwiseOR(F.lit(16))).alias("or16"),
+        (k.bitwiseXOR(F.lit(0xFF))).alias("xorff"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 1).alias("shr1"),
+        F.bit_count(k).cast("long").alias("popcount"),
+    )
+
+
+BITWISE_SQL = """
+SELECT p_partkey,
+       p_partkey & 255 AS and255,
+       p_partkey | 16 AS or16,
+       xor(p_partkey, 255) AS xorff,
+       p_partkey << 2 AS shl2,
+       p_partkey >> 1 AS shr1,
+       CAST(bit_count(p_partkey) AS BIGINT) AS popcount
+FROM part WHERE p_partkey <= 500
+"""
+
+
+def agg_filtered_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered and boolean aggregates: count_if / sum FILTER semantics,
+    bool_and / bool_or."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT",
+                   F.col("o_totalprice").cast("decimal(18,4)"))
+        ).cast("double").alias("urgent_revenue"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_totalprice") > 450000).alias("any_huge"),
+    )
+
+
+AGG_FILTERED_BOOL_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) FILTER (o_totalprice > 200000) AS n_big,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            FILTER (o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_revenue,
+       bool_and(o_totalprice > 0) AS all_positive,
+       bool_or(o_totalprice > 450000) AS any_huge
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance string matching (fuzzy join shape): nation-name
     pairs within levenshtein distance 6 — both engines implement the
@@ -652,6 +705,8 @@ QUERIES: dict[str, QuerySpec] = {
                                        doc="sketch-based; accuracy tested vs exact percentile"),
     "agg_histogram": QuerySpec(agg_histogram, AGG_HISTOGRAM_SQL, "aggregation"),
     "string_similarity": QuerySpec(string_similarity, STRING_SIMILARITY_SQL, "scalar_fn"),
+    "bitwise_functions": QuerySpec(bitwise_functions, BITWISE_SQL, "scalar_fn"),
+    "agg_filtered_bool": QuerySpec(agg_filtered_bool, AGG_FILTERED_BOOL_SQL, "aggregation"),
     "filter_null_safe_eq": QuerySpec(filter_null_safe_eq, FILTER_NULL_SAFE_SQL, "projection_filter"),
     "join_shuffle_hash": QuerySpec(join_shuffle_hash, JOIN_SHUFFLE_HASH_SQL, "join"),
     "explode_lateral": QuerySpec(explode_lateral, EXPLODE_LATERAL_SQL, "scalar_fn"),
