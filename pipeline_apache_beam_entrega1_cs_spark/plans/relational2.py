@@ -253,7 +253,7 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition filter (pruned at the file-listing level — the scan never
     opens non-'F' directories), aggregate. Oracle: the same aggregate
     straight off the source table."""
-    out = "/tmp/spark_graft_sink/orders_by_status"
+    out = f"/tmp/spark_graft_sink/{sf_dir.strip('/').replace('/', '_')}/orders_by_status"
     orders = _t(spark, sf_dir, "orders")
     orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(out)
     back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
@@ -522,7 +522,7 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink/source round-trip (columnar alternative to parquet, same
     pushdown machinery): write suppliers, read back with a filter,
     aggregate."""
-    out = "/tmp/spark_graft_sink/supplier_orc"
+    out = f"/tmp/spark_graft_sink/{sf_dir.strip('/').replace('/', '_')}/supplier_orc"
     supp = _t(spark, sf_dir, "supplier")
     supp.write.mode("overwrite").orc(out)
     back = spark.read.orc(out).filter(F.col("s_acctbal") > 0)
@@ -543,7 +543,7 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     on, no inference pass — schema inference is a second full scan at
     100 TB). Doubles are formatted then re-parsed, so the aggregate runs
     on round-tripped values; the oracle mirrors with a printf round-trip."""
-    out = "/tmp/spark_graft_sink/nation_csv"
+    out = f"/tmp/spark_graft_sink/{sf_dir.strip('/').replace('/', '_')}/nation_csv"
     nation = _t(spark, sf_dir, "nation")
     nation.write.mode("overwrite").option("header", True).csv(out)
     back = spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT").option(
