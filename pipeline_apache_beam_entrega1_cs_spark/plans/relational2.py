@@ -6,6 +6,9 @@ a partitioned parquet sink round-trip, and seeded sampling.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf string type hints
+# (postponed annotations) resolve against module globals
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -562,6 +565,28 @@ FROM nation GROUP BY n_regionkey
 """
 
 
+def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar Pandas UDF (Arrow-batched) — the sanctioned
+    escape hatch when an expression genuinely can't be built from
+    native functions. Deliberately simple arithmetic here so the oracle
+    can verify the Arrow round-trip itself; the policy (UDFs stay out of
+    hot paths) lives in SURVEY §1.4."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def risk_score(total: pd.Series) -> pd.Series:
+        return ((total / 100000.0) ** 2 + 1.0).round(6)
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return orders.select("o_orderkey", risk_score("o_totalprice").alias("risk"))
+
+
+PANDAS_UDF_SQL = """
+SELECT o_orderkey, round(pow(o_totalprice / 100000.0, 2) + 1.0, 6) AS risk
+FROM orders WHERE o_orderkey < 2000
+"""
+
+
 def bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitwise operator family over integer keys."""
     part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
@@ -706,6 +731,7 @@ QUERIES: dict[str, QuerySpec] = {
     "agg_histogram": QuerySpec(agg_histogram, AGG_HISTOGRAM_SQL, "aggregation"),
     "string_similarity": QuerySpec(string_similarity, STRING_SIMILARITY_SQL, "scalar_fn"),
     "bitwise_functions": QuerySpec(bitwise_functions, BITWISE_SQL, "scalar_fn"),
+    "pandas_udf_scalar": QuerySpec(pandas_udf_scalar, PANDAS_UDF_SQL, "udf"),
     "agg_filtered_bool": QuerySpec(agg_filtered_bool, AGG_FILTERED_BOOL_SQL, "aggregation"),
     "filter_null_safe_eq": QuerySpec(filter_null_safe_eq, FILTER_NULL_SAFE_SQL, "projection_filter"),
     "join_shuffle_hash": QuerySpec(join_shuffle_hash, JOIN_SHUFFLE_HASH_SQL, "join"),
