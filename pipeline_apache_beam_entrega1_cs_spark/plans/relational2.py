@@ -565,6 +565,39 @@ FROM nation GROUP BY n_regionkey
 """
 
 
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue share
+    for one ship month) over a lineitem ⋈ part join. Both numerator and
+    denominator are exact decimal sums, so the ratio is deterministic."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            (100.0 * F.sum(promo_rev).cast("double") / F.sum(rev).cast("double"))
+            .alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+            / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS promo_revenue_pct,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1997-03-01' AND l_shipdate < DATE '1997-04-01'
+"""
+
+
 def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized scalar Pandas UDF (Arrow-batched) — the sanctioned
     escape hatch when an expression genuinely can't be built from
@@ -732,6 +765,7 @@ QUERIES: dict[str, QuerySpec] = {
     "string_similarity": QuerySpec(string_similarity, STRING_SIMILARITY_SQL, "scalar_fn"),
     "bitwise_functions": QuerySpec(bitwise_functions, BITWISE_SQL, "scalar_fn"),
     "pandas_udf_scalar": QuerySpec(pandas_udf_scalar, PANDAS_UDF_SQL, "udf"),
+    "q14_promo_revenue": QuerySpec(q14_promo_revenue, Q14_SQL, "headline"),
     "agg_filtered_bool": QuerySpec(agg_filtered_bool, AGG_FILTERED_BOOL_SQL, "aggregation"),
     "filter_null_safe_eq": QuerySpec(filter_null_safe_eq, FILTER_NULL_SAFE_SQL, "projection_filter"),
     "join_shuffle_hash": QuerySpec(join_shuffle_hash, JOIN_SHUFFLE_HASH_SQL, "join"),
