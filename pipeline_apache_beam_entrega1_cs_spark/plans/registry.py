@@ -6,13 +6,13 @@ and bench.py.
 
 from __future__ import annotations
 
-from . import llm_data, relational, relational2, tpch, windows_batch
+from . import llm_data, relational, relational2, tpch, udf_surface, windows_batch
 from .spec import QuerySpec
 
 
 def all_queries() -> dict[str, QuerySpec]:
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, relational2, tpch, windows_batch, llm_data):
+    for mod in (relational, relational2, tpch, windows_batch, llm_data, udf_surface):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,139 @@
+"""Remaining sanctioned UDF escape hatches (SURVEY §2B "UDF surface"):
+cogrouped applyInPandas (the two-sided per-key merge the reference has
+no analog for) and mapInArrow (the zero-copy Arrow batch path one level
+below mapInPandas). Both are deliberately oracle-checkable: outputs are
+integer-exact (cents, counts) so pandas/pyarrow vs DuckDB agree
+bit-for-bit despite the Python boundary.
+
+Policy reminder (SURVEY §1.4): these paths exist for semantics native
+expressions can't reach; nothing in the relational core routes through
+them. At 100 TB both scale linearly — per-key pandas frames stay small
+(one customer's orders), and mapInArrow streams fixed-size Arrow
+batches with no row materialization in Python objects.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import load_table
+from .spec import QuerySpec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def cogroup_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cogroup(customer, orders).applyInPandas: per-customer order
+    cadence — order count, exact spend in cents, and the maximum gap in
+    days between consecutive orders. The gap needs ordered pairwise
+    iteration within a key, a natural pandas computation; spend is
+    summed as int64 cents so the Python side and the SQL oracle are
+    integer-exact (a float64 pandas sum would differ from DuckDB's
+    unordered double sum in the last ulp)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+    def merge(key: tuple, cdf: pd.DataFrame, odf: pd.DataFrame) -> pd.DataFrame:
+        n = len(odf)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "c_custkey": [int(key[0])],
+                    "n_orders": [0],
+                    "spend_cents": [0],
+                    "max_gap_days": [None],
+                }
+            )
+        odf = odf.sort_values(["o_orderdate", "o_orderkey"])
+        # prices carry exactly 2 decimals: *100 lands ~1e-10 from an
+        # integer, so round() is tie-rule-independent here
+        cents = int(odf["o_totalprice"].mul(100).round().astype("int64").sum())
+        gaps = odf["o_orderdate"].diff().dt.days
+        max_gap = None if n < 2 else int(gaps.max())
+        return pd.DataFrame(
+            {
+                "c_custkey": [int(key[0])],
+                "n_orders": [n],
+                "spend_cents": [cents],
+                "max_gap_days": [max_gap],
+            }
+        )
+
+    return (
+        cust.groupBy("c_custkey")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(
+            merge,
+            "c_custkey long, n_orders long, spend_cents long, max_gap_days long",
+        )
+    )
+
+
+COGROUP_ORDER_GAPS_SQL = """
+WITH go AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         datediff('day',
+                  lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS gap
+  FROM orders)
+SELECT c_custkey,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT) AS spend_cents,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_days
+FROM customer LEFT JOIN go ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def mapinarrow_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow over documents: per-doc character and vowel counts
+    computed with pyarrow.compute kernels directly on Arrow batches —
+    no pandas conversion, no Python-object rows. This is the template
+    for the multimodal decode path: columnar in, columnar out, schema
+    declared up front."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        for b in batches:
+            text = b.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.count_substring_regex(text, "[aeiou]"), pa.int64()),
+                ],
+                ["doc_id", "n_chars2", "n_vowels"],
+            )
+
+    return docs.mapInArrow(stats, "doc_id long, n_chars2 long, n_vowels long")
+
+
+MAPINARROW_TEXT_STATS_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars2,
+       CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS n_vowels
+FROM documents
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "cogroup_order_gaps": QuerySpec(
+        cogroup_order_gaps, COGROUP_ORDER_GAPS_SQL, "udf-surface"
+    ),
+    "mapinarrow_text_stats": QuerySpec(
+        mapinarrow_text_stats, MAPINARROW_TEXT_STATS_SQL, "udf-surface"
+    ),
+}

@@ -151,3 +151,65 @@ def test_fidelity_pipeline_streaming(spark):
     s, b = canon_rows(stream_out), canon_rows(batch_out)
     assert sum(s.values()) == 237
     assert s == b
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Partitioned fact + filtered dim join triggers DPP: the fact scan
+    gets a runtime partition filter from the dim side, so only matching
+    year-partitions are read — the difference between scanning 100 TB
+    and scanning one year of it."""
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    fact_dir = str(tmp_path / "orders_by_year")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(fact_dir)
+
+    fact = spark.read.parquet(fact_dir)
+    # DPP inserts the runtime filter only when the build side has a
+    # SELECTIVE predicate (bare isnotnull doesn't qualify), so filter
+    # the dim the way a real "current period" dim lookup would.
+    dim = spark.createDataFrame(
+        [(1997, "pick"), (1900, "skip")], "d_year INT, tag STRING"
+    ).filter(F.col("tag") == "pick")
+    joined = fact.join(F.broadcast(dim), fact.o_year == dim.d_year).groupBy(
+        "tag"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    plan = physical_plan(joined)
+    assert "dynamicpruning" in plan.lower(), f"no DPP in plan:\n{plan}"
+
+    n = joined.collect()[0]["n"]
+    expected = orders.filter(F.col("o_year") == 1997).count()
+    assert n == expected
+
+
+def test_observe_single_pass_metrics(spark, sf_dir):
+    """df.observe(): pipeline quality metrics (row count, null count,
+    revenue total) accumulated DURING the write action — no second scan.
+    At 100 TB a separate metrics pass doubles the job; observe() makes
+    it free."""
+    from pyspark.sql import Observation
+
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("quality")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("null_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("gross"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    metrics = obs.get
+
+    expected = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("g"),
+    ).collect()[0]
+    assert metrics["n_rows"] == expected["n"]
+    assert metrics["null_qty"] == 0
+    assert metrics["gross"] == expected["g"]
