@@ -40,3 +40,93 @@ def sql_dsum(expr: str) -> str:
 
 def sql_davg(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE) / COUNT({expr})"
+
+
+# --------------------------------------------------------------------------
+# Exact decimal ARITHMETIC (not just exact sums).
+#
+# Casting a double PRODUCT like l_extendedprice * (1 - l_discount) to
+# decimal is NOT engine-portable: Spark rounds the shortest decimal repr
+# (BigDecimal.valueOf, HALF_UP) while DuckDB rounds the binary double, so
+# rows landing on .xxxx5 boundaries round differently and grouped sums
+# drift (this failed TPC-H Q1 sum_charge in round 1). The fix is to cast
+# the OPERANDS to decimal and multiply in decimal: every money/rate column
+# in the testdata is an exact 2-decimal value stored as a double
+# (verified: max off-grid error < 5e-9), so DECIMAL(12,2) money ×
+# DECIMAL(5,2) rate products are bit-exact in both engines, all
+# intermediate precisions stay under 38, and no rounding happens anywhere
+# until the final (correctly-rounded, deterministic) cast back to double.
+# --------------------------------------------------------------------------
+
+MONEY = "decimal(12,2)"  # price-like: 2-decimal, < 10^10
+RATE = "decimal(4,2)"  # discount/tax-like: 2-decimal in [0, ~1.1]
+QTY = "decimal(4,0)"  # integer-valued quantity, < 10^4
+
+
+def dmoney(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(MONEY)
+
+
+def done_minus(col: Column | str) -> Column:
+    """(1 - rate) computed in decimal -> DECIMAL(5,2), exact."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lit(1).cast(RATE) - c.cast(RATE)
+
+
+def done_plus(col: Column | str) -> Column:
+    """(1 + rate) computed in decimal -> DECIMAL(5,2), exact."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lit(1).cast(RATE) + c.cast(RATE)
+
+
+def drev(price: str = "l_extendedprice", disc: str = "l_discount") -> Column:
+    """price * (1 - disc) as an exact DECIMAL(18,4) expression."""
+    return dmoney(price) * done_minus(disc)
+
+
+def dcharge(
+    price: str = "l_extendedprice",
+    disc: str = "l_discount",
+    tax: str = "l_tax",
+) -> Column:
+    """price * (1 - disc) * (1 + tax) as an exact DECIMAL(24,6)."""
+    return drev(price, disc) * done_plus(tax)
+
+
+def dsum_dec(col: Column) -> Column:
+    """Sum of an ALREADY-decimal expression, result as double. No per-row
+    cast, so no rounding seam — use for drev()/dcharge()-style products."""
+    return F.sum(col).cast("double")
+
+
+def davg_dec(col: Column) -> Column:
+    return F.sum(col).cast("double") / F.count(col)
+
+
+def sql_money(expr: str) -> str:
+    return f"CAST({expr} AS DECIMAL(12,2))"
+
+
+def sql_one_minus(expr: str) -> str:
+    return f"(CAST(1 AS DECIMAL(4,2)) - CAST({expr} AS DECIMAL(4,2)))"
+
+
+def sql_one_plus(expr: str) -> str:
+    return f"(CAST(1 AS DECIMAL(4,2)) + CAST({expr} AS DECIMAL(4,2)))"
+
+
+def sql_rev(price: str = "l_extendedprice", disc: str = "l_discount") -> str:
+    return f"({sql_money(price)} * {sql_one_minus(disc)})"
+
+
+def sql_charge(
+    price: str = "l_extendedprice",
+    disc: str = "l_discount",
+    tax: str = "l_tax",
+) -> str:
+    return f"({sql_rev(price, disc)} * {sql_one_plus(tax)})"
+
+
+def sql_dsum_dec(expr: str) -> str:
+    return f"CAST(SUM({expr}) AS DOUBLE)"

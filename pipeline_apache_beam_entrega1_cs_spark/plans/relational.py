@@ -13,7 +13,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import davg, dsum, sql_davg, sql_dsum
+from ..functions.numeric import (
+    davg,
+    dcharge,
+    drev,
+    dsum,
+    dsum_dec,
+    sql_charge,
+    sql_davg,
+    sql_dsum,
+    sql_dsum_dec,
+    sql_rev,
+)
 from ..operators.asof import asof_join
 from ..schemas import load_table
 from .spec import QuerySpec
@@ -31,16 +42,19 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy group-by with 8 aggregates. One shuffle;
     partial aggregation collapses to 4 groups map-side."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # Products computed IN decimal (operands cast first): a double product
+    # cast to decimal rounds differently in Spark vs DuckDB on .xxxx5
+    # boundaries and the grouped sum drifts (round-1 sum_charge failure).
+    disc_price = drev()
+    charge = dcharge()
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
+            dsum_dec(disc_price).alias("sum_disc_price"),
+            dsum_dec(charge).alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
             davg("l_discount").alias("avg_disc"),
@@ -53,8 +67,8 @@ Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        {sql_dsum('l_quantity')} AS sum_qty,
        {sql_dsum('l_extendedprice')} AS sum_base_price,
-       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {sql_dsum_dec(sql_rev())} AS sum_disc_price,
+       {sql_dsum_dec(sql_charge())} AS sum_charge,
        {sql_davg('l_quantity')} AS avg_qty,
        {sql_davg('l_extendedprice')} AS avg_price,
        {sql_davg('l_discount')} AS avg_disc,
@@ -76,12 +90,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-03-15").cast("date")
     )
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = drev()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(dsum(revenue).alias("revenue"))
+        .agg(dsum_dec(revenue).alias("revenue"))
         .select(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -95,7 +109,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q3_SQL = f"""
 SELECT l_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+       {sql_dsum_dec(sql_rev())} AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -122,7 +136,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = drev()
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
@@ -130,12 +144,12 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(dsum(revenue).alias("revenue"))
+        .agg(dsum_dec(revenue).alias("revenue"))
     )
 
 
 Q5_SQL = f"""
-SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+SELECT n_name, {sql_dsum_dec(sql_rev())} AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -164,13 +178,13 @@ def filter_project_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "l_quantity",
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+        drev().cast("double").alias("net_price"),
     )
 
 
-FILTER_PROJECT_SQL = """
+FILTER_PROJECT_SQL = f"""
 SELECT l_orderkey, l_linenumber, l_quantity,
-       round(l_extendedprice * (1 - l_discount), 4) AS net_price
+       CAST({sql_rev()} AS DOUBLE) AS net_price
 FROM lineitem
 WHERE l_quantity > 45 AND COALESCE(l_returnflag, '') <> 'A'
 """

@@ -12,7 +12,17 @@ import pandas as pd  # module-level so pandas_udf string type hints
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dsum, sql_davg, sql_dsum
+from ..functions.numeric import (
+    dmoney,
+    drev,
+    dsum,
+    dsum_dec,
+    sql_davg,
+    sql_dsum,
+    sql_dsum_dec,
+    sql_money,
+    sql_rev,
+)
 from ..schemas import load_table
 from .spec import QuerySpec
 
@@ -284,13 +294,15 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount").between(0.05, 0.07))
         & (F.col("l_quantity") < 24)
     ).agg(
-        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        dsum_dec(dmoney("l_extendedprice") * F.col("l_discount").cast("decimal(4,2)")).alias(
+            "revenue"
+        ),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
 Q6_SQL = f"""
-SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+SELECT {sql_dsum_dec(sql_money('l_extendedprice') + " * CAST(l_discount AS DECIMAL(4,2))")} AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
@@ -421,13 +433,13 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = _t(spark, sf_dir, "nation")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = drev()
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(dsum(revenue).alias("lost_revenue"))
+        .agg(dsum_dec(revenue).alias("lost_revenue"))
         .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -435,7 +447,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_SQL = f"""
 SELECT c_custkey, c_name, n_name,
-       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS lost_revenue
+       {sql_dsum_dec(sql_rev())} AS lost_revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -574,7 +586,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
     )
     part = _t(spark, sf_dir, "part")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    rev = drev()
     promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)"))
     return (
         li.join(part, li.l_partkey == part.p_partkey)
@@ -586,11 +598,11 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q14_SQL = """
+Q14_SQL = f"""
 SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
-                        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                        THEN {sql_rev()}
                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-            / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+            / CAST(SUM({sql_rev()}) AS DOUBLE)
          AS promo_revenue_pct,
        COUNT(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey

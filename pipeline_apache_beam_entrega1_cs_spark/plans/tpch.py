@@ -25,7 +25,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import davg, dsum, sql_davg, sql_dsum
+from ..functions.numeric import (
+    davg,
+    dmoney,
+    drev,
+    dsum,
+    dsum_dec,
+    sql_davg,
+    sql_dsum,
+    sql_dsum_dec,
+    sql_money,
+    sql_rev,
+)
 from ..schemas import load_table
 from .spec import QuerySpec
 
@@ -35,7 +46,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _rev():  # built lazily: F.col needs an active SparkContext in classic mode
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Exact decimal product (operands cast first) — see functions/numeric.py:
+    # a double product cast to decimal inside SUM is not engine-portable.
+    return drev()
 
 
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,7 +161,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q7_SQL = f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS BIGINT) AS l_year,
-       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+       {sql_dsum_dec(sql_rev())} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -180,7 +193,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = F.broadcast(_t(spark, sf_dir, "region")).filter(
         F.col("r_name") == "AMERICA"
     )
-    nation_rev = F.when(F.col("supp_nation") == "NATION_1", _rev()).otherwise(F.lit(0.0))
+    # otherwise() must stay decimal: a double 0.0 would coerce the whole
+    # conditional back to double and reopen the rounding seam.
+    nation_rev = F.when(F.col("supp_nation") == "NATION_1", _rev()).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -196,8 +213,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q8_SQL = f"""
 SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       {sql_dsum("CASE WHEN n2.n_name = 'NATION_1' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
-       / {sql_dsum('l_extendedprice * (1 - l_discount)')} AS mkt_share
+       {sql_dsum_dec("CASE WHEN n2.n_name = 'NATION_1' THEN " + sql_rev() + " ELSE CAST(0 AS DECIMAL(18,4)) END")}
+       / {sql_dsum_dec(sql_rev())} AS mkt_share
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN orders ON l_orderkey = o_orderkey
@@ -221,7 +238,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     orders = _t(spark, sf_dir, "orders")
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
-    amount = _rev() - F.col("p_retailprice") * F.col("l_quantity")
+    amount = _rev() - dmoney("p_retailprice") * F.col("l_quantity").cast("decimal(4,0)")
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
@@ -237,7 +254,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q9_SQL = f"""
 SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       {sql_dsum('l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity')} AS sum_profit
+       {sql_dsum_dec(sql_rev() + ' - ' + sql_money('p_retailprice') + " * CAST(l_quantity AS DECIMAL(4,0)) ")} AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -368,7 +385,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q15_SQL = f"""
 WITH revenue AS (
-  SELECT l_suppkey AS supplier_no, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  SELECT l_suppkey AS supplier_no, {sql_dsum_dec(sql_rev())} AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
   GROUP BY 1)
@@ -515,7 +532,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q19_SQL = f"""
-SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+SELECT {sql_dsum_dec(sql_rev())} AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)

@@ -2,10 +2,10 @@
 DuckDB oracle SQL, compare row count + order-insensitive value multiset —
 replicating the driver's correctness gate (SURVEY.md §5 item 2).
 
-Comparison detail: columns sorted by name; floats rounded to 9
-significant-ish decimals before hashing (the registry's determinism
-conventions are supposed to make even raw equality hold — the rounding
-only guards against pandas float64 repr noise); NaN == NaN.
+Comparison detail: columns sorted by name; floats canonicalized at 17
+significant digits (repr-exact for float64 — the round-1 9-digit
+canonicalization masked a real driver hash failure on q1 sum_charge,
+so the local gate must be at least as strict as the driver); NaN == NaN.
 
 Queries without an oracle get a rows-run smoke check here (their
 semantic quality is covered by dedicated tests, e.g. LSH recall).
@@ -30,7 +30,7 @@ def canon_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"f:{v:.9g}"
+        return f"f:{v:.17g}"
     if isinstance(v, int):
         return f"i:{v}"
     return f"s:{v}"
