@@ -43,9 +43,26 @@ def filter_device_other(df: DataFrame) -> DataFrame:
     return df.filter(F.trim(F.coalesce(F.col("DeviceType"), F.lit(""))) != "Other")
 
 
+JSON_KEYS_COL = "_json_keys"
+
+
 def standardize_race(df: DataFrame) -> DataFrame:
-    """Normalize RaceID (reference src/pipeline.py:154-159). The reference
-    defaults a missing RaceID to "" before normalizing, so coalesce first."""
+    """Normalize RaceID (reference src/pipeline.py:154-159).
+
+    Reference semantics are three-way: an ABSENT key defaults to "" via
+    ``row.get("RaceID", "")`` (normalizes to ""), but an explicit JSON
+    ``null`` is returned UNCHANGED by standardize_race_id's
+    ``isinstance(str)`` guard (src/pipeline.py:28-30). When the source
+    carried the raw key list we can replicate both; otherwise (column
+    fed directly, e.g. in unit tests) null is indistinguishable from
+    absent and gets the dict.get default."""
+    if JSON_KEYS_COL in df.columns:
+        return df.withColumn(
+            "RaceID",
+            F.when(~F.array_contains(F.col(JSON_KEYS_COL), "RaceID"), F.lit(""))
+            .when(F.col("RaceID").isNull(), F.lit(None).cast("string"))
+            .otherwise(standardize_race_id(F.col("RaceID"))),
+        )
     return df.withColumn(
         "RaceID", standardize_race_id(F.coalesce(F.col("RaceID"), F.lit("")))
     )
@@ -99,7 +116,7 @@ def _transforms(events: DataFrame, country_dim: DataFrame) -> DataFrame:
 def build_fidelity_df(spark: SparkSession, json_glob: str, csv_path: str) -> DataFrame:
     """Assemble the full lazy plan (the analog of the reference's Beam
     graph construction at src/pipeline.py:279-296)."""
-    events = read_jsonl_dicts(spark, json_glob, FAN_ENGAGEMENT_SCHEMA)
+    events = read_jsonl_dicts(spark, json_glob, FAN_ENGAGEMENT_SCHEMA, keys_col=JSON_KEYS_COL)
     return _transforms(events, read_country_dim(spark, csv_path))
 
 
@@ -111,7 +128,7 @@ def build_fidelity_stream(spark: SparkSession, json_glob: str, csv_path: str) ->
     declarative-plan payoff the reference's DoFn chain can't offer."""
     from ..sources.jsonl import stream_jsonl_dicts
 
-    events = stream_jsonl_dicts(spark, json_glob, FAN_ENGAGEMENT_SCHEMA)
+    events = stream_jsonl_dicts(spark, json_glob, FAN_ENGAGEMENT_SCHEMA, keys_col=JSON_KEYS_COL)
     # Streaming plans reject monotonically_increasing_id even on the
     # static join side — materialize the (tiny, by definition) dimension
     # driver-side, the same eager-LUT shape the reference uses.

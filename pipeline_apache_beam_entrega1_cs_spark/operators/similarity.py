@@ -216,3 +216,68 @@ def lsh_ann_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "cand_id", "cos_sim", F.col("rk").alias("rank"))
     )
+
+
+def embedding_cosine_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    bucket_length: float = 4.0,
+    num_tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate vector pairs with LSH-bucket blocking — the 100 TB
+    variant of ``embedding_cosine_pairs``.
+
+    ``embedding_cosine_pairs`` blocks on a SEMANTIC column (label): its
+    pairwise cost is Σ block², which degenerates toward all-pairs when
+    labels are coarse. Here the block key is data-independent geometry:
+    BucketedRandomProjectionLSH assigns each vector ``num_tables`` bucket
+    ids; candidate pairs are generated only inside a (table, bucket)
+    cell, deduped across tables, then exact-cosine verified. Bucket
+    population is tunable via ``bucket_length``, so Σ bucket² is bounded
+    regardless of any semantic skew. Recall vs the exact all-pairs
+    baseline is asserted in tests (rows-only oracle: bucket boundaries
+    are not SQL-expressible)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = embeddings.select(
+        "vec_id",
+        _as_double("embedding").alias("emb"),
+        array_to_vector(_as_double("embedding")).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_tables,
+        seed=seed,
+    )
+    hashed = (
+        lsh.fit(vecs)
+        .transform(vecs)
+        .select("vec_id", "emb", F.posexplode("hashes").alias("tbl", "h"))
+        .select(
+            "vec_id", "emb", "tbl", vector_to_array(F.col("h"))[0].cast("long").alias("bucket")
+        )
+    )
+    a = hashed.select(
+        F.col("tbl"), F.col("bucket"), F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a")
+    )
+    b = hashed.select(
+        F.col("tbl"), F.col("bucket"), F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b")
+    )
+    # A pair colliding in several tables appears several times with
+    # IDENTICAL row content, so distinct() is deterministic here.
+    return (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "emb_a", "emb_b")
+        .distinct()
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -147,6 +147,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_cosine_pairs(_emb(spark, sf_dir), block_col="label", threshold=0.35)
 
 
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucket-blocked variant: pair generation bounded by bucket
+    population (geometry), not by a semantic label's skew — the shape
+    that survives 100 TB. Recall vs exact all-pairs asserted in tests."""
+    return S.embedding_cosine_pairs_lsh(_emb(spark, sf_dir), threshold=0.35)
+
+
 DEDUP_EMBEDDING_COSINE_SQL = """
 WITH e AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -566,6 +573,9 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, None, "dedup",
                                    doc="LSH banding not SQL-expressible; recall tested vs exact"),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL, "dedup"),
+    "dedup_embedding_cosine_lsh": QuerySpec(
+        dedup_embedding_cosine_lsh, None, "dedup",
+        doc="LSH bucket blocking not SQL-expressible; recall tested vs exact all-pairs"),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_COSINE_TOPK_SQL, "similarity"),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, None, "similarity",
                               doc="LSH buckets not SQL-expressible; recall tested vs exact"),

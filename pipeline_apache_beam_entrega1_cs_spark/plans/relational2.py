@@ -688,16 +688,35 @@ FROM orders GROUP BY o_orderstatus
 def string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance string matching (fuzzy join shape): nation-name
     pairs within levenshtein distance 6 — both engines implement the
-    identical Wagner-Fischer distance."""
+    identical Wagner-Fischer distance.
+
+    100 TB shape: NOT a cross join. Edit distance <= 6 requires length
+    difference <= 6, so strings are banded by floor(length/7) and side A
+    fans out to bands {b-1, b, b+1}: every qualifying pair meets on
+    exactly one equi-key (B's band is unique per row, so no dup pairs),
+    and the join is a plain hash join on `band`. The banding is lossless,
+    which is why the oracle SQL stays the declarative all-pairs spec."""
+    BAND = 7  # band width = max distance + 1
     a = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("key_a"), F.col("n_name").alias("name_a")
     )
     b = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("key_b"), F.col("n_name").alias("name_b")
+        F.col("n_nationkey").alias("key_b"),
+        F.col("n_name").alias("name_b"),
+        F.floor(F.length("n_name") / BAND).alias("band"),
+    )
+    a_fanned = a.withColumn(
+        "band",
+        F.explode(
+            F.array(*[F.floor(F.length("name_a") / BAND) + i for i in (-1, 0, 1)])
+        ),
     )
     return (
-        a.crossJoin(b)
+        a_fanned.join(b, "band")
         .filter(F.col("key_a") < F.col("key_b"))
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= 6
+        )  # cheap pre-filter before the O(mn) distance
         .select(
             "key_a",
             "key_b",

@@ -31,20 +31,35 @@ def json_object_lines(lines: DataFrame, col: str = "value") -> DataFrame:
     return lines.filter(v.isNotNull() & F.startswith(F.schema_of_variant(v), F.lit("OBJECT")))
 
 
-def parse_jsonl_dicts(lines: DataFrame, schema: T.StructType) -> DataFrame:
+def parse_jsonl_dicts(
+    lines: DataFrame, schema: T.StructType, keys_col: str | None = None
+) -> DataFrame:
     """Apply the dict-only rule + schema projection to a text DataFrame
-    (batch or streaming — the expressions are identical)."""
+    (batch or streaming — the expressions are identical).
+
+    ``keys_col`` optionally attaches the object's top-level key list
+    (native ``json_object_keys``): ``from_json`` collapses an ABSENT key
+    and an explicit JSON ``null`` into the same struct-field null, but
+    reference semantics can differ between the two (dict.get default vs
+    a stored None) — the key list lets downstream operators tell them
+    apart."""
     kept = json_object_lines(lines)
-    return kept.select(F.from_json(F.col("value"), schema).alias("rec")).select("rec.*")
+    extras = [F.json_object_keys(F.col("value")).alias(keys_col)] if keys_col else []
+    rec = kept.select(F.from_json(F.col("value"), schema).alias("rec"), *extras)
+    return rec.select("rec.*", *([keys_col] if keys_col else []))
 
 
-def read_jsonl_dicts(spark: SparkSession, path_glob: str, schema: T.StructType) -> DataFrame:
+def read_jsonl_dicts(
+    spark: SparkSession, path_glob: str, schema: T.StructType, keys_col: str | None = None
+) -> DataFrame:
     """Read newline-delimited JSON keeping only well-formed JSON objects,
     projected through an explicit schema (missing fields -> null, exactly
     like ``dict.get`` in the reference's downstream operators)."""
-    return parse_jsonl_dicts(spark.read.text(path_glob), schema)
+    return parse_jsonl_dicts(spark.read.text(path_glob), schema, keys_col)
 
 
-def stream_jsonl_dicts(spark: SparkSession, path_glob: str, schema: T.StructType) -> DataFrame:
+def stream_jsonl_dicts(
+    spark: SparkSession, path_glob: str, schema: T.StructType, keys_col: str | None = None
+) -> DataFrame:
     """Streaming twin of read_jsonl_dicts (file-source text stream)."""
-    return parse_jsonl_dicts(spark.readStream.text(path_glob), schema)
+    return parse_jsonl_dicts(spark.readStream.text(path_glob), schema, keys_col)

@@ -81,3 +81,29 @@ def test_race_ids_normalized(result_rows):
 def test_non_ascii_passthrough(result_rows):
     capitals = {r["LocationData"]["capital"] for r in result_rows}
     assert "Brasília" in capitals
+
+
+def test_race_id_null_vs_absent_semantics(spark, tmp_path):
+    """Reference three-way semantics (src/pipeline.py:28-30 + 157):
+    absent RaceID -> row.get default "" -> normalized ""; explicit JSON
+    null -> returned unchanged (isinstance guard) -> stays null; string
+    -> normalized. The _json_keys channel preserves absent-vs-null
+    through from_json."""
+    from pipeline_apache_beam_entrega1_cs_spark.fidelity.pipeline import (
+        JSON_KEYS_COL,
+        standardize_race,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import FAN_ENGAGEMENT_SCHEMA
+    from pipeline_apache_beam_entrega1_cs_spark.sources.jsonl import read_jsonl_dicts
+
+    p = tmp_path / "race.jsonl"
+    p.write_text(
+        '{"FanID": "m1", "RaceID": "Cup 25"}\n'
+        '{"FanID": "m2", "RaceID": null}\n'
+        '{"FanID": "m3"}\n'
+    )
+    df = standardize_race(
+        read_jsonl_dicts(spark, str(p), FAN_ENGAGEMENT_SCHEMA, keys_col=JSON_KEYS_COL)
+    )
+    got = {r["FanID"]: r["RaceID"] for r in df.select("FanID", "RaceID").collect()}
+    assert got == {"m1": "cup25", "m2": None, "m3": ""}

@@ -166,3 +166,47 @@ def test_real_decoder_is_marked_stub(spark):
 
     with pytest.raises(NotImplementedError):
         real_decode_image(None)
+
+
+def test_embedding_cosine_lsh_recall(spark, sf_dir):
+    """The LSH-bucket-blocked near-dup pairs must recover nearly all
+    exact all-pairs cosine matches (measured 0.99 at defaults) — this is
+    the scale-path replacement for semantic-label blocking."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.similarity import (
+        cosine,
+        embedding_cosine_pairs_lsh,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").cast("array<double>").alias("emb_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").cast("array<double>").alias("emb_b"),
+    )
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in (
+            a.crossJoin(b)
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select(
+                "vec_a",
+                "vec_b",
+                F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cs"),
+            )
+            .filter(F.col("cs") >= 0.35)
+        ).collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_cosine_pairs_lsh(emb, threshold=0.35).collect()
+    }
+    assert exact, "baseline produced no pairs — threshold too high for testdata"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH-blocked cosine pair recall too low: {recall}"
+    # no false positives: candidates are exact-cosine verified, so every
+    # reported pair must be in the exact baseline
+    assert approx <= exact
