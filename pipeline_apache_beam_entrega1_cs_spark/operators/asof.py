@@ -64,3 +64,50 @@ def asof_join(
     out_cols: list[Column] = [F.col(c) for c in left.columns]
     out_cols += [F.col(f"_asof_match.{c}").alias(c) for c in payload_cols]
     return matched.filter(F.col("_asof_side") == 1).select(*out_cols)
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Forward as-of: attach the EARLIEST ``right`` row with
+    ``right[right_ts] >= left[left_ts]`` (mirror of ``asof_join``; DuckDB
+    spells it ``ASOF JOIN ... ON l.ts <= r.ts``). Same union+window
+    idiom — one shuffle, linear in input size. An exactly-equal timestamp
+    matches; with duplicate (key, ts) right rows the greatest ``tiebreak``
+    wins, matching the backward variant."""
+    payload = F.struct(*[F.col(c) for c in payload_cols]).alias("_asof_payload")
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(1).alias("_asof_side"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("_asof_tie"),
+        payload,
+    )
+    l = (
+        left.withColumn("_asof_ts", F.col(left_ts))
+        .withColumn("_asof_side", F.lit(0))
+        .withColumn("_asof_tie", F.lit(None).cast(r.schema["_asof_tie"].dataType))
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    # Left rows (side 0) sort before right rows (side 1) at equal ts, so a
+    # forward window starting at the left row sees same-ts right rows
+    # (>= semantics). Ties inside right: tiebreak DESC puts the greatest
+    # first, so first() picks it.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_asof_ts").asc(), F.col("_asof_side").asc(), F.col("_asof_tie").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    matched = unioned.withColumn(
+        "_asof_match", F.first("_asof_payload", ignorenulls=True).over(w)
+    )
+    out_cols: list[Column] = [F.col(c) for c in left.columns]
+    out_cols += [F.col(f"_asof_match.{c}").alias(c) for c in payload_cols]
+    return matched.filter(F.col("_asof_side") == 0).select(*out_cols)

@@ -481,6 +481,58 @@ GROUP BY label, i
 """
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 min-max quantization (the storage-compression step
+    a 100 TB embedding store runs before ANN indexing): codes =
+    floor((x - lo) / scale) clamped to [0, 255], shifted to int8 range.
+    All native array lambdas — no UDF; floor() on identical IEEE doubles
+    is engine-portable (unlike round(), which ties differently across
+    engines). Emits per-vector code stats, not the codes themselves, so
+    the oracle compares compact rows."""
+    emb = _emb(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    lo = F.array_min(v)
+    hi = F.array_max(v)
+    scale = (hi - lo) / F.lit(256.0)
+    code = lambda x: F.least(  # noqa: E731
+        F.lit(255), F.greatest(F.lit(0), F.floor((x - lo) / scale).cast("int"))
+    )
+    q = F.when(hi > lo, F.transform(v, lambda x: code(x) - 128)).otherwise(
+        F.transform(v, lambda x: F.lit(-128))
+    )
+    return emb.select(
+        "vec_id",
+        lo.alias("lo"),
+        hi.alias("hi"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min(q).cast("int").alias("q_min"),
+        F.array_max(q).cast("int").alias("q_max"),
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH base AS (
+  SELECT vec_id,
+         CAST(embedding AS DOUBLE[]) AS v,
+         list_aggregate(CAST(embedding AS DOUBLE[]), 'min') AS lo,
+         list_aggregate(CAST(embedding AS DOUBLE[]), 'max') AS hi
+  FROM embeddings
+), coded AS (
+  SELECT vec_id, lo, hi,
+         CASE WHEN hi > lo THEN
+           list_transform(v, x -> CAST(least(255, greatest(0,
+             CAST(floor((x - lo) / ((hi - lo) / 256.0)) AS INT))) - 128 AS INT))
+         ELSE list_transform(v, x -> CAST(-128 AS INT)) END AS q
+  FROM base
+)
+SELECT vec_id, lo, hi,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       CAST(list_aggregate(q, 'min') AS INT) AS q_min,
+       CAST(list_aggregate(q, 'max') AS INT) AS q_max
+FROM coded
+"""
+
+
 def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-profiling operator (data-quality sweep a training-data
     pipeline runs before ingestion): per-source row count, null/empty
@@ -591,6 +643,8 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_components": QuerySpec(dedup_components, DEDUP_COMPONENTS_SQL, "dedup"),
     "text_winnow_sketch": QuerySpec(text_winnow_sketch, TEXT_WINNOW_SQL, "text"),
     "embedding_centroids": QuerySpec(embedding_centroids, EMBEDDING_CENTROIDS_SQL, "similarity"),
+    "embedding_quantize_int8": QuerySpec(
+        embedding_quantize_int8, EMBEDDING_QUANTIZE_SQL, "similarity"),
     "profile_documents": QuerySpec(profile_documents, PROFILE_DOCUMENTS_SQL, "text"),
     "curation_pipeline": QuerySpec(curation_pipeline, CURATION_PIPELINE_SQL, "composition"),
 }

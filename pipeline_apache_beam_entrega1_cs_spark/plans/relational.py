@@ -25,7 +25,7 @@ from ..functions.numeric import (
     sql_dsum_dec,
     sql_rev,
 )
-from ..operators.asof import asof_join
+from ..operators.asof import asof_join, asof_join_forward
 from ..schemas import load_table
 from .spec import QuerySpec
 
@@ -418,6 +418,53 @@ SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
        epoch_us(p.ts) - epoch_us(s.signup_ts) AS us_since_signup
 FROM purchases p
 ASOF LEFT JOIN signups s ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+"""
+
+
+def join_asof_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each purchase picks up the user's EARLIEST
+    click at-or-after it (operators/asof.py asof_join_forward — same
+    one-shuffle union+window idiom, mirrored ordering). Oracle: DuckDB
+    native ASOF with the inequality flipped."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+        .select("user_id", F.col("ts").alias("click_ts"), "click_event_id")
+    )
+    joined = asof_join_forward(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        payload_cols=["click_event_id", "click_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "click_event_id",
+        (F.unix_micros("click_ts") - F.unix_micros("ts")).alias("us_until_click"),
+    )
+
+
+JOIN_ASOF_FORWARD_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts AS click_ts, max(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       c.click_event_id,
+       epoch_us(c.click_ts) - epoch_us(p.ts) AS us_until_click
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts <= c.click_ts
 """
 
 
@@ -1098,6 +1145,7 @@ QUERIES: dict[str, QuerySpec] = {
     "join_anti": QuerySpec(join_anti, JOIN_ANTI_SQL, "join"),
     "join_range_nonequi": QuerySpec(join_range_nonequi, JOIN_RANGE_SQL, "join"),
     "join_asof_events": QuerySpec(join_asof_events, JOIN_ASOF_SQL, "join"),
+    "join_asof_forward": QuerySpec(join_asof_forward_events, JOIN_ASOF_FORWARD_SQL, "join"),
     "agg_basic_stats": QuerySpec(agg_basic_stats, AGG_BASIC_SQL, "aggregation"),
     "agg_distinct": QuerySpec(agg_distinct, AGG_DISTINCT_SQL, "aggregation"),
     "agg_approx_distinct": QuerySpec(agg_approx_distinct, None, "aggregation",

@@ -577,6 +577,58 @@ FROM nation GROUP BY n_regionkey
 """
 
 
+def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink/source round-trip (Spark 4 ships the XML datasource
+    natively). Explicit read schema — like the CSV sink, inference is a
+    second full scan at 100 TB. Avro is NOT available in this
+    distribution (spark-avro is an external module, no jar baked in)."""
+    out = f"/tmp/spark_graft_sink/{sf_dir.strip('/').replace('/', '_')}/nation_xml"
+    nation = _t(spark, sf_dir, "nation")
+    nation.write.format("xml").option("rowTag", "nation").mode("overwrite").save(out)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .load(out)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+    )
+
+
+SINK_XML_SQL = """
+SELECT n_regionkey, COUNT(*) AS n_nations,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation GROUP BY n_regionkey
+"""
+
+
+def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink/source round-trip with an explicit read schema.
+    Projection excludes timestamp columns so the round-trip is exact
+    (JSON dates re-parse through a formatter; the determinism convention
+    is epoch ints or ISO strings, applied upstream when needed)."""
+    out = f"/tmp/spark_graft_sink/{sf_dir.strip('/').replace('/', '_')}/orders_jsonl"
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    orders.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE"
+    ).json(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+SINK_JSONL_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS sum_price
+FROM orders WHERE o_orderstatus = 'O' GROUP BY o_orderpriority
+"""
+
+
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue share
     for one ship month) over a lineitem ⋈ part join. Both numerator and
@@ -780,6 +832,8 @@ QUERIES: dict[str, QuerySpec] = {
     "sink_parquet_roundtrip": QuerySpec(sink_parquet_roundtrip, SINK_PARQUET_SQL, "sink"),
     "sink_orc_roundtrip": QuerySpec(sink_orc_roundtrip, SINK_ORC_SQL, "sink"),
     "sink_csv_roundtrip": QuerySpec(sink_csv_roundtrip, SINK_CSV_SQL, "sink"),
+    "sink_xml_roundtrip": QuerySpec(sink_xml_roundtrip, SINK_XML_SQL, "sink"),
+    "sink_jsonl_roundtrip": QuerySpec(sink_jsonl_roundtrip, SINK_JSONL_SQL, "sink"),
     "sample_seeded": QuerySpec(sample_seeded, None, "sampling",
                                doc="seeded Bernoulli sample; fraction asserted in tests"),
     "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL, "headline"),
