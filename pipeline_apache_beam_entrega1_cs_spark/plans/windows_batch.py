@@ -135,6 +135,16 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tumbling_stream(spark, sf_dir)
 
 
+def streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) executed through Structured Streaming
+    with a watermark (state finalizes when no event can extend a session).
+    Cold one-batch replay == the batch session_window form, so it shares
+    window_session's islands oracle."""
+    from ..streaming.windows import run_session_stream
+
+    return run_session_stream(spark, sf_dir)
+
+
 def streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState running per-user totals. In a cold one-batch
     replay each user emits exactly one final row, so the result equals a
@@ -194,6 +204,7 @@ QUERIES: dict[str, QuerySpec] = {
     "window_session": QuerySpec(window_session, WINDOW_SESSION_SQL, "time_window"),
     "dedup_keyed_first": QuerySpec(dedup_keyed_first, DEDUP_KEYED_FIRST_SQL, "time_window"),
     "streaming_tumbling": QuerySpec(streaming_tumbling, WINDOW_TUMBLING_SQL, "streaming"),
+    "streaming_session": QuerySpec(streaming_session, WINDOW_SESSION_SQL, "streaming"),
     "streaming_stateful_counter": QuerySpec(
         streaming_stateful_counter, STREAMING_STATEFUL_SQL, "streaming"
     ),

@@ -88,3 +88,30 @@ def run_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
     out = deduped.select("user_id", "event_type", "event_id")
     return _drain(out, "append")
+
+
+def session_agg_stream(events: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Watermarked streaming session windows — the streaming twin of
+    operators/sessionize.session_window_agg. session_window under
+    Structured Streaming needs the watermark to know when a session can
+    no longer grow (no new event within gap after watermark) and be
+    finalized + evicted from state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap).alias("sw"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute streaming sessionization over the events parquet; complete
+    mode because a cold replay is one batch (sessions would otherwise wait
+    for a later batch's watermark advance to finalize)."""
+    return _drain(session_agg_stream(_stream_events(spark, sf_dir)), "complete")
