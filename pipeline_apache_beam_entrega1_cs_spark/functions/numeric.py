@@ -10,7 +10,16 @@ money-like columns summed as decimal don't accumulate fp drift across
 a million partial aggregates.
 
 Oracle-side mirror (DuckDB):
-    CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)
+    CAST(CAST(SUM(CAST(x AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+
+The final decimal->double conversion goes THROUGH A STRING on both
+engines. Direct decimal->double casts double-round once the unscaled
+value exceeds 2^53 (DuckDB computes (double)int128 / 10^scale — two
+roundings; Spark's BigDecimal.doubleValue takes a different path), and
+the two engines can land one ulp apart (observed on a 17-significant-
+digit sum of squares). Every engine's string->double parse is a single
+correctly-rounded strtod of the same exact decimal, so the string hop is
+portable at ANY magnitude — which is what a 100 TB sum needs.
 """
 
 from __future__ import annotations
@@ -21,25 +30,31 @@ from pyspark.sql import functions as F
 DEC = "decimal(18,4)"
 
 
+def _dec_to_double(c: Column) -> Column:
+    """Decimal -> double through a string: correctly rounded at any
+    magnitude (see module docstring)."""
+    return c.cast("string").cast("double")
+
+
 def dsum(col: Column | str) -> Column:
     """Order-independent sum of a double column via decimal(18,4)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).cast("double")
+    return _dec_to_double(F.sum(c.cast(DEC)))
 
 
 def davg(col: Column | str) -> Column:
     """Order-independent mean: exact decimal sum / count (double division
     of identical operands is deterministic everywhere)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).cast("double") / F.count(c)
+    return _dec_to_double(F.sum(c.cast(DEC))) / F.count(c)
 
 
 def sql_dsum(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)"
 
 
 def sql_davg(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE) / COUNT({expr})"
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT({expr})"
 
 
 # --------------------------------------------------------------------------
@@ -97,11 +112,11 @@ def dcharge(
 def dsum_dec(col: Column) -> Column:
     """Sum of an ALREADY-decimal expression, result as double. No per-row
     cast, so no rounding seam — use for drev()/dcharge()-style products."""
-    return F.sum(col).cast("double")
+    return _dec_to_double(F.sum(col))
 
 
 def davg_dec(col: Column) -> Column:
-    return F.sum(col).cast("double") / F.count(col)
+    return _dec_to_double(F.sum(col)) / F.count(col)
 
 
 def sql_money(expr: str) -> str:
@@ -129,4 +144,4 @@ def sql_charge(
 
 
 def sql_dsum_dec(expr: str) -> str:
-    return f"CAST(SUM({expr}) AS DOUBLE)"
+    return f"CAST(CAST(SUM({expr}) AS VARCHAR) AS DOUBLE)"

@@ -78,3 +78,47 @@ def real_decode_image(docs_with_payload: DataFrame) -> DataFrame:
         "image codec libraries are not installed in this environment; "
         "use fake_decode_image for plumbing tests"
     )
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"
+
+
+def frame_sample(docs_with_payload: DataFrame, frame_bytes: int = 16,
+                 stride: int = 4) -> DataFrame:
+    """Frame-sampling plumbing for video-like binary payloads: treat the
+    byte stream as fixed-size frames, emit every ``stride``-th frame's
+    index + content hash via mapInPandas (Arrow batches — the decoder
+    integration point; a real build would seek keyframes instead of
+    slicing bytes).
+
+    At 100 TB this is the access pattern that matters: the payload column
+    is read once per partition, frames fan out executor-side (never
+    through the driver), and downstream joins run on the compact
+    (doc_id, frame_idx, hash) rows, not the blobs."""
+    import hashlib
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids: list[int] = []
+            idxs: list[int] = []
+            hashes: list[str] = []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                if b is None or len(b) == 0:
+                    continue
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    frame = bytes(b[i * frame_bytes:(i + 1) * frame_bytes])
+                    doc_ids.append(did)
+                    idxs.append(i)
+                    hashes.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_md5": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        sample, schema=FRAME_SCHEMA
+    )

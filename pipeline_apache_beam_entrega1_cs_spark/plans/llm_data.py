@@ -375,6 +375,22 @@ FROM documents
 """
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling over video-like binary payloads (every 4th 16-byte
+    frame -> content hash) via mapInPandas — operators/multimodal.py
+    frame_sample. Oracle slices the same bytes with VARCHAR substring
+    (documents.text is all-ASCII, so char positions == byte positions)."""
+    return M.frame_sample(M.with_binary_payload(_docs(spark, sf_dir)))
+
+
+MULTIMODAL_FRAME_SQL = """
+SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       md5(substring(text, CAST(i*16+1 AS BIGINT), CAST(16 AS BIGINT))) AS frame_md5
+FROM documents, UNNEST(generate_series(0, CAST(ceil(length(text)/16.0) AS BIGINT)-1, 4)) AS g(i)
+WHERE text IS NOT NULL AND length(text) > 0
+"""
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components over the Jaccard pair
     graph (iterative min-label propagation, operators/components.py) —
@@ -640,6 +656,8 @@ QUERIES: dict[str, QuerySpec] = {
     "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, TEXT_TFIDF_SQL, "text"),
     "multimodal_binary_meta": QuerySpec(multimodal_binary_meta, MULTIMODAL_BINARY_META_SQL, "multimodal"),
     "multimodal_decode_fake": QuerySpec(multimodal_decode_fake, MULTIMODAL_DECODE_SQL, "multimodal"),
+    "multimodal_frame_sample": QuerySpec(
+        multimodal_frame_sample, MULTIMODAL_FRAME_SQL, "multimodal"),
     "dedup_components": QuerySpec(dedup_components, DEDUP_COMPONENTS_SQL, "dedup"),
     "text_winnow_sketch": QuerySpec(text_winnow_sketch, TEXT_WINNOW_SQL, "text"),
     "embedding_centroids": QuerySpec(embedding_centroids, EMBEDDING_CENTROIDS_SQL, "similarity"),

@@ -577,6 +577,96 @@ FROM nation GROUP BY n_regionkey
 """
 
 
+def agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation + least-squares slope/intercept of l_extendedprice on
+    l_quantity per return flag — computed from EXACT decimal moments
+    (Sx, Sy, Sxy, Sxx, Syy), then identical double arithmetic on both
+    engines. Native corr()/regr_slope() are partition-order-dependent
+    double accumulations that can't be hash-compared across engines; the
+    moment form is deterministic AND the map-side-combinable shape you
+    want at 100 TB anyway (one pass, 5 partial sums)."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(4,0)")
+    y = dmoney("l_extendedprice")
+    # moments exceed 2^53 (syy is 17 significant digits at sf0.01), so the
+    # decimal->double hop MUST go through a string (functions/numeric.py)
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum_dec(x).alias("sx"),
+        dsum_dec(y).alias("sy"),
+        dsum_dec(x * y).alias("sxy"),
+        dsum_dec(x * x).alias("sxx"),
+        dsum_dec(y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x_n = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y_n = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / var_x_n
+    return m.select(
+        "l_returnflag",
+        "n",
+        (cov_n / F.sqrt(var_x_n * var_y_n)).alias("corr_qty_price"),
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / nd).alias("intercept"),
+    )
+
+
+AGG_REGRESSION_SQL = """
+WITH m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(4,0))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(4,0)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(4,0)) * CAST(l_quantity AS DECIMAL(4,0))) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (CAST(n AS DOUBLE) * sxy - sx * sy)
+         / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy))
+         AS corr_qty_price,
+       (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+       (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+         / CAST(n AS DOUBLE) AS intercept
+FROM m
+"""
+
+
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode (most frequent value) of o_orderpriority per order
+    status — count + total-ordered row_number (ties break to the smaller
+    value), the deterministic form of what approximate frequent-items
+    sketches estimate."""
+    orders = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+
+
+AGG_MODE_SQL = """
+SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_count
+FROM (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rn
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+) WHERE rn = 1
+"""
+
+
 def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML sink/source round-trip (Spark 4 ships the XML datasource
     natively). Explicit read schema — like the CSV sink, inference is a
@@ -833,6 +923,8 @@ QUERIES: dict[str, QuerySpec] = {
     "sink_orc_roundtrip": QuerySpec(sink_orc_roundtrip, SINK_ORC_SQL, "sink"),
     "sink_csv_roundtrip": QuerySpec(sink_csv_roundtrip, SINK_CSV_SQL, "sink"),
     "sink_xml_roundtrip": QuerySpec(sink_xml_roundtrip, SINK_XML_SQL, "sink"),
+    "agg_regression_stats": QuerySpec(agg_regression_stats, AGG_REGRESSION_SQL, "agg"),
+    "agg_mode_exact": QuerySpec(agg_mode_exact, AGG_MODE_SQL, "agg"),
     "sink_jsonl_roundtrip": QuerySpec(sink_jsonl_roundtrip, SINK_JSONL_SQL, "sink"),
     "sample_seeded": QuerySpec(sample_seeded, None, "sampling",
                                doc="seeded Bernoulli sample; fraction asserted in tests"),

@@ -213,3 +213,48 @@ def test_observe_single_pass_metrics(spark, sf_dir):
     assert metrics["n_rows"] == expected["n"]
     assert metrics["null_qty"] == 0
     assert metrics["gross"] == expected["g"]
+
+
+def test_no_cartesian_in_registry_plans(spark, sf_dir):
+    """Scale guard: no registry plan may contain a CartesianProduct, and
+    BroadcastNestedLoopJoin is allowed only where the broadcast side is a
+    provably tiny scalar/query set (documented allowlist). Catches a
+    future operator reintroducing an unblocked pairwise join."""
+    import contextlib
+    import io
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.registry import all_queries
+
+    # BNLJ sanctioned: broadcast side is O(1) rows (scalar aggregate) or a
+    # fixed small query set (exact-ANN baseline / IVF probe scoring).
+    BNLJ_OK = {
+        "ann_cosine_topk",      # |queries| x corpus stream — exact baseline
+        "ann_ivf_topk",         # query x n_centroids scoring
+        "ann_lsh_topk",         # MLlib approxSimilarityJoin internals
+        "q11_important_parts",  # 1-row scoped total
+        "q15_top_supplier",     # 1-row max revenue
+        "q17_small_qty_revenue",  # 1-row avg threshold
+        "q20_heavy_suppliers",  # 1-row threshold
+        "q22_inactive_customers",  # 1-row avg balance
+        "scalar_subquery_parts",  # 1-row avg price
+        "cte_above_avg_nations",  # 1-row global avg
+        "correlated_subquery_orders",  # decorrelated 1-row per-group threshold
+        "curation_pipeline",    # 1-row corpus-size scalar in IDF
+        "text_tfidf_top_terms",  # 1-row corpus-size scalar in IDF
+        "dedup_minhash_lsh",    # MLlib approxSimilarityJoin internals
+    }
+    skip_prefixes = ("streaming_", "sink_")  # these execute side effects
+    failures = []
+    for name, spec in all_queries().items():
+        if name.startswith(skip_prefixes):
+            continue
+        df = spec.fn(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            failures.append(f"{name}: unsanctioned BroadcastNestedLoopJoin")
+    assert not failures, f"scale smells in plans: {failures}"
