@@ -177,3 +177,27 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rn") <= k)
         .select("doc_id", "term", "tf", "df", "tfidf", F.col("rn").alias("term_rank"))
     )
+
+
+# BPE-ish pre-tokenizer: maximal runs of letters / digits / symbols
+# (GPT-2's pre-tokenization minus space-attachment and contraction
+# splits — those need alternation-ORDER semantics, which differ between
+# Java regex (leftmost-first) and RE2 (DuckDB); disjoint character
+# classes make the count engine-portable).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+"
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """Whitespace vs BPE-ish token counts per document — the cost model a
+    training pipeline needs (billing/packing is in subword tokens, not
+    words). Native regexp_count: one codegen pass, no UDF."""
+    toks = tokens(F.col("text"))
+    n_bpe = F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN)).cast("long")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.when(n_bpe > 0, F.col("n_chars").cast("double") / n_bpe)
+        .otherwise(F.lit(0.0))
+        .alias("chars_per_bpe_token"),
+    )

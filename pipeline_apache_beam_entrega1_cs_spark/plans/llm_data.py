@@ -209,6 +209,27 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Text analysis
 # --------------------------------------------------------------------------
 
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish subword token counts (operators/textops.py
+    bpe_token_stats) — the billing/packing cost model of a training
+    pipeline, as one native regexp_count pass."""
+    return T.bpe_token_stats(_docs(spark, sf_dir))
+
+
+TEXT_BPE_TOKEN_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN trim(lower(text)) = '' THEN 0 ELSE len({_TOKS}) END AS n_ws,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+')) AS n_bpe
+  FROM documents
+)
+SELECT doc_id, CAST(n_ws AS BIGINT) AS n_ws_tokens, CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
+       CASE WHEN n_bpe > 0 THEN CAST(n_chars AS DOUBLE) / n_bpe ELSE 0.0 END
+         AS chars_per_bpe_token
+FROM t
+"""
+
+
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.token_stats(_docs(spark, sf_dir)).select(
         "doc_id",
@@ -650,6 +671,7 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, None, "similarity",
                               doc="IVF k-means lists + probe; recall tested vs exact"),
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_STATS_SQL, "text"),
+    "text_bpe_token_count": QuerySpec(text_bpe_token_count, TEXT_BPE_TOKEN_SQL, "text"),
     "text_lang_id": QuerySpec(text_lang_id, TEXT_LANG_ID_SQL, "text"),
     "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL, "text"),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL, "text"),
