@@ -224,6 +224,7 @@ def embedding_cosine_pairs_lsh(
     bucket_length: float = 4.0,
     num_tables: int = 6,
     seed: int = 42,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Near-duplicate vector pairs with LSH-bucket blocking — the 100 TB
     variant of ``embedding_cosine_pairs``.
@@ -233,11 +234,17 @@ def embedding_cosine_pairs_lsh(
     labels are coarse. Here the block key is data-independent geometry:
     BucketedRandomProjectionLSH assigns each vector ``num_tables`` bucket
     ids; candidate pairs are generated only inside a (table, bucket)
-    cell, deduped across tables, then exact-cosine verified. Bucket
-    population is tunable via ``bucket_length``, so Σ bucket² is bounded
-    regardless of any semantic skew. Recall vs the exact all-pairs
-    baseline is asserted in tests (rows-only oracle: bucket boundaries
-    are not SQL-expressible)."""
+    cell, deduped across tables, then exact-cosine verified.
+
+    Two knobs bound the pairwise cost: ``bucket_length`` sets the
+    expected bucket population (tune DOWN as density grows — measured:
+    4.0 on dense 64-dim uniform data degenerates into mega-buckets), and
+    ``max_bucket`` hard-caps it — cells above the cap are dropped before
+    pair generation, exactly like the n-gram dedup's frequency cap, so
+    worst-case join output is <= max_bucket * num_tables * n no matter
+    how degenerate the geometry. Recall vs the exact all-pairs baseline
+    is asserted in tests (rows-only oracle: bucket boundaries are not
+    SQL-expressible)."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -261,10 +268,17 @@ def embedding_cosine_pairs_lsh(
             "vec_id", "emb", "tbl", vector_to_array(F.col("h"))[0].cast("long").alias("bucket")
         )
     )
-    a = hashed.select(
+    live = (
+        hashed.groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= max_bucket))
+        .select("tbl", "bucket")
+    )
+    pruned = hashed.join(live, ["tbl", "bucket"])
+    a = pruned.select(
         F.col("tbl"), F.col("bucket"), F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a")
     )
-    b = hashed.select(
+    b = pruned.select(
         F.col("tbl"), F.col("bucket"), F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b")
     )
     # A pair colliding in several tables appears several times with
