@@ -11,6 +11,14 @@ q1 plus the TPC-H remainder, LLM-data, UDF-surface, windows/streaming,
 and relational2 stragglers so they get driver rows; everything already
 green in CORRECTNESS_r01 rides at the back. Local tests always run ALL
 entries regardless of order.
+
+ROUND 3 CHORE: after CORRECTNESS_r02 lands, rotate again — demote every
+newly-green name to the back and promote (a) any r02 failures, (b) the
+relational2 stragglers past position 50, and (c) the round-2 additions
+(join_asof_forward, sink_xml/jsonl_roundtrip, embedding_quantize_int8,
+streaming_session, multimodal_frame_sample, agg_regression_stats,
+agg_mode_exact, dedup_embedding_cosine_lsh, text_bpe_token_count) into
+the first 50 slots.
 """
 
 from __future__ import annotations

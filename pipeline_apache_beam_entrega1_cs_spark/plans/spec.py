@@ -9,6 +9,12 @@ sf0.01 — see /root/repo/__spark_entry__.py.
 Determinism conventions (both sides, so value hashes agree):
 - double SUMs go through DECIMAL(18,4) then cast back to double
   (functions/numeric.py) — partition-order independent;
+- money×rate PRODUCTS are computed in decimal with the OPERANDS cast
+  first (drev/dcharge) — casting a double product to decimal rounds
+  .xxxx5 boundaries differently across engines;
+- the final decimal→double conversion goes through a STRING cast on
+  both engines — direct decimal→double casts double-round past 2^53
+  unscaled and the engines land one ulp apart;
 - AVG = decimal-sum / count;
 - every computed integer scalar is BIGINT in both engines (DuckDB's
   HUGEINT sums and Spark's int32 scalar fns would otherwise disagree);
