@@ -1,0 +1,75 @@
+"""Property check for the as-of join idioms (operators/asof.py): both
+directions compared against pandas.merge_asof — an independent executable
+spec — on seeded random inputs with heavy timestamp collisions (the
+regime where ordering bugs hide)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_apache_beam_entrega1_cs_spark.operators.asof import (
+    asof_join,
+    asof_join_forward,
+)
+
+
+def _random_frames(seed: int):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 60),
+            "lts": rng.integers(0, 40, 60),
+            "lid": np.arange(60),
+        }
+    )
+    # right side unique on (k, ts) — the pre-aggregated shape production
+    # callers use (both engines tie-break identically then)
+    right = (
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 5, 40),
+                "rts": rng.integers(0, 40, 40),
+                "val": rng.integers(0, 1000, 40),
+            }
+        )
+        .drop_duplicates(["k", "rts"])
+        .reset_index(drop=True)
+    )
+    return left, right
+
+
+@pytest.mark.parametrize("seed", [7, 41, 1234])
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_matches_pandas_merge_asof(spark, seed, direction):
+    left, right = _random_frames(seed)
+    sl = spark.createDataFrame(left).withColumn("lts_t", F.timestamp_seconds("lts"))
+    sr = spark.createDataFrame(right).withColumn("rts_t", F.timestamp_seconds("rts"))
+    fn = asof_join if direction == "backward" else asof_join_forward
+    got_df = fn(
+        sl,
+        sr.select("k", "rts_t", "val"),
+        on=["k"],
+        left_ts="lts_t",
+        right_ts="rts_t",
+        payload_cols=["val"],
+    )
+    got = {
+        (r["lid"], r["val"]) for r in got_df.select("lid", "val").collect()
+    }
+
+    expected_pd = pd.merge_asof(
+        left.sort_values(["lts", "lid"]).reset_index(drop=True),
+        right.sort_values("rts").reset_index(drop=True),
+        by="k",
+        left_on="lts",
+        right_on="rts",
+        direction=direction,
+    )
+    expected = {
+        (int(r.lid), None if pd.isna(r.val) else int(r.val))
+        for r in expected_pd.itertuples()
+    }
+    assert got == expected
