@@ -609,7 +609,16 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused into the scan stage); only language-ID genuinely needs a join
     (its votes come from an explode + broadcast-join aggregation). The
     shuffles are: lang votes, the fingerprint dedup, and the final
-    rollup."""
+    rollup.
+
+    Dedup is a row_number window over fp, NOT a min(doc_id) aggregate
+    semi-joined back: the join form references `enriched` twice, and
+    Spark has no common-subplan reuse — the whole quality/lang subtree
+    would execute twice (this was the one documented spot where caching
+    seemed warranted; the window form makes it moot — one pass, one
+    shuffle, same keep-min-doc_id semantics)."""
+    from pyspark.sql import Window
+
     d = _docs(spark, sf_dir)
     lang = T.lang_id(d).select("doc_id", "pred_lang")
     enriched = (
@@ -618,8 +627,8 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lang, "doc_id")
         .filter((F.col("quality_score") >= 0.7) & (F.col("pred_lang") == "en"))
     )
-    keepers = enriched.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    kept = enriched.join(keepers, "doc_id", "left_semi")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = enriched.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_chars").cast("long").alias("total_chars"),
