@@ -362,10 +362,18 @@ GROUP BY c_count
 
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15: supplier(s) with the maximum quarterly revenue — the
-    revenue "view" aggregated once, its max taken as a 1-row scalar and
-    broadcast back (exact decimal revenue makes the equality join
-    deterministic; ties would all be kept, as in the official query)."""
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue (exact
+    decimal revenue makes the equality deterministic; ties all kept, as
+    in the official query).
+
+    The scalar max rides a global window OVER THE AGGREGATE, not a
+    second aggregate branch: the two-branch form re-scanned the
+    quarter's lineitem (measured: AQE reused q11's exchanges at runtime
+    but not q15's). The empty-partition window is a non-issue here — its
+    input is the per-supplier aggregate (|suppliers| rows), not fact
+    data."""
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
@@ -374,11 +382,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum(_rev()).alias("total_revenue")
     )
-    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    top = revenue.withColumn(
+        "_max_revenue", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("_max_revenue"))
     return (
-        supp.join(revenue, supp.s_suppkey == F.col("supplier_no"))
-        .crossJoin(F.broadcast(max_rev))
-        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        supp.join(top, supp.s_suppkey == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
