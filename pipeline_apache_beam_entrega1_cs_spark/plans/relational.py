@@ -1072,6 +1072,29 @@ FROM events WHERE event_id < 2000
 """
 
 
+def variant_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type: parse events.props once into a variant and
+    extract a typed path (try_parse_json + try_variant_get) — the
+    semi-structured fast path that replaces repeated get_json_object
+    string re-parses (one binary parse, typed access). Oracle: DuckDB
+    json_extract."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).cast("bigint").alias("k_sum"),
+        F.max(k).cast("bigint").alias("k_max"),
+    )
+
+
+VARIANT_FUNCTIONS_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+FROM events GROUP BY event_type
+"""
+
+
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family over tokenized document text: size, distinct,
     contains, sort, join, element access, explode-free (scalar outputs
@@ -1171,6 +1194,7 @@ QUERIES: dict[str, QuerySpec] = {
     "math_functions": QuerySpec(math_functions, MATH_FUNCTIONS_SQL, "scalar_fn"),
     "conditional_functions": QuerySpec(conditional_functions, CONDITIONAL_SQL, "scalar_fn"),
     "json_functions": QuerySpec(json_functions, JSON_FUNCTIONS_SQL, "scalar_fn"),
+    "variant_functions": QuerySpec(variant_functions, VARIANT_FUNCTIONS_SQL, "scalar_fn"),
     "array_functions": QuerySpec(array_functions, ARRAY_FUNCTIONS_SQL, "scalar_fn"),
     "map_functions": QuerySpec(map_functions, MAP_FUNCTIONS_SQL, "scalar_fn"),
 }

@@ -44,3 +44,19 @@ def test_oracle_parity_on_hostile_session(hostile_spark, duck, sf_dir, name):
     assert sorted(s_cols) == sorted(d_cols)
     assert len(s_rows) == len(d_rows)
     assert frame_multiset(s_cols, s_rows) == frame_multiset(d_cols, d_rows)
+
+
+def test_driver_window_runs_on_hostile_session(hostile_spark, sf_dir):
+    """Driver dry-run: the exact first-50 registry entries (the driver's
+    per-round correctness window) must EXECUTE on a vanilla session —
+    value parity is covered by test_oracle; this catches conf-dependent
+    crashes (e.g. the ns-timestamp parquet refusal) before the driver
+    does. Sink entries are included: they write to /tmp like the real
+    run."""
+    failures = []
+    for name in list(REGISTRY)[:50]:
+        try:
+            REGISTRY[name].fn(hostile_spark, sf_dir).count()
+        except Exception as ex:  # noqa: BLE001 - collect all failures
+            failures.append(f"{name}: {type(ex).__name__}: {str(ex)[:120]}")
+    assert not failures, f"driver-window entries failed on vanilla session: {failures}"
