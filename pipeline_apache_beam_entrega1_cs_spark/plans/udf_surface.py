@@ -129,11 +129,95 @@ FROM documents
 """
 
 
+def applyinpandas_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInPandas (single-sided — completes the UDF matrix
+    next to the cogrouped form): per-customer trimmed mean spend (drop
+    one min and one max, average the rest). Arithmetic runs in int64
+    cents inside pandas so the Python side and the SQL oracle are
+    integer-exact; only the final division produces a double, identical
+    on both engines."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+
+    def trimmed(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = pdf["o_totalprice"].mul(100).round().astype("int64")
+        n = len(cents)
+        if n > 2:
+            val = float(cents.sum() - cents.min() - cents.max()) / ((n - 2) * 100)
+        else:
+            val = float(cents.sum()) / (n * 100)
+        return pd.DataFrame(
+            {
+                "o_custkey": [int(pdf["o_custkey"].iloc[0])],
+                "n_orders": [n],
+                "trimmed_mean": [val],
+            }
+        )
+
+    return orders.groupBy("o_custkey").applyInPandas(
+        trimmed, "o_custkey long, n_orders long, trimmed_mean double"
+    )
+
+
+APPLYINPANDAS_TRIMMED_SQL = """
+WITH c AS (
+  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_custkey, COUNT(*) AS n_orders,
+       CASE WHEN COUNT(*) > 2
+            THEN CAST(SUM(cents) - MIN(cents) - MAX(cents) AS DOUBLE)
+                 / ((COUNT(*) - 2) * 100)
+            ELSE CAST(SUM(cents) AS DOUBLE) / (COUNT(*) * 100) END AS trimmed_mean
+FROM c GROUP BY o_custkey
+"""
+
+
+def udtf_order_installments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function) via LATERAL join: expand
+    each urgent order into 3 equal installments — the row-generating
+    escape hatch (one input row -> N output rows with computed state),
+    registered and invoked through the SQL frontend. Oracle: a
+    generate_series lateral."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="installment int, amount double")
+    class Installments:
+        def eval(self, total: float, k: int):
+            if total is None:
+                return
+            for i in range(1, k + 1):
+                yield i, total / k
+
+    spark.udtf.register("order_installments", Installments)
+    _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_totalprice").createOrReplaceTempView("urgent_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, i.installment, i.amount
+        FROM urgent_orders o, LATERAL order_installments(o.o_totalprice, 3) i
+        """
+    )
+
+
+UDTF_INSTALLMENTS_SQL = """
+SELECT o_orderkey, CAST(i AS INTEGER) AS installment, o_totalprice / 3 AS amount
+FROM orders, UNNEST(generate_series(1, 3)) AS g(i)
+WHERE o_orderpriority = '1-URGENT'
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cogroup_order_gaps": QuerySpec(
         cogroup_order_gaps, COGROUP_ORDER_GAPS_SQL, "udf-surface"
     ),
     "mapinarrow_text_stats": QuerySpec(
         mapinarrow_text_stats, MAPINARROW_TEXT_STATS_SQL, "udf-surface"
+    ),
+    "applyinpandas_trimmed_mean": QuerySpec(
+        applyinpandas_trimmed_mean, APPLYINPANDAS_TRIMMED_SQL, "udf-surface"
+    ),
+    "udtf_order_installments": QuerySpec(
+        udtf_order_installments, UDTF_INSTALLMENTS_SQL, "udf-surface"
     ),
 }
