@@ -1,0 +1,125 @@
+"""Curation-stage registry: benchmark decontamination, blocklist/PII
+scrubbing, sliding-window chunking, repetition filtering (SURVEY.md §2B
+LLM-data rows, round-2 additions). Spark logic in operators/curation.py;
+every op here is deterministic and gets full DuckDB SQL parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import curation as C
+from ..schemas import load_table
+from .llm_data import _TOKS
+from .spec import QuerySpec
+
+# Non-empty tokenized docs, the shared oracle base (empty docs handled by
+# the LEFT JOINs back to `documents`).
+_TOKS_CTE = f"SELECT doc_id, {_TOKS} AS tk FROM documents WHERE trim(text) <> ''"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.decontaminate(_docs(spark, sf_dir), n=5, mod=97, threshold=0.2)
+
+
+TEXT_DECONTAMINATE_SQL = rf"""
+WITH toks AS ({_TOKS_CTE}),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(tk) - 4)) AS g(i)
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh WHERE doc_id % 97 <> 0 GROUP BY doc_id
+),
+hits AS (
+  SELECT s.doc_id, COUNT(*) AS n_hits
+  FROM sh s JOIN bench USING (shingle)
+  WHERE s.doc_id % 97 <> 0
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(sz.n_sh, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(CASE WHEN COALESCE(sz.n_sh, 0) > 0
+                  THEN COALESCE(h.n_hits, 0)::DOUBLE / sz.n_sh ELSE 0.0 END, 6)
+         AS contamination,
+       round(CASE WHEN COALESCE(sz.n_sh, 0) > 0
+                  THEN COALESCE(h.n_hits, 0)::DOUBLE / sz.n_sh ELSE 0.0 END, 6) >= 0.2
+         AS contaminated
+FROM documents d
+LEFT JOIN sizes sz ON d.doc_id = sz.doc_id
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 97 <> 0
+"""
+
+
+def text_scrub_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.scrub_blocklist(_docs(spark, sf_dir))
+
+
+TEXT_SCRUB_SQL = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{C.URL_RE}')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '{C.EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(lower(text), '{C.BLOCKLIST_RE}')) AS BIGINT)
+         AS n_blocked,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+             text, '{C.URL_RE}', '{C.REDACTED}', 'g'),
+             '{C.EMAIL_RE}', '{C.REDACTED}', 'g'),
+             '{C.BLOCKLIST_RE}', '{C.REDACTED}', 'g')) AS scrubbed_md5
+FROM documents
+"""
+
+
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.chunk_sliding(_docs(spark, sf_dir), size=32, stride=16)
+
+
+TEXT_CHUNK_SQL = f"""
+WITH toks AS ({_TOKS_CTE})
+SELECT doc_id,
+       CAST((s - 1) // 16 + 1 AS BIGINT) AS chunk_idx,
+       CAST(len(tk[s:s+31]) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(tk[s:s+31], ' ')) AS chunk_md5
+FROM toks, UNNEST(generate_series(1, len(tk), 16)) AS g(s)
+"""
+
+
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.repetition_stats(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+TEXT_REPETITION_SQL = f"""
+WITH toks AS ({_TOKS_CTE}),
+sh AS (
+  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS gi(i)
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT g) AS n_distinct
+  FROM sh GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct_grams,
+       round(CASE WHEN COALESCE(a.n_grams, 0) > 0
+                  THEN 1.0 - a.n_distinct::DOUBLE / a.n_grams ELSE 0.0 END, 6)
+         AS dup_ratio,
+       round(CASE WHEN COALESCE(a.n_grams, 0) > 0
+                  THEN 1.0 - a.n_distinct::DOUBLE / a.n_grams ELSE 0.0 END, 6) > 0.5
+         AS is_repetitive
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "text_decontaminate": QuerySpec(text_decontaminate, TEXT_DECONTAMINATE_SQL, "text"),
+    "text_scrub_blocklist": QuerySpec(text_scrub_blocklist, TEXT_SCRUB_SQL, "text"),
+    "text_chunk_sliding": QuerySpec(text_chunk_sliding, TEXT_CHUNK_SQL, "text"),
+    "text_repetition_stats": QuerySpec(text_repetition_stats, TEXT_REPETITION_SQL, "text"),
+}

@@ -17,13 +17,25 @@ newly-green name to the back and promote (a) any r02 failures, (b) the
 relational2 stragglers past position 50, and (c) the round-2 additions
 (join_asof_forward, sink_xml/jsonl_roundtrip, embedding_quantize_int8,
 streaming_session, multimodal_frame_sample, agg_regression_stats,
-agg_mode_exact, dedup_embedding_cosine_lsh, text_bpe_token_count) into
-the first 50 slots.
+agg_mode_exact, dedup_embedding_cosine_lsh, text_bpe_token_count,
+applyinpandas_trimmed_mean, udtf_order_installments, variant_events,
+text_decontaminate, text_scrub_blocklist, text_chunk_sliding,
+text_repetition_stats, recursive_month_spine, lateral_topk_customers,
+group_by_all_orders) into the first 50 slots.
 """
 
 from __future__ import annotations
 
-from . import llm_data, relational, relational2, tpch, udf_surface, windows_batch
+from . import (
+    curation,
+    llm_data,
+    relational,
+    relational2,
+    sql_modern,
+    tpch,
+    udf_surface,
+    windows_batch,
+)
 from .spec import QuerySpec
 
 # Front of the driver's 50-entry correctness window. q1 leads (its round-1
@@ -106,7 +118,16 @@ DRIVER_PRIORITY: list[str] = [
 
 def all_queries() -> dict[str, QuerySpec]:
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, relational2, tpch, windows_batch, llm_data, udf_surface):
+    for mod in (
+        relational,
+        relational2,
+        tpch,
+        windows_batch,
+        llm_data,
+        udf_surface,
+        curation,
+        sql_modern,
+    ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
