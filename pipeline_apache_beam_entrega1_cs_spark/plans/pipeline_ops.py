@@ -1,0 +1,249 @@
+"""Dataset-mechanics registry: the operations that turn a curated corpus
+into training-ready shards and keep warehouse tables current — hash
+splitting, token-budget packing, mixture weighting, changeset upsert
+(MERGE semantics), and multi-granularity time rollup.
+
+All deterministic (hash-derived or integer arithmetic), all full DuckDB
+oracle parity. The md5-prefix idiom gives an engine-portable uniform
+hash: both engines md5 the UTF-8 bytes of the same decimal string, and
+an 8-hex-char prefix compares lexicographically exactly like the 32-bit
+value it encodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, sql_dsum
+from ..schemas import load_table
+from .spec import QuerySpec
+
+# 80/10/10 split: 0.8*2^32 = 0xCCCCCCCC, 0.9*2^32 = 0xE6666666.
+_TRAIN_MAX = "cccccccc"
+_VAL_MAX = "e6666666"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _split_col():
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    return (
+        F.when(h < _TRAIN_MAX, "train").when(h < _VAL_MAX, "val").otherwise("test")
+    )
+
+
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5(doc_id) prefix —
+    the assignment is a pure function of the key, so it is stable across
+    runs, engines, and re-partitioning (the property a training pipeline
+    needs so no document ever migrates between splits). Map-only + one
+    3-group aggregate; at 100 TB the split column is computed inside the
+    scan and the report is a partial-agg collapse."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(_split_col().alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+SPLIT_SQL = f"""
+WITH assigned AS (
+  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_TRAIN_MAX}'
+              THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_VAL_MAX}'
+              THEN 'val' ELSE 'test' END AS split,
+         n_chars
+  FROM documents
+)
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM assigned GROUP BY split
+"""
+
+
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign documents (in deterministic doc_id
+    order) to fixed token-budget batches — the shard/batch preparation
+    step before tokenization. A document starts a new batch when the
+    tokens BEFORE it fill the current 2048-token budget.
+
+    Scale shape: a single global running sum would serialize on one
+    partition, so packing runs inside deterministic key-range buckets
+    (doc_id // 1024 — 100 TB gives ~100k independent buckets, each a
+    bounded in-memory window). One shuffle on the bucket key; batches
+    never span buckets, which is exactly how shard-local packing works
+    in practice (shards are packed independently)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    n_tok = F.when(F.trim(F.col("text")) == "", 0).otherwise(n_tok)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.floor(F.col("doc_id") / 1024).alias("bucket"),
+            n_tok.alias("n_tok"),
+        )
+        .withColumn("cum", F.sum("n_tok").over(w))
+        .withColumn("batch_id", F.floor((F.col("cum") - F.col("n_tok")) / 2048))
+        .groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+PACK_SQL = r"""
+WITH sized AS (
+  SELECT doc_id, doc_id // 1024 AS bucket,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS n_tok
+  FROM documents
+),
+packed AS (
+  SELECT bucket, n_tok,
+         (SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tok) // 2048 AS batch_id
+  FROM sized
+)
+SELECT bucket, batch_id, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM packed GROUP BY bucket, batch_id
+"""
+
+
+def mixture_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture report: per-source document share and the repeat
+    factor that would equalize sources to the largest one — the
+    source-weighting table a multi-corpus training run samples from.
+    One aggregate shuffle to ~#sources rows, then window math on the
+    tiny grouped result."""
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    wall = Window.partitionBy()
+    share = F.round(F.col("n_docs") / F.sum("n_docs").over(wall), 6)
+    repeat = F.round(F.max("n_docs").over(wall) / F.col("n_docs"), 6)
+    return agg.select(
+        "source", "n_docs", "total_chars",
+        share.alias("share"), repeat.alias("repeat_factor"),
+    )
+
+
+MIXTURE_SQL = """
+WITH agg AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, total_chars,
+       round(n_docs::DOUBLE / SUM(n_docs) OVER (), 6) AS share,
+       round(MAX(n_docs) OVER ()::DOUBLE / n_docs, 6) AS repeat_factor
+FROM agg
+"""
+
+
+def upsert_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert without MERGE: apply a deterministic changeset
+    (updates for custkey%10=3, deletes for %10=7, inserts at key+1000000
+    for %10=1) to the customer snapshot via one full outer join — the
+    portable expression of Delta/Iceberg MERGE INTO on an engine without
+    a table format.
+
+    Scale shape: one shuffle join on the merge key; AQE handles skewed
+    keys. The changeset side is usually a day of CDC — small enough that
+    AQE picks a broadcast, making the apply map-only."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    updates = cust.filter(k % 10 == 3).select(
+        k.alias("key"), F.lit("U").alias("op"), F.lit("UPDATED").alias("new_segment")
+    )
+    deletes = cust.filter(k % 10 == 7).select(
+        k.alias("key"), F.lit("D").alias("op"), F.lit(None).cast("string").alias("new_segment")
+    )
+    inserts = cust.filter(k % 10 == 1).select(
+        (k + 1000000).alias("key"), F.lit("I").alias("op"),
+        F.lit("INSERTED").alias("new_segment"),
+    )
+    chg = updates.unionByName(deletes).unionByName(inserts)
+    merged = cust.join(chg, cust.c_custkey == chg.key, "full_outer")
+    return (
+        merged.filter((F.col("op").isNull()) | (F.col("op") != "D"))
+        .select(
+            F.coalesce("c_custkey", "key").alias("c_custkey"),
+            F.coalesce("new_segment", "c_mktsegment").alias("c_mktsegment"),
+            F.coalesce(
+                F.when(F.col("op") == "U", F.lit("updated"))
+                .when(F.col("op") == "I", F.lit("inserted")),
+                F.lit("unchanged"),
+            ).alias("row_origin"),
+        )
+    )
+
+
+UPSERT_SQL = """
+WITH chg AS (
+  SELECT c_custkey AS key, 'U' AS op, 'UPDATED' AS new_segment
+  FROM customer WHERE c_custkey % 10 = 3
+  UNION ALL
+  SELECT c_custkey, 'D', NULL FROM customer WHERE c_custkey % 10 = 7
+  UNION ALL
+  SELECT c_custkey + 1000000, 'I', 'INSERTED'
+  FROM customer WHERE c_custkey % 10 = 1
+)
+SELECT COALESCE(c_custkey, key) AS c_custkey,
+       COALESCE(new_segment, c_mktsegment) AS c_mktsegment,
+       CASE op WHEN 'U' THEN 'updated' WHEN 'I' THEN 'inserted'
+               ELSE 'unchanged' END AS row_origin
+FROM customer FULL JOIN chg ON c_custkey = key
+WHERE op IS NULL OR op <> 'D'
+"""
+
+
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: year -> month -> day
+    subtotals over the events stream in ONE pass (ROLLUP on prefix-coded
+    time buckets), the continuous-aggregate maintenance query of a
+    time-series store. Single shuffle; partial aggregation collapses
+    map-side because day strings repeat heavily."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_format("ts", "yyyy").alias("year"),
+            F.date_format("ts", "yyyy-MM").alias("month"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "value",
+        )
+        .rollup("year", "month", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+    )
+
+
+ROLLUP_TIME_SQL = f"""
+SELECT strftime(ts, '%Y') AS year,
+       strftime(ts, '%Y-%m') AS month,
+       strftime(ts, '%Y-%m-%d') AS day,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY ROLLUP (strftime(ts, '%Y'), strftime(ts, '%Y-%m'), strftime(ts, '%Y-%m-%d'))
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "split_train_val_test": QuerySpec(split_train_val_test, SPLIT_SQL, "pipeline"),
+    "pack_token_budget": QuerySpec(pack_token_budget, PACK_SQL, "pipeline"),
+    "mixture_by_source": QuerySpec(mixture_by_source, MIXTURE_SQL, "pipeline"),
+    "upsert_changeset": QuerySpec(upsert_changeset, UPSERT_SQL, "pipeline"),
+    "rollup_time_hierarchy": QuerySpec(rollup_time_hierarchy, ROLLUP_TIME_SQL, "pipeline"),
+}

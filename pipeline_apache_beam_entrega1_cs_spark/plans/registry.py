@@ -21,13 +21,16 @@ agg_mode_exact, dedup_embedding_cosine_lsh, text_bpe_token_count,
 applyinpandas_trimmed_mean, udtf_order_installments, variant_events,
 text_decontaminate, text_scrub_blocklist, text_chunk_sliding,
 text_repetition_stats, recursive_month_spine, lateral_topk_customers,
-group_by_all_orders) into the first 50 slots.
+group_by_all_orders, split_train_val_test, pack_token_budget,
+mixture_by_source, upsert_changeset, rollup_time_hierarchy) into the
+first 50 slots.
 """
 
 from __future__ import annotations
 
 from . import (
     curation,
+    pipeline_ops,
     llm_data,
     relational,
     relational2,
@@ -127,6 +130,7 @@ def all_queries() -> dict[str, QuerySpec]:
         udf_surface,
         curation,
         sql_modern,
+        pipeline_ops,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
