@@ -160,9 +160,11 @@ def upsert_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable expression of Delta/Iceberg MERGE INTO on an engine without
     a table format.
 
-    Scale shape: one shuffle join on the merge key; AQE handles skewed
-    keys. The changeset side is usually a day of CDC — small enough that
-    AQE picks a broadcast, making the apply map-only."""
+    Scale shape: one sort-merge shuffle join on the merge key (full
+    outer precludes broadcast — both sides must see unmatched rows); AQE
+    handles skewed keys. With a table format (Delta/Iceberg) the same
+    changeset drives MERGE INTO and only touched files rewrite; this is
+    the engine-only equivalent that rewrites the snapshot."""
     cust = _t(spark, sf_dir, "customer")
     k = F.col("c_custkey")
     updates = cust.filter(k % 10 == 3).select(

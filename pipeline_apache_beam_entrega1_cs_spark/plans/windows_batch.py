@@ -135,6 +135,16 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tumbling_stream(spark, sf_dir)
 
 
+def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sliding-window aggregation executed through Structured
+    Streaming. Cold one-batch replay equals the batch form (no rows fall
+    past the watermark), so it shares window_sliding's
+    generate_series-assignment oracle."""
+    from ..streaming.windows import run_sliding_stream
+
+    return run_sliding_stream(spark, sf_dir)
+
+
 def streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min gap) executed through Structured Streaming
     with a watermark (state finalizes when no event can extend a session).
@@ -204,6 +214,7 @@ QUERIES: dict[str, QuerySpec] = {
     "window_session": QuerySpec(window_session, WINDOW_SESSION_SQL, "time_window"),
     "dedup_keyed_first": QuerySpec(dedup_keyed_first, DEDUP_KEYED_FIRST_SQL, "time_window"),
     "streaming_tumbling": QuerySpec(streaming_tumbling, WINDOW_TUMBLING_SQL, "streaming"),
+    "streaming_sliding": QuerySpec(streaming_sliding, WINDOW_SLIDING_SQL, "streaming"),
     "streaming_session": QuerySpec(streaming_session, WINDOW_SESSION_SQL, "streaming"),
     "streaming_stateful_counter": QuerySpec(
         streaming_stateful_counter, STREAMING_STATEFUL_SQL, "streaming"

@@ -83,6 +83,29 @@ def run_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(tumbling_agg_stream(_stream_events(spark, sf_dir)), "complete")
 
 
+def sliding_agg_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked sliding-window aggregation (1 h window, 30 min slide)
+    — the streaming twin of plans/windows_batch.window_sliding. Each
+    event updates exactly 2 overlapping windows; the watermark bounds
+    how many window states stay live."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the watermarked sliding aggregation as a one-batch cold
+    replay (complete mode — see run_tumbling_stream)."""
+    return _drain(sliding_agg_stream(_stream_events(spark, sf_dir)), "complete")
+
+
 def run_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup: dropDuplicatesWithinWatermark on
     (user_id, event_type). State is evicted once the watermark passes —
