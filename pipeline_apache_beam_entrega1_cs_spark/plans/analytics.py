@@ -1,0 +1,771 @@
+"""Product/behavioral-analytics registry (round-2 widening): funnel
+conversion, cohort retention, time-series gap-fill + OHLC resampling,
+SCD Type-2 state intervals, Deequ-style data-quality constraints,
+z-score anomaly flagging, a salted skew-join demonstration, decile
+statistics, degree-oriented triangle counting, and hash-stratified
+sampling.
+
+These are the query shapes an analytics user of the reference engine
+runs daily on event streams; none existed in round 1. All deterministic,
+all full DuckDB oracle parity. Determinism conventions follow
+plans/spec.py (decimal sums, md5-prefix hashing, explicit tie-breaks,
+epoch-integer timestamps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import (
+    drev,
+    dsum,
+    dsum_dec,
+    sql_dsum,
+    sql_dsum_dec,
+    sql_rev,
+)
+from ..schemas import load_table
+from .spec import QuerySpec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Funnel conversion
+# --------------------------------------------------------------------------
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel view -> click -> purchase per user: a later
+    stage only counts if it happens strictly AFTER the user's earliest
+    completion of the previous stage.
+
+    Scale shape: one shuffle on user_id; the three stage timestamps are
+    chained window-min expressions over the SAME partitioning, so
+    Catalyst runs them in one Window stage pipeline without extra
+    exchanges, and the per-user collapse reuses the partitioning. The
+    final result is a single global row (partial-agg collapse).
+    """
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu)
+    staged = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+    ).over(wu)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts")
+        )
+    ).over(wu)
+    staged = staged.withColumn("t3", t3)
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_click_after_view"),
+        F.count("t3").alias("n_purchase_after_click"),
+        F.round(F.count("t2") / F.count("t1"), 6).alias("r_view_to_click"),
+        F.round(F.count("t3") / F.count("t2"), 6).alias("r_click_to_purchase"),
+    )
+
+
+FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+  FROM events GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+),
+j AS (
+  SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN s1 ON u.user_id = s1.user_id
+  LEFT JOIN s2 ON u.user_id = s2.user_id
+  LEFT JOIN s3 ON u.user_id = s3.user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t1) AS n_view,
+       COUNT(t2) AS n_click_after_view,
+       COUNT(t3) AS n_purchase_after_click,
+       round(COUNT(t2)::DOUBLE / COUNT(t1), 6) AS r_view_to_click,
+       round(COUNT(t3)::DOUBLE / COUNT(t2), 6) AS r_click_to_purchase
+FROM j
+"""
+
+
+# --------------------------------------------------------------------------
+# Cohort retention
+# --------------------------------------------------------------------------
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen ISO week,
+    counted per week-offset of later activity. date_trunc('week') is
+    Monday-aligned in both engines, so the day difference is an exact
+    multiple of 7.
+
+    Scale shape: window-min over user_id (one shuffle), distinct
+    (user, week) collapse on the same partitioning, then a small
+    (cohort, offset) aggregate. No joins.
+    """
+    ev = _t(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    wu = Window.partitionBy("user_id")
+    df = (
+        ev.select("user_id", wk.alias("week"))
+        .withColumn("cohort", F.min("week").over(wu))
+        .distinct()
+    )
+    return (
+        df.groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(F.datediff(F.col("week"), F.col("cohort")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH weeks AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS week
+  FROM events
+),
+cohorted AS (
+  SELECT user_id, week, min(week) OVER (PARTITION BY user_id) AS cohort
+  FROM weeks
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+       CAST((week - cohort) // 7 AS BIGINT) AS week_offset,
+       COUNT(*) AS n_users
+FROM cohorted
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Time-series gap-fill (hourly spine + forward fill)
+# --------------------------------------------------------------------------
+
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type series with a complete hour spine: missing hours
+    are materialized (sequence + explode per type over that type's
+    [min, max] hour range) and the value sum is forward-filled with
+    last(ignorenulls) — the hypertable gap-fill / LOCF idiom.
+
+    Scale shape: the spine is generated from the GROUPED per-type
+    min/max (tiny), not by exploding raw events; the fill window
+    partitions by type. At 100 TB the spine size is hours x types —
+    independent of event count.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    hourly = ev.groupBy(hour.alias("hour_s"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value")
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour_s").alias("h0"), F.max("hour_s").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1", F.lit(3600))).alias("hour_s"),
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "hour_s"], "left")
+    wfill = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "hour_s",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("sum_value", ignorenulls=True).over(wfill).alias("sum_value_filled"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )
+
+
+GAPFILL_SQL = f"""
+WITH hourly AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS hour_s, event_type,
+         COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT t.event_type, g.hour_s
+  FROM (SELECT event_type, min(hour_s) AS h0, max(hour_s) AS h1
+        FROM hourly GROUP BY event_type) t,
+       UNNEST(generate_series(t.h0, t.h1, 3600)) AS g(hour_s)
+)
+SELECT s.event_type, s.hour_s,
+       COALESCE(h.n_events, 0) AS n_events,
+       last_value(h.sum_value IGNORE NULLS)
+         OVER (PARTITION BY s.event_type ORDER BY s.hour_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS sum_value_filled,
+       h.n_events IS NULL AS is_gap
+FROM spine s LEFT JOIN hourly h
+  ON s.event_type = h.event_type AND s.hour_s = h.hour_s
+"""
+
+
+# --------------------------------------------------------------------------
+# OHLC resampling
+# --------------------------------------------------------------------------
+
+def resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample events to 15-minute OHLC bars per type: open/close are
+    the values of the first/last event in the bar under the total order
+    (ts, event_id); high/low/volume are plain aggregates.
+
+    Scale shape: the row_number window and the bar aggregate share the
+    (event_type, bar) partitioning, so the agg adds no exchange after
+    the window shuffle — one Exchange total.
+    """
+    ev = _t(spark, sf_dir, "events")
+    bar = (F.floor(F.unix_timestamp("ts") / 900) * 900).cast("long")
+    df = ev.select("event_type", bar.alias("bar_s"), "ts", "event_id", "value")
+    wf = Window.partitionBy("event_type", "bar_s").orderBy("ts", "event_id")
+    wl = Window.partitionBy("event_type", "bar_s").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        df.withColumn("rn_f", F.row_number().over(wf))
+        .withColumn("rn_l", F.row_number().over(wl))
+        .groupBy("event_type", "bar_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.when(F.col("rn_f") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_l") == 1, F.col("value"))).alias("close"),
+            dsum("value").alias("volume"),
+        )
+    )
+
+
+OHLC_SQL = f"""
+WITH ranked AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 AS bar_s, value,
+         row_number() OVER (PARTITION BY event_type, CAST(floor(epoch(ts) / 900) AS BIGINT)
+                            ORDER BY ts, event_id) AS rn_f,
+         row_number() OVER (PARTITION BY event_type, CAST(floor(epoch(ts) / 900) AS BIGINT)
+                            ORDER BY ts DESC, event_id DESC) AS rn_l
+  FROM events
+)
+SELECT event_type, bar_s, COUNT(*) AS n_events,
+       max(CASE WHEN rn_f = 1 THEN value END) AS open,
+       max(value) AS high, min(value) AS low,
+       max(CASE WHEN rn_l = 1 THEN value END) AS close,
+       {sql_dsum('value')} AS volume
+FROM ranked GROUP BY event_type, bar_s
+"""
+
+
+# --------------------------------------------------------------------------
+# SCD Type-2 state intervals
+# --------------------------------------------------------------------------
+
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 built from an event log: collapse
+    each user's consecutive same-type events into one state interval
+    with valid_from / valid_to (lead of the next interval's start) and
+    an is_current flag — the change-data-capture -> dimension-table
+    build.
+
+    Scale shape: all three window passes and the island collapse share
+    the user_id partitioning — one shuffle end to end.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    df = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn(
+            "chg",
+            F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+    )
+    intervals = df.groupBy("user_id", "sid").agg(
+        F.max("event_type").alias("state"),
+        F.unix_micros(F.min("ts")).alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_us")
+    return intervals.select(
+        "user_id",
+        "state",
+        "valid_from_us",
+        F.lead("valid_from_us").over(w2).alias("valid_to_us"),
+        F.lead("valid_from_us").over(w2).isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+SCD2_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+intervals AS (
+  SELECT user_id, max(event_type) AS state, epoch_us(min(ts)) AS valid_from_us,
+         COUNT(*) AS n_events
+  FROM islands GROUP BY user_id, sid
+)
+SELECT user_id, state, valid_from_us,
+       lead(valid_from_us) OVER w2 AS valid_to_us,
+       lead(valid_from_us) OVER w2 IS NULL AS is_current,
+       n_events
+FROM intervals
+WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from_us)
+"""
+
+
+# --------------------------------------------------------------------------
+# Data-quality constraint report (Deequ-style)
+# --------------------------------------------------------------------------
+
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality checks evaluated as aggregates:
+    completeness, key uniqueness, referential integrity, value range,
+    and accepted-domain — each a (constraint, metric, passed) row.
+
+    Scale shape: each check is a partial-agg collapse over a pruned
+    column set; the referential check is a broadcast-able anti-join
+    count. The union of five 1-row aggregates is driver-free.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+
+    completeness = cust.agg(
+        F.lit("completeness_c_name").alias("constraint"),
+        F.round(F.count("c_name") / F.count(F.lit(1)), 6).alias("metric"),
+        (F.count("c_name") == F.count(F.lit(1))).alias("passed"),
+    )
+    uniqueness = cust.agg(
+        F.lit("uniqueness_c_custkey").alias("constraint"),
+        F.round(F.count_distinct(F.col("c_custkey")) / F.count(F.lit(1)), 6).alias(
+            "metric"
+        ),
+        (F.count_distinct(F.col("c_custkey")) == F.count(F.lit(1))).alias("passed"),
+    )
+    orphans = orders.join(
+        cust.select("c_custkey"), orders.o_custkey == F.col("c_custkey"), "left_anti"
+    ).agg(
+        F.lit("referential_orders_customer").alias("constraint"),
+        F.count(F.lit(1)).cast("double").alias("metric"),
+        (F.count(F.lit(1)) == 0).alias("passed"),
+    )
+    price_range = orders.agg(
+        F.lit("range_o_totalprice_positive").alias("constraint"),
+        F.round(F.min("o_totalprice"), 6).alias("metric"),
+        (F.min("o_totalprice") > 0).alias("passed"),
+    )
+    domain = orders.agg(
+        F.lit("domain_o_orderstatus").alias("constraint"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        )
+        .cast("double")
+        .alias("metric"),
+        (
+            F.sum(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0))
+            == 0
+        ).alias("passed"),
+    )
+    return completeness.unionAll(uniqueness).unionAll(orphans).unionAll(
+        price_range
+    ).unionAll(domain)
+
+
+DQ_SQL = """
+SELECT 'completeness_c_name' AS constraint,
+       round(COUNT(c_name)::DOUBLE / COUNT(*), 6) AS metric,
+       COUNT(c_name) = COUNT(*) AS passed
+FROM customer
+UNION ALL
+SELECT 'uniqueness_c_custkey',
+       round(COUNT(DISTINCT c_custkey)::DOUBLE / COUNT(*), 6),
+       COUNT(DISTINCT c_custkey) = COUNT(*)
+FROM customer
+UNION ALL
+SELECT 'referential_orders_customer',
+       COUNT(*)::DOUBLE,
+       COUNT(*) = 0
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'range_o_totalprice_positive', round(min(o_totalprice), 6), min(o_totalprice) > 0
+FROM orders
+UNION ALL
+SELECT 'domain_o_orderstatus',
+       SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)::DOUBLE,
+       SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) = 0
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# Z-score anomaly flagging
+# --------------------------------------------------------------------------
+
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly value sums per type, z-scored against that type's own
+    distribution; |z| > 2 flags the hour. Mean and stddev come from
+    exact decimal Σx / Σx² (partition-order independent — see
+    agg_basic_stats), so the z-scores are bit-identical across engines.
+
+    Scale shape: one shuffle to hourly grains, then a window over the
+    (small) grouped result keyed by type.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    hourly = ev.groupBy("event_type", hour.alias("hour_s")).agg(
+        dsum("value").alias("x")
+    )
+    wt = Window.partitionBy("event_type")
+    n = F.count(F.lit(1)).over(wt)
+    dx = F.col("x").cast("decimal(18,4)")
+    sx = F.sum(dx).over(wt).cast("string").cast("double")
+    sxx = (
+        F.sum((dx * dx).cast("decimal(38,8)")).over(wt).cast("string").cast("double")
+    )
+    std = F.sqrt((sxx - sx * sx / n) / (n - 1))
+    z = F.round((F.col("x") - sx / n) / std, 6)
+    return hourly.select(
+        "event_type",
+        "hour_s",
+        F.col("x").alias("sum_value"),
+        z.alias("z"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )
+
+
+ZSCORE_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS hour_s,
+         {sql_dsum('value')} AS x
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, hour_s, x,
+         COUNT(*) OVER wt AS n,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(18,4))) OVER wt AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(18,4)) * CAST(x AS DECIMAL(18,4))
+                            AS DECIMAL(38,8))) OVER wt AS VARCHAR) AS DOUBLE) AS sxx
+  FROM hourly
+  WINDOW wt AS (PARTITION BY event_type)
+)
+SELECT event_type, hour_s, x AS sum_value,
+       round((x - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS z,
+       abs(round((x - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 6)) > 2.0
+         AS is_anomaly
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
+# Salted skew join
+# --------------------------------------------------------------------------
+
+_SALTS = 8
+
+
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manual skew-salting idiom: the build side (orders) is
+    replicated once per salt value, the probe side (lineitem) derives a
+    deterministic salt from l_linenumber, and the join key becomes
+    (orderkey, salt) — splitting a hot key's rows across 8 reducers.
+    Result is identical to the plain join (the oracle IS the plain
+    join); shuffle_hash hint keeps the demonstration honest (no
+    broadcast). At 100 TB this is the fallback when AQE's skew-join
+    splitting can't kick in (e.g. a skewed key inside an aggregation
+    feeding the join).
+
+    Scale note: replication multiplies the build side x8 — apply to the
+    SMALLER side only, and only to the hot-key subset in production
+    (split-salting); this entry salts everything to keep the oracle
+    trivially equivalent.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        drev().alias("rev"),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    salted_orders = orders.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALTS - 1)))
+    )
+    salted_li = li.withColumn("salt", (F.col("l_linenumber") % _SALTS).cast("int"))
+    joined = salted_li.join(
+        salted_orders.hint("shuffle_hash"),
+        (F.col("l_orderkey") == F.col("o_orderkey")) & (salted_li.salt == salted_orders.salt),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum_dec(F.col("rev")).alias("revenue"),
+    )
+
+
+SKEW_SALTED_SQL = f"""
+SELECT o.o_orderpriority, COUNT(*) AS n_items,
+       {sql_dsum_dec(sql_rev())} AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Decile statistics
+# --------------------------------------------------------------------------
+
+def ntile_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(10) deciles of order value (total order: price then key)
+    with per-decile count/min/max/sum — the spend-segmentation report.
+
+    Scale note: a global NTILE needs a total sort into one window
+    partition; at 100 TB compute decile BOUNDARIES with
+    approx_percentile and bucket by range instead (agg_approx_percentile
+    is that entry). This exact form is for the reporting tier.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+NTILE_SQL = f"""
+WITH ranked AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT decile, COUNT(*) AS n_orders,
+       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+       {sql_dsum('o_totalprice')} AS sum_price
+FROM ranked GROUP BY decile
+"""
+
+
+# --------------------------------------------------------------------------
+# Degree-oriented triangle counting
+# --------------------------------------------------------------------------
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the part co-purchase graph (parts are linked
+    when they appear in the same order; a deterministic 1-in-20 order
+    sample bounds the demo's density). Edges are ORIENTED from the
+    (degree, id)-smaller endpoint to the larger before the wedge join —
+    the standard trick that bounds per-node wedge fan-out by
+    sqrt(|E|)-ish out-degree instead of the raw degree, which is what
+    makes distributed triangle counting survive power-law graphs.
+
+    Scale shape: pair generation is bounded per order (TPC-H orders have
+    <= 7 lines); degrees and orientation are two broadcast-able joins on
+    the small degree table; the wedge join + closing semi-join shuffle
+    on node ids.
+    """
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    oriented = (
+        edges.join(F.broadcast(du), edges.u == F.col("du.node"))
+        .join(F.broadcast(dv), edges.v == F.col("dv.node"))
+        .select(
+            F.when(
+                (F.col("du.deg") < F.col("dv.deg"))
+                | ((F.col("du.deg") == F.col("dv.deg")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
+            .alias("e")
+        )
+        .select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = (
+        e1.join(e2, F.col("e1.src") == F.col("e2.src"))
+        .filter(F.col("e1.dst") < F.col("e2.dst"))
+        .select(F.col("e1.dst").alias("x"), F.col("e2.dst").alias("y"))
+    )
+    closing = oriented.select(
+        F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"], "left_semi")
+    return (
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
+
+
+TRIANGLE_SQL = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 20 = 0
+),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN u ELSE v END AS src,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN v ELSE u END AS dst
+  FROM edges JOIN deg du ON edges.u = du.node JOIN deg dv ON edges.v = dv.node
+),
+wedges AS (
+  SELECT e1.dst AS x, e2.dst AS y
+  FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src AND e1.dst < e2.dst
+),
+closing AS (
+  SELECT least(src, dst) AS x, greatest(src, dst) AS y FROM oriented
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM closing c WHERE c.x = w.x AND c.y = w.y)
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM edges) AS n_edges,
+       (SELECT n_triangles FROM tri) AS n_triangles
+"""
+
+
+# --------------------------------------------------------------------------
+# Hash-stratified sampling
+# --------------------------------------------------------------------------
+
+# md5-prefix thresholds: 0.5 * 2^32 = 0x80000000, 0.1 * 2^32 ~= 0x19999999.
+_STRATA = {"purchase": None, "signup": "80000000", "_default": "19999999"}
+_RATES = {"purchase": 1.0, "signup": 0.5, "_default": 0.1}
+
+
+def stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling: each event_type gets its own
+    rate (purchase 1.0, signup 0.5, rest 0.1), membership decided by
+    md5(event_id) prefix — stable across runs, engines, and partitioning
+    (unlike sampleBy's RNG, which is split-order dependent). Reported as
+    per-stratum totals with the realized rate.
+
+    Scale shape: map-only membership + one small aggregate; the hash is
+    computed inside the scan projection.
+    """
+    ev = _t(spark, sf_dir, "events")
+    h = F.substring(F.md5(F.col("event_id").cast("string")), 1, 8)
+    keep = (
+        F.when(F.col("event_type") == "purchase", F.lit(True))
+        .when(F.col("event_type") == "signup", h < _STRATA["signup"])
+        .otherwise(h < _STRATA["_default"])
+    )
+    target = (
+        F.when(F.col("event_type") == "purchase", F.lit(_RATES["purchase"]))
+        .when(F.col("event_type") == "signup", F.lit(_RATES["signup"]))
+        .otherwise(F.lit(_RATES["_default"]))
+    )
+    return (
+        ev.select("event_type", keep.alias("keep"), target.alias("target_rate"))
+        .groupBy("event_type", "target_rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("keep").cast("long")).alias("n_sampled"),
+            F.round(F.sum(F.col("keep").cast("long")) / F.count(F.lit(1)), 6).alias(
+                "realized_rate"
+            ),
+        )
+    )
+
+
+STRATIFIED_SQL = f"""
+WITH tagged AS (
+  SELECT event_type,
+         CASE WHEN event_type = 'purchase' THEN TRUE
+              WHEN event_type = 'signup'
+              THEN substr(md5(CAST(event_id AS VARCHAR)), 1, 8) < '{_STRATA["signup"]}'
+              ELSE substr(md5(CAST(event_id AS VARCHAR)), 1, 8) < '{_STRATA["_default"]}'
+         END AS keep,
+         CASE WHEN event_type = 'purchase' THEN {_RATES["purchase"]}
+              WHEN event_type = 'signup' THEN {_RATES["signup"]}
+              ELSE {_RATES["_default"]} END AS target_rate
+  FROM events
+)
+SELECT event_type, target_rate, COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       round(SUM(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+         AS realized_rate
+FROM tagged GROUP BY event_type, target_rate
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "funnel_conversion": QuerySpec(funnel_conversion, FUNNEL_SQL, "analytics"),
+    "retention_cohorts": QuerySpec(retention_cohorts, RETENTION_SQL, "analytics"),
+    "timeseries_gapfill": QuerySpec(timeseries_gapfill, GAPFILL_SQL, "timeseries"),
+    "resample_ohlc": QuerySpec(resample_ohlc, OHLC_SQL, "timeseries"),
+    "scd2_user_state": QuerySpec(scd2_user_state, SCD2_SQL, "analytics"),
+    "dq_constraint_report": QuerySpec(dq_constraint_report, DQ_SQL, "quality"),
+    "anomaly_zscore": QuerySpec(anomaly_zscore, ZSCORE_SQL, "timeseries"),
+    "join_skew_salted": QuerySpec(join_skew_salted, SKEW_SALTED_SQL, "join"),
+    "ntile_decile_stats": QuerySpec(ntile_decile_stats, NTILE_SQL, "analytics"),
+    "graph_triangle_count": QuerySpec(graph_triangle_count, TRIANGLE_SQL, "graph"),
+    "stratified_sample_hash": QuerySpec(
+        stratified_sample_hash, STRATIFIED_SQL, "sampling"
+    ),
+}

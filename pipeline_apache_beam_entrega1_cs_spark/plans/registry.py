@@ -29,6 +29,7 @@ first 50 slots.
 from __future__ import annotations
 
 from . import (
+    analytics,
     curation,
     pipeline_ops,
     llm_data,
@@ -131,6 +132,7 @@ def all_queries() -> dict[str, QuerySpec]:
         curation,
         sql_modern,
         pipeline_ops,
+        analytics,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
