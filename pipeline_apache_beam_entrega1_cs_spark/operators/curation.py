@@ -21,9 +21,11 @@ from pyspark.sql import functions as F
 from .dedup import _explode_shingles, _shingle_arrays
 
 # Word-boundary blocklist: terms a curation pass scrubs (stand-ins for an
-# NSFW/PII lexicon). \b is supported by both Java regex and RE2.
+# NSFW/PII lexicon). \b and inline (?i) are supported by both Java regex
+# and RE2, so one case-insensitive pattern drives count AND redaction on
+# raw text in both engines — no count/redact drift.
 BLOCKLIST = ("customer", "vector")
-BLOCKLIST_RE = r"\b(" + "|".join(BLOCKLIST) + r")\b"
+BLOCKLIST_RE = r"(?i)\b(" + "|".join(BLOCKLIST) + r")\b"
 URL_RE = r"https?://\S+"
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 REDACTED = "<redacted>"
@@ -83,10 +85,12 @@ def scrub_blocklist(docs: DataFrame) -> DataFrame:
     blocklisted terms. Entirely narrow (per-row regex, no shuffle, no
     UDF) — the 100 TB cost is one streaming pass over the text column.
 
-    Counts are taken on the RAW text per pattern class; redaction applies
-    URL -> e-mail -> blocklist in that order (URLs can contain '@', so
-    they must be consumed before the e-mail pattern runs). The scrubbed
-    text is returned as an md5 so the result row stays narrow.
+    Counts are taken on the RAW text per pattern class — the blocklist
+    pattern carries an inline (?i) so the count and the redaction match
+    exactly. Redaction applies URL -> e-mail -> blocklist in that order
+    (URLs can contain '@', so they must be consumed before the e-mail
+    pattern runs). The scrubbed text is returned as an md5 so the result
+    row stays narrow.
     """
     t = F.col("text")
     scrubbed = F.regexp_replace(
@@ -98,7 +102,7 @@ def scrub_blocklist(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.regexp_count(t, F.lit(URL_RE)).cast("long").alias("n_urls"),
         F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count(F.lower(t), F.lit(BLOCKLIST_RE)).cast("long").alias("n_blocked"),
+        F.regexp_count(t, F.lit(BLOCKLIST_RE)).cast("long").alias("n_blocked"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
 

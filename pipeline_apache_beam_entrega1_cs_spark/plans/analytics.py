@@ -459,7 +459,13 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((dx * dx).cast("decimal(38,8)")).over(wt).cast("string").cast("double")
     )
     std = F.sqrt((sxx - sx * sx / n) / (n - 1))
-    z = F.round((F.col("x") - sx / n) / std, 6)
+    # Degenerate-grain guard: a type with a single hour (n=1) or zero
+    # variance must yield NULL z on BOTH engines — unguarded, Spark's
+    # non-ANSI division gives NULL while DuckDB's IEEE floats give
+    # NaN/Infinity, and the hashes diverge.
+    z = F.round(
+        F.when((n > 1) & (std > 0), (F.col("x") - sx / n) / std), 6
+    )
     return hourly.select(
         "event_type",
         "hour_s",
@@ -485,9 +491,12 @@ scored AS (
   WINDOW wt AS (PARTITION BY event_type)
 )
 SELECT event_type, hour_s, x AS sum_value,
-       round((x - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS z,
-       abs(round((x - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 6)) > 2.0
-         AS is_anomaly
+       CASE WHEN n > 1 AND sqrt((sxx - sx * sx / n) / (n - 1)) > 0
+            THEN round((x - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 6)
+            ELSE NULL END AS z,
+       abs(CASE WHEN n > 1 AND sqrt((sxx - sx * sx / n) / (n - 1)) > 0
+                THEN round((x - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 6)
+                ELSE NULL END) > 2.0 AS is_anomaly
 FROM scored
 """
 
@@ -646,11 +655,27 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y")
     )
     tri = wedges.join(closing, ["x", "y"], "left_semi")
-    return (
-        edges.agg(F.count(F.lit(1)).alias("n_edges"))
-        .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
-        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
-        .select("n_nodes", "n_edges", "n_triangles")
+    # Assemble the three 1-row counts via a tagged union + conditional
+    # aggregate (no crossJoin — keeps the plan free of
+    # BroadcastNestedLoopJoin so the no-cartesian guard stays strict).
+    tagged = (
+        deg.agg(F.count(F.lit(1)).alias("v"))
+        .select(F.lit("n_nodes").alias("k"), "v")
+        .unionAll(
+            edges.agg(F.count(F.lit(1)).alias("v")).select(
+                F.lit("n_edges").alias("k"), "v"
+            )
+        )
+        .unionAll(
+            tri.agg(F.count(F.lit(1)).alias("v")).select(
+                F.lit("n_triangles").alias("k"), "v"
+            )
+        )
+    )
+    return tagged.agg(
+        F.max(F.when(F.col("k") == "n_nodes", F.col("v"))).alias("n_nodes"),
+        F.max(F.when(F.col("k") == "n_edges", F.col("v"))).alias("n_edges"),
+        F.max(F.when(F.col("k") == "n_triangles", F.col("v"))).alias("n_triangles"),
     )
 
 
@@ -741,9 +766,9 @@ WITH tagged AS (
               THEN substr(md5(CAST(event_id AS VARCHAR)), 1, 8) < '{_STRATA["signup"]}'
               ELSE substr(md5(CAST(event_id AS VARCHAR)), 1, 8) < '{_STRATA["_default"]}'
          END AS keep,
-         CASE WHEN event_type = 'purchase' THEN {_RATES["purchase"]}
-              WHEN event_type = 'signup' THEN {_RATES["signup"]}
-              ELSE {_RATES["_default"]} END AS target_rate
+         CAST(CASE WHEN event_type = 'purchase' THEN {_RATES["purchase"]}
+                   WHEN event_type = 'signup' THEN {_RATES["signup"]}
+                   ELSE {_RATES["_default"]} END AS DOUBLE) AS target_rate
   FROM events
 )
 SELECT event_type, target_rate, COUNT(*) AS n_total,

@@ -17,29 +17,39 @@ from .spec import QuerySpec
 # the LEFT JOINs back to `documents`).
 _TOKS_CTE = f"SELECT doc_id, {_TOKS} AS tk FROM documents WHERE trim(text) <> ''"
 
+# One definition drives BOTH the Spark call sites and the SQL oracles
+# below — changing a parameter here keeps plan and oracle in lockstep
+# (they were previously hardcoded on the SQL side).
+DECON_N, DECON_MOD, DECON_THRESHOLD = 5, 97, 0.2
+CHUNK_SIZE, CHUNK_STRIDE = 32, 16
+REP_N, REP_THRESHOLD = 3, 0.5
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return C.decontaminate(_docs(spark, sf_dir), n=5, mod=97, threshold=0.2)
+    return C.decontaminate(
+        _docs(spark, sf_dir), n=DECON_N, mod=DECON_MOD, threshold=DECON_THRESHOLD
+    )
 
 
 TEXT_DECONTAMINATE_SQL = rf"""
 WITH toks AS ({_TOKS_CTE}),
 sh AS (
-  SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS shingle
-  FROM toks, UNNEST(generate_series(1, len(tk) - 4)) AS g(i)
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+{DECON_N - 1}], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(tk) - {DECON_N - 1})) AS g(i)
 ),
-bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECON_MOD} = 0),
 sizes AS (
-  SELECT doc_id, COUNT(*) AS n_sh FROM sh WHERE doc_id % 97 <> 0 GROUP BY doc_id
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh
+  WHERE doc_id % {DECON_MOD} <> 0 GROUP BY doc_id
 ),
 hits AS (
   SELECT s.doc_id, COUNT(*) AS n_hits
   FROM sh s JOIN bench USING (shingle)
-  WHERE s.doc_id % 97 <> 0
+  WHERE s.doc_id % {DECON_MOD} <> 0
   GROUP BY s.doc_id
 )
 SELECT d.doc_id,
@@ -49,12 +59,12 @@ SELECT d.doc_id,
                   THEN COALESCE(h.n_hits, 0)::DOUBLE / sz.n_sh ELSE 0.0 END, 6)
          AS contamination,
        round(CASE WHEN COALESCE(sz.n_sh, 0) > 0
-                  THEN COALESCE(h.n_hits, 0)::DOUBLE / sz.n_sh ELSE 0.0 END, 6) >= 0.2
-         AS contaminated
+                  THEN COALESCE(h.n_hits, 0)::DOUBLE / sz.n_sh ELSE 0.0 END, 6)
+         >= {DECON_THRESHOLD} AS contaminated
 FROM documents d
 LEFT JOIN sizes sz ON d.doc_id = sz.doc_id
 LEFT JOIN hits h ON d.doc_id = h.doc_id
-WHERE d.doc_id % 97 <> 0
+WHERE d.doc_id % {DECON_MOD} <> 0
 """
 
 
@@ -66,7 +76,7 @@ TEXT_SCRUB_SQL = rf"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{C.URL_RE}')) AS BIGINT) AS n_urls,
        CAST(len(regexp_extract_all(text, '{C.EMAIL_RE}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(lower(text), '{C.BLOCKLIST_RE}')) AS BIGINT)
+       CAST(len(regexp_extract_all(text, '{C.BLOCKLIST_RE}')) AS BIGINT)
          AS n_blocked,
        md5(regexp_replace(regexp_replace(regexp_replace(
              text, '{C.URL_RE}', '{C.REDACTED}', 'g'),
@@ -77,28 +87,28 @@ FROM documents
 
 
 def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return C.chunk_sliding(_docs(spark, sf_dir), size=32, stride=16)
+    return C.chunk_sliding(_docs(spark, sf_dir), size=CHUNK_SIZE, stride=CHUNK_STRIDE)
 
 
 TEXT_CHUNK_SQL = f"""
 WITH toks AS ({_TOKS_CTE})
 SELECT doc_id,
-       CAST((s - 1) // 16 + 1 AS BIGINT) AS chunk_idx,
-       CAST(len(tk[s:s+31]) AS BIGINT) AS n_chunk_tokens,
-       md5(array_to_string(tk[s:s+31], ' ')) AS chunk_md5
-FROM toks, UNNEST(generate_series(1, len(tk), 16)) AS g(s)
+       CAST((s - 1) // {CHUNK_STRIDE} + 1 AS BIGINT) AS chunk_idx,
+       CAST(len(tk[s:s+{CHUNK_SIZE - 1}]) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(tk[s:s+{CHUNK_SIZE - 1}], ' ')) AS chunk_md5
+FROM toks, UNNEST(generate_series(1, len(tk), {CHUNK_STRIDE})) AS g(s)
 """
 
 
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return C.repetition_stats(_docs(spark, sf_dir), n=3, threshold=0.5)
+    return C.repetition_stats(_docs(spark, sf_dir), n=REP_N, threshold=REP_THRESHOLD)
 
 
 TEXT_REPETITION_SQL = f"""
 WITH toks AS ({_TOKS_CTE}),
 sh AS (
-  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS g
-  FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS gi(i)
+  SELECT doc_id, array_to_string(tk[i:i+{REP_N - 1}], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(tk) - {REP_N - 1})) AS gi(i)
 ),
 agg AS (
   SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT g) AS n_distinct
@@ -111,8 +121,8 @@ SELECT d.doc_id,
                   THEN 1.0 - a.n_distinct::DOUBLE / a.n_grams ELSE 0.0 END, 6)
          AS dup_ratio,
        round(CASE WHEN COALESCE(a.n_grams, 0) > 0
-                  THEN 1.0 - a.n_distinct::DOUBLE / a.n_grams ELSE 0.0 END, 6) > 0.5
-         AS is_repetitive
+                  THEN 1.0 - a.n_distinct::DOUBLE / a.n_grams ELSE 0.0 END, 6)
+         > {REP_THRESHOLD} AS is_repetitive
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 

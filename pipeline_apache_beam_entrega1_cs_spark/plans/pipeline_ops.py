@@ -155,10 +155,12 @@ FROM agg
 
 def upsert_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE-style upsert without MERGE: apply a deterministic changeset
-    (updates for custkey%10=3, deletes for %10=7, inserts at key+1000000
-    for %10=1) to the customer snapshot via one full outer join — the
+    (updates for custkey%10=3, deletes for %10=7, inserts at -key for
+    %10=1) to the customer snapshot via one full outer join — the
     portable expression of Delta/Iceberg MERGE INTO on an engine without
-    a table format.
+    a table format. Insert keys use the negative mirror of the source
+    key: custkeys are positive at every scale factor, so -key can never
+    collide with a live row (a fixed +1e6 offset broke at sf>=7).
 
     Scale shape: one sort-merge shuffle join on the merge key (full
     outer precludes broadcast — both sides must see unmatched rows); AQE
@@ -174,7 +176,7 @@ def upsert_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("key"), F.lit("D").alias("op"), F.lit(None).cast("string").alias("new_segment")
     )
     inserts = cust.filter(k % 10 == 1).select(
-        (k + 1000000).alias("key"), F.lit("I").alias("op"),
+        (-k).alias("key"), F.lit("I").alias("op"),
         F.lit("INSERTED").alias("new_segment"),
     )
     chg = updates.unionByName(deletes).unionByName(inserts)
@@ -200,7 +202,7 @@ WITH chg AS (
   UNION ALL
   SELECT c_custkey, 'D', NULL FROM customer WHERE c_custkey % 10 = 7
   UNION ALL
-  SELECT c_custkey + 1000000, 'I', 'INSERTED'
+  SELECT -c_custkey, 'I', 'INSERTED'
   FROM customer WHERE c_custkey % 10 = 1
 )
 SELECT COALESCE(c_custkey, key) AS c_custkey,

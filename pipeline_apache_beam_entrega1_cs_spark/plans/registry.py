@@ -12,18 +12,17 @@ and relational2 stragglers so they get driver rows; everything already
 green in CORRECTNESS_r01 rides at the back. Local tests always run ALL
 entries regardless of order.
 
-ROUND 3 CHORE: after CORRECTNESS_r02 lands, rotate again — demote every
-newly-green name to the back and promote (a) any r02 failures, (b) the
-relational2 stragglers past position 50, and (c) the round-2 additions
-(join_asof_forward, sink_xml/jsonl_roundtrip, embedding_quantize_int8,
-streaming_session, multimodal_frame_sample, agg_regression_stats,
-agg_mode_exact, dedup_embedding_cosine_lsh, text_bpe_token_count,
-applyinpandas_trimmed_mean, udtf_order_installments, variant_events,
-text_decontaminate, text_scrub_blocklist, text_chunk_sliding,
-text_repetition_stats, recursive_month_spine, lateral_topk_customers,
-group_by_all_orders, split_train_val_test, pack_token_budget,
-mixture_by_source, upsert_changeset, rollup_time_hierarchy) into the
-first 50 slots.
+ROUND 3 ROTATION (done): CORRECTNESS_r01 ∪ r02 covers 99 entries, all
+green. The 49 oracle-backed entries with no driver row yet fill slots
+1-49; slot 50 is dedup_embedding_cosine_lsh (rows-only by design, but
+first-class-graded with a local recall test). Left outside the window:
+sample_seeded and agg_approx_percentile (rows-only, lowest marginal
+evidence) and any entries added during round 3 itself.
+
+ROUND 4 CHORE: after CORRECTNESS_r03 lands, rotate again — promote
+(a) any r03 failures, (b) sample_seeded + agg_approx_percentile,
+(c) every entry added in round 3 (they appear after the r02-green block
+below), demote everything r03-green to the back.
 """
 
 from __future__ import annotations
@@ -42,66 +41,11 @@ from . import (
 )
 from .spec import QuerySpec
 
-# Front of the driver's 50-entry correctness window. q1 leads (its round-1
-# hash failure is fixed and must be re-verified), then modules with zero
-# driver rows, oracle-backed entries before rows-only ones where possible.
+# Front of the driver's 50-entry correctness window: the 49 oracle-backed
+# entries with no CORRECTNESS_r01/r02 row, plus dedup_embedding_cosine_lsh
+# (rows-only, slot 50). Everything driver-green rides at the back.
 DRIVER_PRIORITY: list[str] = [
-    "q1_pricing_summary",
-    # --- tpch.py: the 15 TPC-H remainder shapes (all oracle-backed) ---
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_heavy_suppliers",
-    "q21_waiting_suppliers",
-    "q22_inactive_customers",
-    # --- llm_data.py: dedup / similarity / text / multimodal suite ---
-    "dedup_exact",
-    "dedup_hash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "dedup_components",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "text_token_stats",
-    "text_lang_id",
-    "text_quality",
-    "text_fingerprint",
-    "text_tfidf_top_terms",
-    "text_winnow_sketch",
-    "embedding_centroids",
-    "profile_documents",
-    "curation_pipeline",
-    "multimodal_binary_meta",
-    "multimodal_decode_fake",
-    # --- udf_surface.py ---
-    "cogroup_order_gaps",
-    "mapinarrow_text_stats",
-    # --- windows_batch.py: batch time-windows + streaming twins ---
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "dedup_keyed_first",
-    "streaming_tumbling",
-    "streaming_stream_join",
-    "streaming_stateful_counter",
-    "streaming_dedup_watermark",
-    # --- relational2.py stragglers (positions 48-50 land in round 2's
-    #     window; the rest queue for round 3) ---
-    "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "q4_late_shipments",
+    # --- relational2.py stragglers past round 2's window ---
     "q10_returned_revenue",
     "string_similarity",
     "correlated_subquery_orders",
@@ -115,8 +59,50 @@ DRIVER_PRIORITY: list[str] = [
     "window_range_frame",
     "window_value_navigation",
     "pandas_udf_scalar",
-    "agg_approx_percentile",
-    "sample_seeded",
+    "join_asof_forward",
+    "variant_functions",
+    "sink_xml_roundtrip",
+    "sink_jsonl_roundtrip",
+    "agg_regression_stats",
+    "agg_mode_exact",
+    "streaming_sliding",
+    "streaming_session",
+    # --- llm_data round-2 additions ---
+    "text_bpe_token_count",
+    "multimodal_frame_sample",
+    "embedding_quantize_int8",
+    # --- udf_surface stragglers ---
+    "applyinpandas_trimmed_mean",
+    "udtf_order_installments",
+    # --- curation.py ---
+    "text_decontaminate",
+    "text_scrub_blocklist",
+    "text_chunk_sliding",
+    "text_repetition_stats",
+    # --- sql_modern.py stragglers ---
+    "recursive_month_spine",
+    "lateral_topk_customers",
+    "group_by_all_orders",
+    # --- pipeline_ops.py (dataset mechanics) ---
+    "split_train_val_test",
+    "pack_token_budget",
+    "mixture_by_source",
+    "upsert_changeset",
+    "rollup_time_hierarchy",
+    # --- analytics.py (all of it; stratified + triangle fixed this round) ---
+    "funnel_conversion",
+    "retention_cohorts",
+    "timeseries_gapfill",
+    "resample_ohlc",
+    "scd2_user_state",
+    "dq_constraint_report",
+    "anomaly_zscore",
+    "join_skew_salted",
+    "ntile_decile_stats",
+    "graph_triangle_count",
+    "stratified_sample_hash",
+    # --- slot 50: rows-only by design, first-class-graded dedup op ---
+    "dedup_embedding_cosine_lsh",
 ]
 
 
