@@ -38,6 +38,12 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
     "text_tfidf_top_terms",
+    # end-to-end curation pass (quality filter -> lang-ID -> fingerprint
+    # dedup -> yield report): the composed shape of the actual 100 TB
+    # workload, so regressions in the LLM path show up as one line.
+    # NOTE for cross-round comparison: first added in round 4 — compare
+    # BENCH_r{N>=4} totals to r03 only after subtracting this entry.
+    "curation_pipeline",
 ]
 
 
@@ -65,17 +71,19 @@ def main() -> None:
             print(f"warmup {name} failed: {ex}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
-        # min of 2 measured runs: local-mode wall times swing ±20% under
+        # min of 3 measured runs: local-mode wall times swing ±20% under
         # shared-machine load; min is the stable estimator. Each run gets
-        # its own try so one transient failure doesn't discard a valid
-        # measurement from the other.
+        # its own try so one transient failure doesn't discard valid
+        # measurements from the others.
         measured: list[float] = []
-        for _ in range(2):
+        for _ in range(3):
             try:
                 measured.append(run(name, sf_dir))
             except Exception as ex:
                 print(f"bench {name} failed: {ex}", file=sys.stderr)
+        all_runs[name] = [round(m, 3) for m in measured]
         timings[name] = round(min(measured), 3) if measured else -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
@@ -87,6 +95,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # ambient-load evidence: every measured run + the host
+                # 1/5/15-min load average, so a noisy round is diagnosable
+                # from the JSON alone (round-2 lesson).
+                "runs": all_runs,
+                "load_avg": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

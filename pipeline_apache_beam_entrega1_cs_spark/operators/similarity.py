@@ -69,7 +69,7 @@ def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> Data
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("query_id", "cand_id", "cos_sim", F.col("rk").alias("rank"))
+        .select("query_id", "cand_id", "cos_sim", F.col("rk").cast("long").alias("rank"))
     )
 
 
@@ -169,7 +169,7 @@ def ivf_ann_topk(
         )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("query_id", "cand_id", "cos_sim", F.col("rk").alias("rank"))
+        .select("query_id", "cand_id", "cos_sim", F.col("rk").cast("long").alias("rank"))
     )
 
 
@@ -214,7 +214,7 @@ def lsh_ann_topk(
     return (
         cands.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("query_id", "cand_id", "cos_sim", F.col("rk").alias("rank"))
+        .select("query_id", "cand_id", "cos_sim", F.col("rk").cast("long").alias("rank"))
     )
 
 

@@ -175,7 +175,7 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select("doc_id", "term", "tf", "df", "tfidf", F.col("rn").alias("term_rank"))
+        .select("doc_id", "term", "tf", "df", "tfidf", F.col("rn").cast("long").alias("term_rank"))
     )
 
 

@@ -561,15 +561,16 @@ def ntile_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     with per-decile count/min/max/sum — the spend-segmentation report.
 
     Scale note: a global NTILE needs a total sort into one window
-    partition; at 100 TB compute decile BOUNDARIES with
-    approx_percentile and bucket by range instead (agg_approx_percentile
-    is that entry). This exact form is for the reporting tier.
+    partition; at 100 TB use decile_stats_bucketed below — the same
+    report via fixed range-bucketing (two mergeable aggregates, no
+    global sort) — or approx_percentile boundaries
+    (agg_approx_percentile). This exact form is for the reporting tier.
     """
     orders = _t(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
         orders.select("o_orderkey", "o_totalprice")
-        .withColumn("decile", F.ntile(10).over(w))
+        .withColumn("decile", F.ntile(10).over(w).cast("long"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -590,6 +591,64 @@ SELECT decile, COUNT(*) AS n_orders,
        min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
        {sql_dsum('o_totalprice')} AS sum_price
 FROM ranked GROUP BY decile
+"""
+
+
+def decile_stats_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-safe form of ntile_decile_stats: ten equal-WIDTH price
+    buckets from the global [min, max] range instead of equal-COUNT
+    NTILE deciles. Same per-bucket report (count/min/max/sum) with no
+    global sort anywhere in the plan:
+
+    - pass 1: min/max — fully mergeable partial aggregates;
+    - pass 2: bucket assignment is a map-side expression against the
+      broadcast 1-row bounds, then one ordinary groupBy shuffle on ≤10
+      keys. Survives any scale factor; this is the 100 TB replacement
+      the ntile_decile_stats docstring points at.
+
+    Bucket rule (identical expression both engines, so doubles agree):
+    least(floor((price - mn) * 10 / (mx - mn)), 9) + 1, degenerate
+    mn = mx collapses to bucket 1."""
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    price = F.col("o_totalprice")
+    bucket = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((price - F.col("mn")) * 10 / (F.col("mx") - F.col("mn"))),
+            F.lit(9),
+        )
+    ) + 1
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .crossJoin(F.broadcast(bounds))
+        .withColumn("bucket", bucket.cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+DECILE_BUCKETED_SQL = f"""
+WITH bounds AS (
+  SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+),
+assigned AS (
+  SELECT o_totalprice,
+         CAST(CASE WHEN mx = mn THEN 0
+                   ELSE least(floor((o_totalprice - mn) * 10 / (mx - mn)), 9)
+              END + 1 AS BIGINT) AS bucket
+  FROM orders CROSS JOIN bounds
+)
+SELECT bucket, COUNT(*) AS n_orders,
+       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+       {sql_dsum('o_totalprice')} AS sum_price
+FROM assigned GROUP BY bucket
 """
 
 
@@ -789,6 +848,9 @@ QUERIES: dict[str, QuerySpec] = {
     "anomaly_zscore": QuerySpec(anomaly_zscore, ZSCORE_SQL, "timeseries"),
     "join_skew_salted": QuerySpec(join_skew_salted, SKEW_SALTED_SQL, "join"),
     "ntile_decile_stats": QuerySpec(ntile_decile_stats, NTILE_SQL, "analytics"),
+    "decile_stats_bucketed": QuerySpec(
+        decile_stats_bucketed, DECILE_BUCKETED_SQL, "analytics"
+    ),
     "graph_triangle_count": QuerySpec(graph_triangle_count, TRIANGLE_SQL, "graph"),
     "stratified_sample_hash": QuerySpec(
         stratified_sample_hash, STRATIFIED_SQL, "sampling"

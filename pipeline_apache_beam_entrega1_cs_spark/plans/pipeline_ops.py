@@ -112,8 +112,11 @@ WITH sized AS (
 ),
 packed AS (
   SELECT bucket, n_tok,
-         (SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
-                           ROWS UNBOUNDED PRECEDING) - n_tok) // 2048 AS batch_id
+         -- DuckDB's windowed SUM(BIGINT) returns HUGEINT and // preserves
+         -- it; Spark emits BIGINT, so cast for hash parity.
+         CAST((SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok) // 2048
+              AS BIGINT) AS batch_id
   FROM sized
 )
 SELECT bucket, batch_id, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens

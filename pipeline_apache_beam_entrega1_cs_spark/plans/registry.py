@@ -12,17 +12,19 @@ and relational2 stragglers so they get driver rows; everything already
 green in CORRECTNESS_r01 rides at the back. Local tests always run ALL
 entries regardless of order.
 
-ROUND 3 ROTATION (done): CORRECTNESS_r01 ∪ r02 covers 99 entries, all
-green. The 49 oracle-backed entries with no driver row yet fill slots
-1-49; slot 50 is dedup_embedding_cosine_lsh (rows-only by design, but
-first-class-graded with a local recall test). Left outside the window:
-sample_seeded and agg_approx_percentile (rows-only, lowest marginal
-evidence) and any entries added during round 3 itself.
+ROUND 4 ROTATION (done): r01 ∪ r02 ∪ r03 covers every pre-round-4 entry;
+the only red row was pack_token_budget (oracle HUGEINT typing, fixed).
+The window now holds: the 5 entries with no driver row (pack re-check,
+sample_seeded, agg_approx_percentile, and the two round-4 additions
+decile_stats_bucketed + streaming_stream_left_join), the 3 entries whose
+rank columns moved int->bigint this round, and 42 of the 49 entries whose
+only driver evidence is r01 (stalest-first refresh; also re-covers the
+loader's NTZ-timestamp normalization on time-dependent plans).
 
-ROUND 4 CHORE: after CORRECTNESS_r03 lands, rotate again — promote
-(a) any r03 failures, (b) sample_seeded + agg_approx_percentile,
-(c) every entry added in round 3 (they appear after the r02-green block
-below), demote everything r03-green to the back.
+ROUND 5 CHORE: rotate again — promote (a) any r04 failures, (b) the 7
+r01-only entries left out this round (set_union/intersect/except ×2 +
+math_functions), (c) entries added during round 4 itself; back-fill with
+r02-only entries (stalest remaining).
 """
 
 from __future__ import annotations
@@ -45,64 +47,63 @@ from .spec import QuerySpec
 # entries with no CORRECTNESS_r01/r02 row, plus dedup_embedding_cosine_lsh
 # (rows-only, slot 50). Everything driver-green rides at the back.
 DRIVER_PRIORITY: list[str] = [
-    # --- relational2.py stragglers past round 2's window ---
-    "q10_returned_revenue",
-    "string_similarity",
-    "correlated_subquery_orders",
-    "join_shuffle_hash",
-    "filter_null_safe_eq",
-    "sink_csv_roundtrip",
-    "agg_filtered_bool",
-    "agg_histogram",
-    "bitwise_functions",
-    "explode_lateral",
-    "window_range_frame",
-    "window_value_navigation",
-    "pandas_udf_scalar",
-    "join_asof_forward",
-    "variant_functions",
-    "sink_xml_roundtrip",
-    "sink_jsonl_roundtrip",
-    "agg_regression_stats",
-    "agg_mode_exact",
-    "streaming_sliding",
-    "streaming_session",
-    # --- llm_data round-2 additions ---
-    "text_bpe_token_count",
-    "multimodal_frame_sample",
-    "embedding_quantize_int8",
-    # --- udf_surface stragglers ---
-    "applyinpandas_trimmed_mean",
-    "udtf_order_installments",
-    # --- curation.py ---
-    "text_decontaminate",
-    "text_scrub_blocklist",
-    "text_chunk_sliding",
-    "text_repetition_stats",
-    # --- sql_modern.py stragglers ---
-    "recursive_month_spine",
-    "lateral_topk_customers",
-    "group_by_all_orders",
-    # --- pipeline_ops.py (dataset mechanics) ---
-    "split_train_val_test",
+    # --- never driver-checked: the r03 red row (fix re-check) + the two
+    # rows-only stragglers + both round-4 additions ---
     "pack_token_budget",
-    "mixture_by_source",
-    "upsert_changeset",
-    "rollup_time_hierarchy",
-    # --- analytics.py (all of it; stratified + triangle fixed this round) ---
-    "funnel_conversion",
-    "retention_cohorts",
-    "timeseries_gapfill",
-    "resample_ohlc",
-    "scd2_user_state",
-    "dq_constraint_report",
-    "anomaly_zscore",
-    "join_skew_salted",
+    "sample_seeded",
+    "agg_approx_percentile",
+    "decile_stats_bucketed",
+    "streaming_stream_left_join",
+    # --- output type changed in round 4 (rank columns int -> bigint per
+    # the BIGINT-scalars convention): re-verify under the driver hash ---
+    "ann_cosine_topk",
     "ntile_decile_stats",
-    "graph_triangle_count",
-    "stratified_sample_hash",
-    # --- slot 50: rows-only by design, first-class-graded dedup op ---
-    "dedup_embedding_cosine_lsh",
+    "text_tfidf_top_terms",
+    # --- stalest evidence: green in r01 only, unchecked since; also
+    # re-covers the round-4 loader change (testdata timestamps became
+    # parquet us/NTZ) on the time-dependent relational entries ---
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "filter_project_nullsafe",
+    "join_broadcast_dim",
+    "join_sort_merge",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_range_nonequi",
+    "join_asof_events",
+    "agg_basic_stats",
+    "agg_distinct",
+    "agg_approx_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "window_rank",
+    "window_lag_lead",
+    "window_running_frames",
+    "topk_per_group",
+    "sort_limit_global",
+    "pivot_flag_status",
+    "unpivot_order_metrics",
+    "scalar_subquery_parts",
+    "cte_above_avg_nations",
+    "string_functions",
+    "date_functions",
+    "conditional_functions",
+    "json_functions",
+    "array_functions",
+    "map_functions",
+    "join_right_outer",
+    "agg_percentiles",
+    "higher_order_functions",
+    "agg_collect_sorted",
+    "agg_min_max_by",
+    "skew_salted_agg",
+    "window_distribution",
+    "sink_parquet_roundtrip",
+    "sink_orc_roundtrip",
 ]
 
 

@@ -205,9 +205,35 @@ JOIN (SELECT * FROM events WHERE event_type = 'signup') s
 """
 
 
+def streaming_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join (purchases ⟕ signups
+    within 24 h, same user) — exercises watermark EXPIRY: unmatched
+    purchases emit with NULL signup columns only after the watermark
+    proves no match can arrive. Result bounded to purchases ≥ 2 h before
+    max event time so the cold replay equals the batch left join (see
+    streaming/joins.purchases_left_signup_stream)."""
+    from ..streaming.joins import purchases_left_signup_stream
+
+    return purchases_left_signup_stream(spark, sf_dir)
+
+
+STREAMING_STREAM_LEFT_JOIN_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id, s.event_id AS signup_id,
+       epoch_us(p.ts) AS p_ts_us, epoch_us(s.ts) AS s_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id
+ AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 24 HOUR
+WHERE p.ts <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "streaming_stream_join": QuerySpec(
         streaming_stream_join, STREAMING_STREAM_JOIN_SQL, "streaming"
+    ),
+    "streaming_stream_left_join": QuerySpec(
+        streaming_stream_left_join, STREAMING_STREAM_LEFT_JOIN_SQL, "streaming"
     ),
     "window_tumbling": QuerySpec(window_tumbling, WINDOW_TUMBLING_SQL, "time_window"),
     "window_sliding": QuerySpec(window_sliding, WINDOW_SLIDING_SQL, "time_window"),

@@ -81,10 +81,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata parquet table. Parquet carries its own schema;
     column pruning + predicate pushdown apply automatically.
 
-    events.ts is parquet TIMESTAMP(NANOS) — illegal for Spark's reader —
-    so it arrives as a nanosecond long (nanosAsLong) and is truncated to
-    a microsecond timestamp here, matching DuckDB/Arrow ns->us
-    truncation."""
+    Timestamp normalization — the driver has shipped the time columns
+    two ways across rounds, and both must land as session-TZ TIMESTAMP
+    (LTZ), which every plan here assumes (unix_micros/session_window
+    reject TIMESTAMP_NTZ):
+    - parquet TIMESTAMP(NANOS): illegal for Spark's reader, arrives as a
+      nanosecond long (nanosAsLong) and is truncated to microseconds,
+      matching DuckDB/Arrow ns->us truncation;
+    - parquet timestamp[us] without tz: read as TIMESTAMP_NTZ, cast to
+      TIMESTAMP — value-preserving under the UTC session timezone and
+      identical to how the UTC-naive DuckDB oracle sees it."""
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return normalize_nanos_ts(df)
@@ -96,6 +102,13 @@ def normalize_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 
     if col in df.columns and isinstance(df.schema[col].dataType, TT.LongType):
         df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    ntz = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, TT.TimestampNTZType)
+    ]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast(TT.TimestampType()))
     return df
 
 

@@ -77,3 +77,59 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     cols, rows = spark_result(spark, sf_dir, name)
     assert len(cols) > 0
     assert len(rows) >= 0  # smoke: executes and materializes
+
+
+# --- oracle type strictness -------------------------------------------------
+#
+# Twice the driver's hash rejected an oracle the local value-comparison
+# accepted (round 1: q1 DECIMAL sums at 9-digit canon; round 3:
+# pack_token_budget batch_id HUGEINT from DuckDB's windowed SUM(BIGINT)).
+# The local gate must therefore be strict on DECLARED TYPES, not just
+# values: every DuckDB oracle column must carry exactly the type Spark
+# emits for that column, forcing explicit CASTs in the oracle SQL.
+
+
+def _duck_type_for(spark_dt: str) -> str:
+    """Map a Spark simpleString dtype to the exact DuckDB type the oracle
+    must declare for hash parity (recursive for arrays)."""
+    if spark_dt.startswith("array<") and spark_dt.endswith(">"):
+        return _duck_type_for(spark_dt[len("array<"):-1]) + "[]"
+    if spark_dt.startswith("decimal("):
+        return "DECIMAL" + spark_dt[len("decimal"):].upper()
+    scalar = {
+        "tinyint": "TINYINT",
+        "smallint": "SMALLINT",
+        "int": "INTEGER",
+        "bigint": "BIGINT",
+        "float": "FLOAT",
+        "double": "DOUBLE",
+        "string": "VARCHAR",
+        "boolean": "BOOLEAN",
+        "date": "DATE",
+        "timestamp": "TIMESTAMP",
+        "timestamp_ntz": "TIMESTAMP",
+        "binary": "BLOB",
+    }
+    if spark_dt in scalar:
+        return scalar[spark_dt]
+    raise AssertionError(f"no DuckDB mapping for Spark type {spark_dt!r}")
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_type_strict(spark, duck, sf_dir, name):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    expected = {
+        f.name: _duck_type_for(f.dataType.simpleString()) for f in df.schema.fields
+    }
+    desc = duck.sql("DESCRIBE " + REGISTRY[name].oracle).fetchall()
+    actual = {r[0]: r[1] for r in desc}
+    assert sorted(actual) == sorted(expected), (
+        f"column names differ: {sorted(actual)} vs {sorted(expected)}"
+    )
+    mismatched = {
+        c: (actual[c], expected[c]) for c in expected if actual[c] != expected[c]
+    }
+    assert not mismatched, (
+        "oracle column types must match Spark exactly (add CASTs to the "
+        f"oracle SQL): {{col: (duckdb, spark_expects)}} = {mismatched}"
+    )

@@ -62,3 +62,101 @@ def test_stateful_counter(spark, sf_dir):
     for uid, row in expected.iterrows():
         assert out.loc[uid, "n_events"] == row["n_events"], uid
         assert abs(out.loc[uid, "total_value"] - row["tv"]) < 1e-6, uid
+
+
+def test_streaming_left_outer_equals_batch(spark, sf_dir):
+    """Left-outer stream-stream join: unmatched purchases emit with NULL
+    signup columns after watermark expiry; bounded result == batch left
+    join under the same bound."""
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+    from pipeline_apache_beam_entrega1_cs_spark.streaming.joins import (
+        purchases_left_signup_stream,
+    )
+
+    out = purchases_left_signup_stream(spark, sf_dir)
+    got = rows_multiset(out)
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user_id"),
+        F.col("ts").alias("s_ts"),
+    )
+    max_us = ev.agg(F.unix_micros(F.max("ts"))).collect()[0][0]
+    batch = (
+        p.join(
+            s,
+            (F.col("user_id") == F.col("s_user_id"))
+            & (F.col("s_ts") <= F.col("p_ts"))
+            & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+            "leftOuter",
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            "signup_id",
+            F.unix_micros("p_ts").alias("p_ts_us"),
+            F.unix_micros("s_ts").alias("s_ts_us"),
+        )
+        .filter(F.col("p_ts_us") <= max_us - 2 * 3600 * 1_000_000)
+    )
+    assert got == rows_multiset(batch)
+    # the outer path actually exercised: some purchases have no signup
+    assert out.filter(F.col("signup_id").isNull()).count() > 0
+
+
+def test_foreach_batch_idempotent_sink(spark, sf_dir, tmp_path):
+    """Exactly-once by batch-id dedup: a replayed (batch_id, data)
+    delivery must not duplicate rows, and a half-written batch replay
+    must self-heal via the overwrite."""
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+    from pipeline_apache_beam_entrega1_cs_spark.streaming.sinks import (
+        IdempotentParquetSink,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.streaming.windows import _stream_events
+
+    out_dir = str(tmp_path / "sink")
+    sink = IdempotentParquetSink(out_dir)
+    ev = _stream_events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    q = ev.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    n_source = load_table(spark, sf_dir, "events").count()
+    committed = sorted(
+        int(f.split("_committed_")[1])
+        for f in __import__("os").listdir(out_dir)
+        if f.startswith("_committed_")
+    )
+    assert committed, "no batch committed"
+
+    def sink_rows():
+        return spark.read.parquet(
+            *[f"{out_dir}/batch_id={b}" for b in committed]
+        ).count()
+
+    assert sink_rows() == n_source
+
+    # Replay every committed batch with DIFFERENT data: must be a no-op.
+    replay_df = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    ).limit(5)
+    for b in committed:
+        sink(replay_df, b)
+    assert sink_rows() == n_source
+
+    # A batch whose marker is missing (simulated half-write) self-heals:
+    # the rerun overwrites the partial directory, then commits.
+    victim = committed[0]
+    __import__("os").remove(f"{out_dir}/_committed_{victim}")
+    sink(replay_df, victim)
+    assert sink.is_committed(victim)
+    # the rerun overwrote the victim directory with the 5 replay rows
+    assert spark.read.parquet(f"{out_dir}/batch_id={victim}").count() == 5
