@@ -201,3 +201,135 @@ def bpe_token_stats(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("chars_per_bpe_token"),
     )
+
+
+def unigram_logprob_score(docs: DataFrame, vocab_k: int = 1024) -> DataFrame:
+    """Perplexity-proxy quality score: average corpus-unigram log
+    probability per document — the cheap LM-free stand-in for "does this
+    read like the corpus" quality filtering (low average logprob = rare/
+    garbled vocabulary).
+
+    The language model is the corpus itself: p(t) = count(t) / N over
+    ALL tokens, but the scoring table is capped to the top ``vocab_k``
+    tokens (count desc, token asc tie-break) so it stays broadcast-able
+    at any corpus size; out-of-vocab tokens score the floor ln(1/N).
+    Shuffles: token-count aggregate + per-doc aggregate — both mergeable.
+    Output: (doc_id, n_tok, avg_logprob) for docs with ≥1 token.
+    """
+    tok = explode_tokens(docs, out="term")
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("double").alias("n_total"))
+    # Top-k vocab via orderBy+limit = TakeOrderedAndProject (per-partition
+    # top-k, merged on the driver) — NOT a row_number window, whose global
+    # sort would single-partition the full distinct-token table at scale.
+    vocab = (
+        counts.orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(vocab_k)
+        .select("term", "cnt")
+    )
+    scored = (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.log(
+                F.coalesce(F.col("cnt"), F.lit(1)).cast("double") / F.col("n_total")
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+
+
+def bigram_pmi_topk(docs: DataFrame, min_count: int = 5, k: int = 20) -> DataFrame:
+    """Collocation mining: top-k adjacent-token bigrams by pointwise
+    mutual information — the phrase-extraction pass a tokenizer-training
+    or n-gram-merge step runs over a corpus.
+
+    PMI(x,y) = ln( (c_xy / NB) / ((c_x / N) * (c_y / N)) ) with N = total
+    tokens, NB = total bigrams. Bigrams are generated ADJACENT-ONLY via
+    an index transform over the token array (linear in corpus size, never
+    a self-join); the ``min_count`` support floor keeps the scored set
+    small before the unigram join. Total order: (round(pmi,6) desc,
+    w1 asc, w2 asc), LIMIT k — a TakeOrdered, not a global sort.
+
+    Plan shape: Spark has no common-subplan reuse, so joining the
+    unigram table twice (once per bigram side) would execute the
+    tokenize+explode+aggregate subtree twice. Instead the filtered
+    bigrams MELT to (bigram, role∈{x,y}, word), join the unigram counts
+    ONCE, and pivot back with a conditional aggregate — the same
+    tagged-union idiom as analytics.graph_triangle_count. N and NB come
+    from scan-level array-size sums (no explode), so the corpus is
+    tokenized exactly twice (pair subtree + unigram subtree), not four
+    times.
+    """
+    base = docs.select(tokens(F.col("text")).alias("_tk"))
+    n_total = base.agg(
+        F.sum(F.size("_tk")).cast("double").alias("n_tok")
+    )
+    nb_total = base.agg(
+        F.sum(F.greatest(F.size("_tk") - 1, F.lit(0))).cast("double").alias("n_bg")
+    )
+    pairs = (
+        base.filter(F.size("_tk") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_tk) - 1), "
+                    "i -> struct(element_at(_tk, i) AS w1, element_at(_tk, i + 1) AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    uni = explode_tokens(docs, out="term").groupBy("term").agg(
+        F.count(F.lit(1)).alias("c_t")
+    )
+    melted = big.select(
+        "w1",
+        "w2",
+        "c_xy",
+        F.explode(
+            F.array(
+                F.struct(F.lit("x").alias("role"), F.col("w1").alias("word")),
+                F.struct(F.lit("y").alias("role"), F.col("w2").alias("word")),
+            )
+        ).alias("m"),
+    ).select("w1", "w2", "c_xy", "m.role", "m.word")
+    sided = (
+        melted.join(uni, melted.word == uni.term)
+        .groupBy("w1", "w2", "c_xy")
+        .agg(
+            F.max(F.when(F.col("role") == "x", F.col("c_t"))).alias("c_x"),
+            F.max(F.when(F.col("role") == "y", F.col("c_t"))).alias("c_y"),
+        )
+    )
+    scored = (
+        sided.crossJoin(F.broadcast(n_total))
+        .crossJoin(F.broadcast(nb_total))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy").cast("double") / F.col("n_bg"))
+                    / (
+                        (F.col("c_x").cast("double") / F.col("n_tok"))
+                        * (F.col("c_y").cast("double") / F.col("n_tok"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)

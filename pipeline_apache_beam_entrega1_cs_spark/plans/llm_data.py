@@ -663,6 +663,81 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Corpus statistics: unigram-LM quality score + collocation PMI (round 4)
+# --------------------------------------------------------------------------
+
+# Single source for the parameters used by BOTH the Spark call and the
+# SQL oracle (advisor round-3 note: hardcoding defaults in the SQL
+# desynchronizes silently).
+_LOGPROB_VOCAB_K = 1024
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 20
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.unigram_logprob_score(_docs(spark, sf_dir), vocab_k=_LOGPROB_VOCAB_K)
+
+
+TEXT_UNIGRAM_LOGPROB_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, t AS term FROM documents, UNNEST({_TOKS}) AS u(t)
+  WHERE trim(text) <> ''
+), counts AS (
+  SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term
+), total AS (
+  SELECT CAST(SUM(cnt) AS DOUBLE) AS n_total FROM counts
+), vocab AS (
+  SELECT term, cnt FROM (
+    SELECT term, cnt,
+           row_number() OVER (ORDER BY cnt DESC, term ASC) AS vr
+    FROM counts
+  ) WHERE vr <= {_LOGPROB_VOCAB_K}
+)
+SELECT doc_id, COUNT(*) AS n_tok,
+       round(AVG(ln(COALESCE(v.cnt, 1)::DOUBLE / n_total)), 6) AS avg_logprob
+FROM tok LEFT JOIN vocab v USING (term) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.bigram_pmi_topk(
+        _docs(spark, sf_dir), min_count=_PMI_MIN_COUNT, k=_PMI_TOP_K
+    )
+
+
+TEXT_BIGRAM_PMI_SQL = f"""
+WITH toks AS (
+  SELECT tk FROM (SELECT {_TOKS} AS tk FROM documents WHERE trim(text) <> '')
+  WHERE len(tk) > 1
+), pairs AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+), big AS (
+  SELECT w1, w2, COUNT(*) AS c_xy FROM pairs GROUP BY w1, w2
+  HAVING COUNT(*) >= {_PMI_MIN_COUNT}
+), uni AS (
+  SELECT t AS term, COUNT(*) AS c_t
+  FROM documents, UNNEST({_TOKS}) AS u(t) WHERE trim(text) <> ''
+  GROUP BY t
+), totals AS (
+  SELECT CAST(SUM(c_t) AS DOUBLE) AS n_tok FROM uni
+), nb AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_bg FROM pairs
+)
+SELECT w1, w2, c_xy,
+       round(ln((c_xy::DOUBLE / n_bg)
+                / ((ux.c_t::DOUBLE / n_tok) * (uy.c_t::DOUBLE / n_tok))), 6)
+         AS pmi
+FROM big JOIN uni ux ON big.w1 = ux.term
+         JOIN uni uy ON big.w2 = uy.term
+CROSS JOIN totals CROSS JOIN nb
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT {_PMI_TOP_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "dedup"),
     "dedup_hash": QuerySpec(dedup_hash, DEDUP_HASH_SQL, "dedup"),
@@ -696,4 +771,8 @@ QUERIES: dict[str, QuerySpec] = {
         embedding_quantize_int8, EMBEDDING_QUANTIZE_SQL, "similarity"),
     "profile_documents": QuerySpec(profile_documents, PROFILE_DOCUMENTS_SQL, "text"),
     "curation_pipeline": QuerySpec(curation_pipeline, CURATION_PIPELINE_SQL, "composition"),
+    "text_unigram_logprob": QuerySpec(
+        text_unigram_logprob, TEXT_UNIGRAM_LOGPROB_SQL, "text"
+    ),
+    "text_bigram_pmi": QuerySpec(text_bigram_pmi, TEXT_BIGRAM_PMI_SQL, "text"),
 }

@@ -14,17 +14,20 @@ entries regardless of order.
 
 ROUND 4 ROTATION (done): r01 ∪ r02 ∪ r03 covers every pre-round-4 entry;
 the only red row was pack_token_budget (oracle HUGEINT typing, fixed).
-The window now holds: the 5 entries with no driver row (pack re-check,
-sample_seeded, agg_approx_percentile, and the two round-4 additions
-decile_stats_bucketed + streaming_stream_left_join), the 3 entries whose
-rank columns moved int->bigint this round, and 42 of the 49 entries whose
-only driver evidence is r01 (stalest-first refresh; also re-covers the
-loader's NTZ-timestamp normalization on time-dependent plans).
+The window now holds: the 8 entries with no driver row (pack re-check,
+sample_seeded, agg_approx_percentile, and the five round-4 additions
+decile_stats_bucketed, streaming_stream_left_join,
+streaming_foreach_batch_sink, text_unigram_logprob, text_bigram_pmi),
+the 3 entries whose rank columns moved int->bigint this round, and 39 of
+the 49 entries whose only driver evidence is r01 (stalest-first refresh;
+also re-covers the loader's NTZ-timestamp normalization on
+time-dependent plans).
 
-ROUND 5 CHORE: rotate again — promote (a) any r04 failures, (b) the 7
-r01-only entries left out this round (set_union/intersect/except ×2 +
-math_functions), (c) entries added during round 4 itself; back-fill with
-r02-only entries (stalest remaining).
+ROUND 5 CHORE: rotate again — promote (a) any r04 failures, (b) the 10
+r01-only entries left out this round (set_union/intersect/except ×2,
+math_functions, conditional_functions, json_functions, map_functions),
+(c) entries added during round 5 itself; back-fill with r02-only entries
+(stalest remaining).
 """
 
 from __future__ import annotations
@@ -54,6 +57,9 @@ DRIVER_PRIORITY: list[str] = [
     "agg_approx_percentile",
     "decile_stats_bucketed",
     "streaming_stream_left_join",
+    "streaming_foreach_batch_sink",
+    "text_unigram_logprob",
+    "text_bigram_pmi",
     # --- output type changed in round 4 (rank columns int -> bigint per
     # the BIGINT-scalars convention): re-verify under the driver hash ---
     "ann_cosine_topk",
@@ -91,10 +97,7 @@ DRIVER_PRIORITY: list[str] = [
     "cte_above_avg_nations",
     "string_functions",
     "date_functions",
-    "conditional_functions",
-    "json_functions",
     "array_functions",
-    "map_functions",
     "join_right_outer",
     "agg_percentiles",
     "higher_order_functions",

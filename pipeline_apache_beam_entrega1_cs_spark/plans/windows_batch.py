@@ -228,12 +228,51 @@ WHERE p.ts <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
 """
 
 
+def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exactly-once delivery: stream the events table through
+    a foreachBatch IdempotentParquetSink (per-batch directory + commit
+    marker — see streaming/sinks.py), read the committed batches back,
+    and aggregate. At-least-once replay of a committed batch id is a
+    no-op, so the readback equals the source exactly — which is what the
+    plain batch-aggregate oracle checks."""
+    import tempfile
+
+    from ..streaming.sinks import IdempotentParquetSink
+    from ..streaming.windows import _stream_events
+
+    out = tempfile.mkdtemp(prefix="graft_fb_sink_")
+    sink = IdempotentParquetSink(out)
+    ev = _stream_events(spark, sf_dir).select("event_id", "event_type", "value")
+    q = (
+        ev.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{out}/_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(f"{out}/batch_id=*")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value")
+    )
+
+
+STREAMING_FOREACH_BATCH_SQL = f"""
+SELECT event_type, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "streaming_stream_join": QuerySpec(
         streaming_stream_join, STREAMING_STREAM_JOIN_SQL, "streaming"
     ),
     "streaming_stream_left_join": QuerySpec(
         streaming_stream_left_join, STREAMING_STREAM_LEFT_JOIN_SQL, "streaming"
+    ),
+    "streaming_foreach_batch_sink": QuerySpec(
+        streaming_foreach_batch_sink, STREAMING_FOREACH_BATCH_SQL, "streaming"
     ),
     "window_tumbling": QuerySpec(window_tumbling, WINDOW_TUMBLING_SQL, "time_window"),
     "window_sliding": QuerySpec(window_sliding, WINDOW_SLIDING_SQL, "time_window"),

@@ -210,3 +210,37 @@ def test_embedding_cosine_lsh_recall(spark, sf_dir):
     # no false positives: candidates are exact-cosine verified, so every
     # reported pair must be in the exact baseline
     assert approx <= exact
+
+
+def test_unigram_logprob_rare_tokens_score_lower(spark):
+    """Semantic check: a doc made of corpus-frequent tokens must out-score
+    a doc of hapax tokens (avg log p is higher for frequent vocabulary)."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.textops import (
+        unigram_logprob_score,
+    )
+
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows.append((100, "zyx qwv jkl"))  # hapax-only doc
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.avg_logprob for r in unigram_logprob_score(docs).collect()}
+    assert out[0] > out[100]
+    # every score is a proper log-probability: strictly negative
+    assert all(v < 0 for v in out.values())
+
+
+def test_bigram_pmi_planted_collocation_ranks_first(spark):
+    """Semantic check: a token pair that ONLY ever occurs together must
+    beat pairs of independently frequent tokens on PMI."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.textops import (
+        bigram_pmi_topk,
+    )
+
+    filler = "aa bb cc dd ee ff gg hh"
+    rows = [(i, filler) for i in range(20)]
+    # 'hong kong' appears 6 times, and those tokens never occur apart
+    rows += [(100 + i, filler + " hong kong") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    top = bigram_pmi_topk(docs, min_count=5, k=3).collect()
+    assert top, "no bigram cleared the support floor"
+    assert (top[0].w1, top[0].w2) == ("hong", "kong")
+    assert all(top[0].pmi >= r.pmi for r in top)

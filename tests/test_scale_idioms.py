@@ -242,6 +242,9 @@ def test_no_cartesian_in_registry_plans(spark, sf_dir):
         "curation_pipeline",    # 1-row corpus-size scalar in IDF
         "text_tfidf_top_terms",  # 1-row corpus-size scalar in IDF
         "dedup_minhash_lsh",    # MLlib approxSimilarityJoin internals
+        "decile_stats_bucketed",  # 1-row min/max bounds broadcast
+        "text_unigram_logprob",   # 1-row corpus token total
+        "text_bigram_pmi",        # 1-row token + bigram totals
     }
     skip_prefixes = ("streaming_", "sink_")  # these execute side effects
     failures = []
