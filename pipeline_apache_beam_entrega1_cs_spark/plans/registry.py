@@ -14,18 +14,19 @@ entries regardless of order.
 
 ROUND 4 ROTATION (done): r01 ∪ r02 ∪ r03 covers every pre-round-4 entry;
 the only red row was pack_token_budget (oracle HUGEINT typing, fixed).
-The window now holds: the 8 entries with no driver row (pack re-check,
-sample_seeded, agg_approx_percentile, and the five round-4 additions
+The window now holds: the 10 entries with no driver row (pack re-check,
+sample_seeded, agg_approx_percentile, and the seven round-4 additions
 decile_stats_bucketed, streaming_stream_left_join,
-streaming_foreach_batch_sink, text_unigram_logprob, text_bigram_pmi),
-the 3 entries whose rank columns moved int->bigint this round, and 39 of
-the 49 entries whose only driver evidence is r01 (stalest-first refresh;
-also re-covers the loader's NTZ-timestamp normalization on
-time-dependent plans).
+streaming_foreach_batch_sink, text_unigram_logprob, text_bigram_pmi,
+try_functions, key_skew_profile), the 3 entries whose rank columns moved
+int->bigint this round, and 37 of the 49 entries whose only driver
+evidence is r01 (stalest-first refresh; also re-covers the loader's
+NTZ-timestamp normalization on time-dependent plans).
 
 ROUND 5 CHORE: rotate again — promote (a) any r04 failures, (b) the 10
 r01-only entries left out this round (set_union/intersect/except ×2,
-math_functions, conditional_functions, json_functions, map_functions),
+math_functions, conditional_functions, json_functions, map_functions,
+array_functions, higher_order_functions),
 (c) entries added during round 5 itself; back-fill with r02-only entries
 (stalest remaining).
 """
@@ -60,6 +61,8 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_foreach_batch_sink",
     "text_unigram_logprob",
     "text_bigram_pmi",
+    "try_functions",
+    "key_skew_profile",
     # --- output type changed in round 4 (rank columns int -> bigint per
     # the BIGINT-scalars convention): re-verify under the driver hash ---
     "ann_cosine_topk",
@@ -97,10 +100,8 @@ DRIVER_PRIORITY: list[str] = [
     "cte_above_avg_nations",
     "string_functions",
     "date_functions",
-    "array_functions",
     "join_right_outer",
     "agg_percentiles",
-    "higher_order_functions",
     "agg_collect_sorted",
     "agg_min_max_by",
     "skew_salted_agg",

@@ -908,6 +908,75 @@ def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safety `try_*` family: error-to-NULL variants of cast,
+    division, timestamp parse, and array index — the expressions a
+    dirty-data ingest uses so one malformed row nulls instead of failing
+    the job. All map-side; DuckDB mirrors via TRY_CAST / NULLIF / lazy
+    CASE (which never evaluates the failing branch)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.expr("try_cast(substr(o_orderpriority, 1, 1) AS BIGINT)").alias(
+            "prio_num"
+        ),
+        F.expr("try_cast(o_orderstatus AS BIGINT)").alias("status_num"),
+        F.expr("try_divide(o_totalprice, o_custkey % 7)").alias("price_per_mod"),
+        F.expr(
+            "try_element_at(split(o_orderpriority, '-'), 3)"
+        ).alias("prio_part3"),
+        F.expr(
+            "try_to_timestamp(o_orderstatus, 'yyyy-MM-dd')"
+        ).isNull().alias("bad_ts_is_null"),
+    )
+
+
+TRY_FUNCTIONS_SQL = """
+SELECT o_orderkey,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
+       TRY_CAST(o_orderstatus AS BIGINT) AS status_num,
+       o_totalprice / NULLIF(o_custkey % 7, 0) AS price_per_mod,
+       str_split(o_orderpriority, '-')[3] AS prio_part3,
+       TRY_STRPTIME(o_orderstatus, '%Y-%m-%d') IS NULL AS bad_ts_is_null
+FROM orders
+"""
+
+
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter diagnosis: the top-10 lineitem suppliers by row count
+    with each key's share of the table — the first query an operator
+    runs before deciding whether a join needs salting or AQE skew
+    handling at 100 TB. One mergeable count aggregate; the total is a
+    broadcast 1-row scalar; top-k is orderBy+limit (TakeOrdered, no
+    global sort)."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("double").alias("n_rows"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "l_suppkey",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("n_rows"), 6).alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("l_suppkey").asc())
+        .limit(10)
+    )
+
+
+KEY_SKEW_SQL = """
+WITH counts AS (
+  SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey
+), total AS (
+  SELECT CAST(SUM(cnt) AS DOUBLE) AS n_rows FROM counts
+)
+SELECT l_suppkey, cnt, round(cnt::DOUBLE / n_rows, 6) AS share
+FROM counts CROSS JOIN total
+ORDER BY cnt DESC, l_suppkey ASC
+LIMIT 10
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "join_right_outer": QuerySpec(join_right_outer, JOIN_RIGHT_OUTER_SQL, "join"),
     "set_union_all": QuerySpec(set_union_all, SET_UNION_ALL_SQL, "set_op"),
@@ -940,6 +1009,8 @@ QUERIES: dict[str, QuerySpec] = {
                                        doc="sketch-based; accuracy tested vs exact percentile"),
     "agg_histogram": QuerySpec(agg_histogram, AGG_HISTOGRAM_SQL, "aggregation"),
     "string_similarity": QuerySpec(string_similarity, STRING_SIMILARITY_SQL, "scalar_fn"),
+    "try_functions": QuerySpec(try_functions, TRY_FUNCTIONS_SQL, "scalar_fn"),
+    "key_skew_profile": QuerySpec(key_skew_profile, KEY_SKEW_SQL, "analytics"),
     "bitwise_functions": QuerySpec(bitwise_functions, BITWISE_SQL, "scalar_fn"),
     "pandas_udf_scalar": QuerySpec(pandas_udf_scalar, PANDAS_UDF_SQL, "udf"),
     "q14_promo_revenue": QuerySpec(q14_promo_revenue, Q14_SQL, "headline"),

@@ -245,6 +245,7 @@ def test_no_cartesian_in_registry_plans(spark, sf_dir):
         "decile_stats_bucketed",  # 1-row min/max bounds broadcast
         "text_unigram_logprob",   # 1-row corpus token total
         "text_bigram_pmi",        # 1-row token + bigram totals
+        "key_skew_profile",       # 1-row table-total scalar
     }
     skip_prefixes = ("streaming_", "sink_")  # these execute side effects
     failures = []
