@@ -81,3 +81,50 @@ def test_scrub_plan_is_shuffle_free(spark, sf_dir):
     df = C.scrub_blocklist(load_table(spark, sf_dir, "documents"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # map-only pass fused into the scan
+
+
+def test_pack_token_budget_invariants(spark, sf_dir):
+    """Packing invariants, independent of the oracle: (a) every non-empty
+    bucket partitions its docs completely (n_docs sums to the bucket's
+    doc count), (b) a batch only exceeds the 2048-token budget when a
+    single document alone does (greedy close-on-overflow rule: a doc
+    starts a new batch when the tokens BEFORE it fill the budget),
+    (c) batch ids are dense from 0 within each bucket."""
+    from pyspark.sql import functions as F
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.pipeline_ops import (
+        pack_token_budget,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    out = pack_token_budget(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    n_tok = F.when(F.trim(F.col("text")) == "", 0).otherwise(n_tok)
+    per_bucket = {
+        r.bucket: (r.n, r.max_tok)
+        for r in docs.select(
+            F.floor(F.col("doc_id") / 1024).alias("bucket"), n_tok.alias("t")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("t").alias("max_tok"))
+        .collect()
+    }
+
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert set(by_bucket) == set(per_bucket)
+    for bucket, rows in by_bucket.items():
+        # (a) complete partition of the bucket's docs
+        assert sum(r.n_docs for r in rows) == per_bucket[bucket][0]
+        # (c) dense batch ids from 0
+        ids = sorted(r.batch_id for r in rows)
+        assert ids == list(range(len(ids)))
+        # (b) overflow only via a single oversized doc: a multi-doc batch
+        # can overshoot by at most its last doc, so tokens-before-last
+        # were < 2048; a batch whose total wildly exceeds budget+max_doc
+        # would be a packing bug
+        for r in rows:
+            if r.n_docs > 1:
+                assert r.n_tokens <= 2048 + per_bucket[bucket][1]
