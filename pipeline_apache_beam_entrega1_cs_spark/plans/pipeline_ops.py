@@ -247,8 +247,101 @@ GROUP BY ROLLUP (strftime(ts, '%Y'), strftime(ts, '%Y-%m'), strftime(ts, '%Y-%m-
 """
 
 
+def dataset_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole dataset-construction job as ONE declarative plan:
+    content-hash dedup (keep min doc_id) → quality filter (score ≥ 0.7,
+    same heuristic as the curation stage) → deterministic 80/10/10 hash
+    split → token-budget packing inside (split, key-range bucket) →
+    per-split yield report (docs, packed batches, tokens). A user of the
+    reference engine runs these as separate steps; composed here Catalyst
+    fuses dedup+quality+split into two stages around one hash shuffle.
+
+    Shuffle budget: dedup window (1, on the content hash), packing window
+    (1, on split+bucket — bounded buckets, no global order), final 3-row
+    aggregate. The quality and split expressions are row-local and fuse
+    into the surrounding stages."""
+    from ..operators.textops import quality_score_col
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    w_dedup = Window.partitionBy("_h").orderBy("doc_id")
+    kept = (
+        docs.withColumn("_h", F.sha2(norm, 256))
+        .withColumn("_rn", F.row_number().over(w_dedup))
+        .filter(F.col("_rn") == 1)
+        .filter(quality_score_col(F.col("text")) >= 0.7)
+    )
+    n_tok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    n_tok = F.when(F.trim(F.col("text")) == "", 0).otherwise(n_tok)
+    staged = kept.select(
+        "doc_id",
+        _split_col().alias("split"),
+        F.floor(F.col("doc_id") / 1024).alias("bucket"),
+        n_tok.alias("n_tok"),
+    )
+    w_pack = (
+        Window.partitionBy("split", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = staged.withColumn("cum", F.sum("n_tok").over(w_pack)).withColumn(
+        "batch_id", F.floor((F.col("cum") - F.col("n_tok")) / 2048)
+    )
+    # batch key flattened to one BIGINT (batch_id < 1024 per bucket by
+    # construction) so COUNT(DISTINCT ...) is a plain scalar both engines
+    # agree on.
+    return packed.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(
+            F.col("bucket") * 1_000_000 + F.col("batch_id")
+        ).alias("n_batches"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+
+
+# Quality-score SQL fragment single-sourced from the curation oracle
+# (llm_data._SQL_QSCORE mirrors operators.textops.quality_score_col).
+from .llm_data import _SQL_QSCORE as _QSCORE  # noqa: E402
+
+
+DATASET_BUILD_SQL = rf"""
+WITH keepers AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents
+  GROUP BY sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+), kept AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+  WHERE {_QSCORE} >= 0.7
+), staged AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_TRAIN_MAX}'
+              THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_VAL_MAX}'
+              THEN 'val' ELSE 'test' END AS split,
+         doc_id // 1024 AS bucket,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS n_tok
+  FROM kept
+), packed AS (
+  SELECT split, bucket, n_tok,
+         CAST((SUM(n_tok) OVER (PARTITION BY split, bucket ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok) // 2048
+              AS BIGINT) AS batch_id
+  FROM staged
+)
+SELECT split, COUNT(*) AS n_docs,
+       COUNT(DISTINCT bucket * 1000000 + batch_id) AS n_batches,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM packed GROUP BY split
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "split_train_val_test": QuerySpec(split_train_val_test, SPLIT_SQL, "pipeline"),
+    "dataset_build_pipeline": QuerySpec(
+        dataset_build_pipeline, DATASET_BUILD_SQL, "composition"
+    ),
     "pack_token_budget": QuerySpec(pack_token_budget, PACK_SQL, "pipeline"),
     "mixture_by_source": QuerySpec(mixture_by_source, MIXTURE_SQL, "pipeline"),
     "upsert_changeset": QuerySpec(upsert_changeset, UPSERT_SQL, "pipeline"),
