@@ -14,19 +14,21 @@ entries regardless of order.
 
 ROUND 4 ROTATION (done): r01 ∪ r02 ∪ r03 covers every pre-round-4 entry;
 the only red row was pack_token_budget (oracle HUGEINT typing, fixed).
-The window now holds: the 11 entries with no driver row (pack re-check,
-sample_seeded, agg_approx_percentile, and the eight round-4 additions
+The window now holds: the 12 entries with no driver row (pack re-check,
+sample_seeded, agg_approx_percentile, and the nine round-4 additions
 decile_stats_bucketed, streaming_stream_left_join,
-streaming_foreach_batch_sink, text_unigram_logprob, text_bigram_pmi,
-try_functions, key_skew_profile, dataset_build_pipeline), the 3 entries
-whose rank columns moved int->bigint this round, and 36 of the 49
+streaming_foreach_batch_sink, streaming_rollup_upsert,
+text_unigram_logprob, text_bigram_pmi, try_functions, key_skew_profile,
+dataset_build_pipeline), the 3 entries whose rank columns moved
+int->bigint this round, and 35 of the 49
 entries whose only driver evidence is r01 (stalest-first refresh; also
 re-covers the loader's NTZ-timestamp normalization on time-dependent
 plans).
 
-ROUND 5 CHORE: rotate again — promote (a) any r04 failures, (b) the 13
+ROUND 5 CHORE: rotate again — promote (a) any r04 failures, (b) the 14
 r01-only entries left out this round (the six set ops and the
-math/conditional/json/map/array/higher_order/string function families),
+math/conditional/json/map/array/higher_order/string function families
+plus date_functions),
 (c) entries added during round 5 itself; back-fill with r02-only entries
 (stalest remaining).
 """
@@ -64,6 +66,7 @@ DRIVER_PRIORITY: list[str] = [
     "try_functions",
     "key_skew_profile",
     "dataset_build_pipeline",
+    "streaming_rollup_upsert",
     # --- output type changed in round 4 (rank columns int -> bigint per
     # the BIGINT-scalars convention): re-verify under the driver hash ---
     "ann_cosine_topk",
@@ -99,7 +102,6 @@ DRIVER_PRIORITY: list[str] = [
     "unpivot_order_metrics",
     "scalar_subquery_parts",
     "cte_above_avg_nations",
-    "date_functions",
     "join_right_outer",
     "agg_percentiles",
     "agg_collect_sorted",

@@ -264,6 +264,26 @@ FROM events GROUP BY event_type
 """
 
 
+def streaming_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous hourly aggregate maintained across FOUR replayed
+    micro-batches by a foreachBatch MERGE into a parquet state table
+    (read + union + re-aggregate + atomic swap — the engine-only
+    Delta/Iceberg `MERGE INTO` rollup). Associative count/decimal-sum
+    partials make the final state independent of batch boundaries, so it
+    equals the one-shot batch aggregate the oracle computes (see
+    streaming/sinks.run_rollup_upsert_stream)."""
+    from ..streaming.sinks import run_rollup_upsert_stream
+
+    return run_rollup_upsert_stream(spark, sf_dir)
+
+
+STREAMING_ROLLUP_UPSERT_SQL = f"""
+SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT) AS hour_s,
+       event_type, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "streaming_stream_join": QuerySpec(
         streaming_stream_join, STREAMING_STREAM_JOIN_SQL, "streaming"
@@ -273,6 +293,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "streaming_foreach_batch_sink": QuerySpec(
         streaming_foreach_batch_sink, STREAMING_FOREACH_BATCH_SQL, "streaming"
+    ),
+    "streaming_rollup_upsert": QuerySpec(
+        streaming_rollup_upsert, STREAMING_ROLLUP_UPSERT_SQL, "streaming"
     ),
     "window_tumbling": QuerySpec(window_tumbling, WINDOW_TUMBLING_SQL, "time_window"),
     "window_sliding": QuerySpec(window_sliding, WINDOW_SLIDING_SQL, "time_window"),
