@@ -80,6 +80,108 @@ def real_decode_image(docs_with_payload: DataFrame) -> DataFrame:
     )
 
 
+# Synthetic magic-number headers keyed by doc_id % 4 — the deterministic
+# stand-in for a mixed image corpus (real PNG/JPEG/GIF magics; slot 3
+# gets no header and detects as raw/unknown).
+MAGIC_HEADERS = [
+    ("png", "89504E470D0A1A0A"),
+    ("jpeg", "FFD8FFE0"),
+    ("gif", "474946383761"),
+    ("raw", ""),
+]
+
+
+def with_magic_payload(docs: DataFrame) -> DataFrame:
+    """Binary payloads carrying real format magic numbers: header bytes
+    (by doc_id % 4) prepended to the UTF-8 text bytes."""
+    hdr = F.when(F.col("doc_id") % 4 == 0, F.unhex(F.lit(MAGIC_HEADERS[0][1])))
+    for i in (1, 2, 3):
+        hdr = hdr.when(
+            F.col("doc_id") % 4 == i, F.unhex(F.lit(MAGIC_HEADERS[i][1]))
+        )
+    return docs.withColumn(
+        "payload", F.concat(hdr, F.encode(F.col("text"), "UTF-8"))
+    )
+
+
+def detect_format(docs_with_payload: DataFrame) -> DataFrame:
+    """Magic-number format detection over a binary column — the first
+    pass a multimodal ingest runs on opaque blobs. Pure native
+    expressions: slice the first 8 bytes (BINARY substring — never hex
+    the whole payload; at 100 TB the blobs are MBs and the sniff must
+    stay O(1) per row), hex them, and prefix-match against the magic
+    table. Detection precedence mirrors file(1): longest magic first."""
+    prefix = F.hex(F.substring(F.col("payload"), 1, 8))
+    fmt = (
+        F.when(prefix.startswith("89504E470D0A1A0A"), F.lit("png"))
+        .when(prefix.startswith("FFD8FF"), F.lit("jpeg"))
+        .when(prefix.startswith("474946383761"), F.lit("gif"))
+        .otherwise(F.lit("unknown"))
+    )
+    return docs_with_payload.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("byte_len"),
+        prefix.alias("prefix_hex"),
+        fmt.alias("detected_format"),
+    )
+
+
+def byte_entropy(docs: DataFrame, max_bytes: int = 256) -> DataFrame:
+    """Byte-level stats over a binary column: total byte length, and
+    distinct-byte count + Shannon entropy (bits/byte) of the first
+    ``max_bytes`` bytes — the cheap randomness probe that separates
+    compressed/encrypted payloads (entropy ~8) from text (~4-5) without
+    decoding. The compressibility gate of a multimodal curation pass.
+
+    Shape: slice the payload (BINARY substring, O(max_bytes) per row no
+    matter how big the blob), hex it, split into byte pairs — then stay
+    ENTIRELY per-row: sort the pair array and derive run-lengths with
+    higher-order functions (run starts where s[i] != s[i-1]), giving
+    byte frequencies without exploding. H = log2(n) - (Σ c·log2 c)/n
+    over the run-length array via F.aggregate. Zero shuffles, zero row
+    inflation. Measured at 500 k docs (SCALING.md round 5): 11.7 s vs
+    13.4 s for the explode + double-groupBy form locally — but the
+    structural win is what matters at 100 TB: the explode form pushes a
+    ×max_bytes row inflation into its first Exchange, this form shuffles
+    nothing. (A single-pass struct-accumulator F.aggregate was also
+    measured: 2.4× SLOWER — per-element struct construction dominates.)
+    Zero-length payloads drop out (consistently with the UNNEST-based
+    oracle)."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    pairs = F.regexp_extract_all(
+        F.hex(F.substring(payload, 1, max_bytes)), F.lit("(..)"), 1
+    )
+    s = F.col("_s")
+    n = F.size(s)
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (i == 0) | (F.element_at(s, i + 1) != F.element_at(s, i)),
+    )
+    st = F.col("_starts")
+    run_ends = F.concat(F.slice(st, 2, F.size(st) - 1), F.array(n))
+    counts = F.zip_with(run_ends, st, lambda e, b: (e - b).cast("double"))
+    sum_clogc = F.aggregate(
+        F.col("_counts"), F.lit(0.0), lambda acc, c: acc + c * F.log2(c)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.length(payload).cast("long").alias("byte_len"),
+            F.array_sort(pairs).alias("_s"),
+        )
+        .filter(n > 0)
+        .withColumn("_starts", starts)
+        .withColumn("_counts", counts)
+        .select(
+            "doc_id",
+            "byte_len",
+            n.cast("long").alias("n_bytes"),
+            F.size(st).cast("long").alias("n_distinct_bytes"),
+            F.round(F.log2(n) - sum_clogc / n, 6).alias("entropy_bits"),
+        )
+    )
+
+
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"
 
 

@@ -565,6 +565,13 @@ def ntile_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     report via fixed range-bucketing (two mergeable aggregates, no
     global sort) — or approx_percentile boundaries
     (agg_approx_percentile). This exact form is for the reporting tier.
+
+    DELIBERATE exception: this is the registry's one acknowledged
+    global-window plan, permanently allowlisted in the plan-shape gate
+    (tests/test_scale_idioms.py::test_no_cartesian_in_registry_plans)
+    rather than fenced with a runtime row-count guard — a guard would
+    cost an extra pass over orders on every call, and the scale-safe
+    twin ships right below.
     """
     orders = _t(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")

@@ -396,6 +396,62 @@ FROM documents
 """
 
 
+def multimodal_format_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-number format detection over binary payloads carrying real
+    PNG/JPEG/GIF magics (operators/multimodal.with_magic_payload +
+    detect_format). Spark sniffs an 8-BYTE binary slice per row; the
+    oracle reproduces the same bytes by slicing the hex string (DuckDB
+    has no BLOB substring — value-identical)."""
+    return M.detect_format(M.with_magic_payload(_docs(spark, sf_dir)))
+
+
+MULTIMODAL_FORMAT_DETECT_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         (CASE doc_id % 4 WHEN 0 THEN unhex('89504E470D0A1A0A')
+                          WHEN 1 THEN unhex('FFD8FFE0')
+                          WHEN 2 THEN unhex('474946383761')
+                          ELSE unhex('') END) || encode(text) AS payload
+  FROM documents
+), sniff AS (
+  SELECT doc_id, CAST(octet_length(payload) AS BIGINT) AS byte_len,
+         substr(hex(payload), 1, 16) AS prefix_hex
+  FROM p
+)
+SELECT doc_id, byte_len, prefix_hex,
+       CASE WHEN prefix_hex LIKE '89504E470D0A1A0A%' THEN 'png'
+            WHEN prefix_hex LIKE 'FFD8FF%' THEN 'jpeg'
+            WHEN prefix_hex LIKE '474946383761%' THEN 'gif'
+            ELSE 'unknown' END AS detected_format
+FROM sniff
+"""
+
+
+def multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-length + distinct-byte + Shannon-entropy stats over the
+    first 256 bytes of each binary payload
+    (operators/multimodal.byte_entropy) — the no-decode randomness probe
+    of a multimodal curation pass."""
+    return M.byte_entropy(_docs(spark, sf_dir), max_bytes=256)
+
+
+MULTIMODAL_BYTE_ENTROPY_SQL = """
+WITH sliced AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         regexp_extract_all(substr(hex(encode(text)), 1, 512), '..') AS bp
+  FROM documents
+), b AS (
+  SELECT doc_id, byte_len, u.byte FROM sliced, UNNEST(bp) AS u(byte)
+), c AS (
+  SELECT doc_id, byte_len, byte, COUNT(*) AS c FROM b GROUP BY 1, 2, 3
+)
+SELECT doc_id, byte_len, CAST(SUM(c) AS BIGINT) AS n_bytes,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_bytes,
+       round(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6) AS entropy_bits
+FROM c GROUP BY 1, 2
+"""
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling over video-like binary payloads (every 4th 16-byte
     frame -> content hash) via mapInPandas — operators/multimodal.py
@@ -762,6 +818,10 @@ QUERIES: dict[str, QuerySpec] = {
     "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, TEXT_TFIDF_SQL, "text"),
     "multimodal_binary_meta": QuerySpec(multimodal_binary_meta, MULTIMODAL_BINARY_META_SQL, "multimodal"),
     "multimodal_decode_fake": QuerySpec(multimodal_decode_fake, MULTIMODAL_DECODE_SQL, "multimodal"),
+    "multimodal_format_detect": QuerySpec(
+        multimodal_format_detect, MULTIMODAL_FORMAT_DETECT_SQL, "multimodal"),
+    "multimodal_byte_entropy": QuerySpec(
+        multimodal_byte_entropy, MULTIMODAL_BYTE_ENTROPY_SQL, "multimodal"),
     "multimodal_frame_sample": QuerySpec(
         multimodal_frame_sample, MULTIMODAL_FRAME_SQL, "multimodal"),
     "dedup_components": QuerySpec(dedup_components, DEDUP_COMPONENTS_SQL, "dedup"),

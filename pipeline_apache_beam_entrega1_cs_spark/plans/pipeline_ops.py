@@ -129,7 +129,14 @@ def mixture_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     factor that would equalize sources to the largest one — the
     source-weighting table a multi-corpus training run samples from.
     One aggregate shuffle to ~#sources rows, then window math on the
-    tiny grouped result."""
+    tiny grouped result.
+
+    The empty-partition window here is allowlisted in the plan-shape
+    gate (tests/test_scale_idioms.py): its input cardinality is the
+    number of DISTINCT SOURCES — a categorical constant (a handful of
+    corpus names), not something that grows with data volume — so the
+    single-partition step is O(1) at any scale factor. Contrast
+    ntile_decile_stats, whose window input is the full orders table."""
     docs = _t(spark, sf_dir, "documents")
     agg = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -25,12 +25,26 @@ entries whose only driver evidence is r01 (stalest-first refresh; also
 re-covers the loader's NTZ-timestamp normalization on time-dependent
 plans).
 
-ROUND 5 CHORE: rotate again — promote (a) any r04 failures, (b) the 14
-r01-only entries left out this round (the six set ops and the
-math/conditional/json/map/array/higher_order/string function families
-plus date_functions),
-(c) entries added during round 5 itself; back-fill with r02-only entries
-(stalest remaining).
+ROUND 5 ROTATION (done): r04 had zero failures, so the window holds
+(a) entries added during round 5 itself (front), (b) the 14 r01-only
+entries (six set ops, the seven scalar-function families, and
+date_functions — the entries whose driver evidence predated the round-4
+testdata timestamp re-encoding), (c) back-fill with r02-only entries,
+time-dependent ones first (TPC-H date-filter queries, batch/streaming
+windows, watermark dedup) since r02 evidence also predates that
+re-encoding. Left out of the window: r02-only entries that are
+rows-only by design (ann_lsh/ivf, dedup_minhash_lsh) or
+timestamp-independent (multimodal meta, embedding ops) — stalest of
+those rotate in round 6.
+
+ROUND 6 CHORE: rotate again — promote (a) any r05 failures, (b) the
+r02-only entries left out this round (ann_lsh_topk, ann_ivf_topk,
+cogroup_order_gaps, dedup_components, dedup_embedding_cosine,
+dedup_minhash_lsh, dedup_ngram_jaccard, dedup_simhash,
+embedding_centroids, mapinarrow_text_stats, multimodal_binary_meta,
+multimodal_decode_fake, text_fingerprint, text_lang_id,
+text_winnow_sketch), (c) entries added during round 6 itself; back-fill
+with r03-only entries (stalest remaining).
 """
 
 from __future__ import annotations
@@ -49,67 +63,68 @@ from . import (
 )
 from .spec import QuerySpec
 
-# Front of the driver's 50-entry correctness window: the 49 oracle-backed
-# entries with no CORRECTNESS_r01/r02 row, plus dedup_embedding_cosine_lsh
-# (rows-only, slot 50). Everything driver-green rides at the back.
+# Front of the driver's 50-entry correctness window for round 5:
+# round-5 additions (inserted at the top as they land), then the 14
+# entries whose only driver row is r01, then r02-only back-fill
+# (time-dependent entries first). Everything fresher rides at the back.
 DRIVER_PRIORITY: list[str] = [
-    # --- never driver-checked: the r03 red row (fix re-check) + the two
-    # rows-only stragglers + both round-4 additions ---
-    "pack_token_budget",
-    "sample_seeded",
-    "agg_approx_percentile",
-    "decile_stats_bucketed",
-    "streaming_stream_left_join",
-    "streaming_foreach_batch_sink",
-    "text_unigram_logprob",
-    "text_bigram_pmi",
-    "try_functions",
-    "key_skew_profile",
-    "dataset_build_pipeline",
-    "streaming_rollup_upsert",
-    # --- output type changed in round 4 (rank columns int -> bigint per
-    # the BIGINT-scalars convention): re-verify under the driver hash ---
-    "ann_cosine_topk",
-    "ntile_decile_stats",
-    "text_tfidf_top_terms",
-    # --- stalest evidence: green in r01 only, unchecked since; also
-    # re-covers the round-4 loader change (testdata timestamps became
-    # parquet us/NTZ) on the time-dependent relational entries ---
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "filter_project_nullsafe",
-    "join_broadcast_dim",
-    "join_sort_merge",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_range_nonequi",
-    "join_asof_events",
-    "agg_basic_stats",
-    "agg_distinct",
-    "agg_approx_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_having",
-    "window_rank",
-    "window_lag_lead",
-    "window_running_frames",
-    "topk_per_group",
-    "sort_limit_global",
-    "pivot_flag_status",
-    "unpivot_order_metrics",
-    "scalar_subquery_parts",
-    "cte_above_avg_nations",
-    "join_right_outer",
-    "agg_percentiles",
-    "agg_collect_sorted",
-    "agg_min_max_by",
-    "skew_salted_agg",
-    "window_distribution",
-    "sink_parquet_roundtrip",
-    "sink_orc_roundtrip",
+    # --- round-5 additions: never driver-checked ---
+    "streaming_neardup_dedup",
+    "multimodal_format_detect",
+    "multimodal_byte_entropy",
+    # --- r01-only evidence: the six set ops + seven scalar-function
+    # families + date_functions; all predate the round-4 testdata
+    # timestamp re-encoding (nanos-long -> parquet us/NTZ) ---
+    "date_functions",
+    "set_union",
+    "set_union_all",
+    "set_intersect",
+    "set_intersect_all",
+    "set_except",
+    "set_except_all",
+    "string_functions",
+    "math_functions",
+    "conditional_functions",
+    "json_functions",
+    "map_functions",
+    "array_functions",
+    "higher_order_functions",
+    # --- r02-only back-fill, time-dependent first: TPC-H date-filter
+    # queries, batch/streaming windows, watermark dedup ---
+    "q1_pricing_summary",
+    "q4_late_shipments",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_priority_shipping",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q20_heavy_suppliers",
+    "q21_waiting_suppliers",
+    "q22_inactive_customers",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    "streaming_tumbling",
+    "streaming_stream_join",
+    "streaming_dedup_watermark",
+    "streaming_stateful_counter",
+    "dedup_keyed_first",
+    # --- r02-only back-fill, timestamp-independent ---
+    "curation_pipeline",
+    "profile_documents",
+    "dedup_exact",
+    "dedup_hash",
+    "text_token_stats",
+    "text_quality",
 ]
 
 

@@ -366,14 +366,15 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal revenue makes the equality deterministic; ties all kept, as
     in the official query).
 
-    The scalar max rides a global window OVER THE AGGREGATE, not a
-    second aggregate branch: the two-branch form re-scanned the
-    quarter's lineitem (measured: AQE reused q11's exchanges at runtime
-    but not q15's). The empty-partition window is a non-issue here — its
-    input is the per-supplier aggregate (|suppliers| rows), not fact
-    data."""
-    from pyspark.sql import Window
-
+    The scalar max is a second aggregate branch broadcast back onto the
+    per-supplier aggregate (Catalyst rewrites the crossJoin + equality
+    filter into a BroadcastHashJoin). The earlier global-window form
+    avoided the second quarter-slice scan but sorted the ENTIRE
+    per-supplier aggregate into one partition — |suppliers| grows with
+    scale (~1e9 rows at 100 TB), so that plan hits a single-task wall.
+    Two pushed-down scans of a 3-month lineitem slice parallelize
+    linearly instead, and AQE exchange reuse can collapse them at
+    runtime."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
@@ -382,9 +383,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum(_rev()).alias("total_revenue")
     )
-    top = revenue.withColumn(
-        "_max_revenue", F.max("total_revenue").over(Window.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("_max_revenue"))
+    mx = revenue.agg(F.max("total_revenue").alias("_max_revenue"))
+    top = revenue.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_revenue") == F.col("_max_revenue")
+    )
     return (
         supp.join(top, supp.s_suppkey == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")

@@ -235,32 +235,64 @@ def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     and aggregate. At-least-once replay of a committed batch id is a
     no-op, so the readback equals the source exactly — which is what the
     plain batch-aggregate oracle checks."""
+    import shutil
     import tempfile
 
     from ..streaming.sinks import IdempotentParquetSink
     from ..streaming.windows import _stream_events
 
     out = tempfile.mkdtemp(prefix="graft_fb_sink_")
-    sink = IdempotentParquetSink(out)
-    ev = _stream_events(spark, sf_dir).select("event_id", "event_type", "value")
-    q = (
-        ev.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", f"{out}/_ckpt")
-        .start()
-    )
     try:
-        q.processAllAvailable()
+        sink = IdempotentParquetSink(out)
+        ev = _stream_events(spark, sf_dir).select("event_id", "event_type", "value")
+        q = (
+            ev.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{out}/_ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        back = spark.read.parquet(f"{out}/batch_id=*")
+        res = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value")
+        )
+        # Materialize (one row per event_type) before the finally deletes
+        # the sink directory the lazy plan would otherwise still reference.
+        return spark.createDataFrame(res.collect(), res.schema)
     finally:
-        q.stop()
-    back = spark.read.parquet(f"{out}/batch_id=*")
-    return back.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value")
-    )
+        shutil.rmtree(out, ignore_errors=True)
 
 
 STREAMING_FOREACH_BATCH_SQL = f"""
 SELECT event_type, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
 FROM events GROUP BY event_type
+"""
+
+
+def streaming_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-duplicate dedup over an incremental corpus ingest:
+    documents replayed as FOUR micro-batches through a foreachBatch
+    MERGE that maintains the content-fingerprint table (md5 of the
+    sorted distinct token set — the batch dedup path's word-order-
+    insensitive near-dup key) across batches, exactly-once via per-batch
+    commit markers + crash-safe state swap (see
+    streaming/sinks.FingerprintMergeSink). min/sum associativity makes
+    the final table equal the one-shot batch dedup over the union, which
+    is what the oracle computes."""
+    from ..streaming.sinks import run_neardup_dedup_stream
+
+    return run_neardup_dedup_stream(spark, sf_dir)
+
+
+def _neardup_sql() -> str:
+    from .llm_data import _SQL_FP
+
+    return f"""
+WITH fp AS (SELECT doc_id, {_SQL_FP} AS fp FROM documents)
+SELECT fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM fp GROUP BY fp
 """
 
 
@@ -296,6 +328,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "streaming_rollup_upsert": QuerySpec(
         streaming_rollup_upsert, STREAMING_ROLLUP_UPSERT_SQL, "streaming"
+    ),
+    "streaming_neardup_dedup": QuerySpec(
+        streaming_neardup_dedup, _neardup_sql(), "streaming"
     ),
     "window_tumbling": QuerySpec(window_tumbling, WINDOW_TUMBLING_SQL, "time_window"),
     "window_sliding": QuerySpec(window_sliding, WINDOW_SLIDING_SQL, "time_window"),

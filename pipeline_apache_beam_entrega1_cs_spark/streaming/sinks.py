@@ -58,13 +58,73 @@ class IdempotentParquetSink:
             pass
 
 
+def _current_state(state: str) -> str | None:
+    """Resolve the live state directory. Crash recovery: a failure
+    between the two renames in a state swap leaves the previous state
+    under ``state_old*``; the replayed batch must merge against it, not
+    start empty."""
+    import glob
+
+    if os.path.exists(state):
+        return state
+    olds = sorted(glob.glob(f"{state}_old*"))
+    return olds[-1] if olds else None
+
+
+def _swap_state(state: str, tmp: str, batch_id: int) -> None:
+    """Install ``tmp`` as the new state via rename-aside: the old state
+    directory stays intact (renamed, never deleted) until the new one is
+    in place, so no single crash point loses prior batches' state."""
+    import glob
+    import shutil
+
+    old = None
+    if os.path.exists(state):
+        old = f"{state}_old{batch_id}"
+        os.rename(state, old)
+    os.rename(tmp, state)
+    if old is not None:
+        shutil.rmtree(old)
+    for stale in glob.glob(f"{state}_old*"):  # recovered-from leftovers
+        shutil.rmtree(stale, ignore_errors=True)
+
+
+def _stage_slices(raw, work: str, key: str, n: int = 4) -> str:
+    """Write ``raw`` as ``n`` single-file parquet slices (``key % n``)
+    under ``work/src`` so a maxFilesPerTrigger=1 file stream replays the
+    table as ``n`` deterministic micro-batches."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    for i in range(n):
+        stage = os.path.join(work, f"stage_{i}")
+        (
+            raw.filter(F.col(key) % n == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        shutil.copy(
+            glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+            os.path.join(src, f"{i:02d}.parquet"),
+        )
+    return src
+
+
 def run_rollup_upsert_stream(spark, sf_dir: str):
     """Continuous aggregate via foreachBatch MERGE: the events table is
     replayed as FOUR micro-batches (event_id % 4 slices, one file per
     trigger) and each batch's hourly partial aggregate is merged into a
-    parquet state table (read current + union + re-aggregate + atomic
-    directory swap) — the engine-only form of a Delta/Iceberg
-    `MERGE INTO` continuous rollup.
+    parquet state table (read current + union + re-aggregate +
+    crash-safe rename-aside swap: the old state directory is renamed
+    aside, never deleted, until the new one is in place, and recovery
+    picks up a stranded state_old* if a crash hit between the renames)
+    — the engine-only form of a Delta/Iceberg `MERGE INTO` continuous
+    rollup.
 
     Because count/decimal-sum partials are associative, the final state
     is independent of batch boundaries and equals the one-shot batch
@@ -72,7 +132,6 @@ def run_rollup_upsert_stream(spark, sf_dir: str):
     state (DECIMAL(38,4)) keeps the cross-batch accumulation exact; the
     double conversion happens once at the end via the string-cast
     convention (plans/spec.py)."""
-    import glob
     import shutil
     import tempfile
 
@@ -82,69 +141,169 @@ def run_rollup_upsert_stream(spark, sf_dir: str):
 
     ensure_session_confs(spark)
     work = tempfile.mkdtemp(prefix="graft_rollup_")
-    src = os.path.join(work, "src")
-    os.makedirs(src)
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    for i in range(4):
-        stage = os.path.join(work, f"stage_{i}")
-        (
-            raw.filter(F.col("event_id") % 4 == i)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
-        shutil.copy(
-            glob.glob(os.path.join(stage, "part-*.parquet"))[0],
-            os.path.join(src, f"{i:02d}.parquet"),
-        )
-    state = os.path.join(work, "state")
+    try:
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        src = _stage_slices(raw, work, "event_id")
+        state = os.path.join(work, "state")
 
-    def merge_batch(batch_df, batch_id: int) -> None:
-        bdf = normalize_nanos_ts(batch_df)
-        inc = (
-            bdf.groupBy(
-                F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
-            ).agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.sum(F.col("value").cast("decimal(18,4)"))
-                .cast("decimal(38,4)")
-                .alias("sum_dec"),
-            )
-        )
-        s = bdf.sparkSession
-        if os.path.exists(state):
+        def merge_batch(batch_df, batch_id: int) -> None:
+            bdf = normalize_nanos_ts(batch_df)
             inc = (
-                s.read.parquet(state)
-                .unionByName(inc)
-                .groupBy("hour", "event_type")
-                .agg(
-                    F.sum("n_events").alias("n_events"),
-                    F.sum("sum_dec").cast("decimal(38,4)").alias("sum_dec"),
+                bdf.groupBy(
+                    F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+                ).agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.col("value").cast("decimal(18,4)"))
+                    .cast("decimal(38,4)")
+                    .alias("sum_dec"),
                 )
             )
-        tmp = f"{state}_tmp{batch_id}"
-        inc.write.mode("overwrite").parquet(tmp)  # materializes BEFORE swap
-        if os.path.exists(state):
-            shutil.rmtree(state)
-        os.rename(tmp, state)
+            s = bdf.sparkSession
+            prev = _current_state(state)
+            if prev is not None:
+                inc = (
+                    s.read.parquet(prev)
+                    .unionByName(inc)
+                    .groupBy("hour", "event_type")
+                    .agg(
+                        F.sum("n_events").alias("n_events"),
+                        F.sum("sum_dec").cast("decimal(38,4)").alias("sum_dec"),
+                    )
+                )
+            tmp = f"{state}_tmp{batch_id}"
+            inc.write.mode("overwrite").parquet(tmp)  # materializes BEFORE swap
+            _swap_state(state, tmp, batch_id)
 
-    stream = (
-        spark.readStream.schema(raw.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    q = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.read.parquet(state).select(
+            F.unix_timestamp("hour").cast("long").alias("hour_s"),
+            "event_type",
+            "n_events",
+            F.col("sum_dec").cast("string").cast("double").alias("sum_value"),
+        )
+        # Materialize before the finally deletes the backing files: the
+        # rollup state is small by construction (hour x event_type).
+        return spark.createDataFrame(out.collect(), out.schema)
     finally:
-        q.stop()
-    return spark.read.parquet(state).select(
-        F.unix_timestamp("hour").cast("long").alias("hour_s"),
-        "event_type",
-        "n_events",
-        F.col("sum_dec").cast("string").cast("double").alias("sum_value"),
-    )
+        shutil.rmtree(work, ignore_errors=True)
+
+
+class FingerprintMergeSink:
+    """``foreachBatch`` MERGE for streaming near-duplicate dedup: the
+    incremental-corpus-ingest case. Each micro-batch's documents are
+    fingerprinted (md5 of the sorted distinct token set —
+    operators/textops.fingerprint_col, the word-order-insensitive
+    near-dup key the batch dedup path uses) and merged into a parquet
+    fingerprint table keyed by fp with (keep_doc_id = min over all
+    batches, n_copies = total over all batches).
+
+    Exactly-once: a ``_merged_N`` marker commits each batch AFTER its
+    state swap, so an at-least-once replay of a committed batch id is a
+    no-op (same contract as IdempotentParquetSink); the swap itself is
+    the crash-safe rename-aside from _swap_state, and _current_state
+    recovers a stranded state_old* if a crash hit between the renames.
+
+    min/sum are associative, so the final table is independent of batch
+    boundaries: a cold replay over any slicing equals the one-shot batch
+    dedup over the whole corpus — which is what the SQL oracle checks.
+    At 100 TB each merge shuffles fingerprints (32-hex keys), never
+    document bodies, and state size is bounded by |distinct fp|."""
+
+    def __init__(self, state_dir: str) -> None:
+        self.state = state_dir
+        os.makedirs(os.path.dirname(state_dir), exist_ok=True)
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(os.path.dirname(self.state), f"_merged_{batch_id}")
+
+    def is_committed(self, batch_id: int) -> bool:
+        return os.path.exists(self._marker(batch_id))
+
+    def __call__(self, batch_df, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return  # replayed delivery of a committed batch: no-op
+        from pyspark.sql import functions as F
+
+        from ..operators.textops import fingerprint_col
+
+        inc = (
+            batch_df.select(
+                "doc_id", fingerprint_col(F.col("text")).alias("fp")
+            )
+            .groupBy("fp")
+            .agg(
+                F.min("doc_id").alias("keep_doc_id"),
+                F.count(F.lit(1)).alias("n_copies"),
+            )
+        )
+        prev = _current_state(self.state)
+        if prev is not None:
+            inc = (
+                batch_df.sparkSession.read.parquet(prev)
+                .unionByName(inc)
+                .groupBy("fp")
+                .agg(
+                    F.min("keep_doc_id").alias("keep_doc_id"),
+                    F.sum("n_copies").cast("long").alias("n_copies"),
+                )
+            )
+        tmp = f"{self.state}_tmp{batch_id}"
+        inc.write.mode("overwrite").parquet(tmp)  # materializes BEFORE swap
+        _swap_state(self.state, tmp, batch_id)
+        with open(self._marker(batch_id), "w"):
+            pass
+
+
+def run_neardup_dedup_stream(spark, sf_dir: str):
+    """Streaming near-dup dedup end-to-end: the documents table replayed
+    as FOUR micro-batches (doc_id % 4 slices) through a
+    FingerprintMergeSink; returns the final fingerprint table
+    (fp, keep_doc_id, n_copies). Cold replay == batch fingerprint dedup
+    over the whole corpus (associative merge — see the sink docstring),
+    so the oracle is the plain GROUP BY over per-document fingerprints."""
+    import shutil
+    import tempfile
+
+    from ..schemas import ensure_session_confs
+
+    ensure_session_confs(spark)
+    work = tempfile.mkdtemp(prefix="graft_neardup_")
+    try:
+        raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        src = _stage_slices(raw, work, "doc_id")
+        sink = FingerprintMergeSink(os.path.join(work, "state"))
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.read.parquet(sink.state).select("fp", "keep_doc_id", "n_copies")
+        # Materialize before the finally deletes the backing files; the
+        # fingerprint table is |distinct fp| rows of 32-hex keys.
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -216,12 +216,17 @@ def test_observe_single_pass_metrics(spark, sf_dir):
 
 
 def test_no_cartesian_in_registry_plans(spark, sf_dir):
-    """Scale guard: no registry plan may contain a CartesianProduct, and
-    BroadcastNestedLoopJoin is allowed only where the broadcast side is a
-    provably tiny scalar/query set (documented allowlist). Catches a
-    future operator reintroducing an unblocked pairwise join."""
+    """Scale guard (the explain-audit, promoted to a regression gate): no
+    registry plan may contain a CartesianProduct; BroadcastNestedLoopJoin
+    is allowed only where the broadcast side is a provably tiny
+    scalar/query set (documented allowlist); and a Window fed by an
+    Exchange SinglePartition — the global-sort-into-one-task shape — is
+    allowed only where the window input cardinality is scale-independent
+    or the entry is the documented exact-tier exception. Catches a future
+    operator reintroducing a round-1-style crossJoin or global window."""
     import contextlib
     import io
+    import re
 
     from pipeline_apache_beam_entrega1_cs_spark.plans.registry import all_queries
 
@@ -247,6 +252,14 @@ def test_no_cartesian_in_registry_plans(spark, sf_dir):
         "text_bigram_pmi",        # 1-row token + bigram totals
         "key_skew_profile",       # 1-row table-total scalar
     }
+    # Single-partition window sanctioned: input cardinality is a
+    # categorical constant (mixture: #distinct sources) or the entry is
+    # the documented exact-tier exception whose scale-safe twin ships
+    # alongside it (ntile_decile_stats -> decile_stats_bucketed).
+    GLOBAL_WINDOW_OK = {
+        "ntile_decile_stats",  # exact-tier NTILE; use decile_stats_bucketed at scale
+        "mixture_by_source",   # window input = #distinct sources (O(1))
+    }
     skip_prefixes = ("streaming_", "sink_")  # these execute side effects
     failures = []
     for name, spec in all_queries().items():
@@ -261,4 +274,23 @@ def test_no_cartesian_in_registry_plans(spark, sf_dir):
             failures.append(f"{name}: CartesianProduct")
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             failures.append(f"{name}: unsanctioned BroadcastNestedLoopJoin")
+        # Ordered walk of the formatted plan's detail nodes: an Exchange
+        # whose argument is SinglePartition feeding a Window (directly or
+        # through the window's Sort) is the global-window shape. A
+        # SinglePartition exchange under a 1-row final aggregate does NOT
+        # match — no Window consumes it.
+        nodes = []
+        for m in re.finditer(r"^\(\d+\) (\w+)", plan, re.M):
+            tail = plan[m.end(): m.end() + 2000]
+            am = re.search(r"^Arguments: (.*)$", tail, re.M)
+            nodes.append((m.group(1), am.group(1) if am else ""))
+        for i, (node, args) in enumerate(nodes):
+            if node == "Exchange" and args.startswith("SinglePartition"):
+                consumers = [n for n, _ in nodes[i + 1: i + 3]]
+                if (
+                    ("Window" in consumers or "WindowGroupLimit" in consumers)
+                    and name not in GLOBAL_WINDOW_OK
+                ):
+                    failures.append(f"{name}: single-partition Window")
+                    break
     assert not failures, f"scale smells in plans: {failures}"

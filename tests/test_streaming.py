@@ -160,3 +160,56 @@ def test_foreach_batch_idempotent_sink(spark, sf_dir, tmp_path):
     assert sink.is_committed(victim)
     # the rerun overwrote the victim directory with the 5 replay rows
     assert spark.read.parquet(f"{out_dir}/batch_id={victim}").count() == 5
+
+
+def test_streaming_neardup_dedup_replay(spark, sf_dir, tmp_path):
+    """Streaming near-dup dedup: (1) the end-to-end entry equals the
+    one-shot batch fingerprint dedup with no duplicate survivors;
+    (2) replaying a committed batch id (at-least-once delivery) is a
+    no-op; (3) a stranded rename-aside state (simulated crash between
+    the two swap renames) is recovered, not dropped."""
+    import os
+
+    from pipeline_apache_beam_entrega1_cs_spark.operators.textops import fingerprint_col
+    from pipeline_apache_beam_entrega1_cs_spark.plans.windows_batch import (
+        streaming_neardup_dedup,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+    from pipeline_apache_beam_entrega1_cs_spark.streaming.sinks import (
+        FingerprintMergeSink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch_expected = rows_multiset(
+        docs.select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("fp", "keep_doc_id", "n_copies")
+    )
+
+    # (1) end-to-end entry: cold replay == batch dedup, survivors unique
+    out = streaming_neardup_dedup(spark, sf_dir)
+    assert rows_multiset(out.select("fp", "keep_doc_id", "n_copies")) == batch_expected
+    assert out.groupBy("fp").count().filter(F.col("count") > 1).count() == 0
+
+    # (2)+(3) drive the sink directly with 3 manual slices
+    state = str(tmp_path / "nd" / "state")
+    sink = FingerprintMergeSink(state)
+    slices = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    sink(slices[0], 0)
+    sink(slices[1], 1)
+
+    # simulated crash between the swap renames: state renamed aside,
+    # new state not yet installed -> recovery must pick up state_old*
+    os.rename(state, f"{state}_old99")
+    sink(slices[2], 2)
+    merged = spark.read.parquet(state)
+    assert rows_multiset(merged.select("fp", "keep_doc_id", "n_copies")) == batch_expected
+
+    # replay of every committed batch with DIFFERENT data: no-op
+    replay = docs.limit(7)
+    for b in (0, 1, 2):
+        assert sink.is_committed(b)
+        sink(replay, b)
+    after = spark.read.parquet(state)
+    assert rows_multiset(after.select("fp", "keep_doc_id", "n_copies")) == batch_expected
