@@ -295,3 +295,71 @@ def embedding_cosine_pairs_lsh(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two array<double> columns, evaluated
+    left-to-right (same sequential-fold convention as cosine())."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_lloyd(embeddings: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
+    """Deterministic k-means: ``iters`` unrolled Lloyd iterations over
+    the embedding column, entirely as Catalyst plans — the iterative-
+    algorithm pattern (fixed iteration count => a straight-line plan; an
+    unknown count would loop this body driver-side like
+    operators/components.connected_components).
+
+    Determinism conventions that make it hash-comparable cross-engine:
+    init centroids are the k smallest vec_ids; distances and updated
+    centroid components round to 6 dp, so an argmin near-tie (closer
+    than 1e-6) collapses to an exact tie in BOTH engines and breaks on
+    the smaller cluster id; assignment is min(struct(dist, cluster)).
+
+    Scale shape per iteration: centroids are a k-row broadcast (the
+    sanctioned bounded nested-loop attach); assignment is one
+    struct-min groupBy; the centroid update is posexplode ->
+    (cluster, dim) mergeable avg -> sort_array collect. Nothing in the
+    plan depends on corpus size beyond linear passes; k and dims are
+    constants. Returns (vec_id, cluster) — the final assignment."""
+    vecs = embeddings.select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    cents = vecs.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("c")
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        d = F.round(_sq_dist(F.col("v"), F.col("c")), 6)
+        return (
+            vecs.crossJoin(F.broadcast(cents))
+            .select("vec_id", "v", "cluster", d.alias("d"))
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct("d", "cluster")).alias("m"),
+                F.first("v").alias("v"),  # identical within the group
+            )
+            .select("vec_id", "v", F.col("m.cluster").alias("cluster"))
+        )
+
+    for _ in range(iters):
+        assigned = assign(cents)
+        cents = (
+            assigned.select(
+                "cluster", F.posexplode("v").alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("cv"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("c")
+            )
+        )
+    return assign(cents).select("vec_id", "cluster")

@@ -565,6 +565,55 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means (k=8, 2 unrolled Lloyd iterations) over the
+    embedding column as pure Catalyst plans
+    (operators/similarity.kmeans_lloyd) — the fixed-iteration iterative
+    algorithm expressed as a straight-line plan, oracle-checked against
+    the same unrolling as DuckDB CTEs. Returns the final (vec_id,
+    cluster) assignment."""
+    return S.kmeans_lloyd(_emb(spark, sf_dir), k=8, iters=2)
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """Unrolled-Lloyd oracle: one (a_t, c_t) CTE pair per iteration,
+    argmin via row_number over (rounded distance, cluster)."""
+    dist = (
+        "round(list_sum(list_transform(generate_series(1, len(v.v)), "
+        "i -> (v.v[i]-c.c[i])*(v.v[i]-c.c[i]))), 6)"
+    )
+    sql = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c0 AS (
+  SELECT CAST(vec_id AS INTEGER) AS cluster, v AS c FROM v WHERE vec_id < {k}
+)"""
+    prev = "c0"
+    for t in range(1, iters + 1):
+        sql += f""", a{t} AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT v.vec_id, v.v, c.cluster,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {dist}, c.cluster) AS rn
+    FROM v, {prev} c
+  ) WHERE rn = 1
+), c{t} AS (
+  SELECT cluster, array_agg(cv ORDER BY pos) AS c FROM (
+    SELECT cluster, i AS pos, round(avg(v[i]), 6) AS cv
+    FROM a{t}, UNNEST(generate_series(1, len(v))) AS g(i)
+    GROUP BY cluster, i
+  ) GROUP BY cluster
+)"""
+        prev = f"c{t}"
+    sql += f"""
+SELECT vec_id, cluster FROM (
+  SELECT v.vec_id, c.cluster,
+         row_number() OVER (PARTITION BY v.vec_id ORDER BY {dist}, c.cluster) AS rn
+  FROM v, {prev} c
+) WHERE rn = 1
+"""
+    return sql
+
+
 EMBEDDING_CENTROIDS_SQL = """
 SELECT label, CAST(i - 1 AS BIGINT) AS dim,
        round(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_v,
@@ -827,6 +876,8 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_components": QuerySpec(dedup_components, DEDUP_COMPONENTS_SQL, "dedup"),
     "text_winnow_sketch": QuerySpec(text_winnow_sketch, TEXT_WINNOW_SQL, "text"),
     "embedding_centroids": QuerySpec(embedding_centroids, EMBEDDING_CENTROIDS_SQL, "similarity"),
+    "embedding_kmeans_lloyd": QuerySpec(
+        embedding_kmeans_lloyd, _kmeans_sql(), "similarity"),
     "embedding_quantize_int8": QuerySpec(
         embedding_quantize_int8, EMBEDDING_QUANTIZE_SQL, "similarity"),
     "profile_documents": QuerySpec(profile_documents, PROFILE_DOCUMENTS_SQL, "text"),

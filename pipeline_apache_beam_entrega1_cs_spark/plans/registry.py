@@ -72,6 +72,7 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_neardup_dedup",
     "multimodal_format_detect",
     "multimodal_byte_entropy",
+    "embedding_kmeans_lloyd",
     # --- r01-only evidence: the six set ops + seven scalar-function
     # families + date_functions; all predate the round-4 testdata
     # timestamp re-encoding (nanos-long -> parquet us/NTZ) ---

@@ -251,6 +251,7 @@ def test_no_cartesian_in_registry_plans(spark, sf_dir):
         "text_unigram_logprob",   # 1-row corpus token total
         "text_bigram_pmi",        # 1-row token + bigram totals
         "key_skew_profile",       # 1-row table-total scalar
+        "embedding_kmeans_lloyd",  # k-row centroid broadcast per iteration
     }
     # Single-partition window sanctioned: input cardinality is a
     # categorical constant (mixture: #distinct sources) or the entry is
