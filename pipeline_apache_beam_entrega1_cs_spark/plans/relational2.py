@@ -500,6 +500,42 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k (Spark 4 frequent-items sketch, maxItemsTracked
+    bounded) over exploded document tokens — the 100 TB heavy-hitter
+    path: sketch size is fixed regardless of vocabulary, partials merge
+    map-side. Sketch internals are engine-specific -> rows-only; recall
+    against the exact top-k is the dedicated test's job
+    (tests/test_accuracy.py). Output re-ranked deterministically
+    (count desc, term asc) because the sketch's own tie order isn't."""
+    from ..operators.textops import explode_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = explode_tokens(docs, out="term")
+    # Re-rank inside the single sketch-result array (array_sort on
+    # (-count, term) structs) — per-row, no window, nothing for the
+    # plan-shape gate to flag.
+    ranked = F.array_sort(
+        F.transform(
+            F.expr("approx_top_k(term, 20, 1000)"),
+            lambda s: F.struct(
+                (-s["count"]).alias("neg"),
+                s["item"].alias("term"),
+                s["count"].alias("cnt"),
+            ),
+        )
+    )
+    return (
+        tok.select(ranked.alias("tk"))
+        .select(F.posexplode("tk").alias("pos", "e"))
+        .select(
+            F.col("e.term").alias("term"),
+            F.col("e.cnt").cast("long").alias("approx_count"),
+            (F.col("pos") + 1).cast("long").alias("rk"),
+        )
+    )
+
+
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame (value-based, not row-based): for each order, revenue
     of the customer's orders in the preceding-30-epoch-days window —
@@ -1007,6 +1043,8 @@ QUERIES: dict[str, QuerySpec] = {
     "window_range_frame": QuerySpec(window_range_frame, WINDOW_RANGE_FRAME_SQL, "window"),
     "agg_approx_percentile": QuerySpec(agg_approx_percentile, None, "aggregation",
                                        doc="sketch-based; accuracy tested vs exact percentile"),
+    "agg_approx_top_k": QuerySpec(agg_approx_top_k, None, "aggregation",
+                                  doc="frequent-items sketch; recall tested vs exact top-k"),
     "agg_histogram": QuerySpec(agg_histogram, AGG_HISTOGRAM_SQL, "aggregation"),
     "string_similarity": QuerySpec(string_similarity, STRING_SIMILARITY_SQL, "scalar_fn"),
     "try_functions": QuerySpec(try_functions, TRY_FUNCTIONS_SQL, "scalar_fn"),

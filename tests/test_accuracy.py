@@ -61,3 +61,37 @@ def test_streaming_session_window_equals_batch(spark, sf_dir):
     )
     out = _drain(stream, "complete")
     assert Counter(map(tuple, out.collect())) == Counter(map(tuple, batch.collect()))
+
+
+def test_approx_top_k_recall_vs_exact(spark, sf_dir):
+    """agg_approx_top_k's 20 items must recover >= 80% of the exact
+    top-20 terms (ties at the boundary can legitimately differ), and
+    every reported count must be within 10% of that term's exact count."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.textops import explode_tokens
+    from pipeline_apache_beam_entrega1_cs_spark.plans.relational2 import agg_approx_top_k
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    approx = {r.term: r.approx_count for r in agg_approx_top_k(spark, sf_dir).collect()}
+    assert len(approx) == 20
+
+    tok = explode_tokens(load_table(spark, sf_dir, "documents"), out="term")
+    exact = dict(
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("term").asc())
+        .limit(20)
+        .collect()
+    )
+    recall = len(approx.keys() & exact.keys()) / 20
+    assert recall >= 0.8, f"recall={recall}: approx={sorted(approx)} exact={sorted(exact)}"
+
+    exact_all = dict(
+        tok.filter(F.col("term").isin(list(approx)))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    for term, cnt in approx.items():
+        assert abs(cnt - exact_all[term]) / exact_all[term] <= 0.10, (
+            f"{term}: approx={cnt} exact={exact_all[term]}"
+        )

@@ -184,6 +184,57 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     assert n == expected
 
 
+def test_runtime_bloom_filter_join(spark, sf_dir):
+    """Runtime bloom-filter join pruning (the row-level sibling of DPP):
+    for a sort-merge join with a selective dim-side filter, Spark builds
+    a bloom filter from the dim keys and applies might_contain on the
+    fact side BEFORE the shuffle — at 100 TB that drops non-matching
+    fact rows at the scan instead of shuffling them. Enabled by default
+    in Spark 4; the size thresholds only exist to skip it for toy
+    inputs, so lower them to demonstrate the plan shape."""
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderstatus"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = physical_plan(joined)
+        assert "bloom_filter_agg" in plan, f"no bloom build side:\n{plan[:2000]}"
+        assert "might_contain" in plan, f"no bloom probe on the fact side:\n{plan[:2000]}"
+        bloom_result = Counter(map(tuple, joined.collect()))
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+    plain = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert bloom_result == Counter(map(tuple, plain.collect()))
+
+
 def test_observe_single_pass_metrics(spark, sf_dir):
     """df.observe(): pipeline quality metrics (row count, null count,
     revenue total) accumulated DURING the write action — no second scan.
