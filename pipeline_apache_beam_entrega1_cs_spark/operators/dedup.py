@@ -192,6 +192,118 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     return bit_val.groupBy("doc_id").agg(F.sum("v").cast("long").alias("simhash"))
 
 
+def minhash_banded_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int = 100,
+) -> DataFrame:
+    """MinHash + LSH banding from first principles, fully
+    SQL-expressible (unlike minhash_lsh_pairs' MLlib internals, which
+    stay rows-only): hash h of a document is the lexicographic MIN of
+    md5(h || shingle) over its distinct 3-gram shingles — md5 exists in
+    both engines, so the DuckDB oracle reproduces every signature
+    bit-for-bit. Signatures are built PER ROW (array lambdas over the
+    shingle array — no explode, no shuffle); only the band keys
+    (md5 of each ``num_hashes/bands``-signature slice) are exploded for
+    the bucket join.
+
+    Candidate generation is in-bucket pair emission with a
+    ``max_bucket`` cap (same boilerplate guard as the n-gram inverted
+    index); a pair colliding in several bands appears with identical
+    row content, so distinct() is deterministic. est_jaccard = fraction
+    of matching signature components — the standard unbiased MinHash
+    estimate.
+
+    Signature scheme: each shingle is hashed ONCE (md5 → first 15 hex
+    chars → bigint mod P, P = 2^31-1 — DuckDB parses the same hex with
+    '0x'::BIGINT), then the ``num_hashes`` functions are universal-hash
+    permutations h_i(x) = ((2i+1)·x + (1000003·i+12345)) mod P — native
+    integer arithmetic. The first cut ran md5(i || shingle) per hash:
+    16 md5s per shingle, measured 4× slower at 500 k docs (SCALING.md).
+    The base-hash projection sits behind a repartition barrier so
+    CollapseProject can't re-inline the md5 into all 16 lambdas (the
+    same trap _shingle_arrays documents).
+
+    100 TB shape: one shuffle on band keys (32-hex strings), bounded
+    pair fan-out, signature cost ~1 md5 + num_hashes int-ops per
+    shingle."""
+    P = 2147483647
+    r = num_hashes // bands
+    arr = _shingle_arrays(docs, 3).filter(F.col("n_sh") > 0)
+    xs = F.transform(
+        F.col("shingles"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % P,
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda h: F.array_min(
+            F.transform(
+                F.col("xs"),
+                lambda x: ((2 * h + 1) * x + (1000003 * h + 12345)) % P,
+            )
+        ),
+    )
+    banded = (
+        arr.select("doc_id", xs.alias("xs"))
+        .repartition("doc_id")  # barrier: md5 evaluated once, not 16x
+        .select("doc_id", sig.alias("sig"))
+        .select(
+            "doc_id",
+            "sig",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.md5(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * r + 1, r),
+                                lambda v: v.cast("string"),
+                            ),
+                            "|",
+                        )
+                    ),
+                )
+            ).alias("band", "band_key"),
+        )
+    )
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_bucket))
+    )
+    ds = F.col("ds")
+    pair_arrays = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds) - i - 1),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    (
+                        F.size(
+                            F.filter(
+                                F.zip_with(x["sig"], y["sig"], lambda p, q: p == q),
+                                lambda t: t,
+                            )
+                        ).cast("double")
+                        / num_hashes
+                    ).alias("est_jaccard"),
+                ),
+            ),
+        )
+    )
+    # explode_outer (see _explode_shingles): keeps InferFiltersFromGenerate
+    # from evaluating the O(k²) pair construction twice.
+    return (
+        buckets.select(F.explode_outer(pair_arrays).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select("p.*")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, threshold: float = 0.6, num_hashes: int = 16, seed: int = 42
 ) -> DataFrame:

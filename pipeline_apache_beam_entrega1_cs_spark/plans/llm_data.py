@@ -468,6 +468,48 @@ WHERE text IS NOT NULL AND length(text) > 0
 """
 
 
+def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding with FULL SQL parity
+    (operators/dedup.minhash_banded_pairs): md5-derived min-hash
+    signatures built per row, band keys bucketed, in-bucket pair
+    emission with the max_bucket cap. The from-first-principles twin of
+    dedup_minhash_lsh (MLlib, rows-only) — same banding theory, but
+    every signature is reproducible in DuckDB, so the driver gets a
+    value-hash row for the MinHash family too."""
+    return D.minhash_banded_pairs(_docs(spark, sf_dir))
+
+
+DEDUP_MINHASH_BANDED_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents WHERE trim(text) <> ''
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS g(i)
+), xs AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS x
+  FROM sh
+), sigs AS (
+  SELECT doc_id, h, min(((2*h+1)*x + (1000003*h+12345)) % 2147483647) AS sig_h
+  FROM xs, UNNEST(generate_series(0, 15)) AS hh(h)
+  GROUP BY doc_id, h
+), sigarr AS (
+  SELECT doc_id, array_agg(sig_h ORDER BY h) AS sig FROM sigs GROUP BY doc_id
+), bandkeys AS (
+  SELECT doc_id, sig, b AS band, md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS band_key
+  FROM sigarr, UNNEST(generate_series(0, 3)) AS bb(b)
+), buckets AS (
+  SELECT band, band_key FROM bandkeys GROUP BY 1, 2
+  HAVING COUNT(*) BETWEEN 2 AND 100
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_filter(generate_series(1, 16), i -> a.sig[i] = b.sig[i]))::DOUBLE / 16 AS est_jaccard
+FROM bandkeys a
+JOIN bandkeys b USING (band, band_key)
+JOIN buckets USING (band, band_key)
+WHERE a.doc_id < b.doc_id
+"""
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components over the Jaccard pair
     graph (iterative min-label propagation, operators/components.py) —
@@ -849,7 +891,9 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL, "dedup"),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL, "dedup"),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, None, "dedup",
-                                   doc="LSH banding not SQL-expressible; recall tested vs exact"),
+                                   doc="MLlib LSH banding not SQL-expressible; recall tested vs exact"),
+    "dedup_minhash_banded": QuerySpec(
+        dedup_minhash_banded, DEDUP_MINHASH_BANDED_SQL, "dedup"),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL, "dedup"),
     "dedup_embedding_cosine_lsh": QuerySpec(
         dedup_embedding_cosine_lsh, None, "dedup",

@@ -76,6 +76,7 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_byte_entropy",
     "embedding_kmeans_lloyd",
     "agg_approx_top_k",
+    "dedup_minhash_banded",
     # --- r01-only evidence: the six set ops + seven scalar-function
     # families + date_functions; all predate the round-4 testdata
     # timestamp re-encoding (nanos-long -> parquet us/NTZ) ---

@@ -244,3 +244,38 @@ def test_bigram_pmi_planted_collocation_ranks_first(spark):
     assert top, "no bigram cleared the support floor"
     assert (top[0].w1, top[0].w2) == ("hong", "kong")
     assert all(top[0].pmi >= r.pmi for r in top)
+
+
+def test_minhash_banded_recall_vs_exact(spark, sf_dir):
+    """The SQL-expressible MinHash banding must recover >= 80% of the
+    exact high-Jaccard pairs (same bar as the MLlib variant), and its
+    est_jaccard for recovered pairs must correlate: pairs it estimates
+    at >= 0.9 must be truly similar (exact J >= 0.5)."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.dedup import (
+        minhash_banded_pairs,
+        ngram_jaccard_pairs,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.8, max_df=100).collect()
+    }
+    if not exact:
+        pytest.skip("no planted near-duplicates at this SF")
+    banded = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_banded_pairs(docs).collect()
+    }
+    recall = len(exact & banded.keys()) / len(exact)
+    assert recall >= 0.8, f"banded MinHash recall vs exact J>=0.8: {recall}"
+
+    truly_similar = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df=100).collect()
+    }
+    confident = {p for p, est in banded.items() if est >= 0.9}
+    if confident:
+        precision = len(confident & truly_similar) / len(confident)
+        assert precision >= 0.8, f"est>=0.9 precision vs exact J>=0.5: {precision}"
