@@ -43,10 +43,10 @@ cogroup_order_gaps, dedup_components, dedup_embedding_cosine,
 dedup_minhash_lsh, dedup_ngram_jaccard, dedup_simhash,
 embedding_centroids, mapinarrow_text_stats, multimodal_binary_meta,
 multimodal_decode_fake, text_fingerprint, text_lang_id,
-text_winnow_sketch, plus dedup_hash / text_token_stats / text_quality,
-which the round-5 additions pushed past slot 50), (c) entries added
-during round 6 itself; back-fill with r03-only entries (stalest
-remaining).
+text_winnow_sketch, plus dedup_exact / dedup_hash / text_token_stats /
+text_quality, which the round-5 additions pushed past slot 50),
+(c) entries added during round 6 itself; back-fill with r03-only
+entries (stalest remaining).
 """
 
 from __future__ import annotations
@@ -77,6 +77,7 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_kmeans_lloyd",
     "agg_approx_top_k",
     "dedup_minhash_banded",
+    "agg_grouping_id",
     # --- r01-only evidence: the six set ops + seven scalar-function
     # families + date_functions; all predate the round-4 testdata
     # timestamp re-encoding (nanos-long -> parquet us/NTZ) ---

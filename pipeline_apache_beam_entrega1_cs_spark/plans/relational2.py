@@ -500,6 +500,30 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping()/grouping_id() flags — how downstream
+    consumers of a rollup distinguish 'NULL because aggregated away'
+    from 'NULL in the data'. Both flags cast to BIGINT on both engines
+    (Spark emits int/long, DuckDB int64 — the type-strict gate forces
+    the explicit cast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.grouping_id().cast("long").alias("gid"),
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+    )
+
+
+AGG_GROUPING_ID_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
 def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_top_k (Spark 4 frequent-items sketch, maxItemsTracked
     bounded) over exploded document tokens — the 100 TB heavy-hitter
@@ -1045,6 +1069,7 @@ QUERIES: dict[str, QuerySpec] = {
                                        doc="sketch-based; accuracy tested vs exact percentile"),
     "agg_approx_top_k": QuerySpec(agg_approx_top_k, None, "aggregation",
                                   doc="frequent-items sketch; recall tested vs exact top-k"),
+    "agg_grouping_id": QuerySpec(agg_grouping_id, AGG_GROUPING_ID_SQL, "aggregation"),
     "agg_histogram": QuerySpec(agg_histogram, AGG_HISTOGRAM_SQL, "aggregation"),
     "string_similarity": QuerySpec(string_similarity, STRING_SIMILARITY_SQL, "scalar_fn"),
     "try_functions": QuerySpec(try_functions, TRY_FUNCTIONS_SQL, "scalar_fn"),
