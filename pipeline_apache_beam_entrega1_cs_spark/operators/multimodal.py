@@ -93,12 +93,18 @@ MAGIC_HEADERS = [
 
 def with_magic_payload(docs: DataFrame) -> DataFrame:
     """Binary payloads carrying real format magic numbers: header bytes
-    (by doc_id % 4) prepended to the UTF-8 text bytes."""
+    (by doc_id % 4) prepended to the UTF-8 text bytes.
+
+    The ``%`` stays sign-preserving (both Spark and DuckDB agree) and
+    the ``otherwise`` mirrors the oracle's ``ELSE unhex('')`` — so a
+    negative or NULL doc_id gets an empty header on both engines instead
+    of a NULL payload on one side only."""
     hdr = F.when(F.col("doc_id") % 4 == 0, F.unhex(F.lit(MAGIC_HEADERS[0][1])))
     for i in (1, 2, 3):
         hdr = hdr.when(
             F.col("doc_id") % 4 == i, F.unhex(F.lit(MAGIC_HEADERS[i][1]))
         )
+    hdr = hdr.otherwise(F.unhex(F.lit("")))
     return docs.withColumn(
         "payload", F.concat(hdr, F.encode(F.col("text"), "UTF-8"))
     )
@@ -126,12 +132,17 @@ def detect_format(docs_with_payload: DataFrame) -> DataFrame:
     )
 
 
-def byte_entropy(docs: DataFrame, max_bytes: int = 256) -> DataFrame:
+def byte_entropy(docs: DataFrame, max_bytes: int = 256,
+                 payload_col: str = "payload") -> DataFrame:
     """Byte-level stats over a binary column: total byte length, and
     distinct-byte count + Shannon entropy (bits/byte) of the first
     ``max_bytes`` bytes — the cheap randomness probe that separates
     compressed/encrypted payloads (entropy ~8) from text (~4-5) without
     decoding. The compressibility gate of a multimodal curation pass.
+
+    Stats run over ``payload_col`` when the input carries it (e.g.
+    with_magic_payload output); absent that, over the UTF-8 bytes of
+    ``text`` — never silently the wrong one.
 
     Shape: slice the payload (BINARY substring, O(max_bytes) per row no
     matter how big the blob), hex it, split into byte pairs — then stay
@@ -147,15 +158,21 @@ def byte_entropy(docs: DataFrame, max_bytes: int = 256) -> DataFrame:
     measured: 2.4× SLOWER — per-element struct construction dominates.)
     Zero-length payloads drop out (consistently with the UNNEST-based
     oracle)."""
-    payload = F.encode(F.col("text"), "UTF-8")
+    if payload_col in docs.columns:
+        payload = F.col(payload_col)
+    else:
+        payload = F.encode(F.col("text"), "UTF-8")
     pairs = F.regexp_extract_all(
         F.hex(F.substring(payload, 1, max_bytes)), F.lit("(..)"), 1
     )
     s = F.col("_s")
     n = F.size(s)
+    # greatest(i, 1) keeps element_at's index valid at i == 0 without
+    # leaning on Or short-circuit order (the i == 0 disjunct wins there).
     starts = F.filter(
         F.sequence(F.lit(0), n - 1),
-        lambda i: (i == 0) | (F.element_at(s, i + 1) != F.element_at(s, i)),
+        lambda i: (i == 0)
+        | (F.element_at(s, i + 1) != F.element_at(s, F.greatest(i, F.lit(1)))),
     )
     st = F.col("_starts")
     run_ends = F.concat(F.slice(st, 2, F.size(st) - 1), F.array(n))

@@ -61,14 +61,17 @@ class IdempotentParquetSink:
 def _current_state(state: str) -> str | None:
     """Resolve the live state directory. Crash recovery: a failure
     between the two renames in a state swap leaves the previous state
-    under ``state_old*``; the replayed batch must merge against it, not
-    start empty."""
+    under ``state_old<batch_id>``; the replayed batch must merge against
+    it, not start empty. Picks the NUMERICALLY largest batch-id suffix —
+    lexicographic order would put ``state_old10`` before ``state_old2``."""
     import glob
 
     if os.path.exists(state):
         return state
-    olds = sorted(glob.glob(f"{state}_old*"))
-    return olds[-1] if olds else None
+    olds = glob.glob(f"{state}_old*")
+    if not olds:
+        return None
+    return max(olds, key=lambda p: int(p.rsplit("_old", 1)[1]))
 
 
 def _swap_state(state: str, tmp: str, batch_id: int) -> None:
@@ -87,6 +90,41 @@ def _swap_state(state: str, tmp: str, batch_id: int) -> None:
         shutil.rmtree(old)
     for stale in glob.glob(f"{state}_old*"):  # recovered-from leftovers
         shutil.rmtree(stale, ignore_errors=True)
+
+
+def _state_committed(state: str, batch_id: int) -> bool:
+    """A batch is committed iff its ``_merged_<id>`` marker exists INSIDE
+    the live state directory — marker visibility is atomic with state
+    visibility (see _install_state), so there is no crash window where
+    merged data exists without its marker or vice versa."""
+    cur = _current_state(state)
+    return cur is not None and os.path.exists(
+        os.path.join(cur, f"_merged_{batch_id}")
+    )
+
+
+def _install_state(state: str, tmp: str, batch_id: int) -> None:
+    """Commit ``tmp`` as the new state with this batch marked merged.
+
+    The zero-byte ``_merged_<id>`` markers live inside the state
+    directory (underscore-prefixed, so parquet readers ignore them):
+    prior batches' markers are carried forward into ``tmp``, this
+    batch's marker is stamped, and only then does the rename-aside swap
+    run. The marker therefore becomes visible at the exact instant the
+    merged data does — a crash anywhere leaves either the old state
+    (batch uncommitted, replay re-merges from it) or the new state
+    (batch committed, replay is a no-op), never merged-but-unmarked
+    data that a replay would double-count."""
+    import glob
+    import shutil
+
+    prev = _current_state(state)
+    if prev is not None:
+        for m in glob.glob(os.path.join(prev, "_merged_*")):
+            shutil.copy(m, tmp)
+    with open(os.path.join(tmp, f"_merged_{batch_id}"), "w"):
+        pass
+    _swap_state(state, tmp, batch_id)
 
 
 def _stage_slices(raw, work: str, key: str, n: int = 4) -> str:
@@ -147,6 +185,8 @@ def run_rollup_upsert_stream(spark, sf_dir: str):
         state = os.path.join(work, "state")
 
         def merge_batch(batch_df, batch_id: int) -> None:
+            if _state_committed(state, batch_id):
+                return  # at-least-once replay of a committed batch: no-op
             bdf = normalize_nanos_ts(batch_df)
             inc = (
                 bdf.groupBy(
@@ -172,7 +212,7 @@ def run_rollup_upsert_stream(spark, sf_dir: str):
                 )
             tmp = f"{state}_tmp{batch_id}"
             inc.write.mode("overwrite").parquet(tmp)  # materializes BEFORE swap
-            _swap_state(state, tmp, batch_id)
+            _install_state(state, tmp, batch_id)  # marker atomic w/ state
 
         stream = (
             spark.readStream.schema(raw.schema)
@@ -210,11 +250,14 @@ class FingerprintMergeSink:
     fingerprint table keyed by fp with (keep_doc_id = min over all
     batches, n_copies = total over all batches).
 
-    Exactly-once: a ``_merged_N`` marker commits each batch AFTER its
-    state swap, so an at-least-once replay of a committed batch id is a
-    no-op (same contract as IdempotentParquetSink); the swap itself is
-    the crash-safe rename-aside from _swap_state, and _current_state
-    recovers a stranded state_old* if a crash hit between the renames.
+    Exactly-once: the ``_merged_N`` markers live INSIDE the state
+    directory and are installed by the same rename that installs the
+    merged data (_install_state), so marker and state are never out of
+    sync — unlike IdempotentParquetSink's per-batch overwrite, this
+    MERGE is not idempotent, so a marker visible before/after the data
+    would double-count a replayed batch. _current_state recovers a
+    stranded state_old* (markers ride along) if a crash hit between the
+    swap renames.
 
     min/sum are associative, so the final table is independent of batch
     boundaries: a cold replay over any slicing equals the one-shot batch
@@ -226,11 +269,8 @@ class FingerprintMergeSink:
         self.state = state_dir
         os.makedirs(os.path.dirname(state_dir), exist_ok=True)
 
-    def _marker(self, batch_id: int) -> str:
-        return os.path.join(os.path.dirname(self.state), f"_merged_{batch_id}")
-
     def is_committed(self, batch_id: int) -> bool:
-        return os.path.exists(self._marker(batch_id))
+        return _state_committed(self.state, batch_id)
 
     def __call__(self, batch_df, batch_id: int) -> None:
         if self.is_committed(batch_id):
@@ -262,9 +302,7 @@ class FingerprintMergeSink:
             )
         tmp = f"{self.state}_tmp{batch_id}"
         inc.write.mode("overwrite").parquet(tmp)  # materializes BEFORE swap
-        _swap_state(self.state, tmp, batch_id)
-        with open(self._marker(batch_id), "w"):
-            pass
+        _install_state(self.state, tmp, batch_id)  # marker atomic w/ state
 
 
 def run_neardup_dedup_stream(spark, sf_dir: str):

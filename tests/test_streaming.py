@@ -197,7 +197,13 @@ def test_streaming_neardup_dedup_replay(spark, sf_dir, tmp_path):
     sink = FingerprintMergeSink(state)
     slices = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
     sink(slices[0], 0)
+    # the commit marker lives INSIDE the state dir (installed by the
+    # same rename as the data — no merged-but-unmarked crash window)
+    assert os.path.exists(os.path.join(state, "_merged_0"))
     sink(slices[1], 1)
+    # markers carry forward across swaps
+    assert os.path.exists(os.path.join(state, "_merged_0"))
+    assert os.path.exists(os.path.join(state, "_merged_1"))
 
     # simulated crash between the swap renames: state renamed aside,
     # new state not yet installed -> recovery must pick up state_old*
@@ -213,3 +219,14 @@ def test_streaming_neardup_dedup_replay(spark, sf_dir, tmp_path):
         sink(replay, b)
     after = spark.read.parquet(state)
     assert rows_multiset(after.select("fp", "keep_doc_id", "n_copies")) == batch_expected
+
+
+def test_current_state_numeric_old_suffix(tmp_path):
+    """Stranded-state recovery picks the numerically largest batch-id
+    suffix: lexicographic sort would pick state_old9 over state_old10."""
+    from pipeline_apache_beam_entrega1_cs_spark.streaming.sinks import _current_state
+
+    state = str(tmp_path / "state")
+    __import__("os").makedirs(f"{state}_old9")
+    __import__("os").makedirs(f"{state}_old10")
+    assert _current_state(state) == f"{state}_old10"
