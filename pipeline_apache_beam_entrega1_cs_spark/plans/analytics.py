@@ -854,9 +854,14 @@ QUERIES: dict[str, QuerySpec] = {
     "dq_constraint_report": QuerySpec(dq_constraint_report, DQ_SQL, "quality"),
     "anomaly_zscore": QuerySpec(anomaly_zscore, ZSCORE_SQL, "timeseries"),
     "join_skew_salted": QuerySpec(join_skew_salted, SKEW_SALTED_SQL, "join"),
-    "ntile_decile_stats": QuerySpec(ntile_decile_stats, NTILE_SQL, "analytics"),
+    "ntile_decile_stats": QuerySpec(
+        ntile_decile_stats, NTILE_SQL, "analytics",
+        plan_waivers={"global_window": (
+            "exact-tier NTILE (global sort by design); the scale-safe "
+            "twin decile_stats_bucketed ships alongside")}),
     "decile_stats_bucketed": QuerySpec(
-        decile_stats_bucketed, DECILE_BUCKETED_SQL, "analytics"
+        decile_stats_bucketed, DECILE_BUCKETED_SQL, "analytics",
+        plan_waivers={"bnlj": "1-row min/max bounds broadcast"},
     ),
     "graph_triangle_count": QuerySpec(graph_triangle_count, TRIANGLE_SQL, "graph"),
     "stratified_sample_hash": QuerySpec(

@@ -898,17 +898,22 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_embedding_cosine_lsh": QuerySpec(
         dedup_embedding_cosine_lsh, None, "dedup",
         doc="LSH bucket blocking not SQL-expressible; recall tested vs exact all-pairs"),
-    "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_COSINE_TOPK_SQL, "similarity"),
+    "ann_cosine_topk": QuerySpec(
+        ann_cosine_topk, ANN_COSINE_TOPK_SQL, "similarity",
+        plan_waivers={"bnlj": "|queries| x corpus stream — exact baseline"}),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, None, "similarity",
                               doc="LSH buckets not SQL-expressible; recall tested vs exact"),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, None, "similarity",
-                              doc="IVF k-means lists + probe; recall tested vs exact"),
+                              doc="IVF k-means lists + probe; recall tested vs exact",
+                              plan_waivers={"bnlj": "query x n_centroids scoring"}),
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_STATS_SQL, "text"),
     "text_bpe_token_count": QuerySpec(text_bpe_token_count, TEXT_BPE_TOKEN_SQL, "text"),
     "text_lang_id": QuerySpec(text_lang_id, TEXT_LANG_ID_SQL, "text"),
     "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL, "text"),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL, "text"),
-    "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, TEXT_TFIDF_SQL, "text"),
+    "text_tfidf_top_terms": QuerySpec(
+        text_tfidf_top_terms, TEXT_TFIDF_SQL, "text",
+        plan_waivers={"bnlj": "1-row corpus-size scalar in IDF"}),
     "multimodal_binary_meta": QuerySpec(multimodal_binary_meta, MULTIMODAL_BINARY_META_SQL, "multimodal"),
     "multimodal_decode_fake": QuerySpec(multimodal_decode_fake, MULTIMODAL_DECODE_SQL, "multimodal"),
     "multimodal_format_detect": QuerySpec(
@@ -921,13 +926,17 @@ QUERIES: dict[str, QuerySpec] = {
     "text_winnow_sketch": QuerySpec(text_winnow_sketch, TEXT_WINNOW_SQL, "text"),
     "embedding_centroids": QuerySpec(embedding_centroids, EMBEDDING_CENTROIDS_SQL, "similarity"),
     "embedding_kmeans_lloyd": QuerySpec(
-        embedding_kmeans_lloyd, _kmeans_sql(), "similarity"),
+        embedding_kmeans_lloyd, _kmeans_sql(), "similarity",
+        plan_waivers={"bnlj": "k-row centroid broadcast per iteration"}),
     "embedding_quantize_int8": QuerySpec(
         embedding_quantize_int8, EMBEDDING_QUANTIZE_SQL, "similarity"),
     "profile_documents": QuerySpec(profile_documents, PROFILE_DOCUMENTS_SQL, "text"),
     "curation_pipeline": QuerySpec(curation_pipeline, CURATION_PIPELINE_SQL, "composition"),
     "text_unigram_logprob": QuerySpec(
-        text_unigram_logprob, TEXT_UNIGRAM_LOGPROB_SQL, "text"
+        text_unigram_logprob, TEXT_UNIGRAM_LOGPROB_SQL, "text",
+        plan_waivers={"bnlj": "1-row corpus token total"},
     ),
-    "text_bigram_pmi": QuerySpec(text_bigram_pmi, TEXT_BIGRAM_PMI_SQL, "text"),
+    "text_bigram_pmi": QuerySpec(
+        text_bigram_pmi, TEXT_BIGRAM_PMI_SQL, "text",
+        plan_waivers={"bnlj": "1-row token + bigram totals"}),
 }

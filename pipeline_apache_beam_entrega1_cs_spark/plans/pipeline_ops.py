@@ -350,7 +350,9 @@ QUERIES: dict[str, QuerySpec] = {
         dataset_build_pipeline, DATASET_BUILD_SQL, "composition"
     ),
     "pack_token_budget": QuerySpec(pack_token_budget, PACK_SQL, "pipeline"),
-    "mixture_by_source": QuerySpec(mixture_by_source, MIXTURE_SQL, "pipeline"),
+    "mixture_by_source": QuerySpec(
+        mixture_by_source, MIXTURE_SQL, "pipeline",
+        plan_waivers={"global_window": "window input = #distinct sources (O(1))"}),
     "upsert_changeset": QuerySpec(upsert_changeset, UPSERT_SQL, "pipeline"),
     "rollup_time_hierarchy": QuerySpec(rollup_time_hierarchy, ROLLUP_TIME_SQL, "pipeline"),
 }

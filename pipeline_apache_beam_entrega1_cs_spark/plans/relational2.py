@@ -1073,7 +1073,9 @@ QUERIES: dict[str, QuerySpec] = {
     "agg_histogram": QuerySpec(agg_histogram, AGG_HISTOGRAM_SQL, "aggregation"),
     "string_similarity": QuerySpec(string_similarity, STRING_SIMILARITY_SQL, "scalar_fn"),
     "try_functions": QuerySpec(try_functions, TRY_FUNCTIONS_SQL, "scalar_fn"),
-    "key_skew_profile": QuerySpec(key_skew_profile, KEY_SKEW_SQL, "analytics"),
+    "key_skew_profile": QuerySpec(
+        key_skew_profile, KEY_SKEW_SQL, "analytics",
+        plan_waivers={"bnlj": "1-row table-total scalar"}),
     "bitwise_functions": QuerySpec(bitwise_functions, BITWISE_SQL, "scalar_fn"),
     "pandas_udf_scalar": QuerySpec(pandas_udf_scalar, PANDAS_UDF_SQL, "udf"),
     "q14_promo_revenue": QuerySpec(q14_promo_revenue, Q14_SQL, "headline"),

@@ -39,3 +39,13 @@ class QuerySpec:
     oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
     category: str
     doc: str = ""
+    # Plan-shape waivers consumed by the regression gate
+    # (tests/test_scale_idioms.py::test_no_cartesian_in_registry_plans).
+    # The gate fails any registry plan containing a CartesianProduct, an
+    # unsanctioned BroadcastNestedLoopJoin, or a single-partition-fed
+    # Window; a sanction lives HERE, next to the operator it excuses,
+    # as {"bnlj": "<why the broadcast side is provably tiny>"} or
+    # {"global_window": "<why the window input is scale-independent, or
+    # which scale-safe twin ships alongside>"} — never as a hardcoded
+    # name inside the test.
+    plan_waivers: dict[str, str] | None = None

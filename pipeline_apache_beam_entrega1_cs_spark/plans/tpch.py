@@ -716,7 +716,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q7_volume_shipping": QuerySpec(q7_volume_shipping, Q7_SQL, "tpch"),
     "q8_market_share": QuerySpec(q8_market_share, Q8_SQL, "tpch"),
     "q9_product_profit": QuerySpec(q9_product_profit, Q9_SQL, "tpch"),
-    "q11_important_parts": QuerySpec(q11_important_parts, Q11_SQL, "tpch"),
+    "q11_important_parts": QuerySpec(
+        q11_important_parts, Q11_SQL, "tpch",
+        plan_waivers={"bnlj": "1-row scoped-total scalar"}),
     "q12_priority_shipping": QuerySpec(q12_priority_shipping, Q12_SQL, "tpch"),
     "q13_customer_distribution": QuerySpec(
         q13_customer_distribution, Q13_SQL, "tpch"
@@ -730,5 +732,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q19_disjunctive_revenue": QuerySpec(q19_disjunctive_revenue, Q19_SQL, "tpch"),
     "q20_heavy_suppliers": QuerySpec(q20_heavy_suppliers, Q20_SQL, "tpch"),
     "q21_waiting_suppliers": QuerySpec(q21_waiting_suppliers, Q21_SQL, "tpch"),
-    "q22_inactive_customers": QuerySpec(q22_inactive_customers, Q22_SQL, "tpch"),
+    "q22_inactive_customers": QuerySpec(
+        q22_inactive_customers, Q22_SQL, "tpch",
+        plan_waivers={"bnlj": "1-row avg-balance scalar"}),
 }

@@ -266,83 +266,140 @@ def test_observe_single_pass_metrics(spark, sf_dir):
     assert metrics["gross"] == expected["g"]
 
 
+# Nodes a SinglePartition exchange's rows flow through unchanged in
+# cardinality on their way to a consumer: if only these separate the
+# exchange from a Window, every input row is sorted in ONE task — the
+# global-window shape the gate exists to catch. Anything else (an
+# aggregate, a join, another Exchange) re-shapes the data first.
+_PASS_THROUGH_NODES = frozenset({
+    "Sort", "Project", "Filter", "ColumnarToRow", "InputAdapter",
+    "WholeStageCodegen", "AQEShuffleRead", "ShuffleQueryStage",
+    "ReusedExchange", "Coalesce",
+})
+
+
+def _plan_tree_nodes(plan: str) -> list[tuple[int, str, int]]:
+    """Parse the formatted plan's tree section into (indent_depth,
+    node_name, node_id) in render order — parents render above their
+    children at smaller indentation."""
+    import re
+
+    nodes = []
+    for line in plan.splitlines():
+        m = re.match(r"^([ :+|*-]*)([A-Za-z]\w*)[^(\n]*\((\d+)\)", line)
+        if m:
+            nodes.append((len(m.group(1)), m.group(2), int(m.group(3))))
+    return nodes
+
+
+def has_single_partition_window(plan: str) -> bool:
+    """True iff a Window/WindowGroupLimit consumes an Exchange
+    SinglePartition through pass-through nodes only — walking the tree
+    section's ancestor chain, not the detail numbering (consecutive
+    detail ids do not guarantee a consumer relationship: ADVICE r05)."""
+    import re
+
+    args_by_id: dict[int, str] = {}
+    for m in re.finditer(r"^\((\d+)\) Exchange\b", plan, re.M):
+        tail = plan[m.end(): m.end() + 500]
+        am = re.search(r"^Arguments: (.*)$", tail, re.M)
+        args_by_id[int(m.group(1))] = am.group(1) if am else ""
+    if not args_by_id:
+        return False
+    nodes = _plan_tree_nodes(plan)
+    for idx, (depth, name, nid) in enumerate(nodes):
+        if name != "Exchange" or not args_by_id.get(nid, "").startswith(
+            "SinglePartition"
+        ):
+            continue
+        # ancestors: nearest preceding lines at strictly smaller depth
+        d = depth
+        for adepth, aname, _ in reversed(nodes[:idx]):
+            if adepth >= d:
+                continue
+            d = adepth
+            if aname in ("Window", "WindowGroupLimit"):
+                return True
+            if aname not in _PASS_THROUGH_NODES:
+                break  # cardinality re-shaped before any Window
+    return False
+
+
+def test_single_partition_window_detector(spark, sf_dir):
+    """The detector itself: fires on a real global-ORDER-BY window plan
+    (including one with interposed Project/Filter nodes the old 2-node
+    scan missed) and stays quiet on a partitioned window and on a 1-row
+    global aggregate."""
+    from pyspark.sql import Window
+
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w_global = Window.orderBy("l_extendedprice")
+    flagged = li.withColumn("rn", F.row_number().over(w_global))
+    assert has_single_partition_window(physical_plan(flagged))
+    # consumer further away than the detail numbering's +2: Window above
+    # a Project above a Filter above the Sort fed by the exchange
+    flagged_far = (
+        li.withColumn("rn", F.row_number().over(w_global))
+        .filter(F.col("rn") > 0)
+        .select("l_orderkey", "l_extendedprice", "rn")
+        .withColumn("lead_key", F.lead("l_orderkey").over(w_global))
+    )
+    assert has_single_partition_window(physical_plan(flagged_far))
+
+    w_part = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ok = li.withColumn("rn", F.row_number().over(w_part))
+    assert not has_single_partition_window(physical_plan(ok))
+    one_row = li.agg(F.sum("l_quantity").alias("s"))
+    assert not has_single_partition_window(physical_plan(one_row))
+
+
 def test_no_cartesian_in_registry_plans(spark, sf_dir):
     """Scale guard (the explain-audit, promoted to a regression gate): no
     registry plan may contain a CartesianProduct; BroadcastNestedLoopJoin
     is allowed only where the broadcast side is a provably tiny
-    scalar/query set (documented allowlist); and a Window fed by an
-    Exchange SinglePartition — the global-sort-into-one-task shape — is
-    allowed only where the window input cardinality is scale-independent
-    or the entry is the documented exact-tier exception. Catches a future
-    operator reintroducing a round-1-style crossJoin or global window."""
-    import contextlib
-    import io
-    import re
-
+    scalar/query set; and a Window fed by an Exchange SinglePartition —
+    the global-sort-into-one-task shape — is allowed only where the
+    window input cardinality is scale-independent or the entry is the
+    documented exact-tier exception. Sanctions are NOT hardcoded here:
+    each lives on its operator's QuerySpec.plan_waivers with a
+    justification (plans/spec.py), so the registry stays the single
+    source of truth and a new entry can't ride an unrelated waiver."""
     from pipeline_apache_beam_entrega1_cs_spark.plans.registry import all_queries
 
-    # BNLJ sanctioned: broadcast side is O(1) rows (scalar aggregate) or a
-    # fixed small query set (exact-ANN baseline / IVF probe scoring).
-    BNLJ_OK = {
-        "ann_cosine_topk",      # |queries| x corpus stream — exact baseline
-        "ann_ivf_topk",         # query x n_centroids scoring
-        "ann_lsh_topk",         # MLlib approxSimilarityJoin internals
-        "q11_important_parts",  # 1-row scoped total
-        "q15_top_supplier",     # 1-row max revenue
-        "q17_small_qty_revenue",  # 1-row avg threshold
-        "q20_heavy_suppliers",  # 1-row threshold
-        "q22_inactive_customers",  # 1-row avg balance
-        "scalar_subquery_parts",  # 1-row avg price
-        "cte_above_avg_nations",  # 1-row global avg
-        "correlated_subquery_orders",  # decorrelated 1-row per-group threshold
-        "curation_pipeline",    # 1-row corpus-size scalar in IDF
-        "text_tfidf_top_terms",  # 1-row corpus-size scalar in IDF
-        "dedup_minhash_lsh",    # MLlib approxSimilarityJoin internals
-        "decile_stats_bucketed",  # 1-row min/max bounds broadcast
-        "text_unigram_logprob",   # 1-row corpus token total
-        "text_bigram_pmi",        # 1-row token + bigram totals
-        "key_skew_profile",       # 1-row table-total scalar
-        "embedding_kmeans_lloyd",  # k-row centroid broadcast per iteration
-    }
-    # Single-partition window sanctioned: input cardinality is a
-    # categorical constant (mixture: #distinct sources) or the entry is
-    # the documented exact-tier exception whose scale-safe twin ships
-    # alongside it (ntile_decile_stats -> decile_stats_bucketed).
-    GLOBAL_WINDOW_OK = {
-        "ntile_decile_stats",  # exact-tier NTILE; use decile_stats_bucketed at scale
-        "mixture_by_source",   # window input = #distinct sources (O(1))
-    }
     skip_prefixes = ("streaming_", "sink_")  # these execute side effects
     failures = []
     for name, spec in all_queries().items():
         if name.startswith(skip_prefixes):
             continue
-        df = spec.fn(spark, sf_dir)
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain("formatted")
-        plan = buf.getvalue()
+        waivers = spec.plan_waivers or {}
+        plan = physical_plan(spec.fn(spark, sf_dir))
         if "CartesianProduct" in plan:
             failures.append(f"{name}: CartesianProduct")
-        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+        if "BroadcastNestedLoopJoin" in plan and "bnlj" not in waivers:
             failures.append(f"{name}: unsanctioned BroadcastNestedLoopJoin")
-        # Ordered walk of the formatted plan's detail nodes: an Exchange
-        # whose argument is SinglePartition feeding a Window (directly or
-        # through the window's Sort) is the global-window shape. A
-        # SinglePartition exchange under a 1-row final aggregate does NOT
-        # match — no Window consumes it.
-        nodes = []
-        for m in re.finditer(r"^\(\d+\) (\w+)", plan, re.M):
-            tail = plan[m.end(): m.end() + 2000]
-            am = re.search(r"^Arguments: (.*)$", tail, re.M)
-            nodes.append((m.group(1), am.group(1) if am else ""))
-        for i, (node, args) in enumerate(nodes):
-            if node == "Exchange" and args.startswith("SinglePartition"):
-                consumers = [n for n, _ in nodes[i + 1: i + 3]]
-                if (
-                    ("Window" in consumers or "WindowGroupLimit" in consumers)
-                    and name not in GLOBAL_WINDOW_OK
-                ):
-                    failures.append(f"{name}: single-partition Window")
-                    break
+        if has_single_partition_window(plan) and "global_window" not in waivers:
+            failures.append(f"{name}: single-partition Window")
     assert not failures, f"scale smells in plans: {failures}"
+
+
+def test_plan_waivers_not_stale(spark, sf_dir):
+    """Every declared waiver must still be needed: a waiver whose smell
+    no longer appears in the plan is dead weight that could silently
+    sanction a future regression."""
+    from pipeline_apache_beam_entrega1_cs_spark.plans.registry import all_queries
+
+    skip_prefixes = ("streaming_", "sink_")
+    stale = []
+    for name, spec in all_queries().items():
+        if not spec.plan_waivers or name.startswith(skip_prefixes):
+            continue
+        plan = physical_plan(spec.fn(spark, sf_dir))
+        if "bnlj" in spec.plan_waivers and "BroadcastNestedLoopJoin" not in plan:
+            stale.append(f"{name}: bnlj waiver but no BNLJ in plan")
+        if "global_window" in spec.plan_waivers and not has_single_partition_window(
+            plan
+        ):
+            stale.append(f"{name}: global_window waiver but no such shape")
+    assert not stale, f"stale plan waivers: {stale}"
