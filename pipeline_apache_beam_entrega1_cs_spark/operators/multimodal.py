@@ -110,6 +110,69 @@ def with_magic_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+def with_container_payload(docs: DataFrame) -> DataFrame:
+    """Binary payloads with real container structure: doc_id % 4 == 0
+    rows get a PNG prefix that is structurally valid through its first
+    chunk — the 8-byte magic plus a real IHDR (length 13, type 'IHDR',
+    big-endian u32 width/height derived from doc_id, bit depth 8, color
+    type 2 truecolor) — followed by the UTF-8 text bytes as stand-in
+    chunk data; the other residues get the bare JPEG/GIF/none magics
+    from MAGIC_HEADERS. Deterministic, so fixed-offset parsing is
+    testable against a SQL oracle; the `%` stays sign-preserving and
+    the otherwise-branch mirrors the oracle's ELSE (empty header)."""
+    def be32_hex(c):
+        return F.lpad(F.hex(c.cast("bigint")), 8, "0")
+
+    width = F.col("doc_id") % 640 + 16
+    height = F.col("doc_id") % 480 + 16
+    png_hdr = F.concat(
+        F.lit("89504E470D0A1A0A"),  # magic
+        F.lit("0000000D"),          # IHDR data length = 13
+        F.lit("49484452"),          # chunk type 'IHDR'
+        be32_hex(width),
+        be32_hex(height),
+        F.lit("08"),                # bit depth
+        F.lit("02"),                # color type: truecolor
+    )
+    hdr = (
+        F.when(F.col("doc_id") % 4 == 0, F.unhex(png_hdr))
+        .when(F.col("doc_id") % 4 == 1, F.unhex(F.lit(MAGIC_HEADERS[1][1])))
+        .when(F.col("doc_id") % 4 == 2, F.unhex(F.lit(MAGIC_HEADERS[2][1])))
+        .otherwise(F.unhex(F.lit("")))
+    )
+    return docs.withColumn(
+        "payload", F.concat(hdr, F.encode(F.col("text"), "UTF-8"))
+    )
+
+
+def png_ihdr_meta(docs_with_payload: DataFrame) -> DataFrame:
+    """Fixed-offset container metadata extraction WITHOUT a codec: the
+    real first step of a multimodal ingest that needs image dimensions
+    before deciding what to decode. Validates the 8-byte PNG magic and
+    the IHDR chunk type at bytes 13-16, then reads big-endian u32
+    width/height at offsets 17/21 and bit depth / color type at 25/26 —
+    BINARY substring + base-16 conv only, O(1) per row no matter how
+    large the blob, pure native expressions (no Python, no decode).
+    Non-PNG payloads keep their row with NULL dimensions (an ingest
+    report wants the row, not a silent drop)."""
+    p = F.col("payload")
+    is_png = (F.hex(F.substring(p, 1, 8)) == "89504E470D0A1A0A") & (
+        F.hex(F.substring(p, 13, 4)) == "49484452"
+    )
+
+    def be_uint(pos: int, nbytes: int):
+        return F.conv(F.hex(F.substring(p, pos, nbytes)), 16, 10).cast("long")
+
+    return docs_with_payload.select(
+        "doc_id",
+        is_png.cast("long").alias("is_png"),
+        F.when(is_png, be_uint(17, 4)).alias("width"),
+        F.when(is_png, be_uint(21, 4)).alias("height"),
+        F.when(is_png, be_uint(25, 1)).alias("bit_depth"),
+        F.when(is_png, be_uint(26, 1)).alias("color_type"),
+    )
+
+
 def detect_format(docs_with_payload: DataFrame) -> DataFrame:
     """Magic-number format detection over a binary column — the first
     pass a multimodal ingest runs on opaque blobs. Pure native
@@ -158,6 +221,57 @@ def byte_entropy(docs: DataFrame, max_bytes: int = 256,
     measured: 2.4× SLOWER — per-element struct construction dominates.)
     Zero-length payloads drop out (consistently with the UNNEST-based
     oracle)."""
+    frame = _byte_run_frame(docs, max_bytes, payload_col)
+    n = F.size(F.col("_s"))
+    sum_clogc = F.aggregate(
+        F.col("_counts"), F.lit(0.0), lambda acc, c: acc + c * F.log2(c)
+    )
+    return frame.select(
+        "doc_id",
+        "byte_len",
+        n.cast("long").alias("n_bytes"),
+        F.size(F.col("_starts")).cast("long").alias("n_distinct_bytes"),
+        F.round(F.log2(n) - sum_clogc / n, 6).alias("entropy_bits"),
+    )
+
+
+def byte_chisq(docs: DataFrame, max_bytes: int = 256,
+               payload_col: str = "payload") -> DataFrame:
+    """Chi-square statistic of the byte histogram (first ``max_bytes``
+    bytes) against the uniform distribution — the classic
+    compressed/encrypted-vs-structured classifier (ent(1)'s chi-square
+    test): random bytes land near 256 d.o.f., text scores orders of
+    magnitude higher. Complements entropy_bits: chi-square keeps
+    resolving differences entropy saturates on.
+
+    Same zero-shuffle run-length decomposition as byte_entropy; the
+    algebra collapses to chi2 = 256 * (sum of c^2) / n - n (expand
+    sum((c-e)^2/e) + (256-k)*e with e = n/256 — unobserved byte values
+    contribute through the -n term, so no 256-way explode is needed).
+    Exact-integer sums divided once keep the double bit-identical with
+    the SQL oracle."""
+    frame = _byte_run_frame(docs, max_bytes, payload_col)
+    n = F.size(F.col("_s")).cast("double")
+    sum_c2 = F.aggregate(
+        F.col("_counts"), F.lit(0.0), lambda acc, c: acc + c * c
+    )
+    return frame.select(
+        "doc_id",
+        "byte_len",
+        F.size(F.col("_s")).cast("long").alias("n_bytes"),
+        F.size(F.col("_starts")).cast("long").alias("n_distinct_bytes"),
+        F.round(F.lit(256.0) * sum_c2 / n - n, 6).alias("chi_square"),
+    )
+
+
+def _byte_run_frame(docs: DataFrame, max_bytes: int,
+                    payload_col: str) -> DataFrame:
+    """Shared per-row byte-frequency decomposition: slice the payload
+    (BINARY substring — O(max_bytes) per row regardless of blob size),
+    hex to byte pairs, sort, and derive run-lengths with higher-order
+    functions. Yields doc_id, byte_len, _s (sorted pair array), _starts
+    (run start indices), _counts (run lengths as double) with zero
+    shuffles and zero row inflation; zero-length payloads drop out."""
     if payload_col in docs.columns:
         payload = F.col(payload_col)
     else:
@@ -177,9 +291,6 @@ def byte_entropy(docs: DataFrame, max_bytes: int = 256,
     st = F.col("_starts")
     run_ends = F.concat(F.slice(st, 2, F.size(st) - 1), F.array(n))
     counts = F.zip_with(run_ends, st, lambda e, b: (e - b).cast("double"))
-    sum_clogc = F.aggregate(
-        F.col("_counts"), F.lit(0.0), lambda acc, c: acc + c * F.log2(c)
-    )
     return (
         docs.select(
             "doc_id",
@@ -189,13 +300,6 @@ def byte_entropy(docs: DataFrame, max_bytes: int = 256,
         .filter(n > 0)
         .withColumn("_starts", starts)
         .withColumn("_counts", counts)
-        .select(
-            "doc_id",
-            "byte_len",
-            n.cast("long").alias("n_bytes"),
-            F.size(st).cast("long").alias("n_distinct_bytes"),
-            F.round(F.log2(n) - sum_clogc / n, 6).alias("entropy_bits"),
-        )
     )
 
 

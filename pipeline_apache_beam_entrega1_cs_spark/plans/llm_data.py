@@ -452,6 +452,77 @@ FROM c GROUP BY 1, 2
 """
 
 
+def multimodal_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG IHDR metadata extraction from binary payloads with a real
+    IHDR chunk (operators/multimodal.with_container_payload +
+    png_ihdr_meta): validate magic + chunk type, then read big-endian
+    u32 width/height and depth/color from fixed offsets via BINARY
+    substring — honest container parsing without a codec library. The
+    oracle rebuilds the same payload and slices the same offsets on the
+    hex string (byte k..k+m-1 == hex chars 2k-1..2(k+m-1))."""
+    return M.png_ihdr_meta(M.with_container_payload(_docs(spark, sf_dir)))
+
+
+MULTIMODAL_PNG_META_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         (CASE doc_id % 4
+            WHEN 0 THEN unhex('89504E470D0A1A0A' || '0000000D' || '49484452'
+                               || lpad(hex(doc_id % 640 + 16), 8, '0')
+                               || lpad(hex(doc_id % 480 + 16), 8, '0')
+                               || '08' || '02')
+            WHEN 1 THEN unhex('FFD8FFE0')
+            WHEN 2 THEN unhex('474946383761')
+            ELSE unhex('') END) || encode(text) AS payload
+  FROM documents
+), sniff AS (
+  SELECT doc_id, hex(payload) AS h FROM p
+)
+SELECT doc_id,
+       CAST(substr(h, 1, 16) = '89504E470D0A1A0A'
+            AND substr(h, 25, 8) = '49484452' AS BIGINT) AS is_png,
+       CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+             AND substr(h, 25, 8) = '49484452'
+            THEN CAST('0x' || substr(h, 33, 8) AS BIGINT) END AS width,
+       CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+             AND substr(h, 25, 8) = '49484452'
+            THEN CAST('0x' || substr(h, 41, 8) AS BIGINT) END AS height,
+       CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+             AND substr(h, 25, 8) = '49484452'
+            THEN CAST('0x' || substr(h, 49, 2) AS BIGINT) END AS bit_depth,
+       CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+             AND substr(h, 25, 8) = '49484452'
+            THEN CAST('0x' || substr(h, 51, 2) AS BIGINT) END AS color_type
+FROM sniff
+"""
+
+
+def multimodal_byte_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square of the byte histogram vs uniform over the first 256
+    payload bytes (operators/multimodal.byte_chisq) — the
+    compressed-vs-structured classifier that keeps resolving where
+    entropy saturates. chi2 = 256 * sum(c^2)/n - n, so the oracle needs
+    only per-byte counts (no 256-way spine for unobserved values)."""
+    return M.byte_chisq(_docs(spark, sf_dir), max_bytes=256)
+
+
+MULTIMODAL_BYTE_CHISQ_SQL = """
+WITH sliced AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         regexp_extract_all(substr(hex(encode(text)), 1, 512), '..') AS bp
+  FROM documents
+), b AS (
+  SELECT doc_id, byte_len, u.byte FROM sliced, UNNEST(bp) AS u(byte)
+), c AS (
+  SELECT doc_id, byte_len, byte, COUNT(*)::DOUBLE AS c FROM b GROUP BY 1, 2, 3
+)
+SELECT doc_id, byte_len, CAST(SUM(c) AS BIGINT) AS n_bytes,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_bytes,
+       round(256.0 * SUM(c * c) / SUM(c) - SUM(c), 6) AS chi_square
+FROM c GROUP BY 1, 2
+"""
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling over video-like binary payloads (every 4th 16-byte
     frame -> content hash) via mapInPandas — operators/multimodal.py
@@ -920,6 +991,10 @@ QUERIES: dict[str, QuerySpec] = {
         multimodal_format_detect, MULTIMODAL_FORMAT_DETECT_SQL, "multimodal"),
     "multimodal_byte_entropy": QuerySpec(
         multimodal_byte_entropy, MULTIMODAL_BYTE_ENTROPY_SQL, "multimodal"),
+    "multimodal_png_meta": QuerySpec(
+        multimodal_png_meta, MULTIMODAL_PNG_META_SQL, "multimodal"),
+    "multimodal_byte_chisq": QuerySpec(
+        multimodal_byte_chisq, MULTIMODAL_BYTE_CHISQ_SQL, "multimodal"),
     "multimodal_frame_sample": QuerySpec(
         multimodal_frame_sample, MULTIMODAL_FRAME_SQL, "multimodal"),
     "dedup_components": QuerySpec(dedup_components, DEDUP_COMPONENTS_SQL, "dedup"),

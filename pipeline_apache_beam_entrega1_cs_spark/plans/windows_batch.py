@@ -296,6 +296,40 @@ FROM fp GROUP BY fp
 """
 
 
+def streaming_tfidf_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental TF-IDF corpus statistics over a streaming corpus
+    ingest: documents replayed as FOUR micro-batches through a
+    foreachBatch MERGE that maintains the (term, document-frequency,
+    corpus-size) table, exactly-once via in-state commit markers +
+    crash-safe swap (streaming/sinks.DocFreqMergeSink). Per-batch DF
+    counts and doc counts are sums — associative — so the final state
+    equals the one-shot batch DF count over the union, which is what
+    the oracle computes; idf uses the same smoothing + round(6)
+    convention as the batch text_tfidf_top_terms entry."""
+    from ..streaming.sinks import run_tfidf_state_stream
+
+    return run_tfidf_state_stream(spark, sf_dir)
+
+
+def _tfidf_state_sql() -> str:
+    from .llm_data import _TOKS
+
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t AS term
+  FROM documents, UNNEST({_TOKS}) AS u(t)
+  WHERE trim(text) <> ''
+), dfx AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY 1
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+)
+SELECT term, df, n_docs,
+       round(ln((n_docs + 1)::DOUBLE / (df + 1)) + 1.0, 6) AS idf
+FROM dfx, n
+"""
+
+
 def streaming_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous hourly aggregate maintained across FOUR replayed
     micro-batches by a foreachBatch MERGE into a parquet state table
@@ -331,6 +365,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "streaming_neardup_dedup": QuerySpec(
         streaming_neardup_dedup, _neardup_sql(), "streaming"
+    ),
+    "streaming_tfidf_state": QuerySpec(
+        streaming_tfidf_state, _tfidf_state_sql(), "streaming"
     ),
     "window_tumbling": QuerySpec(window_tumbling, WINDOW_TUMBLING_SQL, "time_window"),
     "window_sliding": QuerySpec(window_sliding, WINDOW_SLIDING_SQL, "time_window"),

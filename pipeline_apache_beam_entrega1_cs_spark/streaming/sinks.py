@@ -305,6 +305,125 @@ class FingerprintMergeSink:
         _install_state(self.state, tmp, batch_id)  # marker atomic w/ state
 
 
+class DocFreqMergeSink:
+    """``foreachBatch`` MERGE for incremental corpus statistics: the
+    TF-IDF document-frequency table maintained across micro-batches —
+    the index a continuously-ingesting training pipeline needs so new
+    documents can be TF-IDF-scored without rescanning the corpus.
+
+    Each batch contributes (term, per-batch doc frequency) plus its
+    document count; both are sums, so the merge is associative and the
+    final state over any batch slicing equals the one-shot batch DF
+    count over the union — which is what the SQL oracle checks. State
+    schema: (term, df, n_docs) with n_docs (the corpus total) repeated
+    per row so the state stays one self-contained table.
+
+    Exactly-once follows the FingerprintMergeSink contract: in-state
+    ``_merged_N`` markers installed by the same rename as the data
+    (_install_state), crash recovery via the numerically newest
+    ``state_old*``. At 100 TB each merge shuffles terms (bounded by
+    vocabulary, not corpus size), never document bodies."""
+
+    def __init__(self, state_dir: str) -> None:
+        self.state = state_dir
+        os.makedirs(os.path.dirname(state_dir), exist_ok=True)
+
+    def is_committed(self, batch_id: int) -> bool:
+        return _state_committed(self.state, batch_id)
+
+    def __call__(self, batch_df, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return  # replayed delivery of a committed batch: no-op
+        from pyspark.sql import functions as F
+
+        from ..operators.textops import tokens
+
+        # n_docs counts ALL batch docs (incl. empty text) to mirror the
+        # TF-IDF convention's corpus total (plans/llm_data.TEXT_TFIDF_SQL).
+        batch_docs = batch_df.count()
+        inc = (
+            batch_df.filter(F.trim(F.col("text")) != "")
+            .select(
+                "doc_id",
+                F.explode(F.array_distinct(tokens(F.col("text")))).alias("term"),
+            )
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        )
+        prev = _current_state(self.state)
+        prev_docs = 0
+        if prev is not None:
+            s = batch_df.sparkSession
+            prev_state = s.read.parquet(prev)
+            # 1-row scalar: the corpus total carried in the state
+            prev_docs = (prev_state.agg(F.max("n_docs")).collect()[0][0]) or 0
+            inc = (
+                prev_state.select("term", "df")
+                .unionByName(inc)
+                .groupBy("term")
+                .agg(F.sum("df").cast("long").alias("df"))
+            )
+        out = inc.withColumn(
+            "n_docs", F.lit(int(prev_docs) + int(batch_docs)).cast("long")
+        )
+        tmp = f"{self.state}_tmp{batch_id}"
+        out.write.mode("overwrite").parquet(tmp)  # materializes BEFORE swap
+        _install_state(self.state, tmp, batch_id)  # marker atomic w/ state
+
+
+def run_tfidf_state_stream(spark, sf_dir: str):
+    """Incremental TF-IDF corpus statistics end-to-end: the documents
+    table replayed as FOUR micro-batches (doc_id % 4 slices) through a
+    DocFreqMergeSink; returns the final (term, df, n_docs, idf) table
+    with idf = round(ln((n_docs+1)/(df+1)) + 1, 6) — the smoothing and
+    rounding convention the batch text_tfidf_top_terms entry uses, so
+    the two stay drop-in consistent."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..schemas import ensure_session_confs
+
+    ensure_session_confs(spark)
+    work = tempfile.mkdtemp(prefix="graft_tfidf_")
+    try:
+        raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        src = _stage_slices(raw, work, "doc_id")
+        sink = DocFreqMergeSink(os.path.join(work, "state"))
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.read.parquet(sink.state).select(
+            "term",
+            "df",
+            "n_docs",
+            F.round(
+                F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1))
+                + 1.0,
+                6,
+            ).alias("idf"),
+        )
+        # Materialize before the finally deletes the backing files; the
+        # DF table is |vocabulary| rows by construction.
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def run_neardup_dedup_stream(spark, sf_dir: str):
     """Streaming near-dup dedup end-to-end: the documents table replayed
     as FOUR micro-batches (doc_id % 4 slices) through a

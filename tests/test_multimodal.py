@@ -1,0 +1,179 @@
+"""Property + adversarial-payload tests for the binary-column operators
+(operators/multimodal.py): byte_entropy / byte_chisq / detect_format /
+png_ihdr_meta must agree with tiny plain-Python specifications on
+payloads the synthetic corpus never produces — empty, 1-byte,
+all-identical bytes (entropy 0), all-256-distinct bytes (entropy 8),
+multi-byte UTF-8, truncated magics, and random byte strings."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pipeline_apache_beam_entrega1_cs_spark.operators.multimodal import (
+    byte_chisq,
+    byte_entropy,
+    detect_format,
+    png_ihdr_meta,
+    with_container_payload,
+)
+
+MAX_BYTES = 256
+
+
+def py_byte_stats(payload: bytes) -> dict | None:
+    """Executable spec: entropy/chi-square over the first 256 bytes.
+    None == the zero-length drop rule."""
+    b = payload[:MAX_BYTES]
+    n = len(b)
+    if n == 0:
+        return None
+    c = Counter(b)
+    entropy = math.log2(n) - sum(v * math.log2(v) for v in c.values()) / n
+    chi2 = 256.0 * sum(v * v for v in c.values()) / n - n
+    return {
+        "byte_len": len(payload),
+        "n_bytes": n,
+        "n_distinct_bytes": len(c),
+        "entropy_bits": entropy,
+        "chi_square": chi2,
+    }
+
+
+def _payload_df(spark, payloads: list[bytes]):
+    return spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "doc_id long, payload binary",
+    )
+
+
+def _check_against_spec(spark, payloads: list[bytes]) -> None:
+    df = _payload_df(spark, payloads)
+    ent = {r["doc_id"]: r for r in byte_entropy(df).collect()}
+    chi = {r["doc_id"]: r for r in byte_chisq(df).collect()}
+    for i, p in enumerate(payloads):
+        spec = py_byte_stats(p)
+        if spec is None:
+            assert i not in ent and i not in chi, "zero-length row kept"
+            continue
+        for got in (ent[i], chi[i]):
+            assert got["byte_len"] == spec["byte_len"]
+            assert got["n_bytes"] == spec["n_bytes"]
+            assert got["n_distinct_bytes"] == spec["n_distinct_bytes"]
+        assert abs(ent[i]["entropy_bits"] - spec["entropy_bits"]) < 1e-6
+        assert abs(chi[i]["chi_square"] - spec["chi_square"]) < 1e-6
+
+
+def test_byte_stats_boundary_payloads(spark):
+    """The hand-picked adversarial set: empty (dropped), 1-byte
+    (entropy 0, chi2 255), all-identical (entropy 0), all-256-distinct
+    (entropy 8, chi2 0), >256 bytes (slice rule), multi-byte UTF-8."""
+    payloads = [
+        b"",
+        b"\x00",
+        b"a" * 7,
+        bytes(range(256)),
+        bytes(range(256)) * 3 + b"tail beyond the slice",
+        "héllo wörld \U0001f389".encode("utf-8"),
+        b"\xff" * 300,
+    ]
+    _check_against_spec(spark, payloads)
+
+    df = _payload_df(spark, payloads)
+    ent = {r["doc_id"]: r for r in byte_entropy(df).collect()}
+    chi = {r["doc_id"]: r for r in byte_chisq(df).collect()}
+    assert ent[1]["entropy_bits"] == 0.0 and chi[1]["chi_square"] == 255.0
+    assert ent[2]["entropy_bits"] == 0.0
+    assert ent[3]["entropy_bits"] == 8.0 and chi[3]["chi_square"] == 0.0
+    # slice rule: only the first 256 bytes count, byte_len sees them all
+    assert ent[4]["n_bytes"] == 256 and ent[4]["byte_len"] == len(
+        bytes(range(256)) * 3 + b"tail beyond the slice"
+    )
+    # multi-byte UTF-8: stats are BYTE-level (17 bytes, not 13 chars)
+    assert ent[5]["n_bytes"] == len("héllo wörld \U0001f389".encode("utf-8"))
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    payloads=st.lists(
+        st.binary(min_size=0, max_size=400), min_size=1, max_size=8
+    )
+)
+def test_byte_stats_match_python_spec(spark, payloads):
+    _check_against_spec(spark, payloads)
+
+
+def test_detect_format_truncated_magics(spark):
+    """Payloads shorter than the sniff window or matching only a magic
+    prefix must not error and must classify like a prefix table would."""
+    cases = [
+        (b"", "unknown"),
+        (b"\x89", "unknown"),                      # 1 byte of PNG magic
+        (b"\x89PNG\r\n\x1a\n", "png"),             # exactly the magic
+        (b"\xff\xd8\xff", "jpeg"),                 # JPEG SOI+1, no APP0
+        (b"\xff\xd8", "unknown"),                  # too short for FFD8FF
+        (b"GIF87a", "gif"),
+        (b"GIF87", "unknown"),
+        (b"\x89PNG\r\n\x1a\ntrailing-bytes", "png"),
+    ]
+    df = _payload_df(spark, [p for p, _ in cases])
+    got = {r["doc_id"]: r["detected_format"] for r in detect_format(df).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"payload {i}: got {got[i]}, want {want}"
+
+
+def test_png_ihdr_meta_parses_real_png_header(spark):
+    """png_ihdr_meta reads the actual big-endian IHDR fields of a real
+    PNG header byte string, and rejects truncated or magic-only
+    payloads (NULL dimensions, row kept)."""
+    real = (
+        b"\x89PNG\r\n\x1a\n"          # magic
+        + (13).to_bytes(4, "big")      # IHDR length
+        + b"IHDR"
+        + (1920).to_bytes(4, "big")    # width
+        + (1080).to_bytes(4, "big")    # height
+        + bytes([16, 6])               # bit depth 16, color type RGBA
+    )
+    magic_only = b"\x89PNG\r\n\x1a\n"
+    truncated = real[:14]  # magic + length + 'I' only
+    df = _payload_df(spark, [real, magic_only, truncated, b"not a png"])
+    rows = {r["doc_id"]: r for r in png_ihdr_meta(df).collect()}
+    assert rows[0]["is_png"] == 1
+    assert rows[0]["width"] == 1920 and rows[0]["height"] == 1080
+    assert rows[0]["bit_depth"] == 16 and rows[0]["color_type"] == 6
+    for i in (1, 2, 3):
+        assert rows[i]["is_png"] == 0
+        assert rows[i]["width"] is None and rows[i]["height"] is None
+
+
+def test_container_payload_roundtrip(spark, sf_dir):
+    """with_container_payload -> png_ihdr_meta closes the loop: every
+    doc_id % 4 == 0 row parses back exactly the width/height the
+    generator encoded; every other residue yields NULL dims."""
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = png_ihdr_meta(with_container_payload(docs))
+    bad = out.filter(
+        (
+            (F.col("doc_id") % 4 == 0)
+            & (
+                (F.col("is_png") != 1)
+                | (F.col("width") != F.col("doc_id") % 640 + 16)
+                | (F.col("height") != F.col("doc_id") % 480 + 16)
+                | (F.col("bit_depth") != 8)
+                | (F.col("color_type") != 2)
+            )
+        )
+        | ((F.col("doc_id") % 4 != 0) & (F.col("is_png") != 0))
+    )
+    assert bad.count() == 0
+    assert out.count() == docs.count()

@@ -221,6 +221,56 @@ def test_streaming_neardup_dedup_replay(spark, sf_dir, tmp_path):
     assert rows_multiset(after.select("fp", "keep_doc_id", "n_copies")) == batch_expected
 
 
+def test_streaming_tfidf_state_replay(spark, sf_dir, tmp_path):
+    """Incremental TF-IDF DF state: (1) the end-to-end entry equals the
+    one-shot batch DF count (associative merge); (2) replaying a
+    committed batch id is a no-op even with different data; (3) a
+    stranded rename-aside state is recovered with its corpus total."""
+    import os
+
+    from pipeline_apache_beam_entrega1_cs_spark.operators.textops import tokens
+    from pipeline_apache_beam_entrega1_cs_spark.plans.windows_batch import (
+        streaming_tfidf_state,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+    from pipeline_apache_beam_entrega1_cs_spark.streaming.sinks import DocFreqMergeSink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    batch_expected = rows_multiset(
+        docs.filter(F.trim(F.col("text")) != "")
+        .select("doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .withColumn("n_docs", F.lit(n_docs).cast("long"))
+    )
+
+    # (1) end-to-end entry: cold replay == batch DF count over the union
+    out = streaming_tfidf_state(spark, sf_dir)
+    assert rows_multiset(out.select("term", "df", "n_docs")) == batch_expected
+
+    # (2)+(3) drive the sink directly with 3 manual slices
+    state = str(tmp_path / "tf" / "state")
+    sink = DocFreqMergeSink(state)
+    slices = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    sink(slices[0], 0)
+    sink(slices[1], 1)
+
+    # simulated crash between the swap renames
+    os.rename(state, f"{state}_old7")
+    sink(slices[2], 2)
+    merged = spark.read.parquet(state)
+    assert rows_multiset(merged.select("term", "df", "n_docs")) == batch_expected
+
+    # replay of every committed batch with DIFFERENT data: no-op
+    replay = docs.limit(9)
+    for b in (0, 1, 2):
+        assert sink.is_committed(b)
+        sink(replay, b)
+    after = spark.read.parquet(state)
+    assert rows_multiset(after.select("term", "df", "n_docs")) == batch_expected
+
+
 def test_current_state_numeric_old_suffix(tmp_path):
     """Stranded-state recovery picks the numerically largest batch-id
     suffix: lexicographic sort would pick state_old9 over state_old10."""
