@@ -37,16 +37,25 @@ rows-only by design (ann_lsh/ivf, dedup_minhash_lsh) or
 timestamp-independent (multimodal meta, embedding ops) — stalest of
 those rotate in round 6.
 
-ROUND 6 CHORE: rotate again — promote (a) any r05 failures, (b) the
-r02-only entries left out this round (ann_lsh_topk, ann_ivf_topk,
-cogroup_order_gaps, dedup_components, dedup_embedding_cosine,
-dedup_minhash_lsh, dedup_ngram_jaccard, dedup_simhash,
-embedding_centroids, mapinarrow_text_stats, multimodal_binary_meta,
-multimodal_decode_fake, text_fingerprint, text_lang_id,
-text_winnow_sketch, plus dedup_exact / dedup_hash / text_token_stats /
-text_quality, which the round-5 additions pushed past slot 50),
-(c) entries added during round 6 itself; back-fill with r03-only
-entries (stalest remaining).
+ROUND 6 ROTATION (done): r05 had zero failures, so the window holds
+(a) the 3 round-6 additions (multimodal_png_meta, multimodal_byte_chisq,
+streaming_tfidf_state), (b) all 19 r02-only entries — the LLM-data
+dedup family, ANN, text ops, multimodal meta, embedding_centroids,
+cogroup/mapinarrow — whose driver evidence was three rounds old,
+(c) back-fill with 28 of the 48 r03-only entries, streaming/UDF/sink/
+window/join surfaces first (the execution-path-heavy ones), then
+scalar/aggregate stragglers.
+
+ROUND 7 CHORE: rotate again — promote (a) any r06 failures, (b) the
+20 r03-only entries left out this round (agg_mode_exact,
+agg_regression_stats, anomaly_zscore, dq_constraint_report,
+funnel_conversion, graph_triangle_count, mixture_by_source,
+resample_ohlc, retention_cohorts, rollup_time_hierarchy,
+scd2_user_state, split_train_val_test, stratified_sample_hash,
+text_bpe_token_count, text_chunk_sliding, text_decontaminate,
+text_repetition_stats, text_scrub_blocklist, timeseries_gapfill,
+upsert_changeset), (c) entries added during round 7 itself; back-fill
+with the stalest r04-only entries.
 """
 
 from __future__ import annotations
@@ -65,72 +74,67 @@ from . import (
 )
 from .spec import QuerySpec
 
-# Front of the driver's 50-entry correctness window for round 5:
-# round-5 additions (inserted at the top as they land), then the 14
-# entries whose only driver row is r01, then r02-only back-fill
-# (time-dependent entries first). Everything fresher rides at the back.
+# Front of the driver's 50-entry correctness window for round 6:
+# round-6 additions first, then the 19 entries whose latest driver row
+# is r02 (the marquee LLM-data operators the round-5 rotation deferred),
+# then r03-only back-fill. Everything fresher rides at the back.
 DRIVER_PRIORITY: list[str] = [
-    # --- round-5 additions: never driver-checked ---
-    "streaming_neardup_dedup",
-    "multimodal_format_detect",
-    "multimodal_byte_entropy",
-    "embedding_kmeans_lloyd",
-    "agg_approx_top_k",
-    "dedup_minhash_banded",
-    "agg_grouping_id",
-    # --- r01-only evidence: the six set ops + seven scalar-function
-    # families + date_functions; all predate the round-4 testdata
-    # timestamp re-encoding (nanos-long -> parquet us/NTZ) ---
-    "date_functions",
-    "set_union",
-    "set_union_all",
-    "set_intersect",
-    "set_intersect_all",
-    "set_except",
-    "set_except_all",
-    "string_functions",
-    "math_functions",
-    "conditional_functions",
-    "json_functions",
-    "map_functions",
-    "array_functions",
-    "higher_order_functions",
-    # --- r02-only back-fill, time-dependent first: TPC-H date-filter
-    # queries, batch/streaming windows, watermark dedup ---
-    "q1_pricing_summary",
-    "q4_late_shipments",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_priority_shipping",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q20_heavy_suppliers",
-    "q21_waiting_suppliers",
-    "q22_inactive_customers",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q16_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "streaming_tumbling",
-    "streaming_stream_join",
-    "streaming_dedup_watermark",
-    "streaming_stateful_counter",
-    "dedup_keyed_first",
-    # --- r02-only back-fill, timestamp-independent ---
-    "curation_pipeline",
-    "profile_documents",
+    # --- round-6 additions: never driver-checked ---
+    "multimodal_png_meta",
+    "multimodal_byte_chisq",
+    "streaming_tfidf_state",
+    # --- r02-only evidence: dedup family, ANN, text ops, multimodal
+    # meta, embedding_centroids, cogroup/mapinarrow ---
     "dedup_exact",
     "dedup_hash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "dedup_embedding_cosine",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
     "text_token_stats",
     "text_quality",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_winnow_sketch",
+    "embedding_centroids",
+    "multimodal_binary_meta",
+    "multimodal_decode_fake",
+    "cogroup_order_gaps",
+    "mapinarrow_text_stats",
+    # --- r03-only back-fill: execution-path-heavy surfaces first
+    # (streaming, Arrow/UDF boundaries, sinks, windows, joins), then
+    # scalar/aggregate stragglers ---
+    "streaming_session",
+    "streaming_sliding",
+    "multimodal_frame_sample",
+    "dedup_embedding_cosine_lsh",
+    "embedding_quantize_int8",
+    "pandas_udf_scalar",
+    "applyinpandas_trimmed_mean",
+    "udtf_order_installments",
+    "sink_csv_roundtrip",
+    "sink_jsonl_roundtrip",
+    "sink_xml_roundtrip",
+    "q10_returned_revenue",
+    "window_range_frame",
+    "window_value_navigation",
+    "join_asof_forward",
+    "join_shuffle_hash",
+    "join_skew_salted",
+    "recursive_month_spine",
+    "lateral_topk_customers",
+    "group_by_all_orders",
+    "correlated_subquery_orders",
+    "filter_null_safe_eq",
+    "explode_lateral",
+    "variant_functions",
+    "bitwise_functions",
+    "string_similarity",
+    "agg_filtered_bool",
+    "agg_histogram",
 ]
 
 
