@@ -329,6 +329,15 @@ def kmeans_lloyd(embeddings: DataFrame, k: int = 8, iters: int = 2) -> DataFrame
     vecs = embeddings.select(
         "vec_id", _as_double("embedding").alias("v")
     )
+    cents, assign = _kmeans_fit(vecs, k, iters)
+    return assign(cents).select("vec_id", "cluster")
+
+
+def _kmeans_fit(vecs: DataFrame, k: int, iters: int):
+    """Shared unrolled-Lloyd fit (see kmeans_lloyd for the determinism
+    conventions): returns the final centroid DataFrame (cluster, c) and
+    the assign(cents) function — so the deterministic IVF can reuse the
+    exact same quantizer its SQL oracle replays."""
     cents = vecs.filter(F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("c")
     )
@@ -362,4 +371,68 @@ def kmeans_lloyd(embeddings: DataFrame, k: int = 8, iters: int = 2) -> DataFrame
                 ).alias("c")
             )
         )
-    return assign(cents).select("vec_id", "cluster")
+    return cents, assign
+
+
+def ivf_ann_topk_det(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 8,
+    iters: int = 2,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Deterministic IVF approximate nearest neighbors: the same
+    inverted-file structure as ivf_ann_topk, but the coarse quantizer is
+    the deterministic unrolled-Lloyd k-means (_kmeans_fit) instead of
+    MLlib — so the ENTIRE path (centroid fit -> list assignment ->
+    n_probe nearest-list pruning -> exact cosine re-rank) is replayable
+    as plain SQL and hash-comparable cross-engine. The same move
+    dedup_minhash_banded made for the MinHash family: the ANN scale path
+    gains a value-hash-oracle-able variant beside the MLlib one.
+
+    Scale shape is unchanged from ivf_ann_topk: the corpus-side
+    structure is a (cluster -> rows) partitioning (a cluster-partitioned
+    table at 100 TB, probes are partition-pruned scans), centroids are a
+    k-row broadcast, and per-query cost drops from |corpus| to roughly
+    |corpus| * n_probe / n_centroids. Recall vs the exact baseline is
+    asserted in tests like the MLlib variant's."""
+    vecs = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    cents, assign = _kmeans_fit(vecs, n_centroids, iters)
+    assigned = assign(cents)  # (vec_id, v, cluster) — the inverted lists
+
+    q = assigned.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q_v")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("c_dist").asc(), F.col("cluster").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "q_v",
+            "cluster",
+            F.round(_sq_dist(F.col("q_v"), F.col("c")), 6).alias("c_dist"),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "q_v", "cluster")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        probes.join(assigned, "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(cosine(F.col("q_v"), F.col("v")), 6).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id", "cand_id", "cos_sim", F.col("rk").cast("long").alias("rank")
+        )
+    )

@@ -845,6 +845,46 @@ FROM tagged GROUP BY event_type, target_rate
 """
 
 
+def sample_fixed_k_per_stratum(spark: SparkSession, sf_dir: str,
+                               k: int = 50) -> DataFrame:
+    """Balanced fixed-k per-stratum sample — the eval/calibration-set
+    drawer (exactly k rows per class, however skewed the class sizes):
+    membership is the first k rows per stratum in md5(key) order, so the
+    draw is deterministic across runs, engines, AND partitioning — the
+    rank analog of the rate-based stratified_sample_hash.
+
+    Scale shape: the hash is computed in the scan projection and the
+    per-stratum rank filter is a WindowGroupLimit — Spark pushes the
+    top-k below the shuffle, so only ~k rows per stratum per map task
+    reach the Exchange instead of the full table."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")).asc(),
+        F.col("o_orderkey").asc(),
+    )
+    return (
+        orders.select("o_orderpriority", "o_orderkey")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("rk").cast("long").alias("draw_rank"),
+        )
+    )
+
+
+SAMPLE_FIXED_K_SQL = """
+SELECT o_orderpriority, o_orderkey, draw_rank FROM (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(row_number() OVER (PARTITION BY o_orderpriority
+              ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS BIGINT)
+           AS draw_rank
+  FROM orders
+) WHERE draw_rank <= 50
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "funnel_conversion": QuerySpec(funnel_conversion, FUNNEL_SQL, "analytics"),
     "retention_cohorts": QuerySpec(retention_cohorts, RETENTION_SQL, "analytics"),
@@ -864,6 +904,9 @@ QUERIES: dict[str, QuerySpec] = {
         plan_waivers={"bnlj": "1-row min/max bounds broadcast"},
     ),
     "graph_triangle_count": QuerySpec(graph_triangle_count, TRIANGLE_SQL, "graph"),
+    "sample_fixed_k_per_stratum": QuerySpec(
+        sample_fixed_k_per_stratum, SAMPLE_FIXED_K_SQL, "sampling"
+    ),
     "stratified_sample_hash": QuerySpec(
         stratified_sample_hash, STRATIFIED_SQL, "sampling"
     ),

@@ -205,6 +205,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_ann_topk(_emb(spark, sf_dir), QUERY_IDS, k=5)
 
 
+def ann_ivf_topk_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic IVF ANN (operators/similarity.ivf_ann_topk_det):
+    the unrolled-Lloyd quantizer replaces MLlib k-means, making the
+    whole inverted-file search replayable as SQL — the ANN family's
+    hash-green scale path (the dedup_minhash_banded move)."""
+    return S.ivf_ann_topk_det(_emb(spark, sf_dir), QUERY_IDS, k=5)
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
@@ -688,13 +696,17 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.kmeans_lloyd(_emb(spark, sf_dir), k=8, iters=2)
 
 
-def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
-    """Unrolled-Lloyd oracle: one (a_t, c_t) CTE pair per iteration,
-    argmin via row_number over (rounded distance, cluster)."""
-    dist = (
-        "round(list_sum(list_transform(generate_series(1, len(v.v)), "
-        "i -> (v.v[i]-c.c[i])*(v.v[i]-c.c[i]))), 6)"
-    )
+_KMEANS_DIST = (
+    "round(list_sum(list_transform(generate_series(1, len(v.v)), "
+    "i -> (v.v[i]-c.c[i])*(v.v[i]-c.c[i]))), 6)"
+)
+
+
+def _kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
+    """Shared unrolled-Lloyd CTE chain: one (a_t, c_t) pair per
+    iteration, argmin via row_number over (rounded distance, cluster).
+    Returns (cte_sql, final_centroid_cte_name) — used by both the plain
+    k-means oracle and the deterministic-IVF oracle."""
     sql = f"""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -706,7 +718,7 @@ WITH v AS (
         sql += f""", a{t} AS (
   SELECT vec_id, v, cluster FROM (
     SELECT v.vec_id, v.v, c.cluster,
-           row_number() OVER (PARTITION BY v.vec_id ORDER BY {dist}, c.cluster) AS rn
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {_KMEANS_DIST}, c.cluster) AS rn
     FROM v, {prev} c
   ) WHERE rn = 1
 ), c{t} AS (
@@ -717,14 +729,55 @@ WITH v AS (
   ) GROUP BY cluster
 )"""
         prev = f"c{t}"
-    sql += f"""
+    return sql, prev
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    ctes, cfinal = _kmeans_ctes(k, iters)
+    return ctes + f"""
 SELECT vec_id, cluster FROM (
   SELECT v.vec_id, c.cluster,
-         row_number() OVER (PARTITION BY v.vec_id ORDER BY {dist}, c.cluster) AS rn
-  FROM v, {prev} c
+         row_number() OVER (PARTITION BY v.vec_id ORDER BY {_KMEANS_DIST}, c.cluster) AS rn
+  FROM v, {cfinal} c
 ) WHERE rn = 1
 """
-    return sql
+
+
+def _ivf_det_sql(n_queries: int = 10, k: int = 5, n_centroids: int = 8,
+                 iters: int = 2, n_probe: int = 4) -> str:
+    """Deterministic-IVF oracle: replay the unrolled-Lloyd quantizer,
+    assign inverted lists, keep each query's n_probe nearest centroids,
+    exact-cosine re-rank inside the probed lists only."""
+    ctes, cfinal = _kmeans_ctes(n_centroids, iters)
+    return ctes + f""", assigned AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT v.vec_id, v.v, c.cluster,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {_KMEANS_DIST}, c.cluster) AS rn
+    FROM v, {cfinal} c
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM assigned WHERE vec_id < {n_queries}
+), probes AS (
+  SELECT query_id, qv, cluster FROM (
+    SELECT q.query_id, q.qv, c.cluster,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             round(list_sum(list_transform(generate_series(1, len(q.qv)),
+                   i -> (q.qv[i]-c.c[i])*(q.qv[i]-c.c[i]))), 6), c.cluster) AS rn
+    FROM q, {cfinal} c
+  ) WHERE rn <= {n_probe}
+), cand AS (
+  SELECT p.query_id, a.vec_id AS cand_id,
+         round(list_cosine_similarity(p.qv, a.v), 6) AS cos_sim
+  FROM probes p JOIN assigned a USING (cluster)
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, cand_id, cos_sim, rank FROM (
+  SELECT query_id, cand_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, cand_id ASC) AS BIGINT) AS rank
+  FROM cand
+) WHERE rank <= {k}
+"""
 
 
 EMBEDDING_CENTROIDS_SQL = """
@@ -977,6 +1030,9 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, None, "similarity",
                               doc="IVF k-means lists + probe; recall tested vs exact",
                               plan_waivers={"bnlj": "query x n_centroids scoring"}),
+    "ann_ivf_topk_det": QuerySpec(
+        ann_ivf_topk_det, _ivf_det_sql(), "similarity",
+        plan_waivers={"bnlj": "k-row centroid broadcast (quantizer fit + probe scoring)"}),
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_STATS_SQL, "text"),
     "text_bpe_token_count": QuerySpec(text_bpe_token_count, TEXT_BPE_TOKEN_SQL, "text"),
     "text_lang_id": QuerySpec(text_lang_id, TEXT_LANG_ID_SQL, "text"),

