@@ -780,6 +780,126 @@ SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
 """
 
 
+def graph_pagerank(spark: SparkSession, sf_dir: str, iters: int = 3,
+                   d: float = 0.85) -> DataFrame:
+    """PageRank with a FIXED iteration count as one straight-line
+    Catalyst plan — the third unrolled-iteration demonstration beside
+    kmeans_lloyd and the recursive-CTE components (an unknown count
+    would loop the body driver-side like connected_components).
+
+    Graph: the customer<->supplier trade graph from a deterministic
+    1-in-20 order sample, run as a symmetric digraph (both directions
+    of every trade edge) so no node dangles. Supplier node ids are
+    offset by 1e6 to keep the id spaces disjoint.
+
+    Determinism (the conventions that make an iterative double
+    computation hash-comparable cross-engine, plans/spec.py): each
+    edge contribution pr/outdeg is rounded to 12 dp and summed as
+    DECIMAL(28,14) — exact, partition-order independent; the
+    decimal->double conversion goes through a string cast; each new
+    rank rounds to 9 dp so both engines re-enter the next iteration on
+    identical doubles.
+
+    Scale shape per iteration: one (rank JOIN edges-with-outdeg) hash
+    join shuffling on node ids + one mergeable decimal-sum aggregate —
+    linear in |E|; the 1-row node-count scalar is a broadcast attach
+    (waivered BNLJ). Nothing materializes between iterations: the whole
+    3-iteration computation is a single plan Catalyst pipelines."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_suppkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + 1000000).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    edges_deg = edges.join(outdeg, "src")
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nstats = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))  # 1-row scalar
+
+    pr = nodes.crossJoin(F.broadcast(nstats)).select(
+        "node", F.round(F.lit(1.0) / F.col("n_nodes"), 9).alias("pr")
+    )
+    for _ in range(iters):
+        inc = (
+            pr.join(edges_deg, pr.node == edges_deg.src)
+            .select(
+                "dst",
+                F.round(F.col("pr") / F.col("odeg"), 12)
+                .cast("decimal(28,14)")
+                .alias("w"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("w").cast("decimal(28,14)").alias("contrib"))
+        )
+        pr = (
+            nodes.join(inc, nodes.node == inc.dst, "left")
+            .crossJoin(F.broadcast(nstats))
+            .select(
+                "node",
+                F.round(
+                    (1.0 - d) / F.col("n_nodes")
+                    + d
+                    * F.coalesce(
+                        F.col("contrib"), F.lit(0).cast("decimal(28,14)")
+                    ).cast("string").cast("double"),
+                    9,
+                ).alias("pr"),
+            )
+        )
+    return pr
+
+
+def _pagerank_sql(iters: int = 3, d: float = 0.85) -> str:
+    """Unrolled-PageRank oracle: one pr_t CTE per iteration mirroring
+    the Spark loop's rounding/decimal conventions exactly."""
+    sql = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_orderkey % 20 = 0
+), edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+), outdeg AS (
+  SELECT src, COUNT(*) AS odeg FROM edges GROUP BY src
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), n AS (
+  SELECT COUNT(*) AS n_nodes FROM nodes
+), pr0 AS (
+  SELECT node, round(1.0 / n_nodes, 9) AS pr FROM nodes, n
+)"""
+    prev = "pr0"
+    for t in range(1, iters + 1):
+        sql += f""", pr{t} AS (
+  SELECT nodes.node,
+         round({1.0 - d} / n.n_nodes + {d} *
+               CAST(CAST(COALESCE(inc.contrib, 0) AS VARCHAR) AS DOUBLE), 9) AS pr
+  FROM nodes
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM(CAST(round(p.pr / o.odeg, 12) AS DECIMAL(28,14)))
+                AS DECIMAL(28,14)) AS contrib
+    FROM {prev} p JOIN edges e ON p.node = e.src JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst
+  ) inc USING (node), n
+)"""
+        prev = f"pr{t}"
+    return sql + f"\nSELECT node, pr FROM {prev}\n"
+
+
 # --------------------------------------------------------------------------
 # Hash-stratified sampling
 # --------------------------------------------------------------------------
@@ -904,6 +1024,9 @@ QUERIES: dict[str, QuerySpec] = {
         plan_waivers={"bnlj": "1-row min/max bounds broadcast"},
     ),
     "graph_triangle_count": QuerySpec(graph_triangle_count, TRIANGLE_SQL, "graph"),
+    "graph_pagerank": QuerySpec(
+        graph_pagerank, _pagerank_sql(), "graph",
+        plan_waivers={"bnlj": "1-row node-count scalar attach"}),
     "sample_fixed_k_per_stratum": QuerySpec(
         sample_fixed_k_per_stratum, SAMPLE_FIXED_K_SQL, "sampling"
     ),

@@ -38,24 +38,26 @@ timestamp-independent (multimodal meta, embedding ops) — stalest of
 those rotate in round 6.
 
 ROUND 6 ROTATION (done): r05 had zero failures, so the window holds
-(a) the 5 round-6 additions (multimodal_png_meta, multimodal_byte_chisq,
-streaming_tfidf_state, ann_ivf_topk_det, sample_fixed_k_per_stratum),
-(b) all 19 r02-only entries — the LLM-data dedup family, ANN, text ops,
-multimodal meta, embedding_centroids, cogroup/mapinarrow — whose driver
-evidence was three rounds old, (c) back-fill with 26 of the 48 r03-only
-entries, streaming/UDF/sink/window/join surfaces first (the
-execution-path-heavy ones), then scalar/aggregate stragglers.
+(a) the 6 round-6 additions (multimodal_png_meta, multimodal_byte_chisq,
+streaming_tfidf_state, ann_ivf_topk_det, sample_fixed_k_per_stratum,
+graph_pagerank), (b) all 19 r02-only entries — the LLM-data dedup
+family, ANN, text ops, multimodal meta, embedding_centroids,
+cogroup/mapinarrow — whose driver evidence was three rounds old,
+(c) back-fill with 25 of the 48 r03-only entries, streaming/UDF/sink/
+window/join surfaces first (the execution-path-heavy ones), then
+scalar/aggregate stragglers.
 
 ROUND 7 CHORE: rotate again — promote (a) any r06 failures, (b) the
-22 r03-only entries left out this round (agg_filtered_bool,
+23 r03-only entries left out this round (agg_filtered_bool,
 agg_histogram, agg_mode_exact, agg_regression_stats, anomaly_zscore,
 dq_constraint_report, funnel_conversion, graph_triangle_count,
 mixture_by_source, resample_ohlc, retention_cohorts,
 rollup_time_hierarchy, scd2_user_state, split_train_val_test,
-stratified_sample_hash, text_bpe_token_count, text_chunk_sliding,
-text_decontaminate, text_repetition_stats, text_scrub_blocklist,
-timeseries_gapfill, upsert_changeset), (c) entries added during round 7
-itself; back-fill with the stalest r04-only entries.
+stratified_sample_hash, string_similarity, text_bpe_token_count,
+text_chunk_sliding, text_decontaminate, text_repetition_stats,
+text_scrub_blocklist, timeseries_gapfill, upsert_changeset),
+(c) entries added during round 7 itself; back-fill with the stalest
+r04-only entries.
 """
 
 from __future__ import annotations
@@ -85,6 +87,7 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_tfidf_state",
     "ann_ivf_topk_det",
     "sample_fixed_k_per_stratum",
+    "graph_pagerank",
     # --- r02-only evidence: dedup family, ANN, text ops, multimodal
     # meta, embedding_centroids, cogroup/mapinarrow ---
     "dedup_exact",
@@ -134,7 +137,6 @@ DRIVER_PRIORITY: list[str] = [
     "explode_lateral",
     "variant_functions",
     "bitwise_functions",
-    "string_similarity",
 ]
 
 

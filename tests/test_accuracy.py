@@ -95,3 +95,44 @@ def test_approx_top_k_recall_vs_exact(spark, sf_dir):
         assert abs(cnt - exact_all[term]) / exact_all[term] <= 0.10, (
             f"{term}: approx={cnt} exact={exact_all[term]}"
         )
+
+
+def test_pagerank_mass_and_degree_ordering(spark, sf_dir):
+    """Unrolled PageRank semantic checks (beyond the hash oracle):
+    total mass stays ~1 on the symmetric no-dangling graph, every rank
+    is positive, and high-degree nodes out-rank low-degree ones on
+    average (degree-proportionality of PageRank on undirected graphs)."""
+    from pipeline_apache_beam_entrega1_cs_spark.plans.analytics import graph_pagerank
+
+    pr = graph_pagerank(spark, sf_dir).cache()
+    rows = pr.collect()
+    total = sum(r["pr"] for r in rows)
+    assert abs(total - 1.0) < 1e-3, f"mass not conserved: {total}"
+    assert all(r["pr"] > 0 for r in rows)
+
+    # rebuild the same graph's degrees and compare decile means
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_suppkey")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), (F.col("l_suppkey") + 1000000).alias("s"))
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("c").alias("node"))
+        .unionAll(pairs.select(F.col("s").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    joined = pr.join(deg, "node").collect()
+    ranked = sorted(joined, key=lambda r: r["deg"])
+    k = max(1, len(ranked) // 10)
+    low = sum(r["pr"] for r in ranked[:k]) / k
+    high = sum(r["pr"] for r in ranked[-k:]) / k
+    assert high > low, f"degree ordering violated: high={high} low={low}"
