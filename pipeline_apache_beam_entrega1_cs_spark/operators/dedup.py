@@ -333,3 +333,92 @@ def minhash_lsh_pairs(
             F.round("jaccard_dist", 6).alias("jaccard_dist"),
         )
     )
+
+
+def span_dedup(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Corpus-level duplicated-span removal — the distributed
+    approximation of substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every word n-gram that
+    occurs more than once corpus-wide is removed at every occurrence
+    EXCEPT the first (min (doc_id, start) — the keep-one-representative
+    rule), and each document's surviving words are reassembled in order.
+
+    Output: (doc_id, n_words, n_removed, clean_text) for every non-empty
+    document; clean_text = '' when the whole document was duplicated
+    spans (e.g. an exact copy of an earlier doc).
+
+    100 TB shape: three wide ops, all key-bounded — (1) a hash-aggregate
+    on md5 shingle keys (32-hex strings shuffle, never text bodies, and
+    partial aggregation collapses per-partition repeats), (2) a shuffle
+    join of shingle instances against the duplicate-key table (output
+    volume = actual duplication, never all-pairs; position coverage
+    inflates dup instances ×n only), (3) the per-doc reassembly
+    aggregate keyed by doc_id. The repartition barrier before the
+    generators is the documented anti-InferFiltersFromGenerate idiom
+    (see _shingle_arrays)."""
+    toks = (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select("doc_id", tokens(F.col("text")).alias("_tk"))
+        .repartition("doc_id")
+    )
+    # Positional (non-distinct) shingle hashes, 1-based start; docs
+    # shorter than n emit none (sequence would run DESCENDING for
+    # size < n — the when-guard is load-bearing, not cosmetic).
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_tk") - n + 1),
+        lambda i: F.md5(F.array_join(F.slice("_tk", i, n), " ")),
+    )
+    inst = (
+        toks.select(
+            "doc_id",
+            F.when(F.size("_tk") >= n, grams)
+            .otherwise(F.array().cast("array<string>"))
+            .alias("_sh"),
+        )
+        .select("doc_id", F.posexplode_outer("_sh").alias("_i", "sh"))
+        .filter(F.col("sh").isNotNull())
+        .select("doc_id", (F.col("_i") + 1).alias("start"), "sh")
+    )
+    dups = (
+        inst.groupBy("sh")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.struct("doc_id", "start")).alias("first"),
+        )
+        .filter(F.col("c") >= 2)
+    )
+    removed = inst.join(dups, "sh").filter(
+        ~(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("start") == F.col("first.start"))
+        )
+    )
+    cov = removed.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("start"), F.col("start") + n - 1)).alias("pos"),
+    ).distinct()
+    words = (
+        toks.select("doc_id", F.posexplode_outer("_tk").alias("_i", "word"))
+        .filter(F.col("word").isNotNull())
+        .select("doc_id", (F.col("_i") + 1).alias("pos"), "word")
+    )
+    kept = words.join(cov, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    sizes = toks.select("doc_id", F.size("_tk").alias("n_words"))
+    return sizes.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        (F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

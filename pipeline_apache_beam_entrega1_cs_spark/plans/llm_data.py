@@ -1009,7 +1009,54 @@ LIMIT {_PMI_TOP_K}
 """
 
 
+_SPAN_N = 8
+
+
+def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span removal: every corpus-wide repeated 8-gram is cut
+    at every occurrence but its first, and documents are reassembled —
+    the distributed form of Lee et al. 2022 substring dedup (see
+    operators/dedup.span_dedup for the 100 TB shuffle analysis)."""
+    return D.span_dedup(_docs(spark, sf_dir), n=_SPAN_N)
+
+
+DEDUP_SPAN_NGRAM_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents WHERE trim(text) <> ''
+), inst AS (
+  SELECT doc_id, i AS start, md5(array_to_string(tk[i:i+{_SPAN_N - 1}], ' ')) AS sh
+  FROM toks, UNNEST(generate_series(1, len(tk) - {_SPAN_N - 1})) AS g(i)
+  WHERE len(tk) >= {_SPAN_N}
+), ranked AS (
+  SELECT doc_id, start,
+         ROW_NUMBER() OVER (PARTITION BY sh ORDER BY doc_id, start) AS rn
+  FROM inst
+), cov AS (
+  SELECT DISTINCT doc_id, start + o AS pos
+  FROM ranked, UNNEST(generate_series(0, {_SPAN_N - 1})) AS u(o)
+  WHERE rn >= 2
+), words AS (
+  SELECT doc_id, i AS pos, tk[i] AS word
+  FROM toks, UNNEST(generate_series(1, len(tk))) AS g(i)
+), kept AS (
+  SELECT w.doc_id, w.pos, w.word FROM words w
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cov c WHERE c.doc_id = w.doc_id AND c.pos = w.pos)
+), rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         array_to_string(list(word ORDER BY pos), ' ') AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.tk) AS BIGINT) AS n_words,
+       CAST(len(t.tk) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_span_ngram": QuerySpec(dedup_span_ngram, DEDUP_SPAN_NGRAM_SQL, "dedup"),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "dedup"),
     "dedup_hash": QuerySpec(dedup_hash, DEDUP_HASH_SQL, "dedup"),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL, "dedup"),

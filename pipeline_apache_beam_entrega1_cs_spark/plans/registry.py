@@ -82,6 +82,7 @@ from .spec import QuerySpec
 # then r03-only back-fill. Everything fresher rides at the back.
 DRIVER_PRIORITY: list[str] = [
     # --- round-6 additions: never driver-checked ---
+    "dedup_span_ngram",
     "multimodal_png_meta",
     "multimodal_byte_chisq",
     "streaming_tfidf_state",

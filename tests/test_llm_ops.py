@@ -303,3 +303,28 @@ def test_minhash_banded_recall_vs_exact(spark, sf_dir):
     if confident:
         precision = len(confident & truly_similar) / len(confident)
         assert precision >= 0.8, f"est>=0.9 precision vs exact J>=0.5: {precision}"
+
+
+def test_span_dedup_removes_repeats_keeps_first(spark):
+    """Substring-dedup semantics on planted fixtures: an exact copy of an
+    earlier doc loses ALL its words (every 8-gram is a repeat of doc 1's),
+    the first occurrence keeps them; a doc sharing one 8-gram span with
+    doc 1 loses exactly that span; short (<8 words) and unique docs pass
+    through untouched."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.dedup import span_dedup
+
+    base = "a b c d e f g h i j"  # 10 words -> three 8-grams
+    rows = [
+        (1, base),                       # first occurrence: kept intact
+        (2, base),                       # exact copy: fully removed
+        (3, "x y " + "a b c d e f g h"), # shares doc 1's first 8-gram
+        (4, "p q r s"),                  # < 8 words: no shingles, untouched
+        (5, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),  # unique 8-grams, untouched
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_dedup(docs, n=8).collect()}
+    assert out[1]["clean_text"] == base and out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "" and out[2]["n_removed"] == 10
+    assert out[3]["clean_text"] == "x y" and out[3]["n_removed"] == 8
+    assert out[4]["clean_text"] == "p q r s" and out[4]["n_removed"] == 0
+    assert out[5]["n_removed"] == 0 and out[5]["n_words"] == 9
