@@ -83,6 +83,7 @@ from .spec import QuerySpec
 DRIVER_PRIORITY: list[str] = [
     # --- round-6 additions: never driver-checked ---
     "dedup_span_ngram",
+    "join_bucketed",
     "multimodal_png_meta",
     "multimodal_byte_chisq",
     "streaming_tfidf_state",

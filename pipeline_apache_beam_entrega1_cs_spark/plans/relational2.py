@@ -1037,7 +1037,55 @@ LIMIT 10
 """
 
 
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides written ``bucketBy(8,
+    <orderkey>).sortBy(<orderkey>).saveAsTable``, then joined with a
+    MERGE hint — the SortMergeJoin runs with ZERO Exchange on either
+    side because bucket layout already satisfies the join's required
+    distribution (asserted by tests/test_scale_idioms.py::
+    test_registry_bucketed_join_shuffle_free). At 100 TB this is the
+    bucketing contract: pay the shuffle once at ingest, then every
+    recurring fact-fact join on that key is shuffle-free. Oracle: the
+    same join-aggregate straight off the raw tables."""
+    import shutil
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    li_t, ord_t = f"graft_li_bkt_{tag}", f"graft_ord_bkt_{tag}"
+    for t in (li_t, ord_t):
+        # DROP TABLE only clears the catalog; stale managed-location
+        # files from a previous session make saveAsTable refuse.
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"/tmp/spark_graft_warehouse/{t}", ignore_errors=True)
+    _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable(li_t)
+    _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority").write.bucketBy(
+        8, "o_orderkey"
+    ).sortBy("o_orderkey").mode("overwrite").saveAsTable(ord_t)
+    li = spark.table(li_t)
+    orders = spark.table(ord_t).hint("merge")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum_dec(drev()).alias("revenue"),
+        )
+    )
+
+
+JOIN_BUCKETED_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_lines,
+       {sql_dsum_dec(sql_rev())} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "join_bucketed": QuerySpec(join_bucketed, JOIN_BUCKETED_SQL, "join"),
     "join_right_outer": QuerySpec(join_right_outer, JOIN_RIGHT_OUTER_SQL, "join"),
     "set_union_all": QuerySpec(set_union_all, SET_UNION_ALL_SQL, "set_op"),
     "set_intersect_all": QuerySpec(set_intersect_all, SET_INTERSECT_ALL_SQL, "set_op"),

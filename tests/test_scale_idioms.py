@@ -403,3 +403,15 @@ def test_plan_waivers_not_stale(spark, sf_dir):
         ):
             stale.append(f"{name}: global_window waiver but no such shape")
     assert not stale, f"stale plan waivers: {stale}"
+
+
+def test_registry_bucketed_join_shuffle_free(spark, sf_dir):
+    """The join_bucketed REGISTRY entry (not just the idiom) must run its
+    SortMergeJoin with no Exchange on either side — bucket layout
+    satisfies the join's required distribution."""
+    from pipeline_apache_beam_entrega1_cs_spark.plans.relational2 import join_bucketed
+
+    plan = physical_plan(join_bucketed(spark, sf_dir))
+    join_section = plan.split("HashAggregate")[0]
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in join_section, f"bucketed join still shuffles:\n{join_section}"
