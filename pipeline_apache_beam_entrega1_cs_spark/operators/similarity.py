@@ -352,7 +352,12 @@ def _kmeans_fit(vecs: DataFrame, k: int, iters: int):
                 F.min(F.struct("d", "cluster")).alias("m"),
                 F.first("v").alias("v"),  # identical within the group
             )
-            .select("vec_id", "v", F.col("m.cluster").alias("cluster"))
+            .select(
+                "vec_id",
+                "v",
+                F.col("m.d").alias("d"),
+                F.col("m.cluster").alias("cluster"),
+            )
         )
 
     for _ in range(iters):
@@ -435,4 +440,40 @@ def ivf_ann_topk_det(
         .select(
             "query_id", "cand_id", "cos_sim", F.col("rk").cast("long").alias("rank")
         )
+    )
+
+
+def pq_codes(
+    embeddings: DataFrame, m: int = 4, k: int = 4, iters: int = 1
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"): split each embedding into m
+    contiguous subvectors, fit an independent k-centroid codebook per
+    subspace with the deterministic unrolled-Lloyd recipe
+    (_kmeans_fit's conventions: init = k smallest vec_ids, 6-dp
+    rounding, min-struct argmin), and emit each vector's code word per
+    subspace plus the total squared reconstruction error.
+
+    The compression step a 100 TB embedding store runs before ADC-style
+    ANN: m log2(k) bits per vector instead of 4·dims bytes. Scale shape:
+    per subspace one k-row centroid broadcast (sanctioned BNLJ) and one
+    struct-min groupBy; the m assignment branches join back on vec_id —
+    m and k are constants, every pass is linear in the corpus."""
+    vecs = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    w = (F.size("v") / F.lit(m)).cast("int")
+    out = None
+    for s in range(m):
+        sub = vecs.select("vec_id", F.slice("v", F.lit(s) * w + 1, w).alias("v"))
+        cents, assign = _kmeans_fit(sub, k, iters)
+        a = assign(cents).select(
+            "vec_id",
+            F.col("cluster").cast("bigint").alias(f"code_{s}"),
+            F.col("d").alias(f"err_{s}"),
+        )
+        out = a if out is None else out.join(a, "vec_id")
+    err = sum(F.col(f"err_{s}") for s in range(1, m)) + F.col("err_0")
+    return out.select(
+        "vec_id",
+        *[f"code_{s}" for s in range(m)],
+        F.round(err, 6).alias("recon_err"),
     )

@@ -1009,6 +1009,61 @@ LIMIT {_PMI_TOP_K}
 """
 
 
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: m=4 subspace codebooks (k=4 each) fit with
+    the deterministic unrolled-Lloyd recipe, per-vector code words +
+    total squared reconstruction error (operators/similarity.pq_codes).
+    The compression step before ADC-style ANN at 100 TB: m·log2(k) bits
+    per vector instead of 4·dims bytes."""
+    return S.pq_codes(_emb(spark, sf_dir), m=4, k=4, iters=1)
+
+
+def _pq_sql(m: int = 4, k: int = 4, iters: int = 1) -> str:
+    """Oracle for embedding_pq_codes: replay the per-subspace unrolled
+    Lloyd fits as CTE chains (same 6-dp rounding recipe as
+    _kmeans_ctes), then join the m code/err branches on vec_id."""
+    sql = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vfull,
+         CAST(len(embedding) // {m} AS INTEGER) AS w
+  FROM embeddings
+)"""
+    for s in range(m):
+        sql += f""", vs{s} AS (
+  SELECT vec_id, vfull[({s}*w+1):(({s}+1)*w)] AS v FROM v
+), c0_{s} AS (
+  SELECT CAST(vec_id AS INTEGER) AS cluster, v AS c FROM vs{s} WHERE vec_id < {k}
+)"""
+        for t in range(1, iters + 1):
+            sql += f""", a{t}_{s} AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT v.vec_id, v.v, c.cluster,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {_KMEANS_DIST}, c.cluster) AS rn
+    FROM vs{s} v, c{t - 1}_{s} c
+  ) WHERE rn = 1
+), c{t}_{s} AS (
+  SELECT cluster, array_agg(cv ORDER BY pos) AS c FROM (
+    SELECT cluster, i AS pos, round(avg(v[i]), 6) AS cv
+    FROM a{t}_{s}, UNNEST(generate_series(1, len(v))) AS g(i)
+    GROUP BY cluster, i
+  ) GROUP BY cluster
+)"""
+        sql += f""", f{s} AS (
+  SELECT vec_id, CAST(cluster AS BIGINT) AS code_{s}, d AS err_{s} FROM (
+    SELECT v.vec_id, c.cluster, {_KMEANS_DIST} AS d,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {_KMEANS_DIST}, c.cluster) AS rn
+    FROM vs{s} v, c{iters}_{s} c
+  ) WHERE rn = 1
+)"""
+    codes = ", ".join(f"code_{s}" for s in range(m))
+    errs = " + ".join(f"err_{s}" for s in range(m))
+    joins = " ".join(f"JOIN f{s} USING (vec_id)" for s in range(1, m))
+    return sql + f"""
+SELECT vec_id, {codes}, round({errs}, 6) AS recon_err
+FROM f0 {joins}
+"""
+
+
 _SPAN_N = 8
 
 
@@ -1106,6 +1161,9 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_kmeans_lloyd": QuerySpec(
         embedding_kmeans_lloyd, _kmeans_sql(), "similarity",
         plan_waivers={"bnlj": "k-row centroid broadcast per iteration"}),
+    "embedding_pq_codes": QuerySpec(
+        embedding_pq_codes, _pq_sql(), "similarity",
+        plan_waivers={"bnlj": "k-row centroid broadcast per subspace codebook"}),
     "embedding_quantize_int8": QuerySpec(
         embedding_quantize_int8, EMBEDDING_QUANTIZE_SQL, "similarity"),
     "profile_documents": QuerySpec(profile_documents, PROFILE_DOCUMENTS_SQL, "text"),

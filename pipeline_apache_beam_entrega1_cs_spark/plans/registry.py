@@ -84,6 +84,7 @@ DRIVER_PRIORITY: list[str] = [
     # --- round-6 additions: never driver-checked ---
     "dedup_span_ngram",
     "join_bucketed",
+    "embedding_pq_codes",
     "multimodal_png_meta",
     "multimodal_byte_chisq",
     "streaming_tfidf_state",

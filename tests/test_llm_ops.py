@@ -328,3 +328,26 @@ def test_span_dedup_removes_repeats_keeps_first(spark):
     assert out[3]["clean_text"] == "x y" and out[3]["n_removed"] == 8
     assert out[4]["clean_text"] == "p q r s" and out[4]["n_removed"] == 0
     assert out[5]["n_removed"] == 0 and out[5]["n_words"] == 9
+
+
+def test_pq_codes_identical_vectors_share_codes(spark):
+    """PQ semantics on planted fixtures: identical vectors always get
+    identical code words; with only two distinct patterns the per-
+    subspace codebooks converge onto them, so reconstruction error is 0;
+    codes stay inside [0, k)."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.similarity import pq_codes
+
+    a = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    b = [9.0, 8.0, 7.0, 6.0, 5.0, 4.0, 3.0, 2.0]
+    rows = [(i, a if i % 2 == 0 else b) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_codes(emb, m=4, k=4, iters=1).collect()
+    assert len(out) == 8
+    by_pattern = {}
+    for r in out:
+        assert r["recon_err"] == 0.0
+        codes = tuple(r[f"code_{s}"] for s in range(4))
+        assert all(0 <= c < 4 for c in codes)
+        by_pattern.setdefault(r["vec_id"] % 2, set()).add(codes)
+    assert all(len(v) == 1 for v in by_pattern.values())  # same vec -> same codes
+    assert by_pattern[0] != by_pattern[1]  # distinct patterns -> distinct codes
