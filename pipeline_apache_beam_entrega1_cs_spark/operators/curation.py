@@ -32,7 +32,11 @@ REDACTED = "<redacted>"
 
 
 def decontaminate(
-    docs: DataFrame, n: int = 5, mod: int = 97, threshold: float = 0.2
+    docs: DataFrame,
+    n: int = 5,
+    mod: int = 97,
+    threshold: float = 0.2,
+    bench_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark-overlap decontamination: flag corpus documents sharing
     word-``n``-gram shingles with a held-out benchmark set.
@@ -50,12 +54,21 @@ def decontaminate(
     hit-count groupBy and the join back to per-doc totals both key on
     doc_id, which that repartition already established. Every doc is
     returned, including <n-token docs (n_sh=0, ratio 0.0).
+
+    ``bench_shingles`` (a 1-column ``shingle`` DataFrame) lets callers
+    supply the benchmark set as STATIC side input instead of deriving it
+    from ``docs`` — the incremental-ingest case, where eval suites are
+    fixed up-front but corpus documents arrive batch by batch (each
+    doc's verdict depends only on (doc, static set), so results are
+    independent of batch slicing). Docs with ``doc_id % mod == 0`` are
+    still excluded from the output either way.
     """
     sh = _shingle_arrays(docs, n)  # (doc_id, n_sh, shingles) — narrow
     bench_ids = F.col("doc_id") % mod == 0
-    bench_shingles = (
-        _explode_shingles(sh.filter(bench_ids)).select("shingle").distinct()
-    )
+    if bench_shingles is None:
+        bench_shingles = (
+            _explode_shingles(sh.filter(bench_ids)).select("shingle").distinct()
+        )
     corpus = sh.filter(~bench_ids)
     hits = (
         _explode_shingles(corpus)

@@ -85,6 +85,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_span_ngram",
     "join_bucketed",
     "embedding_pq_codes",
+    "streaming_curation_stats",
     "multimodal_png_meta",
     "multimodal_byte_chisq",
     "streaming_tfidf_state",

@@ -330,6 +330,69 @@ FROM dfx, n
 """
 
 
+def streaming_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental curation over a streaming corpus ingest: documents
+    replayed as FOUR micro-batches through a foreachBatch MERGE that
+    decontaminates each batch against a STATIC benchmark shingle set and
+    sums per-source counters (docs, contaminated, urls, emails,
+    blocklist hits) into state — exactly-once via in-state commit
+    markers + crash-safe swap (streaming/sinks.CurationStatsMergeSink).
+    Every verdict depends only on (doc, static set) and every counter is
+    a sum, so cold replay equals the one-shot batch curation pass the
+    oracle computes."""
+    from ..streaming.sinks import run_curation_stats_stream
+
+    return run_curation_stats_stream(spark, sf_dir)
+
+
+def _curation_stats_sql() -> str:
+    from ..operators import curation as C
+    from .curation import DECON_MOD, DECON_N, DECON_THRESHOLD
+    from .llm_data import _TOKS
+
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents WHERE trim(text) <> ''
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+{DECON_N - 1}], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(tk) - {DECON_N - 1})) AS g(i)
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECON_MOD} = 0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh
+  WHERE doc_id % {DECON_MOD} <> 0 GROUP BY doc_id
+), hits AS (
+  SELECT s.doc_id, COUNT(*) AS n_hits
+  FROM sh s JOIN bench USING (shingle)
+  WHERE s.doc_id % {DECON_MOD} <> 0
+  GROUP BY s.doc_id
+), decon AS (
+  SELECT d.doc_id, d.source,
+         CASE WHEN COALESCE(sz.n_sh, 0) > 0
+                   AND round(COALESCE(h.n_hits, 0)::DOUBLE / sz.n_sh, 6)
+                       >= {DECON_THRESHOLD}
+              THEN 1 ELSE 0 END AS contaminated
+  FROM documents d
+  LEFT JOIN sizes sz ON d.doc_id = sz.doc_id
+  LEFT JOIN hits h ON d.doc_id = h.doc_id
+  WHERE d.doc_id % {DECON_MOD} <> 0
+), scrub AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{C.URL_RE}')) AS n_urls,
+         len(regexp_extract_all(text, '{C.EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(text, '{C.BLOCKLIST_RE}')) AS n_blocked
+  FROM documents WHERE doc_id % {DECON_MOD} <> 0
+)
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.contaminated) AS BIGINT) AS n_contaminated,
+       CAST(SUM(s.n_urls) AS BIGINT) AS n_urls,
+       CAST(SUM(s.n_emails) AS BIGINT) AS n_emails,
+       CAST(SUM(s.n_blocked) AS BIGINT) AS n_blocked
+FROM decon d JOIN scrub s USING (doc_id)
+GROUP BY d.source
+"""
+
+
 def streaming_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous hourly aggregate maintained across FOUR replayed
     micro-batches by a foreachBatch MERGE into a parquet state table
@@ -365,6 +428,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "streaming_neardup_dedup": QuerySpec(
         streaming_neardup_dedup, _neardup_sql(), "streaming"
+    ),
+    "streaming_curation_stats": QuerySpec(
+        streaming_curation_stats, _curation_stats_sql(), "streaming"
     ),
     "streaming_tfidf_state": QuerySpec(
         streaming_tfidf_state, _tfidf_state_sql(), "streaming"

@@ -464,3 +464,149 @@ def run_neardup_dedup_stream(spark, sf_dir: str):
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+class CurationStatsMergeSink:
+    """``foreachBatch`` MERGE for incremental curation reporting: each
+    arriving micro-batch of documents is decontaminated against a STATIC
+    benchmark shingle set (eval suites are fixed up-front — the side
+    input the GPT-3/Pile decontamination rule assumes) and span-scrub
+    counted, then the per-source counters (docs, contaminated, urls,
+    emails, blocklist hits) are summed into a parquet state table.
+
+    Every verdict depends only on (document, static benchmark set) and
+    every state column is a sum, so the merge is associative: a cold
+    replay over any batch slicing equals the one-shot batch run over the
+    union — which is what the SQL oracle computes. Exactly-once follows
+    the FingerprintMergeSink contract (in-state ``_merged_N`` markers
+    installed by the same rename as the data, crash recovery via the
+    numerically newest ``state_old*``). At 100 TB each batch broadcasts
+    the benchmark set (MBs against TBs), shuffles only per-source
+    partial counters, and state stays |sources| rows."""
+
+    COUNTERS = ("n_docs", "n_contaminated", "n_urls", "n_emails", "n_blocked")
+
+    def __init__(
+        self,
+        state_dir: str,
+        bench_shingles,
+        n: int = 5,
+        mod: int = 97,
+        threshold: float = 0.2,
+    ) -> None:
+        self.state = state_dir
+        self.bench = bench_shingles
+        self.n, self.mod, self.threshold = n, mod, threshold
+        os.makedirs(os.path.dirname(state_dir), exist_ok=True)
+
+    def is_committed(self, batch_id: int) -> bool:
+        return _state_committed(self.state, batch_id)
+
+    def __call__(self, batch_df, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return  # replayed delivery of a committed batch: no-op
+        from pyspark.sql import functions as F
+
+        from ..operators import curation as C
+
+        flags = C.decontaminate(
+            batch_df.select("doc_id", "text"),
+            n=self.n,
+            mod=self.mod,
+            threshold=self.threshold,
+            bench_shingles=self.bench,
+        )
+        scrub = C.scrub_blocklist(
+            batch_df.filter(F.col("doc_id") % self.mod != 0)
+        )
+        inc = (
+            flags.select(
+                "doc_id", F.col("contaminated").cast("int").alias("contaminated")
+            )
+            .join(scrub.select("doc_id", "n_urls", "n_emails", "n_blocked"), "doc_id")
+            .join(batch_df.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("contaminated").cast("long").alias("n_contaminated"),
+                F.sum("n_urls").cast("long").alias("n_urls"),
+                F.sum("n_emails").cast("long").alias("n_emails"),
+                F.sum("n_blocked").cast("long").alias("n_blocked"),
+            )
+        )
+        prev = _current_state(self.state)
+        if prev is not None:
+            inc = (
+                batch_df.sparkSession.read.parquet(prev)
+                .unionByName(inc)
+                .groupBy("source")
+                .agg(
+                    *(F.sum(c).cast("long").alias(c) for c in self.COUNTERS)
+                )
+            )
+        tmp = f"{self.state}_tmp{batch_id}"
+        inc.write.mode("overwrite").parquet(tmp)  # materializes BEFORE swap
+        _install_state(self.state, tmp, batch_id)  # marker atomic w/ state
+
+
+def run_curation_stats_stream(spark, sf_dir: str):
+    """Incremental curation report end-to-end: the documents table
+    replayed as FOUR micro-batches (doc_id % 4 slices) through a
+    CurationStatsMergeSink whose benchmark shingle set is built ONCE
+    from the static corpus slice (doc_id % DECON_MOD == 0 — in
+    production a materialized eval-suite table); returns the final
+    per-source counter table."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import _explode_shingles, _shingle_arrays
+    from ..plans.curation import DECON_MOD, DECON_N, DECON_THRESHOLD
+    from ..schemas import ensure_session_confs
+
+    ensure_session_confs(spark)
+    work = tempfile.mkdtemp(prefix="graft_curstats_")
+    try:
+        raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text", "source"
+        )
+        bench = (
+            _explode_shingles(
+                _shingle_arrays(
+                    raw.filter(F.col("doc_id") % DECON_MOD == 0), DECON_N
+                )
+            )
+            .select("shingle")
+            .distinct()
+        )
+        src = _stage_slices(raw, work, "doc_id")
+        sink = CurationStatsMergeSink(
+            os.path.join(work, "state"),
+            bench,
+            n=DECON_N,
+            mod=DECON_MOD,
+            threshold=DECON_THRESHOLD,
+        )
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.read.parquet(sink.state).select(
+            "source", "n_docs", "n_contaminated", "n_urls", "n_emails", "n_blocked"
+        )
+        # Materialize before the finally deletes the backing files; the
+        # report is |sources| rows by construction.
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -280,3 +280,89 @@ def test_current_state_numeric_old_suffix(tmp_path):
     __import__("os").makedirs(f"{state}_old9")
     __import__("os").makedirs(f"{state}_old10")
     assert _current_state(state) == f"{state}_old10"
+
+
+def test_streaming_curation_stats_replay(spark, sf_dir, tmp_path):
+    """Incremental curation counters: (1) the end-to-end entry equals
+    the one-shot batch curation pass (static benchmark set + associative
+    sums); (2) replaying a committed batch id with different data is a
+    no-op; (3) a stranded rename-aside state is recovered."""
+    import os
+
+    from pipeline_apache_beam_entrega1_cs_spark.operators import curation as C
+    from pipeline_apache_beam_entrega1_cs_spark.operators.dedup import (
+        _explode_shingles,
+        _shingle_arrays,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.plans.curation import (
+        DECON_MOD,
+        DECON_N,
+        DECON_THRESHOLD,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.plans.windows_batch import (
+        streaming_curation_stats,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+    from pipeline_apache_beam_entrega1_cs_spark.streaming.sinks import (
+        CurationStatsMergeSink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    bench = (
+        _explode_shingles(
+            _shingle_arrays(docs.filter(F.col("doc_id") % DECON_MOD == 0), DECON_N)
+        )
+        .select("shingle")
+        .distinct()
+    )
+
+    def one_shot(d):
+        flags = C.decontaminate(
+            d.select("doc_id", "text"),
+            n=DECON_N,
+            mod=DECON_MOD,
+            threshold=DECON_THRESHOLD,
+            bench_shingles=bench,
+        )
+        scrub = C.scrub_blocklist(d.filter(F.col("doc_id") % DECON_MOD != 0))
+        return (
+            flags.select("doc_id", F.col("contaminated").cast("int").alias("c"))
+            .join(scrub.select("doc_id", "n_urls", "n_emails", "n_blocked"), "doc_id")
+            .join(d.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("c").cast("long").alias("n_contaminated"),
+                F.sum("n_urls").cast("long").alias("n_urls"),
+                F.sum("n_emails").cast("long").alias("n_emails"),
+                F.sum("n_blocked").cast("long").alias("n_blocked"),
+            )
+        )
+
+    cols = ["source", "n_docs", "n_contaminated", "n_urls", "n_emails", "n_blocked"]
+    batch_expected = rows_multiset(one_shot(docs).select(*cols))
+
+    # (1) end-to-end entry: cold replay == one-shot batch pass
+    out = streaming_curation_stats(spark, sf_dir)
+    assert rows_multiset(out.select(*cols)) == batch_expected
+
+    # (2)+(3) drive the sink directly with 3 manual slices
+    state = str(tmp_path / "cs" / "state")
+    sink = CurationStatsMergeSink(
+        state, bench, n=DECON_N, mod=DECON_MOD, threshold=DECON_THRESHOLD
+    )
+    slices = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    sink(slices[0], 0)
+    sink(slices[1], 1)
+
+    # simulated crash between the swap renames: recovery picks state_old*
+    os.rename(state, f"{state}_old42")
+    sink(slices[2], 2)
+    assert rows_multiset(spark.read.parquet(state).select(*cols)) == batch_expected
+
+    # replay of every committed batch with DIFFERENT data: no-op
+    replay = docs.limit(7)
+    for b in (0, 1, 2):
+        assert sink.is_committed(b)
+        sink(replay, b)
+    assert rows_multiset(spark.read.parquet(state).select(*cols)) == batch_expected
