@@ -345,3 +345,98 @@ def frame_sample(docs_with_payload: DataFrame, frame_bytes: int = 16,
     return docs_with_payload.select("doc_id", "payload").mapInPandas(
         sample, schema=FRAME_SCHEMA
     )
+
+
+def _le_hex(v, nbytes: int):
+    """Little-endian hex of an integer column: byte i of ``v`` (LSB
+    first) as a zero-padded hex pair — the RIFF/WAV field encoding.
+    Pure shift/mask/hex expressions, mirrored verbatim by the SQL
+    oracle's helper."""
+    return F.concat(
+        *[
+            F.lpad(F.hex(F.shiftright(v.cast("long"), 8 * i).bitwiseAND(F.lit(255))), 2, "0")
+            for i in range(nbytes)
+        ]
+    )
+
+
+def with_wav_payload(docs: DataFrame) -> DataFrame:
+    """Binary payloads where doc_id % 4 == 1 rows carry a structurally
+    valid 44-byte canonical PCM WAV header (RIFF size, WAVE + fmt
+    chunks, little-endian u16/u32 fields derived from doc_id and the
+    text length, bits-per-sample fixed at 8) followed by the UTF-8 text
+    bytes as stand-in samples; the other residues keep the bare magics
+    from MAGIC_HEADERS. Deterministic, so fixed-offset little-endian
+    parsing (wav_fmt_meta) is testable against a SQL oracle."""
+    data_len = F.octet_length(F.encode(F.col("text"), "UTF-8"))
+    channels = F.col("doc_id") % 3 + 1
+    rate = F.col("doc_id") % 8 * 1000 + 8000
+    byte_rate = rate * channels  # bits/sample = 8 -> block align = channels
+    wav_hdr = F.concat(
+        F.lit("52494646"),            # 'RIFF'
+        _le_hex(data_len + 36, 4),    # riff chunk size
+        F.lit("57415645"),            # 'WAVE'
+        F.lit("666D7420"),            # 'fmt '
+        F.lit("10000000"),            # subchunk1 size = 16 (LE)
+        F.lit("0100"),                # audio format = 1 (PCM, LE)
+        _le_hex(channels, 2),
+        _le_hex(rate, 4),
+        _le_hex(byte_rate, 4),
+        _le_hex(channels, 2),         # block align = channels * 8/8
+        F.lit("0800"),                # bits per sample = 8 (LE)
+        F.lit("64617461"),            # 'data'
+        _le_hex(data_len, 4),
+    )
+    hdr = (
+        F.when(F.col("doc_id") % 4 == 0, F.unhex(F.lit(MAGIC_HEADERS[0][1])))
+        .when(F.col("doc_id") % 4 == 1, F.unhex(wav_hdr))
+        .when(F.col("doc_id") % 4 == 2, F.unhex(F.lit(MAGIC_HEADERS[2][1])))
+        .otherwise(F.unhex(F.lit("")))
+    )
+    return docs.withColumn(
+        "payload", F.concat(hdr, F.encode(F.col("text"), "UTF-8"))
+    )
+
+
+def wav_fmt_meta(docs_with_payload: DataFrame) -> DataFrame:
+    """Fixed-offset RIFF/WAV metadata extraction without an audio codec:
+    validate the 'RIFF' magic and the 'WAVE'+'fmt ' tags, then read the
+    little-endian u16/u32 fields (channels, sample rate, byte rate,
+    bits per sample, data length) and derive the clip duration in ms —
+    all BINARY substring + shift/mask arithmetic, O(1) per row no
+    matter how large the blob (the complement of png_ihdr_meta's
+    big-endian path). Non-WAV payloads keep their row with NULL fields;
+    duration uses pure integer arithmetic ((a - a%b)/b) so both engines
+    floor identically."""
+    p = F.col("payload")
+    is_wav = (F.hex(F.substring(p, 1, 4)) == "52494646") & (
+        F.hex(F.substring(p, 9, 8)) == "57415645666D7420"
+    )
+
+    def le_uint(pos: int, nbytes: int):
+        v = F.lit(0).cast("long")
+        for i in range(nbytes):
+            v = v + F.conv(F.hex(F.substring(p, pos + i, 1)), 16, 10).cast(
+                "long"
+            ) * F.lit(256**i)
+        return v
+
+    channels = le_uint(23, 2)
+    rate = le_uint(25, 4)
+    byte_rate = le_uint(29, 4)
+    bits = le_uint(35, 2)
+    data_len = le_uint(41, 4)
+    ms = data_len * 1000
+    duration_ms = (ms - ms % byte_rate) / byte_rate
+    return docs_with_payload.select(
+        "doc_id",
+        is_wav.cast("long").alias("is_wav"),
+        F.when(is_wav, channels).alias("channels"),
+        F.when(is_wav, rate).alias("sample_rate"),
+        F.when(is_wav, byte_rate).alias("byte_rate"),
+        F.when(is_wav, bits).alias("bits_per_sample"),
+        F.when(is_wav, data_len).alias("data_len"),
+        F.when(is_wav & (byte_rate > 0), duration_ms.cast("long")).alias(
+            "duration_ms"
+        ),
+    )

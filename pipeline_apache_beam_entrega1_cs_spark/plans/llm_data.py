@@ -531,6 +531,81 @@ FROM c GROUP BY 1, 2
 """
 
 
+def multimodal_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-offset RIFF/WAV metadata over binary payloads carrying real
+    44-byte PCM WAV headers (operators/multimodal.with_wav_payload /
+    wav_fmt_meta): validate the RIFF+WAVE+fmt tags, parse the
+    little-endian u16/u32 fields, derive clip duration — the
+    byte-order complement of multimodal_png_meta's big-endian path,
+    still O(1) BINARY substring per row."""
+    return M.wav_fmt_meta(M.with_wav_payload(_docs(spark, sf_dir)))
+
+
+def _wav_le_sql(expr: str, nbytes: int) -> str:
+    """Little-endian hex of an integer SQL expression (LSB-first byte
+    pairs) — mirrors operators/multimodal._le_hex."""
+    return " || ".join(
+        f"lpad(hex((({expr}) >> {8 * i}) & 255), 2, '0')" for i in range(nbytes)
+    )
+
+
+def _wav_le_uint_sql(pos: int, nbytes: int) -> str:
+    """Read an LSB-first unsigned int from the hexed payload ``h`` at
+    1-based byte offset ``pos`` — mirrors wav_fmt_meta's le_uint."""
+    return (
+        "("
+        + " + ".join(
+            f"CAST('0x' || substr(h, {2 * (pos + i) - 1}, 2) AS BIGINT) * {256 ** i}"
+            for i in range(nbytes)
+        )
+        + ")"
+    )
+
+
+def _wav_meta_sql() -> str:
+    is_wav = "substr(h, 1, 8) = '52494646' AND substr(h, 17, 16) = '57415645666D7420'"
+    fields = {
+        "channels": _wav_le_uint_sql(23, 2),
+        "sample_rate": _wav_le_uint_sql(25, 4),
+        "byte_rate": _wav_le_uint_sql(29, 4),
+        "bits_per_sample": _wav_le_uint_sql(35, 2),
+        "data_len": _wav_le_uint_sql(41, 4),
+    }
+    dl, br = fields["data_len"], fields["byte_rate"]
+    selects = ",\n       ".join(
+        f"CASE WHEN {is_wav} THEN {expr} END AS {name}"
+        for name, expr in fields.items()
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         (CASE doc_id % 4
+            WHEN 0 THEN unhex('89504E470D0A1A0A')
+            WHEN 1 THEN unhex('52494646'
+              || {_wav_le_sql("octet_length(encode(text)) + 36", 4)}
+              || '57415645' || '666D7420' || '10000000' || '0100'
+              || {_wav_le_sql("doc_id % 3 + 1", 2)}
+              || {_wav_le_sql("doc_id % 8 * 1000 + 8000", 4)}
+              || {_wav_le_sql("(doc_id % 8 * 1000 + 8000) * (doc_id % 3 + 1)", 4)}
+              || {_wav_le_sql("doc_id % 3 + 1", 2)}
+              || '0800' || '64617461'
+              || {_wav_le_sql("octet_length(encode(text))", 4)})
+            WHEN 2 THEN unhex('474946383761')
+            ELSE unhex('') END) || encode(text) AS payload
+  FROM documents
+), sniff AS (
+  SELECT doc_id, hex(payload) AS h FROM p
+)
+SELECT doc_id,
+       CAST({is_wav} AS BIGINT) AS is_wav,
+       {selects},
+       CASE WHEN ({is_wav}) AND {br} > 0
+            THEN CAST((({dl}) * 1000 - (({dl}) * 1000) % ({br})) / ({br}) AS BIGINT)
+       END AS duration_ms
+FROM sniff
+"""
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling over video-like binary payloads (every 4th 16-byte
     frame -> content hash) via mapInPandas — operators/multimodal.py
@@ -1153,6 +1228,8 @@ QUERIES: dict[str, QuerySpec] = {
         multimodal_png_meta, MULTIMODAL_PNG_META_SQL, "multimodal"),
     "multimodal_byte_chisq": QuerySpec(
         multimodal_byte_chisq, MULTIMODAL_BYTE_CHISQ_SQL, "multimodal"),
+    "multimodal_wav_meta": QuerySpec(
+        multimodal_wav_meta, _wav_meta_sql(), "multimodal"),
     "multimodal_frame_sample": QuerySpec(
         multimodal_frame_sample, MULTIMODAL_FRAME_SQL, "multimodal"),
     "dedup_components": QuerySpec(dedup_components, DEDUP_COMPONENTS_SQL, "dedup"),

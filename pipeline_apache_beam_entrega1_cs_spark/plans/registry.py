@@ -86,6 +86,7 @@ DRIVER_PRIORITY: list[str] = [
     "join_bucketed",
     "embedding_pq_codes",
     "streaming_curation_stats",
+    "multimodal_wav_meta",
     "multimodal_png_meta",
     "multimodal_byte_chisq",
     "streaming_tfidf_state",

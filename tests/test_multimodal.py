@@ -177,3 +177,45 @@ def test_container_payload_roundtrip(spark, sf_dir):
     )
     assert bad.count() == 0
     assert out.count() == docs.count()
+
+
+def test_wav_fmt_meta_parses_real_struct_header(spark):
+    """wav_fmt_meta against ground truth: a canonical 44-byte PCM WAV
+    header built independently with struct.pack (the layout from the
+    RIFF spec, not from the operator's own builder) parses to the
+    planted field values; truncated and non-RIFF payloads yield
+    is_wav=0 with NULL fields."""
+    import struct
+
+    from pipeline_apache_beam_entrega1_cs_spark.operators.multimodal import wav_fmt_meta
+
+    def wav(channels, rate, bits, n_samples):
+        data_len = n_samples * channels * bits // 8
+        byte_rate = rate * channels * bits // 8
+        return (
+            b"RIFF"
+            + struct.pack("<I", 36 + data_len)
+            + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, channels, rate, byte_rate,
+                          channels * bits // 8, bits)
+            + b"data"
+            + struct.pack("<I", data_len)
+            + b"\x00" * data_len
+        )
+
+    rows = [
+        (1, wav(2, 44100, 16, 44100)),       # 1 s stereo CD audio
+        (2, wav(1, 8000, 8, 4000)),          # 0.5 s telephone mono
+        (3, b"RIFF"),                         # truncated
+        (4, b"\x89PNG\r\n\x1a\nxxxx"),       # wrong container
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in wav_fmt_meta(df).collect()}
+    assert out[1]["is_wav"] == 1 and out[1]["channels"] == 2
+    assert out[1]["sample_rate"] == 44100 and out[1]["bits_per_sample"] == 16
+    assert out[1]["byte_rate"] == 176400 and out[1]["duration_ms"] == 1000
+    assert out[2]["is_wav"] == 1 and out[2]["channels"] == 1
+    assert out[2]["sample_rate"] == 8000 and out[2]["duration_ms"] == 500
+    for bad in (3, 4):
+        assert out[bad]["is_wav"] == 0
+        assert out[bad]["sample_rate"] is None and out[bad]["duration_ms"] is None
