@@ -44,6 +44,12 @@ BENCH_QUERIES = [
     # NOTE for cross-round comparison: first added in round 4 — compare
     # BENCH_r{N>=4} totals to r03 only after subtracting this entry.
     "curation_pipeline",
+    # corpus-wide duplicated-span removal (substring dedup): the
+    # heaviest single dedup primitive of the LLM path. NOTE for
+    # cross-round comparison: first added in round 6 — compare
+    # BENCH_r{N>=6} totals to earlier rounds only after subtracting
+    # this entry (and curation_pipeline for r<4).
+    "dedup_span_ngram",
 ]
 
 

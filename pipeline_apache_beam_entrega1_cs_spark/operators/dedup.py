@@ -351,11 +351,15 @@ def span_dedup(docs: DataFrame, n: int = 8) -> DataFrame:
     on md5 shingle keys (32-hex strings shuffle, never text bodies, and
     partial aggregation collapses per-partition repeats), (2) a shuffle
     join of shingle instances against the duplicate-key table (output
-    volume = actual duplication, never all-pairs; position coverage
-    inflates dup instances ×n only), (3) the per-doc reassembly
-    aggregate keyed by doc_id. The repartition barrier before the
-    generators is the documented anti-InferFiltersFromGenerate idiom
-    (see _shingle_arrays)."""
+    volume = actual duplication, never all-pairs), (3) a per-doc
+    collect of removed START positions (≤ dup instances — no coverage
+    inflation). Reassembly is then ARRAY-SIDE: expand starts to a
+    covered-position array and filter the token array with an index
+    lambda — no ×n_words word explode, no (doc_id, pos) composite-key
+    shuffle, no collect_list re-sort; the final join keys on doc_id,
+    the partitioning the repartition barrier (the documented
+    anti-InferFiltersFromGenerate idiom, see _shingle_arrays) already
+    established."""
     toks = (
         docs.filter(F.trim(F.col("text")) != "")
         .select("doc_id", tokens(F.col("text")).alias("_tk"))
@@ -393,32 +397,26 @@ def span_dedup(docs: DataFrame, n: int = 8) -> DataFrame:
             & (F.col("start") == F.col("first.start"))
         )
     )
-    cov = removed.select(
-        "doc_id",
-        F.explode(F.sequence(F.col("start"), F.col("start") + n - 1)).alias("pos"),
-    ).distinct()
-    words = (
-        toks.select("doc_id", F.posexplode_outer("_tk").alias("_i", "word"))
-        .filter(F.col("word").isNotNull())
-        .select("doc_id", (F.col("_i") + 1).alias("pos"), "word")
+    removed_starts = removed.groupBy("doc_id").agg(
+        F.collect_list("start").alias("_starts")
     )
-    kept = words.join(cov, ["doc_id", "pos"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                lambda s: s["word"],
-            ),
-            " ",
-        ).alias("clean_text"),
+    cov = F.coalesce(
+        F.array_distinct(
+            F.flatten(
+                F.transform(F.col("_starts"), lambda s: F.sequence(s, s + n - 1))
+            )
+        ),
+        F.array().cast("array<int>"),
     )
-    sizes = toks.select("doc_id", F.size("_tk").alias("n_words"))
-    return sizes.join(rebuilt, "doc_id", "left").select(
+    joined = toks.join(removed_starts, "doc_id", "left").withColumn("_cov", cov)
+    kept_words = F.filter(
+        "_tk", lambda w, i: ~F.array_contains(F.col("_cov"), i + 1)
+    )
+    return joined.select(
         "doc_id",
-        F.col("n_words").cast("bigint").alias("n_words"),
-        (F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0)))
-        .cast("bigint")
-        .alias("n_removed"),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.size("_tk").cast("bigint").alias("n_words"),
+        # covered positions are distinct and in [1, n_words] by
+        # construction, so |cov| IS the removed-word count
+        F.size("_cov").cast("bigint").alias("n_removed"),
+        F.array_join(kept_words, " ").alias("clean_text"),
     )
