@@ -82,3 +82,59 @@ def test_shingle_sets_match_python(spark, docs_texts):
         got[r.doc_id].add(r.shingle)
     for i, t in enumerate(docs_texts):
         assert got[i] == py_shingles(t), repr(t)
+
+
+def py_span_dedup(docs_texts: list[str], n: int) -> dict[int, tuple]:
+    """Plain-Python spec of operators/dedup.span_dedup: remove every
+    occurrence of a corpus-wide repeated word n-gram except the first
+    (min (doc_id, start)), reassemble the survivors in order."""
+    from collections import defaultdict
+
+    toks = {
+        i: py_tokens(t) for i, t in enumerate(docs_texts) if t.strip() != ""
+    }
+    occ = defaultdict(list)
+    for d in sorted(toks):
+        tk = toks[d]
+        for i in range(len(tk) - n + 1):
+            occ[" ".join(tk[i : i + n])].append((d, i + 1))
+    removed = defaultdict(set)
+    for lst in occ.values():
+        if len(lst) >= 2:
+            lst.sort()
+            for d, s in lst[1:]:
+                removed[d].update(range(s, s + n))
+    out = {}
+    for d, tk in toks.items():
+        cov = removed.get(d, set())
+        kept = [w for i, w in enumerate(tk, start=1) if i not in cov]
+        out[d] = (len(tk), len(cov), " ".join(kept))
+    return out
+
+
+# Tiny vocabulary so repeated n-grams actually occur: the interesting
+# cases (overlapping spans, within-doc repeats, whole-doc removal) need
+# collisions, which a broad alphabet would make vanishingly rare.
+_span_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=20).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_span_docs)
+def test_span_dedup_matches_python_spec(spark, docs_texts):
+    from pipeline_apache_beam_entrega1_cs_spark.operators.dedup import span_dedup
+
+    n = 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs_texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_removed, r.clean_text)
+        for r in span_dedup(df, n=n).collect()
+    }
+    assert got == py_span_dedup(docs_texts, n)
