@@ -38,22 +38,23 @@ timestamp-independent (multimodal meta, embedding ops) — stalest of
 those rotate in round 6.
 
 ROUND 6 ROTATION (done): r05 had zero failures, so the window holds
-(a) the 11 round-6 additions (first session: multimodal_png_meta,
+(a) the 12 round-6 additions (first session: multimodal_png_meta,
 multimodal_byte_chisq, streaming_tfidf_state, ann_ivf_topk_det,
 sample_fixed_k_per_stratum, graph_pagerank; second session:
 dedup_span_ngram, join_bucketed, embedding_pq_codes,
-streaming_curation_stats, multimodal_wav_meta), (b) all 19 r02-only
-entries — the LLM-data dedup family, ANN, text ops, multimodal meta,
-embedding_centroids, cogroup/mapinarrow — whose driver evidence was
-three rounds old, (c) back-fill with 20 of the 48 r03-only entries,
-streaming/UDF/sink/window/join surfaces first (the execution-path-heavy
-ones). The second session's 5 additions displaced the last 5 back-fill
-names (correlated_subquery_orders, filter_null_safe_eq,
-explode_lateral, variant_functions, bitwise_functions) past slot 50 —
-they rejoin the round-7 back-fill.
+streaming_curation_stats, multimodal_wav_meta, streaming_ivf_state),
+(b) all 19 r02-only entries — the LLM-data dedup family, ANN, text
+ops, multimodal meta, embedding_centroids, cogroup/mapinarrow — whose
+driver evidence was three rounds old, (c) back-fill with 19 of the 48
+r03-only entries, streaming/UDF/sink/window/join surfaces first (the
+execution-path-heavy ones). The second session's 6 additions displaced
+the last 6 back-fill names (group_by_all_orders,
+correlated_subquery_orders, filter_null_safe_eq, explode_lateral,
+variant_functions, bitwise_functions) past slot 50 — they rejoin the
+round-7 back-fill.
 
 ROUND 7 CHORE: rotate again — promote (a) any r06 failures, (b) the
-28 r03-only entries left out this round (the 5 displaced names above,
+29 r03-only entries left out this round (the 6 displaced names above,
 plus agg_filtered_bool,
 agg_histogram, agg_mode_exact, agg_regression_stats, anomaly_zscore,
 dq_constraint_report, funnel_conversion, graph_triangle_count,
@@ -93,6 +94,7 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_pq_codes",
     "streaming_curation_stats",
     "multimodal_wav_meta",
+    "streaming_ivf_state",
     "multimodal_png_meta",
     "multimodal_byte_chisq",
     "streaming_tfidf_state",

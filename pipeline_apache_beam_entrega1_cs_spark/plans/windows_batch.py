@@ -393,6 +393,40 @@ GROUP BY d.source
 """
 
 
+def streaming_ivf_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance over a streaming embedding
+    ingest: vectors replayed as FOUR micro-batches through a
+    foreachBatch MERGE that assigns each to its nearest centroid under a
+    STATIC deterministic quantizer (unrolled-Lloyd k=8, iters=2 — refit
+    offline, never per batch) and sums per-inverted-list stats into
+    state (streaming/sinks.IvfListMergeSink). Assignments depend only on
+    (vector, static centroids) and every stat is associative (count /
+    min / decimal distance sum), so cold replay equals the one-shot
+    batch assignment the oracle computes by replaying the same Lloyd
+    unrolling as CTEs — the similarity family's streaming-parity entry,
+    completing the set (dedup: neardup, text: tfidf, curation: stats)."""
+    from ..streaming.sinks import run_ivf_state_stream
+
+    return run_ivf_state_stream(spark, sf_dir)
+
+
+def _ivf_state_sql() -> str:
+    from .llm_data import _KMEANS_DIST, _kmeans_ctes
+
+    ctes, cfinal = _kmeans_ctes(8, 2)
+    return ctes + f""", assigned AS (
+  SELECT vec_id, cluster, d FROM (
+    SELECT v.vec_id, c.cluster, {_KMEANS_DIST} AS d,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {_KMEANS_DIST}, c.cluster) AS rn
+    FROM v, {cfinal} c
+  ) WHERE rn = 1
+)
+SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs, MIN(vec_id) AS min_vec_id,
+       CAST(CAST(SUM(CAST(d AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_dist
+FROM assigned GROUP BY cluster
+"""
+
+
 def streaming_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous hourly aggregate maintained across FOUR replayed
     micro-batches by a foreachBatch MERGE into a parquet state table
@@ -431,6 +465,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "streaming_curation_stats": QuerySpec(
         streaming_curation_stats, _curation_stats_sql(), "streaming"
+    ),
+    "streaming_ivf_state": QuerySpec(
+        streaming_ivf_state, _ivf_state_sql(), "streaming"
     ),
     "streaming_tfidf_state": QuerySpec(
         streaming_tfidf_state, _tfidf_state_sql(), "streaming"

@@ -610,3 +610,137 @@ def run_curation_stats_stream(spark, sf_dir: str):
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+class IvfListMergeSink:
+    """``foreachBatch`` MERGE for incremental ANN index maintenance: new
+    embedding vectors arrive batch by batch and are assigned to the
+    inverted list of their nearest centroid under a STATIC coarse
+    quantizer (the deterministic unrolled-Lloyd fit over the initial
+    corpus — in production the quantizer is refit offline, not per
+    batch, exactly this shape). Per-list stats (vector count, min
+    vec_id, decimal sum of assignment distances) are summed into a
+    parquet state table of |centroids| rows.
+
+    Each vector's assignment depends only on (vector, static centroids)
+    and every state column is an associative aggregate (sum / min /
+    DECIMAL sum — decimal so merge order can't perturb float addition),
+    so a cold replay over any batch slicing equals the one-shot batch
+    assignment — what the SQL oracle computes by replaying the same
+    unrolled-Lloyd fit as CTEs. Exactly-once follows the
+    FingerprintMergeSink contract (in-state ``_merged_N`` markers,
+    rename-aside crash recovery). At 100 TB each batch broadcasts the
+    k-row centroid table and shuffles |centroids| partial rows — never
+    embeddings."""
+
+    def __init__(self, state_dir: str, centroids) -> None:
+        self.state = state_dir
+        self.cents = centroids  # (cluster INT, c ARRAY<DOUBLE>), k rows
+        os.makedirs(os.path.dirname(state_dir), exist_ok=True)
+
+    def is_committed(self, batch_id: int) -> bool:
+        return _state_committed(self.state, batch_id)
+
+    def __call__(self, batch_df, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return  # replayed delivery of a committed batch: no-op
+        from pyspark.sql import functions as F
+
+        from ..operators.similarity import _sq_dist
+
+        vecs = batch_df.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        d = F.round(_sq_dist(F.col("v"), F.col("c")), 6)
+        assigned = (
+            vecs.crossJoin(F.broadcast(self.cents))
+            .select("vec_id", "cluster", d.alias("d"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d", "cluster")).alias("m"))
+            .select(
+                "vec_id",
+                F.col("m.cluster").alias("cluster"),
+                F.col("m.d").alias("d"),
+            )
+        )
+        inc = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.sum(F.col("d").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .alias("sum_d"),
+        )
+        prev = _current_state(self.state)
+        if prev is not None:
+            inc = (
+                batch_df.sparkSession.read.parquet(prev)
+                .unionByName(inc)
+                .groupBy("cluster")
+                .agg(
+                    F.sum("n_vecs").cast("long").alias("n_vecs"),
+                    F.min("min_vec_id").alias("min_vec_id"),
+                    F.sum("sum_d").cast("decimal(28,6)").alias("sum_d"),
+                )
+            )
+        tmp = f"{self.state}_tmp{batch_id}"
+        inc.write.mode("overwrite").parquet(tmp)  # materializes BEFORE swap
+        _install_state(self.state, tmp, batch_id)  # marker atomic w/ state
+
+
+def run_ivf_state_stream(spark, sf_dir: str):
+    """Incremental IVF list maintenance end-to-end: the embeddings table
+    replayed as FOUR micro-batches (vec_id % 4 slices) through an
+    IvfListMergeSink whose coarse quantizer is fit ONCE on the static
+    table (deterministic unrolled-Lloyd, k=8, 2 iterations) and
+    materialized to a k-row literal; returns the final per-list stats
+    with the decimal distance sum converted via the string-cast
+    convention."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..functions.numeric import _dec_to_double
+    from ..operators.similarity import _kmeans_fit
+    from ..schemas import ensure_session_confs
+
+    ensure_session_confs(spark)
+    work = tempfile.mkdtemp(prefix="graft_ivfstate_")
+    try:
+        raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        vecs = raw.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        cents_df, _ = _kmeans_fit(vecs, k=8, iters=2)
+        # k rows: materialize once so the per-batch broadcast doesn't
+        # refit the quantizer (and the fit plan dies with the stream)
+        cents = spark.createDataFrame(cents_df.collect(), cents_df.schema)
+        src = _stage_slices(raw, work, "vec_id")
+        sink = IvfListMergeSink(os.path.join(work, "state"), cents)
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.read.parquet(sink.state).select(
+            "cluster",
+            "n_vecs",
+            "min_vec_id",
+            _dec_to_double(F.col("sum_d")).alias("sum_dist"),
+        )
+        # Materialize before the finally deletes the backing files; the
+        # list-stats table is |centroids| rows by construction.
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

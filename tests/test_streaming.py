@@ -366,3 +366,74 @@ def test_streaming_curation_stats_replay(spark, sf_dir, tmp_path):
         assert sink.is_committed(b)
         sink(replay, b)
     assert rows_multiset(spark.read.parquet(state).select(*cols)) == batch_expected
+
+
+def test_streaming_ivf_state_replay(spark, sf_dir, tmp_path):
+    """Incremental IVF list stats: (1) the end-to-end entry equals the
+    one-shot batch assignment under the static quantizer; (2) replaying
+    a committed batch id with different data is a no-op; (3) a stranded
+    rename-aside state is recovered."""
+    import os
+
+    from pipeline_apache_beam_entrega1_cs_spark.functions.numeric import _dec_to_double
+    from pipeline_apache_beam_entrega1_cs_spark.operators.similarity import (
+        _kmeans_fit,
+        _sq_dist,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.plans.windows_batch import (
+        streaming_ivf_state,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+    from pipeline_apache_beam_entrega1_cs_spark.streaming.sinks import IvfListMergeSink
+
+    raw = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vecs = raw.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents_df, _ = _kmeans_fit(vecs, k=8, iters=2)
+    cents = spark.createDataFrame(cents_df.collect(), cents_df.schema)
+
+    d = F.round(_sq_dist(F.col("v"), F.col("c")), 6)
+    batch_expected = rows_multiset(
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cluster", d.alias("d"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cluster")).alias("m"))
+        .select("vec_id", F.col("m.cluster").alias("cluster"), F.col("m.d").alias("d"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("vec_id").alias("min_vec_id"),
+            _dec_to_double(F.sum(F.col("d").cast("decimal(18,6)"))).alias("sum_dist"),
+        )
+    )
+    cols = ["cluster", "n_vecs", "min_vec_id", "sum_dist"]
+
+    # (1) end-to-end entry: cold replay == one-shot batch assignment
+    out = streaming_ivf_state(spark, sf_dir)
+    assert rows_multiset(out.select(*cols)) == batch_expected
+
+    # (2)+(3) drive the sink directly with 3 manual slices
+    state = str(tmp_path / "ivf" / "state")
+    sink = IvfListMergeSink(state, cents)
+    slices = [raw.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    sink(slices[0], 0)
+    sink(slices[1], 1)
+
+    # simulated crash between the swap renames: recovery picks state_old*
+    os.rename(state, f"{state}_old11")
+    sink(slices[2], 2)
+
+    def state_rows():
+        return rows_multiset(
+            spark.read.parquet(state)
+            .select("cluster", "n_vecs", "min_vec_id",
+                    _dec_to_double(F.col("sum_d")).alias("sum_dist"))
+        )
+
+    assert state_rows() == batch_expected
+
+    # replay of every committed batch with DIFFERENT data: no-op
+    replay = raw.limit(5)
+    for b in (0, 1, 2):
+        assert sink.is_committed(b)
+        sink(replay, b)
+    assert state_rows() == batch_expected
