@@ -455,7 +455,11 @@ def pq_codes(
     subspace plus the total squared reconstruction error.
 
     The compression step a 100 TB embedding store runs before ADC-style
-    ANN: m log2(k) bits per vector instead of 4·dims bytes. Scale shape:
+    ANN: m log2(k) bits per vector instead of 4·dims bytes. Subspace
+    width is floor(dims/m) on BOTH engines (integer division), so when
+    dims is not divisible by m the trailing dims % m dimensions are
+    consistently excluded from every codebook — not silently assigned
+    to the last subspace on one side only. Scale shape:
     per subspace one k-row centroid broadcast (sanctioned BNLJ) and one
     struct-min groupBy; the m assignment branches join back on vec_id —
     m and k are constants, every pass is linear in the corpus."""

@@ -344,7 +344,63 @@ FROM packed GROUP BY split
 """
 
 
+def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the table-maintenance job the
+    input-split finding in SCALING.md ("59.6 s instead of 9.5 s with an
+    identical plan" purely from file count) makes non-optional at
+    100 TB. Simulates a fragmented ingest by writing documents as 64
+    tiny parquet files, then compacts into 8 deterministic fixed-RANGE
+    buckets — one output file per bucket (asserted by
+    tests/test_scale_idioms.py::test_compaction_yields_one_file_per_bucket),
+    range-clustered so min/max row-group stats keep supporting data
+    skipping after the rewrite (a doc_id % 8 hash shuffle would destroy
+    them). Bucketing is pure integer arithmetic (``div``), so the
+    boundary each doc lands on is bit-identical across engines; the id
+    domain comes from a 1-row MAX scalar (sanctioned broadcast). Output:
+    per-bucket row count, id range, and char sum — the compaction
+    report."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    frag_dir = f"/tmp/spark_graft_compact/{tag}/frag"
+    comp_dir = f"/tmp/spark_graft_compact/{tag}/compact"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    docs.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    frag = spark.read.parquet(frag_dir)
+    hi = frag.agg(F.max("doc_id").alias("hi"))
+    bucketed = (
+        frag.crossJoin(F.broadcast(hi))
+        .withColumn(
+            "bucket", F.expr("CAST(least(doc_id * 8 div (hi + 1), 7) AS INT)")
+        )
+        .drop("hi")
+    )
+    bucketed.repartition("bucket").write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(comp_dir)
+    back = spark.read.parquet(comp_dir)
+    return back.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+COMPACT_SQL = """
+WITH hi AS (SELECT MAX(doc_id) AS hi FROM documents)
+SELECT CAST(least((doc_id * 8) // (hi + 1), 7) AS INTEGER) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents CROSS JOIN hi
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "maintenance_compact_small_files": QuerySpec(
+        maintenance_compact_small_files, COMPACT_SQL, "pipeline",
+        plan_waivers={"bnlj": "1-row id-domain MAX scalar"}),
     "split_train_val_test": QuerySpec(split_train_val_test, SPLIT_SQL, "pipeline"),
     "dataset_build_pipeline": QuerySpec(
         dataset_build_pipeline, DATASET_BUILD_SQL, "composition"

@@ -415,3 +415,25 @@ def test_registry_bucketed_join_shuffle_free(spark, sf_dir):
     join_section = plan.split("HashAggregate")[0]
     assert "SortMergeJoin" in plan
     assert "Exchange" not in join_section, f"bucketed join still shuffles:\n{join_section}"
+
+
+def test_compaction_yields_one_file_per_bucket(spark, sf_dir):
+    """The compaction entry's physical outcome (not just its report):
+    the rewritten table must hold exactly ONE file per range bucket —
+    64 fragments in, 8 range-clustered files out — and each file's rows
+    span a single bucket."""
+    from pipeline_apache_beam_entrega1_cs_spark.plans.pipeline_ops import (
+        maintenance_compact_small_files,
+    )
+
+    maintenance_compact_small_files(spark, sf_dir).collect()  # writes both dirs
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    back = spark.read.parquet(f"/tmp/spark_graft_compact/{tag}/compact")
+    files = (
+        back.select("bucket", F.input_file_name().alias("f"))
+        .groupBy("bucket")
+        .agg(F.countDistinct("f").alias("n_files"))
+        .collect()
+    )
+    assert len(files) == 8
+    assert all(r["n_files"] == 1 for r in files), files
