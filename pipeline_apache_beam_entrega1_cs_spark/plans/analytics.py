@@ -860,6 +860,91 @@ def graph_pagerank(spark: SparkSession, sf_dir: str, iters: int = 3,
     return pr
 
 
+def graph_label_propagation(spark: SparkSession, sf_dir: str,
+                            iters: int = 2) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007 community
+    detection) with a FIXED iteration count as one straight-line
+    Catalyst plan — the fourth unrolled-iteration demonstration beside
+    kmeans_lloyd, pagerank, and the recursive-CTE components. Same
+    symmetric customer↔supplier trade graph as graph_pagerank.
+
+    init label = own node id; each synchronous step every node adopts
+    the MOST FREQUENT label among its neighbors, ties broken by MIN
+    label — the determinism rule standing in for the published
+    algorithm's random tie-breaking (plans/spec.py conventions: integer
+    labels and counts only, so no float drift anywhere).
+
+    Scale shape per iteration: one labels⋈edges hash join shuffling on
+    node ids + two keyed aggregates ((node, label) count, per-node
+    struct-min argmax) — linear in |E|, no scalar attach, no BNLJ."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_suppkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + 1000000).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iters):
+        nbr = (
+            edges.alias("e")
+            .join(labels.alias("l"), F.col("e.dst") == F.col("l.node"))
+            .select(F.col("e.src").alias("node"), F.col("l.label").alias("label"))
+        )
+        counts = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            counts.groupBy("node")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("m"))
+            .select("node", F.col("m.label").alias("label"))
+        )
+    return labels
+
+
+def _lpa_sql(iters: int = 2) -> str:
+    """Unrolled label-propagation oracle: one (neighbor-label count,
+    argmax) CTE pair per synchronous step, argmax via row_number over
+    (count DESC, label ASC) — the exact mirror of the Spark loop's
+    min(struct(-c, label))."""
+    sql = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_orderkey % 20 = 0
+), edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), l0 AS (
+  SELECT node, node AS label FROM nodes
+)"""
+    for t in range(1, iters + 1):
+        sql += f""", nl{t} AS (
+  SELECT e.src AS node, p.label, COUNT(*) AS c
+  FROM edges e JOIN l{t - 1} p ON e.dst = p.node
+  GROUP BY 1, 2
+), l{t} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM nl{t}
+  ) WHERE rn = 1
+)"""
+    return sql + f"\nSELECT node, label FROM l{iters}\n"
+
+
 def _pagerank_sql(iters: int = 3, d: float = 0.85) -> str:
     """Unrolled-PageRank oracle: one pr_t CTE per iteration mirroring
     the Spark loop's rounding/decimal conventions exactly."""
@@ -1027,6 +1112,8 @@ QUERIES: dict[str, QuerySpec] = {
     "graph_pagerank": QuerySpec(
         graph_pagerank, _pagerank_sql(), "graph",
         plan_waivers={"bnlj": "1-row node-count scalar attach"}),
+    "graph_label_propagation": QuerySpec(
+        graph_label_propagation, _lpa_sql(), "graph"),
     "sample_fixed_k_per_stratum": QuerySpec(
         sample_fixed_k_per_stratum, SAMPLE_FIXED_K_SQL, "sampling"
     ),

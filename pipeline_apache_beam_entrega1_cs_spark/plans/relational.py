@@ -541,6 +541,30 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Spark 4 Datasketches HLL) —
+    the 100 TB pre-aggregation pattern: build one sketch per partition/
+    source/day INDEPENDENTLY, store the sketch bytes, then answer any
+    rollup by UNIONing sketches without re-touching raw data. Emits the
+    per-source estimates plus the '__all__' row from the union of the
+    per-source sketches (never re-scanning the rows). Rows-only oracle
+    (sketch internals are engine-specific); the estimates' relative
+    error vs exact distinct counts is asserted in tests."""
+    sketches = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    )
+    per_group = sketches.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.hll_sketch_estimate("sk").alias("est_distinct"),
+    )
+    merged = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct")
+    ).select(F.lit("__all__").alias("grp"), "est_distinct")
+    return per_group.unionByName(merged).orderBy("grp")
+
+
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(returnflag, linestatus): hierarchical subtotals + grand
     total in one pass."""
@@ -1173,6 +1197,10 @@ QUERIES: dict[str, QuerySpec] = {
     "agg_distinct": QuerySpec(agg_distinct, AGG_DISTINCT_SQL, "aggregation"),
     "agg_approx_distinct": QuerySpec(agg_approx_distinct, None, "aggregation",
                                      doc="HLL sketch — engine-specific, rows-only oracle"),
+    "agg_hll_partial_merge": QuerySpec(
+        agg_hll_partial_merge, None, "aggregation",
+        doc="Datasketches HLL partials + union — sketch bytes are "
+            "engine-specific, rows-only oracle; accuracy tested vs exact"),
     "agg_rollup": QuerySpec(agg_rollup, AGG_ROLLUP_SQL, "aggregation"),
     "agg_cube": QuerySpec(agg_cube, AGG_CUBE_SQL, "aggregation"),
     "agg_grouping_sets": QuerySpec(agg_grouping_sets, AGG_GROUPING_SETS_SQL, "aggregation"),

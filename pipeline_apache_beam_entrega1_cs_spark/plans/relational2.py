@@ -1037,6 +1037,51 @@ LIMIT 10
 """
 
 
+def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal ingest SOURCE: ``spark.read.format('binaryFile')``
+    over a directory of opaque blobs — (path, modificationTime, length,
+    content) rows with no decode, the entry point a 100 TB image/audio
+    corpus actually arrives through (the scan parallelizes per file;
+    pathGlobFilter/recursiveFileLookup prune at listing time). Fixture:
+    the doc_id % 25 == 0 slice written one .bin file each (bounded
+    driver-side writes — ingest fixture, not the operator under test).
+    The query recovers doc_id from the file PATH and verifies content
+    integrity via length + sha256 against the source table — exactly
+    what the oracle recomputes."""
+    import os
+    import shutil
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    d = f"/tmp/spark_graft_binsrc/{tag}"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in rows:
+        with open(os.path.join(d, f"{r['doc_id']}.bin"), "wb") as fh:
+            fh.write(r["text"].encode("utf-8"))
+    bf = spark.read.format("binaryFile").load(d)
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").cast("bigint").alias("byte_len"),
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+
+
+SOURCE_BINARY_FILES_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS content_sha256
+FROM documents WHERE doc_id % 25 = 0
+"""
+
+
 def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located join: both sides written ``bucketBy(8,
     <orderkey>).sortBy(<orderkey>).saveAsTable``, then joined with a
@@ -1086,6 +1131,8 @@ GROUP BY o_orderpriority
 
 QUERIES: dict[str, QuerySpec] = {
     "join_bucketed": QuerySpec(join_bucketed, JOIN_BUCKETED_SQL, "join"),
+    "source_binary_files": QuerySpec(
+        source_binary_files, SOURCE_BINARY_FILES_SQL, "source"),
     "join_right_outer": QuerySpec(join_right_outer, JOIN_RIGHT_OUTER_SQL, "join"),
     "set_union_all": QuerySpec(set_union_all, SET_UNION_ALL_SQL, "set_op"),
     "set_intersect_all": QuerySpec(set_intersect_all, SET_INTERSECT_ALL_SQL, "set_op"),

@@ -136,3 +136,56 @@ def test_pagerank_mass_and_degree_ordering(spark, sf_dir):
     low = sum(r["pr"] for r in ranked[:k]) / k
     high = sum(r["pr"] for r in ranked[-k:]) / k
     assert high > low, f"degree ordering violated: high={high} low={low}"
+
+
+def test_hll_partial_merge_accuracy(spark, sf_dir):
+    """Mergeable-HLL entry: every per-group estimate AND the union-of-
+    sketches global estimate must be within 5% of the exact distinct
+    counts — and the merged row must estimate the GLOBAL distinct set
+    (not the sum of per-group counts, which double-counts customers
+    appearing under several priorities)."""
+    from pyspark.sql import functions as F
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.relational import (
+        agg_hll_partial_merge,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    got = {r["grp"]: r["est_distinct"] for r in agg_hll_partial_merge(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    exact = {
+        r["o_orderpriority"]: r["d"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("d"))
+        .collect()
+    }
+    exact["__all__"] = orders.select("o_custkey").distinct().count()
+    assert set(got) == set(exact)
+    for g, e in exact.items():
+        assert abs(got[g] - e) <= max(1, 0.05 * e), (g, got[g], e)
+    # the union must deduplicate across groups: global exact is well
+    # below the per-group sum on this data
+    assert exact["__all__"] < sum(v for k, v in exact.items() if k != "__all__")
+
+
+def test_label_propagation_separates_communities(spark, sf_dir):
+    """LPA semantics: every node ends with a label that exists among its
+    neighbors' initial reachable set, labels are stable ids from the
+    graph, and the algorithm produces FEWER distinct labels than nodes
+    (communities actually merge) on the trade graph."""
+    from pyspark.sql import functions as F
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.analytics import (
+        graph_label_propagation,
+    )
+
+    out = graph_label_propagation(spark, sf_dir).cache()
+    n_nodes = out.count()
+    n_labels = out.select("label").distinct().count()
+    assert n_nodes > 0
+    assert n_labels < n_nodes  # propagation merged at least two nodes
+    # labels are node ids drawn from the graph itself
+    nodes = {r["node"] for r in out.select("node").collect()}
+    labels = {r["label"] for r in out.select("label").distinct().collect()}
+    assert labels <= nodes
+    out.unpersist()
