@@ -1131,10 +1131,11 @@ WITH v AS (
   ) WHERE rn = 1
 )"""
     codes = ", ".join(f"code_{s}" for s in range(m))
-    errs = " + ".join(f"err_{s}" for s in range(m))
+    errs = " + ".join(f"CAST(err_{s} AS DECIMAL(18,6))" for s in range(m))
     joins = " ".join(f"JOIN f{s} USING (vec_id)" for s in range(1, m))
     return sql + f"""
-SELECT vec_id, {codes}, round({errs}, 6) AS recon_err
+SELECT vec_id, {codes},
+       CAST(CAST(({errs}) AS VARCHAR) AS DOUBLE) AS recon_err
 FROM f0 {joins}
 """
 
@@ -1239,8 +1240,7 @@ QUERIES: dict[str, QuerySpec] = {
         embedding_kmeans_lloyd, _kmeans_sql(), "similarity",
         plan_waivers={"bnlj": "k-row centroid broadcast per iteration"}),
     "embedding_pq_codes": QuerySpec(
-        embedding_pq_codes, _pq_sql(), "similarity",
-        plan_waivers={"bnlj": "k-row centroid broadcast per subspace codebook"}),
+        embedding_pq_codes, _pq_sql(), "similarity"),
     "embedding_quantize_int8": QuerySpec(
         embedding_quantize_int8, EMBEDDING_QUANTIZE_SQL, "similarity"),
     "profile_documents": QuerySpec(profile_documents, PROFILE_DOCUMENTS_SQL, "text"),
