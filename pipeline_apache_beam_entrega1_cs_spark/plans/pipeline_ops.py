@@ -398,9 +398,11 @@ GROUP BY 1
 
 
 QUERIES: dict[str, QuerySpec] = {
+    # the 1-row MAX-scalar BNLJ lives in the eager compaction WRITE, not
+    # in the returned report plan (a plain scan + groupBy over the
+    # compacted files) — so no plan waiver is needed or allowed here
     "maintenance_compact_small_files": QuerySpec(
-        maintenance_compact_small_files, COMPACT_SQL, "pipeline",
-        plan_waivers={"bnlj": "1-row id-domain MAX scalar"}),
+        maintenance_compact_small_files, COMPACT_SQL, "pipeline"),
     "split_train_val_test": QuerySpec(split_train_val_test, SPLIT_SQL, "pipeline"),
     "dataset_build_pipeline": QuerySpec(
         dataset_build_pipeline, DATASET_BUILD_SQL, "composition"
