@@ -443,35 +443,13 @@ def ivf_ann_topk_det(
     )
 
 
-def pq_codes(
-    embeddings: DataFrame, m: int = 4, k: int = 4, iters: int = 1
-) -> DataFrame:
-    """Product quantization (Jégou et al. 2011, "Product Quantization
-    for Nearest Neighbor Search"): split each embedding into m
-    contiguous subvectors, fit an independent k-centroid codebook per
-    subspace with the deterministic unrolled-Lloyd recipe
-    (_kmeans_fit's conventions: init = k smallest vec_ids, 6-dp
-    rounding, min-struct argmin), and emit each vector's code word per
-    subspace plus the total squared reconstruction error.
-
-    The compression step a 100 TB embedding store runs before ADC-style
-    ANN: m log2(k) bits per vector instead of 4·dims bytes. Subspace
-    width is floor(dims/m) on BOTH engines (integer division), so when
-    dims is not divisible by m the trailing dims % m dimensions are
-    consistently excluded from every codebook — not silently assigned
-    to the last subspace on one side only.
-
-    Scale shape: ALL m subspaces run as ONE keyed pass — subspace index
-    is a column, the (vec_id, subspace, subvector) rows join the
-    (subspace, cluster, centroid) table by HASH on the subspace key
-    (m·k rows broadcast — a keyed BroadcastHashJoin, not a nested
-    loop), and each Lloyd step is one (vec_id, s) struct-min groupBy
-    plus one (s, cluster, dim) mergeable-avg update. The first form of
-    this operator built m separate fit/assign chains and joined them on
-    vec_id: 16 Exchanges / 6 SortMergeJoins / 16 BNLJs at m=4 vs
-    5 Exchanges / 2 keyed BroadcastHashJoins / 0 nested loops here
-    (measured, formatted-plan node counts) — per-item work is
-    identical, the chain form just paid m× the shuffle machinery."""
+def _pq_fit(embeddings: DataFrame, m: int, k: int, iters: int):
+    """Shared unified-pass PQ fit (see pq_codes for the conventions and
+    the measured chain-vs-unified plan comparison): returns
+    (sub, cents, assign) where ``sub`` is the (vec_id, s, vs) subvector
+    frame, ``cents`` the final (s, cluster, c) codebooks, and
+    ``assign(cents)`` the (vec_id, s, vs, d, cluster) code assignment —
+    so ADC search replays the exact quantizer its SQL oracle does."""
     w = (F.size(F.col("v")) / F.lit(m)).cast("int")
     sub = embeddings.select(
         "vec_id", _as_double("embedding").alias("v")
@@ -521,6 +499,39 @@ def pq_codes(
                 ).alias("c")
             )
         )
+    return sub, cents, assign
+
+
+def pq_codes(
+    embeddings: DataFrame, m: int = 4, k: int = 4, iters: int = 1
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"): split each embedding into m
+    contiguous subvectors, fit an independent k-centroid codebook per
+    subspace with the deterministic unrolled-Lloyd recipe
+    (_kmeans_fit's conventions: init = k smallest vec_ids, 6-dp
+    rounding, min-struct argmin), and emit each vector's code word per
+    subspace plus the total squared reconstruction error.
+
+    The compression step a 100 TB embedding store runs before ADC-style
+    ANN: m log2(k) bits per vector instead of 4·dims bytes. Subspace
+    width is floor(dims/m) on BOTH engines (integer division), so when
+    dims is not divisible by m the trailing dims % m dimensions are
+    consistently excluded from every codebook — not silently assigned
+    to the last subspace on one side only.
+
+    Scale shape: ALL m subspaces run as ONE keyed pass — subspace index
+    is a column, the (vec_id, subspace, subvector) rows join the
+    (subspace, cluster, centroid) table by HASH on the subspace key
+    (m·k rows broadcast — a keyed BroadcastHashJoin, not a nested
+    loop), and each Lloyd step is one (vec_id, s) struct-min groupBy
+    plus one (s, cluster, dim) mergeable-avg update. The first form of
+    this operator built m separate fit/assign chains and joined them on
+    vec_id: 16 Exchanges / 6 SortMergeJoins / 16 BNLJs at m=4 vs
+    5 Exchanges / 2 keyed BroadcastHashJoins / 0 nested loops here
+    (measured, formatted-plan node counts) — per-item work is
+    identical, the chain form just paid m× the shuffle machinery."""
+    sub, cents, assign = _pq_fit(embeddings, m, k, iters)
     final = assign(cents)
     return final.groupBy("vec_id").agg(
         *[
@@ -537,4 +548,63 @@ def pq_codes(
         .cast("string")
         .cast("double")
         .alias("recon_err"),
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = 4,
+    codebook_k: int = 4,
+    iters: int = 1,
+) -> DataFrame:
+    """Asymmetric distance computation (ADC) top-k search over
+    PQ-compressed vectors — the query path pq_codes compresses FOR
+    (Jégou et al. 2011 §III): each query builds an m×codebook_k distance
+    TABLE (exact squared distance from its subvectors to every
+    centroid), and a candidate's approximate distance is the sum of m
+    table lookups selected by its stored code words — the corpus's full
+    vectors are never touched at query time.
+
+    100 TB shape: the distance tables are |queries|·m·codebook_k rows —
+    broadcast; the only per-candidate work is the keyed (s, cluster)
+    broadcast-hash probe + one (query, candidate) decimal-sum aggregate
+    (order-independent), then the standard total-ordered top-k window.
+    Composable with IVF pruning (probe lists first, ADC inside lists).
+    Deterministic end to end: same unrolled-Lloyd quantizer as
+    pq_codes, 6-dp rounded table entries, decimal sums, ties broken on
+    cand_id."""
+    sub, cents, assign = _pq_fit(embeddings, m, codebook_k, iters)
+    codes = assign(cents).select("vec_id", "s", "cluster")
+    q_tables = (
+        sub.filter(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"), "s", "vs")
+        .join(F.broadcast(cents), "s")
+        .select(
+            "query_id",
+            "s",
+            "cluster",
+            F.round(_sq_dist(F.col("vs"), F.col("c")), 6)
+            .cast("decimal(18,6)")
+            .alias("qd"),
+        )
+    )
+    cand = (
+        codes.join(F.broadcast(q_tables), ["s", "cluster"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(
+            F.sum("qd").cast("string").cast("double").alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("cand_id").asc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id", "cand_id", "adc_dist", F.col("rk").cast("long").alias("rank")
+        )
     )

@@ -1093,10 +1093,11 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_codes(_emb(spark, sf_dir), m=4, k=4, iters=1)
 
 
-def _pq_sql(m: int = 4, k: int = 4, iters: int = 1) -> str:
-    """Oracle for embedding_pq_codes: replay the per-subspace unrolled
-    Lloyd fits as CTE chains (same 6-dp rounding recipe as
-    _kmeans_ctes), then join the m code/err branches on vec_id."""
+def _pq_ctes(m: int, k: int, iters: int) -> str:
+    """Shared PQ oracle CTE chain: per-subspace unrolled Lloyd fits
+    (same 6-dp rounding recipe as _kmeans_ctes) ending in one
+    f{{s}}(vec_id, code_s, err_s) CTE per subspace — used by both the
+    pq_codes oracle and the ADC-search oracle."""
     sql = f"""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vfull,
@@ -1130,6 +1131,13 @@ WITH v AS (
     FROM vs{s} v, c{iters}_{s} c
   ) WHERE rn = 1
 )"""
+    return sql
+
+
+def _pq_sql(m: int = 4, k: int = 4, iters: int = 1) -> str:
+    """Oracle for embedding_pq_codes: the shared CTE chain, then join
+    the m code/err branches on vec_id (decimal-exact error sum)."""
+    sql = _pq_ctes(m, k, iters)
     codes = ", ".join(f"code_{s}" for s in range(m))
     errs = " + ".join(f"CAST(err_{s} AS DECIMAL(18,6))" for s in range(m))
     joins = " ".join(f"JOIN f{s} USING (vec_id)" for s in range(1, m))
@@ -1137,6 +1145,59 @@ WITH v AS (
 SELECT vec_id, {codes},
        CAST(CAST(({errs}) AS VARCHAR) AS DOUBLE) AS recon_err
 FROM f0 {joins}
+"""
+
+
+_ADC_N_QUERIES = 10
+_ADC_TOP_K = 5
+
+
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k search over PQ-compressed vectors
+    (operators/similarity.pq_adc_topk): each query builds an
+    m×k distance table against the codebooks; candidate distance = sum
+    of m table lookups by stored code word — full corpus vectors never
+    touched at query time. Fully deterministic (unrolled-Lloyd
+    quantizer, decimal sums, cand_id tie-break), so unlike the LSH ANN
+    entries this approximate search is value-hash oracle-able."""
+    return S.pq_adc_topk(
+        _emb(spark, sf_dir), query_ids=list(range(_ADC_N_QUERIES)), k=_ADC_TOP_K
+    )
+
+
+def _pq_adc_sql(n_queries: int = _ADC_N_QUERIES, topk: int = _ADC_TOP_K,
+                m: int = 4, k: int = 4, iters: int = 1) -> str:
+    """ADC oracle: the shared PQ CTE chain, then (codes, per-query
+    distance tables, table-lookup sum, total-ordered top-k)."""
+    dist = ("round(list_sum(list_transform(generate_series(1, len(v.v)), "
+            "i -> (v.v[i]-c.c[i])*(v.v[i]-c.c[i]))), 6)")
+    codes_union = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, code_{s} AS cluster FROM f{s}"
+        for s in range(m)
+    )
+    qd_union = " UNION ALL ".join(
+        f"SELECT v.vec_id AS query_id, {s} AS s, c.cluster, {dist} AS qd\n"
+        f"  FROM vs{s} v, c{iters}_{s} c WHERE v.vec_id < {n_queries}"
+        for s in range(m)
+    )
+    return _pq_ctes(m, k, iters) + f""", codes AS (
+  {codes_union}
+), qd AS (
+  {qd_union}
+), cand AS (
+  SELECT q.query_id, codes.vec_id AS cand_id, CAST(q.qd AS DECIMAL(18,6)) AS dd
+  FROM qd q JOIN codes ON q.s = codes.s AND q.cluster = codes.cluster
+  WHERE codes.vec_id <> q.query_id
+), agg AS (
+  SELECT query_id, cand_id, CAST(CAST(SUM(dd) AS VARCHAR) AS DOUBLE) AS adc_dist
+  FROM cand GROUP BY 1, 2
+)
+SELECT query_id, cand_id, adc_dist, rank FROM (
+  SELECT query_id, cand_id, adc_dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_dist ASC, cand_id ASC) AS BIGINT) AS rank
+  FROM agg
+) WHERE rank <= {topk}
 """
 
 
@@ -1241,6 +1302,8 @@ QUERIES: dict[str, QuerySpec] = {
         plan_waivers={"bnlj": "k-row centroid broadcast per iteration"}),
     "embedding_pq_codes": QuerySpec(
         embedding_pq_codes, _pq_sql(), "similarity"),
+    "ann_pq_adc_topk": QuerySpec(
+        ann_pq_adc_topk, _pq_adc_sql(), "similarity"),
     "embedding_quantize_int8": QuerySpec(
         embedding_quantize_int8, EMBEDDING_QUANTIZE_SQL, "similarity"),
     "profile_documents": QuerySpec(profile_documents, PROFILE_DOCUMENTS_SQL, "text"),

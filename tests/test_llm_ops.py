@@ -351,3 +351,29 @@ def test_pq_codes_identical_vectors_share_codes(spark):
         by_pattern.setdefault(r["vec_id"] % 2, set()).add(codes)
     assert all(len(v) == 1 for v in by_pattern.values())  # same vec -> same codes
     assert by_pattern[0] != by_pattern[1]  # distinct patterns -> distinct codes
+
+
+def test_pq_adc_copy_of_query_ranks_first(spark):
+    """ADC semantics on planted fixtures: with two patterns and
+    converged codebooks (zero quantization error), a candidate that is
+    an exact copy of the query shares its code words, so its ADC
+    distance is 0 and copies occupy the top ranks; opposite-pattern
+    candidates land strictly farther."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.similarity import pq_adc_topk
+
+    a = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    b = [9.0, 8.0, 7.0, 6.0, 5.0, 4.0, 3.0, 2.0]
+    rows = [(i, a if i % 2 == 0 else b) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_adc_topk(emb, query_ids=[0, 1], k=7).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        same = [r for r in rs if r["cand_id"] % 2 == q % 2]
+        other = [r for r in rs if r["cand_id"] % 2 != q % 2]
+        assert all(r["adc_dist"] == 0.0 for r in same)
+        assert all(r["adc_dist"] > 0.0 for r in other)
+        # all 3 same-pattern copies outrank every opposite-pattern cand
+        assert {r["rank"] for r in same} == {1, 2, 3}
