@@ -894,6 +894,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str,
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
+    return lpa_loop(edges, iters)
+
+
+def lpa_loop(edges: DataFrame, iters: int) -> DataFrame:
+    """The synchronous-LPA core over an (src, dst) edge frame — exposed
+    separately so property tests can drive it on arbitrary random
+    graphs against a plain-Python spec (graph_label_propagation wires
+    it to the trade graph)."""
     nodes = edges.select(F.col("src").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(iters):

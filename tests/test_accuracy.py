@@ -189,3 +189,47 @@ def test_label_propagation_separates_communities(spark, sf_dir):
     labels = {r["label"] for r in out.select("label").distinct().collect()}
     assert labels <= nodes
     out.unpersist()
+
+
+def test_lpa_loop_matches_python_spec(spark):
+    """The synchronous-LPA core vs a plain-Python spec on randomized
+    small symmetric graphs (seeded stdlib random — hypothesis's
+    function-scoped fixture health check makes the explicit loop the
+    simpler harness here): identical (node, label) maps after 2 steps,
+    including multi-component graphs and tie-heavy cliques."""
+    import random
+
+    from collections import Counter
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.analytics import lpa_loop
+
+    def py_lpa(sym_edges, iters=2):
+        nodes = sorted({a for a, _ in sym_edges})
+        labels = {n: n for n in nodes}
+        for _ in range(iters):
+            new = {}
+            for n in nodes:
+                cnt = Counter(labels[b] for a, b in sym_edges if a == n)
+                # max count, ties -> min label
+                best = min(((-c, lb) for lb, c in cnt.items()))
+                new[n] = best[1]
+            labels = new
+        return labels
+
+    rng = random.Random(1234)
+    for trial in range(8):
+        n_nodes = rng.randint(2, 10)
+        n_edges = rng.randint(1, 14)
+        undirected = {
+            tuple(sorted(rng.sample(range(n_nodes), 2)))
+            for _ in range(n_edges)
+            if n_nodes >= 2
+        }
+        if not undirected:
+            continue
+        sym = [(a, b) for a, b in undirected] + [(b, a) for a, b in undirected]
+        df = spark.createDataFrame(sym, "src long, dst long")
+        got = {r["node"]: r["label"] for r in lpa_loop(df, 2).collect()}
+        assert got == py_lpa(sym), (trial, sym)
