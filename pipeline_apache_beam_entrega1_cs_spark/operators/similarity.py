@@ -608,3 +608,92 @@ def pq_adc_topk(
             "query_id", "cand_id", "adc_dist", F.col("rk").cast("long").alias("rank")
         )
     )
+
+
+def pq_ivf_adc_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 8,
+    coarse_iters: int = 2,
+    n_probe: int = 4,
+    m: int = 4,
+    codebook_k: int = 4,
+    pq_iters: int = 1,
+) -> DataFrame:
+    """IVF-PQ: the production ANN index architecture (FAISS's IVFADC,
+    Jégou et al. 2011 §IV) — a coarse quantizer prunes to ``n_probe``
+    inverted lists, then ADC ranks ONLY the listed candidates by
+    summed distance-table lookups over their PQ codes. Both quantizers
+    are the deterministic unrolled-Lloyd fits (_kmeans_fit / _pq_fit),
+    so the entire composed index — coarse fit → list assignment →
+    probe pruning → PQ fit → code assignment → ADC ranking — replays
+    as SQL and is value-hash oracle-able.
+
+    100 TB shape: per-query candidate volume drops from |corpus| to
+    ~|corpus|·n_probe/n_centroids BEFORE any distance work (at scale
+    the lists are a cluster-partitioned table and probes are
+    partition-pruned scans), and the remaining work per candidate is m
+    table lookups on its stored codes — full vectors are touched only
+    at fit time. Distance tables and centroid sets broadcast; the only
+    big shuffle is the (query, candidate) decimal-sum aggregate."""
+    vecs = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    coarse_cents, coarse_assign = _kmeans_fit(vecs, n_centroids, coarse_iters)
+    lists = coarse_assign(coarse_cents).select("vec_id", "cluster")
+
+    q = vecs.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q_v")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("c_dist").asc(), F.col("cluster").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(coarse_cents))
+        .select(
+            "query_id",
+            "cluster",
+            F.round(_sq_dist(F.col("q_v"), F.col("c")), 6).alias("c_dist"),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "cluster")
+    )
+
+    sub, cents, assign = _pq_fit(embeddings, m, codebook_k, pq_iters)
+    codes = assign(cents).select(
+        F.col("vec_id").alias("cand_id"), "s", F.col("cluster").alias("code")
+    )
+    q_tables = (
+        sub.filter(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"), "s", "vs")
+        .join(F.broadcast(cents), "s")
+        .select(
+            "query_id",
+            "s",
+            F.col("cluster").alias("code"),
+            F.round(_sq_dist(F.col("vs"), F.col("c")), 6)
+            .cast("decimal(18,6)")
+            .alias("qd"),
+        )
+    )
+    cand = (
+        probes.join(lists, "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+    )
+    scored = (
+        cand.join(codes, "cand_id")
+        .join(F.broadcast(q_tables), ["query_id", "s", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("qd").cast("string").cast("double").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id", "cand_id", "adc_dist", F.col("rk").cast("long").alias("rank")
+        )
+    )

@@ -1093,20 +1093,22 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_codes(_emb(spark, sf_dir), m=4, k=4, iters=1)
 
 
-def _pq_ctes(m: int, k: int, iters: int) -> str:
+def _pq_ctes(m: int, k: int, iters: int, base: str = "v",
+             lead: str = "WITH ") -> str:
     """Shared PQ oracle CTE chain: per-subspace unrolled Lloyd fits
     (same 6-dp rounding recipe as _kmeans_ctes) ending in one
-    f{{s}}(vec_id, code_s, err_s) CTE per subspace — used by both the
-    pq_codes oracle and the ADC-search oracle."""
-    sql = f"""
-WITH v AS (
+    f{{s}}(vec_id, code_s, err_s) CTE per subspace — used by the
+    pq_codes, ADC-search, and IVF-PQ oracles. ``base``/``lead`` let the
+    chain splice into another WITH list (the IVF-PQ oracle also embeds
+    _kmeans_ctes, whose base CTE is already named ``v``)."""
+    sql = f"""{lead}{base} AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vfull,
          CAST(len(embedding) // {m} AS INTEGER) AS w
   FROM embeddings
 )"""
     for s in range(m):
         sql += f""", vs{s} AS (
-  SELECT vec_id, vfull[({s}*w+1):(({s}+1)*w)] AS v FROM v
+  SELECT vec_id, vfull[({s}*w+1):(({s}+1)*w)] AS v FROM {base}
 ), c0_{s} AS (
   SELECT CAST(vec_id AS INTEGER) AS cluster, v AS c FROM vs{s} WHERE vec_id < {k}
 )"""
@@ -1169,21 +1171,10 @@ def _pq_adc_sql(n_queries: int = _ADC_N_QUERIES, topk: int = _ADC_TOP_K,
                 m: int = 4, k: int = 4, iters: int = 1) -> str:
     """ADC oracle: the shared PQ CTE chain, then (codes, per-query
     distance tables, table-lookup sum, total-ordered top-k)."""
-    dist = ("round(list_sum(list_transform(generate_series(1, len(v.v)), "
-            "i -> (v.v[i]-c.c[i])*(v.v[i]-c.c[i]))), 6)")
-    codes_union = " UNION ALL ".join(
-        f"SELECT vec_id, {s} AS s, code_{s} AS cluster FROM f{s}"
-        for s in range(m)
-    )
-    qd_union = " UNION ALL ".join(
-        f"SELECT v.vec_id AS query_id, {s} AS s, c.cluster, {dist} AS qd\n"
-        f"  FROM vs{s} v, c{iters}_{s} c WHERE v.vec_id < {n_queries}"
-        for s in range(m)
-    )
     return _pq_ctes(m, k, iters) + f""", codes AS (
-  {codes_union}
+  {_adc_codes_union(m)}
 ), qd AS (
-  {qd_union}
+  {_adc_qd_union(m, iters, n_queries)}
 ), cand AS (
   SELECT q.query_id, codes.vec_id AS cand_id, CAST(q.qd AS DECIMAL(18,6)) AS dd
   FROM qd q JOIN codes ON q.s = codes.s AND q.cluster = codes.cluster
@@ -1199,6 +1190,86 @@ SELECT query_id, cand_id, adc_dist, rank FROM (
   FROM agg
 ) WHERE rank <= {topk}
 """
+
+
+def ann_pq_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (operators/similarity.pq_ivf_adc_topk): coarse-quantizer
+    pruning to n_probe inverted lists composed with ADC code-table
+    ranking inside the probed lists — the production ANN index
+    (FAISS IVFADC), fully deterministic and value-hash oracle-able
+    because both quantizers are the unrolled-Lloyd fits."""
+    return S.pq_ivf_adc_topk(
+        _emb(spark, sf_dir), query_ids=list(range(_ADC_N_QUERIES)), k=_ADC_TOP_K
+    )
+
+
+def _adc_codes_union(m: int) -> str:
+    return " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, code_{s} AS cluster FROM f{s}"
+        for s in range(m)
+    )
+
+
+def _adc_qd_union(m: int, iters: int, n_queries: int) -> str:
+    dist = ("round(list_sum(list_transform(generate_series(1, len(v.v)), "
+            "i -> (v.v[i]-c.c[i])*(v.v[i]-c.c[i]))), 6)")
+    return " UNION ALL ".join(
+        f"SELECT v.vec_id AS query_id, {s} AS s, c.cluster, {dist} AS qd\n"
+        f"  FROM vs{s} v, c{iters}_{s} c WHERE v.vec_id < {n_queries}"
+        for s in range(m)
+    )
+
+
+def _pq_ivf_adc_sql(n_queries: int = _ADC_N_QUERIES, topk: int = _ADC_TOP_K,
+                    n_centroids: int = 8, coarse_iters: int = 2,
+                    n_probe: int = 4, m: int = 4, k: int = 4,
+                    pq_iters: int = 1) -> str:
+    """IVF-PQ oracle: the coarse unrolled-Lloyd chain (_kmeans_ctes,
+    base CTE ``v``) + the PQ chain (base ``pqv``), then inverted-list
+    assignment, probe pruning, and ADC restricted to probed lists."""
+    coarse, cfinal = _kmeans_ctes(n_centroids, coarse_iters)
+    return (coarse
+            + _pq_ctes(m, k, pq_iters, base="pqv", lead=", ")
+            + f""", ivf_assigned AS (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {_KMEANS_DIST}, c.cluster) AS rn
+    FROM v, {cfinal} c
+  ) WHERE rn = 1
+), ivf_q AS (
+  SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < {n_queries}
+), ivf_probes AS (
+  SELECT query_id, cluster FROM (
+    SELECT q.query_id, c.cluster,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             round(list_sum(list_transform(generate_series(1, len(q.qv)),
+                   i -> (q.qv[i]-c.c[i])*(q.qv[i]-c.c[i]))), 6), c.cluster) AS rn
+    FROM ivf_q q, {cfinal} c
+  ) WHERE rn <= {n_probe}
+), codes AS (
+  {_adc_codes_union(m)}
+), qd AS (
+  {_adc_qd_union(m, pq_iters, n_queries)}
+), cand AS (
+  SELECT p.query_id, a.vec_id AS cand_id
+  FROM ivf_probes p JOIN ivf_assigned a USING (cluster)
+  WHERE a.vec_id <> p.query_id
+), scored AS (
+  SELECT c.query_id, c.cand_id, CAST(q.qd AS DECIMAL(18,6)) AS dd
+  FROM cand c
+  JOIN codes k ON k.vec_id = c.cand_id
+  JOIN qd q ON q.query_id = c.query_id AND q.s = k.s AND q.cluster = k.cluster
+), agg AS (
+  SELECT query_id, cand_id, CAST(CAST(SUM(dd) AS VARCHAR) AS DOUBLE) AS adc_dist
+  FROM scored GROUP BY 1, 2
+)
+SELECT query_id, cand_id, adc_dist, rank FROM (
+  SELECT query_id, cand_id, adc_dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_dist ASC, cand_id ASC) AS BIGINT) AS rank
+  FROM agg
+) WHERE rank <= {topk}
+""")
 
 
 _SPAN_N = 8
@@ -1304,6 +1375,10 @@ QUERIES: dict[str, QuerySpec] = {
         embedding_pq_codes, _pq_sql(), "similarity"),
     "ann_pq_adc_topk": QuerySpec(
         ann_pq_adc_topk, _pq_adc_sql(), "similarity"),
+    "ann_pq_ivf_adc_topk": QuerySpec(
+        ann_pq_ivf_adc_topk, _pq_ivf_adc_sql(), "similarity",
+        plan_waivers={"bnlj": "k-row coarse-centroid broadcast "
+                              "(quantizer fit + probe scoring)"}),
     "embedding_quantize_int8": QuerySpec(
         embedding_quantize_int8, EMBEDDING_QUANTIZE_SQL, "similarity"),
     "profile_documents": QuerySpec(profile_documents, PROFILE_DOCUMENTS_SQL, "text"),

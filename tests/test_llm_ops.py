@@ -377,3 +377,51 @@ def test_pq_adc_copy_of_query_ranks_first(spark):
         assert all(r["adc_dist"] > 0.0 for r in other)
         # all 3 same-pattern copies outrank every opposite-pattern cand
         assert {r["rank"] for r in same} == {1, 2, 3}
+
+
+def test_pq_ivf_adc_consistency(spark, sf_dir):
+    """IVF-PQ integration: (1) every returned candidate lies in one of
+    its query's probed coarse lists (recomputed independently from the
+    same deterministic quantizer); (2) for every returned (query, cand)
+    pair the ADC distance equals the full-corpus ADC entry's distance —
+    pruning changes the candidate SET, never the scoring."""
+    from pyspark.sql import functions as F
+
+    from pipeline_apache_beam_entrega1_cs_spark.operators.similarity import (
+        _as_double,
+        _kmeans_fit,
+        _sq_dist,
+        pq_adc_topk,
+        pq_ivf_adc_topk,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(10))
+    out = pq_ivf_adc_topk(emb, query_ids=qids, k=5).collect()
+    assert out and all(1 <= r["rank"] <= 5 for r in out)
+
+    # (1) recompute lists + probes with the same deterministic fit
+    vecs = emb.select("vec_id", _as_double("embedding").alias("v"))
+    cents, assign = _kmeans_fit(vecs, k=8, iters=2)
+    lists = {r["vec_id"]: r["cluster"] for r in assign(cents).collect()}
+    qv = {r["vec_id"]: r["v"] for r in vecs.filter(F.col("vec_id").isin(qids)).collect()}
+    cts = {r["cluster"]: r["c"] for r in cents.collect()}
+
+    def probes(q):
+        ds = sorted(
+            (round(sum((a - b) ** 2 for a, b in zip(qv[q], c)), 6), cl)
+            for cl, c in cts.items()
+        )
+        return {cl for _, cl in ds[:4]}
+
+    for r in out:
+        assert lists[r["cand_id"]] in probes(r["query_id"]), r
+
+    # (2) scoring identical to the unpruned ADC entry
+    full = {
+        (r["query_id"], r["cand_id"]): r["adc_dist"]
+        for r in pq_adc_topk(emb, query_ids=qids, k=10**6).collect()
+    }
+    for r in out:
+        assert full[(r["query_id"], r["cand_id"])] == r["adc_dist"], r
