@@ -333,3 +333,62 @@ def bigram_pmi_topk(docs: DataFrame, min_count: int = 5, k: int = 20) -> DataFra
     return scored.orderBy(
         F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(k)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 retrieval (Robertson & Zaragoza 2009): score every
+    document containing at least one query term and return the top-k —
+    the classic lexical-search ranking a corpus store serves next to
+    ANN. idf uses the (N - df + 0.5)/(df + 0.5) + 1 smoothing; per-term
+    contributions round to 6 dp and SUM AS DECIMALS (order-independent),
+    with the standard (score desc, doc_id) total order.
+
+    100 TB shape: tf is one token explode filtered to the |query| terms
+    BEFORE the (doc, term) count (the filter prunes the explode's
+    output, not the corpus scan); df and the (N, avgdl) stats are tiny
+    broadcast sides; the final ranking is a TakeOrdered limit, not a
+    global window."""
+    toks = docs.filter(F.trim(F.col("text")) != "").select(
+        "doc_id", tokens(F.col("text")).alias("_tk")
+    )
+    dl = toks.select("doc_id", F.size("_tk").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("_tk").alias("term"))
+        .filter(F.col("term").isin(list(query_terms)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = F.round(
+        idf
+        * F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+            F.sum(contrib.cast("decimal(20,6)"))
+            .cast("string")
+            .cast("double")
+            .alias("bm25"),
+        )
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(k)

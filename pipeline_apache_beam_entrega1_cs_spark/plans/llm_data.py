@@ -1272,6 +1272,55 @@ SELECT query_id, cand_id, adc_dist, rank FROM (
 """)
 
 
+_BM25_TERMS = ("spark", "join", "dup")  # common / common / rare (df 25)
+_BM25_K = 20
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval (operators/textops.bm25_topk): top-20
+    documents for a fixed mixed-idf query — the classic term search a
+    corpus store serves next to the ANN entries. Deterministic: 6-dp
+    contributions, decimal sums, (score desc, doc_id) total order."""
+    return T.bm25_topk(
+        _docs(spark, sf_dir), list(_BM25_TERMS), k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+def _bm25_sql(terms=_BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B) -> str:
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents WHERE trim(text) <> ''
+), dl AS (
+  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, t AS term, COUNT(*) AS tf
+  FROM toks, UNNEST(tk) AS u(t)
+  WHERE t IN ({in_list})
+  GROUP BY 1, 2
+), dfx AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+)
+SELECT tf.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+       CAST(CAST(SUM(CAST(round(
+         ln((s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5) + 1.0)
+           * tf.tf * ({k1} + 1)
+           / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)), 6)
+         AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS bm25
+FROM tf
+JOIN dfx USING (term)
+JOIN dl ON tf.doc_id = dl.doc_id
+CROSS JOIN stats s
+GROUP BY tf.doc_id
+ORDER BY bm25 DESC, tf.doc_id ASC
+LIMIT {k}
+"""
+
+
 _SPAN_N = 8
 
 
@@ -1348,6 +1397,9 @@ QUERIES: dict[str, QuerySpec] = {
     "text_lang_id": QuerySpec(text_lang_id, TEXT_LANG_ID_SQL, "text"),
     "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL, "text"),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL, "text"),
+    "text_bm25_topk": QuerySpec(
+        text_bm25_topk, _bm25_sql(), "text",
+        plan_waivers={"bnlj": "1-row (N, avgdl) corpus-stats scalar"}),
     "text_tfidf_top_terms": QuerySpec(
         text_tfidf_top_terms, TEXT_TFIDF_SQL, "text",
         plan_waivers={"bnlj": "1-row corpus-size scalar in IDF"}),

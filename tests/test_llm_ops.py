@@ -425,3 +425,19 @@ def test_pq_ivf_adc_consistency(spark, sf_dir):
     }
     for r in out:
         assert full[(r["query_id"], r["cand_id"])] == r["adc_dist"], r
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    """BM25 semantics on planted fixtures: a document matching the RARE
+    query term outscores documents matching only the common term (idf
+    dominance); more occurrences of the same term increase the score
+    sublinearly; documents with no query term are absent."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.textops import bm25_topk
+
+    rows = [(0, "rare x y z"), (1, "common x y z"), (2, "common common x y"),
+            (3, "x y z w")] + [(i, "common x y z") for i in range(4, 12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["bm25"] for r in bm25_topk(docs, ["rare", "common"], k=20).collect()}
+    assert 3 not in out                      # no query term -> not scored
+    assert out[0] > out[2] > out[1]          # rare beats common; 2x common beats 1x
+    assert out[1] == out[4]                  # identical docs tie exactly
