@@ -1037,6 +1037,91 @@ LIMIT 10
 """
 
 
+_OVL_EPOCH = "1990-01-01"
+
+
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join with NO equi key — the shape Spark would
+    otherwise plan as a nested-loop theta join — solved by BUCKET
+    BLOCKING: each interval explodes into the week buckets it touches
+    (bounded ×⌈len/7⌉+1 inflation), candidates meet in an ordinary hash
+    join on the bucket key, the exact overlap predicate filters inside
+    buckets, and DISTINCT collapses the ≤2-bucket double-matches. At
+    100 TB this is THE overlap-join idiom: shuffle volume is |rows| ×
+    buckets-per-interval, never |left|×|right|, and the plan-shape gate
+    passes with no waiver (pure equi hash join). Shipment windows
+    [l_shipdate, +3d] (deterministic 1-in-997 order sample) vs order
+    windows [o_orderdate, +7d] (1-in-13); output = the overlapping
+    pairs with their overlap length in days. Oracle: the plain
+    inequality join over the same samples."""
+    wk = lambda c: F.floor(  # noqa: E731 — local shorthand, both sides mirror it
+        F.datediff(c, F.lit(_OVL_EPOCH).cast("date")) / 7
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 997 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.to_date("l_shipdate").alias("l_start"),
+            F.date_add(F.to_date("l_shipdate"), 3).alias("l_end"),
+        )
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 13 == 0)
+        .select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_start"),
+            F.date_add(F.to_date("o_orderdate"), 7).alias("o_end"),
+        )
+    )
+    lb = li.withColumn("wk", F.explode(F.sequence(wk(F.col("l_start")), wk(F.col("l_end")))))
+    ob = orders.withColumn("wk", F.explode(F.sequence(wk(F.col("o_start")), wk(F.col("o_end")))))
+    return (
+        lb.join(ob, "wk")
+        .filter((F.col("l_start") <= F.col("o_end")) & (F.col("o_start") <= F.col("l_end")))
+        .select(
+            "l_orderkey", "l_linenumber", "o_orderkey",
+            "l_start", "l_end", "o_start", "o_end",
+        )
+        .distinct()
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+            "o_orderkey",
+            (
+                F.datediff(
+                    F.least("l_end", "o_end"), F.greatest("l_start", "o_start")
+                )
+                + 1
+            )
+            .cast("bigint")
+            .alias("overlap_days"),
+        )
+    )
+
+
+JOIN_INTERVAL_OVERLAP_SQL = """
+WITH l AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_shipdate AS DATE) AS l_start,
+         CAST(l_shipdate AS DATE) + 3 AS l_end
+  FROM lineitem WHERE l_orderkey % 997 = 0
+), o AS (
+  SELECT o_orderkey,
+         CAST(o_orderdate AS DATE) AS o_start,
+         CAST(o_orderdate AS DATE) + 7 AS o_end
+  FROM orders WHERE o_orderkey % 13 = 0
+)
+SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+       o.o_orderkey,
+       CAST(least(l_end, o_end) - greatest(l_start, o_start) + 1 AS BIGINT)
+         AS overlap_days
+FROM l JOIN o ON l_start <= o_end AND o_start <= l_end
+"""
+
+
 def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal ingest SOURCE: ``spark.read.format('binaryFile')``
     over a directory of opaque blobs — (path, modificationTime, length,
@@ -1133,6 +1218,8 @@ QUERIES: dict[str, QuerySpec] = {
     "join_bucketed": QuerySpec(join_bucketed, JOIN_BUCKETED_SQL, "join"),
     "source_binary_files": QuerySpec(
         source_binary_files, SOURCE_BINARY_FILES_SQL, "source"),
+    "join_interval_overlap": QuerySpec(
+        join_interval_overlap, JOIN_INTERVAL_OVERLAP_SQL, "join"),
     "join_right_outer": QuerySpec(join_right_outer, JOIN_RIGHT_OUTER_SQL, "join"),
     "set_union_all": QuerySpec(set_union_all, SET_UNION_ALL_SQL, "set_op"),
     "set_intersect_all": QuerySpec(set_intersect_all, SET_INTERSECT_ALL_SQL, "set_op"),

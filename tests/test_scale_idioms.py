@@ -437,3 +437,52 @@ def test_compaction_yields_one_file_per_bucket(spark, sf_dir):
     )
     assert len(files) == 8
     assert all(r["n_files"] == 1 for r in files), files
+
+
+def test_interval_overlap_blocking_is_lossless(spark, sf_dir):
+    """Bucket blocking must be LOSSLESS: the week-bucketed overlap join
+    returns exactly the pairs a direct theta join over the same samples
+    finds — including intervals that straddle bucket boundaries — and
+    its plan contains no nested-loop join."""
+    from collections import Counter
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.relational2 import (
+        join_interval_overlap,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    out = join_interval_overlap(spark, sf_dir)
+    plan = physical_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 997 == 0)
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.to_date("l_shipdate").alias("ls"),
+            F.date_add(F.to_date("l_shipdate"), 3).alias("le"),
+        )
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 13 == 0)
+        .select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("os"),
+            F.date_add(F.to_date("o_orderdate"), 7).alias("oe"),
+        )
+    )
+    direct = (
+        li.crossJoin(orders)
+        .filter((F.col("ls") <= F.col("oe")) & (F.col("os") <= F.col("le")))
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+            "o_orderkey",
+            (F.datediff(F.least("le", "oe"), F.greatest("ls", "os")) + 1)
+            .cast("bigint")
+            .alias("overlap_days"),
+        )
+    )
+    assert Counter(map(tuple, out.collect())) == Counter(map(tuple, direct.collect()))
