@@ -230,6 +230,64 @@ FROM spine s LEFT JOIN hourly h
 # OHLC resampling
 # --------------------------------------------------------------------------
 
+_EWMA_DEPTH = 8  # frame depth; alpha = 0.5 -> exact binary weights
+
+
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average per user — the
+    standard streaming-feature smoother, bounded to the last 8 events
+    so the state is a fixed ROWS frame instead of an unbounded
+    recurrence (the unbounded form needs per-key sequential state; the
+    truncated form is one ordered window, and with alpha = 0.5 the
+    weights 1, 1/2, ... 1/128 are exact binary fractions, so the
+    weighted mean is bit-identical across engines before the final
+    round). ewma = Σ w_i·x_i / Σ w_i over the frame (newest first,
+    adjust=True normalization). Scale shape: one keyed window shuffle,
+    frame work O(depth) per row, no recurrence, no UDF."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_DEPTH - 1), 0)
+    )
+    vals = F.reverse(F.collect_list("value").over(w))  # newest first
+    wts = F.transform(
+        F.sequence(F.lit(0), F.size(vals) - 1), lambda i: F.pow(0.5, i)
+    )
+    num = F.aggregate(
+        F.zip_with(vals, wts, lambda x, wt: x * wt),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    den = F.aggregate(wts, F.lit(0.0), lambda acc, v: acc + v)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("value").alias("raw_value"),
+        F.size(vals).cast("bigint").alias("n_window"),
+        F.round(num / den, 6).alias("ewma"),
+    )
+
+
+TIMESERIES_EWMA_SQL = f"""
+WITH framed AS (
+  SELECT event_id, user_id, value AS raw_value,
+         list_reverse(list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {_EWMA_DEPTH - 1} PRECEDING AND CURRENT ROW)) AS vals
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_id, user_id, raw_value,
+       CAST(len(vals) AS BIGINT) AS n_window,
+       round(
+         list_sum(list_transform(generate_series(1, len(vals)),
+                  i -> vals[i] * pow(0.5, i - 1)))
+         / list_sum(list_transform(generate_series(1, len(vals)),
+                  i -> pow(0.5, i - 1))), 6) AS ewma
+FROM framed
+"""
+
+
 def resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resample events to 15-minute OHLC bars per type: open/close are
     the values of the first/last event in the bar under the total order
@@ -1103,6 +1161,8 @@ QUERIES: dict[str, QuerySpec] = {
     "retention_cohorts": QuerySpec(retention_cohorts, RETENTION_SQL, "analytics"),
     "timeseries_gapfill": QuerySpec(timeseries_gapfill, GAPFILL_SQL, "timeseries"),
     "resample_ohlc": QuerySpec(resample_ohlc, OHLC_SQL, "timeseries"),
+    "timeseries_ewma": QuerySpec(
+        timeseries_ewma, TIMESERIES_EWMA_SQL, "timeseries"),
     "scd2_user_state": QuerySpec(scd2_user_state, SCD2_SQL, "analytics"),
     "dq_constraint_report": QuerySpec(dq_constraint_report, DQ_SQL, "quality"),
     "anomaly_zscore": QuerySpec(anomaly_zscore, ZSCORE_SQL, "timeseries"),

@@ -1321,6 +1321,38 @@ LIMIT {k}
 """
 
 
+_FEATHASH_DIMS = 16
+
+
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing-trick vectorizer (Weinberger et al. 2009): term
+    counts bucketed by md5 hash mod dims — the fixed-width featurizer
+    that needs NO vocabulary build (no global pass, no broadcast dict),
+    which is what makes it the 100 TB choice for text→vector. Output is
+    the sparse COO form (doc_id, bucket, cnt) — exactly how a sparse
+    feature matrix is stored at scale; zero buckets are absent by
+    construction. One explode + one (doc, bucket) hash-aggregate, same
+    md5-prefix integer idiom as the SimHash oracle."""
+    tok = T.explode_tokens(_docs(spark, sf_dir))
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % _FEATHASH_DIMS
+    )
+    return tok.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+TEXT_FEATURE_HASHING_SQL = f"""
+SELECT doc_id,
+       CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % {_FEATHASH_DIMS} AS bucket,
+       COUNT(*) AS cnt
+FROM documents, UNNEST({_TOKS}) AS u(t)
+WHERE trim(text) <> ''
+GROUP BY 1, 2
+"""
+
+
 _SPAN_N = 8
 
 
@@ -1397,6 +1429,8 @@ QUERIES: dict[str, QuerySpec] = {
     "text_lang_id": QuerySpec(text_lang_id, TEXT_LANG_ID_SQL, "text"),
     "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL, "text"),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL, "text"),
+    "text_feature_hashing": QuerySpec(
+        text_feature_hashing, TEXT_FEATURE_HASHING_SQL, "text"),
     "text_bm25_topk": QuerySpec(
         text_bm25_topk, _bm25_sql(), "text",
         plan_waivers={"bnlj": "1-row (N, avgdl) corpus-stats scalar"}),

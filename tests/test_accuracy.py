@@ -233,3 +233,39 @@ def test_lpa_loop_matches_python_spec(spark):
         df = spark.createDataFrame(sym, "src long, dst long")
         got = {r["node"]: r["label"] for r in lpa_loop(df, 2).collect()}
         assert got == py_lpa(sym), (trial, sym)
+
+
+def test_ewma_constant_and_step_series(spark):
+    """EWMA semantics on planted series: a constant series smooths to
+    the constant; after a step change the EWMA lies strictly between
+    the old and new levels and moves monotonically toward the new one."""
+    import datetime
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.analytics import (
+        timeseries_ewma,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(minutes=i), 1, "e",
+         1.0 if i < 8 else 5.0, None)
+        for i in range(16)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string"
+    )
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+    orig = A.load_table
+    A.load_table = lambda spark, sf_dir, name: df
+    try:
+        out = {r["event_id"]: r["ewma"] for r in timeseries_ewma(spark, "x").collect()}
+    finally:
+        A.load_table = orig
+    assert out[7] == 1.0                       # constant prefix -> exact constant
+    after = [out[i] for i in range(8, 16)]
+    assert all(1.0 < v < 5.0 for v in after[:-1])
+    assert all(b > a for a, b in zip(after, after[1:]))  # monotone approach
+    assert after[-1] > 4.9                     # nearly converged at depth 8

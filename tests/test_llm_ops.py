@@ -441,3 +441,32 @@ def test_bm25_rare_term_outranks_common(spark):
     assert 3 not in out                      # no query term -> not scored
     assert out[0] > out[2] > out[1]          # rare beats common; 2x common beats 1x
     assert out[1] == out[4]                  # identical docs tie exactly
+
+
+def test_feature_hashing_preserves_token_mass(spark, sf_dir):
+    """Hashing-trick invariants: per-doc bucket counts sum to the doc's
+    token count (no token lost or double-bucketed), buckets stay in
+    [0, 16), and the same term always lands in the same bucket."""
+    from pyspark.sql import functions as F
+
+    from pipeline_apache_beam_entrega1_cs_spark.operators.textops import tokens
+    from pipeline_apache_beam_entrega1_cs_spark.plans.llm_data import (
+        text_feature_hashing,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    out = text_feature_hashing(spark, sf_dir).cache()
+    assert out.filter((F.col("bucket") < 0) | (F.col("bucket") >= 16)).count() == 0
+    got = {
+        r["doc_id"]: r["total"]
+        for r in out.groupBy("doc_id").agg(F.sum("cnt").alias("total")).collect()
+    }
+    exp = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.trim("text") != "")
+        .select("doc_id", F.size(tokens(F.col("text"))).alias("n"))
+        .collect()
+    }
+    assert got == exp
+    out.unpersist()
