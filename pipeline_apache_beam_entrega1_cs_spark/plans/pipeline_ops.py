@@ -344,6 +344,64 @@ FROM packed GROUP BY split
 """
 
 
+def dq_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE detection: near-duplicate documents (same
+    content fingerprint — the word-order-insensitive key the dedup path
+    uses) landing on BOTH sides of a split boundary silently inflate
+    eval scores; this is the hygiene check a training pipeline runs
+    AFTER splitting and BEFORE shipping an eval set. Reports, per
+    crossed split-set, how many fingerprints leak and how many
+    documents they cover. Shape: the split column is a pure function of
+    doc_id (split_train_val_test's md5 rule), so the whole check is one
+    fingerprint-keyed aggregate + one tiny rollup — shuffles 32-hex
+    keys, never text."""
+    from ..operators.textops import fingerprint_col
+
+    docs = _t(spark, sf_dir, "documents")
+    per_fp = (
+        docs.select(
+            _split_col().alias("split"),
+            fingerprint_col(F.col("text")).alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.array_sort(F.collect_set("split")).alias("splits"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.size("splits") >= 2)
+    )
+    return per_fp.groupBy(
+        F.array_join("splits", "|").alias("split_set")
+    ).agg(
+        F.count(F.lit(1)).alias("n_leaked_fps"),
+        F.sum("n_docs").cast("long").alias("n_docs_affected"),
+    )
+
+
+DQ_SPLIT_LEAKAGE_SQL = f"""
+WITH a AS (
+  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_TRAIN_MAX}'
+              THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_VAL_MAX}'
+              THEN 'val' ELSE 'test' END AS split,
+         md5(array_to_string(list_sort(list_distinct(
+           CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END)),
+           ' ')) AS fp
+  FROM documents
+), g AS (
+  SELECT fp, list_sort(list_distinct(list(split))) AS splits,
+         COUNT(*) AS n_docs
+  FROM a GROUP BY fp
+)
+SELECT array_to_string(splits, '|') AS split_set,
+       COUNT(*) AS n_leaked_fps,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs_affected
+FROM g WHERE len(splits) >= 2
+GROUP BY 1
+"""
+
+
 def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction — the table-maintenance job the
     input-split finding in SCALING.md ("59.6 s instead of 9.5 s with an
@@ -403,6 +461,8 @@ QUERIES: dict[str, QuerySpec] = {
     # compacted files) — so no plan waiver is needed or allowed here
     "maintenance_compact_small_files": QuerySpec(
         maintenance_compact_small_files, COMPACT_SQL, "pipeline"),
+    "dq_split_leakage": QuerySpec(
+        dq_split_leakage, DQ_SPLIT_LEAKAGE_SQL, "pipeline"),
     "split_train_val_test": QuerySpec(split_train_val_test, SPLIT_SQL, "pipeline"),
     "dataset_build_pipeline": QuerySpec(
         dataset_build_pipeline, DATASET_BUILD_SQL, "composition"

@@ -470,3 +470,31 @@ def test_feature_hashing_preserves_token_mass(spark, sf_dir):
     }
     assert got == exp
     out.unpersist()
+
+
+def test_split_leakage_detects_planted_duplicate(spark, sf_dir):
+    """Leakage semantics: the report's totals equal a direct recount of
+    fingerprints spanning >= 2 splits, and every reported split_set
+    names at least two splits."""
+    from pyspark.sql import functions as F
+
+    from pipeline_apache_beam_entrega1_cs_spark.operators.textops import fingerprint_col
+    from pipeline_apache_beam_entrega1_cs_spark.plans.pipeline_ops import (
+        _split_col,
+        dq_split_leakage,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    out = dq_split_leakage(spark, sf_dir).collect()
+    assert all(len(r["split_set"].split("|")) >= 2 for r in out)
+    direct = (
+        load_table(spark, sf_dir, "documents")
+        .select(_split_col().alias("split"), fingerprint_col(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.countDistinct("split").alias("ns"), F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("ns") >= 2)
+        .agg(F.count(F.lit(1)).alias("fps"), F.sum("nd").alias("docs"))
+        .collect()[0]
+    )
+    assert sum(r["n_leaked_fps"] for r in out) == (direct["fps"] or 0)
+    assert sum(r["n_docs_affected"] for r in out) == (direct["docs"] or 0)
