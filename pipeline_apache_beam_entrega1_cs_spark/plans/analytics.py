@@ -230,6 +230,98 @@ FROM spine s LEFT JOIN hourly h
 # OHLC resampling
 # --------------------------------------------------------------------------
 
+_LIFT_MIN_SUPPORT = 5
+_LIFT_TOP_K = 20
+
+
+def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: pairwise co-occurrence LIFT
+    between part brands inside the same order — the classic retail
+    cross-sell analysis. lift = N·c_xy / (c_x·c_y) over the distinct
+    (order, brand) incidence; support floor + top-k by (lift desc,
+    brand pair).
+
+    Scale shape: pairs are generated ARRAY-SIDE from each order's
+    sorted distinct-brand set (bounded by brands-per-order, never a
+    self-join on the order key — the same in-bucket pair idiom as the
+    Jaccard inverted index); brand marginals and the 1-row basket total
+    are broadcast. Numerators/denominators stay integer (exact) until
+    one double division, rounded to 6 dp."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    arrs = ob.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("p_brand")).alias("bs")
+    )
+    bs = F.col("bs")
+    pair_arrays = F.flatten(
+        F.transform(
+            bs,
+            lambda x, i: F.transform(
+                F.slice(bs, i + 2, F.size(bs) - i - 1),
+                lambda y: F.struct(x.alias("b1"), y.alias("b2")),
+            ),
+        )
+    )
+    pairs = (
+        arrs.select(F.explode_outer(pair_arrays).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select("p.*")
+    )
+    c_xy = pairs.groupBy("b1", "b2").agg(F.count(F.lit(1)).alias("c_xy"))
+    c_x = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("c"))
+    n = arrs.agg(F.count(F.lit(1)).alias("n_orders"))  # 1-row scalar
+    return (
+        c_xy.filter(F.col("c_xy") >= _LIFT_MIN_SUPPORT)
+        .join(F.broadcast(c_x.select(F.col("p_brand").alias("b1"), F.col("c").alias("c_x"))), "b1")
+        .join(F.broadcast(c_x.select(F.col("p_brand").alias("b2"), F.col("c").alias("c_y"))), "b2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "b1",
+            "b2",
+            F.col("c_xy").alias("support"),
+            F.round(
+                (F.col("n_orders") * F.col("c_xy")).cast("double")
+                / (F.col("c_x") * F.col("c_y")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("b1").asc(), F.col("b2").asc())
+        .limit(_LIFT_TOP_K)
+    )
+
+
+BASKET_BRAND_LIFT_SQL = f"""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), pairs AS (
+  SELECT a.l_orderkey, a.p_brand AS b1, b.p_brand AS b2
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+), cxy AS (
+  SELECT b1, b2, COUNT(*) AS c_xy FROM pairs GROUP BY 1, 2
+  HAVING COUNT(*) >= {_LIFT_MIN_SUPPORT}
+), cx AS (
+  SELECT p_brand, COUNT(*) AS c FROM ob GROUP BY 1
+), n AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob
+)
+SELECT b1, b2, c_xy AS support,
+       round(CAST(n.n_orders * c_xy AS DOUBLE) / (x.c * y.c), 6) AS lift
+FROM cxy
+JOIN cx x ON cxy.b1 = x.p_brand
+JOIN cx y ON cxy.b2 = y.p_brand
+CROSS JOIN n
+ORDER BY lift DESC, b1 ASC, b2 ASC
+LIMIT {_LIFT_TOP_K}
+"""
+
+
 _EWMA_DEPTH = 8  # frame depth; alpha = 0.5 -> exact binary weights
 
 
@@ -1163,6 +1255,9 @@ QUERIES: dict[str, QuerySpec] = {
     "resample_ohlc": QuerySpec(resample_ohlc, OHLC_SQL, "timeseries"),
     "timeseries_ewma": QuerySpec(
         timeseries_ewma, TIMESERIES_EWMA_SQL, "timeseries"),
+    "basket_brand_lift": QuerySpec(
+        basket_brand_lift, BASKET_BRAND_LIFT_SQL, "analytics",
+        plan_waivers={"bnlj": "1-row basket-count scalar attach"}),
     "scd2_user_state": QuerySpec(scd2_user_state, SCD2_SQL, "analytics"),
     "dq_constraint_report": QuerySpec(dq_constraint_report, DQ_SQL, "quality"),
     "anomaly_zscore": QuerySpec(anomaly_zscore, ZSCORE_SQL, "timeseries"),

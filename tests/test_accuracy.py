@@ -269,3 +269,45 @@ def test_ewma_constant_and_step_series(spark):
     assert all(1.0 < v < 5.0 for v in after[:-1])
     assert all(b > a for a, b in zip(after, after[1:]))  # monotone approach
     assert after[-1] > 4.9                     # nearly converged at depth 8
+
+
+def test_basket_lift_planted_association(spark, sf_dir):
+    """Lift semantics on planted baskets: two brands that ALWAYS
+    co-occur get lift ~ N/c > 1 and rank first; two brands that never
+    co-occur are absent; independent brands sit near lift 1."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    # 40 orders: brands X,Y always together (10 orders); Z alone (10);
+    # P,Q mixed independently across the remaining 20
+    li_rows, part_rows = [], []
+    parts = {"X": 1, "Y": 2, "Z": 3, "P": 4, "Q": 5}
+    for b, pk in parts.items():
+        part_rows.append((pk, f"name{pk}", b, "t", 1, 1.0))
+    oid = 0
+    for _ in range(10):
+        li_rows += [(oid, parts["X"]), (oid, parts["Y"])]; oid += 1
+    for _ in range(10):
+        li_rows += [(oid, parts["Z"])]; oid += 1
+    for i in range(20):
+        li_rows.append((oid, parts["P"] if i % 2 == 0 else parts["Q"]))
+        if i % 4 == 0:
+            li_rows.append((oid, parts["Q"]))
+        oid += 1
+    li = spark.createDataFrame(li_rows, "l_orderkey long, l_partkey long")
+    part = spark.createDataFrame(
+        part_rows,
+        "p_partkey long, p_name string, p_brand string, p_size_t string,"
+        " p_size int, p_retailprice double",
+    )
+    orig = A._t
+    A._t = lambda s, d, name: {"lineitem": li, "part": part}[name]
+    try:
+        out = A.basket_brand_lift(spark, "x").collect()
+    finally:
+        A._t = orig
+    got = {(r["b1"], r["b2"]): r["lift"] for r in out}
+    assert got[("X", "Y")] == max(got.values())  # perfect association tops
+    assert got[("X", "Y")] == 4.0                # N/c = 40/10
+    assert ("X", "Z") not in got and ("Y", "Z") not in got
