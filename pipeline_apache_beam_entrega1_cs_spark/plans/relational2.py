@@ -1102,6 +1102,47 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CUSTOM_SOURCE_N = 200
+
+
+def source_custom_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 custom Python DataSource API
+    (sources/custom_source.DeterministicRowsSource): register a
+    pure-Python connector and read it with the ordinary
+    ``spark.read.format(...)`` path, 4 real input partitions. The
+    source's content is a deterministic (id, md5-of-id) stream, so the
+    oracle replays it from generate_series — proving the data came
+    through the connector intact, partitioning included."""
+    from ..sources.custom_source import DeterministicRowsSource
+
+    spark.dataSource.register(DeterministicRowsSource)
+    df = (
+        spark.read.format("graft_rows")
+        .option("n", _CUSTOM_SOURCE_N)
+        .load()
+    )
+    return df.groupBy((F.col("id") % 4).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+        F.sum((F.substring("h", 1, 1) < "8").cast("int"))
+        .cast("long")
+        .alias("n_low_hash"),
+    )
+
+
+SOURCE_CUSTOM_PYTHON_SQL = f"""
+SELECT CAST(k % 4 AS BIGINT) AS bucket,
+       COUNT(*) AS n_rows,
+       MIN(k) AS min_id,
+       MAX(k) AS max_id,
+       CAST(SUM(CASE WHEN substr(md5(CAST(k AS VARCHAR)), 1, 1) < '8'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_low_hash
+FROM generate_series(0, {_CUSTOM_SOURCE_N - 1}) AS g(k)
+GROUP BY 1
+"""
+
+
 JOIN_INTERVAL_OVERLAP_SQL = """
 WITH l AS (
   SELECT l_orderkey, l_linenumber,
@@ -1220,6 +1261,8 @@ QUERIES: dict[str, QuerySpec] = {
         source_binary_files, SOURCE_BINARY_FILES_SQL, "source"),
     "join_interval_overlap": QuerySpec(
         join_interval_overlap, JOIN_INTERVAL_OVERLAP_SQL, "join"),
+    "source_custom_python": QuerySpec(
+        source_custom_python, SOURCE_CUSTOM_PYTHON_SQL, "source"),
     "join_right_outer": QuerySpec(join_right_outer, JOIN_RIGHT_OUTER_SQL, "join"),
     "set_union_all": QuerySpec(set_union_all, SET_UNION_ALL_SQL, "set_op"),
     "set_intersect_all": QuerySpec(set_intersect_all, SET_INTERSECT_ALL_SQL, "set_op"),

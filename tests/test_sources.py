@@ -106,3 +106,27 @@ def test_jsonl_dict_only_rule(spark, tmp_path):
     assert len(rows) == 3
     fanids = sorted(str(r.FanID) for r in rows)
     assert fanids == ["7", "F1", "None"]
+
+
+def test_custom_python_datasource_partitions(spark):
+    """The custom Python DataSource must expose REAL read parallelism:
+    4 input partitions each producing its residue class, and the full
+    id range arriving exactly once."""
+    from pyspark.sql import functions as F
+
+    from pipeline_apache_beam_entrega1_cs_spark.sources.custom_source import (
+        DeterministicRowsSource,
+    )
+
+    spark.dataSource.register(DeterministicRowsSource)
+    df = spark.read.format("graft_rows").option("n", 40).load()
+    parts = (
+        df.select("id", F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"), F.collect_set(F.col("id") % 4).alias("resid"))
+        .collect()
+    )
+    assert len(parts) == 4 and all(r["n"] == 10 for r in parts)
+    assert all(len(r["resid"]) == 1 for r in parts)  # one residue class each
+    ids = sorted(r["id"] for r in df.select("id").collect())
+    assert ids == list(range(40))
