@@ -38,7 +38,7 @@ timestamp-independent (multimodal meta, embedding ops) — stalest of
 those rotate in round 6.
 
 ROUND 6 ROTATION (done): r05 had zero failures, so the window holds
-(a) the 25 round-6 additions (first session: multimodal_png_meta,
+(a) the 26 round-6 additions (first session: multimodal_png_meta,
 multimodal_byte_chisq, streaming_tfidf_state, ann_ivf_topk_det,
 sample_fixed_k_per_stratum, graph_pagerank; second session:
 dedup_span_ngram, join_bucketed, embedding_pq_codes,
@@ -47,13 +47,15 @@ maintenance_compact_small_files, agg_hll_partial_merge,
 source_binary_files, graph_label_propagation, ann_pq_adc_topk,
 ann_pq_ivf_adc_topk, text_bm25_topk, join_interval_overlap,
 timeseries_ewma, text_feature_hashing, dq_split_leakage,
-basket_brand_lift, source_custom_python), (b) all 19 r02-only
+basket_brand_lift, source_custom_python, sql_udf_functions),
+(b) all 19 r02-only
 entries — the LLM-data dedup family, ANN, text ops, multimodal meta,
 embedding_centroids, cogroup/mapinarrow — whose driver evidence was
-three rounds old, (c) back-fill with 6 of the 48 r03-only entries,
+three rounds old, (c) back-fill with 5 of the 48 r03-only entries,
 streaming/UDF/sink/window surfaces first (the execution-path-heavy
-ones). The second session's 19 additions displaced the last 19
-back-fill names (applyinpandas_trimmed_mean, udtf_order_installments,
+ones). The second session's 20 additions displaced the last 20
+back-fill names (pandas_udf_scalar, applyinpandas_trimmed_mean,
+udtf_order_installments,
 sink_csv_roundtrip, sink_jsonl_roundtrip, sink_xml_roundtrip,
 q10_returned_revenue, window_range_frame, window_value_navigation,
 join_asof_forward, join_shuffle_hash, join_skew_salted,
@@ -63,7 +65,7 @@ variant_functions, bitwise_functions) past slot 50 — they rejoin the
 round-7 back-fill.
 
 ROUND 7 CHORE: rotate again — promote (a) any r06 failures, (b) the
-42 r03-only entries left out this round (the 19 displaced names above,
+43 r03-only entries left out this round (the 20 displaced names above,
 plus agg_filtered_bool,
 agg_histogram, agg_mode_exact, agg_regression_stats, anomaly_zscore,
 dq_constraint_report, funnel_conversion, graph_triangle_count,
@@ -117,6 +119,7 @@ DRIVER_PRIORITY: list[str] = [
     "dq_split_leakage",
     "basket_brand_lift",
     "source_custom_python",
+    "sql_udf_functions",
     "multimodal_png_meta",
     "multimodal_byte_chisq",
     "streaming_tfidf_state",

@@ -143,7 +143,60 @@ ORDER BY ALL
 """
 
 
+def sql_udf_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-defined UDFs (``CREATE FUNCTION ... RETURN expr``)
+    plus named-parameter ``spark.sql(..., args=...)`` — the
+    catalog-level reusable-expression surface. Unlike Python UDFs, SQL
+    UDFs INLINE into Catalyst (whole-stage codegen, pushdown intact),
+    so they are the right way to share scalar logic at 100 TB. Defines
+    a decimal-exact revenue function (the spec.py money convention
+    inside the function body, so the SUM stays partition-order
+    independent) and a quantity-tier CASE function, then aggregates
+    revenue per tier with the date bound passed as a named parameter."""
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION graft_rev(p DOUBLE, d DOUBLE)
+           RETURNS DECIMAL(18,4)
+           RETURN CAST(CAST(p AS DECIMAL(12,2))
+                       * (CAST(1 AS DECIMAL(4,2)) - CAST(d AS DECIMAL(4,2)))
+                  AS DECIMAL(18,4))"""
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION graft_qty_tier(q DOUBLE)
+           RETURNS STRING
+           RETURN CASE WHEN q < 10 THEN 'small'
+                       WHEN q < 30 THEN 'mid' ELSE 'large' END"""
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_sqludf")
+    return spark.sql(
+        """
+        SELECT graft_qty_tier(l_quantity) AS tier,
+               COUNT(*) AS n_lines,
+               CAST(CAST(SUM(graft_rev(l_extendedprice, l_discount))
+                    AS STRING) AS DOUBLE) AS revenue
+        FROM li_sqludf
+        WHERE CAST(l_shipdate AS DATE) >= CAST(:start_date AS DATE)
+        GROUP BY 1
+        """,
+        args={"start_date": "1997-01-01"},
+    )
+
+
+SQL_UDF_FUNCTIONS_SQL = """
+SELECT CASE WHEN l_quantity < 10 THEN 'small'
+            WHEN l_quantity < 30 THEN 'mid' ELSE 'large' END AS tier,
+       COUNT(*) AS n_lines,
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                 AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sql_udf_functions": QuerySpec(
+        sql_udf_functions, SQL_UDF_FUNCTIONS_SQL, "sql_frontend"),
     "recursive_month_spine": QuerySpec(
         recursive_month_spine, RECURSIVE_MONTH_SPINE_SQL, "sql_frontend"),
     "lateral_topk_customers": QuerySpec(
