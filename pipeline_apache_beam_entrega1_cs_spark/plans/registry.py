@@ -64,18 +64,20 @@ correlated_subquery_orders, filter_null_safe_eq, explode_lateral,
 variant_functions, bitwise_functions) past slot 50 — they rejoin the
 round-7 back-fill.
 
-ROUND 7 CHORE: rotate again — promote (a) any r06 failures, (b) the
-43 r03-only entries left out this round (the 20 displaced names above,
-plus agg_filtered_bool,
-agg_histogram, agg_mode_exact, agg_regression_stats, anomaly_zscore,
-dq_constraint_report, funnel_conversion, graph_triangle_count,
-mixture_by_source, resample_ohlc, retention_cohorts,
-rollup_time_hierarchy, scd2_user_state, split_train_val_test,
-stratified_sample_hash, string_similarity, text_bpe_token_count,
-text_chunk_sliding, text_decontaminate, text_repetition_stats,
-text_scrub_blocklist, timeseries_gapfill, upsert_changeset),
-(c) entries added during round 7 itself; back-fill with the stalest
-r04-only entries.
+ROUND 7 ROTATION (this round): r06 had zero failures, so the window
+holds (a) entries added during round 7 itself (front), (b) ALL 43
+r03-only entries — the 20 names the round-6 additions displaced past
+slot 50 plus the 23 analytics/scalar stragglers — so after this round
+no entry's driver evidence is older than r04, (c) back-fill with
+execution-path-heavy r04-only entries (streaming sinks/joins, file-
+format roundtrips, packing) up to slot 50. Each new round-7 addition
+at the front displaces the last back-fill name; those stay r04 and
+rotate in round 8.
+
+ROUND 8 CHORE: rotate again — promote (a) any r07 failures, (b) the
+r04-only entries left out of the round-7 window, stalest/execution-
+heaviest first, (c) entries added during round 8 itself; back-fill
+with r05-only entries.
 """
 
 from __future__ import annotations
@@ -94,67 +96,15 @@ from . import (
 )
 from .spec import QuerySpec
 
-# Front of the driver's 50-entry correctness window for round 6:
-# round-6 additions first, then the 19 entries whose latest driver row
-# is r02 (the marquee LLM-data operators the round-5 rotation deferred),
-# then r03-only back-fill. Everything fresher rides at the back.
+# Front of the driver's 50-entry correctness window for round 7:
+# round-7 additions first, then the 43 entries whose latest driver row
+# is r03, then r04-only back-fill. Everything fresher rides at the back.
 DRIVER_PRIORITY: list[str] = [
-    # --- round-6 additions: never driver-checked ---
-    "dedup_span_ngram",
-    "join_bucketed",
-    "embedding_pq_codes",
-    "streaming_curation_stats",
-    "multimodal_wav_meta",
-    "streaming_ivf_state",
-    "maintenance_compact_small_files",
-    "agg_hll_partial_merge",
-    "source_binary_files",
-    "graph_label_propagation",
-    "ann_pq_adc_topk",
-    "ann_pq_ivf_adc_topk",
-    "text_bm25_topk",
-    "join_interval_overlap",
-    "timeseries_ewma",
-    "text_feature_hashing",
-    "dq_split_leakage",
-    "basket_brand_lift",
-    "source_custom_python",
-    "sql_udf_functions",
-    "multimodal_png_meta",
-    "multimodal_byte_chisq",
-    "streaming_tfidf_state",
-    "ann_ivf_topk_det",
-    "sample_fixed_k_per_stratum",
-    "graph_pagerank",
-    # --- r02-only evidence: dedup family, ANN, text ops, multimodal
-    # meta, embedding_centroids, cogroup/mapinarrow ---
-    "dedup_exact",
-    "dedup_hash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_minhash_lsh",
-    "dedup_components",
-    "dedup_embedding_cosine",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "text_token_stats",
-    "text_quality",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_winnow_sketch",
-    "embedding_centroids",
-    "multimodal_binary_meta",
-    "multimodal_decode_fake",
-    "cogroup_order_gaps",
-    "mapinarrow_text_stats",
-    # --- r03-only back-fill: execution-path-heavy surfaces first
-    # (streaming, Arrow/UDF boundaries, sinks, windows, joins), then
-    # scalar/aggregate stragglers ---
-    "streaming_session",
-    "streaming_sliding",
-    "multimodal_frame_sample",
-    "dedup_embedding_cosine_lsh",
-    "embedding_quantize_int8",
+    # --- round-7 additions (never driver-checked) go here, at the
+    # front; each one displaces the last back-fill name below ---
+    # --- the 43 r03-only entries: 20 displaced round-6 names first
+    # (execution-path-heavy: UDF surface, sinks, joins, modern SQL),
+    # then the 23 analytics/scalar stragglers ---
     "pandas_udf_scalar",
     "applyinpandas_trimmed_mean",
     "udtf_order_installments",
@@ -175,6 +125,38 @@ DRIVER_PRIORITY: list[str] = [
     "explode_lateral",
     "variant_functions",
     "bitwise_functions",
+    "agg_filtered_bool",
+    "agg_histogram",
+    "agg_mode_exact",
+    "agg_regression_stats",
+    "anomaly_zscore",
+    "dq_constraint_report",
+    "funnel_conversion",
+    "graph_triangle_count",
+    "mixture_by_source",
+    "resample_ohlc",
+    "retention_cohorts",
+    "rollup_time_hierarchy",
+    "scd2_user_state",
+    "split_train_val_test",
+    "stratified_sample_hash",
+    "string_similarity",
+    "text_bpe_token_count",
+    "text_chunk_sliding",
+    "text_decontaminate",
+    "text_repetition_stats",
+    "text_scrub_blocklist",
+    "timeseries_gapfill",
+    "upsert_changeset",
+    # --- r04-only back-fill: execution-path-heavy surfaces
+    # (streaming sinks/joins, format roundtrips, packing, skew) ---
+    "streaming_foreach_batch_sink",
+    "streaming_rollup_upsert",
+    "streaming_stream_left_join",
+    "sink_parquet_roundtrip",
+    "sink_orc_roundtrip",
+    "pack_token_budget",
+    "key_skew_profile",
 ]
 
 
