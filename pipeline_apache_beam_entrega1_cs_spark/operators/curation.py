@@ -37,6 +37,7 @@ def decontaminate(
     mod: int = 97,
     threshold: float = 0.2,
     bench_shingles: DataFrame | None = None,
+    exclude_bench_ids: bool | None = None,
 ) -> DataFrame:
     """Benchmark-overlap decontamination: flag corpus documents sharing
     word-``n``-gram shingles with a held-out benchmark set.
@@ -60,16 +61,26 @@ def decontaminate(
     from ``docs`` — the incremental-ingest case, where eval suites are
     fixed up-front but corpus documents arrive batch by batch (each
     doc's verdict depends only on (doc, static set), so results are
-    independent of batch slicing). Docs with ``doc_id % mod == 0`` are
-    still excluded from the output either way.
+    independent of batch slicing).
+
+    ``exclude_bench_ids`` controls whether ``doc_id % mod == 0`` rows
+    are dropped from the corpus/output. Default (None) excludes only
+    when the benchmark set is DERIVED here (those docs would trivially
+    self-contaminate); with an externally supplied ``bench_shingles``
+    the corpus is NOT filtered — a genuinely external benchmark says
+    nothing about which corpus docs to drop. Pass True/False to force
+    either way (the streaming curation sink passes True because its
+    static side input is itself the ``% mod`` slice of the corpus).
     """
     sh = _shingle_arrays(docs, n)  # (doc_id, n_sh, shingles) — narrow
     bench_ids = F.col("doc_id") % mod == 0
+    if exclude_bench_ids is None:
+        exclude_bench_ids = bench_shingles is None
     if bench_shingles is None:
         bench_shingles = (
             _explode_shingles(sh.filter(bench_ids)).select("shingle").distinct()
         )
-    corpus = sh.filter(~bench_ids)
+    corpus = sh.filter(~bench_ids) if exclude_bench_ids else sh
     hits = (
         _explode_shingles(corpus)
         .join(F.broadcast(bench_shingles), "shingle")

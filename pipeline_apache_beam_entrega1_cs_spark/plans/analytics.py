@@ -1051,8 +1051,15 @@ def lpa_loop(edges: DataFrame, iters: int) -> DataFrame:
     """The synchronous-LPA core over an (src, dst) edge frame — exposed
     separately so property tests can drive it on arbitrary random
     graphs against a plain-Python spec (graph_label_propagation wires
-    it to the trade graph)."""
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    it to the trade graph). Nodes are derived from src UNION dst so
+    dst-only sinks of a non-symmetric edge list still appear in the
+    output (they keep their own label: no in-edges under the e.dst
+    join means no neighbor votes)."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(iters):
         nbr = (
@@ -1061,10 +1068,15 @@ def lpa_loop(edges: DataFrame, iters: int) -> DataFrame:
             .select(F.col("e.src").alias("node"), F.col("l.label").alias("label"))
         )
         counts = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
-        labels = (
+        voted = (
             counts.groupBy("node")
             .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("m"))
-            .select("node", F.col("m.label").alias("label"))
+            .select("node", F.col("m.label").alias("voted"))
+        )
+        # nodes with no in-edges get no votes: keep their current label
+        labels = (
+            labels.join(voted, "node", "left")
+            .select("node", F.coalesce("voted", "label").alias("label"))
         )
     return labels
 

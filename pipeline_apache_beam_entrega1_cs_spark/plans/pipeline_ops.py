@@ -417,9 +417,14 @@ def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFra
     domain comes from a 1-row MAX scalar (sanctioned broadcast). Output:
     per-bucket row count, id range, and char sum — the compaction
     report."""
+    import os
+
+    # pid-keyed scratch: two concurrent sessions running this entry must
+    # not overwrite/rmtree under each other's reads (ADVICE round 6)
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    frag_dir = f"/tmp/spark_graft_compact/{tag}/frag"
-    comp_dir = f"/tmp/spark_graft_compact/{tag}/compact"
+    scratch = f"/tmp/spark_graft_compact/{tag}-{os.getpid()}"
+    frag_dir = f"{scratch}/frag"
+    comp_dir = f"{scratch}/compact"
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     docs.repartition(64).write.mode("overwrite").parquet(frag_dir)
     frag = spark.read.parquet(frag_dir)

@@ -1177,8 +1177,9 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
+    # pid-keyed scratch so concurrent sessions don't race (ADVICE r6)
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    d = f"/tmp/spark_graft_binsrc/{tag}"
+    d = f"/tmp/spark_graft_binsrc/{tag}-{os.getpid()}"
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d)
     rows = (
@@ -1218,15 +1219,23 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing contract: pay the shuffle once at ingest, then every
     recurring fact-fact join on that key is shuffle-free. Oracle: the
     same join-aggregate straight off the raw tables."""
+    import os
     import shutil
+    from urllib.parse import urlparse
 
+    # pid-keyed table names so concurrent sessions don't race (ADVICE r6)
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    li_t, ord_t = f"graft_li_bkt_{tag}", f"graft_ord_bkt_{tag}"
+    pid = os.getpid()
+    li_t, ord_t = f"graft_li_bkt_{tag}_{pid}", f"graft_ord_bkt_{tag}_{pid}"
+    # the managed-table root comes from the live session config, not a
+    # duplicated literal — if session.py's warehouse dir changes, the
+    # stale-file cleanup must keep matching saveAsTable's location
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     for t in (li_t, ord_t):
         # DROP TABLE only clears the catalog; stale managed-location
         # files from a previous session make saveAsTable refuse.
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(f"/tmp/spark_graft_warehouse/{t}", ignore_errors=True)
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
     _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(

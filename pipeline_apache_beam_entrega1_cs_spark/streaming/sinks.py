@@ -515,6 +515,9 @@ class CurationStatsMergeSink:
             mod=self.mod,
             threshold=self.threshold,
             bench_shingles=self.bench,
+            # our static side input IS the % mod slice of this corpus,
+            # so those docs must still be excluded from the output
+            exclude_bench_ids=True,
         )
         scrub = C.scrub_blocklist(
             batch_df.filter(F.col("doc_id") % self.mod != 0)

@@ -205,21 +205,22 @@ def test_lpa_loop_matches_python_spec(spark):
 
     from pipeline_apache_beam_entrega1_cs_spark.plans.analytics import lpa_loop
 
-    def py_lpa(sym_edges, iters=2):
-        nodes = sorted({a for a, _ in sym_edges})
+    def py_lpa(edges, iters=2):
+        # nodes = src UNION dst; a node with no out-edges (no votes
+        # under the e.dst->e.src flow) keeps its current label.
+        nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
         labels = {n: n for n in nodes}
         for _ in range(iters):
             new = {}
             for n in nodes:
-                cnt = Counter(labels[b] for a, b in sym_edges if a == n)
-                # max count, ties -> min label
-                best = min(((-c, lb) for lb, c in cnt.items()))
-                new[n] = best[1]
+                cnt = Counter(labels[b] for a, b in edges if a == n)
+                # max count, ties -> min label; no votes -> keep label
+                new[n] = min((-c, lb) for lb, c in cnt.items())[1] if cnt else labels[n]
             labels = new
         return labels
 
     rng = random.Random(1234)
-    for trial in range(8):
+    for trial in range(12):
         n_nodes = rng.randint(2, 10)
         n_edges = rng.randint(1, 14)
         undirected = {
@@ -229,10 +230,14 @@ def test_lpa_loop_matches_python_spec(spark):
         }
         if not undirected:
             continue
-        sym = [(a, b) for a, b in undirected] + [(b, a) for a, b in undirected]
-        df = spark.createDataFrame(sym, "src long, dst long")
+        if trial < 8:
+            edges = [(a, b) for a, b in undirected] + [(b, a) for a, b in undirected]
+        else:
+            # directed: exercises dst-only sinks + no-vote label keep
+            edges = sorted(undirected)
+        df = spark.createDataFrame(edges, "src long, dst long")
         got = {r["node"]: r["label"] for r in lpa_loop(df, 2).collect()}
-        assert got == py_lpa(sym), (trial, sym)
+        assert got == py_lpa(edges), (trial, edges)
 
 
 def test_ewma_constant_and_step_series(spark):

@@ -32,6 +32,36 @@ def test_decontaminate_flags_verbatim_benchmark_copy(spark):
     assert out[3]["n_shingles"] == 0 and not out[3]["contaminated"]
 
 
+def test_decontaminate_external_benchmark_keeps_all_docs(spark):
+    """With an externally supplied bench_shingles, the % mod exclusion
+    must NOT apply (ADVICE round 6): every corpus doc — including ids
+    that happen to be ≡ 0 mod `mod` — is scored against the external
+    set. exclude_bench_ids=True restores the derived-set behavior."""
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, bench_text),                      # 0 % 97 == 0: kept now
+        (1, bench_text),
+        (2, "one two three four five six"),
+    ]
+    docs = _docs(spark, rows)
+    ext = (
+        _docs(spark, [(10, bench_text)])
+        .select(F.explode(F.lit([" ".join(bench_text.split()[i:i + 5])
+                                 for i in range(4)])).alias("shingle"))
+        .distinct()
+    )
+    out = {r["doc_id"]: r for r in
+           C.decontaminate(docs, n=5, bench_shingles=ext).collect()}
+    assert set(out) == {0, 1, 2}  # no doc excluded
+    assert out[0]["contaminated"] and out[1]["contaminated"]
+    assert not out[2]["contaminated"]
+    # forcing exclusion brings back the derived-set slicing
+    forced = {r["doc_id"] for r in
+              C.decontaminate(docs, n=5, bench_shingles=ext,
+                              exclude_bench_ids=True).collect()}
+    assert forced == {1, 2}
+
+
 def test_scrub_counts_and_redacts(spark):
     rows = [
         (1, "contact a.b@example.com or see https://spark.apache.org/docs now"),

@@ -426,9 +426,13 @@ def test_compaction_yields_one_file_per_bucket(spark, sf_dir):
         maintenance_compact_small_files,
     )
 
+    import os
+
     maintenance_compact_small_files(spark, sf_dir).collect()  # writes both dirs
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    back = spark.read.parquet(f"/tmp/spark_graft_compact/{tag}/compact")
+    back = spark.read.parquet(
+        f"/tmp/spark_graft_compact/{tag}-{os.getpid()}/compact"
+    )
     files = (
         back.select("bucket", F.input_file_name().alias("f"))
         .groupBy("bucket")

@@ -323,6 +323,7 @@ def test_streaming_curation_stats_replay(spark, sf_dir, tmp_path):
             mod=DECON_MOD,
             threshold=DECON_THRESHOLD,
             bench_shingles=bench,
+            exclude_bench_ids=True,
         )
         scrub = C.scrub_blocklist(d.filter(F.col("doc_id") % DECON_MOD != 0))
         return (
