@@ -392,3 +392,67 @@ def bm25_topk(
         )
     )
     return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Real BPE segmentation (fixed merge table, unrolled sweeps)
+# ---------------------------------------------------------------------------
+
+# A small deterministic merge table over lowercase English letter pairs,
+# in priority order — the shape a driver-side BPE fit produces (most
+# frequent pair first). Fixed as a literal so the distributed APPLY step
+# is exactly reproducible in any engine; a production pipeline would fit
+# this table on a corpus sample and broadcast it the same way.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("an", "d"), ("r", "e"), ("o", "n"), ("e", "n"), ("a", "t"),
+    ("o", "r"), ("e", "s"), ("t", "i"), ("s", "t"), ("a", "r"),
+    ("o", "u"), ("l", "e"), ("i", "s"),
+]
+
+# Two full priority-ordered sweeps over the merge list. One sweep applies
+# each rule once (greedy left-to-right across the doc); a later rule can
+# create a pair an EARLIER rule would consume ("b c"->"bc" enabling
+# "a bc"), so a second sweep is needed to reach the fixpoint for
+# chained tables like this one (tests assert sweep 3 changes nothing).
+# This is merge-list-in-order application (the SentencePiece/subword-nmt
+# apply recipe), not GPT-2's global best-rank-first loop — documented
+# because the two can differ on adversarial tables.
+BPE_SWEEPS = 2
+
+
+def bpe_segment_expr(text: Column) -> Column:
+    """Wrapped-symbol BPE application as ONE scalar expression chain.
+
+    Encoding trick: every [a-z] char becomes "(c)"; applying merge
+    (x, y) -> xy is then the plain string replace "(x)(y)" -> "(xy)".
+    Left-to-right non-overlapping replace IS greedy BPE application,
+    and the "()" delimiters make symbol-boundary collisions impossible
+    (a rule can never match a symbol's suffix against another's prefix,
+    and never across the space between words). Entirely narrow
+    per-row string work — zero shuffle, zero UDF, whole-stage codegen.
+    """
+    base = F.regexp_replace(F.lower(text), r"[^a-z]+", " ")
+    s = F.regexp_replace(base, r"([a-z])", r"($1)")
+    for _ in range(BPE_SWEEPS):
+        for a, b in BPE_MERGES:
+            s = F.replace(s, F.lit(f"({a})({b})"), F.lit(f"({a}{b})"))
+    return s
+
+
+def bpe_apply_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token counts under the fixed BPE merge table:
+    alphabetic char count, BPE token count (= "(" occurrences in the
+    segmented form), and merges applied (chars - tokens). Integer-only
+    output, bit-identical across engines."""
+    seg = bpe_segment_expr(F.col("text"))
+    n_bpe = (F.length(seg) - F.length(F.replace(seg, F.lit("(")))).cast("long")
+    n_alpha = F.length(
+        F.regexp_replace(F.lower(F.col("text")), r"[^a-z]+", "")
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        n_alpha.alias("n_alpha_chars"),
+        n_bpe.alias("n_bpe_tokens"),
+        (n_alpha - n_bpe).alias("n_merges_applied"),
+    )

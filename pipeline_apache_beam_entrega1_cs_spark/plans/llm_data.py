@@ -238,6 +238,44 @@ FROM t
 """
 
 
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE segmentation with a fixed merge table (operators/
+    textops.bpe_apply_stats): each (x, y) -> xy merge applied as a plain
+    string replace over "(c)"-wrapped symbols, BPE_SWEEPS priority-
+    ordered sweeps unrolled into one scalar expression chain — per-doc
+    subword counts exactly reproducible in any engine, no UDF, no
+    shuffle until the sink. Complements text_bpe_token_count's regex
+    approximation with actual merge-table segmentation."""
+    return T.bpe_apply_stats(_docs(spark, sf_dir))
+
+
+def _bpe_apply_sql() -> str:
+    """DuckDB mirror of bpe_segment_expr: the same wrapped-symbol
+    replace chain (DuckDB replace() is the same left-to-right
+    non-overlapping scan as Spark's), unrolled BPE_SWEEPS times."""
+    s = (
+        r"regexp_replace(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'),"
+        r" '([a-z])', '(\1)', 'g')"
+    )
+    for _ in range(T.BPE_SWEEPS):
+        for a, b in T.BPE_MERGES:
+            s = f"replace({s}, '({a})({b})', '({a}{b})')"
+    return f"""
+WITH seg AS (
+  SELECT doc_id,
+         {s} AS s,
+         length(regexp_replace(lower(text), '[^a-z]+', '', 'g')) AS n_alpha
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_alpha AS BIGINT) AS n_alpha_chars,
+       CAST(length(s) - length(replace(s, '(', '')) AS BIGINT) AS n_bpe_tokens,
+       CAST(n_alpha - (length(s) - length(replace(s, '(', ''))) AS BIGINT)
+         AS n_merges_applied
+FROM seg
+"""
+
+
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.token_stats(_docs(spark, sf_dir)).select(
         "doc_id",
@@ -1353,6 +1391,101 @@ GROUP BY 1, 2
 """
 
 
+# Fixed logistic-regression weights over the _FEATHASH_DIMS hashed
+# buckets + bias — the fastText-style learned quality filter of public
+# LLM pipelines (CCNet, fastText lid/quality) reduced to its serving
+# form: a linear model APPLIED distributed with broadcast-literal
+# weights. Fitting happens driver-side on a labeled sample in a real
+# pipeline; fixed literals here keep the entry exactly reproducible.
+# Exact DECIMAL(8,4) values: the dot product and the threshold compare
+# are bit-identical in any engine (sigmoid is monotone, so gating on
+# logit >= 0 IS gating on probability >= 0.5 — no transcendental in the
+# comparable output).
+_QMODEL_W: list[str] = [
+    "0.0450", "-0.1200", "0.0825", "0.0100", "-0.0675", "0.1500",
+    "-0.0250", "0.0925", "0.0375", "-0.1850", "0.0600", "-0.0475",
+    "0.1125", "-0.0950", "0.0275", "0.0725",
+]
+# bias ≈ -median(dot) on the test corpus so the gate splits it roughly
+# in half — a degenerate all-pass/all-fail classifier would exercise
+# nothing (the exact value is arbitrary; determinism, not accuracy, is
+# what the entry certifies)
+_QMODEL_BIAS = "0.7250"
+
+
+def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: hashed term counts (the
+    text_feature_hashing vectorizer) dotted with a fixed logistic
+    weight vector — the classifier gate of a curation pipeline. Weights
+    ride as a LITERAL array (element_at, no join, no vocabulary
+    broadcast); the only shuffle is the (doc_id, bucket) count
+    aggregate, and every doc comes back (empty docs score bias-only)."""
+    docs = _docs(spark, sf_dir)
+    tok = T.explode_tokens(docs)
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % _FEATHASH_DIMS
+    )
+    feats = tok.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_arr = F.array(*[F.lit(w).cast("decimal(8,4)") for w in _QMODEL_W])
+    dots = (
+        feats.select(
+            "doc_id",
+            "cnt",
+            (F.col("cnt") * F.element_at(w_arr, F.col("bucket").cast("int") + 1)).alias("c"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_features"),
+            F.sum("c").alias("dot"),
+        )
+    )
+    bias = F.lit(_QMODEL_BIAS).cast("decimal(8,4)")
+    logit_dec = bias + F.coalesce(F.col("dot"), F.lit("0").cast("decimal(8,4)"))
+    return (
+        docs.select("doc_id")
+        .join(dots, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_features", F.lit(0)).cast("long").alias("n_features"),
+            logit_dec.cast("string").cast("double").alias("logit"),
+            (logit_dec >= 0).alias("quality_pass"),
+        )
+    )
+
+
+def _qmodel_sql() -> str:
+    vals = ", ".join(
+        f"({i}, CAST({w} AS DECIMAL(8,4)))" for i, w in enumerate(_QMODEL_W)
+    )
+    return f"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % {_FEATHASH_DIMS} AS bucket,
+         COUNT(*) AS cnt
+  FROM documents, UNNEST({_TOKS}) AS u(t)
+  WHERE trim(text) <> ''
+  GROUP BY 1, 2
+), w AS (
+  SELECT * FROM (VALUES {vals}) AS v(bucket, wt)
+), dots AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+         SUM(cnt * wt) AS dot
+  FROM feats JOIN w USING (bucket) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(n_features, 0) AS n_features,
+       CAST(CAST(CAST({_QMODEL_BIAS} AS DECIMAL(8,4))
+                 + COALESCE(dot, CAST(0 AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE)
+         AS logit,
+       (CAST({_QMODEL_BIAS} AS DECIMAL(8,4))
+        + COALESCE(dot, CAST(0 AS DECIMAL(8,4))) >= 0) AS quality_pass
+FROM documents d LEFT JOIN dots USING (doc_id)
+"""
+
+
 _SPAN_N = 8
 
 
@@ -1426,11 +1559,13 @@ QUERIES: dict[str, QuerySpec] = {
         plan_waivers={"bnlj": "k-row centroid broadcast (quantizer fit + probe scoring)"}),
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_STATS_SQL, "text"),
     "text_bpe_token_count": QuerySpec(text_bpe_token_count, TEXT_BPE_TOKEN_SQL, "text"),
+    "text_bpe_apply": QuerySpec(text_bpe_apply, _bpe_apply_sql(), "text"),
     "text_lang_id": QuerySpec(text_lang_id, TEXT_LANG_ID_SQL, "text"),
     "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL, "text"),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL, "text"),
     "text_feature_hashing": QuerySpec(
         text_feature_hashing, TEXT_FEATURE_HASHING_SQL, "text"),
+    "text_quality_model": QuerySpec(text_quality_model, _qmodel_sql(), "text"),
     "text_bm25_topk": QuerySpec(
         text_bm25_topk, _bm25_sql(), "text",
         plan_waivers={"bnlj": "1-row (N, avgdl) corpus-stats scalar"}),

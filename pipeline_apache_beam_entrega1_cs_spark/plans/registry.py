@@ -102,6 +102,8 @@ from .spec import QuerySpec
 DRIVER_PRIORITY: list[str] = [
     # --- round-7 additions (never driver-checked) go here, at the
     # front; each one displaces the last back-fill name below ---
+    "text_bpe_apply",
+    "text_quality_model",
     # --- the 43 r03-only entries: 20 displaced round-6 names first
     # (execution-path-heavy: UDF surface, sinks, joins, modern SQL),
     # then the 23 analytics/scalar stragglers ---

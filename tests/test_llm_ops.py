@@ -498,3 +498,54 @@ def test_split_leakage_detects_planted_duplicate(spark, sf_dir):
     )
     assert sum(r["n_leaked_fps"] for r in out) == (direct["fps"] or 0)
     assert sum(r["n_docs_affected"] for r in out) == (direct["docs"] or 0)
+
+
+def test_quality_model_planted_weights_exact_logit(spark):
+    """The classifier gate scores exactly bias + Σ cnt·w[bucket]: tokens
+    with hand-computed md5 buckets produce a hand-computed logit, empty
+    docs score bias-only, and the pass flag is the logit-sign gate."""
+    import hashlib
+    from decimal import Decimal
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.llm_data import (
+        _FEATHASH_DIMS,
+        _QMODEL_BIAS,
+        _QMODEL_W,
+        text_quality_model,
+    )
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % _FEATHASH_DIMS
+
+    # docs: (doc_id, token multiset) with known buckets
+    toks1 = ["alpha", "alpha", "beta"]          # 2x w[b(alpha)] + w[b(beta)]
+    toks2 = ["gamma"]
+    rows = [(1, " ".join(toks1)), (2, " ".join(toks2)), (3, "   ")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.llm_data as L
+    orig = L._docs
+    L._docs = lambda spark, sf_dir: docs
+    try:
+        out = {r["doc_id"]: r for r in text_quality_model(spark, "ignored").collect()}
+    finally:
+        L._docs = orig
+
+    bias = Decimal(_QMODEL_BIAS)
+    w = [Decimal(x) for x in _QMODEL_W]
+
+    def expect(toks):
+        from collections import Counter
+        c = Counter(bucket(t) for t in toks)
+        return bias + sum(n * w[b] for b, n in c.items()), len(c)
+
+    for doc_id, toks in ((1, toks1), (2, toks2)):
+        logit, nf = expect(toks)
+        assert out[doc_id]["n_features"] == nf
+        assert Decimal(repr(out[doc_id]["logit"])) == logit.normalize() or \
+            abs(out[doc_id]["logit"] - float(logit)) < 1e-12, (doc_id, out[doc_id], logit)
+        assert out[doc_id]["quality_pass"] == (logit >= 0)
+    # whitespace-only doc: bias-only, zero features
+    assert out[3]["n_features"] == 0
+    assert abs(out[3]["logit"] - float(bias)) < 1e-12
+    assert out[3]["quality_pass"] == (bias >= 0)

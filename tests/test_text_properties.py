@@ -138,3 +138,72 @@ def test_span_dedup_matches_python_spec(spark, docs_texts):
         for r in span_dedup(df, n=n).collect()
     }
     assert got == py_span_dedup(docs_texts, n)
+
+
+def test_bpe_apply_fixture_segmentations(spark):
+    """Known merge table -> known segmentations, hand-derivable: the
+    wrapped-symbol replace chain must produce exactly these symbol
+    sequences (and the counts the entry reports)."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.textops import (
+        bpe_apply_stats,
+        bpe_segment_expr,
+    )
+
+    cases = {
+        # "the" chains t+h -> th, th+e -> the within one sweep
+        1: ("the", "(the)", 1),
+        # rule (a,n) fires before (an,d) in the same sweep -> "and"
+        2: ("and", "(and)", 1),
+        # "then there": the -> (the)(n) / (the)(re)
+        3: ("then there", "(the)(n) (the)(re)", 4),
+        # chars with no applicable rule stay single symbols
+        4: ("xyz", "(x)(y)(z)", 3),
+        # non-letters separate words (no cross-boundary merge with "e"),
+        # but t+h still merges inside the first fragment
+        5: ("th3e!", "(th) (e)", 2),
+        6: ("", "", 0),
+    }
+    df = spark.createDataFrame(
+        [(k, t) for k, (t, _, _) in cases.items()], "doc_id long, text string"
+    )
+    seg = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", bpe_segment_expr(F.col("text")).alias("s")).collect()
+    }
+    stats = {r["doc_id"]: r for r in bpe_apply_stats(df).collect()}
+    for k, (text, want_seg, want_n) in cases.items():
+        assert seg[k].strip() == want_seg, (text, seg[k])
+        assert stats[k]["n_bpe_tokens"] == want_n, (text, stats[k])
+        n_alpha = sum(c.isalpha() for c in text)
+        assert stats[k]["n_alpha_chars"] == n_alpha
+        assert stats[k]["n_merges_applied"] == n_alpha - want_n
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(texts, min_size=1, max_size=20))
+def test_bpe_apply_matches_python_spec(spark, docs_texts):
+    """The unrolled replace-chain segmentation == a plain-Python spec of
+    priority-ordered sweep BPE on arbitrary (incl. unicode) text."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.textops import (
+        BPE_MERGES,
+        BPE_SWEEPS,
+        bpe_segment_expr,
+    )
+
+    def py_bpe(text: str) -> str:
+        base = re.sub(r"[^a-z]+", " ", text.lower())
+        s = re.sub(r"([a-z])", r"(\1)", base)
+        for _ in range(BPE_SWEEPS):
+            for a, b in BPE_MERGES:
+                s = s.replace(f"({a})({b})", f"({a}{b})")
+        return s
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs_texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", bpe_segment_expr(F.col("text")).alias("s")).collect()
+    }
+    for i, t in enumerate(docs_texts):
+        assert got[i] == py_bpe(t), (t, got[i])
