@@ -448,6 +448,94 @@ def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def maintenance_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton space-filling-curve) clustering: the multi-
+    dimensional data-skipping layout maintenance_compact_small_files's
+    single-key range clustering can't give. Both doc_id and n_chars are
+    bucketized to 16 levels off 1-row min/max scalars (sanctioned
+    broadcast, the compaction recipe), their bits interleaved by pure
+    integer div/mod arithmetic (engine-exact, no UDF), and the table is
+    rewritten into one file per 16-code Z-range — each file then covers
+    a fixed 4x4 TILE in (doc_id, n_chars) bucket space, so parquet
+    min/max row-group bounds prune on BOTH dimensions (a single-key sort
+    bounds one dimension and lets the other span the full domain;
+    tests/test_scale_idioms.py asserts the tile property physically).
+    Output: the per-file clustering report, integer-only."""
+    import os
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    out_dir = f"/tmp/spark_graft_zorder/{tag}-{os.getpid()}"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    rng = docs.agg(
+        F.min("doc_id").alias("lo_id"),
+        F.max("doc_id").alias("hi_id"),
+        F.min("n_chars").alias("lo_ch"),
+        F.max("n_chars").alias("hi_ch"),
+    )
+    bits = " + ".join(
+        f"((bx div {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        f" + ((by div {1 << i}) % 2) * {1 << (2 * i)}"
+        for i in range(4)
+    )
+    coded = (
+        docs.crossJoin(F.broadcast(rng))
+        .withColumn(
+            "bx",
+            F.expr("CAST(least((doc_id - lo_id) * 16 div (hi_id - lo_id + 1), 15) AS INT)"),
+        )
+        .withColumn(
+            "by",
+            F.expr("CAST(least((n_chars - lo_ch) * 16 div (hi_ch - lo_ch + 1), 15) AS INT)"),
+        )
+        .withColumn("morton", F.expr(f"CAST({bits} AS INT)"))
+        .withColumn("zfile", F.expr("morton div 16"))
+        .select("doc_id", "n_chars", "bx", "by", "morton", "zfile")
+    )
+    coded.repartition("zfile").sortWithinPartitions("morton").write.partitionBy(
+        "zfile"
+    ).mode("overwrite").parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    return back.groupBy(F.col("zfile").cast("int").alias("zfile")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("bx").alias("min_bx"),
+        F.max("bx").alias("max_bx"),
+        F.min("by").alias("min_by"),
+        F.max("by").alias("max_by"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.min("n_chars").alias("min_n_chars"),
+        F.max("n_chars").alias("max_n_chars"),
+    )
+
+
+def _zorder_sql() -> str:
+    bits = " + ".join(
+        f"((bx // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        f" + ((by // {1 << i}) % 2) * {1 << (2 * i)}"
+        for i in range(4)
+    )
+    return f"""
+WITH rng AS (
+  SELECT MIN(doc_id) AS lo_id, MAX(doc_id) AS hi_id,
+         MIN(n_chars) AS lo_ch, MAX(n_chars) AS hi_ch
+  FROM documents
+), coded AS (
+  SELECT doc_id, n_chars,
+         CAST(least((doc_id - lo_id) * 16 // (hi_id - lo_id + 1), 15) AS INTEGER) AS bx,
+         CAST(least((n_chars - lo_ch) * 16 // (hi_ch - lo_ch + 1), 15) AS INTEGER) AS by
+  FROM documents CROSS JOIN rng
+)
+SELECT CAST(({bits}) // 16 AS INTEGER) AS zfile,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(bx) AS min_bx, MAX(bx) AS max_bx,
+       MIN(by) AS min_by, MAX(by) AS max_by,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+       MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars
+FROM coded
+GROUP BY 1
+"""
+
+
 COMPACT_SQL = """
 WITH hi AS (SELECT MAX(doc_id) AS hi FROM documents)
 SELECT CAST(least((doc_id * 8) // (hi + 1), 7) AS INTEGER) AS bucket,
@@ -466,6 +554,10 @@ QUERIES: dict[str, QuerySpec] = {
     # compacted files) — so no plan waiver is needed or allowed here
     "maintenance_compact_small_files": QuerySpec(
         maintenance_compact_small_files, COMPACT_SQL, "pipeline"),
+    # like compaction, the 1-row min/max-scalar BNLJ lives in the eager
+    # layout WRITE; the returned report plan is a plain scan + groupBy
+    "maintenance_zorder_layout": QuerySpec(
+        maintenance_zorder_layout, _zorder_sql(), "pipeline"),
     "dq_split_leakage": QuerySpec(
         dq_split_leakage, DQ_SPLIT_LEAKAGE_SQL, "pipeline"),
     "split_train_val_test": QuerySpec(split_train_val_test, SPLIT_SQL, "pipeline"),

@@ -104,6 +104,7 @@ DRIVER_PRIORITY: list[str] = [
     # front; each one displaces the last back-fill name below ---
     "text_bpe_apply",
     "text_quality_model",
+    "maintenance_zorder_layout",
     # --- the 43 r03-only entries: 20 displaced round-6 names first
     # (execution-path-heavy: UDF surface, sinks, joins, modern SQL),
     # then the 23 analytics/scalar stragglers ---

@@ -490,3 +490,47 @@ def test_interval_overlap_blocking_is_lossless(spark, sf_dir):
         )
     )
     assert Counter(map(tuple, out.collect())) == Counter(map(tuple, direct.collect()))
+
+
+def test_zorder_files_are_two_dimensional_tiles(spark, sf_dir):
+    """The Z-order layout's physical outcome: one file per Z-range, and
+    every file's rows stay inside a 4x4 tile of (doc_id, n_chars)
+    bucket space — min/max parquet bounds prune on BOTH dimensions. A
+    single-key range layout over the same data bounds doc_id the same
+    way but lets n_chars sprawl: the mean per-file n_chars-bucket span
+    must be strictly wider than Z-order's (the reason the operator
+    exists)."""
+    import os
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.pipeline_ops import (
+        maintenance_zorder_layout,
+    )
+
+    report = maintenance_zorder_layout(spark, sf_dir).collect()
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    out_dir = f"/tmp/spark_graft_zorder/{tag}-{os.getpid()}"
+    back = spark.read.parquet(out_dir)
+
+    files = (
+        back.select("zfile", F.input_file_name().alias("f"))
+        .groupBy("zfile")
+        .agg(F.countDistinct("f").alias("n_files"))
+        .collect()
+    )
+    assert all(r["n_files"] == 1 for r in files), files
+
+    for r in report:
+        assert r["max_bx"] - r["min_bx"] <= 3, r
+        assert r["max_by"] - r["min_by"] <= 3, r
+
+    # contrast: single-key layout = group the same rows by bx-range
+    # (doc_id div) only; per-group n_chars-bucket span sprawls
+    single = (
+        back.withColumn("kfile", F.expr("bx div 4"))
+        .groupBy("kfile")
+        .agg((F.max("by") - F.min("by")).alias("by_span"))
+        .collect()
+    )
+    z_mean = sum(r["max_by"] - r["min_by"] for r in report) / len(report)
+    k_mean = sum(r["by_span"] for r in single) / len(single)
+    assert k_mean > z_mean, (k_mean, z_mean)
