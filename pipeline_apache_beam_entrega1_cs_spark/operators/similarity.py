@@ -697,3 +697,119 @@ def pq_ivf_adc_topk(
             "query_id", "cand_id", "adc_dist", F.col("rk").cast("long").alias("rank")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking (greedy, unrolled fixed rounds)
+# ---------------------------------------------------------------------------
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    m: int = 8,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein 1998)
+    over the exact-cosine candidate set: greedily pick
+    argmax 0.5*rel(c) - 0.5*max_{s in selected} sim(c, s), k rounds.
+
+    The retrieval-stack tail: an ANN stage (here cosine_topk as the
+    exact stand-in for ann_pq_ivf_adc_topk's output) hands m candidates
+    per query; the re-rank itself is per-query O(m^2) pair sims + k
+    greedy rounds — independent of corpus size, so at 100 TB it costs
+    the same as at 1 GB. Greedy selection is UNROLLED into k
+    deterministic rounds (the kmeans_lloyd/pagerank fixed-iteration
+    recipe): each round is an (anti-join remaining, max-sim penalty
+    against selected, argmax via min(struct)) trio. All scores are
+    DECIMAL off round-6 cosines — bit-identical in any engine; ties
+    break on cand_id. Round-1 penalty is 0, so mmr = 0.5*rel there.
+    """
+    lam = F.lit("0.5").cast("decimal(2,1)")
+    dzero = F.lit("0").cast("decimal(10,6)")
+
+    cand = cosine_topk(embeddings, query_ids, k=m)
+    emb = embeddings.select(
+        F.col("vec_id"), _as_double("embedding").alias("emb")
+    )
+    ce = (
+        cand.join(emb, cand.cand_id == emb.vec_id)
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("cos_sim").cast("decimal(10,6)").alias("rel"),
+            "emb",
+        )
+    )
+    pair = (
+        ce.select("query_id", F.col("cand_id").alias("a"), F.col("emb").alias("ea"))
+        .join(
+            ce.select("query_id", F.col("cand_id").alias("b"), F.col("emb").alias("eb")),
+            "query_id",
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id",
+            "a",
+            "b",
+            F.round(cosine(F.col("ea"), F.col("eb")), 6)
+            .cast("decimal(10,6)")
+            .alias("sim"),
+        )
+    )
+    cands = ce.select("query_id", "cand_id", "rel")
+
+    def argmax(scored: DataFrame, rank: int) -> DataFrame:
+        return (
+            scored.groupBy("query_id")
+            .agg(F.min(F.struct((-F.col("mmr")).alias("neg"), F.col("cand_id"),
+                                F.col("rel"), F.col("mmr"))).alias("m"))
+            .select(
+                "query_id",
+                F.col("m.cand_id").alias("cand_id"),
+                F.col("m.rel").alias("rel"),
+                F.col("m.mmr").alias("mmr"),
+                F.lit(rank).cast("long").alias("pick_rank"),
+            )
+        )
+
+    picks: list[DataFrame] = []
+    sel = None  # (query_id, cand_id) selected so far
+    for r in range(1, k + 1):
+        if sel is None:
+            scored = cands.select(
+                "query_id", "cand_id", "rel",
+                (lam * F.col("rel")).cast("decimal(14,7)").alias("mmr")
+            )
+        else:
+            pen = (
+                pair.join(
+                    sel.select("query_id", F.col("cand_id").alias("b")),
+                    ["query_id", "b"],
+                )
+                .groupBy("query_id", F.col("a").alias("cand_id"))
+                .agg(F.max("sim").alias("pen"))
+            )
+            rem = cands.join(sel.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti")
+            scored = rem.join(pen, ["query_id", "cand_id"], "left").select(
+                "query_id",
+                "cand_id",
+                "rel",
+                (lam * F.col("rel") - lam * F.coalesce("pen", dzero))
+                .cast("decimal(14,7)")
+                .alias("mmr"),
+            )
+        pick = argmax(scored, r)
+        picks.append(pick)
+        new_sel = pick.select("query_id", "cand_id")
+        sel = new_sel if sel is None else sel.union(new_sel)
+
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.union(p)
+    return out.select(
+        "query_id",
+        "pick_rank",
+        "cand_id",
+        F.col("rel").cast("string").cast("double").alias("rel"),
+        F.col("mmr").cast("string").cast("double").alias("mmr_score"),
+    )

