@@ -456,3 +456,84 @@ def bpe_apply_stats(docs: DataFrame) -> DataFrame:
         n_bpe.alias("n_bpe_tokens"),
         (n_alpha - n_bpe).alias("n_merges_applied"),
     )
+
+
+BPE_FIT_ROUNDS = 3
+
+
+def bpe_fit(docs: DataFrame, rounds: int = BPE_FIT_ROUNDS) -> DataFrame:
+    """Distributed BPE merge-table FIT — the learning side of
+    bpe_apply_stats: ``rounds`` unrolled (count pairs -> global argmax
+    -> apply merge) iterations over the wrapped-symbol corpus form, the
+    kmeans_lloyd fixed-iteration recipe applied to tokenizer induction.
+
+    Per round: adjacent-symbol pairs are counted corpus-wide (explode
+    words, zip each word's symbol array with its own tail — linear,
+    never quadratic), the most frequent pair wins (ties: lexicographic
+    on the pair — exact in any engine), and the winning merge is applied
+    everywhere with the same plain string replace bpe_segment_expr uses.
+    The fit itself shuffles only (pair -> partial count) rows, and the
+    argmax is a 1-row broadcast (sanctioned scalar attach). Fixed-round
+    unrolling keeps it one straight-line Catalyst plan; a production fit
+    (thousands of merges) would checkpoint the corpus form between
+    rounds and loop driver-side.
+
+    Returns the learned table: (round, left_sym, right_sym,
+    n_occurrences) — one row per merge, integer counts, engine-exact.
+    """
+    base = F.regexp_replace(F.lower(F.col("text")), r"[^a-z]+", " ")
+    cur = docs.select(
+        F.regexp_replace(base, r"([a-z])", r"($1)").alias("s")
+    )
+
+    def pair_counts(c: DataFrame) -> DataFrame:
+        words = c.select(F.explode(F.split("s", " ")).alias("w")).filter(
+            F.col("w") != ""
+        )
+        syms = words.select(
+            F.split(F.regexp_replace("w", r"^\(|\)$", ""), r"\)\(").alias("syms")
+        )
+        return (
+            syms.select(
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(syms) < 2 THEN array() "
+                        "ELSE transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i - 1] AS a, syms[i] AS b)) END"
+                    )
+                ).alias("p")
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def argmax(pairs: DataFrame, rnd: int) -> DataFrame:
+        return pairs.agg(
+            F.min(F.struct((-F.col("n")).alias("neg"), F.col("a"), F.col("b"))).alias("m")
+        ).select(
+            F.lit(rnd).cast("long").alias("round"),
+            F.col("m.a").alias("left_sym"),
+            F.col("m.b").alias("right_sym"),
+            (-F.col("m.neg")).cast("long").alias("n_occurrences"),
+        )
+
+    merges: list[DataFrame] = []
+    for r in range(1, rounds + 1):
+        best = argmax(pair_counts(cur), r)
+        merges.append(best)
+        if r < rounds:
+            pat = F.concat(
+                F.lit("("), F.col("left_sym"), F.lit(")("), F.col("right_sym"), F.lit(")")
+            )
+            rep = F.concat(
+                F.lit("("), F.col("left_sym"), F.col("right_sym"), F.lit(")")
+            )
+            cur = (
+                cur.crossJoin(F.broadcast(best.select("left_sym", "right_sym")))
+                .select(F.replace(F.col("s"), pat, rep).alias("s"))
+            )
+
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.union(m)
+    return out

@@ -353,6 +353,48 @@ FROM seg
 """
 
 
+def text_bpe_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge-table FIT (operators/textops.bpe_fit):
+    3 unrolled (pair-count -> global argmax -> apply-merge) rounds over
+    the corpus — tokenizer induction as corpus-level aggregation, the
+    learning side of text_bpe_apply's serving side."""
+    return T.bpe_fit(_docs(spark, sf_dir))
+
+
+def _bpe_fit_sql(rounds: int = 3) -> str:
+    """Unrolled fit oracle: per round one (words, pairs, argmax) CTE
+    trio, the merge applied with the same replace() chain semantics."""
+    parts = [r"""
+WITH s0 AS (
+  SELECT regexp_replace(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'),
+                        '([a-z])', '(\1)', 'g') AS s
+  FROM documents
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""", p{r} AS (
+  SELECT l[i] AS a, l[i + 1] AS b, COUNT(*) AS n
+  FROM (
+    SELECT string_split(trim(w, '()'), ')(') AS l
+    FROM s{r - 1}, UNNEST(string_split(s, ' ')) AS t(w)
+    WHERE w <> ''
+  ) x, UNNEST(generate_series(1, len(l) - 1)) AS g(i)
+  GROUP BY 1, 2
+), m{r} AS (
+  SELECT CAST({r} AS BIGINT) AS round, a AS left_sym, b AS right_sym,
+         CAST(n AS BIGINT) AS n_occurrences
+  FROM p{r} ORDER BY n DESC, a ASC, b ASC LIMIT 1
+)""")
+        if r < rounds:
+            parts.append(f""", s{r} AS (
+  SELECT replace(s, '(' || left_sym || ')(' || right_sym || ')',
+                 '(' || left_sym || right_sym || ')') AS s
+  FROM s{r - 1} CROSS JOIN m{r}
+)""")
+    finals = " UNION ALL ".join(f"SELECT * FROM m{r}" for r in range(1, rounds + 1))
+    parts.append(f"\n{finals}")
+    return "".join(parts)
+
+
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.token_stats(_docs(spark, sf_dir)).select(
         "doc_id",
@@ -1640,6 +1682,9 @@ QUERIES: dict[str, QuerySpec] = {
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_STATS_SQL, "text"),
     "text_bpe_token_count": QuerySpec(text_bpe_token_count, TEXT_BPE_TOKEN_SQL, "text"),
     "text_bpe_apply": QuerySpec(text_bpe_apply, _bpe_apply_sql(), "text"),
+    "text_bpe_fit": QuerySpec(
+        text_bpe_fit, _bpe_fit_sql(), "text",
+        plan_waivers={"bnlj": "1-row argmax merge-pair broadcast per fit round"}),
     "text_lang_id": QuerySpec(text_lang_id, TEXT_LANG_ID_SQL, "text"),
     "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL, "text"),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL, "text"),

@@ -207,3 +207,20 @@ def test_bpe_apply_matches_python_spec(spark, docs_texts):
     }
     for i, t in enumerate(docs_texts):
         assert got[i] == py_bpe(t), (t, got[i])
+
+
+def test_bpe_fit_learns_chained_merges(spark):
+    """Planted corpus: round 1 must learn the most frequent pair, and
+    round 2 must merge a symbol CREATED in round 1 (proving the
+    apply-between-rounds step), with lexicographic tie-breaks."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.textops import bpe_fit
+
+    # per doc "abc abd": pairs (a,b)x2, (b,c), (b,d)
+    docs = spark.createDataFrame(
+        [(i, "abc abd") for i in range(3)], "doc_id long, text string"
+    )
+    out = {r["round"]: r for r in bpe_fit(docs, rounds=3).collect()}
+    assert (out[1]["left_sym"], out[1]["right_sym"], out[1]["n_occurrences"]) == ("a", "b", 6)
+    # after merging (a,b): words are (ab)(c) / (ab)(d) -> pairs (ab,c), (ab,d) tie -> lexicographic
+    assert (out[2]["left_sym"], out[2]["right_sym"], out[2]["n_occurrences"]) == ("ab", "c", 3)
+    assert (out[3]["left_sym"], out[3]["right_sym"], out[3]["n_occurrences"]) == ("ab", "d", 3)
