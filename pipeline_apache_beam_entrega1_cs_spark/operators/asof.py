@@ -111,3 +111,53 @@ def asof_join_forward(
     out_cols: list[Column] = [F.col(c) for c in left.columns]
     out_cols += [F.col(f"_asof_match.{c}").alias(c) for c in payload_cols]
     return matched.filter(F.col("_asof_side") == 0).select(*out_cols)
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Nearest as-of: attach the ``right`` row whose timestamp is
+    CLOSEST to the left's in either direction (pd.merge_asof
+    direction='nearest'); equidistant ties resolve BACKWARD, and a
+    one-sided match (only a predecessor or only a successor exists)
+    always wins over no match.
+
+    Composition of the two linear union+window passes — backward then
+    forward over the backward result — plus a per-row CASE; still one
+    shuffle per pass, no candidate-pair explosion. Adds
+    ``<payload>`` columns from the winning side and an ``asof_dir``
+    column ('bwd'/'fwd', NULL when neither side matched)."""
+    if right_ts not in payload_cols:
+        raise ValueError("payload_cols must include right_ts (distance compare)")
+    bwd = asof_join(left, right, on, left_ts, right_ts, payload_cols, tiebreak=tiebreak)
+    for c in payload_cols:
+        bwd = bwd.withColumnRenamed(c, f"_b_{c}")
+    both = asof_join_forward(
+        bwd, right, on, left_ts, right_ts, payload_cols, tiebreak=tiebreak
+    )
+    for c in payload_cols:
+        both = both.withColumnRenamed(c, f"_f_{c}")
+
+    b_ts = F.col(f"_b_{right_ts}")
+    f_ts = F.col(f"_f_{right_ts}")
+    l_ts = F.col(left_ts)
+    dist_b = F.unix_micros(l_ts) - F.unix_micros(b_ts)
+    dist_f = F.unix_micros(f_ts) - F.unix_micros(l_ts)
+    pick_bwd = b_ts.isNotNull() & (f_ts.isNull() | (dist_b <= dist_f))
+    out_cols: list[Column] = [F.col(c) for c in left.columns]
+    out_cols += [
+        F.when(pick_bwd, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}")).alias(c)
+        for c in payload_cols
+    ]
+    out_cols.append(
+        F.when(pick_bwd, F.lit("bwd"))
+        .when(f_ts.isNotNull(), F.lit("fwd"))
+        .alias("asof_dir")
+    )
+    return both.select(*out_cols)

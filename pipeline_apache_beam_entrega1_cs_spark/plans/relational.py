@@ -25,7 +25,7 @@ from ..functions.numeric import (
     sql_dsum_dec,
     sql_rev,
 )
-from ..operators.asof import asof_join, asof_join_forward
+from ..operators.asof import asof_join, asof_join_forward, asof_join_nearest
 from ..schemas import load_table
 from .spec import QuerySpec
 
@@ -465,6 +465,72 @@ SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
        epoch_us(c.click_ts) - epoch_us(p.ts) AS us_until_click
 FROM purchases p
 ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts <= c.click_ts
+"""
+
+
+def join_asof_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (operators/asof.asof_join_nearest — the
+    pd.merge_asof direction='nearest' semantics Spark lacks): each
+    purchase picks the user's click CLOSEST in time, either direction,
+    equidistant ties backward. Two linear union+window passes + a CASE;
+    oracle composes DuckDB's two native ASOF directions the same way."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+        .select("user_id", F.col("ts").alias("click_ts"), "click_event_id")
+    )
+    joined = asof_join_nearest(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        payload_cols=["click_event_id", "click_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "click_event_id",
+        F.abs(F.unix_micros("click_ts") - F.unix_micros("ts")).alias("us_to_click"),
+        "asof_dir",
+    )
+
+
+JOIN_ASOF_NEAREST_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts AS click_ts, max(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), bwd AS (
+  SELECT p.event_id, c.click_event_id AS b_id, c.click_ts AS b_ts
+  FROM purchases p
+  ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+), fwd AS (
+  SELECT p.event_id, c.click_event_id AS f_id, c.click_ts AS f_ts
+  FROM purchases p
+  ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts <= c.click_ts
+)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+                  OR epoch_us(p.ts) - epoch_us(b_ts)
+                     <= epoch_us(f_ts) - epoch_us(p.ts))
+            THEN b_id ELSE f_id END AS click_event_id,
+       abs(epoch_us(CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+                  OR epoch_us(p.ts) - epoch_us(b_ts)
+                     <= epoch_us(f_ts) - epoch_us(p.ts))
+            THEN b_ts ELSE f_ts END) - epoch_us(p.ts)) AS us_to_click,
+       CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+                  OR epoch_us(p.ts) - epoch_us(b_ts)
+                     <= epoch_us(f_ts) - epoch_us(p.ts))
+            THEN 'bwd' WHEN f_ts IS NOT NULL THEN 'fwd' END AS asof_dir
+FROM purchases p JOIN bwd USING (event_id) JOIN fwd USING (event_id)
 """
 
 
@@ -1193,6 +1259,8 @@ QUERIES: dict[str, QuerySpec] = {
     "join_range_nonequi": QuerySpec(join_range_nonequi, JOIN_RANGE_SQL, "join"),
     "join_asof_events": QuerySpec(join_asof_events, JOIN_ASOF_SQL, "join"),
     "join_asof_forward": QuerySpec(join_asof_forward_events, JOIN_ASOF_FORWARD_SQL, "join"),
+    "join_asof_nearest": QuerySpec(
+        join_asof_nearest_events, JOIN_ASOF_NEAREST_SQL, "join"),
     "agg_basic_stats": QuerySpec(agg_basic_stats, AGG_BASIC_SQL, "aggregation"),
     "agg_distinct": QuerySpec(agg_distinct, AGG_DISTINCT_SQL, "aggregation"),
     "agg_approx_distinct": QuerySpec(agg_approx_distinct, None, "aggregation",

@@ -73,3 +73,47 @@ def test_asof_matches_pandas_merge_asof(spark, seed, direction):
         for r in expected_pd.itertuples()
     }
     assert got == expected
+
+
+@pytest.mark.parametrize("seed", [7, 41, 1234])
+def test_asof_nearest_matches_bruteforce_spec(spark, seed):
+    """Nearest direction vs a brute-force per-row spec (argmin |dist|,
+    equidistant ties -> backward) on the same collision-heavy inputs —
+    including the tie rows pandas' own nearest rule would leave
+    ambiguous."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.asof import (
+        asof_join_nearest,
+    )
+
+    left, right = _random_frames(seed)
+    sl = spark.createDataFrame(left).withColumn("lts_t", F.timestamp_seconds("lts"))
+    sr = spark.createDataFrame(right).withColumn("rts_t", F.timestamp_seconds("rts"))
+    got_df = asof_join_nearest(
+        sl,
+        sr.select("k", "rts_t", "val"),
+        on=["k"],
+        left_ts="lts_t",
+        right_ts="rts_t",
+        payload_cols=["val", "rts_t"],
+    )
+    got = {
+        r["lid"]: (r["val"], r["asof_dir"])
+        for r in got_df.select("lid", "val", "asof_dir").collect()
+    }
+
+    by_k: dict[int, list[tuple[int, int]]] = {}
+    for r in right.itertuples():
+        by_k.setdefault(int(r.k), []).append((int(r.rts), int(r.val)))
+    for r in left.itertuples():
+        cands = by_k.get(int(r.k), [])
+        bwd = [(r.lts - ts, val, ts) for ts, val in cands if ts <= r.lts]
+        fwd = [(ts - r.lts, val, ts) for ts, val in cands if ts >= r.lts]
+        best_b = min(bwd) if bwd else None
+        best_f = min(fwd) if fwd else None
+        if best_b is None and best_f is None:
+            want = (None, None)
+        elif best_f is None or (best_b is not None and best_b[0] <= best_f[0]):
+            want = (best_b[1], "bwd")
+        else:
+            want = (best_f[1], "fwd")
+        assert got[int(r.lid)] == want, (r.lid, got[int(r.lid)], want)
