@@ -108,6 +108,7 @@ DRIVER_PRIORITY: list[str] = [
     "ann_mmr_rerank",
     "text_bpe_fit",
     "join_asof_nearest",
+    "source_schema_evolution",
     # --- the 43 r03-only entries: 20 displaced round-6 names first
     # (execution-path-heavy: UDF surface, sinks, joins, modern SQL),
     # then the 23 analytics/scalar stragglers ---

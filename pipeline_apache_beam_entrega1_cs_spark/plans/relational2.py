@@ -1209,6 +1209,54 @@ FROM documents WHERE doc_id % 25 = 0
 """
 
 
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution: two ingest batches written with
+    DIFFERENT schemas (an early batch carrying o_totalprice, a later one
+    that added o_orderpriority instead), read back as ONE table with
+    ``mergeSchema=true`` — the scan unions the footers' schemas and
+    null-fills the columns a file lacks, which is how a years-old 100 TB
+    table whose schema grew over time actually reads. The report
+    aggregates per batch: row count, per-column non-null counts (the
+    null-fill contract), and the decimal-exact price sum. Fixture writes
+    are the ingest simulation, not the operator under test; the oracle
+    recomputes the same split off the raw table."""
+    import os
+    import shutil
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    d = f"/tmp/spark_graft_schemaevo/{tag}-{os.getpid()}"
+    shutil.rmtree(d, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders")
+    orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", F.lit(1).cast("int").alias("batch")
+    ).write.parquet(f"{d}/b1")
+    orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderpriority", F.lit(2).cast("int").alias("batch")
+    ).write.parquet(f"{d}/b2")
+    merged = spark.read.option("mergeSchema", "true").parquet(f"{d}/b1", f"{d}/b2")
+    return merged.groupBy(F.col("batch")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_totalprice").alias("n_price"),
+        F.count("o_orderpriority").alias("n_priority"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.min("o_orderpriority").alias("min_priority"),
+    )
+
+
+SOURCE_SCHEMA_EVOLUTION_SQL = f"""
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS batch,
+       COUNT(*) AS n_rows,
+       CAST(COUNT(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END) AS BIGINT)
+         AS n_price,
+       CAST(COUNT(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS BIGINT)
+         AS n_priority,
+       {sql_dsum('CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END')} AS sum_price,
+       MIN(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS min_priority
+FROM orders
+GROUP BY 1
+"""
+
+
 def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located join: both sides written ``bucketBy(8,
     <orderkey>).sortBy(<orderkey>).saveAsTable``, then joined with a
@@ -1266,6 +1314,8 @@ GROUP BY o_orderpriority
 
 QUERIES: dict[str, QuerySpec] = {
     "join_bucketed": QuerySpec(join_bucketed, JOIN_BUCKETED_SQL, "join"),
+    "source_schema_evolution": QuerySpec(
+        source_schema_evolution, SOURCE_SCHEMA_EVOLUTION_SQL, "source"),
     "source_binary_files": QuerySpec(
         source_binary_files, SOURCE_BINARY_FILES_SQL, "source"),
     "join_interval_overlap": QuerySpec(
