@@ -756,7 +756,13 @@ def mmr_rerank(
             .alias("sim"),
         )
     )
-    cands = ce.select("query_id", "cand_id", "rel")
+    # candidates and their pair sims are k/m-bounded per query — tiny at
+    # ANY corpus size. Caching them collapses the unrolled rounds' plan
+    # from ~2^k replays of the retrieval stage to one (the audit showed
+    # 45 Exchanges uncached vs a handful cached); at 100 TB this is the
+    # natural materialization point between retrieval and re-rank.
+    pair = pair.cache()
+    cands = ce.select("query_id", "cand_id", "rel").cache()
 
     def argmax(scored: DataFrame, rank: int) -> DataFrame:
         return (
