@@ -64,20 +64,21 @@ correlated_subquery_orders, filter_null_safe_eq, explode_lateral,
 variant_functions, bitwise_functions) past slot 50 — they rejoin the
 round-7 back-fill.
 
-ROUND 7 ROTATION (this round): r06 had zero failures, so the window
-holds (a) entries added during round 7 itself (front), (b) ALL 43
-r03-only entries — the 20 names the round-6 additions displaced past
-slot 50 plus the 23 analytics/scalar stragglers — so after this round
-no entry's driver evidence is older than r04, (c) back-fill with
-execution-path-heavy r04-only entries (streaming sinks/joins, file-
-format roundtrips, packing) up to slot 50. Each new round-7 addition
-at the front displaces the last back-fill name; those stay r04 and
-rotate in round 8.
+ROUND 7 ROTATION (done): r06 had zero failures, so the window holds
+(a) the 7 round-7 additions (text_bpe_apply, text_quality_model,
+maintenance_zorder_layout, ann_mmr_rerank, text_bpe_fit,
+join_asof_nearest, source_schema_evolution), (b) ALL 43 r03-only
+entries — the 20 names the round-6 additions displaced past slot 50
+plus the 23 analytics/scalar stragglers — so after this round no
+entry's driver evidence is older than r04. 7 + 43 fill the window
+exactly; the planned r04 back-fill names (the three streaming sinks/
+joins, parquet/ORC roundtrips, pack_token_budget, key_skew_profile)
+sit at slots 51-57 and rotate in round 8.
 
 ROUND 8 CHORE: rotate again — promote (a) any r07 failures, (b) the
-r04-only entries left out of the round-7 window, stalest/execution-
-heaviest first, (c) entries added during round 8 itself; back-fill
-with r05-only entries.
+50 r04-only entries (the displaced back-fill names above first, then
+the rest of the r04 cohort, execution-heaviest first), (c) entries
+added during round 8 itself; back-fill with r05-only entries.
 """
 
 from __future__ import annotations
