@@ -724,9 +724,6 @@ def mmr_rerank(
     DECIMAL off round-6 cosines — bit-identical in any engine; ties
     break on cand_id. Round-1 penalty is 0, so mmr = 0.5*rel there.
     """
-    lam = F.lit("0.5").cast("decimal(2,1)")
-    dzero = F.lit("0").cast("decimal(10,6)")
-
     cand = cosine_topk(embeddings, query_ids, k=m)
     emb = embeddings.select(
         F.col("vec_id"), _as_double("embedding").alias("emb")
@@ -740,6 +737,16 @@ def mmr_rerank(
             "emb",
         )
     )
+    return _mmr_core(ce, k)
+
+
+def _mmr_core(ce: DataFrame, k: int) -> DataFrame:
+    """The greedy-MMR selection rounds over an arbitrary candidate set
+    ``ce`` = (query_id, cand_id, rel DECIMAL(10,6), emb array<double>) —
+    shared by mmr_rerank (exact-cosine candidates) and
+    retrieval_pipeline (IVF-PQ candidates)."""
+    lam = F.lit("0.5").cast("decimal(2,1)")
+    dzero = F.lit("0").cast("decimal(10,6)")
     pair = (
         ce.select("query_id", F.col("cand_id").alias("a"), F.col("emb").alias("ea"))
         .join(
@@ -819,3 +826,43 @@ def mmr_rerank(
         F.col("rel").cast("string").cast("double").alias("rel"),
         F.col("mmr").cast("string").cast("double").alias("mmr_score"),
     )
+
+
+def retrieval_pipeline_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    m: int = 8,
+    **ivf_kwargs,
+) -> DataFrame:
+    """The full serving-stack retrieval job as ONE declarative plan:
+    IVF-PQ candidate generation (pq_ivf_adc_topk — coarse-quantizer
+    pruning + ADC ranking over stored codes) -> exact-cosine re-scoring
+    of the m survivors -> greedy MMR diversification (_mmr_core).
+
+    The composition mirrors production FAISS-style serving: the index
+    prunes to ~|corpus|·n_probe/n_centroids candidates without touching
+    full vectors, full-precision vectors are loaded ONLY for the m
+    finalists per query, and the diversity pass is per-query O(m²).
+    Every stage is the deterministic unrolled form, so the whole
+    pipeline replays as a single SQL oracle."""
+    cand = pq_ivf_adc_topk(embeddings, query_ids, k=m, **ivf_kwargs).select(
+        "query_id", "cand_id"
+    )
+    emb = embeddings.select(F.col("vec_id"), _as_double("embedding").alias("emb"))
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("q_emb")
+    )
+    ce = (
+        cand.join(emb, cand.cand_id == emb.vec_id)
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 6)
+            .cast("decimal(10,6)")
+            .alias("rel"),
+            "emb",
+        )
+    )
+    return _mmr_core(ce, k)

@@ -207,10 +207,10 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mmr_sql(k: int = 3, m: int = 8) -> str:
-    """Unrolled-greedy MMR oracle: one (penalty, remaining, argmax) CTE
-    trio per selection round — the exact mirror of mmr_rerank's loop."""
-    lam = "CAST(0.5 AS DECIMAL(2,1))"
-    parts = [f"""
+    """Unrolled-greedy MMR oracle over exact-cosine candidates: head
+    CTEs build ``cand`` (query_id, cand_id, emb, rel), then the shared
+    rounds tail (_mmr_tail_sql) mirrors _mmr_core's loop."""
+    return f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
   FROM embeddings
@@ -225,14 +225,23 @@ WITH e AS (
     SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY rel DESC, cand_id ASC) AS rn
     FROM allsc) t WHERE rn <= {m}
-), pair AS (
+)""" + _mmr_tail_sql(k)
+
+
+def _mmr_tail_sql(k: int = 3, cand: str = "cand") -> str:
+    """The greedy-MMR selection rounds as CTEs over an upstream ``cand``
+    CTE with columns (query_id, cand_id, emb DOUBLE[], rel
+    DECIMAL(10,6)) — shared by _mmr_sql and the composed
+    retrieval-pipeline oracle (the exact mirror of _mmr_core)."""
+    lam = "CAST(0.5 AS DECIMAL(2,1))"
+    parts = [f""", pair AS (
   SELECT a.query_id, a.cand_id AS a, b.cand_id AS b,
          CAST(round(list_cosine_similarity(a.emb, b.emb), 6) AS DECIMAL(10,6)) AS sim
-  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+  FROM {cand} a JOIN {cand} b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
 ), sc1 AS (
   SELECT query_id, cand_id, rel,
          CAST({lam} * rel AS DECIMAL(14,7)) AS mmr
-  FROM cand
+  FROM {cand}
 ), sel1 AS (
   SELECT query_id, cand_id, rel, mmr FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
@@ -253,7 +262,7 @@ WITH e AS (
   SELECT c.query_id, c.cand_id, c.rel,
          CAST({lam} * c.rel - {lam} * COALESCE(p.pen, CAST(0 AS DECIMAL(10,6)))
               AS DECIMAL(14,7)) AS mmr
-  FROM cand c LEFT JOIN pen{r} p
+  FROM {cand} c LEFT JOIN pen{r} p
     ON p.query_id = c.query_id AND p.cand_id = c.cand_id
   WHERE NOT EXISTS (
     SELECT 1 FROM selset{r - 1} s
@@ -1360,6 +1369,33 @@ def ann_pq_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full serving stack composed as ONE declarative plan
+    (operators/similarity.retrieval_pipeline_topk): IVF-PQ candidate
+    generation -> exact-cosine re-scoring of the m finalists -> greedy
+    MMR diversification — the ANN family's curation_pipeline. Every
+    stage is the deterministic unrolled form, so the composition
+    replays as a single SQL oracle."""
+    return S.retrieval_pipeline_topk(
+        _emb(spark, sf_dir), query_ids=list(range(_ADC_N_QUERIES)), k=3, m=8
+    )
+
+
+def _retrieval_pipeline_sql(k: int = 3, m: int = 8) -> str:
+    """Composed oracle: the IVF-PQ chain's CTEs (ending in ivf_topk)
+    + exact-cosine candidate re-scoring + the shared MMR rounds tail."""
+    ivf = _pq_ivf_adc_sql(topk=m)
+    final = "SELECT query_id, cand_id, adc_dist, rank FROM ivf_topk"
+    body = ivf.rsplit(final, 1)[0]
+    return body + f""", mmr_cand AS (
+  SELECT t.query_id, t.cand_id, cv.v AS emb,
+         CAST(round(list_cosine_similarity(q.qv, cv.v), 6) AS DECIMAL(10,6)) AS rel
+  FROM ivf_topk t
+  JOIN v cv ON cv.vec_id = t.cand_id
+  JOIN ivf_q q ON q.query_id = t.query_id
+)""" + _mmr_tail_sql(k, cand="mmr_cand")
+
+
 def _adc_codes_union(m: int) -> str:
     return " UNION ALL ".join(
         f"SELECT vec_id, {s} AS s, code_{s} AS cluster FROM f{s}"
@@ -1420,12 +1456,15 @@ def _pq_ivf_adc_sql(n_queries: int = _ADC_N_QUERIES, topk: int = _ADC_TOP_K,
   SELECT query_id, cand_id, CAST(CAST(SUM(dd) AS VARCHAR) AS DOUBLE) AS adc_dist
   FROM scored GROUP BY 1, 2
 )
-SELECT query_id, cand_id, adc_dist, rank FROM (
-  SELECT query_id, cand_id, adc_dist,
-         CAST(row_number() OVER (PARTITION BY query_id
-              ORDER BY adc_dist ASC, cand_id ASC) AS BIGINT) AS rank
-  FROM agg
-) WHERE rank <= {topk}
+, ivf_topk AS (
+  SELECT query_id, cand_id, adc_dist, rank FROM (
+    SELECT query_id, cand_id, adc_dist,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY adc_dist ASC, cand_id ASC) AS BIGINT) AS rank
+    FROM agg
+  ) WHERE rank <= {topk}
+)
+SELECT query_id, cand_id, adc_dist, rank FROM ivf_topk
 """)
 
 
@@ -1679,6 +1718,9 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_mmr_rerank": QuerySpec(
         ann_mmr_rerank, _mmr_sql(), "similarity",
         plan_waivers={"bnlj": "|queries| x corpus stream (cosine_topk candidate stage)"}),
+    "ann_retrieval_pipeline": QuerySpec(
+        ann_retrieval_pipeline, _retrieval_pipeline_sql(), "similarity",
+        plan_waivers={"bnlj": "k-row centroid/codebook broadcasts (IVF-PQ stage)"}),
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_STATS_SQL, "text"),
     "text_bpe_token_count": QuerySpec(text_bpe_token_count, TEXT_BPE_TOKEN_SQL, "text"),
     "text_bpe_apply": QuerySpec(text_bpe_apply, _bpe_apply_sql(), "text"),

@@ -574,3 +574,40 @@ def test_mmr_demotes_redundant_near_duplicate(spark):
     assert out[3]["cand_id"] == 2
     # scores are monotone non-increasing across picks for a greedy argmax
     assert out[1]["mmr_score"] >= out[2]["mmr_score"] >= 0 or True
+
+
+def test_retrieval_pipeline_composes_ivf_and_mmr(spark, sf_dir):
+    """The composed serving stack must be consistent with its stages:
+    every pick comes from the IVF-PQ candidate set for that query, rel
+    equals the exact cosine to the query, and per-query picks are
+    distinct with ranks 1..k."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.similarity import (
+        pq_ivf_adc_topk,
+        retrieval_pipeline_topk,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(10))
+    out = retrieval_pipeline_topk(emb, qids, k=3, m=8).collect()
+    cand = {
+        (r["query_id"], r["cand_id"])
+        for r in pq_ivf_adc_topk(emb, qids, k=8).collect()
+    }
+    assert len(out) == 30
+    for r in out:
+        assert (r["query_id"], r["cand_id"]) in cand, r
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert sorted(x["pick_rank"] for x in rows) == [1, 2, 3]
+        assert len({x["cand_id"] for x in rows}) == 3
+    # rel is the exact cosine (cross-check one query against cosine_topk scores)
+    from pipeline_apache_beam_entrega1_cs_spark.operators.similarity import cosine_topk
+    exact = {
+        (r["query_id"], r["cand_id"]): r["cos_sim"]
+        for r in cosine_topk(emb, qids, k=500).collect()
+    }
+    for r in out:
+        assert abs(r["rel"] - exact[(r["query_id"], r["cand_id"])]) < 1e-9, r
