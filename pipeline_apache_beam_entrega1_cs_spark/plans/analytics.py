@@ -930,6 +930,111 @@ SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
 """
 
 
+_LINKPRED_K = 20
+_LINKPRED_MAX_DEG = 50
+
+
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction on the part
+    co-purchase graph: score NON-adjacent pairs by
+    |N(u) ∩ N(w)| / |N(u) ∪ N(w)|, top-20.
+
+    Scale shape (the dedup_ngram_jaccard recipe applied to graphs):
+    candidate pairs are generated through the shared-neighbor inverted
+    index — each node v contributes its neighbor pairs, so the volume is
+    Σ deg(v)², NEVER all-pairs — and hub nodes above _LINKPRED_MAX_DEG
+    are dropped from the index (the max_df frequency cap; a hub's
+    co-neighbors say little and cost quadratically). Adjacent pairs are
+    removed with an anti-join. jaccard = one IEEE double division of two
+    exact BIGINTs — deterministic in any engine; top-k is totally
+    ordered (jaccard desc, u, w)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    adj = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    # hub cap on the INDEX side (the shared neighbor v), not on u/w
+    small = deg.filter(F.col("deg") <= _LINKPRED_MAX_DEG).select("node")
+    idx = adj.join(small.withColumnRenamed("node", "nbr"), "nbr")
+    i1, i2 = idx.alias("i1"), idx.alias("i2")
+    inter = (
+        i1.join(i2, F.col("i1.nbr") == F.col("i2.nbr"))
+        .filter(F.col("i1.node") < F.col("i2.node"))
+        .groupBy(F.col("i1.node").alias("u"), F.col("i2.node").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cand = inter.join(
+        edges.select(F.col("u"), F.col("v").alias("w")), ["u", "w"], "left_anti"
+    )
+    du = deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "deg_u")
+    dw = deg.withColumnRenamed("node", "w").withColumnRenamed("deg", "deg_w")
+    scored = (
+        cand.join(F.broadcast(du), "u")
+        .join(F.broadcast(dw), "w")
+        .select(
+            "u",
+            "w",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            (F.col("deg_u") + F.col("deg_w") - F.col("n_common"))
+            .cast("bigint")
+            .alias("n_union"),
+        )
+        .withColumn(
+            "jaccard", F.col("n_common").cast("double") / F.col("n_union")
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), F.col("u").asc(), F.col("w").asc()
+    ).limit(_LINKPRED_K)
+
+
+LINKPRED_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 20 = 0
+), edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), adj AS (
+  SELECT u AS node, v AS nbr FROM edges
+  UNION ALL
+  SELECT v AS node, u AS nbr FROM edges
+), deg AS (
+  SELECT node, COUNT(*) AS deg FROM adj GROUP BY node
+), idx AS (
+  SELECT a.node, a.nbr FROM adj a
+  JOIN deg d ON d.node = a.nbr AND d.deg <= {_LINKPRED_MAX_DEG}
+), inter AS (
+  SELECT i1.node AS u, i2.node AS w, COUNT(*) AS n_common
+  FROM idx i1 JOIN idx i2 ON i1.nbr = i2.nbr AND i1.node < i2.node
+  GROUP BY 1, 2
+), cand AS (
+  SELECT i.* FROM inter i
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = i.u AND e.v = i.w)
+)
+SELECT c.u, c.w,
+       CAST(c.n_common AS BIGINT) AS n_common,
+       CAST(du.deg + dw.deg - c.n_common AS BIGINT) AS n_union,
+       CAST(c.n_common AS DOUBLE) / (du.deg + dw.deg - c.n_common) AS jaccard
+FROM cand c
+JOIN deg du ON du.node = c.u
+JOIN deg dw ON dw.node = c.w
+ORDER BY jaccard DESC, c.u ASC, c.w ASC
+LIMIT {_LINKPRED_K}
+"""
+
+
 def graph_pagerank(spark: SparkSession, sf_dir: str, iters: int = 3,
                    d: float = 0.85) -> DataFrame:
     """PageRank with a FIXED iteration count as one straight-line
@@ -1284,6 +1389,8 @@ QUERIES: dict[str, QuerySpec] = {
         plan_waivers={"bnlj": "1-row min/max bounds broadcast"},
     ),
     "graph_triangle_count": QuerySpec(graph_triangle_count, TRIANGLE_SQL, "graph"),
+    "graph_link_prediction": QuerySpec(
+        graph_link_prediction, LINKPRED_SQL, "graph"),
     "graph_pagerank": QuerySpec(
         graph_pagerank, _pagerank_sql(), "graph",
         plan_waivers={"bnlj": "1-row node-count scalar attach"}),

@@ -159,6 +159,7 @@ DRIVER_PRIORITY: list[str] = [
     # --- round-7 additions past the 50-entry window (the 7+43 above
     # fill it exactly): first in line for round-8 driver evidence ---
     "ann_retrieval_pipeline",
+    "graph_link_prediction",
     # --- r04-only back-fill: execution-path-heavy surfaces
     # (streaming sinks/joins, format roundtrips, packing, skew) ---
     "streaming_foreach_batch_sink",

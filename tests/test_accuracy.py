@@ -316,3 +316,26 @@ def test_basket_lift_planted_association(spark, sf_dir):
     assert got[("X", "Y")] == max(got.values())  # perfect association tops
     assert got[("X", "Y")] == 4.0                # N/c = 40/10
     assert ("X", "Z") not in got and ("Y", "Z") not in got
+
+
+def test_link_prediction_planted_square(spark):
+    """Planted 4-cycle (1-2, 1-3, 2-4, 3-4): the two non-adjacent
+    diagonals (1,4) and (2,3) share BOTH neighbors -> jaccard 1.0 and
+    must rank first; no adjacent pair may appear."""
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    # co-purchase graph from lineitem-shaped rows: one order per edge
+    rows = []
+    for okey, parts in ((0, (1, 2)), (20, (1, 3)), (40, (4, 2)), (60, (4, 3))):
+        rows += [(okey, p) for p in parts]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    orig = A._t
+    A._t = lambda spark, sf_dir, name: li
+    try:
+        out = A.graph_link_prediction(spark, "ignored").collect()
+    finally:
+        A._t = orig
+    pairs = {(r["u"], r["w"]): r for r in out}
+    assert set(pairs) == {(1, 4), (2, 3)}, pairs
+    for r in out:
+        assert r["jaccard"] == 1.0 and r["n_common"] == 2 and r["n_union"] == 2
