@@ -84,6 +84,14 @@ BENCH_QUERIES = [
     # BENCH_r{N>=6} totals to earlier rounds only after subtracting
     # this entry (and curation_pipeline for r<4).
     "dedup_span_ngram",
+    # round-7 addition (totals comparable to r<7 only after subtracting
+    # it; subtotal_r01_comparable already excludes it): real BPE
+    # segmentation — the zero-shuffle scalar-chain tokenizer.
+    # (ann_retrieval_pipeline was measured and REJECTED as a bench line:
+    # ~4 s of fixed per-stage cost from the unrolled quantizer fits
+    # would inflate the headline total ~35% while measuring scheduling,
+    # not data work — its scaling story lives in SCALING.md instead.)
+    "text_bpe_apply",
 ]
 
 
