@@ -163,6 +163,91 @@ FROM agg
 """
 
 
+_TEMP_GLOBAL_RATE = "0.5"  # overall keep fraction after re-weighting
+
+
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced mixture sampling (the XLM-R / multilingual-
+    LM re-weighting, alpha = 0.5): source sampling weights follow
+    p_i^alpha / sum_j p_j^alpha — up-weighting small sources relative to
+    raw proportions — and each document is kept by a DETERMINISTIC
+    md5-hash draw against its source's adjusted rate. This is
+    mixture_by_source made executable: the report says what to sample,
+    this entry actually draws the sample, reproducibly on any engine
+    and under any repartitioning.
+
+    Determinism: alpha=0.5 means sqrt(), which IEEE requires correctly
+    rounded (identical in every engine — the reason alpha is 0.5 and
+    not an arbitrary pow()); weights round to 6 dp and normalize in
+    DECIMAL; per-doc draws compare a 32-bit md5 prefix against
+    rate * 2^32 in exact integer-vs-double form. Scale shape: one
+    #sources-row aggregate broadcast back onto the corpus — the draw
+    itself is map-side, no second shuffle of document rows."""
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    wall = Window.partitionBy()
+    w6 = F.round(
+        F.sqrt(F.col("n_docs") / F.sum("n_docs").over(wall)), 6
+    ).cast("decimal(12,6)")
+    weights = agg.select(
+        "source",
+        "n_docs",
+        (w6 / F.sum(w6).over(wall))
+        .cast("decimal(18,12)")
+        .cast("string")
+        .cast("double")
+        .alias("weight"),
+    ).withColumn(
+        "keep_rate",
+        F.col("weight") * F.lit(float(_TEMP_GLOBAL_RATE)) * F.lit(4.0),
+    )
+    # x4 = #sources: a weight of 1/#sources maps to the global rate, so
+    # the adjusted per-source rates straddle it (capped at 1 below)
+    drawn = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(weights), "source")
+        .withColumn(
+            "u32", F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        )
+        .withColumn(
+            "kept", F.col("u32") < F.least(F.col("keep_rate"), F.lit(1.0)) * F.lit(float(2**32))
+        )
+    )
+    return drawn.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max(F.round("weight", 6)).alias("weight"),
+        F.sum(F.col("kept").cast("long")).cast("long").alias("n_sampled"),
+    )
+
+
+SAMPLE_TEMPERATURE_SQL = f"""
+WITH agg AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_docs,
+         CAST(round(sqrt(n_docs::DOUBLE / SUM(n_docs) OVER ()), 6)
+              AS DECIMAL(12,6)) AS w6
+  FROM agg
+), weights AS (
+  SELECT source, n_docs,
+         CAST(CAST(CAST(w6 / SUM(w6) OVER () AS DECIMAL(18,12)) AS VARCHAR)
+              AS DOUBLE) AS weight
+  FROM w
+), drawn AS (
+  SELECT d.source, w.weight,
+         CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           < least(w.weight * {_TEMP_GLOBAL_RATE} * 4.0, 1.0) * 4294967296.0
+           AS kept
+  FROM documents d JOIN weights w USING (source)
+)
+SELECT source, COUNT(*) AS n_docs,
+       round(MAX(weight), 6) AS weight,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM drawn
+GROUP BY source
+"""
+
+
 def upsert_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE-style upsert without MERGE: apply a deterministic changeset
     (updates for custkey%10=3, deletes for %10=7, inserts at -key for
@@ -567,6 +652,9 @@ QUERIES: dict[str, QuerySpec] = {
     "pack_token_budget": QuerySpec(pack_token_budget, PACK_SQL, "pipeline"),
     "mixture_by_source": QuerySpec(
         mixture_by_source, MIXTURE_SQL, "pipeline",
+        plan_waivers={"global_window": "window input = #distinct sources (O(1))"}),
+    "sample_temperature_mixture": QuerySpec(
+        sample_temperature_mixture, SAMPLE_TEMPERATURE_SQL, "pipeline",
         plan_waivers={"global_window": "window input = #distinct sources (O(1))"}),
     "upsert_changeset": QuerySpec(upsert_changeset, UPSERT_SQL, "pipeline"),
     "rollup_time_hierarchy": QuerySpec(rollup_time_hierarchy, ROLLUP_TIME_SQL, "pipeline"),

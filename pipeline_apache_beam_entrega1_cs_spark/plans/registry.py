@@ -160,6 +160,7 @@ DRIVER_PRIORITY: list[str] = [
     # fill it exactly): first in line for round-8 driver evidence ---
     "ann_retrieval_pipeline",
     "graph_link_prediction",
+    "sample_temperature_mixture",
     # --- r04-only back-fill: execution-path-heavy surfaces
     # (streaming sinks/joins, format roundtrips, packing, skew) ---
     "streaming_foreach_batch_sink",

@@ -611,3 +611,34 @@ def test_retrieval_pipeline_composes_ivf_and_mmr(spark, sf_dir):
     }
     for r in out:
         assert abs(r["rel"] - exact[(r["query_id"], r["cand_id"])]) < 1e-9, r
+
+
+def test_temperature_mixture_upweights_small_sources(spark):
+    """Skewed planted corpus (900 'big' docs vs 100 'small'): with
+    alpha = 0.5 the small source's sampling weight must EXCEED its raw
+    share (sqrt flattens the distribution), the big source's must fall
+    below its share, weights sum to 1, and realized per-source sample
+    rates track the adjusted rates (binomial tolerance)."""
+    import pipeline_apache_beam_entrega1_cs_spark.plans.pipeline_ops as P
+
+    rows = [(i, "big") for i in range(900)] + [(i + 900, "small") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    orig = P._t
+    P._t = lambda spark, sf_dir, name: docs
+    try:
+        out = {r["source"]: r for r in P.sample_temperature_mixture(spark, "x").collect()}
+    finally:
+        P._t = orig
+
+    big, small = out["big"], out["small"]
+    assert abs(big["weight"] + small["weight"] - 1.0) < 1e-6
+    # raw shares 0.9 / 0.1 -> sqrt(0.9) = 3*sqrt(0.1), so the
+    # normalized weights are exactly 0.75 / 0.25: the small source's
+    # weight is 2.5x its raw share, the big source's is 5/6 of its
+    assert small["weight"] > 0.1 and big["weight"] < 0.9
+    assert abs(small["weight"] - 0.25) < 1e-4, small
+    # realized rates: keep_rate = weight * 0.5 * 4 capped at 1 —
+    # big: 0.75*2 -> capped 1.0 (all kept), small: 0.25*2 = 0.5
+    assert big["n_sampled"] == 900  # rate capped at 1.0
+    exp_small = 100 * min(small["weight"] * 0.5 * 4.0, 1.0)
+    assert abs(small["n_sampled"] - exp_small) < 25, (small, exp_small)
