@@ -71,14 +71,18 @@ join_asof_nearest, source_schema_evolution), (b) ALL 43 r03-only
 entries — the 20 names the round-6 additions displaced past slot 50
 plus the 23 analytics/scalar stragglers — so after this round no
 entry's driver evidence is older than r04. 7 + 43 fill the window
-exactly; the planned r04 back-fill names (the three streaming sinks/
-joins, parquet/ORC roundtrips, pack_token_budget, key_skew_profile)
-sit at slots 51-57 and rotate in round 8.
+exactly; three FURTHER round-7 additions (ann_retrieval_pipeline,
+graph_link_prediction, sample_temperature_mixture) were deliberately
+placed at slots 51-53 rather than displace promoted r03 entries, and
+the planned r04 back-fill names (the three streaming sinks/joins,
+parquet/ORC roundtrips, pack_token_budget, key_skew_profile) follow
+them.
 
 ROUND 8 CHORE: rotate again — promote (a) any r07 failures, (b) the
-50 r04-only entries (the displaced back-fill names above first, then
-the rest of the r04 cohort, execution-heaviest first), (c) entries
-added during round 8 itself; back-fill with r05-only entries.
+three never-checked round-7 additions at slots 51-53, (c) the 50
+r04-only entries (the displaced back-fill names above first, then the
+rest of the r04 cohort, execution-heaviest first), (d) entries added
+during round 8 itself; back-fill with r05-only entries.
 """
 
 from __future__ import annotations
