@@ -165,6 +165,7 @@ DRIVER_PRIORITY: list[str] = [
     "ann_retrieval_pipeline",
     "graph_link_prediction",
     "sample_temperature_mixture",
+    "source_json_permissive",
     # --- r04-only back-fill: execution-path-heavy surfaces
     # (streaming sinks/joins, format roundtrips, packing, skew) ---
     "streaming_foreach_batch_sink",

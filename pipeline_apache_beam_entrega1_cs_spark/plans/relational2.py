@@ -1257,6 +1257,74 @@ GROUP BY 1
 """
 
 
+def source_json_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-JSON ingestion under PERMISSIVE mode with a
+    ``_corrupt_record`` column — the contract a 100 TB crawl ingest
+    actually runs under: malformed lines land in the corrupt column
+    with every data field null instead of killing the job (contrast the
+    reference's silent-drop rule, fidelity A2, and DROPMALFORMED).
+    Fixture: the o_orderkey % 41 == 0 slice serialized to JSONL with
+    every third line deterministically corrupted (its opening brace
+    doubled); the report aggregates good/corrupt counts, the
+    decimal-exact price sum over GOOD rows only, and the id range —
+    exactly what the oracle recomputes from the same corruption rule."""
+    import os
+    import shutil
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    d = f"/tmp/spark_graft_jsonperm/{tag}-{os.getpid()}"
+    shutil.rmtree(d, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 41 == 0)
+    lines = orders.select(
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.concat(
+                F.lit("{"),
+                F.to_json(F.struct("o_orderkey", "o_totalprice", "o_orderstatus")),
+            ),
+        )
+        .otherwise(
+            F.to_json(F.struct("o_orderkey", "o_totalprice", "o_orderstatus"))
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(d)
+    parsed = (
+        spark.read.schema(
+            "o_orderkey long, o_totalprice double, o_orderstatus string, "
+            "_corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(d)
+    )
+    good = F.col("_corrupt_record").isNull()
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(good.cast("long")).cast("long").alias("n_good"),
+        F.sum((~good).cast("long")).cast("long").alias("n_corrupt"),
+        dsum(F.when(good, F.col("o_totalprice"))).alias("sum_good_price"),
+        F.min(F.when(good, F.col("o_orderkey"))).alias("min_good_key"),
+        F.max(F.when(good, F.col("o_orderkey"))).alias("max_good_key"),
+    )
+
+
+SOURCE_JSON_PERMISSIVE_SQL = f"""
+WITH slice AS (
+  SELECT o_orderkey, o_totalprice,
+         (o_orderkey % 3 = 0) AS corrupt
+  FROM orders WHERE o_orderkey % 41 = 0
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN NOT corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+       CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+       {sql_dsum('CASE WHEN NOT corrupt THEN o_totalprice END')} AS sum_good_price,
+       MIN(CASE WHEN NOT corrupt THEN o_orderkey END) AS min_good_key,
+       MAX(CASE WHEN NOT corrupt THEN o_orderkey END) AS max_good_key
+FROM slice
+"""
+
+
 def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located join: both sides written ``bucketBy(8,
     <orderkey>).sortBy(<orderkey>).saveAsTable``, then joined with a
@@ -1316,6 +1384,8 @@ QUERIES: dict[str, QuerySpec] = {
     "join_bucketed": QuerySpec(join_bucketed, JOIN_BUCKETED_SQL, "join"),
     "source_schema_evolution": QuerySpec(
         source_schema_evolution, SOURCE_SCHEMA_EVOLUTION_SQL, "source"),
+    "source_json_permissive": QuerySpec(
+        source_json_permissive, SOURCE_JSON_PERMISSIVE_SQL, "source"),
     "source_binary_files": QuerySpec(
         source_binary_files, SOURCE_BINARY_FILES_SQL, "source"),
     "join_interval_overlap": QuerySpec(
