@@ -621,6 +621,63 @@ GROUP BY 1
 """
 
 
+def maintenance_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the incremental-restatement idiom
+    (`spark.sql.sources.partitionOverwriteMode=dynamic`): a full
+    year-partitioned table is written once, then a RESTATEMENT batch
+    containing ONLY 1997 rows (prices doubled) is written with
+    mode('overwrite') — under dynamic mode only the 1997 partition is
+    replaced, every other year survives untouched. Under the default
+    STATIC mode the second write would delete all other partitions, so
+    the oracle (original years + doubled 1997) hash-matching IS the
+    proof of dynamic semantics. At 100 TB this is how a late-arriving
+    day/region is restated without rewriting the table."""
+    import os
+    import shutil
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    d = f"/tmp/spark_graft_dynover/{tag}-{os.getpid()}"
+    shutil.rmtree(d, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year("o_orderdate").alias("o_year"),
+    )
+    orders.write.partitionBy("o_year").mode("overwrite").parquet(d)
+    restated = orders.filter(F.col("o_year") == 1997).withColumn(
+        "o_totalprice",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 2)
+        .cast("string")
+        .cast("double"),
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        restated.write.partitionBy("o_year").mode("overwrite").parquet(d)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(d)
+    return back.groupBy(F.col("o_year").cast("int").alias("o_year")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+MAINT_PARTITION_OVERWRITE_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       COUNT(*) AS n_rows,
+       {sql_dsum("CASE WHEN year(o_orderdate) = 1997 "
+                 "THEN CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 "
+                 "AS VARCHAR) AS DOUBLE) ELSE o_totalprice END")} AS sum_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders
+GROUP BY 1
+"""
+
+
 COMPACT_SQL = """
 WITH hi AS (SELECT MAX(doc_id) AS hi FROM documents)
 SELECT CAST(least((doc_id * 8) // (hi + 1), 7) AS INTEGER) AS bucket,
@@ -643,6 +700,8 @@ QUERIES: dict[str, QuerySpec] = {
     # layout WRITE; the returned report plan is a plain scan + groupBy
     "maintenance_zorder_layout": QuerySpec(
         maintenance_zorder_layout, _zorder_sql(), "pipeline"),
+    "maintenance_partition_overwrite": QuerySpec(
+        maintenance_partition_overwrite, MAINT_PARTITION_OVERWRITE_SQL, "pipeline"),
     "dq_split_leakage": QuerySpec(
         dq_split_leakage, DQ_SPLIT_LEAKAGE_SQL, "pipeline"),
     "split_train_val_test": QuerySpec(split_train_val_test, SPLIT_SQL, "pipeline"),

@@ -166,6 +166,7 @@ DRIVER_PRIORITY: list[str] = [
     "graph_link_prediction",
     "sample_temperature_mixture",
     "source_json_permissive",
+    "maintenance_partition_overwrite",
     # --- r04-only back-fill: execution-path-heavy surfaces
     # (streaming sinks/joins, format roundtrips, packing, skew) ---
     "streaming_foreach_batch_sink",
