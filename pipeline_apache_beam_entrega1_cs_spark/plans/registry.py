@@ -167,6 +167,7 @@ DRIVER_PRIORITY: list[str] = [
     "sample_temperature_mixture",
     "source_json_permissive",
     "maintenance_partition_overwrite",
+    "agg_hll_intersection",
     # --- r04-only back-fill: execution-path-heavy surfaces
     # (streaming sinks/joins, format roundtrips, packing, skew) ---
     "streaming_foreach_batch_sink",

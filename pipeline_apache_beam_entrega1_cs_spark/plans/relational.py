@@ -631,6 +631,46 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_group.unionByName(merged).orderBy("grp")
 
 
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA on mergeable HLLs: estimate the customer
+    overlap of the URGENT and HIGH priority classes by
+    inclusion-exclusion — |A∩B| ≈ est(A) + est(B) − est(A∪B) — without
+    ever re-touching raw rows once the two sketches exist. The audience
+    -overlap / cross-corpus-contamination question at 100 TB: sketches
+    are bytes in a summary table, any pairwise overlap is three
+    estimate calls. Single row out; the three 1-row aggregates assemble
+    via a tagged union + conditional agg (the triangle-count move — no
+    crossJoin, no BNLJ). Rows-only oracle (sketch internals are
+    engine-specific); accuracy vs the exact intersection is asserted in
+    tests — note inclusion-exclusion AMPLIFIES relative error when the
+    intersection is small relative to the union, which the test's
+    tolerance documents."""
+    pris = ("1-URGENT", "2-HIGH")
+    sk = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin(*pris))
+        .groupBy("o_orderpriority")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    )
+    ests = sk.select(
+        F.col("o_orderpriority").alias("k"),
+        F.hll_sketch_estimate("sk").alias("v"),
+    )
+    union_est = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("v")
+    ).select(F.lit("__union__").alias("k"), "v")
+    tagged = ests.unionByName(union_est)
+    est_a = F.max(F.when(F.col("k") == pris[0], F.col("v")))
+    est_b = F.max(F.when(F.col("k") == pris[1], F.col("v")))
+    est_u = F.max(F.when(F.col("k") == "__union__", F.col("v")))
+    return tagged.agg(
+        est_a.cast("long").alias("est_urgent"),
+        est_b.cast("long").alias("est_high"),
+        est_u.cast("long").alias("est_union"),
+        (est_a + est_b - est_u).cast("long").alias("est_intersection"),
+    )
+
+
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(returnflag, linestatus): hierarchical subtotals + grand
     total in one pass."""
@@ -1268,6 +1308,10 @@ QUERIES: dict[str, QuerySpec] = {
     "agg_hll_partial_merge": QuerySpec(
         agg_hll_partial_merge, None, "aggregation",
         doc="Datasketches HLL partials + union — sketch bytes are "
+            "engine-specific, rows-only oracle; accuracy tested vs exact"),
+    "agg_hll_intersection": QuerySpec(
+        agg_hll_intersection, None, "aggregation",
+        doc="HLL inclusion-exclusion intersection — sketch bytes are "
             "engine-specific, rows-only oracle; accuracy tested vs exact"),
     "agg_rollup": QuerySpec(agg_rollup, AGG_ROLLUP_SQL, "aggregation"),
     "agg_cube": QuerySpec(agg_cube, AGG_CUBE_SQL, "aggregation"),

@@ -339,3 +339,31 @@ def test_link_prediction_planted_square(spark):
     assert set(pairs) == {(1, 4), (2, 3)}, pairs
     for r in out:
         assert r["jaccard"] == 1.0 and r["n_common"] == 2 and r["n_union"] == 2
+
+
+def test_hll_intersection_accuracy(spark, sf_dir):
+    """Inclusion-exclusion intersection on HLL sketches: each side and
+    the union within 5% of exact; the derived intersection within 10%
+    (subtraction amplifies relative error — documented tolerance)."""
+    from pipeline_apache_beam_entrega1_cs_spark.plans.relational import (
+        agg_hll_intersection,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    row = agg_hll_intersection(spark, sf_dir).collect()[0]
+    orders = load_table(spark, sf_dir, "orders")
+
+    def exact(pred):
+        return orders.filter(pred).select("o_custkey").distinct().count()
+
+    a = exact(F.col("o_orderpriority") == "1-URGENT")
+    b = exact(F.col("o_orderpriority") == "2-HIGH")
+    u = exact(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    inter = a + b - u
+    assert abs(row["est_urgent"] - a) <= max(1, 0.05 * a)
+    assert abs(row["est_high"] - b) <= max(1, 0.05 * b)
+    assert abs(row["est_union"] - u) <= max(1, 0.05 * u)
+    assert abs(row["est_intersection"] - inter) <= max(2, 0.10 * inter), (
+        row, a, b, u, inter)
+    # the identity holds on the estimates by construction
+    assert row["est_intersection"] == row["est_urgent"] + row["est_high"] - row["est_union"]
