@@ -168,6 +168,8 @@ DRIVER_PRIORITY: list[str] = [
     "source_json_permissive",
     "maintenance_partition_overwrite",
     "agg_hll_intersection",
+    "agg_weighted_median",
+    "window_running_distinct",
     # --- r04-only back-fill: execution-path-heavy surfaces
     # (streaming sinks/joins, format roundtrips, packing, skew) ---
     "streaming_foreach_batch_sink",

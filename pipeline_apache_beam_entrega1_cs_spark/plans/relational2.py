@@ -105,6 +105,114 @@ SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
 """
 
 
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median per group: the lower weighted median of
+    l_extendedprice weighted by l_quantity, per l_returnflag — the
+    robust price statistic quantity-weighted reporting actually needs
+    (plain median treats a 1-unit and a 50-unit line identically).
+    Definition: sort by (value, orderkey, linenumber); the median is
+    the first value whose running weight reaches half the group total
+    (2*cumw >= total). The result is ONE OF THE INPUT VALUES — no
+    interpolation arithmetic — so cross-engine equality is exact by
+    construction. Weights are integer-valued quantities summed as
+    BIGINT. One partitioned sort per group; no global window."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = (
+        li.select(
+            "l_returnflag",
+            "l_extendedprice",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .withColumn("cumw", F.sum("qty").over(w))
+        .withColumn("totw", F.sum("qty").over(wall))
+    )
+    return (
+        cum.filter(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median"),
+            F.max("totw").alias("total_weight"),
+        )
+    )
+
+
+AGG_WEIGHTED_MEDIAN_SQL = """
+WITH cum AS (
+  SELECT l_returnflag, l_extendedprice,
+         SUM(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS UNBOUNDED PRECEDING) AS cumw,
+         SUM(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag) AS totw
+  FROM lineitem
+)
+SELECT l_returnflag,
+       MIN(l_extendedprice) AS weighted_median,
+       CAST(MAX(totw) AS BIGINT) AS total_weight
+FROM cum
+WHERE 2 * cumw >= totw
+GROUP BY l_returnflag
+"""
+
+
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) — the window aggregate SQL engines
+    refuse to evaluate directly (DISTINCT inside a running frame):
+    per user, how many distinct event types have been seen up to each
+    event. Decomposed into two windows — a first-occurrence flag
+    (row_number over (user, type) == 1) and a running sum of flags over
+    (user) — both shuffling on the SAME user key, so at scale this is
+    one hash partition feeding two local sorts, never a distinct-state
+    blowup. Total order (ts, event_id) makes every prefix engine-exact."""
+    ev = _t(spark, sf_dir, "events")
+    first_w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    run_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select("event_id", "user_id", "ts", "event_type")
+        .withColumn(
+            "first_seen", (F.row_number().over(first_w) == 1).cast("long")
+        )
+        .withColumn("n_distinct_types", F.sum("first_seen").over(run_w))
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type",
+            F.col("n_distinct_types").cast("long").alias("n_distinct_types"),
+        )
+    )
+
+
+WINDOW_RUNNING_DISTINCT_SQL = """
+WITH flagged AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN row_number() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+       CAST(SUM(first_seen) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_types
+FROM flagged
+"""
+
+
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT percentiles (linear interpolation) + median — verified
     bit-identical between Spark's percentile() and DuckDB's
@@ -1397,6 +1505,8 @@ QUERIES: dict[str, QuerySpec] = {
     "set_intersect_all": QuerySpec(set_intersect_all, SET_INTERSECT_ALL_SQL, "set_op"),
     "set_except_all": QuerySpec(set_except_all, SET_EXCEPT_ALL_SQL, "set_op"),
     "agg_percentiles": QuerySpec(agg_percentiles, AGG_PERCENTILES_SQL, "aggregation"),
+    "agg_weighted_median": QuerySpec(
+        agg_weighted_median, AGG_WEIGHTED_MEDIAN_SQL, "aggregation"),
     "higher_order_functions": QuerySpec(higher_order_functions, HIGHER_ORDER_SQL, "scalar_fn"),
     "agg_collect_sorted": QuerySpec(agg_collect_sorted, AGG_COLLECT_SORTED_SQL, "aggregation"),
     "agg_min_max_by": QuerySpec(agg_min_max_by, AGG_MIN_MAX_BY_SQL, "aggregation"),
@@ -1418,6 +1528,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q4_late_shipments": QuerySpec(q4_late_shipments, Q4_LATE_SQL, "headline"),
     "q10_returned_revenue": QuerySpec(q10_returned_revenue, Q10_SQL, "headline"),
     "window_value_navigation": QuerySpec(window_value_navigation, WINDOW_VALUE_NAV_SQL, "window"),
+    "window_running_distinct": QuerySpec(
+        window_running_distinct, WINDOW_RUNNING_DISTINCT_SQL, "window"),
     "window_range_frame": QuerySpec(window_range_frame, WINDOW_RANGE_FRAME_SQL, "window"),
     "agg_approx_percentile": QuerySpec(agg_approx_percentile, None, "aggregation",
                                        doc="sketch-based; accuracy tested vs exact percentile"),

@@ -367,3 +367,57 @@ def test_hll_intersection_accuracy(spark, sf_dir):
         row, a, b, u, inter)
     # the identity holds on the estimates by construction
     assert row["est_intersection"] == row["est_urgent"] + row["est_high"] - row["est_union"]
+
+
+def test_weighted_median_respects_weights(spark):
+    """Planted weights: a heavy high value must pull the weighted
+    median above the plain median (value 30 carries 5/7 of the mass),
+    and a dominant-weight row IS the median."""
+    import pipeline_apache_beam_entrega1_cs_spark.plans.relational2 as R2
+
+    rows = [
+        ("A", 10.0, 1, 1.0, 1),
+        ("A", 20.0, 2, 1.0, 1),
+        ("A", 30.0, 3, 5.0, 1),
+        ("B", 5.0, 4, 10.0, 1),
+        ("B", 99.0, 5, 1.0, 1),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_extendedprice double, l_orderkey long, "
+        "l_quantity double, l_linenumber int",
+    )
+    orig = R2._t
+    R2._t = lambda spark, sf_dir, name: li
+    try:
+        out = {r["l_returnflag"]: r for r in R2.agg_weighted_median(spark, "x").collect()}
+    finally:
+        R2._t = orig
+    assert out["A"]["weighted_median"] == 30.0 and out["A"]["total_weight"] == 7
+    assert out["B"]["weighted_median"] == 5.0 and out["B"]["total_weight"] == 11
+
+
+def test_running_distinct_is_prefix_exact(spark):
+    """Planted event stream: the running distinct-type count must be
+    the exact prefix cardinality at every event, including repeats."""
+    import datetime
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.relational2 as R2
+
+    t0 = datetime.datetime(2025, 1, 1)
+    seq = ["click", "view", "click", "purchase", "view", "signup"]
+    rows = [
+        (i, 1, t0 + datetime.timedelta(minutes=i), ty, 0.0)
+        for i, ty in enumerate(seq)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    orig = R2._t
+    R2._t = lambda spark, sf_dir, name: ev
+    try:
+        out = {r["event_id"]: r["n_distinct_types"]
+               for r in R2.window_running_distinct(spark, "x").collect()}
+    finally:
+        R2._t = orig
+    assert [out[i] for i in range(6)] == [1, 2, 2, 3, 3, 4]
