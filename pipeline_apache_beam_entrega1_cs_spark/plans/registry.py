@@ -170,6 +170,8 @@ DRIVER_PRIORITY: list[str] = [
     "agg_hll_intersection",
     "agg_weighted_median",
     "window_running_distinct",
+    "filter_not_in_null_trap",
+    "timeseries_moving_median",
     # --- r04-only back-fill: execution-path-heavy surfaces
     # (streaming sinks/joins, format roundtrips, packing, skew) ---
     "streaming_foreach_batch_sink",

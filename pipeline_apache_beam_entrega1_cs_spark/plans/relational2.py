@@ -238,6 +238,90 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def filter_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap, demonstrated as data: customers 'without
+    open orders' counted three ways — NOT IN against a subquery that
+    CONTAINS a NULL (three-valued logic makes every row UNKNOWN →
+    count 0), NOT IN against the null-filtered subquery, and NOT EXISTS
+    (null-safe by construction, the form a pipeline should use). The
+    three counts landing as (0, n, n) IS the semantic contract; both
+    engines implement the same standard, so the oracle replays it
+    exactly. One row out; at scale all three forms are anti-joins."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    # planted NULL in the subquery domain: real pipelines hit this via
+    # nullable FK columns, simulated here with an explicit NULL union
+    open_keys = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    )
+    with_null = open_keys.unionByName(
+        spark.range(1).select(F.lit(None).cast("long").alias("k"))
+    )
+    cust.createOrReplaceTempView("t_cust")
+    with_null.createOrReplaceTempView("t_keys_null")
+    open_keys.createOrReplaceTempView("t_keys")
+    return spark.sql("""
+        SELECT
+          (SELECT COUNT(*) FROM t_cust
+           WHERE c_custkey NOT IN (SELECT k FROM t_keys_null)) AS n_not_in_with_null,
+          (SELECT COUNT(*) FROM t_cust
+           WHERE c_custkey NOT IN (SELECT k FROM t_keys)) AS n_not_in_filtered,
+          (SELECT COUNT(*) FROM t_cust c
+           WHERE NOT EXISTS (SELECT 1 FROM t_keys x WHERE x.k = c.c_custkey))
+            AS n_not_exists
+    """)
+
+
+FILTER_NOT_IN_NULL_SQL = """
+WITH keys AS (
+  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+), keys_null AS (
+  SELECT k FROM keys UNION ALL SELECT NULL
+)
+SELECT
+  (SELECT COUNT(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT k FROM keys_null)) AS n_not_in_with_null,
+  (SELECT COUNT(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT k FROM keys)) AS n_not_in_filtered,
+  (SELECT COUNT(*) FROM customer c
+   WHERE NOT EXISTS (SELECT 1 FROM keys x WHERE x.k = c.c_custkey))
+    AS n_not_exists
+"""
+
+
+def timeseries_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered 5-row moving median per user — the robust smoother
+    (median filters shrug off the spikes an EWMA chases; the standard
+    pre-cleaning pass before anomaly scoring). percentile(value, 0.5)
+    over a ROWS frame — Spark's interpolating percentile and DuckDB's
+    quantile_cont are verified bit-identical (agg_percentiles), rounded
+    to 6 dp anyway; (ts, event_id) total order makes every frame
+    engine-exact. One shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 6).alias("value"),
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("med5"),
+    )
+
+
+TIMESERIES_MOVING_MEDIAN_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       round(value, 6) AS value,
+       round(quantile_cont(value, 0.5) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS med5
+FROM events
+"""
+
+
 def higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lambda higher-order functions over the embedding arrays:
     transform / filter / exists / forall / aggregate (fold) / zip_with —
@@ -1530,6 +1614,10 @@ QUERIES: dict[str, QuerySpec] = {
     "window_value_navigation": QuerySpec(window_value_navigation, WINDOW_VALUE_NAV_SQL, "window"),
     "window_running_distinct": QuerySpec(
         window_running_distinct, WINDOW_RUNNING_DISTINCT_SQL, "window"),
+    "filter_not_in_null_trap": QuerySpec(
+        filter_not_in_null_trap, FILTER_NOT_IN_NULL_SQL, "filter"),
+    "timeseries_moving_median": QuerySpec(
+        timeseries_moving_median, TIMESERIES_MOVING_MEDIAN_SQL, "analytics"),
     "window_range_frame": QuerySpec(window_range_frame, WINDOW_RANGE_FRAME_SQL, "window"),
     "agg_approx_percentile": QuerySpec(agg_approx_percentile, None, "aggregation",
                                        doc="sketch-based; accuracy tested vs exact percentile"),
