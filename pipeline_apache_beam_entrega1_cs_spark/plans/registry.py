@@ -78,11 +78,33 @@ the planned r04 back-fill names (the three streaming sinks/joins,
 parquet/ORC roundtrips, pack_token_budget, key_skew_profile) follow
 them.
 
-ROUND 8 CHORE: rotate again — promote (a) any r07 failures, (b) the
-three never-checked round-7 additions at slots 51-53, (c) the 50
-r04-only entries (the displaced back-fill names above first, then the
-rest of the r04 cohort, execution-heaviest first), (d) entries added
-during round 8 itself; back-fill with r05-only entries.
+ROUND 8 ROTATION (this round): r07 had zero failures, so the window
+holds (a) entries added during round 8 itself (front), (b) ALL TEN
+never-driver-checked round-7 additions — ann_retrieval_pipeline,
+graph_link_prediction, sample_temperature_mixture,
+source_json_permissive, maintenance_partition_overwrite,
+agg_hll_intersection, agg_weighted_median, window_running_distinct,
+filter_not_in_null_trap, timeseries_moving_median (the previous
+revision of this note undercounted them as three; VERDICT r7 flag #2
+corrected the count) — two of which (sample_temperature_mixture,
+graph_link_prediction) also changed semantics this round per
+ADVICE r7, (c) back-fill from the 50 entries whose latest driver
+evidence is r04, execution-heaviest first: the three streaming
+sinks/joins, parquet/ORC roundtrips, pack_token_budget,
+key_skew_profile, dataset_build_pipeline, then joins, TPC-H date
+queries, windows, aggs. r04-only entries that don't fit the window
+(the scalar/pivot/sample stragglers at the list's tail) are round 9's
+back-fill.
+
+ROUND 9 CHORE: rotate again — promote (a) any r08 failures, (b)
+entries added during round 9 itself, (c) the r04-only entries left
+out of the round-8 window (cte_above_avg_nations,
+decile_stats_bucketed, filter_project_nullsafe, ntile_decile_stats,
+pivot_flag_status, sample_seeded, scalar_subquery_parts,
+sort_limit_global, try_functions, unpivot_order_metrics, plus any
+back-fill names trimmed when round-8 additions displaced them — see
+the tail comment in DRIVER_PRIORITY), (d) back-fill with r05-only
+entries, stalest/execution-heaviest first.
 """
 
 from __future__ import annotations
@@ -101,67 +123,18 @@ from . import (
 )
 from .spec import QuerySpec
 
-# Front of the driver's 50-entry correctness window for round 7:
-# round-7 additions first, then the 43 entries whose latest driver row
-# is r03, then r04-only back-fill. Everything fresher rides at the back.
+# Front of the driver's 50-entry correctness window for round 8:
+# round-8 additions first, then the TEN never-checked round-7 entries,
+# then r04-only back-fill (execution-heaviest first). Everything
+# fresher rides at the back. Each round-8 addition inserted at the
+# front displaces the last back-fill name past slot 50 (trimmed names
+# join the round-9 chore list in the module docstring).
 DRIVER_PRIORITY: list[str] = [
-    # --- round-7 additions (never driver-checked) go here, at the
-    # front; each one displaces the last back-fill name below ---
-    "text_bpe_apply",
-    "text_quality_model",
-    "maintenance_zorder_layout",
-    "ann_mmr_rerank",
-    "text_bpe_fit",
-    "join_asof_nearest",
-    "source_schema_evolution",
-    # --- the 43 r03-only entries: 20 displaced round-6 names first
-    # (execution-path-heavy: UDF surface, sinks, joins, modern SQL),
-    # then the 23 analytics/scalar stragglers ---
-    "pandas_udf_scalar",
-    "applyinpandas_trimmed_mean",
-    "udtf_order_installments",
-    "sink_csv_roundtrip",
-    "sink_jsonl_roundtrip",
-    "sink_xml_roundtrip",
-    "q10_returned_revenue",
-    "window_range_frame",
-    "window_value_navigation",
-    "join_asof_forward",
-    "join_shuffle_hash",
-    "join_skew_salted",
-    "recursive_month_spine",
-    "lateral_topk_customers",
-    "group_by_all_orders",
-    "correlated_subquery_orders",
-    "filter_null_safe_eq",
-    "explode_lateral",
-    "variant_functions",
-    "bitwise_functions",
-    "agg_filtered_bool",
-    "agg_histogram",
-    "agg_mode_exact",
-    "agg_regression_stats",
-    "anomaly_zscore",
-    "dq_constraint_report",
-    "funnel_conversion",
-    "graph_triangle_count",
-    "mixture_by_source",
-    "resample_ohlc",
-    "retention_cohorts",
-    "rollup_time_hierarchy",
-    "scd2_user_state",
-    "split_train_val_test",
-    "stratified_sample_hash",
-    "string_similarity",
-    "text_bpe_token_count",
-    "text_chunk_sliding",
-    "text_decontaminate",
-    "text_repetition_stats",
-    "text_scrub_blocklist",
-    "timeseries_gapfill",
-    "upsert_changeset",
-    # --- round-7 additions past the 50-entry window (the 7+43 above
-    # fill it exactly): first in line for round-8 driver evidence ---
+    # --- round-8 additions (never driver-checked) go here, front ---
+    # --- the ten round-7 additions with no driver CORRECTNESS row;
+    # sample_temperature_mixture and graph_link_prediction also changed
+    # semantics this round (ADVICE r7 fixes), so their rows double as
+    # regression evidence ---
     "ann_retrieval_pipeline",
     "graph_link_prediction",
     "sample_temperature_mixture",
@@ -172,8 +145,10 @@ DRIVER_PRIORITY: list[str] = [
     "window_running_distinct",
     "filter_not_in_null_trap",
     "timeseries_moving_median",
-    # --- r04-only back-fill: execution-path-heavy surfaces
-    # (streaming sinks/joins, format roundtrips, packing, skew) ---
+    # --- r04-only back-fill: execution-path-heavy surfaces first
+    # (streaming sinks/joins, format roundtrips, packing, skew,
+    # composed pipeline), then joins, TPC-H date queries, windows,
+    # aggs, text stats ---
     "streaming_foreach_batch_sink",
     "streaming_rollup_upsert",
     "streaming_stream_left_join",
@@ -181,6 +156,39 @@ DRIVER_PRIORITY: list[str] = [
     "sink_orc_roundtrip",
     "pack_token_budget",
     "key_skew_profile",
+    "dataset_build_pipeline",
+    "join_sort_merge",
+    "join_broadcast_dim",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_range_nonequi",
+    "join_asof_events",
+    "skew_salted_agg",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "window_rank",
+    "window_lag_lead",
+    "window_distribution",
+    "window_running_frames",
+    "topk_per_group",
+    "agg_basic_stats",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_percentiles",
+    "agg_min_max_by",
+    "agg_collect_sorted",
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "text_tfidf_top_terms",
+    "text_unigram_logprob",
+    "text_bigram_pmi",
+    "ann_cosine_topk",
 ]
 
 
