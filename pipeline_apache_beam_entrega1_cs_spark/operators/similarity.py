@@ -819,13 +819,25 @@ def _mmr_core(ce: DataFrame, k: int) -> DataFrame:
     out = picks[0]
     for p in picks[1:]:
         out = out.union(p)
-    return out.select(
+    result = out.select(
         "query_id",
         "pick_rank",
         "cand_id",
         F.col("rel").cast("string").cast("double").alias("rel"),
         F.col("mmr").cast("string").cast("double").alias("mmr_score"),
     )
+    # Materialize the k-rows-per-query result THROUGH the cached
+    # intermediates, then release them: repeated invocations in a
+    # long-lived session (driver loops, bench reruns) must not
+    # accumulate cached pair/candidate relations in executor storage
+    # (ADVICE r7). The final frame stays cached — it IS the output the
+    # caller consumes, and it is pick_rank*|queries| rows by
+    # construction, corpus-size-independent.
+    result = result.cache()
+    result.count()
+    pair.unpersist()
+    cands.unpersist()
+    return result
 
 
 def retrieval_pipeline_topk(

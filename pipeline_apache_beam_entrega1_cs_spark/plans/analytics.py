@@ -937,7 +937,12 @@ _LINKPRED_MAX_DEG = 50
 def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbor / Jaccard link prediction on the part
     co-purchase graph: score NON-adjacent pairs by
-    |N(u) ∩ N(w)| / |N(u) ∪ N(w)|, top-20.
+    |N'(u) ∩ N'(w)| / |N'(u) ∪ N'(w)|, top-20, where
+    N'(x) = {v ∈ N(x) : deg(v) <= _LINKPRED_MAX_DEG} is the HUB-CAPPED
+    neighborhood. Intersection, degrees, and union all come from the
+    SAME capped adjacency, so jaccard is the true Jaccard of the capped
+    neighbor sets (not a capped-numerator/uncapped-denominator mix —
+    ADVICE r7 flagged exactly that inconsistency).
 
     Scale shape (the dedup_ngram_jaccard recipe applied to graphs):
     candidate pairs are generated through the shared-neighbor inverted
@@ -978,8 +983,11 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = inter.join(
         edges.select(F.col("u"), F.col("v").alias("w")), ["u", "w"], "left_anti"
     )
-    du = deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "deg_u")
-    dw = deg.withColumnRenamed("node", "w").withColumnRenamed("deg", "deg_w")
+    # capped degree |N'(x)| over the SAME hub-capped adjacency the
+    # intersection runs on — numerator and denominator see one graph
+    cdeg = idx.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    du = cdeg.withColumnRenamed("node", "u").withColumnRenamed("deg", "deg_u")
+    dw = cdeg.withColumnRenamed("node", "w").withColumnRenamed("deg", "deg_w")
     scored = (
         cand.join(F.broadcast(du), "u")
         .join(F.broadcast(dw), "w")
@@ -1022,14 +1030,17 @@ WITH li AS (
 ), cand AS (
   SELECT i.* FROM inter i
   WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = i.u AND e.v = i.w)
+), cdeg AS (
+  -- capped degree over the SAME hub-capped adjacency as inter
+  SELECT node, COUNT(*) AS deg FROM idx GROUP BY node
 )
 SELECT c.u, c.w,
        CAST(c.n_common AS BIGINT) AS n_common,
        CAST(du.deg + dw.deg - c.n_common AS BIGINT) AS n_union,
        CAST(c.n_common AS DOUBLE) / (du.deg + dw.deg - c.n_common) AS jaccard
 FROM cand c
-JOIN deg du ON du.node = c.u
-JOIN deg dw ON dw.node = c.w
+JOIN cdeg du ON du.node = c.u
+JOIN cdeg dw ON dw.node = c.w
 ORDER BY jaccard DESC, c.u ASC, c.w ASC
 LIMIT {_LINKPRED_K}
 """

@@ -163,7 +163,11 @@ FROM agg
 """
 
 
-_TEMP_GLOBAL_RATE = "0.5"  # overall keep fraction after re-weighting
+# Target global keep fraction: realized exactly when every adjusted
+# per-source rate (weight * rate * #sources) stays below 1; with heavy
+# source skew small sources cap at rate 1.0 and the realized global
+# fraction lands above the target.
+_TEMP_GLOBAL_RATE = "0.5"
 
 
 def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,12 +201,15 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .cast("double")
         .alias("weight"),
+        F.count(F.lit(1)).over(wall).cast("double").alias("n_sources"),
     ).withColumn(
         "keep_rate",
-        F.col("weight") * F.lit(float(_TEMP_GLOBAL_RATE)) * F.lit(4.0),
+        F.col("weight") * F.lit(float(_TEMP_GLOBAL_RATE)) * F.col("n_sources"),
     )
-    # x4 = #sources: a weight of 1/#sources maps to the global rate, so
-    # the adjusted per-source rates straddle it (capped at 1 below)
+    # x #sources (derived, not a constant): a weight of 1/#sources maps
+    # to the global rate, so the adjusted per-source rates straddle it
+    # (capped at 1 below). n_sources is exact-integer-valued, so the
+    # double product is the same in every engine.
     drawn = (
         docs.select("doc_id", "source")
         .join(F.broadcast(weights), "source")
@@ -231,12 +238,13 @@ WITH agg AS (
 ), weights AS (
   SELECT source, n_docs,
          CAST(CAST(CAST(w6 / SUM(w6) OVER () AS DECIMAL(18,12)) AS VARCHAR)
-              AS DOUBLE) AS weight
+              AS DOUBLE) AS weight,
+         CAST(COUNT(*) OVER () AS DOUBLE) AS n_sources
   FROM w
 ), drawn AS (
   SELECT d.source, w.weight,
          CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-           < least(w.weight * {_TEMP_GLOBAL_RATE} * 4.0, 1.0) * 4294967296.0
+           < least(w.weight * {_TEMP_GLOBAL_RATE} * n_sources, 1.0) * 4294967296.0
            AS kept
   FROM documents d JOIN weights w USING (source)
 )

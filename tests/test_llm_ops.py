@@ -572,8 +572,11 @@ def test_mmr_demotes_redundant_near_duplicate(spark):
     # plain rel order would pick 2 next; MMR must pick the diverse 3
     assert out[2]["cand_id"] == 3, out
     assert out[3]["cand_id"] == 2
-    # scores are monotone non-increasing across picks for a greedy argmax
-    assert out[1]["mmr_score"] >= out[2]["mmr_score"] >= 0 or True
+    # greedy-MMR scores are monotone non-increasing: round r+1's argmax
+    # maximizes over a SUBSET of round r's candidates with a penalty max
+    # over a SUPERSET of its selected set, so mmr(pick r+1) <=
+    # mmr_{r+1}(pick r's winner-class) <= mmr(pick r)
+    assert out[1]["mmr_score"] >= out[2]["mmr_score"] >= out[3]["mmr_score"]
 
 
 def test_retrieval_pipeline_composes_ivf_and_mmr(spark, sf_dir):
@@ -637,8 +640,12 @@ def test_temperature_mixture_upweights_small_sources(spark):
     # weight is 2.5x its raw share, the big source's is 5/6 of its
     assert small["weight"] > 0.1 and big["weight"] < 0.9
     assert abs(small["weight"] - 0.25) < 1e-4, small
-    # realized rates: keep_rate = weight * 0.5 * 4 capped at 1 —
-    # big: 0.75*2 -> capped 1.0 (all kept), small: 0.25*2 = 0.5
-    assert big["n_sampled"] == 900  # rate capped at 1.0
-    exp_small = 100 * min(small["weight"] * 0.5 * 4.0, 1.0)
+    # realized rates: keep_rate = weight * 0.5 * n_sources with
+    # n_sources DERIVED from the data (= 2 here; a hardcoded 4 used to
+    # misscale this very fixture) — big: 0.75*0.5*2 = 0.75 (uncapped),
+    # small: 0.25*0.5*2 = 0.25. Binomial tolerance ~4.5 sigma.
+    exp_big = 900 * min(big["weight"] * 0.5 * 2.0, 1.0)
+    assert abs(big["n_sampled"] - exp_big) < 60, (big, exp_big)
+    assert big["n_sampled"] < 900  # rate no longer caps at 1.0
+    exp_small = 100 * min(small["weight"] * 0.5 * 2.0, 1.0)
     assert abs(small["n_sampled"] - exp_small) < 25, (small, exp_small)
