@@ -584,6 +584,115 @@ FROM orders
 
 
 # --------------------------------------------------------------------------
+# Distribution-drift report (PSI between two snapshots)
+# --------------------------------------------------------------------------
+
+_DRIFT_BUCKETS = 10
+_DRIFT_EPS = "0.000001"  # zero-share clamp so ln() stays finite
+_DRIFT_SPLIT_YEAR = 1997  # snapshot A = orders through this year
+
+
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift report between two snapshots of
+    the order stream (A = orderdate year <= 1997, B = later): the
+    between-snapshot check every production ingest runs to catch a
+    feature distribution moving under a model. Per equal-width price
+    bucket: counts, shares, and the PSI term
+    (share_a - share_b) * ln(share_a / share_b); the report's PSI is the
+    sum of psi_term (conventional reading: < 0.1 stable, > 0.25 drifted).
+
+    Scale shape (the decile_stats_bucketed recipe): bucket bounds are a
+    1-row min/max aggregate broadcast back onto the fact scan, bucket
+    assignment is map-side, and the report is ONE groupBy over <= 10
+    keys (_DRIFT_BUCKETS) with conditional counts for both snapshots in
+    a single pass — two scans never happen, and nothing global-sorts.
+    Snapshot totals are a second 1-row scalar attach onto the 10-row
+    grouped frame. Survives any scale factor.
+
+    Determinism: shares are round-6 IEEE divisions of exact BIGINTs and
+    are clamped at 1e-6 (_DRIFT_EPS) BEFORE the log (empty buckets
+    would otherwise yield ln(0)); psi_term rounds to 6 dp after the
+    multiply, burying any last-ulp ln() divergence between engines."""
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderdate")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    price = F.col("o_totalprice")
+    bucket = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+            F.least(
+                F.floor(
+                    (price - F.col("mn")) * _DRIFT_BUCKETS / (F.col("mx") - F.col("mn"))
+                ),
+                F.lit(_DRIFT_BUCKETS - 1),
+            )
+        )
+        + 1
+    ).cast("long")
+    grouped = (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(
+            bucket.alias("bucket"),
+            (F.year("o_orderdate") <= _DRIFT_SPLIT_YEAR).alias("in_a"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("in_a").cast("long")).cast("bigint").alias("n_a"),
+            F.sum((~F.col("in_a")).cast("long")).cast("bigint").alias("n_b"),
+        )
+    )
+    totals = grouped.agg(
+        F.sum("n_a").cast("double").alias("tot_a"),
+        F.sum("n_b").cast("double").alias("tot_b"),
+    )
+    eps = F.lit(float(_DRIFT_EPS))
+    sa = F.greatest(F.round(F.col("n_a") / F.col("tot_a"), 6), eps)
+    sb = F.greatest(F.round(F.col("n_b") / F.col("tot_b"), 6), eps)
+    return grouped.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round(F.col("n_a") / F.col("tot_a"), 6).alias("share_a"),
+        F.round(F.col("n_b") / F.col("tot_b"), 6).alias("share_b"),
+        F.round((sa - sb) * F.log(sa / sb), 6).alias("psi_term"),
+    )
+
+
+_DRIFT_SA = f"greatest(round(n_a / tot_a, 6), {_DRIFT_EPS})"
+_DRIFT_SB = f"greatest(round(n_b / tot_b, 6), {_DRIFT_EPS})"
+
+DQ_DRIFT_SQL = f"""
+WITH bounds AS (
+  SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+),
+assigned AS (
+  SELECT CAST(CASE WHEN mx = mn THEN 0
+              ELSE least(floor((o_totalprice - mn) * {_DRIFT_BUCKETS}
+                               / (mx - mn)), {_DRIFT_BUCKETS - 1})
+              END + 1 AS BIGINT) AS bucket,
+         year(o_orderdate) <= {_DRIFT_SPLIT_YEAR} AS in_a
+  FROM orders CROSS JOIN bounds
+),
+grouped AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+  FROM assigned GROUP BY bucket
+),
+totals AS (
+  SELECT CAST(SUM(n_a) AS DOUBLE) AS tot_a, CAST(SUM(n_b) AS DOUBLE) AS tot_b
+  FROM grouped
+)
+SELECT bucket, n_a, n_b,
+       round(n_a / tot_a, 6) AS share_a,
+       round(n_b / tot_b, 6) AS share_b,
+       round(({_DRIFT_SA} - {_DRIFT_SB}) * ln({_DRIFT_SA} / {_DRIFT_SB}), 6)
+         AS psi_term
+FROM grouped CROSS JOIN totals
+"""
+
+
+# --------------------------------------------------------------------------
 # Z-score anomaly flagging
 # --------------------------------------------------------------------------
 
@@ -1388,6 +1497,12 @@ QUERIES: dict[str, QuerySpec] = {
         plan_waivers={"bnlj": "1-row basket-count scalar attach"}),
     "scd2_user_state": QuerySpec(scd2_user_state, SCD2_SQL, "analytics"),
     "dq_constraint_report": QuerySpec(dq_constraint_report, DQ_SQL, "quality"),
+    "dq_distribution_drift": QuerySpec(
+        dq_distribution_drift, DQ_DRIFT_SQL, "quality",
+        plan_waivers={
+            "bnlj": "1-row bounds + 1-row snapshot-totals scalar attaches"
+        },
+    ),
     "anomaly_zscore": QuerySpec(anomaly_zscore, ZSCORE_SQL, "timeseries"),
     "join_skew_salted": QuerySpec(join_skew_salted, SKEW_SALTED_SQL, "join"),
     "ntile_decile_stats": QuerySpec(

@@ -131,6 +131,7 @@ from .spec import QuerySpec
 # join the round-9 chore list in the module docstring).
 DRIVER_PRIORITY: list[str] = [
     # --- round-8 additions (never driver-checked) go here, front ---
+    "dq_distribution_drift",
     # --- the ten round-7 additions with no driver CORRECTNESS row;
     # sample_temperature_mixture and graph_link_prediction also changed
     # semantics this round (ADVICE r7 fixes), so their rows double as
@@ -188,7 +189,8 @@ DRIVER_PRIORITY: list[str] = [
     "text_tfidf_top_terms",
     "text_unigram_logprob",
     "text_bigram_pmi",
-    "ann_cosine_topk",
+    # (ann_cosine_topk trimmed past the window by the first round-8
+    # addition; it joins the round-9 back-fill)
 ]
 
 

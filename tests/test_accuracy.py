@@ -421,3 +421,41 @@ def test_running_distinct_is_prefix_exact(spark):
     finally:
         R2._t = orig
     assert [out[i] for i in range(6)] == [1, 2, 2, 3, 3, 4]
+
+
+def test_distribution_drift_detects_planted_shift(spark):
+    """Planted drift: snapshot B's prices sit in a disjoint range from
+    snapshot A's, so the PSI sum must scream (>> 0.25, the conventional
+    'drifted' line); an identically-distributed control must read 0."""
+    import datetime
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    da = datetime.datetime(1996, 6, 1)   # in snapshot A (year <= 1997)
+    db = datetime.datetime(1999, 6, 1)   # in snapshot B
+
+    def run(b_prices):
+        rows = [(float(1 + i * 2), da) for i in range(500)] + [
+            (p, db) for p in b_prices
+        ]
+        orders = spark.createDataFrame(
+            rows, "o_totalprice double, o_orderdate timestamp"
+        )
+        orig = A._t
+        A._t = lambda spark, sf_dir, name: orders
+        try:
+            out = A.dq_distribution_drift(spark, "x").collect()
+        finally:
+            A._t = orig
+        return out
+
+    shifted = run([float(1001 + i * 2) for i in range(500)])
+    psi = sum(r["psi_term"] for r in shifted)
+    assert psi > 0.25, shifted
+    assert sum(r["n_a"] for r in shifted) == 500
+    assert sum(r["n_b"] for r in shifted) == 500
+    # A-only buckets have share_b = 0 (clamped to eps inside the log)
+    assert any(r["n_b"] == 0 and r["psi_term"] > 0 for r in shifted)
+
+    control = run([float(1 + i * 2) for i in range(500)])
+    assert sum(r["psi_term"] for r in control) == 0.0, control
