@@ -228,9 +228,21 @@ def minhash_banded_pairs(
     100 TB shape: one shuffle on band keys (32-hex strings), bounded
     pair fan-out, signature cost ~1 md5 + num_hashes int-ops per
     shingle."""
+    arr = _shingle_arrays(docs, 3).filter(F.col("n_sh") > 0)
+    return _minhash_banded_from_arrays(
+        arr.select("doc_id", "shingles"), num_hashes, bands, max_bucket
+    )
+
+
+def _minhash_banded_from_arrays(
+    arr: DataFrame, num_hashes: int, bands: int, max_bucket: int
+) -> DataFrame:
+    """The signature + banding + in-bucket pair core of
+    minhash_banded_pairs over an arbitrary ``(doc_id, shingles
+    array<string>)`` frame — shared with binary_payload_dedup, whose
+    shingles are hex byte windows instead of word 3-grams."""
     P = 2147483647
     r = num_hashes // bands
-    arr = _shingle_arrays(docs, 3).filter(F.col("n_sh") > 0)
     xs = F.transform(
         F.col("shingles"),
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % P,
@@ -302,6 +314,90 @@ def minhash_banded_pairs(
         .select("p.*")
         .distinct()
     )
+
+
+def binary_payload_dedup(
+    docs_with_payload: DataFrame,
+    shingle_bytes: int = 8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int = 100,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Two-stage dedup over an opaque BINARY ``payload`` column — the
+    image/audio dedup stage a multimodal 100 TB pipeline runs before any
+    decode, composing the dedup and multimodal families with no new
+    primitives:
+
+    1. EXACT: content-address every blob by sha256 and collapse
+       byte-identical payloads (keep min doc_id). The digest is taken
+       over ``hex(payload)`` — engine-portable (DuckDB's sha256 only
+       accepts VARCHAR) and a bijection of the bytes, so grouping is
+       identical to hashing the raw blob.
+    2. NEAR: MinHash + LSH banding (_minhash_banded_from_arrays — the
+       exact same signature/banding core as the text family) over byte
+       ``shingle_bytes``-gram shingles of the exact-stage
+       REPRESENTATIVES, built as hex windows with a 1-BYTE stride: any
+       byte-aligned shift is a multiple of the stride, so near-dup
+       detection survives insertions/deletions anywhere in the blob
+       (a coarser stride would misalign odd-offset suffixes).
+
+    Output is one frame: method='exact_sha256' rows carry
+    (doc_a=keep_doc_id, n_members>=2); method='minhash_bytes' rows carry
+    (doc_a < doc_b, est_jaccard >= threshold).
+
+    100 TB shape: stage 1 is a hash-agg on 64-char digests (never
+    payload bytes on the shuffle); stage 2 inherits the banded core's
+    shape — per-row signatures (no shingle explode), one shuffle on
+    band keys, max_bucket-capped pair emission — and runs on the
+    already-collapsed representative set."""
+    w = 2 * shingle_bytes  # hex chars per shingle; stride = 2 (1 byte)
+    dig = docs_with_payload.select(
+        "doc_id", "payload", F.sha2(F.hex("payload"), 256).alias("digest")
+    )
+    groups = dig.groupBy("digest").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+    )
+    exact = groups.filter(F.col("n_members") >= 2).select(
+        F.lit("exact_sha256").alias("method"),
+        F.col("keep_doc_id").alias("doc_a"),
+        F.lit(None).cast("bigint").alias("doc_b"),
+        "n_members",
+        F.lit(None).cast("double").alias("est_jaccard"),
+    )
+    reps = (
+        dig.join(
+            groups.select(F.col("keep_doc_id").alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
+        .filter(F.length("payload") >= shingle_bytes)
+        .select("doc_id", F.hex("payload").alias("hx"))
+    )
+    shingles = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, length(hx) - {w - 1}, 2),"
+            f" i -> substring(hx, i, {w}))"
+        )
+    )
+    near = (
+        _minhash_banded_from_arrays(
+            reps.select("doc_id", shingles.alias("shingles")),
+            num_hashes,
+            bands,
+            max_bucket,
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(
+            F.lit("minhash_bytes").alias("method"),
+            "doc_a",
+            "doc_b",
+            F.lit(None).cast("bigint").alias("n_members"),
+            "est_jaccard",
+        )
+    )
+    return exact.unionAll(near)
 
 
 def minhash_lsh_pairs(

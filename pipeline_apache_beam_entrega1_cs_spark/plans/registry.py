@@ -132,6 +132,7 @@ from .spec import QuerySpec
 DRIVER_PRIORITY: list[str] = [
     # --- round-8 additions (never driver-checked) go here, front ---
     "dq_distribution_drift",
+    "dedup_binary_payload",
     # --- the ten round-7 additions with no driver CORRECTNESS row;
     # sample_temperature_mixture and graph_link_prediction also changed
     # semantics this round (ADVICE r7 fixes), so their rows double as
@@ -188,9 +189,8 @@ DRIVER_PRIORITY: list[str] = [
     "agg_approx_percentile",
     "text_tfidf_top_terms",
     "text_unigram_logprob",
-    "text_bigram_pmi",
-    # (ann_cosine_topk trimmed past the window by the first round-8
-    # addition; it joins the round-9 back-fill)
+    # (ann_cosine_topk, text_bigram_pmi trimmed past the window by the
+    # round-8 additions; they join the round-9 back-fill)
 ]
 
 

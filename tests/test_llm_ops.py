@@ -649,3 +649,38 @@ def test_temperature_mixture_upweights_small_sources(spark):
     assert big["n_sampled"] < 900  # rate no longer caps at 1.0
     exp_small = 100 * min(small["weight"] * 0.5 * 2.0, 1.0)
     assert abs(small["n_sampled"] - exp_small) < 25, (small, exp_small)
+
+
+def test_binary_payload_dedup_planted_blobs(spark):
+    """Planted blob corpus: docs 0/4 share text AND doc_id%4 residue, so
+    their magic-header payloads are byte-identical (exact group); docs
+    1/5 share residue but doc 5's text has a mid-string insertion —
+    near-dup by byte shingles, NOT exact; doc 2 is unrelated and must
+    pair with nothing."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.dedup import (
+        binary_payload_dedup,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.operators.multimodal import (
+        with_magic_payload,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    rows = [
+        (0, base),
+        (4, base),                                   # exact dup of 0
+        (1, base + "tail marker one"),
+        (5, base[:200] + "XYZ" + base[200:] + "tail marker one"),  # near dup of 1
+        (2, "completely different content " * 12),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = binary_payload_dedup(with_magic_payload(docs)).collect()
+
+    exact = [r for r in out if r["method"] == "exact_sha256"]
+    near = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+            for r in out if r["method"] == "minhash_bytes"}
+    assert len(exact) == 1
+    assert exact[0]["doc_a"] == 0 and exact[0]["n_members"] == 2
+    assert (1, 5) in near and near[(1, 5)] >= 0.5, out
+    # the unrelated doc pairs with nothing; the exact-dup loser (4) was
+    # collapsed before the near stage, so it appears in no pair
+    assert all(2 not in pair and 4 not in pair for pair in near), near
