@@ -459,3 +459,39 @@ def test_distribution_drift_detects_planted_shift(spark):
 
     control = run([float(1 + i * 2) for i in range(500)])
     assert sum(r["psi_term"] for r in control) == 0.0, control
+
+
+def test_quantile_partial_merge_error_bound(spark, sf_dir):
+    """The histogram quantile estimate must satisfy the one-sided bound
+    t <= est <= t + width for every scope and q, where t is the exact
+    rank-ceil(q*n) element and width = (mx-mn)/64 — the documented
+    mergeable-summary guarantee."""
+    import math
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.relational import (
+        _QPM_BUCKETS,
+        _QPM_QS,
+        agg_quantile_partial_merge,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    rows = li.collect()
+    by_scope: dict[str, list[float]] = {"__all__": []}
+    for r in rows:
+        by_scope.setdefault(r["l_returnflag"], []).append(r["l_extendedprice"])
+        by_scope["__all__"].append(r["l_extendedprice"])
+    for v in by_scope.values():
+        v.sort()
+    allv = by_scope["__all__"]
+    width = (allv[-1] - allv[0]) / _QPM_BUCKETS
+
+    out = agg_quantile_partial_merge(spark, sf_dir).collect()
+    assert len(out) == len(by_scope) * len(_QPM_QS)
+    for r in out:
+        vals = by_scope[r["scope"]]
+        assert r["n_rows"] == len(vals)
+        t = vals[math.ceil(r["q"] * len(vals)) - 1]  # exact lower quantile
+        assert t - 1e-6 <= r["est_quantile"] <= t + width + 1e-6, (r, t, width)
