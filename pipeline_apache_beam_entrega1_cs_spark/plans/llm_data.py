@@ -335,10 +335,11 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bpe_apply_stats(_docs(spark, sf_dir))
 
 
-def _bpe_apply_sql() -> str:
+def _bpe_seg_sql_expr() -> str:
     """DuckDB mirror of bpe_segment_expr: the same wrapped-symbol
     replace chain (DuckDB replace() is the same left-to-right
-    non-overlapping scan as Spark's), unrolled BPE_SWEEPS times."""
+    non-overlapping scan as Spark's), unrolled BPE_SWEEPS times.
+    Shared by _bpe_apply_sql and windows_batch._token_accounting_sql."""
     s = (
         r"regexp_replace(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'),"
         r" '([a-z])', '(\1)', 'g')"
@@ -346,6 +347,11 @@ def _bpe_apply_sql() -> str:
     for _ in range(T.BPE_SWEEPS):
         for a, b in T.BPE_MERGES:
             s = f"replace({s}, '({a})({b})', '({a}{b})')"
+    return s
+
+
+def _bpe_apply_sql() -> str:
+    s = _bpe_seg_sql_expr()
     return f"""
 WITH seg AS (
   SELECT doc_id,

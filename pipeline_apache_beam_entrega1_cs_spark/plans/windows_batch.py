@@ -427,6 +427,45 @@ FROM assigned GROUP BY cluster
 """
 
 
+def streaming_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-source BPE token totals over a streaming corpus
+    ingest: documents replayed as FOUR micro-batches through a
+    foreachBatch MERGE that segments each batch under the STATIC merge
+    table (text_bpe_apply's zero-shuffle scalar chain) and sums the
+    per-source counters (docs, alpha chars, BPE tokens, merges) into
+    state — the "tokens ingested per source" ledger that feeds mixture
+    weighting (streaming/sinks.TokenAccountingMergeSink). Exactly-once
+    via in-state commit markers + crash-safe swap; every count depends
+    only on (doc, static table) and state is one row per source with
+    associative sums, so cold replay equals the one-shot batch
+    bpe_apply_stats the oracle computes."""
+    from ..streaming.sinks import run_token_accounting_stream
+
+    return run_token_accounting_stream(spark, sf_dir)
+
+
+def _token_accounting_sql() -> str:
+    from .llm_data import _bpe_seg_sql_expr
+
+    return f"""
+WITH seg AS (
+  SELECT doc_id, source,
+         {_bpe_seg_sql_expr()} AS s,
+         length(regexp_replace(lower(text), '[^a-z]+', '', 'g')) AS n_alpha
+  FROM documents
+), per_doc AS (
+  SELECT source, n_alpha,
+         length(s) - length(replace(s, '(', '')) AS n_bpe
+  FROM seg
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_alpha) AS BIGINT) AS n_alpha_chars,
+       CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(n_alpha - n_bpe) AS BIGINT) AS n_merges_applied
+FROM per_doc GROUP BY source
+"""
+
+
 def streaming_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous hourly aggregate maintained across FOUR replayed
     micro-batches by a foreachBatch MERGE into a parquet state table
@@ -471,6 +510,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "streaming_tfidf_state": QuerySpec(
         streaming_tfidf_state, _tfidf_state_sql(), "streaming"
+    ),
+    "streaming_token_accounting": QuerySpec(
+        streaming_token_accounting, _token_accounting_sql(), "streaming"
     ),
     "window_tumbling": QuerySpec(window_tumbling, WINDOW_TUMBLING_SQL, "time_window"),
     "window_sliding": QuerySpec(window_sliding, WINDOW_SLIDING_SQL, "time_window"),

@@ -747,3 +747,105 @@ def run_ivf_state_stream(spark, sf_dir: str):
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+class TokenAccountingMergeSink:
+    """``foreachBatch`` MERGE for running per-source token accounting:
+    each arriving micro-batch of documents is BPE-segmented under the
+    STATIC merge table (operators/textops.bpe_apply_stats — the fixed
+    broadcast vocabulary every serving tokenizer is) and the per-source
+    counters (docs, alphabetic chars, BPE tokens, merges applied) are
+    summed into a parquet state table — the "tokens ingested per
+    source" ledger that feeds mixture weighting and billing.
+
+    Every per-doc count depends only on (document, static merge table)
+    and every state column is a sum, so the merge is associative: a cold
+    replay over any batch slicing equals the one-shot batch
+    bpe_apply_stats over the union — which is what the SQL oracle
+    computes. Exactly-once follows the FingerprintMergeSink contract
+    (in-state ``_merged_N`` markers installed by the same rename as the
+    data, crash recovery via the numerically newest ``state_old*``). At
+    100 TB the segmentation is narrow per-row string work (zero
+    shuffle), each batch shuffles only |sources| partial counter rows,
+    and state stays |sources| rows."""
+
+    COUNTERS = ("n_docs", "n_alpha_chars", "n_bpe_tokens", "n_merges_applied")
+
+    def __init__(self, state_dir: str) -> None:
+        self.state = state_dir
+        os.makedirs(os.path.dirname(state_dir), exist_ok=True)
+
+    def is_committed(self, batch_id: int) -> bool:
+        return _state_committed(self.state, batch_id)
+
+    def __call__(self, batch_df, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return  # replayed delivery of a committed batch: no-op
+        from pyspark.sql import functions as F
+
+        from ..operators import textops as T
+
+        inc = (
+            T.bpe_apply_stats(batch_df.select("doc_id", "text"))
+            .join(batch_df.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_alpha_chars").cast("long").alias("n_alpha_chars"),
+                F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+                F.sum("n_merges_applied").cast("long").alias("n_merges_applied"),
+            )
+        )
+        prev = _current_state(self.state)
+        if prev is not None:
+            inc = (
+                batch_df.sparkSession.read.parquet(prev)
+                .unionByName(inc)
+                .groupBy("source")
+                .agg(*(F.sum(c).cast("long").alias(c) for c in self.COUNTERS))
+            )
+        tmp = f"{self.state}_tmp{batch_id}"
+        inc.write.mode("overwrite").parquet(tmp)  # materializes BEFORE swap
+        _install_state(self.state, tmp, batch_id)  # marker atomic w/ state
+
+
+def run_token_accounting_stream(spark, sf_dir: str):
+    """Running token accounting end-to-end: the documents table replayed
+    as FOUR micro-batches (doc_id % 4 slices) through a
+    TokenAccountingMergeSink; returns the final per-source token
+    ledger."""
+    import shutil
+    import tempfile
+
+    from ..schemas import ensure_session_confs
+
+    ensure_session_confs(spark)
+    work = tempfile.mkdtemp(prefix="graft_tokacct_")
+    try:
+        raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text", "source"
+        )
+        src = _stage_slices(raw, work, "doc_id")
+        sink = TokenAccountingMergeSink(os.path.join(work, "state"))
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.read.parquet(sink.state).select(
+            "source", "n_docs", "n_alpha_chars", "n_bpe_tokens", "n_merges_applied"
+        )
+        # Materialize before the finally deletes the backing files; the
+        # ledger is |sources| rows by construction.
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -438,3 +438,61 @@ def test_streaming_ivf_state_replay(spark, sf_dir, tmp_path):
         assert sink.is_committed(b)
         sink(replay, b)
     assert state_rows() == batch_expected
+
+
+def test_streaming_token_accounting_replay(spark, sf_dir, tmp_path):
+    """Running per-source token ledger: (1) the end-to-end entry equals
+    the one-shot batch bpe_apply_stats rollup (static merge table +
+    associative sums); (2) replaying a committed batch id with different
+    data is a no-op; (3) a stranded rename-aside state is recovered."""
+    import os
+
+    from pipeline_apache_beam_entrega1_cs_spark.operators import textops as T
+    from pipeline_apache_beam_entrega1_cs_spark.plans.windows_batch import (
+        streaming_token_accounting,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+    from pipeline_apache_beam_entrega1_cs_spark.streaming.sinks import (
+        TokenAccountingMergeSink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+
+    def one_shot(d):
+        return (
+            T.bpe_apply_stats(d.select("doc_id", "text"))
+            .join(d.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_alpha_chars").cast("long").alias("n_alpha_chars"),
+                F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+                F.sum("n_merges_applied").cast("long").alias("n_merges_applied"),
+            )
+        )
+
+    cols = ["source", "n_docs", "n_alpha_chars", "n_bpe_tokens", "n_merges_applied"]
+    batch_expected = rows_multiset(one_shot(docs).select(*cols))
+
+    # (1) end-to-end entry: cold replay == one-shot batch pass
+    out = streaming_token_accounting(spark, sf_dir)
+    assert rows_multiset(out.select(*cols)) == batch_expected
+
+    # (2)+(3) drive the sink directly with 3 manual slices
+    state = str(tmp_path / "ta" / "state")
+    sink = TokenAccountingMergeSink(state)
+    slices = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    sink(slices[0], 0)
+    sink(slices[1], 1)
+
+    # simulated crash between the swap renames: recovery picks state_old*
+    os.rename(state, f"{state}_old42")
+    sink(slices[2], 2)
+    assert rows_multiset(spark.read.parquet(state).select(*cols)) == batch_expected
+
+    # replay of every committed batch with DIFFERENT data: no-op
+    replay = docs.limit(7)
+    for b in (0, 1, 2):
+        assert sink.is_committed(b)
+        sink(replay, b)
+    assert rows_multiset(spark.read.parquet(state).select(*cols)) == batch_expected
