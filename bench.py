@@ -90,8 +90,21 @@ BENCH_QUERIES = [
     # (ann_retrieval_pipeline was measured and REJECTED as a bench line:
     # ~4 s of fixed per-stage cost from the unrolled quantizer fits
     # would inflate the headline total ~35% while measuring scheduling,
-    # not data work — its scaling story lives in SCALING.md instead.)
+    # not data work — its scaling story lives in SCALING.md instead.
+    # ann_mmr_rerank was re-measured in round 8 after the cache-release
+    # fix — 1.3 s min — but rejected on the same grounds: its cost is
+    # per-query-bounded by design, so the line would track scheduler
+    # fixed costs, not data volume.)
     "text_bpe_apply",
+    # round-8 additions (totals comparable to r<8 only after
+    # subtracting both; subtotal_r01_comparable already excludes them):
+    # the model-based quality filter (round-7 surface — hashed-feature
+    # dot product + sigmoid over every doc, pure corpus-proportional
+    # expression work) and binary-payload dedup (round-8's heaviest new
+    # line: sha256 digests + byte-shingle MinHash banding over the blob
+    # corpus — the pre-decode multimodal dedup stage).
+    "text_quality_model",
+    "dedup_binary_payload",
 ]
 
 

@@ -466,6 +466,71 @@ FROM per_doc GROUP BY source
 """
 
 
+def streaming_quantile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile summaries over an event ingest: events
+    replayed as FOUR micro-batches through a foreachBatch MERGE that
+    maintains per-(event_type, bucket) fixed-width histogram counts
+    under STATIC calibrated bounds, then serves per-type and '__all__'
+    quantiles as a pure read-off of the state
+    (streaming/sinks.HistogramMergeSink) — the streaming twin of
+    agg_quantile_partial_merge, completing the mergeable-summary family
+    (HLL: agg_hll_partial_merge / tfidf: streaming_tfidf_state).
+    Exactly-once via in-state commit markers + crash-safe swap; bucket
+    assignment depends only on (value, static bounds) and counts are
+    sums, so cold replay equals the one-shot batch histogram the oracle
+    computes, with the same one-bucket-width error bound."""
+    from ..streaming.sinks import run_quantile_state_stream
+
+    return run_quantile_state_stream(spark, sf_dir)
+
+
+def _quantile_state_sql() -> str:
+    from .relational import _QPM_BUCKETS, _QPM_QS
+
+    return f"""
+WITH bounds AS (
+  SELECT min(value) AS mn, max(value) AS mx FROM events
+),
+assigned AS (
+  SELECT event_type,
+         CAST(CASE WHEN mx = mn THEN 0
+              ELSE least(floor((value - mn) * {_QPM_BUCKETS}
+                               / (mx - mn)), {_QPM_BUCKETS - 1})
+              END + 1 AS BIGINT) AS bucket
+  FROM events CROSS JOIN bounds
+),
+partials AS (
+  SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM assigned GROUP BY 1, 2
+),
+hist AS (
+  SELECT event_type AS scope, bucket, cnt FROM partials
+  UNION ALL
+  SELECT '__all__' AS scope, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+  FROM partials GROUP BY 2
+),
+cum AS (
+  SELECT scope, bucket,
+         SUM(cnt) OVER (PARTITION BY scope ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER (PARTITION BY scope) AS total
+  FROM hist
+),
+picked AS (
+  SELECT scope, CAST(q AS DOUBLE) AS q,
+         MIN(CASE WHEN cum >= ceil(CAST(q AS DOUBLE) * total) THEN bucket END)
+           AS est_bucket,
+         CAST(MAX(total) AS BIGINT) AS n_rows
+  FROM cum, UNNEST([{", ".join(str(q) for q in _QPM_QS)}]) AS u(q)
+  GROUP BY 1, 2
+)
+SELECT scope, q,
+       round(mn + est_bucket * ((mx - mn) / {_QPM_BUCKETS}), 6) AS est_quantile,
+       n_rows
+FROM picked CROSS JOIN bounds
+"""
+
+
 def streaming_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous hourly aggregate maintained across FOUR replayed
     micro-batches by a foreachBatch MERGE into a parquet state table
@@ -513,6 +578,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "streaming_token_accounting": QuerySpec(
         streaming_token_accounting, _token_accounting_sql(), "streaming"
+    ),
+    "streaming_quantile_state": QuerySpec(
+        streaming_quantile_state, _quantile_state_sql(), "streaming"
     ),
     "window_tumbling": QuerySpec(window_tumbling, WINDOW_TUMBLING_SQL, "time_window"),
     "window_sliding": QuerySpec(window_sliding, WINDOW_SLIDING_SQL, "time_window"),

@@ -849,3 +849,169 @@ def run_token_accounting_stream(spark, sf_dir: str):
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+class HistogramMergeSink:
+    """``foreachBatch`` MERGE for streaming quantile summaries: each
+    arriving micro-batch of events is bucketed into a fixed-width
+    histogram under STATIC bounds (min/max calibrated once on the static
+    table — in production, on an offline sample; re-binning would break
+    mergeability, exactly like refitting the IVF quantizer per batch
+    would) and the per-(event_type, bucket) counts are summed into a
+    parquet state table. Quantiles for ANY rollup of the state are then
+    a pure read-off (plans/relational.agg_quantile_partial_merge's
+    cumulative-count pick) with the same one-bucket-width error bound.
+
+    Bucket assignment depends only on (value, static bounds) and counts
+    are sums, so cold replay over any batch slicing equals the one-shot
+    batch histogram — what the SQL oracle computes. Exactly-once follows
+    the FingerprintMergeSink contract (in-state ``_merged_N`` markers,
+    rename-aside crash recovery). At 100 TB each batch shuffles at most
+    |event_types| x n_buckets partial rows and state stays that size —
+    quantile serving never re-touches raw events."""
+
+    def __init__(self, state_dir: str, mn: float, mx: float, n_buckets: int) -> None:
+        self.state = state_dir
+        self.mn, self.mx, self.n_buckets = mn, mx, n_buckets
+        os.makedirs(os.path.dirname(state_dir), exist_ok=True)
+
+    def is_committed(self, batch_id: int) -> bool:
+        return _state_committed(self.state, batch_id)
+
+    def __call__(self, batch_df, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return  # replayed delivery of a committed batch: no-op
+        from pyspark.sql import functions as F
+
+        B = self.n_buckets
+        x = F.col("value")
+        if self.mx == self.mn:
+            bucket = F.lit(1).cast("long")
+        else:
+            bucket = (
+                F.least(
+                    F.floor((x - F.lit(self.mn)) * B / F.lit(self.mx - self.mn)),
+                    F.lit(B - 1),
+                )
+                + 1
+            ).cast("long")
+        inc = (
+            batch_df.select("event_type", bucket.alias("bucket"))
+            .groupBy("event_type", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        prev = _current_state(self.state)
+        if prev is not None:
+            inc = (
+                batch_df.sparkSession.read.parquet(prev)
+                .unionByName(inc)
+                .groupBy("event_type", "bucket")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+            )
+        tmp = f"{self.state}_tmp{batch_id}"
+        inc.write.mode("overwrite").parquet(tmp)  # materializes BEFORE swap
+        _install_state(self.state, tmp, batch_id)  # marker atomic w/ state
+
+
+def run_quantile_state_stream(spark, sf_dir: str):
+    """Streaming quantile summaries end-to-end: the events table
+    replayed as FOUR micro-batches (event_id % 4 slices) through a
+    HistogramMergeSink whose bounds are calibrated ONCE on the static
+    table (1-row min/max collect — the static side input, like the IVF
+    stream's offline quantizer); returns the per-event-type and
+    '__all__' quantile report read off the merged state."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..plans.relational import _QPM_BUCKETS, _QPM_QS
+    from ..schemas import ensure_session_confs
+
+    ensure_session_confs(spark)
+    work = tempfile.mkdtemp(prefix="graft_qstate_")
+    try:
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "event_type", "value"
+        )
+        mn, mx = raw.agg(F.min("value"), F.max("value")).first()
+        src = _stage_slices(raw, work, "event_id")
+        sink = HistogramMergeSink(
+            os.path.join(work, "state"), float(mn), float(mx), _QPM_BUCKETS
+        )
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        # Serving read-off from state (|types| x 64 rows): per-type and
+        # '__all__' histograms -> cumulative counts -> quantile pick,
+        # the agg_quantile_partial_merge recipe.
+        B = _QPM_BUCKETS
+        partials = spark.read.parquet(sink.state)
+        per_type = partials.select(
+            F.col("event_type").alias("scope"), "bucket", "cnt"
+        )
+        overall = (
+            partials.groupBy("bucket")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .select(F.lit("__all__").alias("scope"), "bucket", "cnt")
+        )
+        hist = per_type.unionByName(overall)
+        wcum = (
+            Window.partitionBy("scope")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wtot = Window.partitionBy("scope")
+        cum = hist.select(
+            "scope",
+            "bucket",
+            F.sum("cnt").over(wcum).alias("cum"),
+            F.sum("cnt").over(wtot).alias("total"),
+        )
+        out = (
+            cum.select(
+                "scope",
+                "bucket",
+                "cum",
+                "total",
+                F.explode(F.array(*[F.lit(qq) for qq in _QPM_QS])).alias("q"),
+            )
+            .groupBy("scope", "q")
+            .agg(
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.ceil(F.col("q") * F.col("total")),
+                        F.col("bucket"),
+                    )
+                ).alias("est_bucket"),
+                F.max("total").cast("bigint").alias("n_rows"),
+            )
+            .select(
+                "scope",
+                "q",
+                F.round(
+                    F.lit(float(mn))
+                    + F.col("est_bucket") * F.lit((float(mx) - float(mn)) / B),
+                    6,
+                ).alias("est_quantile"),
+                "n_rows",
+            )
+        )
+        # Materialize before the finally deletes the backing files; the
+        # report is |types+1| x |qs| rows by construction.
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

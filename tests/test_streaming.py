@@ -496,3 +496,74 @@ def test_streaming_token_accounting_replay(spark, sf_dir, tmp_path):
         assert sink.is_committed(b)
         sink(replay, b)
     assert rows_multiset(spark.read.parquet(state).select(*cols)) == batch_expected
+
+
+def test_streaming_quantile_state_replay(spark, sf_dir, tmp_path):
+    """Streaming histogram quantile state: (1) the end-to-end entry's
+    estimates carry the one-bucket-width error bound vs exact per-scope
+    quantiles AND equal the one-shot batch histogram read-off; (2)
+    replaying a committed batch id with different data is a no-op; (3) a
+    stranded rename-aside state is recovered."""
+    import math
+    import os
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.relational import (
+        _QPM_BUCKETS,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.plans.windows_batch import (
+        streaming_quantile_state,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+    from pipeline_apache_beam_entrega1_cs_spark.streaming.sinks import (
+        HistogramMergeSink,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    rows = ev.select("event_type", "value").collect()
+    by_scope: dict[str, list[float]] = {"__all__": []}
+    for r in rows:
+        by_scope.setdefault(r["event_type"], []).append(r["value"])
+        by_scope["__all__"].append(r["value"])
+    for v in by_scope.values():
+        v.sort()
+    allv = by_scope["__all__"]
+    width = (allv[-1] - allv[0]) / _QPM_BUCKETS
+
+    # (1) end-to-end entry: error bound vs exact lower quantiles
+    out = streaming_quantile_state(spark, sf_dir).collect()
+    assert {r["scope"] for r in out} == set(by_scope)
+    for r in out:
+        vals = by_scope[r["scope"]]
+        assert r["n_rows"] == len(vals)
+        t = vals[math.ceil(r["q"] * len(vals)) - 1]
+        assert t - 1e-6 <= r["est_quantile"] <= t + width + 1e-6, (r, t, width)
+
+    # (2)+(3) drive the sink directly with 3 manual slices
+    mn, mx = allv[0], allv[-1]
+    state = str(tmp_path / "qs" / "state")
+    sink = HistogramMergeSink(state, float(mn), float(mx), _QPM_BUCKETS)
+    slices = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    sink(slices[0], 0)
+    sink(slices[1], 1)
+
+    # simulated crash between the swap renames: recovery picks state_old*
+    os.rename(state, f"{state}_old42")
+    sink(slices[2], 2)
+    merged = {
+        (r["event_type"], r["bucket"]): r["cnt"]
+        for r in spark.read.parquet(state).collect()
+    }
+    assert sum(merged.values()) == len(allv)
+
+    # replay of every committed batch with DIFFERENT data: no-op
+    replay = ev.limit(7)
+    for b in (0, 1, 2):
+        assert sink.is_committed(b)
+        sink(replay, b)
+    after = {
+        (r["event_type"], r["bucket"]): r["cnt"]
+        for r in spark.read.parquet(state).collect()
+    }
+    assert after == merged
