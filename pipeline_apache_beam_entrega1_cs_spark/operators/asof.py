@@ -161,3 +161,37 @@ def asof_join_nearest(
         .alias("asof_dir")
     )
     return both.select(*out_cols)
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    tolerance_s: int,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward as-of with a match-window cap — pd.merge_asof's
+    ``tolerance`` knob: a predecessor more than ``tolerance_s`` seconds
+    back is treated as NO match (payload columns NULL), the semantics
+    every stale-quote guard / sensor-sync job needs. Composition of the
+    linear union+window backward pass plus a per-row mask — still one
+    shuffle, no candidate-pair explosion (the naive range-join form
+    materializes every in-window pair first). Adds a boolean
+    ``asof_within_tolerance`` column (false both for no-predecessor and
+    beyond-tolerance rows, matching the NULLed payload)."""
+    if right_ts not in payload_cols:
+        raise ValueError("payload_cols must include right_ts (distance compare)")
+    bwd = asof_join(
+        left, right, on, left_ts, right_ts, payload_cols, tiebreak=tiebreak
+    )
+    within = F.col(right_ts).isNotNull() & (
+        F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(right_ts))
+        <= F.lit(int(tolerance_s) * 1_000_000)
+    )
+    out_cols: list[Column] = [F.col(c) for c in left.columns]
+    out_cols += [F.when(within, F.col(c)).alias(c) for c in payload_cols]
+    out_cols.append(within.alias("asof_within_tolerance"))
+    return bwd.select(*out_cols)

@@ -25,7 +25,12 @@ from ..functions.numeric import (
     sql_dsum_dec,
     sql_rev,
 )
-from ..operators.asof import asof_join, asof_join_forward, asof_join_nearest
+from ..operators.asof import (
+    asof_join,
+    asof_join_forward,
+    asof_join_nearest,
+    asof_join_tolerance,
+)
 from ..schemas import load_table
 from .spec import QuerySpec
 
@@ -531,6 +536,74 @@ SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
                      <= epoch_us(f_ts) - epoch_us(p.ts))
             THEN 'bwd' WHEN f_ts IS NOT NULL THEN 'fwd' END AS asof_dir
 FROM purchases p JOIN bwd USING (event_id) JOIN fwd USING (event_id)
+"""
+
+
+_ASOF_TOL_S = 7 * 24 * 3600  # 7-day match window
+
+
+def join_asof_tolerance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance as-of join (operators/asof.asof_join_tolerance — the
+    pd.merge_asof ``tolerance`` knob, the fourth of its four direction/
+    window settings, completing the family beside backward/forward/
+    nearest): each purchase picks up the user's latest signup at-or-
+    before it ONLY if it happened within the last 7 days; a staler
+    predecessor yields NULLs — the stale-quote guard semantics. Same
+    one-shuffle union+window idiom plus a per-row mask; oracle = DuckDB
+    native ASOF with the same CASE mask."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_event_id"))
+        .select("user_id", F.col("ts").alias("signup_ts"), "signup_event_id")
+    )
+    joined = asof_join_tolerance(
+        purchases,
+        signups,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="signup_ts",
+        payload_cols=["signup_event_id", "signup_ts"],
+        tolerance_s=_ASOF_TOL_S,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "signup_event_id",
+        (F.unix_micros("ts") - F.unix_micros("signup_ts")).alias("us_since_signup"),
+        "asof_within_tolerance",
+    )
+
+
+JOIN_ASOF_TOLERANCE_SQL = f"""
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), signups AS (
+  SELECT user_id, ts AS signup_ts, max(event_id) AS signup_event_id
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+), b AS (
+  SELECT p.event_id, p.user_id, p.ts, s.signup_event_id, s.signup_ts
+  FROM purchases p
+  ASOF LEFT JOIN signups s ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CASE WHEN signup_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(signup_ts)
+                     <= {_ASOF_TOL_S} * 1000000
+            THEN signup_event_id END AS signup_event_id,
+       CASE WHEN signup_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(signup_ts)
+                     <= {_ASOF_TOL_S} * 1000000
+            THEN epoch_us(ts) - epoch_us(signup_ts) END AS us_since_signup,
+       (signup_ts IS NOT NULL
+        AND epoch_us(ts) - epoch_us(signup_ts) <= {_ASOF_TOL_S} * 1000000)
+         AS asof_within_tolerance
+FROM b
 """
 
 
@@ -1446,6 +1519,8 @@ QUERIES: dict[str, QuerySpec] = {
     "join_asof_forward": QuerySpec(join_asof_forward_events, JOIN_ASOF_FORWARD_SQL, "join"),
     "join_asof_nearest": QuerySpec(
         join_asof_nearest_events, JOIN_ASOF_NEAREST_SQL, "join"),
+    "join_asof_tolerance": QuerySpec(
+        join_asof_tolerance_events, JOIN_ASOF_TOLERANCE_SQL, "join"),
     "agg_basic_stats": QuerySpec(agg_basic_stats, AGG_BASIC_SQL, "aggregation"),
     "agg_distinct": QuerySpec(agg_distinct, AGG_DISTINCT_SQL, "aggregation"),
     "agg_approx_distinct": QuerySpec(agg_approx_distinct, None, "aggregation",

@@ -117,3 +117,47 @@ def test_asof_nearest_matches_bruteforce_spec(spark, seed):
         else:
             want = (best_f[1], "fwd")
         assert got[int(r.lid)] == want, (r.lid, got[int(r.lid)], want)
+
+
+@pytest.mark.parametrize("seed", [7, 41, 1234])
+@pytest.mark.parametrize("tol", [0, 5, 11])
+def test_asof_tolerance_matches_pandas(spark, seed, tol):
+    """Tolerance cap vs pandas.merge_asof(tolerance=...) — the
+    independent executable spec — on the same collision-heavy inputs;
+    also checks the asof_within_tolerance flag equals payload
+    presence."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.asof import (
+        asof_join_tolerance,
+    )
+
+    left, right = _random_frames(seed)
+    sl = spark.createDataFrame(left).withColumn("lts_t", F.timestamp_seconds("lts"))
+    sr = spark.createDataFrame(right).withColumn("rts_t", F.timestamp_seconds("rts"))
+    got_df = asof_join_tolerance(
+        sl,
+        sr.select("k", "rts_t", "val"),
+        on=["k"],
+        left_ts="lts_t",
+        right_ts="rts_t",
+        payload_cols=["val", "rts_t"],
+        tolerance_s=tol,
+    )
+    rows = got_df.select("lid", "val", "asof_within_tolerance").collect()
+    got = {(r["lid"], r["val"]) for r in rows}
+    for r in rows:
+        assert (r["val"] is not None) == r["asof_within_tolerance"], r
+
+    expected_pd = pd.merge_asof(
+        left.sort_values(["lts", "lid"]).reset_index(drop=True),
+        right.sort_values("rts").reset_index(drop=True),
+        by="k",
+        left_on="lts",
+        right_on="rts",
+        direction="backward",
+        tolerance=tol,
+    )
+    expected = {
+        (int(r.lid), None if pd.isna(r.val) else int(r.val))
+        for r in expected_pd.itertuples()
+    }
+    assert got == expected
