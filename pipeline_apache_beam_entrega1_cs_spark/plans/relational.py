@@ -594,14 +594,14 @@ WITH purchases AS (
 SELECT event_id, user_id, epoch_us(ts) AS ts_us,
        CASE WHEN signup_ts IS NOT NULL
                  AND epoch_us(ts) - epoch_us(signup_ts)
-                     <= {_ASOF_TOL_S} * 1000000
+                     <= {_ASOF_TOL_S * 1_000_000}
             THEN signup_event_id END AS signup_event_id,
        CASE WHEN signup_ts IS NOT NULL
                  AND epoch_us(ts) - epoch_us(signup_ts)
-                     <= {_ASOF_TOL_S} * 1000000
+                     <= {_ASOF_TOL_S * 1_000_000}
             THEN epoch_us(ts) - epoch_us(signup_ts) END AS us_since_signup,
        (signup_ts IS NOT NULL
-        AND epoch_us(ts) - epoch_us(signup_ts) <= {_ASOF_TOL_S} * 1000000)
+        AND epoch_us(ts) - epoch_us(signup_ts) <= {_ASOF_TOL_S * 1_000_000})
          AS asof_within_tolerance
 FROM b
 """
