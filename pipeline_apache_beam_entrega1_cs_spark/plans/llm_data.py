@@ -918,7 +918,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges).select("node", F.col("comp").alias("component"))
 
 
-DEDUP_COMPONENTS_SQL = rf"""
+# Shared recursive-CTE block: Jaccard pair graph -> transitive closure ->
+# per-node component label (compv). Used by DEDUP_COMPONENTS_SQL and
+# DEDUP_KEEP_BEST_SQL.
+_JACCARD_COMPONENTS_CTES = rf"""
 WITH RECURSIVE
 toks AS (
   SELECT doc_id, {_TOKS} AS tk FROM documents WHERE trim(text) <> ''
@@ -948,9 +951,80 @@ toks AS (
   SELECT a, b FROM sym
   UNION
   SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), compv AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS component
+  FROM reach GROUP BY a
+)"""
+
+DEDUP_COMPONENTS_SQL = _JACCARD_COMPONENTS_CTES + """
+SELECT node, component FROM compv
+"""
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution by QUALITY, not min-id — the rule
+    production corpus curation actually applies (keep the best-scoring
+    member of each duplicate cluster, Gopher/FineWeb-style), composing
+    three existing families with no new primitives: the Jaccard pair
+    graph (dedup_ngram_jaccard), connected components
+    (operators/components.py), and the heuristic quality score
+    (operators/textops.quality_score_col). Docs outside any pair are
+    their own singleton cluster (cluster = doc_id). Ties on the
+    (deliberately coarse, 1-dp) score break on min doc_id via a
+    two-level max-then-filter — the same argmax-by-join shape both
+    engines compute identically.
+
+    100 TB shape: inherits the pair graph's frequency-capped inverted
+    index and the components loop's driver-bounded iteration; the
+    quality score is one codegen stage; cluster resolution shuffles
+    |docs| (cluster, q) rows once."""
+    from ..operators.components import connected_components
+
+    docs = _docs(spark, sf_dir)
+    edges = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df=100)
+    comp = connected_components(edges).select(
+        F.col("node").alias("doc_id"), "comp"
+    )
+    labeled = (
+        docs.select("doc_id", T.quality_score_col(F.col("text")).alias("q"))
+        .join(comp, "doc_id", "left")
+        .select("doc_id", "q", F.coalesce("comp", "doc_id").alias("cluster"))
+    )
+    grouped = labeled.groupBy("cluster").agg(
+        F.max("q").alias("best_quality"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+    )
+    return (
+        labeled.join(grouped, "cluster")
+        .filter(F.col("q") == F.col("best_quality"))
+        .groupBy("cluster", "best_quality", "n_members")
+        .agg(F.min("doc_id").alias("keep_doc_id"))
+        .select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "keep_doc_id",
+            "best_quality",
+            "n_members",
+        )
+    )
+
+
+DEDUP_KEEP_BEST_SQL = _JACCARD_COMPONENTS_CTES + f"""
+, scored AS (
+  SELECT doc_id, {_SQL_QSCORE} AS q FROM documents
+), labeled AS (
+  SELECT s.doc_id, COALESCE(c.component, s.doc_id) AS cluster, s.q
+  FROM scored s LEFT JOIN compv c ON c.node = s.doc_id
+), grouped AS (
+  SELECT cluster, MAX(q) AS best_quality, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM labeled GROUP BY cluster
 )
-SELECT a AS node, LEAST(a, MIN(b)) AS component
-FROM reach GROUP BY a
+SELECT CAST(g.cluster AS BIGINT) AS cluster,
+       MIN(l.doc_id) AS keep_doc_id,
+       g.best_quality,
+       g.n_members
+FROM grouped g
+JOIN labeled l ON l.cluster = g.cluster AND l.q = g.best_quality
+GROUP BY g.cluster, g.best_quality, g.n_members
 """
 
 
@@ -1833,6 +1907,7 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_frame_sample": QuerySpec(
         multimodal_frame_sample, MULTIMODAL_FRAME_SQL, "multimodal"),
     "dedup_components": QuerySpec(dedup_components, DEDUP_COMPONENTS_SQL, "dedup"),
+    "dedup_keep_best": QuerySpec(dedup_keep_best, DEDUP_KEEP_BEST_SQL, "dedup"),
     "text_winnow_sketch": QuerySpec(text_winnow_sketch, TEXT_WINNOW_SQL, "text"),
     "embedding_centroids": QuerySpec(embedding_centroids, EMBEDDING_CENTROIDS_SQL, "similarity"),
     "embedding_kmeans_lloyd": QuerySpec(

@@ -684,3 +684,34 @@ def test_binary_payload_dedup_planted_blobs(spark):
     # the unrelated doc pairs with nothing; the exact-dup loser (4) was
     # collapsed before the near stage, so it appears in no pair
     assert all(2 not in pair and 4 not in pair for pair in near), near
+
+
+def test_dedup_keep_best_planted_clusters(spark):
+    """Planted near-dup cluster where the HIGHEST-QUALITY member is not
+    the lowest doc_id: keep-best must pick it (min-id dedup would not);
+    quality ties break on min doc_id; singletons keep themselves."""
+    import pipeline_apache_beam_entrega1_cs_spark.plans.llm_data as L
+
+    # docs 10/11/12 near-dup: same long sentence, tiny edits. Doc 10 is
+    # SHOUTED (upper_ratio irrelevant to score but punct-heavy -> lower
+    # score via punct_ratio >= 0.2); 11 and 12 are clean (same score) so
+    # the tie breaks to 11. Doc 20 is an unrelated singleton.
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    rows = [
+        (10, base + "!!!! ???? ;;;; :::: !!!! ???? ;;;; :::: !!!! ????"
+             + " !!!! ???? ;;;; :::: !!!! ???? ;;;; ::::"),
+        (11, base + "first clean variant"),
+        (12, base + "second clean variant"),
+        (20, "completely unrelated content about helicopters and racing"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = L._docs
+    L._docs = lambda spark, sf_dir: docs
+    try:
+        out = {r["cluster"]: r for r in L.dedup_keep_best(spark, "x").collect()}
+    finally:
+        L._docs = orig
+
+    assert out[10]["n_members"] == 3
+    assert out[10]["keep_doc_id"] == 11, out[10]  # best quality, tie -> min id
+    assert out[20]["n_members"] == 1 and out[20]["keep_doc_id"] == 20
