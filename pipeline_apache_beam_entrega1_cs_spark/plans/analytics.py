@@ -1485,6 +1485,74 @@ SELECT o_orderpriority, o_orderkey, draw_rank FROM (
 """
 
 
+_WPRIO_K = 20
+
+
+def sample_weighted_priority(spark: SparkSession, sf_dir: str,
+                             k: int = _WPRIO_K) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per source — the
+    Efraimidis-Spirakis (2006) priority draw: each doc gets a
+    deterministic md5-uniform u in (0,1) and priority key ln(u)/w with
+    w = n_chars; the k LARGEST keys per source are exactly a
+    weight-proportional without-replacement sample (ln(u)/w is the
+    monotone form of the paper's u^(1/w)). This is the 'sample
+    proportional to token count' primitive mixture construction needs —
+    longer docs proportionally likelier, no replacement, one pass.
+
+    Determinism: u = (32-bit md5 prefix + 0.5) / 2^32 — the +0.5 keeps
+    u strictly inside (0,1) (ln(0) guard) and every value is an exact
+    dyadic double both engines compute bit-identically; the ranking key
+    rounds to 12 dp (key magnitudes are >= ~1/553 here, so a last-ulp
+    ln() divergence sits ~1e-16 below the rounding quantum) and ties
+    break on doc_id, so ranks can never flip across engines.
+
+    Scale shape: key is scan-projection work; the per-source top-k is a
+    WindowGroupLimit (rank pushed below the shuffle — only ~k rows per
+    source per map task reach the Exchange), the same 100 TB shape as
+    sample_fixed_k_per_stratum."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .filter(F.col("n_chars") > 0)
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    key = F.round(F.log(u) / F.col("n_chars"), 12)
+    w = Window.partitionBy("source").orderBy(
+        F.col("priority_key").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("priority_key", key)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "source",
+            F.col("rk").cast("long").alias("draw_rank"),
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            "priority_key",
+        )
+    )
+
+
+SAMPLE_WPRIO_SQL = f"""
+SELECT source, draw_rank, doc_id, weight, priority_key FROM (
+  SELECT source, doc_id, weight, priority_key,
+         CAST(row_number() OVER (PARTITION BY source
+              ORDER BY priority_key DESC, doc_id) AS BIGINT) AS draw_rank
+  FROM (
+    SELECT source, doc_id, n_chars AS weight,
+           round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     + 0.5) / 4294967296.0) / n_chars, 12) AS priority_key
+    FROM documents WHERE n_chars > 0
+  )
+) WHERE draw_rank <= {_WPRIO_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "funnel_conversion": QuerySpec(funnel_conversion, FUNNEL_SQL, "analytics"),
     "retention_cohorts": QuerySpec(retention_cohorts, RETENTION_SQL, "analytics"),
@@ -1524,6 +1592,9 @@ QUERIES: dict[str, QuerySpec] = {
         graph_label_propagation, _lpa_sql(), "graph"),
     "sample_fixed_k_per_stratum": QuerySpec(
         sample_fixed_k_per_stratum, SAMPLE_FIXED_K_SQL, "sampling"
+    ),
+    "sample_weighted_priority": QuerySpec(
+        sample_weighted_priority, SAMPLE_WPRIO_SQL, "sampling"
     ),
     "stratified_sample_hash": QuerySpec(
         stratified_sample_hash, STRATIFIED_SQL, "sampling"

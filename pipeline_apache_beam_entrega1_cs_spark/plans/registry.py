@@ -138,6 +138,7 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_quantile_state",
     "join_asof_tolerance",
     "dedup_keep_best",
+    "sample_weighted_priority",
     # --- the ten round-7 additions with no driver CORRECTNESS row;
     # sample_temperature_mixture and graph_link_prediction also changed
     # semantics this round (ADVICE r7 fixes), so their rows double as
@@ -188,11 +189,10 @@ DRIVER_PRIORITY: list[str] = [
     "agg_grouping_sets",
     "agg_having",
     "agg_percentiles",
-    "agg_min_max_by",
     # (ann_cosine_topk, text_bigram_pmi, text_unigram_logprob,
     # text_tfidf_top_terms, agg_approx_percentile, agg_approx_distinct,
-    # agg_collect_sorted trimmed past the window by the round-8
-    # additions; they join the round-9 back-fill)
+    # agg_collect_sorted, agg_min_max_by trimmed past the window by the
+    # round-8 additions; they join the round-9 back-fill)
 ]
 
 

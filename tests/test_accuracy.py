@@ -495,3 +495,46 @@ def test_quantile_partial_merge_error_bound(spark, sf_dir):
         assert r["n_rows"] == len(vals)
         t = vals[math.ceil(r["q"] * len(vals)) - 1]  # exact lower quantile
         assert t - 1e-6 <= r["est_quantile"] <= t + width + 1e-6, (r, t, width)
+
+
+def test_weighted_priority_sample_matches_python_spec(spark, sf_dir):
+    """The Efraimidis-Spirakis draw is fully deterministic: an
+    independent plain-Python replay (hashlib md5 + math.log) must
+    produce the exact same (source, rank, doc_id) selection, and every
+    source must draw min(k, |source|) distinct docs."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.analytics import (
+        _WPRIO_K,
+        sample_weighted_priority,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+
+    by_source = defaultdict(list)
+    for r in docs:
+        if r["n_chars"] <= 0:
+            continue
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 2**32
+        key = round(math.log(u) / r["n_chars"], 12)
+        by_source[r["source"]].append((-key, r["doc_id"]))
+    expected = set()
+    for src, lst in by_source.items():
+        lst.sort()
+        for rank, (_, did) in enumerate(lst[:_WPRIO_K], start=1):
+            expected.add((src, rank, did))
+
+    out = sample_weighted_priority(spark, sf_dir).collect()
+    got = {(r["source"], r["draw_rank"], r["doc_id"]) for r in out}
+    assert got == expected
+    from collections import Counter
+
+    per_src = Counter(r["source"] for r in out)
+    for src, lst in by_source.items():
+        assert per_src[src] == min(_WPRIO_K, len(lst))
