@@ -878,3 +878,78 @@ def retrieval_pipeline_topk(
         )
     )
     return _mmr_core(ce, k)
+
+
+def truncated_rescore_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = 64,
+    prefix_dims: int = 32,
+) -> DataFrame:
+    """Matryoshka-style two-stage retrieval: coarse top-m using only the
+    FIRST ``prefix_dims`` dimensions, then exact full-dimension cosine
+    re-scoring of the m survivors down to top-k. With MRL-trained
+    embeddings the prefix carries most of the signal, so the coarse pass
+    reads prefix_dims/d of the vector bytes per candidate — on a
+    columnar store with per-dimension chunking (or a stored truncated
+    copy) that is a 2x scan-cost cut here (these synthetic embeddings
+    are iid random, so the prefix is an arbitrary projection; MRL
+    checkpoints would support a far more aggressive prefix), the dimension-axis analog of
+    what IVF does on the row axis. Both stages are deterministic
+    (round-6 scores, cand_id tie-breaks), so the whole two-stage plan is
+    value-hash oracle-able, unlike learned-index ANN.
+
+    Scale shape: stage 1 is the cosine_topk stream (broadcast queries x
+    corpus pass, WindowGroupLimit keeps ~m rows per query per task);
+    stage 2 touches only |queries| x m rows."""
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("q_emb")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("cand_id"), _as_double("embedding").alias("c_emb")
+    )
+    coarse = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "q_emb",
+            "c_emb",
+            F.round(
+                cosine(
+                    F.slice(F.col("q_emb"), 1, prefix_dims),
+                    F.slice(F.col("c_emb"), 1, prefix_dims),
+                ),
+                6,
+            ).alias("coarse_sim"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("coarse_sim").desc(), F.col("cand_id").asc()
+    )
+    survivors = (
+        coarse.withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") <= m)
+        .select(
+            "query_id",
+            "cand_id",
+            "coarse_sim",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        survivors.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            "coarse_sim",
+            "cos_sim",
+            F.col("rk").cast("long").alias("rank"),
+        )
+    )

@@ -197,6 +197,49 @@ SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5
 """
 
 
+def ann_truncated_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style two-stage retrieval
+    (operators/similarity.truncated_rescore_topk): coarse top-64 on the
+    first 32 of 64 dimensions, exact full-dim cosine re-score to top-5 —
+    the dimension-axis pruning counterpart of IVF's row-axis pruning
+    (MRL embeddings concentrate signal in the prefix, so the coarse
+    pass reads half the vector bytes (iid synthetic embeddings; an MRL
+    checkpoint supports a far shorter prefix)). Deterministic round-6
+    scores + cand_id tie-breaks at both stages, so the whole two-stage
+    plan value-hash-matches the SQL oracle."""
+    return S.truncated_rescore_topk(
+        load_table(spark, sf_dir, "embeddings"), list(range(10))
+    )
+
+
+ANN_TRUNCATED_RESCORE_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 10
+), coarse AS (
+  SELECT q.query_id, e.vec_id AS cand_id, q.qe, e.emb,
+         round(list_cosine_similarity(q.qe[1:32], e.emb[1:32]), 6) AS coarse_sim
+  FROM q JOIN e ON e.vec_id <> q.query_id
+), cr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY coarse_sim DESC, cand_id ASC) AS crk
+  FROM coarse
+), rescored AS (
+  SELECT query_id, cand_id, coarse_sim,
+         round(list_cosine_similarity(qe, emb), 6) AS cos_sim
+  FROM cr WHERE crk <= 64
+), ranked AS (
+  SELECT query_id, cand_id, coarse_sim, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, cand_id ASC) AS BIGINT) AS rank
+  FROM rescored
+)
+SELECT query_id, cand_id, coarse_sim, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
 def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversified re-rank of the exact-cosine candidate set
     (operators/similarity.mmr_rerank): k greedy selection rounds
@@ -1871,6 +1914,9 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_mmr_rerank": QuerySpec(
         ann_mmr_rerank, _mmr_sql(), "similarity",
         plan_waivers={"bnlj": "|queries| x corpus stream (cosine_topk candidate stage)"}),
+    "ann_truncated_rescore": QuerySpec(
+        ann_truncated_rescore, ANN_TRUNCATED_RESCORE_SQL, "similarity",
+        plan_waivers={"bnlj": "|queries| x corpus stream (coarse prefix stage)"}),
     "ann_retrieval_pipeline": QuerySpec(
         ann_retrieval_pipeline, _retrieval_pipeline_sql(), "similarity",
         plan_waivers={"bnlj": "k-row centroid/codebook broadcasts (IVF-PQ stage)"}),

@@ -139,6 +139,7 @@ DRIVER_PRIORITY: list[str] = [
     "join_asof_tolerance",
     "dedup_keep_best",
     "sample_weighted_priority",
+    "ann_truncated_rescore",
     # --- the ten round-7 additions with no driver CORRECTNESS row;
     # sample_temperature_mixture and graph_link_prediction also changed
     # semantics this round (ADVICE r7 fixes), so their rows double as
@@ -188,11 +189,11 @@ DRIVER_PRIORITY: list[str] = [
     "agg_cube",
     "agg_grouping_sets",
     "agg_having",
-    "agg_percentiles",
     # (ann_cosine_topk, text_bigram_pmi, text_unigram_logprob,
     # text_tfidf_top_terms, agg_approx_percentile, agg_approx_distinct,
-    # agg_collect_sorted, agg_min_max_by trimmed past the window by the
-    # round-8 additions; they join the round-9 back-fill)
+    # agg_collect_sorted, agg_min_max_by, agg_percentiles trimmed past
+    # the window by the round-8 additions; they join the round-9
+    # back-fill)
 ]
 
 
