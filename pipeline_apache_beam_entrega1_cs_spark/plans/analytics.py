@@ -25,6 +25,7 @@ from ..functions.numeric import (
     sql_dsum_dec,
     sql_rev,
 )
+from ..operators.asof import asof_join
 from ..schemas import load_table
 from .spec import QuerySpec
 
@@ -471,6 +472,153 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from_us").over(w2).isNull().alias("is_current"),
         "n_events",
     )
+
+
+def join_pointintime_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join of facts to an SCD2 interval dimension — the
+    feature-store-correctness lookup ("what state was the user in WHEN
+    they purchased", never leaking future states): purchases join the
+    user-state intervals built from their NON-purchase event history.
+
+    The production insight this entry encodes: over a PARTITIONED
+    interval dimension (valid_to = next valid_from, last interval
+    open), point-in-time containment IS a backward as-of on valid_from
+    — one union+window shuffle (operators/asof.py), no range join, no
+    fact x interval pair explosion. Equal-timestamp boundary rows
+    belong to the LATER interval ([from, to) semantics == the as-of
+    '>=' rule), and two runs starting at the same timestamp resolve to
+    the later run (tiebreak=sid == 'empty intervals cannot contain
+    anything' in the containment oracle)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    runs = (
+        base.select("user_id", "event_type", "ts", "event_id")
+        .withColumn(
+            "chg",
+            F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("chg").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    intervals = runs.groupBy("user_id", "sid").agg(
+        F.max("event_type").alias("state"), F.min("ts").alias("valid_from")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases,
+        intervals.select("user_id", "valid_from", "state", "sid"),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="valid_from",
+        payload_cols=["state", "valid_from"],
+        tiebreak="sid",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "state",
+        F.unix_micros("valid_from").alias("state_since_us"),
+    )
+
+
+JOIN_POINTINTIME_SCD2_SQL = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id FROM events
+  WHERE event_type <> 'purchase'
+), flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), intervals AS (
+  SELECT user_id, sid, MAX(event_type) AS state, MIN(ts) AS valid_from
+  FROM runs GROUP BY 1, 2
+), iv AS (
+  SELECT user_id, sid, state, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id
+                                ORDER BY valid_from, sid) AS valid_to
+  FROM intervals
+), p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, i.state,
+       epoch_us(i.valid_from) AS state_since_us
+FROM p LEFT JOIN iv i
+  ON i.user_id = p.user_id
+ AND p.ts >= i.valid_from
+ AND (i.valid_to IS NULL OR p.ts < i.valid_to)
+ AND (i.valid_to IS NULL OR i.valid_from < i.valid_to)
+"""
+
+
+_PATTERN = ("view", "click", "purchase")
+
+
+def pattern_match_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style event-pattern detection (the CEP primitive
+    Spark has no SQL surface for): find every occurrence of the exact
+    CONSECUTIVE sequence view -> click -> purchase inside each user's
+    event stream, reporting the match start, its duration, and the
+    anchoring event ids. Expressed as chained lead() navigation over ONE
+    (user_id, ts, event_id) window ordering — Catalyst runs all the
+    leads in a single Window stage, so the whole pattern scan is one
+    shuffle; overlapping matches are reported (each row anchors at most
+    one match start), which is MATCH_RECOGNIZE AFTER MATCH SKIP TO NEXT
+    ROW semantics."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    df = ev.select("user_id", "event_type", "ts", "event_id")
+    for i in (1, 2):
+        df = df.withColumn(f"t{i}", F.lead("event_type", i).over(w))
+        df = df.withColumn(f"ts{i}", F.lead("ts", i).over(w))
+        df = df.withColumn(f"id{i}", F.lead("event_id", i).over(w))
+    return (
+        df.filter(
+            (F.col("event_type") == _PATTERN[0])
+            & (F.col("t1") == _PATTERN[1])
+            & (F.col("t2") == _PATTERN[2])
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("start_event_id"),
+            F.col("id2").alias("end_event_id"),
+            F.unix_micros("ts").alias("start_ts_us"),
+            (F.unix_micros("ts2") - F.unix_micros("ts")).alias("duration_us"),
+        )
+    )
+
+
+PATTERN_MATCH_SQL = f"""
+WITH nav AS (
+  SELECT user_id, event_type, ts, event_id,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2,
+         lead(ts, 2) OVER w AS ts2,
+         lead(event_id, 2) OVER w AS id2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id AS start_event_id, id2 AS end_event_id,
+       epoch_us(ts) AS start_ts_us,
+       epoch_us(ts2) - epoch_us(ts) AS duration_us
+FROM nav
+WHERE event_type = '{_PATTERN[0]}' AND t1 = '{_PATTERN[1]}'
+  AND t2 = '{_PATTERN[2]}'
+"""
 
 
 SCD2_SQL = """
@@ -1564,6 +1712,10 @@ QUERIES: dict[str, QuerySpec] = {
         basket_brand_lift, BASKET_BRAND_LIFT_SQL, "analytics",
         plan_waivers={"bnlj": "1-row basket-count scalar attach"}),
     "scd2_user_state": QuerySpec(scd2_user_state, SCD2_SQL, "analytics"),
+    "join_pointintime_scd2": QuerySpec(
+        join_pointintime_scd2, JOIN_POINTINTIME_SCD2_SQL, "join"),
+    "pattern_match_sequence": QuerySpec(
+        pattern_match_sequence, PATTERN_MATCH_SQL, "analytics"),
     "dq_constraint_report": QuerySpec(dq_constraint_report, DQ_SQL, "quality"),
     "dq_distribution_drift": QuerySpec(
         dq_distribution_drift, DQ_DRIFT_SQL, "quality",

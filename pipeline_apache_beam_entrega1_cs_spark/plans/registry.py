@@ -140,6 +140,8 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_keep_best",
     "sample_weighted_priority",
     "ann_truncated_rescore",
+    "join_pointintime_scd2",
+    "pattern_match_sequence",
     # --- the ten round-7 additions with no driver CORRECTNESS row;
     # sample_temperature_mixture and graph_link_prediction also changed
     # semantics this round (ADVICE r7 fixes), so their rows double as
@@ -187,13 +189,11 @@ DRIVER_PRIORITY: list[str] = [
     "agg_distinct",
     "agg_rollup",
     "agg_cube",
-    "agg_grouping_sets",
-    "agg_having",
     # (ann_cosine_topk, text_bigram_pmi, text_unigram_logprob,
     # text_tfidf_top_terms, agg_approx_percentile, agg_approx_distinct,
-    # agg_collect_sorted, agg_min_max_by, agg_percentiles trimmed past
-    # the window by the round-8 additions; they join the round-9
-    # back-fill)
+    # agg_collect_sorted, agg_min_max_by, agg_percentiles,
+    # agg_grouping_sets, agg_having trimmed past the window by the
+    # round-8 additions; they join the round-9 back-fill)
 ]
 
 

@@ -538,3 +538,74 @@ def test_weighted_priority_sample_matches_python_spec(spark, sf_dir):
     per_src = Counter(r["source"] for r in out)
     for src, lst in by_source.items():
         assert per_src[src] == min(_WPRIO_K, len(lst))
+
+
+def test_pointintime_scd2_boundary_semantics(spark):
+    """Planted stream: purchases at interval boundaries must take the
+    LATER state ([from, to) semantics), a purchase before any state row
+    gets NULL, and the open last interval matches."""
+    import datetime
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    t = lambda s: datetime.datetime(2025, 1, 1, 0, 0, s)
+    rows = [
+        # (event_id, user_id, ts, event_type, value)
+        (100, 1, t(0), "purchase", 0.0),   # before any state -> NULL
+        (1, 1, t(1), "signup", 0.0),
+        (101, 1, t(2), "purchase", 0.0),   # inside signup interval
+        (2, 1, t(3), "view", 0.0),
+        (102, 1, t(3), "purchase", 0.0),   # boundary: belongs to view
+        (3, 1, t(5), "click", 0.0),
+        (103, 1, t(9), "purchase", 0.0),   # open last interval: click
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    orig = A._t
+    A._t = lambda spark, sf_dir, name: ev
+    try:
+        out = {r["event_id"]: r["state"]
+               for r in A.join_pointintime_scd2(spark, "x").collect()}
+    finally:
+        A._t = orig
+    assert out == {100: None, 101: "signup", 102: "view", 103: "click"}
+
+
+def test_pattern_match_sequence_planted(spark):
+    """Planted stream: one exact view->click->purchase run matches, an
+    interrupted run does not, and back-to-back overlapping starts each
+    report their own match."""
+    import datetime
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    t = lambda s: datetime.datetime(2025, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: exact match at 1-2-3; interrupted at 4 (view,view,click)
+        (1, 1, t(1), "view", 0.0),
+        (2, 1, t(2), "click", 0.0),
+        (3, 1, t(3), "purchase", 0.0),
+        (4, 1, t(4), "view", 0.0),
+        (5, 1, t(5), "view", 0.0),
+        (6, 1, t(6), "click", 0.0),
+        # user 2: view view click purchase -> match anchored at the 2nd view
+        (10, 2, t(1), "view", 0.0),
+        (11, 2, t(2), "view", 0.0),
+        (12, 2, t(3), "click", 0.0),
+        (13, 2, t(4), "purchase", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    orig = A._t
+    A._t = lambda spark, sf_dir, name: ev
+    try:
+        out = {(r["user_id"], r["start_event_id"]): r
+               for r in A.pattern_match_sequence(spark, "x").collect()}
+    finally:
+        A._t = orig
+    assert set(out) == {(1, 1), (2, 11)}
+    assert out[(1, 1)]["end_event_id"] == 3
+    assert out[(1, 1)]["duration_us"] == 2_000_000
+    assert out[(2, 11)]["end_event_id"] == 13
