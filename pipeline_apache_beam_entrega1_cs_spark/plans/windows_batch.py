@@ -531,6 +531,26 @@ FROM picked CROSS JOIN bounds
 """
 
 
+def streaming_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MATCH_RECOGNIZE: the view->click->purchase sequence
+    detected across FOUR time-ordered micro-batches with BOUNDED carry
+    state (each user's last 2 events), so boundary-straddling runs are
+    found and every match is emitted exactly once with no dedup
+    bookkeeping — a match always ENDS in the batch that completes it
+    (streaming/sinks.PatternMatchSink). Cold replay equals the one-shot
+    batch pattern scan, so the oracle is pattern_match_sequence's own
+    SQL."""
+    from ..streaming.sinks import run_pattern_match_stream
+
+    return run_pattern_match_stream(spark, sf_dir)
+
+
+def _pattern_match_sql() -> str:
+    from .analytics import PATTERN_MATCH_SQL
+
+    return PATTERN_MATCH_SQL
+
+
 def streaming_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous hourly aggregate maintained across FOUR replayed
     micro-batches by a foreachBatch MERGE into a parquet state table
@@ -581,6 +601,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "streaming_quantile_state": QuerySpec(
         streaming_quantile_state, _quantile_state_sql(), "streaming"
+    ),
+    "streaming_pattern_match": QuerySpec(
+        streaming_pattern_match, _pattern_match_sql(), "streaming"
     ),
     "window_tumbling": QuerySpec(window_tumbling, WINDOW_TUMBLING_SQL, "time_window"),
     "window_sliding": QuerySpec(window_sliding, WINDOW_SLIDING_SQL, "time_window"),

@@ -1015,3 +1015,197 @@ def run_quantile_state_stream(spark, sf_dir: str):
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _stage_time_slices(raw, work: str, ts_col: str, n: int = 4) -> str:
+    """Write ``raw`` as ``n`` single-file parquet slices partitioned by
+    TIME RANGE (equal-width spans of [min ts, max ts]) under
+    ``work/src``, with strictly increasing file mtimes so the
+    maxFilesPerTrigger=1 file stream replays them in event-time order —
+    the arrival order a real time-ordered ingest has, which
+    order-sensitive state (pattern carry) requires. Same-timestamp
+    events always land in the same slice, so per-key (ts, id) ordering
+    is never split across batches."""
+    import glob
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    mn, mx = raw.agg(
+        F.min(F.unix_micros(F.col(ts_col))), F.max(F.unix_micros(F.col(ts_col)))
+    ).first()
+    span = max(int(mx) - int(mn), 1)
+    bucket = F.least(
+        F.floor((F.unix_micros(F.col(ts_col)) - F.lit(int(mn))) * n / F.lit(span + 1)),
+        F.lit(n - 1),
+    )
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    now = time.time()
+    for i in range(n):
+        stage = os.path.join(work, f"stage_{i}")
+        raw.filter(bucket == i).coalesce(1).write.mode("overwrite").parquet(stage)
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.copy(glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
+        os.utime(dst, (now + i, now + i))  # force pickup order
+    return src
+
+
+class PatternMatchSink:
+    """``foreachBatch`` state machine for CROSS-BATCH event-pattern
+    detection (streaming MATCH_RECOGNIZE): batches arrive in event-time
+    order and each user's last ``plen - 1`` events are carried forward
+    as BOUNDED state, so a view->click->purchase run that straddles a
+    batch boundary is still detected. Per batch: detect the pattern
+    over (carry UNION batch); every such match necessarily ENDS in the
+    current batch (the carry holds at most plen-1 = 2 events, a match
+    needs 3), so each match is emitted exactly once with NO dedup
+    bookkeeping — the exactly-once property falls out of the bounded
+    carry, not a grows-forever emitted-set. Matches accumulate in the
+    same state table as the carry (one atomic swap covers both; kind
+    column discriminates). Cold replay over any time-ordered slicing
+    equals the one-shot batch pattern scan — the SQL oracle.
+
+    100 TB shape: state is <= (plen-1) rows per active user plus the
+    emitted matches; per batch one window pass over carry+batch."""
+
+    def __init__(self, state_dir: str, pattern: tuple[str, ...]) -> None:
+        self.state = state_dir
+        self.pattern = pattern
+        os.makedirs(os.path.dirname(state_dir), exist_ok=True)
+
+    def is_committed(self, batch_id: int) -> bool:
+        return _state_committed(self.state, batch_id)
+
+    def __call__(self, batch_df, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return  # replayed delivery of a committed batch: no-op
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        plen = len(self.pattern)
+        ev_cols = ["user_id", "ts", "event_id", "event_type"]
+        prev = _current_state(self.state)
+        if prev is not None:
+            st = spark.read.parquet(prev)
+            carry = st.filter(F.col("kind") == "carry").select(*ev_cols)
+            matches_prev = st.filter(F.col("kind") == "match")
+        else:
+            carry = batch_df.select(*ev_cols).limit(0)
+            matches_prev = None
+
+        events_now = carry.unionByName(batch_df.select(*ev_cols))
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        nav = events_now
+        for i in range(1, plen):
+            nav = nav.withColumn(f"t{i}", F.lead("event_type", i).over(w))
+        nav = nav.withColumn(
+            f"ts{plen - 1}", F.lead("ts", plen - 1).over(w)
+        ).withColumn(f"id{plen - 1}", F.lead("event_id", plen - 1).over(w))
+        cond = F.col("event_type") == self.pattern[0]
+        for i in range(1, plen):
+            cond = cond & (F.col(f"t{i}") == self.pattern[i])
+        matches_new = nav.filter(cond).select(
+            F.lit("match").alias("kind"),
+            "user_id",
+            F.col("event_id").alias("start_event_id"),
+            F.col(f"id{plen - 1}").alias("end_event_id"),
+            F.unix_micros("ts").alias("start_ts_us"),
+            (F.unix_micros(F.col(f"ts{plen - 1}")) - F.unix_micros("ts")).alias(
+                "duration_us"
+            ),
+        )
+        wtail = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        carry_new = (
+            events_now.withColumn("rk", F.row_number().over(wtail))
+            .filter(F.col("rk") <= plen - 1)
+            .select(F.lit("carry").alias("kind"), *ev_cols)
+        )
+        null = lambda t: F.lit(None).cast(t)
+        carry_full = carry_new.select(
+            "kind",
+            "user_id",
+            null("bigint").alias("start_event_id"),
+            null("bigint").alias("end_event_id"),
+            null("bigint").alias("start_ts_us"),
+            null("bigint").alias("duration_us"),
+            "ts",
+            "event_id",
+            "event_type",
+        )
+        match_full = matches_new.select(
+            "kind",
+            "user_id",
+            "start_event_id",
+            "end_event_id",
+            "start_ts_us",
+            "duration_us",
+            null("timestamp").alias("ts"),
+            null("bigint").alias("event_id"),
+            null("string").alias("event_type"),
+        )
+        new_state = carry_full.unionByName(match_full)
+        if matches_prev is not None:
+            new_state = new_state.unionByName(matches_prev)
+        tmp = f"{self.state}_tmp{batch_id}"
+        new_state.write.mode("overwrite").parquet(tmp)
+        _install_state(self.state, tmp, batch_id)
+
+
+def run_pattern_match_stream(spark, sf_dir: str):
+    """Streaming pattern detection end-to-end: the events table replayed
+    as FOUR time-ordered micro-batches through a PatternMatchSink for
+    the view->click->purchase sequence; returns the accumulated match
+    table (same shape as the batch pattern_match_sequence entry)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..plans.analytics import _PATTERN
+    from ..schemas import ensure_session_confs, load_table
+
+    ensure_session_confs(spark)
+    work = tempfile.mkdtemp(prefix="graft_patstate_")
+    try:
+        # load_table (not a raw parquet read): the loader's NTZ->TZ
+        # timestamp normalization is what makes unix_micros legal here
+        raw = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type"
+        )
+        src = _stage_time_slices(raw, work, "ts")
+        sink = PatternMatchSink(os.path.join(work, "state"), _PATTERN)
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = (
+            spark.read.parquet(sink.state)
+            .filter(F.col("kind") == "match")
+            .select(
+                "user_id",
+                "start_event_id",
+                "end_event_id",
+                "start_ts_us",
+                "duration_us",
+            )
+        )
+        # Materialize before the finally deletes the backing files; the
+        # match table is bounded by the batch entry's own result size.
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

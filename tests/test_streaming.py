@@ -567,3 +567,53 @@ def test_streaming_quantile_state_replay(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(state).collect()
     }
     assert after == merged
+
+
+def test_streaming_pattern_match_replay(spark, sf_dir, tmp_path):
+    """Streaming CEP: (1) the end-to-end entry equals the one-shot batch
+    pattern scan (time-ordered slices + bounded carry); (2) a planted
+    boundary-straddling run is detected when fed as manual slices; (3)
+    replaying a committed batch id with different data is a no-op."""
+    import datetime
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.analytics import (
+        pattern_match_sequence,
+    )
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+    from pipeline_apache_beam_entrega1_cs_spark.plans.windows_batch import (
+        streaming_pattern_match,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.streaming.sinks import (
+        PatternMatchSink,
+    )
+
+    cols = ["user_id", "start_event_id", "end_event_id", "start_ts_us",
+            "duration_us"]
+    batch_expected = rows_multiset(
+        pattern_match_sequence(spark, sf_dir).select(*cols)
+    )
+
+    # (1) end-to-end: cold replay over time-ordered slices == batch scan
+    out = streaming_pattern_match(spark, sf_dir)
+    assert rows_multiset(out.select(*cols)) == batch_expected
+
+    # (2) planted straddle: view|click in batch 0, purchase in batch 1 —
+    # only the carry can see it
+    t = lambda s: datetime.datetime(2025, 1, 1, 0, 0, s)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    state = str(tmp_path / "pm" / "state")
+    sink = PatternMatchSink(state, ("view", "click", "purchase"))
+    sink(mk([(1, t(1), 1, "view"), (1, t(2), 2, "click")]), 0)
+    sink(mk([(1, t(3), 3, "purchase")]), 1)
+    got = spark.read.parquet(state).filter(F.col("kind") == "match").collect()
+    assert len(got) == 1
+    assert got[0]["start_event_id"] == 1 and got[0]["end_event_id"] == 3
+
+    # (3) replay of a committed batch with different data: no-op
+    assert sink.is_committed(1)
+    sink(mk([(9, t(7), 7, "view"), (9, t(8), 8, "click"),
+             (9, t(9), 9, "purchase")]), 1)
+    again = spark.read.parquet(state).filter(F.col("kind") == "match").collect()
+    assert len(again) == 1
