@@ -621,6 +621,179 @@ WHERE event_type = '{_PATTERN[0]}' AND t1 = '{_PATTERN[1]}'
 """
 
 
+def pattern_match_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length pattern matching — MATCH_RECOGNIZE with ``+``
+    quantifiers: every occurrence of view+ click+ purchase+ (one or
+    more CONSECUTIVE events of each type) per user, reporting the run
+    lengths. Two-level composition: collapse consecutive same-type
+    events into RUNS (the scd2 islands machinery), then run the FIXED
+    3-symbol pattern over the run sequence with lead() navigation —
+    quantified patterns over events are plain patterns over runs, which
+    is exactly how engines with a real MATCH_RECOGNIZE compile greedy
+    ``+`` quantifiers.
+
+    Scale shape: the island collapse, the first/last-of-run windows,
+    the run join, and the run-sequence navigation all share the
+    user_id partitioning — one shuffle end to end."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    df = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn(
+            "chg",
+            F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("chg").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    wr = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    wrd = Window.partitionBy("user_id", "sid").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    marked = df.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "rn_d", F.row_number().over(wrd)
+    )
+    firsts = marked.filter(F.col("rn") == 1).select(
+        "user_id",
+        "sid",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("start_ts"),
+        F.col("event_id").alias("start_event_id"),
+    )
+    lasts = marked.filter(F.col("rn_d") == 1).select(
+        "user_id",
+        "sid",
+        F.col("ts").alias("end_ts"),
+        F.col("event_id").alias("end_event_id"),
+        F.col("rn").cast("long").alias("n_events"),
+    )
+    runs = firsts.join(lasts, ["user_id", "sid"])
+    ws = Window.partitionBy("user_id").orderBy("sid")
+    nav = (
+        runs.withColumn("s1", F.lead("state", 1).over(ws))
+        .withColumn("s2", F.lead("state", 2).over(ws))
+        .withColumn("n1", F.lead("n_events", 1).over(ws))
+        .withColumn("n2", F.lead("n_events", 2).over(ws))
+        .withColumn("end_id2", F.lead("end_event_id", 2).over(ws))
+        .withColumn("end_ts2", F.lead("end_ts", 2).over(ws))
+    )
+    return nav.filter(
+        (F.col("state") == _PATTERN[0])
+        & (F.col("s1") == _PATTERN[1])
+        & (F.col("s2") == _PATTERN[2])
+    ).select(
+        "user_id",
+        F.col("start_event_id").alias("pattern_start_event_id"),
+        F.col("end_id2").alias("pattern_end_event_id"),
+        F.col("n_events").alias("n_views"),
+        F.col("n1").alias("n_clicks"),
+        F.col("n2").alias("n_purchases"),
+        F.unix_micros("start_ts").alias("start_ts_us"),
+        (F.unix_micros("end_ts2") - F.unix_micros("start_ts")).alias("duration_us"),
+    )
+
+
+PATTERN_RUNS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs0 AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), marked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM runs0
+), firsts AS (
+  SELECT user_id, sid, event_type AS state, ts AS start_ts,
+         event_id AS start_event_id
+  FROM marked WHERE rn = 1
+), lasts AS (
+  SELECT user_id, sid, ts AS end_ts, event_id AS end_event_id,
+         CAST(rn AS BIGINT) AS n_events
+  FROM marked WHERE rn_d = 1
+), runs AS (
+  SELECT * FROM firsts JOIN lasts USING (user_id, sid)
+), nav AS (
+  SELECT *,
+         lead(state, 1) OVER w AS s1, lead(state, 2) OVER w AS s2,
+         lead(n_events, 1) OVER w AS n1, lead(n_events, 2) OVER w AS n2,
+         lead(end_event_id, 2) OVER w AS end_id2,
+         lead(end_ts, 2) OVER w AS end_ts2
+  FROM runs
+  WINDOW w AS (PARTITION BY user_id ORDER BY sid)
+)
+SELECT user_id, start_event_id AS pattern_start_event_id,
+       end_id2 AS pattern_end_event_id,
+       n_events AS n_views, n1 AS n_clicks, n2 AS n_purchases,
+       epoch_us(start_ts) AS start_ts_us,
+       epoch_us(end_ts2) - epoch_us(start_ts) AS duration_us
+FROM nav
+WHERE state = '{_PATTERN[0]}' AND s1 = '{_PATTERN[1]}' AND s2 = '{_PATTERN[2]}'
+"""
+
+
+def window_reset_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-reset running total — 'revenue since the user's last
+    signup': a cumulative sum that RESTARTS whenever a trigger event
+    appears. SQL has no native reset; the two-level window trick is the
+    standard compilation: level 1 numbers reset segments (running count
+    of triggers), level 2 runs the ordinary cumulative sum partitioned
+    by (user, segment). Both windows share the user_id clustering, so
+    Catalyst serves them from ONE shuffle (hash(user) co-locates every
+    (user, segment)). Sums run over DECIMAL per the
+    window_running_frames convention (double window sums diverge
+    between Spark's incremental and DuckDB's segment-tree evaluation)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = F.sum(
+        F.when(F.col("event_type") == "signup", 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df = ev.select("user_id", "event_id", "ts", "event_type", "value").withColumn(
+        "seg", seg.cast("long")
+    )
+    w2 = (
+        Window.partitionBy("user_id", "seg")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col("value").cast("decimal(18,6)")).over(w2)
+    return df.select(
+        "user_id",
+        "event_id",
+        "seg",
+        running.cast("double").alias("running_value"),
+    )
+
+
+WINDOW_RESET_CUMSUM_SQL = """
+WITH seg AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
+  FROM events
+)
+SELECT user_id, event_id, seg,
+       CAST(SUM(CAST(value AS DECIMAL(18,6)))
+            OVER (PARTITION BY user_id, seg ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+FROM seg
+"""
+
+
 SCD2_SQL = """
 WITH flagged AS (
   SELECT user_id, event_type, ts, event_id,
@@ -1716,6 +1889,10 @@ QUERIES: dict[str, QuerySpec] = {
         join_pointintime_scd2, JOIN_POINTINTIME_SCD2_SQL, "join"),
     "pattern_match_sequence": QuerySpec(
         pattern_match_sequence, PATTERN_MATCH_SQL, "analytics"),
+    "pattern_match_runs": QuerySpec(
+        pattern_match_runs, PATTERN_RUNS_SQL, "analytics"),
+    "window_reset_cumsum": QuerySpec(
+        window_reset_cumsum, WINDOW_RESET_CUMSUM_SQL, "window"),
     "dq_constraint_report": QuerySpec(dq_constraint_report, DQ_SQL, "quality"),
     "dq_distribution_drift": QuerySpec(
         dq_distribution_drift, DQ_DRIFT_SQL, "quality",

@@ -143,6 +143,8 @@ DRIVER_PRIORITY: list[str] = [
     "join_pointintime_scd2",
     "pattern_match_sequence",
     "streaming_pattern_match",
+    "pattern_match_runs",
+    "window_reset_cumsum",
     # --- the ten round-7 additions with no driver CORRECTNESS row;
     # sample_temperature_mixture and graph_link_prediction also changed
     # semantics this round (ADVICE r7 fixes), so their rows double as
@@ -187,13 +189,12 @@ DRIVER_PRIORITY: list[str] = [
     "window_running_frames",
     "topk_per_group",
     "agg_basic_stats",
-    "agg_distinct",
-    "agg_rollup",
     # (ann_cosine_topk, text_bigram_pmi, text_unigram_logprob,
     # text_tfidf_top_terms, agg_approx_percentile, agg_approx_distinct,
     # agg_collect_sorted, agg_min_max_by, agg_percentiles,
-    # agg_grouping_sets, agg_having, agg_cube trimmed past the window
-    # by the round-8 additions; they join the round-9 back-fill)
+    # agg_grouping_sets, agg_having, agg_cube, agg_distinct, agg_rollup
+    # trimmed past the window by the round-8 additions; they join the
+    # round-9 back-fill)
 ]
 
 

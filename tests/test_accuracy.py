@@ -609,3 +609,72 @@ def test_pattern_match_sequence_planted(spark):
     assert out[(1, 1)]["end_event_id"] == 3
     assert out[(1, 1)]["duration_us"] == 2_000_000
     assert out[(2, 11)]["end_event_id"] == 13
+
+
+def test_pattern_match_runs_quantified(spark):
+    """Planted stream: view view click click click purchase is ONE
+    quantified match with run lengths (2,3,1); an interrupted sequence
+    (view click view) matches nothing."""
+    import datetime
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    t = lambda s: datetime.datetime(2025, 1, 1, 0, 0, s)
+    rows = [
+        (1, 1, t(1), "view"), (2, 1, t(2), "view"),
+        (3, 1, t(3), "click"), (4, 1, t(4), "click"), (5, 1, t(5), "click"),
+        (6, 1, t(6), "purchase"),
+        (10, 2, t(1), "view"), (11, 2, t(2), "click"), (12, 2, t(3), "view"),
+    ]
+    ev = spark.createDataFrame(
+        [(eid, uid, ts, et, 0.0) for eid, uid, ts, et in rows],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    orig = A._t
+    A._t = lambda spark, sf_dir, name: ev
+    try:
+        out = A.pattern_match_runs(spark, "x").collect()
+    finally:
+        A._t = orig
+    assert len(out) == 1
+    m = out[0]
+    assert m["user_id"] == 1
+    assert m["pattern_start_event_id"] == 1 and m["pattern_end_event_id"] == 6
+    assert (m["n_views"], m["n_clicks"], m["n_purchases"]) == (2, 3, 1)
+    assert m["duration_us"] == 5_000_000
+
+
+def test_window_reset_cumsum_restarts_at_trigger(spark):
+    """Planted stream: the running value total must restart exactly at
+    each signup event (the signup row itself starts the new segment)."""
+    import datetime
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    t = lambda s: datetime.datetime(2025, 1, 1, 0, 0, s)
+    rows = [
+        (1, 1, t(1), "view", 10.0),
+        (2, 1, t(2), "signup", 1.0),
+        (3, 1, t(3), "view", 5.0),
+        (4, 1, t(4), "view", 2.0),
+        (5, 1, t(5), "signup", 1.0),
+        (6, 1, t(6), "view", 7.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    orig = A._t
+    A._t = lambda spark, sf_dir, name: ev
+    try:
+        out = {r["event_id"]: (r["seg"], r["running_value"])
+               for r in A.window_reset_cumsum(spark, "x").collect()}
+    finally:
+        A._t = orig
+    assert out == {
+        1: (0, 10.0),
+        2: (1, 1.0),
+        3: (1, 6.0),
+        4: (1, 8.0),
+        5: (2, 1.0),
+        6: (2, 8.0),
+    }
