@@ -111,6 +111,25 @@ def ngram_jaccard_pairs(
     and the shingle pipeline evaluates exactly once — the self-join form
     costs ~8 shuffles and recomputes the tokenizer once per branch.
     """
+    return (
+        _pair_intersections(docs, n, max_df)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def _pair_intersections(docs: DataFrame, n: int, max_df: int) -> DataFrame:
+    """(doc_a, doc_b, n_a, n_b, n_common): candidate pairs with exact
+    shingle-intersection counts via the frequency-capped inverted index
+    — the shared core of ngram_jaccard_pairs and containment_pairs."""
     ex = _explode_shingles(_shingle_arrays(docs, n))
     buckets = (
         ex.groupBy("shingle")
@@ -139,19 +158,49 @@ def ngram_jaccard_pairs(
         .filter(F.col("p").isNotNull())
         .select("p.*")
     )
+    return pairs.groupBy("doc_a", "doc_b", "n_a", "n_b").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+
+
+def containment_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8, max_df: int = 100
+) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup pairs — the Broder containment
+    score c(A in B) = |A∩B| / |A| in both directions, keeping pairs
+    where EITHER direction reaches ``threshold``. This catches the case
+    a symmetric Jaccard threshold structurally misses: a short document
+    quoted wholesale inside a long one has containment 1.0 while its
+    Jaccard can be arbitrarily small (|A|/|B|), which is why curation
+    stacks (Lee et al. substring dedup, RefinedWeb) check containment,
+    not just Jaccard, before dropping the shorter member.
+
+    Same frequency-capped inverted-index candidate generation as
+    ngram_jaccard_pairs (shared _pair_intersections core — 2 shuffles,
+    bounded bucket width); jaccard rides along for triage."""
+    inter = _pair_intersections(docs, n, max_df)
+    ca = F.round(F.col("n_common").cast("double") / F.col("n_a"), 6)
+    cb = F.round(F.col("n_common").cast("double") / F.col("n_b"), 6)
+    jac = F.round(
+        F.col("n_common").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        6,
+    )
     return (
-        pairs.groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                6,
-            ),
+        inter.select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            ca.alias("containment_a_in_b"),
+            cb.alias("containment_b_in_a"),
+            jac.alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "n_common", "jaccard")
+        .filter(
+            F.greatest(
+                F.col("containment_a_in_b"), F.col("containment_b_in_a")
+            )
+            >= threshold
+        )
     )
 
 

@@ -115,6 +115,46 @@ WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.5
 """
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs
+    (operators/dedup.containment_pairs): Broder containment
+    |A∩B|/|A| in both directions over the same frequency-capped shingle
+    index as dedup_ngram_jaccard — the short-doc-quoted-in-long-doc
+    case a symmetric Jaccard threshold structurally misses."""
+    return D.containment_pairs(_docs(spark, sf_dir), n=3, threshold=0.8, max_df=100)
+
+
+DEDUP_CONTAINMENT_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents WHERE trim(text) <> ''
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS g(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), kept AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100
+), shc AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shc a JOIN shc b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+         round(n_common::DOUBLE / sa.n_sh, 6) AS containment_a_in_b,
+         round(n_common::DOUBLE / sb.n_sh, 6) AS containment_b_in_a,
+         round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+  FROM pairs
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+)
+SELECT * FROM scored
+WHERE greatest(containment_a_in_b, containment_b_in_a) >= 0.8
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_docs(spark, sf_dir), bits=32)
 
@@ -1954,6 +1994,8 @@ QUERIES: dict[str, QuerySpec] = {
         multimodal_frame_sample, MULTIMODAL_FRAME_SQL, "multimodal"),
     "dedup_components": QuerySpec(dedup_components, DEDUP_COMPONENTS_SQL, "dedup"),
     "dedup_keep_best": QuerySpec(dedup_keep_best, DEDUP_KEEP_BEST_SQL, "dedup"),
+    "dedup_containment": QuerySpec(
+        dedup_containment, DEDUP_CONTAINMENT_SQL, "dedup"),
     "text_winnow_sketch": QuerySpec(text_winnow_sketch, TEXT_WINNOW_SQL, "text"),
     "embedding_centroids": QuerySpec(embedding_centroids, EMBEDDING_CENTROIDS_SQL, "similarity"),
     "embedding_kmeans_lloyd": QuerySpec(

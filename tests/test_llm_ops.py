@@ -747,3 +747,33 @@ def test_truncated_rescore_recall_and_consistency(spark, sf_dir):
     assert all(v == 5 for v in per_q.values()) and len(per_q) == 10
     for r in out:
         assert abs(r.cos_sim - exact_sims[(r.query_id, r.cand_id)]) < 1e-9, r
+
+
+def test_containment_catches_asymmetric_quote(spark):
+    """Planted corpus: a short doc quoted wholesale inside a long one
+    has containment 1.0 but Jaccard well under 0.5 — the containment
+    entry must flag the pair, the Jaccard entry must structurally miss
+    it."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"word{i} tok{i} item{i}" for i in range(40))
+    rows = [
+        (1, short),
+        (2, filler + " " + short + " " + filler.replace("word", "mord")),
+        (3, "completely different content entirely " * 8),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cont = {(r["doc_a"], r["doc_b"]): r
+            for r in containment_pairs(docs, n=3, threshold=0.8).collect()}
+    assert (1, 2) in cont, cont
+    assert cont[(1, 2)]["containment_a_in_b"] == 1.0
+    assert cont[(1, 2)]["jaccard"] < 0.5
+
+    jac = {(r["doc_a"], r["doc_b"])
+           for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    assert (1, 2) not in jac
