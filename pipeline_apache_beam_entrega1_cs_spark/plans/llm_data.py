@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import _dec_to_double
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
@@ -277,6 +278,105 @@ WITH e AS (
   FROM rescored
 )
 SELECT query_id, cand_id, coarse_sim, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table DQ report — the vector-column counterpart of
+    dq_constraint_report, catching the classic embedding-pipeline
+    failures before they poison retrieval: zero vectors (failed encoder
+    calls), L2-norm outliers (truncated/corrupt rows; |z| > 3 against
+    the label's own exact-decimal moments, the agg_basic_stats recipe),
+    and dimension drift (distinct dims per label must be 1).
+
+    Scale shape: one narrow pass computes each vector's norm (sequential
+    array fold, round-6); per-label moments are mergeable decimal sums;
+    the outlier pass re-joins the tiny per-label stats frame by
+    broadcast. Determinism: all moment arithmetic follows the decimal
+    conventions of plans/spec.py, so z-flags are engine-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    nrm = F.round(
+        F.sqrt(F.aggregate(v, F.lit(0.0).cast("double"), lambda a, x: a + x * x)),
+        6,
+    )
+    per = emb.select(
+        "label", "vec_id", F.size(v).alias("dim"), nrm.alias("nrm")
+    )
+    ndec = F.col("nrm").cast("decimal(18,6)")
+    stats = per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.count_distinct(F.col("dim")).alias("n_dims_distinct"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+        _dec_to_double(F.sum(ndec)).alias("sx"),
+        _dec_to_double(
+            F.sum((ndec * ndec).cast("decimal(38,12)"))
+        ).alias("sxx"),
+        F.sum((F.col("nrm") == 0.0).cast("long")).cast("bigint").alias("n_zero"),
+    )
+    mean = F.col("sx") / F.col("n_vecs")
+    std = F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_vecs"))
+        / (F.col("n_vecs") - 1)
+    )
+    flagged = (
+        per.join(F.broadcast(stats), "label")
+        .withColumn(
+            "is_outlier",
+            F.when(
+                F.col("n_vecs") > 1, F.abs(F.col("nrm") - mean) > 3 * std
+            ).otherwise(F.lit(False)),
+        )
+        .groupBy("label")
+        .agg(F.sum(F.col("is_outlier").cast("long")).cast("bigint").alias("n_outliers"))
+    )
+    return stats.join(flagged, "label").select(
+        "label",
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        F.col("n_dims_distinct").cast("bigint").alias("n_dims_distinct"),
+        "min_norm",
+        "max_norm",
+        F.round(F.col("sx") / F.col("n_vecs"), 6).alias("avg_norm"),
+        "n_zero",
+        "n_outliers",
+    )
+
+
+EMBEDDING_NORM_PROFILE_SQL = """
+WITH per AS (
+  SELECT label, vec_id, len(embedding) AS dim,
+         round(sqrt(list_aggregate(
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             'sum')), 6) AS nrm
+  FROM embeddings
+), stats AS (
+  SELECT label,
+         COUNT(*) AS n_vecs,
+         COUNT(DISTINCT dim) AS n_dims_distinct,
+         min(nrm) AS min_norm,
+         max(nrm) AS max_norm,
+         CAST(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(CAST(nrm AS DECIMAL(18,6)) * CAST(nrm AS DECIMAL(18,6))
+                           AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+  FROM per GROUP BY label
+), flagged AS (
+  SELECT p.label,
+         CAST(SUM(CASE WHEN s.n_vecs > 1
+                        AND abs(p.nrm - s.sx / s.n_vecs)
+                            > 3 * sqrt((s.sxx - s.sx * s.sx / s.n_vecs)
+                                       / (s.n_vecs - 1))
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+  FROM per p JOIN stats s USING (label)
+  GROUP BY p.label
+)
+SELECT s.label, CAST(s.n_vecs AS BIGINT) AS n_vecs,
+       CAST(s.n_dims_distinct AS BIGINT) AS n_dims_distinct,
+       s.min_norm, s.max_norm,
+       round(s.sx / s.n_vecs, 6) AS avg_norm,
+       s.n_zero, f.n_outliers
+FROM stats s JOIN flagged f USING (label)
 """
 
 
@@ -1996,6 +2096,8 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_keep_best": QuerySpec(dedup_keep_best, DEDUP_KEEP_BEST_SQL, "dedup"),
     "dedup_containment": QuerySpec(
         dedup_containment, DEDUP_CONTAINMENT_SQL, "dedup"),
+    "embedding_norm_profile": QuerySpec(
+        embedding_norm_profile, EMBEDDING_NORM_PROFILE_SQL, "similarity"),
     "text_winnow_sketch": QuerySpec(text_winnow_sketch, TEXT_WINNOW_SQL, "text"),
     "embedding_centroids": QuerySpec(embedding_centroids, EMBEDDING_CENTROIDS_SQL, "similarity"),
     "embedding_kmeans_lloyd": QuerySpec(

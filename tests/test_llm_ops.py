@@ -777,3 +777,31 @@ def test_containment_catches_asymmetric_quote(spark):
     jac = {(r["doc_a"], r["doc_b"])
            for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
     assert (1, 2) not in jac
+
+
+def test_embedding_norm_profile_flags_planted_defects(spark):
+    """Planted embedding table: a zero vector and a 100x-norm outlier in
+    one label, a clean second label — counts must localize exactly."""
+    import pipeline_apache_beam_entrega1_cs_spark.plans.llm_data as L
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    rows = (
+        [(i, [1.0, 0.0, 0.0, 0.0], 0) for i in range(20)]
+        + [(20, [0.0, 0.0, 0.0, 0.0], 0),       # zero vector
+           (21, [100.0, 0.0, 0.0, 0.0], 0)]     # norm outlier
+        + [(100 + i, [0.0, 2.0, 0.0, 0.0], 1) for i in range(10)]
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    import pipeline_apache_beam_entrega1_cs_spark.plans.llm_data as LL
+    orig = LL.load_table
+    LL.load_table = lambda spark, sf_dir, name: emb
+    try:
+        out = {r["label"]: r for r in L.embedding_norm_profile(spark, "x").collect()}
+    finally:
+        LL.load_table = orig
+
+    assert out[0]["n_vecs"] == 22 and out[0]["n_zero"] == 1
+    assert out[0]["n_outliers"] >= 1          # the 100x vector
+    assert out[0]["n_dims_distinct"] == 1
+    assert out[1]["n_zero"] == 0 and out[1]["n_outliers"] == 0
+    assert out[1]["min_norm"] == out[1]["max_norm"] == 2.0
