@@ -632,9 +632,12 @@ def pattern_match_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exactly how engines with a real MATCH_RECOGNIZE compile greedy
     ``+`` quantifiers.
 
-    Scale shape: the island collapse, the first/last-of-run windows,
-    the run join, and the run-sequence navigation all share the
-    user_id partitioning — one shuffle end to end."""
+    Scale shape (audited): the island collapse and the first/last-of-run
+    windows share one user_id exchange; the run-level first/last frames
+    then meet in a broadcast join (the run table is |runs| <= |events|
+    and shrinks with every repetition) and the run-sequence navigation
+    re-exchanges on user_id — 2 Exchanges, 2 BroadcastHashJoins total
+    (EXPLAIN.md)."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("event_type").over(w)
