@@ -495,6 +495,58 @@ GROUP BY 1
 """
 
 
+def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight pipeline telemetry via ``DataFrame.observe`` — Spark's
+    zero-extra-pass metrics channel: named aggregates are accumulated ON
+    the task side WHILE the job runs (here: rows seen, null keys,
+    decimal revenue total, max order date), then read from the
+    Observation after the action. This is how a production job emits
+    row-count/invariant metrics without a second scan — the engine's
+    native answer to Beam's metrics counters, and the DQ hook a 100 TB
+    ingest attaches to every stage. The observed pass itself is a real
+    filter+write (noop sink), so the metrics describe the actual
+    production pass, not a parallel query.
+
+    The returned 1-row frame is the sanctioned bounded materialization
+    (Observation.get is driver-side by design). Determinism: count/sum
+    metrics are associative (decimal revenue via the dsum convention);
+    the oracle recomputes the same aggregates declaratively."""
+    from pyspark.sql import Observation
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "X")
+    obs = Observation("ingest_metrics")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("n_null_cust"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev_dec"),
+        F.max(F.unix_micros("o_orderdate")).alias("max_orderdate_us"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_null_cust"]),
+                float(str(m["rev_dec"])),
+                int(m["max_orderdate_us"]),
+            )
+        ],
+        "n_rows bigint, n_null_cust bigint, total_revenue double, max_orderdate_us bigint",
+    )
+
+
+PIPELINE_OBSERVE_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_cust,
+       {sql_dsum('o_totalprice')} AS total_revenue,
+       CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS max_orderdate_us
+FROM orders WHERE o_orderstatus <> 'X'
+"""
+
+
 def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction — the table-maintenance job the
     input-split finding in SCALING.md ("59.6 s instead of 9.5 s with an
@@ -702,6 +754,8 @@ QUERIES: dict[str, QuerySpec] = {
     # the 1-row MAX-scalar BNLJ lives in the eager compaction WRITE, not
     # in the returned report plan (a plain scan + groupBy over the
     # compacted files) — so no plan waiver is needed or allowed here
+    "pipeline_observe_metrics": QuerySpec(
+        pipeline_observe_metrics, PIPELINE_OBSERVE_SQL, "pipeline"),
     "maintenance_compact_small_files": QuerySpec(
         maintenance_compact_small_files, COMPACT_SQL, "pipeline"),
     # like compaction, the 1-row min/max-scalar BNLJ lives in the eager
