@@ -495,6 +495,81 @@ GROUP BY 1
 """
 
 
+_SHUFFLE_EPOCH = 1
+_SHUFFLE_N_SHARDS = 8
+
+
+def dataset_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle + data-loader sharding — the step
+    between a curated corpus and a training run: every document gets a
+    pseudo-random rank from md5(epoch || doc_id) (a NEW permutation per
+    epoch, reproducible on any engine/partitioning — no
+    rand()/shuffle() nondeterminism), is dealt to one of N loader
+    shards round-robin BY RANK (so shard sizes are balanced to ±1
+    regardless of key skew, unlike hash-mod sharding), and receives its
+    within-shard read position. A data loader reading shard k in
+    position order replays exactly this global permutation interleaved
+    N ways.
+
+    Scale shape — a global permutation WITHOUT a global sort: a naive
+    row_number() over the whole corpus is an Exchange-SinglePartition
+    scale killer (the ntile_decile_stats trap), so the global rank is
+    built with TWO-PHASE bucket ranking: the first md5 byte splits the
+    corpus into 256 ordered buckets (the bucket is a PREFIX of the sort
+    key, so bucket-major order IS global key order), ranks are assigned
+    per-bucket in parallel, and each bucket's offset is a cumulative
+    count over the 256-row bucket-size frame (O(1), broadcast back).
+    global_rank = offset + in-bucket rank, bit-identical to the naive
+    form — which is exactly what the single-threaded oracle computes,
+    so the hash match IS the equivalence proof. Shard and position then
+    derive arithmetically from the rank — no second sort anywhere."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    key = F.md5(
+        F.concat(F.lit(f"epoch{_SHUFFLE_EPOCH}:"), F.col("doc_id").cast("string"))
+    )
+    keyed = docs.withColumn("shuffle_key", key).withColumn(
+        "bucket", F.conv(F.substring("shuffle_key", 1, 2), 16, 10).cast("int")
+    )
+    wb = Window.partitionBy("bucket").orderBy(
+        F.col("shuffle_key").asc(), F.col("doc_id").asc()
+    )
+    in_bucket = keyed.withColumn("bucket_rank", F.row_number().over(wb))
+    counts = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    woff = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        "bucket", (F.sum("n").over(woff) - F.col("n")).alias("offset")
+    )
+    ranked = in_bucket.join(F.broadcast(offsets), "bucket").withColumn(
+        "epoch_rank", (F.col("offset") + F.col("bucket_rank")).cast("long")
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "epoch_rank",
+        ((F.col("epoch_rank") - 1) % _SHUFFLE_N_SHARDS).cast("long").alias("shard"),
+        F.floor((F.col("epoch_rank") - 1) / _SHUFFLE_N_SHARDS)
+        .cast("long")
+        .alias("shard_position"),
+    )
+
+
+DATASET_SHUFFLE_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+             ORDER BY md5('epoch{_SHUFFLE_EPOCH}:' || CAST(doc_id AS VARCHAR)),
+                      doc_id) AS BIGINT) AS epoch_rank
+  FROM documents
+)
+SELECT doc_id, source, epoch_rank,
+       CAST((epoch_rank - 1) % {_SHUFFLE_N_SHARDS} AS BIGINT) AS shard,
+       CAST((epoch_rank - 1) // {_SHUFFLE_N_SHARDS} AS BIGINT) AS shard_position
+FROM ranked
+"""
+
+
 def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-flight pipeline telemetry via ``DataFrame.observe`` — Spark's
     zero-extra-pass metrics channel: named aggregates are accumulated ON
@@ -756,6 +831,11 @@ QUERIES: dict[str, QuerySpec] = {
     # compacted files) — so no plan waiver is needed or allowed here
     "pipeline_observe_metrics": QuerySpec(
         pipeline_observe_metrics, PIPELINE_OBSERVE_SQL, "pipeline"),
+    "dataset_shuffle_shards": QuerySpec(
+        dataset_shuffle_shards, DATASET_SHUFFLE_SQL, "pipeline",
+        plan_waivers={"global_window": (
+            "window input = 256 md5-prefix buckets (O(1) cumulative "
+            "offsets for two-phase ranking)")}),
     "maintenance_compact_small_files": QuerySpec(
         maintenance_compact_small_files, COMPACT_SQL, "pipeline"),
     # like compaction, the 1-row min/max-scalar BNLJ lives in the eager

@@ -152,6 +152,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_containment",
     "embedding_norm_profile",
     "pipeline_observe_metrics",
+    "dataset_shuffle_shards",
     # --- the ten round-7 additions with no driver CORRECTNESS row;
     # sample_temperature_mixture and graph_link_prediction also changed
     # semantics this round (ADVICE r7 fixes), so their rows double as
@@ -192,9 +193,8 @@ DRIVER_PRIORITY: list[str] = [
     "q5_region_revenue",
     "window_rank",
     "window_lag_lead",
-    "window_distribution",
-    # (window_running_frames, topk_per_group, agg_basic_stats,
-    # ann_cosine_topk, text_bigram_pmi, text_unigram_logprob,
+    # (window_distribution, window_running_frames, topk_per_group,
+    # agg_basic_stats, ann_cosine_topk, text_bigram_pmi, text_unigram_logprob,
     # text_tfidf_top_terms, agg_approx_percentile, agg_approx_distinct,
     # agg_collect_sorted, agg_min_max_by, agg_percentiles,
     # agg_grouping_sets, agg_having, agg_cube, agg_distinct, agg_rollup

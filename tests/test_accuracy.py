@@ -678,3 +678,42 @@ def test_window_reset_cumsum_restarts_at_trigger(spark):
         5: (2, 1.0),
         6: (2, 8.0),
     }
+
+
+def test_dataset_shuffle_shards_is_balanced_permutation(spark, sf_dir):
+    """The epoch shuffle must be a PERMUTATION (ranks are exactly
+    1..n), shards must be balanced to ±1, per-shard positions must be
+    dense 0..size-1, and the two-phase bucket ranking must equal the
+    naive global md5 ordering computed independently in Python."""
+    import hashlib
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.pipeline_ops import (
+        _SHUFFLE_EPOCH,
+        _SHUFFLE_N_SHARDS,
+        dataset_shuffle_shards,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    out = dataset_shuffle_shards(spark, sf_dir).collect()
+    n = len(out)
+    assert sorted(r["epoch_rank"] for r in out) == list(range(1, n + 1))
+
+    sizes = {}
+    positions = {}
+    for r in out:
+        sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+        positions.setdefault(r["shard"], []).append(r["shard_position"])
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    for s, ps in positions.items():
+        assert sorted(ps) == list(range(len(ps)))
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    expected = sorted(
+        (hashlib.md5(f"epoch{_SHUFFLE_EPOCH}:{r['doc_id']}".encode()).hexdigest(),
+         r["doc_id"])
+        for r in docs
+    )
+    expected_rank = {did: i + 1 for i, (_, did) in enumerate(expected)}
+    for r in out:
+        assert r["epoch_rank"] == expected_rank[r["doc_id"]], r
+        assert r["shard"] == (r["epoch_rank"] - 1) % _SHUFFLE_N_SHARDS
