@@ -717,3 +717,77 @@ def test_dataset_shuffle_shards_is_balanced_permutation(spark, sf_dir):
     for r in out:
         assert r["epoch_rank"] == expected_rank[r["doc_id"]], r
         assert r["shard"] == (r["epoch_rank"] - 1) % _SHUFFLE_N_SHARDS
+
+
+def test_pattern_match_random_streams_vs_bruteforce(spark):
+    """Seeded random event streams with heavy timestamp collisions: the
+    window-navigation pattern scan must equal a plain-Python brute
+    force over the same (ts, event_id) ordering, for both the fixed
+    consecutive-triple form and the quantified run form."""
+    import datetime
+
+    import numpy as np
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    rng = np.random.default_rng(2024)
+    types = ["view", "click", "purchase", "signup"]
+    rows = []
+    for eid in range(400):
+        rows.append(
+            (
+                eid,
+                int(rng.integers(0, 8)),
+                datetime.datetime(2025, 1, 1) + datetime.timedelta(
+                    seconds=int(rng.integers(0, 60))
+                ),
+                types[int(rng.integers(0, 4))],
+                0.0,
+            )
+        )
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+
+    # Python brute force over the same ordering
+    by_user: dict[int, list] = {}
+    for eid, uid, ts, et, _ in rows:
+        by_user.setdefault(uid, []).append((ts, eid, et))
+    fixed_expected = set()
+    runs_expected = set()
+    for uid, evs in by_user.items():
+        evs.sort()
+        seq = [e[2] for e in evs]
+        for i in range(len(seq) - 2):
+            if seq[i] == "view" and seq[i + 1] == "click" and seq[i + 2] == "purchase":
+                fixed_expected.add((uid, evs[i][1], evs[i + 2][1]))
+        # collapse to runs
+        rl = []
+        for ts, eid, et in evs:
+            if rl and rl[-1][0] == et:
+                rl[-1][1].append((ts, eid))
+            else:
+                rl.append([et, [(ts, eid)]])
+        for i in range(len(rl) - 2):
+            if rl[i][0] == "view" and rl[i + 1][0] == "click" and rl[i + 2][0] == "purchase":
+                runs_expected.add(
+                    (uid, rl[i][1][0][1], rl[i + 2][1][-1][1],
+                     len(rl[i][1]), len(rl[i + 1][1]), len(rl[i + 2][1]))
+                )
+
+    orig = A._t
+    A._t = lambda spark, sf_dir, name: ev
+    try:
+        got_fixed = {
+            (r["user_id"], r["start_event_id"], r["end_event_id"])
+            for r in A.pattern_match_sequence(spark, "x").collect()
+        }
+        got_runs = {
+            (r["user_id"], r["pattern_start_event_id"], r["pattern_end_event_id"],
+             r["n_views"], r["n_clicks"], r["n_purchases"])
+            for r in A.pattern_match_runs(spark, "x").collect()
+        }
+    finally:
+        A._t = orig
+    assert got_fixed == fixed_expected
+    assert got_runs == runs_expected
