@@ -80,25 +80,26 @@ them.
 
 ROUND 8 ROTATION (done — final window composition verified against
 CORRECTNESS_r01..r07): the 50-entry window holds exactly (a) the
-SIXTEEN round-8 additions (dq_distribution_drift,
+EIGHTEEN round-8 additions (dq_distribution_drift,
 dedup_binary_payload, agg_quantile_partial_merge,
 streaming_token_accounting, streaming_quantile_state,
 join_asof_tolerance, dedup_keep_best, sample_weighted_priority,
 ann_truncated_rescore, join_pointintime_scd2, pattern_match_sequence,
 streaming_pattern_match, pattern_match_runs, window_reset_cumsum,
-dedup_containment, embedding_norm_profile), (b) ALL TEN
-never-driver-checked round-7 additions (the previous revision of this
-note undercounted them as three; VERDICT r7 flag #2 corrected the
-count) — two of which (sample_temperature_mixture,
-graph_link_prediction) also changed semantics this round per ADVICE
-r7, so their rows double as regression evidence, (c) 24 of the 50
-entries whose latest driver evidence is r04, execution-heaviest first
-(streaming sinks/joins, parquet/ORC roundtrips, pack_token_budget,
-key_skew_profile, dataset_build_pipeline, joins, TPC-H date queries,
-windows). 16 + 10 + 24 = 50.
+dedup_containment, embedding_norm_profile, pipeline_observe_metrics,
+dataset_shuffle_shards), (b) ALL TEN never-driver-checked round-7
+additions (the previous revision of this note undercounted them as
+three; VERDICT r7 flag #2 corrected the count) — two of which
+(sample_temperature_mixture, graph_link_prediction) also changed
+semantics this round per ADVICE r7, so their rows double as
+regression evidence, (c) 22 of the 50 entries whose latest driver
+evidence is r04, execution-heaviest first (streaming sinks/joins,
+parquet/ORC roundtrips, pack_token_budget, key_skew_profile,
+dataset_build_pipeline, joins, TPC-H date queries, windows).
+18 + 10 + 22 = 50.
 
 ROUND 9 CHORE: rotate again — promote (a) any r08 failures, (b)
-entries added during round 9 itself, (c) the TWENTY-SIX r04-only
+entries added during round 9 itself, (c) the TWENTY-EIGHT r04-only
 entries left outside the round-8 window: agg_approx_distinct,
 agg_approx_percentile, agg_basic_stats, agg_collect_sorted, agg_cube,
 agg_distinct, agg_grouping_sets, agg_having, agg_min_max_by,
@@ -107,8 +108,9 @@ decile_stats_bucketed, filter_project_nullsafe, ntile_decile_stats,
 pivot_flag_status, sample_seeded, scalar_subquery_parts,
 sort_limit_global, text_bigram_pmi, text_tfidf_top_terms,
 text_unigram_logprob, topk_per_group, try_functions,
-unpivot_order_metrics; (d) back-fill any remaining slots with r05-only
-entries, stalest/execution-heaviest first.
+unpivot_order_metrics, window_distribution, window_running_frames;
+(d) back-fill any remaining slots with r05-only entries,
+stalest/execution-heaviest first.
 """
 
 from __future__ import annotations
