@@ -1572,8 +1572,183 @@ GROUP BY o_orderpriority
 """
 
 
+# Bucket count for the hand-rolled runtime-filter bitmap below. At test
+# SF a one-week build side holds a few dozen keys so most buckets stay
+# EMPTY and the prefilter is genuinely selective; in production size this
+# a few x the expected build-side key count to bound the false-positive
+# rate (a false positive only costs shuffle bytes — never correctness).
+_BLOOM_BUCKETS = 8192
+
+
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter semi-join reduction — the declarative form of the
+    Bloom-filter runtime filter Spark's internal ``bloom_filter_agg`` /
+    ``might_contain`` pair injects (not SQL-callable in this build): the
+    build side (one week of orders) is reduced to its set of OCCUPIED
+    HASH BUCKETS — at most ``_BLOOM_BUCKETS`` rows no matter how large
+    the build side — which broadcast-SEMI-joins the probe side BEFORE
+    the real equi-join, so the expensive shuffle only moves lineitem
+    rows whose key COULD match. Lossless by construction: a probe row
+    whose bucket is unoccupied cannot have a matching o_orderkey, and
+    bucket false positives are removed by the real join that follows.
+    At 100 TB this is the standard shuffle-reduction play for a
+    selective fact-fact join: the occupied-bucket frame stays
+    O(buckets) and broadcastable even when the filtered build side
+    itself is NOT broadcastable, so the reduction applies exactly where
+    a plain broadcast join cannot. The final join is hinted MERGE so the
+    plan demonstrates the reduction feeding a shuffle join (a broadcast
+    final join would make the prefilter moot); the prefilter shape is
+    asserted by tests/test_scale_idioms.py::test_bloom_prefilter_shape.
+    Oracle: the PLAIN join — identical results prove losslessness."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("2001-03-01").cast("date"))
+        & (F.col("o_orderdate") <= F.lit("2001-03-07").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    buckets = orders.select(
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(_BLOOM_BUCKETS)).alias("bkt")
+    ).distinct()
+    pre = li.join(
+        F.broadcast(buckets),
+        F.pmod(F.xxhash64("l_orderkey"), F.lit(_BLOOM_BUCKETS)) == F.col("bkt"),
+        "left_semi",
+    )
+    return (
+        pre.join(orders.hint("merge"), pre.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum_dec(drev()).alias("revenue"),
+        )
+    )
+
+
+JOIN_BLOOM_PREFILTER_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_lines,
+       {sql_dsum_dec(sql_rev())} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate BETWEEN DATE '2001-03-01' AND DATE '2001-03-07'
+GROUP BY o_orderpriority
+"""
+
+
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over a partitioned fixture: orders are
+    written partitioned by o_orderpriority (the production layout for a
+    priority-sliced fact), read back, and joined to a dim whose filter
+    selects two of the five priorities. Catalyst injects BOTH prunings
+    into the fact scan (asserted by tests/test_scale_idioms.py::
+    test_dpp_prunes_partitions): a STATIC partition filter inferred
+    across the join from the dim's predicate, and a
+    ``dynamicpruningexpression`` subquery that re-uses the dim's
+    broadcast result so the scan reads ONLY partitions whose keys
+    actually survive — at 100 TB the difference between scanning 2/5 of
+    a partitioned fact and all of it, decided at RUNTIME from dim rows
+    rather than a hand-maintained IN-list. PID-keyed scratch dir
+    (concurrent sessions). Oracle: the equivalent join over the raw
+    table."""
+    import os
+    import shutil
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    scratch = f"/tmp/spark_graft_dpp/{tag}-{os.getpid()}"
+    shutil.rmtree(scratch, ignore_errors=True)
+    (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.partitionBy("o_orderpriority")
+        .mode("overwrite")
+        .parquet(scratch)
+    )
+    fact = spark.read.parquet(scratch)
+    # dim from the RAW parquet (not a LocalRelation): the scan-level
+    # predicate must survive into the optimized plan for the DPP rule to
+    # judge the filter selective; a literal in-memory dim gets constant-
+    # folded and the pruning subquery is never inserted.
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderpriority").startswith("1")
+            | F.col("o_orderpriority").startswith("2")
+        )
+        .select(F.col("o_orderpriority").alias("prio"))
+        .distinct()
+    )
+    return (
+        fact.join(dim, fact.o_orderpriority == dim.prio)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+JOIN_DPP_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS sum_price
+FROM orders
+WHERE o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+GROUP BY o_orderpriority
+"""
+
+
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-customer counts via mergeable bitmap partials —
+    the exact-count sibling of the HLL family: stage 1 ORs each customer
+    into a 64-bit word keyed by (priority, o_custkey div 64) — fixed-
+    width, map-side-combinable state — and stage 2 sums popcounts per
+    priority. The words are then BIT_OR-merged ACROSS priorities and
+    popcounted for a grand-total row, proving the partials merge to any
+    coarser rollup WITHOUT rescanning raw keys: re-aggregating
+    popcounts would double-count customers appearing under two
+    priorities (the grand total is ~25k here, far below the naive sum
+    of the five per-priority counts), but merging words first is exact.
+    That mergeability is what COUNT(DISTINCT) lacks at 100 TB — it
+    shuffles raw keys once per grouping set, while bitmap partials
+    shuffle fixed-width words that any later rollup can reuse (dense
+    int keys; for sparse/string keys the HLL entries are the estimator
+    arm). Oracle: the NAIVE ``COUNT(DISTINCT)`` at both levels — the
+    bitmap plan must reproduce the true answer, not mirror itself."""
+    orders = _t(spark, sf_dir, "orders")
+    words = orders.groupBy(
+        "o_orderpriority", F.expr("o_custkey div 64").alias("w")
+    ).agg(
+        F.expr("bit_or(shiftleft(1L, CAST(o_custkey % 64 AS INT)))").alias("bits")
+    )
+    per_priority = words.groupBy("o_orderpriority").agg(
+        F.sum(F.bit_count("bits")).alias("n_distinct_customers")
+    )
+    overall = (
+        words.groupBy("w")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+        .select(
+            F.lit("ALL").alias("o_orderpriority"),
+            F.bit_count("bits").alias("pc"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.sum("pc").alias("n_distinct_customers"))
+    )
+    return per_priority.unionAll(overall)
+
+
+AGG_BITMAP_DISTINCT_SQL = """
+SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_distinct_customers
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT 'ALL' AS o_orderpriority, COUNT(DISTINCT o_custkey) AS n_distinct_customers
+FROM orders
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "join_bucketed": QuerySpec(join_bucketed, JOIN_BUCKETED_SQL, "join"),
+    "join_bloom_prefilter": QuerySpec(
+        join_bloom_prefilter, JOIN_BLOOM_PREFILTER_SQL, "join"),
+    "join_dynamic_partition_pruning": QuerySpec(
+        join_dynamic_partition_pruning, JOIN_DPP_SQL, "join"),
+    "agg_bitmap_distinct": QuerySpec(
+        agg_bitmap_distinct, AGG_BITMAP_DISTINCT_SQL, "aggregation"),
     "source_schema_evolution": QuerySpec(
         source_schema_evolution, SOURCE_SCHEMA_EVOLUTION_SQL, "source"),
     "source_json_permissive": QuerySpec(

@@ -534,3 +534,110 @@ def test_zorder_files_are_two_dimensional_tiles(spark, sf_dir):
     z_mean = sum(r["max_by"] - r["min_by"] for r in report) / len(report)
     k_mean = sum(r["by_span"] for r in single) / len(single)
     assert k_mean > z_mean, (k_mean, z_mean)
+
+
+def test_bloom_prefilter_shape(spark, sf_dir):
+    """join_bloom_prefilter's physical plan must show the runtime-filter
+    shape: a broadcast LeftSemi join (the occupied-bucket prefilter)
+    feeding a SortMergeJoin (the hinted shuffle join it is there to
+    shrink). If the semi-join vanished the entry would still be correct
+    but the 100 TB shuffle-reduction demonstration would be gone."""
+    from pipeline_apache_beam_entrega1_cs_spark.plans.relational2 import (
+        join_bloom_prefilter,
+    )
+
+    plan = physical_plan(join_bloom_prefilter(spark, sf_dir))
+    assert "SortMergeJoin" in plan, plan
+    semi = [
+        ln
+        for ln in plan.splitlines()
+        if "BroadcastHashJoin" in ln and "LeftSemi" in ln
+    ]
+    assert semi, f"no broadcast LeftSemi prefilter in plan:\n{plan}"
+    # the semi-join must sit BELOW the SMJ (prefilter before shuffle)
+    assert plan.index("LeftSemi") != -1 and "Exchange" in plan
+
+
+def test_bloom_prefilter_is_selective(spark, sf_dir):
+    """The bucket prefilter must actually drop probe rows at test SF
+    (one week of orders occupies far fewer than _BLOOM_BUCKETS buckets),
+    otherwise the demonstration is vacuous."""
+    from pyspark.sql import functions as F
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.relational2 import (
+        _BLOOM_BUCKETS,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("2001-03-01").cast("date"))
+        & (F.col("o_orderdate") <= F.lit("2001-03-07").cast("date"))
+    )
+    n_occupied = (
+        orders.select(
+            F.pmod(F.xxhash64("o_orderkey"), F.lit(_BLOOM_BUCKETS)).alias("b")
+        )
+        .distinct()
+        .count()
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    total = li.count()
+    kept = li.filter(
+        F.pmod(F.xxhash64("l_orderkey"), F.lit(_BLOOM_BUCKETS)).isin(
+            # tiny at test SF; collect is bounded by _BLOOM_BUCKETS
+            [
+                r["b"]
+                for r in orders.select(
+                    F.pmod(
+                        F.xxhash64("o_orderkey"), F.lit(_BLOOM_BUCKETS)
+                    ).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+        )
+    ).count()
+    assert n_occupied < _BLOOM_BUCKETS / 4
+    assert kept < total / 2, (kept, total)
+
+
+def test_dpp_prunes_partitions(spark, sf_dir):
+    """join_dynamic_partition_pruning's fact scan must carry BOTH a
+    dynamicpruningexpression (runtime pruning from the dim's broadcast)
+    and the statically-inferred partition predicate; together they keep
+    the scan to the 2/5 surviving partitions."""
+    from pipeline_apache_beam_entrega1_cs_spark.plans.relational2 import (
+        join_dynamic_partition_pruning,
+    )
+
+    plan = physical_plan(join_dynamic_partition_pruning(spark, sf_dir))
+    assert "dynamicpruningexpression" in plan.lower(), plan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "StartsWith" in pf[0], pf
+
+
+def test_bitmap_distinct_merge_beats_popcount_sum(spark, sf_dir):
+    """The grand-total row must come from MERGED WORDS, not summed
+    popcounts: customers ordering under several priorities would be
+    double-counted by the latter. Assert the ALL row is strictly below
+    the sum of the per-priority rows (guaranteed at test SF where
+    overlap exists) and equals the naive global distinct."""
+    from pyspark.sql import functions as F
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.relational2 import (
+        agg_bitmap_distinct,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    rows = {
+        r["o_orderpriority"]: r["n_distinct_customers"]
+        for r in agg_bitmap_distinct(spark, sf_dir).collect()
+    }
+    per_sum = sum(v for k, v in rows.items() if k != "ALL")
+    exact_all = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert rows["ALL"] == exact_all
+    assert rows["ALL"] < per_sum, rows
