@@ -99,10 +99,11 @@ dataset_build_pipeline, joins, TPC-H date queries, windows).
 18 + 10 + 22 = 50.
 
 ROUND 9 CHORE: rotate again — promote (a) any r08 failures, (b)
-entries added during round 9 itself PLUS the three LATE round-8
+entries added during round 9 itself PLUS the four LATE round-8
 additions that landed after the window was finalized and so have no
 driver row (join_bloom_prefilter, join_dynamic_partition_pruning,
-agg_bitmap_distinct — all locally oracle-green at sf0.001/0.01/0.1),
+agg_bitmap_distinct, join_null_skew_split — all locally oracle-green
+at sf0.001/0.01/0.1),
 (c) the TWENTY-EIGHT r04-only
 entries left outside the round-8 window: agg_approx_distinct,
 agg_approx_percentile, agg_basic_stats, agg_collect_sorted, agg_cube,

@@ -1693,6 +1693,56 @@ GROUP BY o_orderpriority
 """
 
 
+def join_null_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-key skew split for an outer join: an optional FK (here a
+    third of orders carry no customer, modelled as a deterministic CASE)
+    can NEVER match, yet a plain shuffled LEFT JOIN still hashes every
+    NULL key to ONE partition — at 100 TB that is a single straggler
+    task holding a third of the fact. The idiom routes the NULL-key rows
+    AROUND the join entirely: only non-null keys enter the (hinted MERGE)
+    shuffle join, and the null branch unions back with typed NULL payload
+    columns — a map-side-only path with no Exchange below it (asserted by
+    tests/test_scale_idioms.py::test_null_skew_split_shape). Complements
+    `join_skew_salted`, which handles hot NON-null keys; AQE skew-join
+    can split the hot partition after the fact, but never shuffling the
+    unmatchable rows at all is strictly cheaper. Oracle: the plain LEFT
+    JOIN — NULLs never match, so the split is lossless by definition."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 3 != 0, F.col("o_custkey")).alias("cust_opt"),
+        "o_totalprice",
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    matched = (
+        orders.filter(F.col("cust_opt").isNotNull())
+        .join(cust.hint("merge"), F.col("cust_opt") == F.col("c_custkey"), "left")
+        .select("c_mktsegment", "o_totalprice")
+    )
+    bypassed = orders.filter(F.col("cust_opt").isNull()).select(
+        F.lit(None).cast("string").alias("c_mktsegment"), "o_totalprice"
+    )
+    return (
+        matched.unionAll(bypassed)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+JOIN_NULL_SKEW_SPLIT_SQL = f"""
+WITH o AS (
+  SELECT CASE WHEN o_orderkey % 3 <> 0 THEN o_custkey END AS cust_opt,
+         o_totalprice
+  FROM orders
+)
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS sum_price
+FROM o LEFT JOIN customer ON cust_opt = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT distinct-customer counts via mergeable bitmap partials —
     the exact-count sibling of the HLL family: stage 1 ORs each customer
@@ -1749,6 +1799,8 @@ QUERIES: dict[str, QuerySpec] = {
         join_dynamic_partition_pruning, JOIN_DPP_SQL, "join"),
     "agg_bitmap_distinct": QuerySpec(
         agg_bitmap_distinct, AGG_BITMAP_DISTINCT_SQL, "aggregation"),
+    "join_null_skew_split": QuerySpec(
+        join_null_skew_split, JOIN_NULL_SKEW_SPLIT_SQL, "join"),
     "source_schema_evolution": QuerySpec(
         source_schema_evolution, SOURCE_SCHEMA_EVOLUTION_SQL, "source"),
     "source_json_permissive": QuerySpec(

@@ -641,3 +641,47 @@ def test_bitmap_distinct_merge_beats_popcount_sum(spark, sf_dir):
     )
     assert rows["ALL"] == exact_all
     assert rows["ALL"] < per_sum, rows
+
+
+def test_null_skew_split_shape(spark, sf_dir):
+    """join_null_skew_split must be a Union of exactly one shuffle join
+    branch (non-null keys) and a join-free bypass branch; the bypass
+    side contributes no Exchange of its own — the point of the idiom is
+    that unmatchable NULL-key rows never enter the join's shuffle."""
+    from pipeline_apache_beam_entrega1_cs_spark.plans.relational2 import (
+        join_null_skew_split,
+    )
+
+    import re
+
+    plan = physical_plan(join_null_skew_split(spark, sf_dir))
+    assert "Union" in plan, plan
+    # formatted explain prints each node in the tree AND a detail
+    # section; count the numbered detail nodes
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 1, plan
+    assert not re.findall(r"\(\d+\) (?:BroadcastHash|ShuffledHash)Join", plan), plan
+    # null-key rows must be filtered out BEFORE the join branch
+    assert "isnotnull(cust_opt" in plan or "isnotnull" in plan, plan
+
+
+def test_null_skew_split_counts(spark, sf_dir):
+    """The NULL segment row must hold exactly the orders whose synthetic
+    FK is null (o_orderkey % 3 == 0), and the total across segments must
+    equal the full orders count — nothing dropped or duplicated by the
+    split."""
+    from pyspark.sql import functions as F
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.relational2 import (
+        join_null_skew_split,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    rows = {
+        r["c_mktsegment"]: r["n_orders"]
+        for r in join_null_skew_split(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    n_total = orders.count()
+    n_null = orders.filter(F.col("o_orderkey") % 3 == 0).count()
+    assert rows[None] == n_null, (rows.get(None), n_null)
+    assert sum(rows.values()) == n_total
