@@ -105,6 +105,13 @@ BENCH_QUERIES = [
     # corpus — the pre-decode multimodal dedup stage).
     "text_quality_model",
     "dedup_binary_payload",
+    # round-8 late addition (subtotal_r01_comparable excludes it): the
+    # bloom/runtime-filter semi-join reduction — probe-side scan +
+    # occupied-bucket broadcast semi-join + hinted SortMergeJoin, all
+    # data-proportional work (the 17× shuffle-row cut is measured in
+    # SCALING.md); cheap enough not to distort the total, and it keeps
+    # a shuffle-reduction idiom under per-round measurement.
+    "join_bloom_prefilter",
 ]
 
 

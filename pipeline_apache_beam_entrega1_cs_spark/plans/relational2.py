@@ -1752,8 +1752,10 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     popcounted for a grand-total row, proving the partials merge to any
     coarser rollup WITHOUT rescanning raw keys: re-aggregating
     popcounts would double-count customers appearing under two
-    priorities (the grand total is ~25k here, far below the naive sum
-    of the five per-priority counts), but merging words first is exact.
+    priorities (at sf0.01 the true grand total is ~1.5k while the five
+    per-priority counts sum to ~6.5k), but merging words first is
+    exact — asserted by tests/test_scale_idioms.py::
+    test_bitmap_distinct_merge_beats_popcount_sum.
     That mergeability is what COUNT(DISTINCT) lacks at 100 TB — it
     shuffles raw keys once per grouping set, while bitmap partials
     shuffle fixed-width words that any later rollup can reuse (dense
@@ -1791,6 +1793,100 @@ FROM orders
 """
 
 
+# --------------------------------------------------------------------------
+# Count-min sketch heavy-hitter estimates (mergeable frequency sketch)
+# --------------------------------------------------------------------------
+
+_CMS_D = 4      # hash rows
+_CMS_W = 512    # buckets per row
+
+
+def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) frequency
+    estimates for the true top-10 customers by order count — the
+    FREQUENCY member of the mergeable-sketch family (HLL = cardinality,
+    bitmap = exact distinct, KLL partials = quantiles): the sketch is a
+    fixed d x w counter grid (here 4 x 512 BIGINTs) built in ONE
+    map-side-combinable groupBy, and grids from any partition / day /
+    source merge by cell-wise addition — the property COUNT(*) GROUP BY
+    key lacks at 100 TB, where the raw key space doesn't fit anywhere.
+    est(key) = MIN over rows of cell(row, h_row(key)), an overestimate
+    ONLY (collisions add, never subtract) — asserted per-key by
+    tests/test_scale_idioms.py.
+
+    Hashes are the repo's md5-prefix integer idiom (row-salted), so
+    DuckDB reproduces the grid bit-for-bit and the oracle carries full
+    hash parity: both engines build the same sketch AND the same true
+    counts, and the probe joins d = 4 tiny (row, bucket) pairs per key
+    against the 2048-cell grid — broadcast-sized at any corpus scale.
+
+    Scale shape: one shuffle keyed on (row, bucket) — 2048 groups
+    regardless of input size — plus the exact top-10 (orderBy + limit =
+    TakeOrdered, no global sort) that exists only to pick probe keys."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    rows = orders.withColumn(
+        "r", F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)]))
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("r"), F.col("o_custkey"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W
+    )
+    sketch = rows.groupBy("r", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cell")
+    )
+    true_top = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("o_custkey"))
+        .limit(10)
+    )
+    probes = true_top.withColumn(
+        "r", F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)]))
+    ).select("o_custkey", "true_cnt", "r", bucket.alias("bucket"))
+    return (
+        probes.join(sketch, ["r", "bucket"])
+        .groupBy("o_custkey")
+        .agg(
+            F.min("true_cnt").alias("true_cnt"),
+            F.min("cell").alias("est_cnt"),
+        )
+    )
+
+
+AGG_COUNTMIN_SQL = f"""
+WITH rows_exp AS (
+  SELECT o_custkey, r FROM orders, range({_CMS_D}) t(r)
+), hashed AS (
+  SELECT o_custkey, r,
+         ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+                             CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+           % {_CMS_W} AS bucket
+  FROM rows_exp
+), sketch AS (
+  SELECT r, bucket, COUNT(*) AS cell FROM hashed GROUP BY r, bucket
+), true_top AS (
+  SELECT o_custkey, COUNT(*) AS true_cnt
+  FROM orders GROUP BY o_custkey
+  ORDER BY true_cnt DESC, o_custkey ASC LIMIT 10
+), probes AS (
+  SELECT t.o_custkey, t.true_cnt, h.r, h.bucket
+  FROM true_top t JOIN hashed h ON h.o_custkey = t.o_custkey
+  GROUP BY ALL
+)
+SELECT p.o_custkey,
+       MIN(p.true_cnt) AS true_cnt,
+       MIN(s.cell) AS est_cnt
+FROM probes p JOIN sketch s ON s.r = p.r AND s.bucket = p.bucket
+GROUP BY p.o_custkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "join_bucketed": QuerySpec(join_bucketed, JOIN_BUCKETED_SQL, "join"),
     "join_bloom_prefilter": QuerySpec(
@@ -1799,6 +1895,8 @@ QUERIES: dict[str, QuerySpec] = {
         join_dynamic_partition_pruning, JOIN_DPP_SQL, "join"),
     "agg_bitmap_distinct": QuerySpec(
         agg_bitmap_distinct, AGG_BITMAP_DISTINCT_SQL, "aggregation"),
+    "agg_countmin_heavy_hitters": QuerySpec(
+        agg_countmin_heavy_hitters, AGG_COUNTMIN_SQL, "aggregation"),
     "join_null_skew_split": QuerySpec(
         join_null_skew_split, JOIN_NULL_SKEW_SPLIT_SQL, "join"),
     "source_schema_evolution": QuerySpec(
