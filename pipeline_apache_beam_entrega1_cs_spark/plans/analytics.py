@@ -1877,6 +1877,312 @@ SELECT source, draw_rank, doc_id, weight, priority_key FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# Graph: BFS hop levels (delta-iteration frontier, recursive-CTE oracle)
+# --------------------------------------------------------------------------
+
+_BFS_HOPS = 4
+
+
+def graph_bfs_levels(spark: SparkSession, sf_dir: str,
+                     hops: int = _BFS_HOPS) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from a seed set, as a
+    FIXED-hop straight-line plan — the graph-traversal primitive the
+    reference has no analogue of (its one dataflow is join-only,
+    /root/reference/src/pipeline.py:262-296). Same symmetric
+    customer<->supplier trade graph as graph_pagerank; seeds are the
+    customer-side nodes whose key is divisible by 50.
+
+    This is a DELTA iteration, not a naive unroll: each hop's frontier
+    is (frontier JOIN edges).distinct() ANTI-JOIN everything already
+    reached, so a node is expanded exactly once and the per-hop work is
+    bounded by |V| new nodes x avg degree — the Pregel/GraphX frontier
+    rule. A naive frontier (no distinct, no anti-join) re-walks every
+    path and goes combinatorial on dense graphs; the BFS property test
+    pins min-hop semantics against a plain-Python spec.
+
+    Rows are unique per node BY CONSTRUCTION (each hop's additions are
+    anti-joined against all prior levels), so no final min-aggregate
+    shuffle is needed. The DuckDB oracle derives the same levels
+    independently via WITH RECURSIVE + MIN(level) — union-dedup
+    recursion bounded by the hop cap.
+
+    Scale shape per hop: one frontier⋈edges hash join shuffling node
+    ids + one distinct + one anti-join — linear in the frontier's edge
+    neighborhood, never in paths."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_suppkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + 1000000).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .filter((F.col("node") < 1000000) & (F.col("node") % 50 == 0))
+    )
+    return bfs_levels_loop(edges, seeds, hops)
+
+
+def bfs_levels_loop(edges: DataFrame, seeds: DataFrame,
+                    hops: int) -> DataFrame:
+    """The delta-iteration BFS core over (src, dst) edges and a (node)
+    seed frame — exposed separately so the property test can drive it
+    on arbitrary random digraphs against a plain-Python min-hop spec
+    (graph_bfs_levels wires it to the trade graph).
+
+    Unlike pagerank/LPA (whose per-iteration state joins only STATIC
+    frames), BFS anti-joins each hop against the GROWING visited set,
+    so an uncached straight-line plan re-derives every earlier
+    frontier inside every later anti-join — measured 2.1x slower at
+    sf0.1 (10.9 s vs 5.1 s, SCALING.md). Each hop's frontier and the
+    cumulative visited frame are therefore cached (both bounded by
+    |V|, the Pregel materialization point), the final result is
+    materialized through them MMR-style (operators/similarity.
+    _mmr_core), and the per-hop caches are released — long-lived
+    sessions must not accumulate frontier relations (ADVICE r7 rule).
+    At cluster scale the same points become checkpoint tables."""
+    reached = seeds.select("node", F.lit(0).cast("long").alias("level"))
+    frontier = reached.select("node")
+    hop_caches: list[DataFrame] = []
+    for h in range(1, hops + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(reached.select("node"), "node", "left_anti")
+        ).cache()
+        reached = reached.unionAll(
+            nxt.select("node", F.lit(h).cast("long").alias("level"))
+        ).cache()
+        hop_caches.extend((nxt, reached))
+        frontier = nxt
+    result = reached.cache()
+    result.count()
+    for c in hop_caches:
+        if c is not result:
+            c.unpersist()
+    return result
+
+
+def _bfs_sql(hops: int = _BFS_HOPS) -> str:
+    """Recursive-CTE BFS oracle: union-dedup walk bounded at `hops`,
+    then MIN(level) per node — an independent derivation of the same
+    min-hop function (the Spark side never aggregates; the oracle
+    proves its per-hop anti-join construction equals min-over-walks)."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_orderkey % 20 = 0
+), edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+), seeds AS (
+  SELECT DISTINCT src AS node FROM edges
+  WHERE src < 1000000 AND src % 50 = 0
+), walk(node, level) AS (
+  SELECT node, CAST(0 AS BIGINT) AS level FROM seeds
+  UNION
+  SELECT e.dst AS node, w.level + 1 AS level
+  FROM walk w JOIN edges e ON w.node = e.src
+  WHERE w.level < {hops}
+)
+SELECT node, MIN(level) AS level FROM walk GROUP BY node
+"""
+
+
+# --------------------------------------------------------------------------
+# Interval coalesce (overlap-merge islands)
+# --------------------------------------------------------------------------
+
+_COALESCE_PAD_S = 300
+
+
+def window_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping intervals per key — the gaps-and-islands form
+    over RANGES rather than runs (pattern_match_runs) or fixed gaps
+    (sessionize_events): each event spans [ts, ts+300s]; intervals that
+    overlap or touch chain into one island. The classic two-window
+    idiom: an interval starts a new island iff its start exceeds the
+    running MAX(end) of every preceding interval (ROWS UNBOUNDED
+    PRECEDING TO 1 PRECEDING); island id is then the running sum of
+    those start flags. The cummax (not lag(end)) form is the one that
+    stays correct for VARIABLE-length intervals, where a long interval
+    can swallow later short ones; with this entry's fixed 300 s pad
+    ends are monotone in starts and the two coincide — the test plants
+    variable-length intervals against the shared core to pin the
+    general rule.
+
+    Scale shape: both windows partition by user_id and order by
+    (start, event_id) — per-key sorts after one hash shuffle, no
+    global ordering; the final per-island aggregate reuses the same
+    key. Epoch seconds as BIGINT end-to-end (plans/spec.py)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + _COALESCE_PAD_S).alias("e"),
+    )
+    return interval_coalesce_core(ev)
+
+
+def interval_coalesce_core(iv: DataFrame) -> DataFrame:
+    """The overlap-merge core over a (user_id, event_id, s, e) interval
+    frame — exposed separately so the spec test can plant
+    VARIABLE-length intervals (including a long interval containing
+    later short ones, the case the cummax form exists for) against a
+    plain-Python merge (window_interval_coalesce wires it to the padded
+    events table)."""
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        "event_id",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_new"),
+    )
+    island = F.sum("is_new").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.select(
+            "user_id", "s", "e", island.alias("island_id")
+        )
+        .groupBy("user_id", "island_id")
+        .agg(
+            F.min("s").alias("island_start_s"),
+            F.max("e").alias("island_end_s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+INTERVAL_COALESCE_SQL = f"""
+WITH iv AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + {_COALESCE_PAD_S} AS e
+  FROM events
+), flagged AS (
+  SELECT user_id, s, e, event_id,
+         CAST(CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                   OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS BIGINT) AS is_new
+  FROM iv
+), islands AS (
+  SELECT user_id, s, e,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS island_id
+  FROM flagged
+)
+SELECT user_id, island_id,
+       MIN(s) AS island_start_s, MAX(e) AS island_end_s,
+       COUNT(*) AS n_events
+FROM islands GROUP BY user_id, island_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Robust (median/MAD) anomaly detection — the robust twin of anomaly_zscore
+# --------------------------------------------------------------------------
+
+
+def timeseries_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier profile per event type — the robust
+    twin of anomaly_zscore (mean/stddev breaks down when the anomalies
+    themselves inflate sigma; median and median-absolute-deviation have
+    a 50% breakdown point). robust_z = |x - median| / (1.4826 * MAD),
+    the standard consistency constant for normal data; rows with
+    robust_z > 3 are flagged and the per-type summary is returned.
+
+    Cross-engine determinism: Spark percentile() and DuckDB
+    quantile_cont() are interpolation-identical (verified by
+    agg_percentiles), both medians are rounded to 6 dp before re-use,
+    and the per-row robust_z is rounded before the >3 compare so both
+    engines flag the same boundary rows.
+
+    Scale shape: two keyed aggregates on event_type (exact medians here
+    carry the oracle; approx_percentile is the drop-in 100 TB path, as
+    agg_percentiles documents) with the 5-row per-type stats frames
+    broadcast back — no window over raw rows, no global sort."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    d1 = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    )
+    mad = d1.groupBy("event_type").agg(
+        F.round(F.expr("percentile(dev, 0.5)"), 6).alias("mad")
+    )
+    d2 = d1.join(F.broadcast(mad), "event_type").select(
+        "event_type", "med", "mad", "dev",
+        F.when(
+            F.col("mad") > 0,
+            F.round(F.col("dev") / (F.lit(1.4826) * F.col("mad")), 6),
+        ).alias("rz"),
+    )
+    return d2.groupBy("event_type").agg(
+        F.min("med").alias("med_value"),
+        F.min("mad").alias("mad_value"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("rz") > 3.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_anomalies"),
+        F.max("rz").alias("max_robust_z"),
+    )
+
+
+ANOMALY_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY event_type
+), d1 AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS dev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+), mad AS (
+  SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad
+  FROM d1 GROUP BY event_type
+), d2 AS (
+  SELECT d1.event_type, d1.med, ma.mad, d1.dev,
+         CASE WHEN ma.mad > 0
+              THEN round(d1.dev / (1.4826 * ma.mad), 6) END AS rz
+  FROM d1 JOIN mad ma ON d1.event_type = ma.event_type
+)
+SELECT event_type,
+       MIN(med) AS med_value,
+       MIN(mad) AS mad_value,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN rz > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       MAX(rz) AS max_robust_z
+FROM d2 GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "funnel_conversion": QuerySpec(funnel_conversion, FUNNEL_SQL, "analytics"),
     "retention_cohorts": QuerySpec(retention_cohorts, RETENTION_SQL, "analytics"),
@@ -1920,6 +2226,11 @@ QUERIES: dict[str, QuerySpec] = {
     "graph_pagerank": QuerySpec(
         graph_pagerank, _pagerank_sql(), "graph",
         plan_waivers={"bnlj": "1-row node-count scalar attach"}),
+    "graph_bfs_levels": QuerySpec(graph_bfs_levels, _bfs_sql(), "graph"),
+    "window_interval_coalesce": QuerySpec(
+        window_interval_coalesce, INTERVAL_COALESCE_SQL, "window"),
+    "timeseries_anomaly_mad": QuerySpec(
+        timeseries_anomaly_mad, ANOMALY_MAD_SQL, "timeseries"),
     "graph_label_propagation": QuerySpec(
         graph_label_propagation, _lpa_sql(), "graph"),
     "sample_fixed_k_per_stratum": QuerySpec(

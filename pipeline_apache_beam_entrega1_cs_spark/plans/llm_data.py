@@ -10,6 +10,8 @@ with recall asserted against exact baselines in tests.
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -278,6 +280,113 @@ WITH e AS (
   FROM rescored
 )
 SELECT query_id, cand_id, coarse_sim, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Retrieval evaluation: recall@k + nDCG@k of the IVF index vs exact top-k
+# --------------------------------------------------------------------------
+
+_EVAL_K = 5
+# 1/log2(rank+1) DCG discounts as exact integer nano-units, so both
+# engines sum BIGINTs (partition-order independent; a double SUM of the
+# discounts would be order-sensitive and engine-divergent in the last
+# ulp of log2). Computed once at import from the published formula.
+_NDCG_W_NANO = {
+    r: int(round(1e9 / _math.log2(r + 1))) for r in range(1, _EVAL_K + 1)
+}
+_IDCG_NANO = sum(_NDCG_W_NANO.values())
+
+
+def eval_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation as a first-class operator: per-query
+    recall@5 and (binary-relevance) nDCG@5 of the deterministic IVF
+    index (ann_ivf_topk_det) against the exact brute-force cosine
+    top-5 (ann_cosine_topk) as ground truth — the eval harness every
+    retrieval/RAG data pipeline runs before swapping an index into
+    serving, expressed as ONE declarative plan over both retrieval
+    paths.
+
+    Determinism: relevance is a 0/1 membership join (no float compare);
+    DCG discounts 1/log2(r+1) are embedded as exact integer NANO-UNIT
+    literals and summed as BIGINTs, so the only float ops are two final
+    divisions by constants — identical cross-engine, and the whole
+    metric frame value-hash-matches the composed SQL oracle.
+
+    Scale shape: both retrieval arms are the already-audited plans
+    (IVF probes prune to n_probe lists; the exact arm is the oracle
+    baseline you'd run on a SAMPLE of queries at 100 TB — queries are
+    the tiny side, candidates never leave their buckets); the metric
+    join touches k rows per query."""
+    emb = _emb(spark, sf_dir)
+    approx = S.ivf_ann_topk_det(emb, QUERY_IDS, k=_EVAL_K).select(
+        "query_id", "cand_id", "rank"
+    )
+    exact = S.cosine_topk(emb, QUERY_IDS, k=_EVAL_K).select(
+        "query_id", "cand_id", F.lit(1).cast("long").alias("rel")
+    )
+    w_nano = F.coalesce(
+        *[
+            F.when(F.col("rank") == r, F.lit(w).cast("long"))
+            for r, w in _NDCG_W_NANO.items()
+        ]
+    )
+    hits = approx.join(exact, ["query_id", "cand_id"], "left").select(
+        "query_id",
+        F.coalesce("rel", F.lit(0).cast("long")).alias("rel"),
+        w_nano.alias("w_nano"),
+    )
+    return hits.groupBy("query_id").agg(
+        F.sum("rel").alias("n_overlap"),
+        F.round(F.sum("rel").cast("double") / _EVAL_K, 6).alias("recall_at_k"),
+        F.round(
+            F.sum(F.col("rel") * F.col("w_nano")).cast("double") / _IDCG_NANO, 6
+        ).alias("ndcg_at_k"),
+    )
+
+
+def _retrieval_eval_sql(k: int = _EVAL_K, n_queries: int = 10) -> str:
+    """Composed oracle: the deterministic-IVF chain's CTEs re-shaped
+    into an `approx` CTE, an exact brute-force `exact_top` arm reusing
+    the same `v` vector CTE, then the BIGINT nano-unit metric tail."""
+    ivf = _ivf_det_sql(n_queries=n_queries, k=k)
+    final = "\nSELECT query_id, cand_id, cos_sim, rank FROM ("
+    body = ivf.rsplit(final, 1)[0]
+    w_case = " ".join(
+        f"WHEN {r} THEN {w}" for r, w in _NDCG_W_NANO.items()
+    )
+    return body + f""", approx AS (
+  SELECT query_id, cand_id, rank FROM (
+    SELECT query_id, cand_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, cand_id ASC) AS BIGINT) AS rank
+    FROM cand
+  ) WHERE rank <= {k}
+), eq AS (
+  SELECT vec_id AS query_id, v AS qe FROM v WHERE vec_id < {n_queries}
+), exact_scored AS (
+  SELECT eq.query_id, v.vec_id AS cand_id,
+         round(list_cosine_similarity(eq.qe, v.v), 6) AS cos_sim
+  FROM eq JOIN v ON v.vec_id <> eq.query_id
+), exact_top AS (
+  SELECT query_id, cand_id, CAST(1 AS BIGINT) AS rel FROM (
+    SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, cand_id ASC) AS rk
+    FROM exact_scored
+  ) WHERE rk <= {k}
+), hits AS (
+  SELECT a.query_id,
+         COALESCE(e.rel, 0) AS rel,
+         CASE a.rank {w_case} END AS w_nano
+  FROM approx a LEFT JOIN exact_top e
+    ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+)
+SELECT query_id,
+       CAST(SUM(rel) AS BIGINT) AS n_overlap,
+       round(CAST(SUM(rel) AS DOUBLE) / {k}, 6) AS recall_at_k,
+       round(CAST(SUM(rel * w_nano) AS DOUBLE) / {_IDCG_NANO}, 6) AS ndcg_at_k
+FROM hits GROUP BY query_id
 """
 
 
@@ -2060,6 +2169,11 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_retrieval_pipeline": QuerySpec(
         ann_retrieval_pipeline, _retrieval_pipeline_sql(), "similarity",
         plan_waivers={"bnlj": "k-row centroid/codebook broadcasts (IVF-PQ stage)"}),
+    "eval_retrieval_metrics": QuerySpec(
+        eval_retrieval_metrics, _retrieval_eval_sql(), "similarity",
+        plan_waivers={"bnlj": (
+            "k-row centroid broadcast (IVF arm) + |queries| x corpus "
+            "stream (exact ground-truth arm)")}),
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_STATS_SQL, "text"),
     "text_bpe_token_count": QuerySpec(text_bpe_token_count, TEXT_BPE_TOKEN_SQL, "text"),
     "text_bpe_apply": QuerySpec(text_bpe_apply, _bpe_apply_sql(), "text"),

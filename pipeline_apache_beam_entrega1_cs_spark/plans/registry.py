@@ -99,11 +99,13 @@ dataset_build_pipeline, joins, TPC-H date queries, windows).
 18 + 10 + 22 = 50.
 
 ROUND 9 CHORE: rotate again — promote (a) any r08 failures, (b)
-entries added during round 9 itself PLUS the four LATE round-8
+entries added during round 9 itself PLUS the NINE late round-8
 additions that landed after the window was finalized and so have no
 driver row (join_bloom_prefilter, join_dynamic_partition_pruning,
-agg_bitmap_distinct, join_null_skew_split — all locally oracle-green
-at sf0.001/0.01/0.1),
+agg_bitmap_distinct, join_null_skew_split from the second session;
+graph_bfs_levels, window_interval_coalesce, timeseries_anomaly_mad,
+agg_countmin_heavy_hitters, eval_retrieval_metrics from the third —
+all locally oracle-green at sf0.001 and the sf0.01 gate SF),
 (c) the TWENTY-EIGHT r04-only
 entries left outside the round-8 window: agg_approx_distinct,
 agg_approx_percentile, agg_basic_stats, agg_collect_sorted, agg_cube,

@@ -791,3 +791,136 @@ def test_pattern_match_random_streams_vs_bruteforce(spark):
         A._t = orig
     assert got_fixed == fixed_expected
     assert got_runs == runs_expected
+
+
+def test_bfs_levels_matches_python_spec(spark):
+    """The delta-iteration BFS core vs a plain-Python min-hop spec on
+    randomized small digraphs (seeded stdlib random, same harness as
+    the LPA spec test): identical (node, level) maps under the hop cap,
+    including unreachable nodes (absent), multi-seed graphs (min over
+    seeds), and cycles (the anti-join must not re-expand)."""
+    import random
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.analytics import (
+        bfs_levels_loop,
+    )
+
+    def py_bfs(edges, seeds, hops):
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+        level = {s: 0 for s in seeds}
+        frontier = set(seeds)
+        for h in range(1, hops + 1):
+            nxt = set()
+            for n in frontier:
+                nxt |= adj.get(n, set())
+            nxt -= level.keys()
+            for n in nxt:
+                level[n] = h
+            frontier = nxt
+        return level
+
+    rng = random.Random(4321)
+    for trial in range(10):
+        n_nodes = rng.randint(2, 12)
+        edges = sorted(
+            {
+                (rng.randrange(n_nodes), rng.randrange(n_nodes))
+                for _ in range(rng.randint(1, 20))
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        nodes_in_graph = sorted({a for a, _ in edges})
+        seeds = rng.sample(
+            nodes_in_graph, k=min(len(nodes_in_graph), rng.randint(1, 3))
+        )
+        hops = rng.randint(1, 4)
+        edf = spark.createDataFrame(edges, "src long, dst long")
+        sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+        got = {
+            r["node"]: r["level"]
+            for r in bfs_levels_loop(edf, sdf, hops).collect()
+        }
+        assert got == py_bfs(edges, seeds, hops), (trial, edges, seeds, hops)
+
+
+def test_interval_coalesce_matches_python_spec(spark):
+    """The overlap-merge core vs a plain-Python sweep on planted
+    VARIABLE-length intervals: chained overlaps merge, touching ends
+    merge (s == prev end), a gap splits, and — the case the cummax
+    form exists for — a long interval CONTAINING later short ones must
+    not let a short interval's early end reopen the island."""
+    from pipeline_apache_beam_entrega1_cs_spark.plans.analytics import (
+        interval_coalesce_core,
+    )
+
+    rows = [
+        # user 1: chain [0,300]+[100,400]+[350,650], gap, [1000,1300]
+        (1, 1, 0, 300), (1, 2, 100, 400), (1, 3, 350, 650),
+        (1, 4, 1000, 1300),
+        # user 2: containment — [0,1000] swallows [100,200] and
+        # [300,400]; then [900,1100] still overlaps the long one;
+        # [1200,1250] is a new island. lag(e) would wrongly split at
+        # s=300 (prev row's e=200) — cummax keeps e=1000 live.
+        (2, 1, 0, 1000), (2, 2, 100, 200), (2, 3, 300, 400),
+        (2, 4, 900, 1100), (2, 5, 1200, 1250),
+        # user 3: touching ends merge
+        (3, 1, 0, 300), (3, 2, 300, 600),
+    ]
+    expected = {
+        (1, 0, 650, 3), (1, 1000, 1300, 1),
+        (2, 0, 1100, 4), (2, 1200, 1250, 1),
+        (3, 0, 600, 2),
+    }
+    iv = spark.createDataFrame(
+        rows, "user_id long, event_id long, s long, e long"
+    )
+    got = {
+        (r["user_id"], r["island_start_s"], r["island_end_s"], r["n_events"])
+        for r in interval_coalesce_core(iv).collect()
+    }
+    assert got == expected
+
+
+def test_anomaly_mad_flags_planted_outlier(spark):
+    """Median/MAD robustness on a planted series: 20 values near 10.0
+    plus THREE extreme outliers — the outliers must be exactly the
+    flagged rows, the median must ignore them, and (the reason the
+    robust twin exists) the same series' mean/stddev z-score stays
+    BELOW the 3-sigma bar because the outlier cluster inflates sigma
+    itself (masking: 3 x 500 among 23 drags sigma to ~169, z ~2.5)."""
+    import datetime
+    import statistics
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    base = [9.0 + 0.1 * i for i in range(20)]  # median ~10, tight MAD
+    vals = base + [500.0] * 3
+    t0 = datetime.datetime(2025, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (i, t0 + datetime.timedelta(seconds=i), 1, "click", v, "{}")
+            for i, v in enumerate(vals)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = A._t
+    A._t = lambda spark, sf_dir, name: ev
+    try:
+        [row] = A.timeseries_anomaly_mad(spark, "x").collect()
+    finally:
+        A._t = orig
+    assert row["n_rows"] == 23
+    assert row["n_anomalies"] == 3
+    assert abs(row["med_value"] - statistics.median(vals)) < 1e-9
+    assert row["max_robust_z"] > 3.0
+    # classical z-score on the same series: the outlier cluster pulls
+    # sigma to ~169, so each outlier's z is only ~2.5 — under the
+    # 3-sigma bar. This masking is what the MAD entry guards against.
+    mu = statistics.mean(vals)
+    sd = statistics.stdev(vals)
+    assert (500.0 - mu) / sd < 3.0

@@ -805,3 +805,43 @@ def test_embedding_norm_profile_flags_planted_defects(spark):
     assert out[0]["n_dims_distinct"] == 1
     assert out[1]["n_zero"] == 0 and out[1]["n_outliers"] == 0
     assert out[1]["min_norm"] == out[1]["max_norm"] == 2.0
+
+
+def test_retrieval_eval_consistent_with_arms(spark, sf_dir):
+    """eval_retrieval_metrics must equal metrics recomputed in plain
+    Python from its two constituent retrieval arms run standalone (the
+    retrieval-pipeline consistency pattern), and both metrics must stay
+    inside [0, 1] with n_overlap == recall * k."""
+    import math
+
+    from pipeline_apache_beam_entrega1_cs_spark.operators import similarity as S
+    from pipeline_apache_beam_entrega1_cs_spark.plans.llm_data import (
+        _EVAL_K,
+        QUERY_IDS,
+        eval_retrieval_metrics,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = S.ivf_ann_topk_det(emb, QUERY_IDS, k=_EVAL_K).collect()
+    exact = S.cosine_topk(emb, QUERY_IDS, k=_EVAL_K).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["cand_id"])
+    got = {r["query_id"]: r for r in eval_retrieval_metrics(spark, sf_dir).collect()}
+    assert set(got) == set(truth)
+    per_q = {}
+    for r in approx:
+        rel = 1 if r["cand_id"] in truth[r["query_id"]] else 0
+        ov, dcg = per_q.get(r["query_id"], (0, 0.0))
+        per_q[r["query_id"]] = (
+            ov + rel, dcg + rel / math.log2(r["rank"] + 1)
+        )
+    idcg = sum(1 / math.log2(r + 1) for r in range(1, _EVAL_K + 1))
+    for q, (ov, dcg) in per_q.items():
+        row = got[q]
+        assert row["n_overlap"] == ov, (q, row, ov)
+        assert abs(row["recall_at_k"] - ov / _EVAL_K) < 1e-6
+        assert abs(row["ndcg_at_k"] - dcg / idcg) < 1e-5, (q, row, dcg / idcg)
+        assert 0.0 <= row["recall_at_k"] <= 1.0
+        assert 0.0 <= row["ndcg_at_k"] <= 1.0

@@ -685,3 +685,26 @@ def test_null_skew_split_counts(spark, sf_dir):
     n_null = orders.filter(F.col("o_orderkey") % 3 == 0).count()
     assert rows[None] == n_null, (rows.get(None), n_null)
     assert sum(rows.values()) == n_total
+
+
+def test_countmin_overestimates_only(spark, sf_dir):
+    """Count-min guarantee, per probed key: est >= true ALWAYS (hash
+    collisions add counts, never subtract), and min-over-4-rows keeps
+    the overestimate within the sketch's coarse epsilon*N bound
+    (eps = e/w; with d = 4 independent rows the realized error is far
+    smaller — asserted loosely so the test pins the direction, not the
+    tail luck)."""
+    from pipeline_apache_beam_entrega1_cs_spark.plans.relational2 import (
+        _CMS_W,
+        agg_countmin_heavy_hitters,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    rows = agg_countmin_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == 10
+    n_total = load_table(spark, sf_dir, "orders").count()
+    for r in rows:
+        assert r["est_cnt"] >= r["true_cnt"], r
+        assert r["est_cnt"] - r["true_cnt"] <= 3 * n_total / _CMS_W, (
+            r, n_total
+        )
