@@ -424,11 +424,14 @@ def binary_payload_dedup(
         .filter(F.length("payload") >= shingle_bytes)
         .select("doc_id", F.hex("payload").alias("hx"))
     )
-    shingles = F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, length(hx) - {w - 1}, 2),"
-            f" i -> substring(hx, i, {w}))"
-        )
+    # NO array_distinct: a MinHash signature is min-over-hashes, and the
+    # min of a multiset equals the min of its set — shingle multiplicity
+    # cannot change any signature, band key, or est_jaccard, while the
+    # per-row distinct pass costs ~15% of the whole job at sf0.1
+    # (measured 6.8 -> 5.7 s warm, identical 4305 output pairs).
+    shingles = F.expr(
+        f"transform(sequence(1, length(hx) - {w - 1}, 2),"
+        f" i -> substring(hx, i, {w}))"
     )
     near = (
         _minhash_banded_from_arrays(
