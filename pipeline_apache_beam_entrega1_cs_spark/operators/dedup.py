@@ -427,8 +427,8 @@ def binary_payload_dedup(
     # NO array_distinct: a MinHash signature is min-over-hashes, and the
     # min of a multiset equals the min of its set — shingle multiplicity
     # cannot change any signature, band key, or est_jaccard, while the
-    # per-row distinct pass costs ~15% of the whole job at sf0.1
-    # (measured 6.8 -> 5.7 s warm, identical 4305 output pairs).
+    # per-row distinct pass costs ~6% of the whole job at sf0.1
+    # (interleaved warm A/B in SCALING.md; identical 4305 output pairs).
     shingles = F.expr(
         f"transform(sequence(1, length(hx) - {w - 1}, 2),"
         f" i -> substring(hx, i, {w}))"
