@@ -204,6 +204,96 @@ def containment_pairs(
     )
 
 
+def cross_source_overlap(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Cross-source near-duplication matrix — the mixture-weighting
+    diagnostic a curation stack runs before fixing per-source sampling
+    rates (a source that largely restates another should not get
+    independent weight): for each source pair, how many per-document
+    min-shingle fingerprints they share.
+
+    The fingerprint is the MINIMUM md5 over a document's word n-gram
+    shingles — a 1-hash MinHash, i.e. the first row of the signature
+    matrix the banded family builds: two documents collide exactly when
+    the same shingle achieves the min in both, which happens with
+    probability ≈ their Jaccard similarity. That coarse-but-cheap
+    collision rate is what a source-pair AGGREGATE needs (exact text
+    equality finds nothing across independently-near-duplicated
+    sources; pairwise Jaccard is per-document work this report never
+    touches).
+
+    Output per unordered source pair (source_a < source_b):
+    n_shared_fp, each side's distinct-fingerprint total, and
+    overlap = shared / min(n_a, n_b) (the containment convention at
+    source granularity). Pairs with zero shared fingerprints are
+    omitted.
+
+    Scale shape: fingerprints are a per-document min (one keyed
+    aggregate over the shingle pipeline); the pair stage joins the
+    DISTINCT (fp, source) frame with itself on the fingerprint key —
+    fan-out per fp is bounded by #sources (squared per fp in the worst
+    boilerplate case), never by corpus size; totals are a #sources-row
+    broadcast."""
+    # Per-document fingerprint: explode + min-aggregate on doc_id ONLY —
+    # partial aggregation combines map-side, so the shuffle carries ~one
+    # row per document, and the source column joins onto that slim frame
+    # afterwards (both sides a row per doc; AQE broadcasts the small
+    # side at test SFs, a co-keyed shuffle join at 100 TB). Measured
+    # fresh-session A/B at sf0.1 (SCALING.md): this form 4.9 s cold /
+    # 1.3 s warm; the "narrow" array_min(transform(md5)) form LOOKS
+    # shuffle-free but re-evaluates the shingle construction per array
+    # element (the CollapseProject trap _shingle_arrays documents) —
+    # 8.0 s cold / ~6 s warm; joining source BEFORE the aggregate adds
+    # the explode-width join — 10.9 s.
+    fp = (
+        _explode_shingles(_shingle_arrays(docs, n))
+        .groupBy("doc_id")
+        .agg(F.min(F.md5("shingle")).alias("fp"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    # The distinct (fp, source) frame feeds THREE consumers (totals +
+    # both self-join sides); cached (≤ |docs| rows), result materialized
+    # through it, cache released — the bfs_levels_loop/_mmr_core
+    # discipline.
+    fs = fp.select("source", "fp").distinct().cache()
+    totals = fs.groupBy("source").agg(F.countDistinct("fp").alias("n_fp"))
+    a, b = fs.alias("a"), fs.alias("b")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.countDistinct("fp").alias("n_shared_fp"))
+    )
+    ta = totals.select(
+        F.col("source").alias("source_a"), F.col("n_fp").alias("n_fp_a")
+    )
+    tb = totals.select(
+        F.col("source").alias("source_b"), F.col("n_fp").alias("n_fp_b")
+    )
+    result = (
+        pairs.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_fp",
+            "n_fp_a",
+            "n_fp_b",
+            F.round(
+                F.col("n_shared_fp").cast("double")
+                / F.least("n_fp_a", "n_fp_b"),
+                6,
+            ).alias("overlap"),
+        )
+        .cache()
+    )
+    result.count()  # materialize through fs, then release it
+    fs.unpersist()
+    return result
+
+
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """Per-document SimHash over distinct tokens.
 

@@ -2157,6 +2157,190 @@ def timeseries_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Neyman-allocated stratified sampling
+# --------------------------------------------------------------------------
+
+_NEYMAN_K = 200
+
+
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str,
+                             total_k: int = _NEYMAN_K) -> DataFrame:
+    """Stratified sampling with NEYMAN allocation (Neyman 1934): the
+    per-stratum budget k_h ∝ N_h·σ_h, the allocation that minimizes the
+    variance of the stratified mean estimator for a fixed total budget —
+    the statistically-grounded sibling of the fixed-k
+    (sample_fixed_k_per_stratum) and fixed-rate (stratified_sample_hash)
+    draws: high-variance strata earn more of the budget, near-constant
+    strata earn almost none.
+
+    Determinism across engines: σ_h comes from the exact decimal
+    Σx / Σx² moments (the agg_basic_stats recipe), is rounded to 6 dp,
+    and is then converted to exact integer MICRO-units so the
+    allocation weights N_h·σ_h sum as BIGINTs (a double sum over
+    strata would be partition-order dependent); the only float op in
+    the allocation is one final k·w/Σw division of identical operands.
+    The draw itself is the md5(event_id)-rank idiom — stable across
+    runs, engines, and partitioning.
+
+    Scale shape: one keyed moment aggregate, a #strata-row window for
+    the weight total (waivered: window input is O(#strata)), and a
+    per-stratum rank window over raw rows — per-key sorts after one
+    hash shuffle, no global ordering."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dx = F.col("value").cast("decimal(18,4)")
+    n = F.count(F.lit(1))
+    sx = F.sum(dx).cast("string").cast("double")
+    sxx = F.sum((dx * dx).cast("decimal(38,8)")).cast("string").cast("double")
+    sigma = F.round(
+        F.when(n > 1, F.sqrt((sxx - sx * sx / n) / (n - 1))).otherwise(0.0), 6
+    )
+    stats = ev.groupBy("event_type").agg(
+        n.cast("long").alias("n_h"),
+        sigma.alias("sigma"),
+    )
+    wall = Window.partitionBy()
+    alloc = (
+        stats.select(
+            "event_type",
+            "n_h",
+            "sigma",
+            (
+                F.col("n_h")
+                * F.round(F.col("sigma") * 1e6, 0).cast("long")
+            ).alias("w_micro"),
+        )
+        .select(
+            "event_type",
+            "n_h",
+            "sigma",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.least(
+                    F.col("n_h"),
+                    F.floor(
+                        F.lit(float(total_k))
+                        * F.col("w_micro")
+                        / F.sum("w_micro").over(wall)
+                    ).cast("long"),
+                ),
+            ).alias("alloc_k"),
+        )
+    )
+    rk_w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")).asc(), F.col("event_id").asc()
+    )
+    ranked = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.row_number().over(rk_w).cast("long").alias("draw_rank"),
+    )
+    return ranked.join(F.broadcast(alloc), "event_type").filter(
+        F.col("draw_rank") <= F.col("alloc_k")
+    ).select(
+        "event_type", "draw_rank", "event_id", "value",
+        "alloc_k", "n_h", "sigma",
+    )
+
+
+SAMPLE_NEYMAN_SQL = f"""
+WITH stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_h,
+         round(CASE WHEN COUNT(*) > 1 THEN sqrt(
+           (CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) *
+                              CAST(value AS DECIMAL(18,4)) AS DECIMAL(38,8)))
+                      AS VARCHAR) AS DOUBLE)
+            - CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+              * CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+              / COUNT(*)) / (COUNT(*) - 1))
+         ELSE 0.0 END, 6) AS sigma
+  FROM events GROUP BY event_type
+), alloc AS (
+  SELECT event_type, n_h, sigma,
+         greatest(CAST(1 AS BIGINT), least(n_h, CAST(floor(
+           {float(_NEYMAN_K)} * (n_h * CAST(round(sigma * 1e6, 0) AS BIGINT))
+           / SUM(n_h * CAST(round(sigma * 1e6, 0) AS BIGINT)) OVER ()
+         ) AS BIGINT))) AS alloc_k
+  FROM stats
+), ranked AS (
+  SELECT event_type, event_id, value,
+         CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY md5(CAST(event_id AS VARCHAR)) ASC, event_id ASC)
+              AS BIGINT) AS draw_rank
+  FROM events
+)
+SELECT r.event_type, r.draw_rank, r.event_id, r.value,
+       a.alloc_k, a.n_h, a.sigma
+FROM ranked r JOIN alloc a ON r.event_type = a.event_type
+WHERE r.draw_rank <= a.alloc_k
+"""
+
+
+# --------------------------------------------------------------------------
+# Max drawdown (running-peak deficit) per user
+# --------------------------------------------------------------------------
+
+
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user over the cumulative event-value curve —
+    the canonical running-peak analytic (risk reports, engagement-decay
+    dashboards): cum_t = Σ value up to t, peak_t = max cum so far,
+    drawdown_t = peak_t - cum_t, and the report is each user's worst
+    drawdown with their peak and final equity.
+
+    All three running quantities stay in DECIMAL(18,4) end-to-end —
+    sums, running max, and subtraction are exact, so no rounding
+    convention is even needed until the final decimal->double string
+    casts. Ordering is (ts, event_id) in both engines.
+
+    Scale shape: one hash shuffle on user_id feeds both the windows and
+    the final per-user aggregate; no global sort anywhere."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.col("value").cast("decimal(18,4)").alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cums = ev.select(
+        "user_id", "ts", "event_id", F.sum("v").over(w).alias("cum")
+    )
+    # windows can't nest: the running peak is a second window over the
+    # materialized cum column (same partitioning — one shuffle serves
+    # both window stages and the final aggregate)
+    peak = F.max("cum").over(w)
+    scored = cums.select(
+        "user_id", "cum", peak.alias("peak"), (peak - F.col("cum")).alias("dd")
+    )
+    return scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("cum").cast("string").cast("double").alias("peak_equity"),
+        F.max("dd").cast("string").cast("double").alias("max_drawdown"),
+    )
+
+
+WINDOW_MAX_DRAWDOWN_SQL = """
+WITH cums AS (
+  SELECT user_id, ts, event_id,
+         SUM(CAST(value AS DECIMAL(18,4))) OVER w AS cum
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), scored AS (
+  SELECT user_id, cum,
+         MAX(cum) OVER w AS peak,
+         MAX(cum) OVER w - cum AS dd
+  FROM cums
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(CAST(MAX(cum) AS VARCHAR) AS DOUBLE) AS peak_equity,
+       CAST(CAST(MAX(dd) AS VARCHAR) AS DOUBLE) AS max_drawdown
+FROM scored GROUP BY user_id
+"""
+
+
 ANOMALY_MAD_SQL = """
 WITH med AS (
   SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
@@ -2231,6 +2415,12 @@ QUERIES: dict[str, QuerySpec] = {
         window_interval_coalesce, INTERVAL_COALESCE_SQL, "window"),
     "timeseries_anomaly_mad": QuerySpec(
         timeseries_anomaly_mad, ANOMALY_MAD_SQL, "timeseries"),
+    "sample_neyman_allocation": QuerySpec(
+        sample_neyman_allocation, SAMPLE_NEYMAN_SQL, "sampling",
+        plan_waivers={"global_window": (
+            "weight-total window input = #strata rows (O(1))")}),
+    "window_max_drawdown": QuerySpec(
+        window_max_drawdown, WINDOW_MAX_DRAWDOWN_SQL, "window"),
     "graph_label_propagation": QuerySpec(
         graph_label_propagation, _lpa_sql(), "graph"),
     "sample_fixed_k_per_stratum": QuerySpec(

@@ -158,6 +158,47 @@ WHERE greatest(containment_a_in_b, containment_b_in_a) >= 0.8
 """
 
 
+def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication matrix
+    (operators/dedup.cross_source_overlap): per source pair, the count
+    of shared per-document min-shingle fingerprints (a 1-hash MinHash —
+    collision probability ≈ Jaccard) with overlap = shared /
+    min(|A|, |B|) — the mixture-weighting diagnostic run before fixing
+    per-source sampling rates. Exact text equality finds ZERO
+    cross-source pairs on this corpus; the min-shingle collision rate
+    surfaces the near-dup structure a source-level report needs."""
+    return D.cross_source_overlap(_docs(spark, sf_dir), n=3)
+
+
+DEDUP_CROSS_SOURCE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKS} AS tk FROM documents WHERE trim(text) <> ''
+), sh AS (
+  SELECT DISTINCT doc_id, source, array_to_string(tk[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS g(i)
+), fp AS (
+  SELECT doc_id, source, MIN(md5(shingle)) AS fp
+  FROM sh GROUP BY doc_id, source
+), fs AS (
+  SELECT DISTINCT source, fp FROM fp
+), totals AS (
+  SELECT source, COUNT(DISTINCT fp) AS n_fp FROM fs GROUP BY source
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         COUNT(DISTINCT a.fp) AS n_shared_fp
+  FROM fs a JOIN fs b USING (fp)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared_fp,
+       ta.n_fp AS n_fp_a, tb.n_fp AS n_fp_b,
+       round(n_shared_fp::DOUBLE / least(ta.n_fp, tb.n_fp), 6) AS overlap
+FROM pairs
+JOIN totals ta ON source_a = ta.source
+JOIN totals tb ON source_b = tb.source
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_docs(spark, sf_dir), bits=32)
 
@@ -2210,6 +2251,8 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_keep_best": QuerySpec(dedup_keep_best, DEDUP_KEEP_BEST_SQL, "dedup"),
     "dedup_containment": QuerySpec(
         dedup_containment, DEDUP_CONTAINMENT_SQL, "dedup"),
+    "dedup_cross_source_overlap": QuerySpec(
+        dedup_cross_source_overlap, DEDUP_CROSS_SOURCE_SQL, "dedup"),
     "embedding_norm_profile": QuerySpec(
         embedding_norm_profile, EMBEDDING_NORM_PROFILE_SQL, "similarity"),
     "text_winnow_sketch": QuerySpec(text_winnow_sketch, TEXT_WINNOW_SQL, "text"),

@@ -92,28 +92,31 @@ additions (the previous revision of this note undercounted them as
 three; VERDICT r7 flag #2 corrected the count) — two of which
 (sample_temperature_mixture, graph_link_prediction) also changed
 semantics this round per ADVICE r7, so their rows double as
-regression evidence, (c) 13 of the 50 entries whose latest driver
+regression evidence, (c) 10 of the 50 entries whose latest driver
 evidence is r04, execution-heaviest first (streaming sinks/joins,
 parquet/ORC roundtrips, pack_token_budget, key_skew_profile,
-dataset_build_pipeline, outer joins), (d) the NINE late round-8
-additions from the second and third sessions
+dataset_build_pipeline, join_sort_merge, join_broadcast_dim), (d) the
+TWELVE late round-8 additions from the second and third sessions
 (join_bloom_prefilter, join_dynamic_partition_pruning,
 agg_bitmap_distinct, join_null_skew_split; graph_bfs_levels,
 window_interval_coalesce, timeseries_anomaly_mad,
-agg_countmin_heavy_hitters, eval_retrieval_metrics — all locally
+agg_countmin_heavy_hitters, eval_retrieval_metrics,
+dedup_cross_source_overlap, sample_neyman_allocation,
+window_max_drawdown — all locally
 oracle-green at sf0.001 and the sf0.01 gate SF), promoted so NO
 registry entry is left without driver evidence after r08.
-18 + 10 + 13 + 9 = 50.
+18 + 10 + 10 + 12 = 50.
 
 ROUND 9 CHORE: rotate again — promote (a) any r08 failures, (b)
 entries added during round 9 itself,
-(c) the THIRTY-SEVEN r04-only
+(c) the FORTY r04-only
 entries left outside the round-8 window: agg_approx_distinct,
 agg_approx_percentile, agg_basic_stats, agg_collect_sorted, agg_cube,
 agg_distinct, agg_grouping_sets, agg_having, agg_min_max_by,
 agg_percentiles, agg_rollup, ann_cosine_topk, cte_above_avg_nations,
 decile_stats_bucketed, filter_project_nullsafe, join_anti,
-join_asof_events, join_range_nonequi, join_semi, ntile_decile_stats,
+join_asof_events, join_full_outer, join_left_outer,
+join_range_nonequi, join_right_outer, join_semi, ntile_decile_stats,
 pivot_flag_status, q3_shipping_priority, q5_region_revenue,
 sample_seeded, scalar_subquery_parts, skew_salted_agg,
 sort_limit_global, text_bigram_pmi, text_tfidf_top_terms,
@@ -194,19 +197,16 @@ DRIVER_PRIORITY: list[str] = [
     "dataset_build_pipeline",
     "join_sort_merge",
     "join_broadcast_dim",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    # --- the nine LATE round-8 additions (second + third session),
+    # --- the twelve LATE round-8 additions (second + third session),
     # promoted into the window so NO registry entry is left without
-    # driver evidence after r08; they displace the last nine r04
-    # back-fill names (join_semi, join_anti, join_range_nonequi,
-    # join_asof_events, skew_salted_agg, q3_shipping_priority,
-    # q5_region_revenue, window_rank, window_lag_lead — all stable
-    # many-times-green surfaces whose re-check is the lowest-
-    # information slot use; they join the round-9 back-fill, and
-    # q1/q3/q5 + the joins stay execution-covered by bench.py every
-    # round regardless) ---
+    # driver evidence after r08; they displace the last twelve r04
+    # back-fill names (join_left/right/full_outer, join_semi,
+    # join_anti, join_range_nonequi, join_asof_events, skew_salted_agg,
+    # q3_shipping_priority, q5_region_revenue, window_rank,
+    # window_lag_lead — all stable many-times-green surfaces whose
+    # re-check is the lowest-information slot use; they join the
+    # round-9 back-fill, and q1/q3/q5 + the joins stay
+    # execution-covered by bench.py every round regardless) ---
     "join_bloom_prefilter",
     "join_dynamic_partition_pruning",
     "agg_bitmap_distinct",
@@ -216,7 +216,11 @@ DRIVER_PRIORITY: list[str] = [
     "timeseries_anomaly_mad",
     "agg_countmin_heavy_hitters",
     "eval_retrieval_metrics",
-    # (join_semi, join_anti, join_range_nonequi, join_asof_events,
+    "dedup_cross_source_overlap",
+    "sample_neyman_allocation",
+    "window_max_drawdown",
+    # (join_left_outer, join_right_outer, join_full_outer,
+    # join_semi, join_anti, join_range_nonequi, join_asof_events,
     # skew_salted_agg, q3_shipping_priority, q5_region_revenue,
     # window_rank, window_lag_lead, window_distribution,
     # window_running_frames, topk_per_group,

@@ -924,3 +924,72 @@ def test_anomaly_mad_flags_planted_outlier(spark):
     mu = statistics.mean(vals)
     sd = statistics.stdev(vals)
     assert (500.0 - mu) / sd < 3.0
+
+
+def test_neyman_allocation_favors_high_variance(spark):
+    """Neyman semantics on planted strata: two equal-size strata, one
+    near-constant and one high-variance — the variance stratum must win
+    nearly the whole budget (k_h ∝ N_h·σ_h), the constant stratum keeps
+    the floor of 1, per-stratum draws never exceed N_h, and the draw is
+    deterministic across invocations."""
+    import datetime
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    t0 = datetime.datetime(2025, 1, 1)
+    rows = []
+    for i in range(100):
+        rows.append((i, t0, 1, "flat", 10.0, "{}"))          # sigma ~0.0
+        rows.append((1000 + i, t0, 1, "wild", float(i * i), "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = A._t
+    A._t = lambda spark, sf_dir, name: ev
+    try:
+        out1 = A.sample_neyman_allocation(spark, "x").collect()
+        out2 = A.sample_neyman_allocation(spark, "x").collect()
+    finally:
+        A._t = orig
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    alloc = {}
+    for r in out1:
+        alloc[r["event_type"]] = r["alloc_k"]
+        assert r["alloc_k"] <= r["n_h"]
+        assert r["draw_rank"] <= r["alloc_k"]
+    assert alloc["flat"] == 1          # sigma = 0 -> floor allocation
+    assert alloc["wild"] >= 90         # wins ~the whole 200 budget (cap n_h=100)
+    drawn = [r for r in out1 if r["event_type"] == "wild"]
+    assert len(drawn) == alloc["wild"]
+
+
+def test_max_drawdown_planted_curve(spark):
+    """Drawdown semantics on a planted equity curve: values
+    10, -5, 3, -10, 20 give cum 10,5,8,-2,18 / peak 10,10,10,10,18 /
+    drawdown 0,5,2,12,0 — max drawdown 12 at the trough, peak 18."""
+    import datetime
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    t0 = datetime.datetime(2025, 1, 1)
+    vals = [10.0, -5.0, 3.0, -10.0, 20.0]
+    ev = spark.createDataFrame(
+        [
+            (i, t0 + datetime.timedelta(seconds=i), 7, "click", v, "{}")
+            for i, v in enumerate(vals)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = A._t
+    A._t = lambda spark, sf_dir, name: ev
+    try:
+        [row] = A.window_max_drawdown(spark, "x").collect()
+    finally:
+        A._t = orig
+    assert row["user_id"] == 7
+    assert row["n_events"] == 5
+    assert row["peak_equity"] == 18.0
+    assert row["max_drawdown"] == 12.0

@@ -845,3 +845,29 @@ def test_retrieval_eval_consistent_with_arms(spark, sf_dir):
         assert abs(row["ndcg_at_k"] - dcg / idcg) < 1e-5, (q, row, dcg / idcg)
         assert 0.0 <= row["recall_at_k"] <= 1.0
         assert 0.0 <= row["ndcg_at_k"] <= 1.0
+
+
+def test_cross_source_overlap_planted_sharing(spark):
+    """Planted corpus: sources s1/s2 share near-identical documents
+    (same dominant phrasing -> same min-shingle), source s3 is fully
+    disjoint vocabulary — the matrix must contain the (s1, s2) pair
+    with overlap 1.0 and no pair involving s3."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.dedup import (
+        cross_source_overlap,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base + " one", "s1"),
+        (2, base + " two", "s2"),
+        (3, "omicron pi rho sigma tau upsilon phi chi", "s3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in cross_source_overlap(docs, n=3).collect()
+    }
+    assert set(out) == {("s1", "s2")}
+    r = out[("s1", "s2")]
+    assert r["n_shared_fp"] == 1 and r["n_fp_a"] == 1 and r["n_fp_b"] == 1
+    assert r["overlap"] == 1.0
