@@ -100,6 +100,8 @@ AUDIT = [
     "dedup_cross_source_overlap",
     "sample_neyman_allocation",
     "window_max_drawdown",
+    "graph_sssp_weighted",
+    "timeseries_forecast_backtest",
 ]
 
 
@@ -108,6 +110,12 @@ AUDIT = [
 # reference, so entries that materialize a bounded frame (the MMR
 # candidate/pair cache) show far more Exchanges in TEXT than execute.
 NOTES = {
+    "graph_sssp_weighted": (
+        "cached-subtree inflation (see graph_bfs_levels): each "
+        "Bellman-Ford round's dist frame is a cached materialization "
+        "point — the round feeds the next twice (keep-min + relax), so "
+        "an uncached lineage doubles per round"
+    ),
     "graph_bfs_levels": (
         "cached-subtree inflation (see ann_mmr_rerank): each hop's "
         "frontier and the cumulative visited frame are cached Pregel "

@@ -2005,6 +2005,132 @@ SELECT node, MIN(level) AS level FROM walk GROUP BY node
 
 
 # --------------------------------------------------------------------------
+# Weighted single-source shortest paths (Bellman-Ford, fixed rounds)
+# --------------------------------------------------------------------------
+
+_SSSP_ROUNDS = 3
+
+
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str,
+                        rounds: int = _SSSP_ROUNDS) -> DataFrame:
+    """Weighted single-source shortest paths: Bellman-Ford with a FIXED
+    round count over the trade graph, edge weight = 11 - min(10, #trade
+    orders between the endpoints) — a "stronger relationship = cheaper
+    hop" cost in [1, 10], INTEGER so every distance is an exact BIGINT
+    (no float accumulation anywhere). The weighted companion of
+    graph_bfs_levels: BFS counts hops; this relaxes
+    dist(v) = min(dist(v), min over (u,v) of dist(u) + w) per round,
+    so a 2-hop path through strong partners can beat a direct weak
+    edge — asserted by the property test against plain-Python
+    Bellman-Ford on random weighted digraphs.
+
+    After R rounds, dist(v) is EXACTLY min cost over paths of <= R
+    edges (the standard Bellman-Ford invariant) — a well-defined
+    deterministic output whether or not the graph needs more rounds to
+    converge. Same seed rule as BFS (customer nodes % 50)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_suppkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + 1000000).alias("s"),
+            "l_orderkey",
+        )
+        .groupBy("c", "s")
+        .agg(
+            (F.lit(11) - F.least(F.lit(10), F.countDistinct("l_orderkey")))
+            .cast("long")
+            .alias("w")
+        )
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .filter((F.col("node") < 1000000) & (F.col("node") % 50 == 0))
+    )
+    return sssp_loop(edges, seeds, rounds)
+
+
+def sssp_loop(edges: DataFrame, seeds: DataFrame, rounds: int) -> DataFrame:
+    """The Bellman-Ford core over (src, dst, w) edges and a (node) seed
+    frame — exposed for the random-graph property test. Each round's
+    dist frame feeds the NEXT round twice (keep-current min + relax),
+    so an uncached straight-line plan re-evaluates the lineage 2^R
+    times — each round is cached (the Pregel materialization point,
+    as bfs_levels_loop), the final frame materialized through the
+    caches, intermediates released."""
+    dist = seeds.select("node", F.lit(0).cast("long").alias("dist")).cache()
+    caches = [dist]
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(edges, dist.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("d"))
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+        dist = (
+            dist.join(relaxed, "node", "full_outer")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce("dist", F.lit(2**62)),
+                    F.coalesce("d", F.lit(2**62)),
+                ).alias("dist"),
+            )
+            .cache()
+        )
+        caches.append(dist)
+    result = dist
+    result.count()
+    for c in caches[:-1]:
+        c.unpersist()
+    return result
+
+
+def _sssp_sql(rounds: int = _SSSP_ROUNDS) -> str:
+    """Unrolled Bellman-Ford oracle: one relax CTE pair per round,
+    mirroring the full-outer keep-or-relax update exactly (BIGINT
+    distances end to end)."""
+    sql = """
+WITH pairs AS (
+  SELECT o_custkey AS c, l_suppkey + 1000000 AS s,
+         CAST(11 - least(10, COUNT(DISTINCT l_orderkey)) AS BIGINT) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_orderkey % 20 = 0
+  GROUP BY 1, 2
+), edges AS (
+  SELECT c AS src, s AS dst, w FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst, w FROM pairs
+), d0 AS (
+  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist FROM edges
+  WHERE src < 1000000 AND src % 50 = 0
+)"""
+    prev = "d0"
+    for r in range(1, rounds + 1):
+        sql += f""", r{r} AS (
+  SELECT e.dst AS node, MIN(p.dist + e.w) AS d
+  FROM {prev} p JOIN edges e ON p.node = e.src
+  GROUP BY e.dst
+), d{r} AS (
+  SELECT COALESCE(p.node, r.node) AS node,
+         least(COALESCE(p.dist, 4611686018427387904),
+               COALESCE(r.d, 4611686018427387904)) AS dist
+  FROM {prev} p FULL OUTER JOIN r{r} r ON p.node = r.node
+)"""
+        prev = f"d{r}"
+    return sql + f"\nSELECT node, dist FROM {prev}\n"
+
+
+# --------------------------------------------------------------------------
 # Interval coalesce (overlap-merge islands)
 # --------------------------------------------------------------------------
 
@@ -2102,6 +2228,93 @@ SELECT user_id, island_id,
        MIN(s) AS island_start_s, MAX(e) AS island_end_s,
        COUNT(*) AS n_events
 FROM islands GROUP BY user_id, island_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naive forecast backtest (MAPE / bias per key)
+# --------------------------------------------------------------------------
+
+_SEASON_LAG = 24  # hours
+
+
+def timeseries_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTESTING as an operator — the evaluation loop every
+    forecasting pipeline runs before trusting a model: the seasonal-
+    naive baseline (predict this hour = the value 24 hours ago, the
+    standard yardstick any real model must beat) scored per event type
+    with MAPE, sMAPE-style guarded percentage errors, and mean signed
+    bias. The eval sibling of eval_retrieval_metrics: retrieval has
+    recall/nDCG, forecasting has MAPE/bias.
+
+    Determinism: hourly actuals are exact decimal sums (anomaly_zscore
+    grain); the per-row APE is rounded to 6 dp and then accumulated as
+    DECIMAL(18,6) — a plain double mean would be partition-order
+    dependent; bias accumulates the signed decimal error directly.
+    Rows with no 24h-old counterpart (the first day) are excluded from
+    scoring on both engines by the lag's NULL.
+
+    Scale shape: one shuffle to hourly grains, one per-type LAG window
+    over the (small) grouped frame, one keyed aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    hourly = ev.groupBy("event_type", hour.alias("hour_s")).agg(
+        dsum("value").alias("actual")
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_s")
+    scored = hourly.select(
+        "event_type",
+        "hour_s",
+        "actual",
+        F.lag("actual", _SEASON_LAG).over(w).alias("forecast"),
+    ).filter(F.col("forecast").isNotNull())
+    ape = F.round(
+        F.when(
+            F.col("actual") != 0.0,
+            F.abs(F.col("actual") - F.col("forecast")) / F.abs("actual"),
+        ),
+        6,
+    )
+    err_dec = (F.col("actual") - F.col("forecast")).cast("decimal(18,4)")
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(ape.cast("decimal(18,6)"))
+        .cast("string").cast("double").alias("sum_ape"),
+        F.round(
+            F.sum(ape.cast("decimal(18,6)")).cast("string").cast("double")
+            / F.sum(F.when(ape.isNotNull(), 1).otherwise(0)),
+            6,
+        ).alias("mape"),
+        F.round(
+            F.sum(err_dec).cast("string").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_bias"),
+    )
+
+
+FORECAST_BACKTEST_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS hour_s,
+         {sql_dsum('value')} AS actual
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, hour_s, actual,
+         lag(actual, {_SEASON_LAG}) OVER (PARTITION BY event_type
+                                          ORDER BY hour_s) AS forecast
+  FROM hourly
+), kept AS (
+  SELECT event_type, actual, forecast,
+         round(CASE WHEN actual <> 0.0
+                    THEN abs(actual - forecast) / abs(actual) END, 6) AS ape
+  FROM scored WHERE forecast IS NOT NULL
+)
+SELECT event_type,
+       COUNT(*) AS n_scored,
+       CAST(CAST(SUM(CAST(ape AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_ape,
+       round(CAST(CAST(SUM(CAST(ape AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             / SUM(CASE WHEN ape IS NOT NULL THEN 1 ELSE 0 END), 6) AS mape,
+       round(CAST(CAST(SUM(CAST(actual - forecast AS DECIMAL(18,4))) AS VARCHAR)
+                  AS DOUBLE) / COUNT(*), 6) AS mean_bias
+FROM kept GROUP BY event_type
 """
 
 
@@ -2411,10 +2624,14 @@ QUERIES: dict[str, QuerySpec] = {
         graph_pagerank, _pagerank_sql(), "graph",
         plan_waivers={"bnlj": "1-row node-count scalar attach"}),
     "graph_bfs_levels": QuerySpec(graph_bfs_levels, _bfs_sql(), "graph"),
+    "graph_sssp_weighted": QuerySpec(
+        graph_sssp_weighted, _sssp_sql(), "graph"),
     "window_interval_coalesce": QuerySpec(
         window_interval_coalesce, INTERVAL_COALESCE_SQL, "window"),
     "timeseries_anomaly_mad": QuerySpec(
         timeseries_anomaly_mad, ANOMALY_MAD_SQL, "timeseries"),
+    "timeseries_forecast_backtest": QuerySpec(
+        timeseries_forecast_backtest, FORECAST_BACKTEST_SQL, "timeseries"),
     "sample_neyman_allocation": QuerySpec(
         sample_neyman_allocation, SAMPLE_NEYMAN_SQL, "sampling",
         plan_waivers={"global_window": (

@@ -92,31 +92,33 @@ additions (the previous revision of this note undercounted them as
 three; VERDICT r7 flag #2 corrected the count) — two of which
 (sample_temperature_mixture, graph_link_prediction) also changed
 semantics this round per ADVICE r7, so their rows double as
-regression evidence, (c) 10 of the 50 entries whose latest driver
+regression evidence, (c) 8 of the 50 entries whose latest driver
 evidence is r04, execution-heaviest first (streaming sinks/joins,
 parquet/ORC roundtrips, pack_token_budget, key_skew_profile,
-dataset_build_pipeline, join_sort_merge, join_broadcast_dim), (d) the
-TWELVE late round-8 additions from the second and third sessions
+dataset_build_pipeline), (d) the
+FOURTEEN late round-8 additions from the second and third sessions
 (join_bloom_prefilter, join_dynamic_partition_pruning,
 agg_bitmap_distinct, join_null_skew_split; graph_bfs_levels,
 window_interval_coalesce, timeseries_anomaly_mad,
 agg_countmin_heavy_hitters, eval_retrieval_metrics,
 dedup_cross_source_overlap, sample_neyman_allocation,
-window_max_drawdown — all locally
+window_max_drawdown, graph_sssp_weighted,
+timeseries_forecast_backtest — all locally
 oracle-green at sf0.001 and the sf0.01 gate SF), promoted so NO
 registry entry is left without driver evidence after r08.
-18 + 10 + 10 + 12 = 50.
+18 + 10 + 8 + 14 = 50.
 
 ROUND 9 CHORE: rotate again — promote (a) any r08 failures, (b)
 entries added during round 9 itself,
-(c) the FORTY r04-only
+(c) the FORTY-TWO r04-only
 entries left outside the round-8 window: agg_approx_distinct,
 agg_approx_percentile, agg_basic_stats, agg_collect_sorted, agg_cube,
 agg_distinct, agg_grouping_sets, agg_having, agg_min_max_by,
 agg_percentiles, agg_rollup, ann_cosine_topk, cte_above_avg_nations,
 decile_stats_bucketed, filter_project_nullsafe, join_anti,
-join_asof_events, join_full_outer, join_left_outer,
-join_range_nonequi, join_right_outer, join_semi, ntile_decile_stats,
+join_asof_events, join_broadcast_dim, join_full_outer,
+join_left_outer, join_range_nonequi, join_right_outer, join_semi,
+join_sort_merge, ntile_decile_stats,
 pivot_flag_status, q3_shipping_priority, q5_region_revenue,
 sample_seeded, scalar_subquery_parts, skew_salted_agg,
 sort_limit_global, text_bigram_pmi, text_tfidf_top_terms,
@@ -195,9 +197,7 @@ DRIVER_PRIORITY: list[str] = [
     "pack_token_budget",
     "key_skew_profile",
     "dataset_build_pipeline",
-    "join_sort_merge",
-    "join_broadcast_dim",
-    # --- the twelve LATE round-8 additions (second + third session),
+    # --- the fourteen LATE round-8 additions (second + third session),
     # promoted into the window so NO registry entry is left without
     # driver evidence after r08; they displace the last twelve r04
     # back-fill names (join_left/right/full_outer, join_semi,
@@ -219,7 +219,10 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_cross_source_overlap",
     "sample_neyman_allocation",
     "window_max_drawdown",
-    # (join_left_outer, join_right_outer, join_full_outer,
+    "graph_sssp_weighted",
+    "timeseries_forecast_backtest",
+    # (join_sort_merge, join_broadcast_dim,
+    # join_left_outer, join_right_outer, join_full_outer,
     # join_semi, join_anti, join_range_nonequi, join_asof_events,
     # skew_salted_agg, q3_shipping_priority, q5_region_revenue,
     # window_rank, window_lag_lead, window_distribution,
