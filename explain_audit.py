@@ -102,6 +102,7 @@ AUDIT = [
     "window_max_drawdown",
     "graph_sssp_weighted",
     "timeseries_forecast_backtest",
+    "dq_ks_bucketed",
 ]
 
 

@@ -2232,6 +2232,120 @@ FROM islands GROUP BY user_id, island_id
 
 
 # --------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov (bucketed ECDF grid)
+# --------------------------------------------------------------------------
+
+_KS_BUCKETS = 64
+
+
+def dq_ks_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift check between the same order
+    snapshots as dq_distribution_drift (A = year <= 1997, B = later) —
+    the NONPARAMETRIC companion of that entry's PSI: KS reads the
+    maximum ECDF gap sup|F_A - F_B|, catching shape/location shifts a
+    binned PSI can smear, with no distributional assumptions.
+
+    Scale form: the ECDFs are evaluated on a 64-edge equal-width
+    bucket grid (one conditional-count groupBy over <= 64 keys for
+    BOTH snapshots in a single fact pass — the dq_distribution_drift
+    recipe), then cumulated by a window over the <= 64-row grouped
+    frame (O(1) input, waivered). The grid statistic is the EXACT sup
+    over bucket edges, hence a lower bound of the pointwise D that
+    tightens with grid resolution; an exact pointwise D would need a
+    global sort over raw rows — the deliberate non-starter at 100 TB.
+
+    Determinism: cumulative counts are exact BIGINTs; the two CDFs are
+    round-6 IEEE divisions by the scalar totals; d rounds after the
+    subtraction. Output carries the per-edge gap AND the overall ks_d
+    on every row (a second O(64) window)."""
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderdate")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    price = F.col("o_totalprice")
+    bucket = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+            F.least(
+                F.floor(
+                    (price - F.col("mn")) * _KS_BUCKETS / (F.col("mx") - F.col("mn"))
+                ),
+                F.lit(_KS_BUCKETS - 1),
+            )
+        )
+        + 1
+    ).cast("long")
+    grouped = (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(
+            bucket.alias("bucket"),
+            (F.year("o_orderdate") <= _DRIFT_SPLIT_YEAR).alias("in_a"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("in_a").cast("long")).cast("bigint").alias("n_a"),
+            F.sum((~F.col("in_a")).cast("long")).cast("bigint").alias("n_b"),
+        )
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = grouped.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.sum("n_a").over(wcum).alias("ca"),
+        F.sum("n_b").over(wcum).alias("cb"),
+        F.sum("n_a").over(wall).alias("ta"),
+        F.sum("n_b").over(wall).alias("tb"),
+    )
+    cdf_a = F.round(F.col("ca") / F.col("ta"), 6)
+    cdf_b = F.round(F.col("cb") / F.col("tb"), 6)
+    d = F.round(F.abs(cdf_a - cdf_b), 6)
+    scored = cum.select(
+        "bucket", "n_a", "n_b",
+        cdf_a.alias("cdf_a"), cdf_b.alias("cdf_b"), d.alias("d"),
+    )
+    return scored.select(
+        "*", F.max("d").over(Window.partitionBy()).alias("ks_d")
+    )
+
+
+DQ_KS_SQL = f"""
+WITH bounds AS (
+  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders
+), grouped AS (
+  SELECT (CASE WHEN mx = mn THEN 0 ELSE
+            least(CAST(floor((o_totalprice - mn) * {_KS_BUCKETS} / (mx - mn))
+                       AS BIGINT), {_KS_BUCKETS - 1}) END) + 1 AS bucket,
+         CAST(SUM(CASE WHEN year(o_orderdate) <= {_DRIFT_SPLIT_YEAR} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN year(o_orderdate) <= {_DRIFT_SPLIT_YEAR} THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_b
+  FROM orders, bounds
+  GROUP BY 1
+), cum AS (
+  SELECT bucket, n_a, n_b,
+         SUM(n_a) OVER (ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         SUM(n_b) OVER (ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+         SUM(n_a) OVER () AS ta,
+         SUM(n_b) OVER () AS tb
+  FROM grouped
+), scored AS (
+  SELECT bucket, n_a, n_b,
+         round(CAST(ca AS DOUBLE) / ta, 6) AS cdf_a,
+         round(CAST(cb AS DOUBLE) / tb, 6) AS cdf_b,
+         round(abs(round(CAST(ca AS DOUBLE) / ta, 6)
+                   - round(CAST(cb AS DOUBLE) / tb, 6)), 6) AS d
+  FROM cum
+)
+SELECT bucket, n_a, n_b, cdf_a, cdf_b, d,
+       MAX(d) OVER () AS ks_d
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
 # Seasonal-naive forecast backtest (MAPE / bias per key)
 # --------------------------------------------------------------------------
 
@@ -2632,6 +2746,13 @@ QUERIES: dict[str, QuerySpec] = {
         timeseries_anomaly_mad, ANOMALY_MAD_SQL, "timeseries"),
     "timeseries_forecast_backtest": QuerySpec(
         timeseries_forecast_backtest, FORECAST_BACKTEST_SQL, "timeseries"),
+    "dq_ks_bucketed": QuerySpec(
+        dq_ks_bucketed, DQ_KS_SQL, "quality",
+        plan_waivers={
+            "bnlj": "1-row min/max bounds broadcast",
+            "global_window": (
+                "cumsum/max windows input = #buckets rows (O(1), <= 64)"),
+        }),
     "sample_neyman_allocation": QuerySpec(
         sample_neyman_allocation, SAMPLE_NEYMAN_SQL, "sampling",
         plan_waivers={"global_window": (

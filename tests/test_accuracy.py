@@ -1091,3 +1091,42 @@ def test_forecast_backtest_planted_seasonal(spark):
     assert out["double"]["n_scored"] == 24
     assert out["double"]["mape"] == 0.5
     assert out["double"]["mean_bias"] > 0.0
+
+
+def test_ks_bucketed_planted_distributions(spark):
+    """KS semantics on planted snapshots: snapshot A uniform over the
+    LOWER half of the price range, B over the UPPER half — the ECDF gap
+    at the midpoint edge is ~1.0, so ks_d ~ 1; an identical-control
+    pair scores exactly 0."""
+    import datetime
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    da = datetime.date(1995, 1, 1)   # year <= 1997 -> snapshot A
+    db = datetime.date(1999, 1, 1)   # snapshot B
+
+    # disjoint halves: A in [0, 100), B in [100, 200)
+    rows = [(float(i), da) for i in range(100)] + [
+        (float(100 + i), db) for i in range(100)
+    ]
+    orders = spark.createDataFrame(rows, "o_totalprice double, o_orderdate date")
+    orig = A._t
+    A._t = lambda spark, sf_dir, name: orders
+    try:
+        out = A.dq_ks_bucketed(spark, "x").collect()
+    finally:
+        A._t = orig
+    ks = out[0]["ks_d"]
+    assert ks >= 0.98, ks
+    # control: identical distributions in both snapshots
+    rows = [(float(i), da) for i in range(100)] + [
+        (float(i), db) for i in range(100)
+    ]
+    orders = spark.createDataFrame(rows, "o_totalprice double, o_orderdate date")
+    A._t = lambda spark, sf_dir, name: orders
+    try:
+        out = A.dq_ks_bucketed(spark, "x").collect()
+    finally:
+        A._t = orig
+    assert all(r["d"] == 0.0 for r in out)
+    assert out[0]["ks_d"] == 0.0
