@@ -916,6 +916,44 @@ _DRIFT_EPS = "0.000001"  # zero-share clamp so ln() stays finite
 _DRIFT_SPLIT_YEAR = 1997  # snapshot A = orders through this year
 
 
+def _snapshot_bucket_counts(orders: DataFrame, n_buckets: int) -> DataFrame:
+    """The shared equal-width-bucket x snapshot conditional-count core
+    of dq_distribution_drift (PSI, 10 buckets) and dq_ks_bucketed (KS,
+    64 edges): bounds are a 1-row min/max broadcast, bucket assignment
+    is map-side, and one groupBy counts BOTH snapshots (A = orderdate
+    year <= _DRIFT_SPLIT_YEAR) in a single fact pass. Factored so the
+    two entries cannot drift on the bucketing convention (mx==mn
+    branch, boundary clamp)."""
+    orders = orders.select("o_totalprice", "o_orderdate")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    price = F.col("o_totalprice")
+    bucket = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+            F.least(
+                F.floor(
+                    (price - F.col("mn")) * n_buckets / (F.col("mx") - F.col("mn"))
+                ),
+                F.lit(n_buckets - 1),
+            )
+        )
+        + 1
+    ).cast("long")
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(
+            bucket.alias("bucket"),
+            (F.year("o_orderdate") <= _DRIFT_SPLIT_YEAR).alias("in_a"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("in_a").cast("long")).cast("bigint").alias("n_a"),
+            F.sum((~F.col("in_a")).cast("long")).cast("bigint").alias("n_b"),
+        )
+    )
+
+
 def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-Stability-Index drift report between two snapshots of
     the order stream (A = orderdate year <= 1997, B = later): the
@@ -937,33 +975,8 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     are clamped at 1e-6 (_DRIFT_EPS) BEFORE the log (empty buckets
     would otherwise yield ln(0)); psi_term rounds to 6 dp after the
     multiply, burying any last-ulp ln() divergence between engines."""
-    orders = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderdate")
-    bounds = orders.agg(
-        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
-    )
-    price = F.col("o_totalprice")
-    bucket = (
-        F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
-            F.least(
-                F.floor(
-                    (price - F.col("mn")) * _DRIFT_BUCKETS / (F.col("mx") - F.col("mn"))
-                ),
-                F.lit(_DRIFT_BUCKETS - 1),
-            )
-        )
-        + 1
-    ).cast("long")
-    grouped = (
-        orders.crossJoin(F.broadcast(bounds))
-        .select(
-            bucket.alias("bucket"),
-            (F.year("o_orderdate") <= _DRIFT_SPLIT_YEAR).alias("in_a"),
-        )
-        .groupBy("bucket")
-        .agg(
-            F.sum(F.col("in_a").cast("long")).cast("bigint").alias("n_a"),
-            F.sum((~F.col("in_a")).cast("long")).cast("bigint").alias("n_b"),
-        )
+    grouped = _snapshot_bucket_counts(
+        _t(spark, sf_dir, "orders"), _DRIFT_BUCKETS
     )
     totals = grouped.agg(
         F.sum("n_a").cast("double").alias("tot_a"),
@@ -2258,33 +2271,8 @@ def dq_ks_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-6 IEEE divisions by the scalar totals; d rounds after the
     subtraction. Output carries the per-edge gap AND the overall ks_d
     on every row (a second O(64) window)."""
-    orders = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderdate")
-    bounds = orders.agg(
-        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
-    )
-    price = F.col("o_totalprice")
-    bucket = (
-        F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
-            F.least(
-                F.floor(
-                    (price - F.col("mn")) * _KS_BUCKETS / (F.col("mx") - F.col("mn"))
-                ),
-                F.lit(_KS_BUCKETS - 1),
-            )
-        )
-        + 1
-    ).cast("long")
-    grouped = (
-        orders.crossJoin(F.broadcast(bounds))
-        .select(
-            bucket.alias("bucket"),
-            (F.year("o_orderdate") <= _DRIFT_SPLIT_YEAR).alias("in_a"),
-        )
-        .groupBy("bucket")
-        .agg(
-            F.sum(F.col("in_a").cast("long")).cast("bigint").alias("n_a"),
-            F.sum((~F.col("in_a")).cast("long")).cast("bigint").alias("n_b"),
-        )
+    grouped = _snapshot_bucket_counts(
+        _t(spark, sf_dir, "orders"), _KS_BUCKETS
     )
     wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     wall = Window.partitionBy()
@@ -2365,23 +2353,29 @@ def timeseries_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain); the per-row APE is rounded to 6 dp and then accumulated as
     DECIMAL(18,6) — a plain double mean would be partition-order
     dependent; bias accumulates the signed decimal error directly.
-    Rows with no 24h-old counterpart (the first day) are excluded from
-    scoring on both engines by the lag's NULL.
 
-    Scale shape: one shuffle to hourly grains, one per-type LAG window
-    over the (small) grouped frame, one keyed aggregate."""
+    The 24h-ago value is fetched by an equi-join on the SHIFTED HOUR
+    KEY, not lag(24) over rows: sparse series have empty hourly grains
+    (no events that hour -> no row), and a row-offset lag would then
+    silently read a 25+h-old value — the classic seasonal-lag
+    misalignment. With the key join, an hour whose 24h-old counterpart
+    is missing (first day, or a gap) is excluded on both engines by
+    the join miss.
+
+    Scale shape: one shuffle to hourly grains, one self-equi-join on
+    (type, shifted hour) over the (small) grouped frame, one keyed
+    aggregate."""
     ev = _t(spark, sf_dir, "events")
     hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
     hourly = ev.groupBy("event_type", hour.alias("hour_s")).agg(
         dsum("value").alias("actual")
     )
-    w = Window.partitionBy("event_type").orderBy("hour_s")
-    scored = hourly.select(
+    past = hourly.select(
         "event_type",
-        "hour_s",
-        "actual",
-        F.lag("actual", _SEASON_LAG).over(w).alias("forecast"),
-    ).filter(F.col("forecast").isNotNull())
+        (F.col("hour_s") + _SEASON_LAG * 3600).alias("hour_s"),
+        F.col("actual").alias("forecast"),
+    )
+    scored = hourly.join(past, ["event_type", "hour_s"])
     ape = F.round(
         F.when(
             F.col("actual") != 0.0,
@@ -2411,15 +2405,15 @@ WITH hourly AS (
          {sql_dsum('value')} AS actual
   FROM events GROUP BY 1, 2
 ), scored AS (
-  SELECT event_type, hour_s, actual,
-         lag(actual, {_SEASON_LAG}) OVER (PARTITION BY event_type
-                                          ORDER BY hour_s) AS forecast
-  FROM hourly
+  SELECT h.event_type, h.hour_s, h.actual, p.actual AS forecast
+  FROM hourly h
+  JOIN hourly p ON p.event_type = h.event_type
+               AND p.hour_s = h.hour_s - {_SEASON_LAG * 3600}
 ), kept AS (
   SELECT event_type, actual, forecast,
          round(CASE WHEN actual <> 0.0
                     THEN abs(actual - forecast) / abs(actual) END, 6) AS ape
-  FROM scored WHERE forecast IS NOT NULL
+  FROM scored
 )
 SELECT event_type,
        COUNT(*) AS n_scored,
@@ -2541,15 +2535,30 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str,
             "event_type",
             "n_h",
             "sigma",
+            # Degenerate-corpus guard: if EVERY stratum is (near-)
+            # constant the weight total is 0 and the Neyman ratio is
+            # undefined (Spark's non-ANSI division would yield NULL and
+            # least/greatest would silently allocate n_h — the whole
+            # table); fall back to equal allocation across strata.
             F.greatest(
                 F.lit(1).cast("long"),
                 F.least(
                     F.col("n_h"),
-                    F.floor(
-                        F.lit(float(total_k))
-                        * F.col("w_micro")
-                        / F.sum("w_micro").over(wall)
-                    ).cast("long"),
+                    F.when(
+                        F.sum("w_micro").over(wall) > 0,
+                        F.floor(
+                            F.lit(float(total_k))
+                            * F.col("w_micro")
+                            / F.sum("w_micro").over(wall)
+                        ),
+                    )
+                    .otherwise(
+                        F.floor(
+                            F.lit(float(total_k))
+                            / F.count(F.lit(1)).over(wall)
+                        )
+                    )
+                    .cast("long"),
                 ),
             ).alias("alloc_k"),
         )
@@ -2585,10 +2594,13 @@ WITH stats AS (
   FROM events GROUP BY event_type
 ), alloc AS (
   SELECT event_type, n_h, sigma,
-         greatest(CAST(1 AS BIGINT), least(n_h, CAST(floor(
-           {float(_NEYMAN_K)} * (n_h * CAST(round(sigma * 1e6, 0) AS BIGINT))
-           / SUM(n_h * CAST(round(sigma * 1e6, 0) AS BIGINT)) OVER ()
-         ) AS BIGINT))) AS alloc_k
+         greatest(CAST(1 AS BIGINT), least(n_h, CAST(
+           CASE WHEN SUM(n_h * CAST(round(sigma * 1e6, 0) AS BIGINT)) OVER () > 0
+                THEN floor(
+             {float(_NEYMAN_K)} * (n_h * CAST(round(sigma * 1e6, 0) AS BIGINT))
+             / SUM(n_h * CAST(round(sigma * 1e6, 0) AS BIGINT)) OVER ())
+                ELSE floor({float(_NEYMAN_K)} / COUNT(*) OVER ())
+           END AS BIGINT))) AS alloc_k
   FROM stats
 ), ranked AS (
   SELECT event_type, event_id, value,

@@ -194,18 +194,19 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_rollup_upsert",
     "streaming_stream_left_join",
     "sink_parquet_roundtrip",
-        "pack_token_budget",
+    "pack_token_budget",
     "key_skew_profile",
     "dataset_build_pipeline",
-    # --- the fourteen LATE round-8 additions (second + third session),
+    # --- the fifteen LATE round-8 additions (second + third session),
     # promoted into the window so NO registry entry is left without
-    # driver evidence after r08; they displace the last twelve r04
-    # back-fill names (join_left/right/full_outer, join_semi,
+    # driver evidence after r08; they displace the last FIFTEEN r04
+    # back-fill names (sink_orc_roundtrip, join_sort_merge,
+    # join_broadcast_dim, join_left/right/full_outer, join_semi,
     # join_anti, join_range_nonequi, join_asof_events, skew_salted_agg,
     # q3_shipping_priority, q5_region_revenue, window_rank,
     # window_lag_lead — all stable many-times-green surfaces whose
     # re-check is the lowest-information slot use; they join the
-    # round-9 back-fill, and q1/q3/q5 + the joins stay
+    # round-9 back-fill, and q1/q3/q5 + the big joins stay
     # execution-covered by bench.py every round regardless) ---
     "join_bloom_prefilter",
     "join_dynamic_partition_pruning",

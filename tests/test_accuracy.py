@@ -964,6 +964,30 @@ def test_neyman_allocation_favors_high_variance(spark):
     drawn = [r for r in out1 if r["event_type"] == "wild"]
     assert len(drawn) == alloc["wild"]
 
+    # degenerate corpus: EVERY stratum constant -> Neyman weights all 0;
+    # the guard must fall back to equal allocation (200/2 capped at
+    # n_h), not NULL-propagate into whole-table allocation
+    ev2 = spark.createDataFrame(
+        [(i, t0, 1, "a" if i % 2 == 0 else "b", 5.0, "{}")
+         for i in range(200)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    A._t = lambda spark, sf_dir, name: ev2
+    try:
+        out3 = A.sample_neyman_allocation(spark, "x").collect()
+    finally:
+        A._t = orig
+    alloc3 = {r["event_type"]: r["alloc_k"] for r in out3}
+    assert alloc3 == {"a": 100, "b": 100}  # floor(200/2) == n_h == 100
+    # and with a tighter budget the fallback is equal, not full-table
+    A._t = lambda spark, sf_dir, name: ev2
+    try:
+        out4 = A.sample_neyman_allocation(spark, "x", total_k=10).collect()
+    finally:
+        A._t = orig
+    assert {r["event_type"]: r["alloc_k"] for r in out4} == {"a": 5, "b": 5}
+
 
 def test_max_drawdown_planted_curve(spark):
     """Drawdown semantics on a planted equity curve: values
@@ -1060,7 +1084,10 @@ def test_forecast_backtest_planted_seasonal(spark):
     """Seasonal-naive backtest semantics on planted series: a type
     whose day 2 repeats day 1 exactly scores MAPE 0 / bias 0 over 24
     scored hours; a type whose day 2 doubles day 1 scores APE 0.5 at
-    every hour (|2v-v|/|2v|) and positive bias."""
+    every hour (|2v-v|/|2v|) and positive bias; a type with an EMPTY
+    hourly grain on day 1 must EXCLUDE (not misalign) the matching
+    day-2 hour — the case a lag-24-ROWS implementation gets wrong
+    (it would silently read a 25h-old value and report nonzero APE)."""
     import datetime
 
     import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
@@ -1073,6 +1100,8 @@ def test_forecast_backtest_planted_seasonal(spark):
         base = 10.0 + (h % 24)
         rows.append((eid, ts, 1, "repeat", base, "{}")); eid += 1
         rows.append((eid, ts, 1, "double", base * (2.0 if h >= 24 else 1.0), "{}")); eid += 1
+        if h != 5:  # day-1 hour 5 is an empty grain for this type
+            rows.append((eid, ts, 1, "gappy", base, "{}")); eid += 1
     ev = spark.createDataFrame(
         rows,
         "event_id long, ts timestamp, user_id long, event_type string, "
@@ -1091,6 +1120,11 @@ def test_forecast_backtest_planted_seasonal(spark):
     assert out["double"]["n_scored"] == 24
     assert out["double"]["mape"] == 0.5
     assert out["double"]["mean_bias"] > 0.0
+    # hour 29 (day-2 hour 5) has no 24h-old counterpart: excluded, and
+    # every scored gappy hour still matches exactly
+    assert out["gappy"]["n_scored"] == 23
+    assert out["gappy"]["mape"] == 0.0
+    assert out["gappy"]["mean_bias"] == 0.0
 
 
 def test_ks_bucketed_planted_distributions(spark):
