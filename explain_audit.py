@@ -103,6 +103,7 @@ AUDIT = [
     "graph_sssp_weighted",
     "timeseries_forecast_backtest",
     "dq_ks_bucketed",
+    "multimodal_resize_plumbing",
 ]
 
 

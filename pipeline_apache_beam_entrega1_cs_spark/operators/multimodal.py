@@ -71,6 +71,58 @@ def fake_decode_image(docs_with_payload: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = (
+    "doc_id long, in_w int, in_h int, out_w int, out_h int, "
+    "stride long, thumb_hex string, thumb_len int"
+)
+
+
+def resize_image_stub(docs_with_payload: DataFrame, box: int = 224) -> DataFrame:
+    """'Resize' binary payloads via mapInPandas — the third member of
+    the decode / feature-extract / resize / frame-sample plumbing set.
+    The Arrow-batch boundary, schema contract, and batch shapes are
+    REAL (a production build calls PIL.Image.thumbnail here); the stub
+    stands in deterministically so the whole stage is oracle-replayable:
+
+    - input dims follow fake_decode_image's length-derived convention
+      (w = len % 640 + 1, h = len % 480 + 1);
+    - output dims are the aspect-preserving fit into a ``box`` square:
+      scale = min(box/w, box/h) (clamped at 1 — never upscale),
+      out = max(1, floor(dim * scale)) — the exact arithmetic any
+      thumbnailer performs, so cross-engine parity pins the contract;
+    - the 'pixel' content is a strided byte thumbnail: every
+      (len div 32, floor-capped at >= 1)-th byte, first 16 kept, hex
+      lowercase — standing in for the resampled pixel buffer while
+      staying reproducible in SQL (hex-string slicing).
+
+    100 TB shape: map-only over Arrow batches; payload bytes never
+    shuffle and never reach the driver."""
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                blen = 0 if b is None else len(b)
+                w, h = blen % 640 + 1, blen % 480 + 1
+                scale = min(box / w, box / h, 1.0)
+                out_w = max(1, int(w * scale))
+                out_h = max(1, int(h * scale))
+                stride = max(1, blen // 32)
+                thumb = (b or b"")[::stride][:16]
+                rows.append(
+                    (doc_id, w, h, out_w, out_h, stride,
+                     thumb.hex(), len(thumb))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "in_w", "in_h", "out_w", "out_h",
+                         "stride", "thumb_hex", "thumb_len"],
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        resize, schema=RESIZED_SCHEMA
+    )
+
+
 def real_decode_image(docs_with_payload: DataFrame) -> DataFrame:
     """Integration point for a real image decoder (PIL etc.). Not
     available in this container."""

@@ -909,6 +909,59 @@ FROM documents
 """
 
 
+def multimodal_resize_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched RESIZE stage (operators/multimodal.
+    resize_image_stub over the magic-header payloads) — completes the
+    brief's decode / feature-extract / resize / frame-sample plumbing
+    set with the second mapInPandas boundary the oracle validates:
+    aspect-preserving fit into a 224 box (never upscaled) plus a
+    strided-byte thumbnail standing in for the resampled pixel buffer,
+    all deterministic so DuckDB replays the exact arithmetic via
+    hex-string slicing."""
+    return M.resize_image_stub(M.with_magic_payload(_docs(spark, sf_dir)))
+
+
+MULTIMODAL_RESIZE_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         (CASE doc_id % 4 WHEN 0 THEN unhex('89504E470D0A1A0A')
+                          WHEN 1 THEN unhex('FFD8FFE0')
+                          WHEN 2 THEN unhex('474946383761')
+                          ELSE unhex('') END) || encode(text) AS payload
+  FROM documents
+), dims AS (
+  SELECT doc_id, payload,
+         octet_length(payload) AS blen,
+         CAST(octet_length(payload) % 640 + 1 AS INTEGER) AS in_w,
+         CAST(octet_length(payload) % 480 + 1 AS INTEGER) AS in_h
+  FROM p
+), scaled AS (
+  SELECT doc_id, payload, blen, in_w, in_h,
+         least(224.0 / in_w, 224.0 / in_h, 1.0) AS scale,
+         greatest(CAST(1 AS BIGINT), CAST(blen // 32 AS BIGINT)) AS stride
+  FROM dims
+), thumbed AS (
+  SELECT doc_id, in_w, in_h,
+         CAST(greatest(1, floor(in_w * scale)) AS INTEGER) AS out_w,
+         CAST(greatest(1, floor(in_h * scale)) AS INTEGER) AS out_h,
+         stride,
+         CAST(least(16, CAST(ceil(blen / CAST(stride AS DOUBLE)) AS BIGINT))
+              AS INTEGER) AS thumb_len,
+         lower(hex(payload)) AS hx
+  FROM scaled
+)
+SELECT doc_id, in_w, in_h, out_w, out_h, stride,
+       array_to_string(
+         list_transform(
+           CASE WHEN thumb_len > 0 THEN generate_series(0, thumb_len - 1)
+                ELSE [] END,
+           i -> substr(hx, CAST(i * stride * 2 + 1 AS BIGINT), 2)),
+         '') AS thumb_hex,
+       thumb_len
+FROM thumbed
+"""
+
+
 def multimodal_format_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Magic-number format detection over binary payloads carrying real
     PNG/JPEG/GIF magics (operators/multimodal.with_magic_payload +
@@ -2235,6 +2288,8 @@ QUERIES: dict[str, QuerySpec] = {
         plan_waivers={"bnlj": "1-row corpus-size scalar in IDF"}),
     "multimodal_binary_meta": QuerySpec(multimodal_binary_meta, MULTIMODAL_BINARY_META_SQL, "multimodal"),
     "multimodal_decode_fake": QuerySpec(multimodal_decode_fake, MULTIMODAL_DECODE_SQL, "multimodal"),
+    "multimodal_resize_plumbing": QuerySpec(
+        multimodal_resize_plumbing, MULTIMODAL_RESIZE_SQL, "multimodal"),
     "multimodal_format_detect": QuerySpec(
         multimodal_format_detect, MULTIMODAL_FORMAT_DETECT_SQL, "multimodal"),
     "multimodal_byte_entropy": QuerySpec(

@@ -219,3 +219,38 @@ def test_wav_fmt_meta_parses_real_struct_header(spark):
     for bad in (3, 4):
         assert out[bad]["is_wav"] == 0
         assert out[bad]["sample_rate"] is None and out[bad]["duration_ms"] is None
+
+
+def test_resize_stub_aspect_and_thumb_spec(spark):
+    """Resize plumbing vs a plain-Python spec on planted payloads:
+    aspect ratio is preserved within floor rounding, output never
+    exceeds the 224 box, small images are NEVER upscaled, and the
+    strided thumbnail is exactly payload[::stride][:16]."""
+    from pyspark.sql import functions as F
+
+    from pipeline_apache_beam_entrega1_cs_spark.operators.multimodal import (
+        resize_image_stub,
+    )
+
+    texts = ["", "a", "x" * 31, "y" * 32, "z" * 1000, "w" * 700]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    out = {r["doc_id"]: r for r in resize_image_stub(docs).collect()}
+    assert set(out) == set(range(len(texts)))
+    for i, t in enumerate(texts):
+        b = t.encode()
+        blen = len(b)
+        w, h = blen % 640 + 1, blen % 480 + 1
+        scale = min(224 / w, 224 / h, 1.0)
+        stride = max(1, blen // 32)
+        r = out[i]
+        assert (r["in_w"], r["in_h"]) == (w, h)
+        assert r["out_w"] == max(1, int(w * scale))
+        assert r["out_h"] == max(1, int(h * scale))
+        assert r["out_w"] <= 224 and r["out_h"] <= 224
+        if w <= 224 and h <= 224:  # no upscale
+            assert (r["out_w"], r["out_h"]) == (w, h)
+        assert r["stride"] == stride
+        assert r["thumb_hex"] == b[::stride][:16].hex()
+        assert r["thumb_len"] == len(b[::stride][:16])
