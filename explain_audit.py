@@ -104,6 +104,7 @@ AUDIT = [
     "timeseries_forecast_backtest",
     "dq_ks_bucketed",
     "multimodal_resize_plumbing",
+    "eval_langid_confusion",
 ]
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import math as _math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import _dec_to_double
@@ -796,6 +796,73 @@ SELECT d.doc_id,
        COALESCE(b.cand_lang, 'und') AS pred_lang,
        COALESCE(b.votes, 0) AS votes
 FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+"""
+
+
+def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as an operator — the confusion matrix of
+    the stopword-voting language identifier (text_lang_id) against the
+    corpus's labeled ``lang`` column, with per-true-class totals and
+    recall shares. Third member of the eval family: retrieval has
+    recall/nDCG (eval_retrieval_metrics), forecasting has MAPE/bias
+    (timeseries_forecast_backtest), classification has the confusion
+    matrix — the exact report a curation stack reads before trusting a
+    cheap classifier to route documents (e.g. zh here has no marker
+    vocabulary, and its row shows precisely where those docs land).
+
+    Determinism: counts are exact BIGINTs; share = n / n_true is one
+    round-6 IEEE division; matrix cells and class totals come from one
+    groupBy plus a per-true-class window (partitioned by true_lang —
+    #classes partitions, no global window).
+
+    Scale shape: the predictor's one broadcast-marker join + argmax,
+    then a (true, pred) groupBy whose output is #classes² rows."""
+    docs = _docs(spark, sf_dir)
+    pred = T.lang_id(docs).select("doc_id", "pred_lang")
+    joined = docs.select(
+        "doc_id", F.col("lang").alias("true_lang")
+    ).join(pred, "doc_id")
+    conf = joined.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("true_lang")
+    return conf.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.sum("n").over(wt).alias("n_true"),
+        F.round(F.col("n") / F.sum("n").over(wt), 6).alias("share_of_true"),
+        (F.col("true_lang") == F.col("pred_lang")).alias("is_hit"),
+    )
+
+
+EVAL_LANGID_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, t FROM documents, UNNEST({_TOKS}) AS u(t)
+  WHERE trim(text) <> ''
+), votes AS (
+  SELECT doc_id, cand_lang, COUNT(*) AS votes
+  FROM tok JOIN (VALUES {_MARKER_VALUES}) m(cand_lang, marker) ON t = marker
+  GROUP BY 1, 2
+), best AS (
+  SELECT doc_id, cand_lang, votes,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY votes DESC, cand_lang ASC) AS rn
+  FROM votes
+), pred AS (
+  SELECT d.doc_id, d.lang AS true_lang,
+         COALESCE(b.cand_lang, 'und') AS pred_lang
+  FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+), conf AS (
+  SELECT true_lang, pred_lang, COUNT(*) AS n
+  FROM pred GROUP BY 1, 2
+)
+SELECT true_lang, pred_lang, n,
+       CAST(SUM(n) OVER (PARTITION BY true_lang) AS BIGINT) AS n_true,
+       round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY true_lang), 6)
+         AS share_of_true,
+       true_lang = pred_lang AS is_hit
+FROM conf
 """
 
 
@@ -2263,6 +2330,8 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_retrieval_pipeline": QuerySpec(
         ann_retrieval_pipeline, _retrieval_pipeline_sql(), "similarity",
         plan_waivers={"bnlj": "k-row centroid/codebook broadcasts (IVF-PQ stage)"}),
+    "eval_langid_confusion": QuerySpec(
+        eval_langid_confusion, EVAL_LANGID_SQL, "text"),
     "eval_retrieval_metrics": QuerySpec(
         eval_retrieval_metrics, _retrieval_eval_sql(), "similarity",
         plan_waivers={"bnlj": (

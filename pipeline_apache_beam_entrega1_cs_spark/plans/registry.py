@@ -92,11 +92,11 @@ additions (the previous revision of this note undercounted them as
 three; VERDICT r7 flag #2 corrected the count) — two of which
 (sample_temperature_mixture, graph_link_prediction) also changed
 semantics this round per ADVICE r7, so their rows double as
-regression evidence, (c) 6 of the 50 entries whose latest driver
+regression evidence, (c) 5 of the 50 entries whose latest driver
 evidence is r04, execution-heaviest first (streaming sinks/joins,
-pack_token_budget, key_skew_profile,
+pack_token_budget,
 dataset_build_pipeline), (d) the
-SIXTEEN late round-8 additions from the second and third sessions
+SEVENTEEN late round-8 additions from the second and third sessions
 (join_bloom_prefilter, join_dynamic_partition_pruning,
 agg_bitmap_distinct, join_null_skew_split; graph_bfs_levels,
 window_interval_coalesce, timeseries_anomaly_mad,
@@ -104,19 +104,20 @@ agg_countmin_heavy_hitters, eval_retrieval_metrics,
 dedup_cross_source_overlap, sample_neyman_allocation,
 window_max_drawdown, graph_sssp_weighted,
 timeseries_forecast_backtest, dq_ks_bucketed,
-multimodal_resize_plumbing — all locally
+multimodal_resize_plumbing, eval_langid_confusion — all locally
 oracle-green at sf0.001 and the sf0.01 gate SF), promoted so NO
 registry entry is left without driver evidence after r08.
-18 + 10 + 6 + 16 = 50.
+18 + 10 + 5 + 17 = 50.
 
 ROUND 9 CHORE: rotate again — promote (a) any r08 failures, (b)
 entries added during round 9 itself,
-(c) the FORTY-FOUR r04-only
+(c) the FORTY-FIVE r04-only
 entries left outside the round-8 window: agg_approx_distinct,
 agg_approx_percentile, agg_basic_stats, agg_collect_sorted, agg_cube,
 agg_distinct, agg_grouping_sets, agg_having, agg_min_max_by,
 agg_percentiles, agg_rollup, ann_cosine_topk, cte_above_avg_nations,
 decile_stats_bucketed, filter_project_nullsafe, join_anti,
+key_skew_profile,
 join_asof_events, join_broadcast_dim, join_full_outer,
 join_left_outer, join_range_nonequi, join_right_outer, join_semi,
 join_sort_merge, ntile_decile_stats,
@@ -195,12 +196,12 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_rollup_upsert",
     "streaming_stream_left_join",
     "pack_token_budget",
-    "key_skew_profile",
     "dataset_build_pipeline",
-    # --- the sixteen LATE round-8 additions (second + third session),
+    # --- the seventeen LATE round-8 additions (second + third session),
     # promoted into the window so NO registry entry is left without
-    # driver evidence after r08; they displace the last SIXTEEN r04
-    # back-fill names (sink_parquet_roundtrip, sink_orc_roundtrip,
+    # driver evidence after r08; they displace the last SEVENTEEN r04
+    # back-fill names (key_skew_profile, sink_parquet_roundtrip,
+    # sink_orc_roundtrip,
     # join_sort_merge,
     # join_broadcast_dim, join_left/right/full_outer, join_semi,
     # join_anti, join_range_nonequi, join_asof_events, skew_salted_agg,
@@ -225,7 +226,9 @@ DRIVER_PRIORITY: list[str] = [
     "timeseries_forecast_backtest",
     "dq_ks_bucketed",
     "multimodal_resize_plumbing",
-    # (sink_parquet_roundtrip, sink_orc_roundtrip, join_sort_merge,
+    "eval_langid_confusion",
+    # (key_skew_profile, sink_parquet_roundtrip, sink_orc_roundtrip,
+    # join_sort_merge,
     # join_broadcast_dim,
     # join_left_outer, join_right_outer, join_full_outer,
     # join_semi, join_anti, join_range_nonequi, join_asof_events,

@@ -871,3 +871,40 @@ def test_cross_source_overlap_planted_sharing(spark):
     r = out[("s1", "s2")]
     assert r["n_shared_fp"] == 1 and r["n_fp_a"] == 1 and r["n_fp_b"] == 1
     assert r["overlap"] == 1.0
+
+
+def test_langid_confusion_planted_labels(spark):
+    """Confusion-matrix semantics on planted docs: marker-bearing docs
+    land on the diagonal, a labeled language with NO marker vocabulary
+    (zh here) predicts 'und', and each true class's shares sum to 1."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.llm_data as L
+
+    rows = [
+        (1, "the cat and the dog with the", "en", "s", 10),
+        (2, "the quick the brown the fox", "en", "s", 10),
+        (3, "le chat et la maison dans le", "fr", "s", 10),
+        (4, "der hund und die katze mit der", "de", "s", 10),
+        (5, "中文 文本 没有 标记", "zh", "s", 10),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = L._docs
+    L._docs = lambda spark, sf_dir: docs
+    try:
+        out = L.eval_langid_confusion(spark, "x").collect()
+    finally:
+        L._docs = orig
+    cells = {(r["true_lang"], r["pred_lang"]): r for r in out}
+    assert cells[("en", "en")]["n"] == 2 and cells[("en", "en")]["is_hit"]
+    assert cells[("fr", "fr")]["n"] == 1
+    assert cells[("de", "de")]["n"] == 1
+    assert cells[("zh", "und")]["n"] == 1 and not cells[("zh", "und")]["is_hit"]
+    shares = {}
+    for r in out:
+        shares.setdefault(r["true_lang"], 0.0)
+        shares[r["true_lang"]] += r["share_of_true"]
+        assert r["n_true"] >= r["n"]
+    assert all(abs(v - 1.0) < 1e-6 for v in shares.values()), shares
