@@ -800,6 +800,66 @@ def maintenance_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+_TTL_CUTOFF_YEAR = 1995
+
+
+def maintenance_retention_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL retention enforcement — the data-lifecycle job every
+    regulated 100 TB table runs (GDPR/retention windows): a
+    year-partitioned table is written, then partitions OLDER than the
+    cutoff are dropped by PARTITION-DIRECTORY deletion — an O(#expired
+    partitions) filesystem operation that never reads, rewrites, or
+    shuffles a single surviving row. That is the entire point of
+    partitioning by the retention key: row-level deletes would rewrite
+    the whole table. The physical assertion (surviving partition dirs
+    on disk == years kept) plus the oracle hash (readback == the
+    source filtered to the window) together prove scoped, lossless
+    deletion. Per-PID scratch dir (ADVICE r6 rule)."""
+    import os
+    import shutil
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    d = f"/tmp/spark_graft_ttl/{tag}-{os.getpid()}"
+    shutil.rmtree(d, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year("o_orderdate").alias("o_year"),
+    )
+    orders.write.partitionBy("o_year").mode("overwrite").parquet(d)
+    # retention sweep: drop expired partition directories
+    for entry in sorted(os.listdir(d)):
+        if entry.startswith("o_year="):
+            year = int(entry.split("=", 1)[1])
+            if year < _TTL_CUTOFF_YEAR:
+                shutil.rmtree(os.path.join(d, entry))
+    kept_dirs = sorted(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(d)
+        if e.startswith("o_year=")
+    )
+    assert all(y >= _TTL_CUTOFF_YEAR for y in kept_dirs), kept_dirs
+    back = spark.read.parquet(d)
+    return back.groupBy(F.col("o_year").cast("int").alias("o_year")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+MAINT_RETENTION_TTL_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       COUNT(*) AS n_rows,
+       {sql_dsum("o_totalprice")} AS sum_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders
+WHERE year(o_orderdate) >= {_TTL_CUTOFF_YEAR}
+GROUP BY 1
+"""
+
+
 MAINT_PARTITION_OVERWRITE_SQL = f"""
 SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
        COUNT(*) AS n_rows,
@@ -844,6 +904,8 @@ QUERIES: dict[str, QuerySpec] = {
         maintenance_zorder_layout, _zorder_sql(), "pipeline"),
     "maintenance_partition_overwrite": QuerySpec(
         maintenance_partition_overwrite, MAINT_PARTITION_OVERWRITE_SQL, "pipeline"),
+    "maintenance_retention_ttl": QuerySpec(
+        maintenance_retention_ttl, MAINT_RETENTION_TTL_SQL, "pipeline"),
     "dq_split_leakage": QuerySpec(
         dq_split_leakage, DQ_SPLIT_LEAKAGE_SQL, "pipeline"),
     "split_train_val_test": QuerySpec(split_train_val_test, SPLIT_SQL, "pipeline"),

