@@ -537,3 +537,76 @@ def bpe_fit(docs: DataFrame, rounds: int = BPE_FIT_ROUNDS) -> DataFrame:
     for m in merges[1:]:
         out = out.union(m)
     return out
+
+
+def bigram_backoff_score(
+    docs: DataFrame, min_count: int = 3, alpha: float = 0.4
+) -> DataFrame:
+    """Per-document cross-entropy under a corpus bigram LM with stupid
+    backoff — the CCNet-style "does this read like the corpus" quality
+    gate, one notch stronger than unigram_logprob_score (it also
+    penalizes incoherent token ORDER, not just rare vocabulary).
+
+    Model (self-trained on the corpus, pruned like a shipped n-gram LM):
+    bigrams with support < ``min_count`` are dropped from the table, so
+    scoring them falls through to the backoff branch —
+      S(w2|w1) = c(w1,w2)/c(w1)          if c(w1,w2) >= min_count
+               = alpha * c(w2)/N         otherwise (stupid backoff,
+                                         Brants et al. 2007, unnormalized
+                                         by design).
+    Per doc: n_bg bigram positions, n_backoff of them backed off,
+    avg_logprob = mean ln S, ppl = exp(-avg_logprob).
+
+    100 TB shape: bigrams are generated ADJACENT-ONLY via an index
+    transform (linear, never a self-join); the bigram and unigram count
+    tables are mergeable hash aggregates; scoring is keyed shuffle joins
+    on (w1,w2) / w1 / w2 — no broadcast assumption on the LM tables, so
+    vocabulary size is unbounded. The unigram subtree is referenced
+    twice (context count + backoff count); at scale the counts tables
+    are the natural checkpoint/cache point between LM fit and scoring.
+    Docs with < 2 tokens have no bigram positions and are excluded.
+    """
+    base = docs.select("doc_id", tokens(F.col("text")).alias("_tk"))
+    pairs = (
+        base.filter(F.size("_tk") > 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_tk) - 1), "
+                    "i -> struct(element_at(_tk, i) AS w1, element_at(_tk, i + 1) AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    uni = explode_tokens(docs, out="term").groupBy("term").agg(
+        F.count(F.lit(1)).alias("c_t")
+    )
+    total = uni.agg(F.sum("c_t").cast("double").alias("n_tok"))
+    ctx = uni.select(F.col("term").alias("w1"), F.col("c_t").alias("c_ctx"))
+    nxt = uni.select(F.col("term").alias("w2"), F.col("c_t").alias("c_next"))
+    hit = F.col("c_xy").isNotNull()
+    lp = F.when(
+        hit, F.log(F.col("c_xy").cast("double") / F.col("c_ctx"))
+    ).otherwise(
+        F.log(F.lit(alpha) * F.col("c_next").cast("double") / F.col("n_tok"))
+    )
+    scored = (
+        pairs.join(big, ["w1", "w2"], "left")
+        .join(ctx, "w1")
+        .join(nxt, "w2")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", lp.alias("lp"), (~hit).cast("long").alias("backed"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bg"),
+        F.sum("backed").alias("n_backoff"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        F.round(F.exp(-F.avg("lp")), 4).alias("ppl"),
+    )

@@ -1853,6 +1853,56 @@ ORDER BY pmi DESC, w1 ASC, w2 ASC
 LIMIT {_PMI_TOP_K}
 """
 
+_BACKOFF_MIN_COUNT = 3
+_BACKOFF_ALPHA = 0.4
+
+
+def text_perplexity_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy under a pruned corpus bigram LM with stupid
+    backoff (operators/textops.bigram_backoff_score) — the CCNet-style
+    perplexity quality gate; penalizes incoherent token order, not just
+    rare vocabulary like text_unigram_logprob."""
+    return T.bigram_backoff_score(
+        _docs(spark, sf_dir),
+        min_count=_BACKOFF_MIN_COUNT,
+        alpha=_BACKOFF_ALPHA,
+    )
+
+
+_BACKOFF_LP = f"""CASE WHEN b.c_xy IS NOT NULL
+             THEN ln(b.c_xy::DOUBLE / cu.c_t)
+             ELSE ln({_BACKOFF_ALPHA} * cn.c_t::DOUBLE / n_tok) END"""
+
+TEXT_PERPLEXITY_BACKOFF_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents WHERE trim(text) <> ''
+), pairs AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+  FROM base, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+  WHERE len(tk) > 1
+), big AS (
+  SELECT w1, w2, COUNT(*) AS c_xy FROM pairs GROUP BY w1, w2
+  HAVING COUNT(*) >= {_BACKOFF_MIN_COUNT}
+), uni AS (
+  SELECT t AS term, COUNT(*) AS c_t
+  FROM documents, UNNEST({_TOKS}) AS u(t) WHERE trim(text) <> ''
+  GROUP BY t
+), totals AS (
+  SELECT CAST(SUM(c_t) AS DOUBLE) AS n_tok FROM uni
+)
+SELECT doc_id, COUNT(*) AS n_bg,
+       CAST(SUM(CASE WHEN b.c_xy IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_backoff,
+       round(AVG({_BACKOFF_LP}), 6) AS avg_logprob,
+       round(exp(-AVG({_BACKOFF_LP})), 4) AS ppl
+FROM pairs p
+LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+JOIN uni cu ON cu.term = p.w1
+JOIN uni cn ON cn.term = p.w2
+CROSS JOIN totals
+GROUP BY doc_id
+"""
+
 
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization: m=4 subspace codebooks (k=4 each) fit with
@@ -2396,6 +2446,10 @@ QUERIES: dict[str, QuerySpec] = {
         embedding_quantize_int8, EMBEDDING_QUANTIZE_SQL, "similarity"),
     "profile_documents": QuerySpec(profile_documents, PROFILE_DOCUMENTS_SQL, "text"),
     "curation_pipeline": QuerySpec(curation_pipeline, CURATION_PIPELINE_SQL, "composition"),
+    "text_perplexity_backoff": QuerySpec(
+        text_perplexity_backoff, TEXT_PERPLEXITY_BACKOFF_SQL, "text",
+        plan_waivers={"bnlj": "1-row corpus token total"},
+    ),
     "text_unigram_logprob": QuerySpec(
         text_unigram_logprob, TEXT_UNIGRAM_LOGPROB_SQL, "text",
         plan_waivers={"bnlj": "1-row corpus token total"},

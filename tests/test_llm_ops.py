@@ -908,3 +908,34 @@ def test_langid_confusion_planted_labels(spark):
         shares[r["true_lang"]] += r["share_of_true"]
         assert r["n_true"] >= r["n"]
     assert all(abs(v - 1.0) < 1e-6 for v in shares.values()), shares
+
+
+def test_bigram_backoff_spec(spark):
+    """Hand-computed stupid-backoff check on a 3-doc corpus: the
+    repeated bigram clears min_count and scores c_xy/c_ctx; the rare
+    one falls through to alpha * c(w2)/N."""
+    import math
+
+    from pipeline_apache_beam_entrega1_cs_spark.operators.textops import (
+        bigram_backoff_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r
+        for r in bigram_backoff_score(docs, min_count=2, alpha=0.4).collect()
+    }
+    # Corpus: tokens a=3 b=2 c=1, N=6; bigrams (a,b)x2 (a,c)x1.
+    # (a,b): c_xy=2 >= 2 -> ln(2/3). (a,c): pruned -> ln(0.4 * 1/6).
+    lp_ab = math.log(2 / 3)
+    lp_ac = math.log(0.4 / 6)
+    assert got[1].n_bg == 1 and got[1].n_backoff == 0
+    assert got[1].avg_logprob == pytest.approx(round(lp_ab, 6))
+    assert got[3].n_backoff == 1
+    assert got[3].avg_logprob == pytest.approx(round(lp_ac, 6))
+    assert got[3].ppl == pytest.approx(round(math.exp(-lp_ac), 4))
+    # order-incoherent text scores worse than corpus-typical text
+    assert got[3].avg_logprob < got[1].avg_logprob
