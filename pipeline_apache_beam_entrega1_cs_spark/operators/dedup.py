@@ -13,7 +13,7 @@ shingle inversion) — only verification touches pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from .textops import tokens
 
@@ -657,4 +657,90 @@ def span_dedup(docs: DataFrame, n: int = 8) -> DataFrame:
         # construction, so |cov| IS the removed-word count
         F.size("_cov").cast("bigint").alias("n_removed"),
         F.array_join(kept_words, " ").alias("clean_text"),
+    )
+
+
+def with_url_column(docs: DataFrame) -> DataFrame:
+    """Deterministic raw-URL fixture (the documents table ships no URL
+    column): every doc gets a messy crawl-style URL whose CANONICAL
+    identity is (source, doc_id % 37) — so ~13.5 docs per source share a
+    canonical URL — but whose RAW string varies in scheme/host casing,
+    explicit default port, trailing slash, tracking params (utm_*),
+    query-param order, and fragment, all keyed off doc_id residues.
+    Mirrored expression-for-expression by the SQL oracle."""
+    d = F.col("doc_id")
+    k = (d % 37).cast("string")
+    scheme = F.when(d % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS"))
+    host = F.concat(
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("www.")),
+        F.when(d % 3 == 1, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".example.com"),
+    )
+    port = F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit(""))
+    path = F.concat(F.lit("/docs/"), k)
+    slash = F.when(d % 7 == 0, F.lit("/")).otherwise(F.lit(""))
+    q = (
+        F.when(d % 4 == 0, F.concat(F.lit("?utm_source=feed&id="), k, F.lit("&v=2")))
+        .when(d % 4 == 1, F.concat(F.lit("?v=2&id="), k))
+        .when(d % 4 == 2, F.concat(F.lit("?id="), k, F.lit("&v=2&utm_campaign=c7")))
+        .otherwise(F.concat(F.lit("?id="), k, F.lit("&v=2")))
+    )
+    frag = F.when(d % 2 == 1, F.concat(F.lit("#sec"), (d % 3).cast("string"))).otherwise(
+        F.lit("")
+    )
+    return docs.withColumn(
+        "url", F.concat(scheme, F.lit("://"), host, port, path, slash, q, frag)
+    )
+
+
+def canonical_url_col(url: Column) -> Column:
+    """Canonicalize a URL with pure string/array expressions (zero UDF,
+    whole-stage codegen): strip the fragment, lowercase scheme+host,
+    drop an explicit default port (:443/:80), strip one trailing slash
+    from the path, and normalize the query — drop utm_*/fbclid tracking
+    params and sort the survivors so param order never splits a dup
+    group. Regexes stay in the Java∩RE2 common dialect so the DuckDB
+    oracle can mirror them verbatim."""
+    no_frag = F.get(F.split(url, "#"), 0)
+    base = F.get(F.split(no_frag, r"\?"), 0)
+    query = F.coalesce(F.get(F.split(no_frag, r"\?"), 1), F.lit(""))
+    scheme = F.lower(F.regexp_extract(base, "^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract(base, "^[A-Za-z]+://([^/]+)", 1))
+    host = F.regexp_replace(hostport, ":(443|80)$", "")
+    path = F.regexp_replace(
+        F.regexp_extract(base, "^[A-Za-z]+://[^/]+(/.*)?$", 1), "/$", ""
+    )
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~p.startswith("utm_")
+            & ~p.startswith("fbclid"),
+        )
+    )
+    qcanon = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qcanon)
+
+
+def url_canonical_dedup(docs_with_url: DataFrame) -> DataFrame:
+    """URL-keyed exact dedup after canonicalization — the first pass of
+    every web-corpus pipeline (raw crawl URLs differ in tracking junk,
+    casing, ports, and param order while pointing at the same page).
+
+    Output: one row per canonical URL with the kept representative
+    (min doc_id — deterministic, never dropDuplicates) and the variant
+    counts. 100 TB shape: canonicalization is a narrow, codegen'd
+    per-row pass; the only shuffle is ONE mergeable hash aggregate on
+    the canonical key. No joins, no windows."""
+    canon = docs_with_url.select(
+        "doc_id",
+        canonical_url_col(F.col("url")).alias("canonical_url"),
+        F.col("url").alias("raw_url"),
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("raw_url")).alias("n_raw_variants"),
     )

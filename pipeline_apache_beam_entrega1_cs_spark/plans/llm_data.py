@@ -1853,6 +1853,64 @@ ORDER BY pmi DESC, w1 ASC, w2 ASC
 LIMIT {_PMI_TOP_K}
 """
 
+def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus URL dedup: canonicalize crawl-style URLs (case, default
+    port, trailing slash, tracking params, param order, fragment) with
+    pure string/array expressions, then ONE hash aggregate on the
+    canonical key (operators/dedup.canonical_url_col). The URL column is
+    a deterministic fixture (documents ships none) mirrored by the
+    oracle."""
+    return D.url_canonical_dedup(D.with_url_column(_docs(spark, sf_dir)))
+
+
+_URL_K = "CAST(doc_id % 37 AS VARCHAR)"
+DEDUP_URL_CANONICALIZE_SQL = f"""
+WITH u AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
+    || '://'
+    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END)
+    || (CASE WHEN doc_id % 3 = 1 THEN upper(source) ELSE source END)
+    || '.example.com'
+    || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+    || '/docs/' || {_URL_K}
+    || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+    || (CASE doc_id % 4
+         WHEN 0 THEN '?utm_source=feed&id=' || {_URL_K} || '&v=2'
+         WHEN 1 THEN '?v=2&id=' || {_URL_K}
+         WHEN 2 THEN '?id=' || {_URL_K} || '&v=2&utm_campaign=c7'
+         ELSE '?id=' || {_URL_K} || '&v=2' END)
+    || (CASE WHEN doc_id % 2 = 1
+         THEN '#sec' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END)
+    AS url
+  FROM documents
+), comp AS (
+  SELECT doc_id, url,
+    string_split(string_split(url, '#')[1], '?')[1] AS base,
+    COALESCE(string_split(string_split(url, '#')[1], '?')[2], '') AS query
+  FROM u
+), kept AS (
+  SELECT doc_id, url, base,
+    list_sort(list_filter(string_split(query, '&'),
+      p -> p <> '' AND NOT starts_with(p, 'utm_')
+           AND NOT starts_with(p, 'fbclid'))) AS kq
+  FROM comp
+), canon AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(base, '^([A-Za-z]+)://', 1)) || '://'
+    || regexp_replace(lower(regexp_extract(base, '^[A-Za-z]+://([^/]+)', 1)),
+                      ':(443|80)$', '')
+    || regexp_replace(regexp_extract(base, '^[A-Za-z]+://[^/]+(/.*)?$', 1),
+                      '/$', '')
+    || (CASE WHEN len(kq) > 0 THEN '?' || array_to_string(kq, '&')
+        ELSE '' END) AS canonical_url
+  FROM kept
+)
+SELECT canonical_url, MIN(doc_id) AS keeper_id, COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants
+FROM canon GROUP BY canonical_url
+"""
+
 _BACKOFF_MIN_COUNT = 3
 _BACKOFF_ALPHA = 0.4
 
@@ -2356,6 +2414,8 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_minhash_banded, DEDUP_MINHASH_BANDED_SQL, "dedup"),
     "dedup_binary_payload": QuerySpec(
         dedup_binary_payload, DEDUP_BINARY_PAYLOAD_SQL, "dedup"),
+    "dedup_url_canonicalize": QuerySpec(
+        dedup_url_canonicalize, DEDUP_URL_CANONICALIZE_SQL, "dedup"),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL, "dedup"),
     "dedup_embedding_cosine_lsh": QuerySpec(
         dedup_embedding_cosine_lsh, None, "dedup",

@@ -939,3 +939,27 @@ def test_bigram_backoff_spec(spark):
     assert got[3].ppl == pytest.approx(round(math.exp(-lp_ac), 4))
     # order-incoherent text scores worse than corpus-typical text
     assert got[3].avg_logprob < got[1].avg_logprob
+
+
+def test_canonical_url_spec(spark):
+    """Hand-written messy URLs must collapse to the expected canonical
+    forms: casing, default ports, trailing slash, tracking params,
+    param order, and fragments all normalized; non-default ports and
+    real params preserved."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.dedup import (
+        canonical_url_col,
+    )
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM:443/a/?b=2&a=1&utm_x=9#frag",
+         "https://www.ex.com/a?a=1&b=2"),
+        ("https://www.ex.com/a?a=1&b=2",
+         "https://www.ex.com/a?a=1&b=2"),
+        ("http://ex.com:80/", "http://ex.com"),
+        ("http://ex.com:8080/p", "http://ex.com:8080/p"),
+        ("https://ex.com/p?fbclid=abc", "https://ex.com/p"),
+        ("https://ex.com", "https://ex.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r.c for r in df.select(canonical_url_col(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
