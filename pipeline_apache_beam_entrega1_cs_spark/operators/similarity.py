@@ -953,3 +953,54 @@ def truncated_rescore_topk(
             F.col("rk").cast("long").alias("rank"),
         )
     )
+
+
+def semantic_cluster_dedup(
+    embeddings: DataFrame, k: int = 8, iters: int = 2, threshold: float = 0.35
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the
+    deterministic unrolled-Lloyd k-means, then inside each cluster mark
+    every vector that has a SMALLER-id neighbor with cosine >=
+    ``threshold`` as a duplicate — keep-min-id, never dropDuplicates.
+
+    Output: (vec_id, cluster, is_dup, n_close) — one row per vector, so
+    the keep set is the is_dup = false slice and the dedup decision is
+    auditable (n_close = how many kept-or-dropped earlier vectors it
+    collided with).
+
+    100 TB shape: the quantizer is the k-row broadcast + straight-line
+    Lloyd plan of kmeans_lloyd; pair generation is an EQUI-join on the
+    cluster id (Σ|cluster|² work, never n²) — in production k scales
+    with corpus size (the paper runs 50k clusters on LAION) so cluster
+    populations stay bounded and the per-cluster quadratic term is a
+    constant; the dup verdict is one mergeable count aggregate keyed on
+    the larger vec_id. Fully hash-oracle-able because every stage is
+    the deterministic k-means + rounded cosine recipe."""
+    vecs = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    cents, assign = _kmeans_fit(vecs, k, iters)
+    assigned = assign(cents).select("vec_id", "v", "cluster")
+    a = assigned.select(
+        "cluster", F.col("vec_id").alias("vec_a"), F.col("v").alias("emb_a")
+    )
+    b = assigned.select(
+        "cluster", F.col("vec_id").alias("vec_b"), F.col("v").alias("emb_b")
+    )
+    close = (
+        a.join(b, "cluster")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6) >= threshold
+        )
+        .groupBy("vec_b")
+        .agg(F.count(F.lit(1)).alias("n_close"))
+    )
+    return (
+        assigned.join(close, assigned.vec_id == close.vec_b, "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("n_close").isNotNull().alias("is_dup"),
+            F.coalesce(F.col("n_close"), F.lit(0).cast("long")).alias("n_close"),
+        )
+    )

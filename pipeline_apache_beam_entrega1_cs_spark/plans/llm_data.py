@@ -250,6 +250,41 @@ WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.35
 """
 
 
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: deterministic k-means partitions the embedding space,
+    then within-cluster cosine >= tau marks larger-id vectors as dups
+    (operators/similarity.semantic_cluster_dedup). The semantic-level
+    complement of dedup_embedding_cosine's label blocking: the blocking
+    key is LEARNED from geometry, so it needs no metadata column and
+    its population balance is controlled by k."""
+    return S.semantic_cluster_dedup(
+        _emb(spark, sf_dir), k=8, iters=2, threshold=0.35
+    )
+
+
+def _semantic_dedup_sql(k: int = 8, iters: int = 2,
+                        threshold: float = 0.35) -> str:
+    ctes, cfinal = _kmeans_ctes(k, iters)
+    return ctes + f""", assigned AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT v.vec_id, v.v, c.cluster,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {_KMEANS_DIST}, c.cluster) AS rn
+    FROM v, {cfinal} c
+  ) WHERE rn = 1
+), close AS (
+  SELECT b.vec_id AS vec_b, COUNT(*) AS n_close
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cluster,
+       (c.n_close IS NOT NULL) AS is_dup,
+       COALESCE(c.n_close, CAST(0 AS BIGINT)) AS n_close
+FROM assigned s LEFT JOIN close c ON c.vec_b = s.vec_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
@@ -2416,6 +2451,9 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_binary_payload, DEDUP_BINARY_PAYLOAD_SQL, "dedup"),
     "dedup_url_canonicalize": QuerySpec(
         dedup_url_canonicalize, DEDUP_URL_CANONICALIZE_SQL, "dedup"),
+    "dedup_semantic_clusters": QuerySpec(
+        dedup_semantic_clusters, _semantic_dedup_sql(), "dedup",
+        plan_waivers={"bnlj": "k-row centroid broadcast (Lloyd fit + assignment)"}),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL, "dedup"),
     "dedup_embedding_cosine_lsh": QuerySpec(
         dedup_embedding_cosine_lsh, None, "dedup",

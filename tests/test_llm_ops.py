@@ -963,3 +963,27 @@ def test_canonical_url_spec(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
     got = [r.c for r in df.select(canonical_url_col(F.col("url")).alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_semantic_cluster_dedup_planted(spark):
+    """Planted exact-duplicate vectors must be flagged (larger id only,
+    keep-min semantics) and near-but-distinct directions kept."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.similarity import (
+        semantic_cluster_dedup,
+    )
+
+    rows = [
+        (0, [1.0, 0.10]), (1, [1.0, 0.20]), (2, [1.0, 0.15]),
+        (3, [1.0, 0.15]),                       # dup of 2
+        (4, [0.10, 1.0]), (5, [0.20, 1.0]), (6, [0.15, 1.0]),
+        (7, [0.15, 1.0]),                       # dup of 6
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    out = {r.vec_id: r for r in
+           semantic_cluster_dedup(emb, k=2, iters=2, threshold=0.999).collect()}
+    assert {v for v, r in out.items() if r.is_dup} == {3, 7}
+    assert out[3].n_close == 1 and out[2].n_close == 0
+    # identical vectors always co-assign
+    assert out[2].cluster == out[3].cluster
