@@ -848,6 +848,77 @@ def maintenance_retention_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MANIFEST_NEW_FILES = 4
+
+
+def maintenance_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-diff incremental ingest — the exactly-once batch-ingest
+    idiom every lakehouse table format (Delta/Iceberg/Hudi) implements
+    in its metadata layer: a landing zone receives append-only file
+    batches; a MANIFEST table records every file already processed; an
+    incremental run lists the landing files, anti-joins the manifest on
+    file path, and reads ONLY the new files.
+
+    The pruning here is physical, not a post-scan filter: the new-file
+    list is materialized driver-side (a FILE-METADATA collect, O(#new
+    files) — the same class as the sanctioned 25-row fidelity LUT, it
+    never touches row data) and the incremental read opens exactly
+    those paths, so already-processed files see ZERO data I/O — which
+    is the entire economics of incremental ingest at 100 TB (re-reading
+    the landing zone would be a full-table scan per batch).
+    tests/test_scale_idioms.py asserts new.inputFiles() is exactly the
+    _MANIFEST_NEW_FILES unprocessed files. Three batches land
+    (o_orderkey % 3); batches 0 and 1 are already in the manifest; the
+    report aggregates what the incremental run ingested — so the oracle
+    (orders with key % 3 = 2 plus the literal file count) hash-matching
+    proves the diff picked up all of batch 2 and nothing else. Per-PID
+    scratch dir."""
+    import os
+    import shutil
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    d = f"/tmp/spark_graft_manifest/{tag}-{os.getpid()}"
+    shutil.rmtree(d, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    for b in range(3):
+        orders.filter(F.col("o_orderkey") % 3 == b).repartition(
+            _MANIFEST_NEW_FILES
+        ).write.mode("overwrite").parquet(f"{d}/landing/b{b}")
+    # "previous runs" registered batches 0 and 1 in the manifest
+    spark.read.parquet(f"{d}/landing/b0", f"{d}/landing/b1").select(
+        F.col("_metadata.file_path").alias("file_path")
+    ).distinct().write.mode("overwrite").parquet(f"{d}/manifest")
+    landing = spark.read.parquet(f"{d}/landing/b0", f"{d}/landing/b1",
+                                 f"{d}/landing/b2")
+    listed = landing.select(
+        F.col("_metadata.file_path").alias("file_path")
+    ).distinct()
+    manifest = spark.read.parquet(f"{d}/manifest")
+    new_paths = [
+        r.file_path
+        for r in listed.join(manifest, "file_path", "left_anti").collect()
+    ]
+    new = spark.read.parquet(*sorted(new_paths))
+    return new.agg(
+        F.lit(len(new_paths)).cast("bigint").alias("n_new_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+MAINT_INCREMENTAL_MANIFEST_SQL = f"""
+SELECT CAST({_MANIFEST_NEW_FILES} AS BIGINT) AS n_new_files,
+       COUNT(*) AS n_rows,
+       {sql_dsum("o_totalprice")} AS sum_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders
+WHERE o_orderkey % 3 = 2
+"""
+
+
 MAINT_RETENTION_TTL_SQL = f"""
 SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
        COUNT(*) AS n_rows,
@@ -906,6 +977,9 @@ QUERIES: dict[str, QuerySpec] = {
         maintenance_partition_overwrite, MAINT_PARTITION_OVERWRITE_SQL, "pipeline"),
     "maintenance_retention_ttl": QuerySpec(
         maintenance_retention_ttl, MAINT_RETENTION_TTL_SQL, "pipeline"),
+    "maintenance_incremental_manifest": QuerySpec(
+        maintenance_incremental_manifest, MAINT_INCREMENTAL_MANIFEST_SQL,
+        "pipeline"),
     "dq_split_leakage": QuerySpec(
         dq_split_leakage, DQ_SPLIT_LEAKAGE_SQL, "pipeline"),
     "split_train_val_test": QuerySpec(split_train_val_test, SPLIT_SQL, "pipeline"),

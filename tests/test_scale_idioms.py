@@ -743,3 +743,19 @@ def test_retention_ttl_physically_drops_expired_partitions(spark, sf_dir):
             if f.endswith(".parquet")
         ]
         assert files, y
+
+
+def test_incremental_manifest_reads_only_new_files(spark, sf_dir):
+    """The incremental-ingest entry's physical outcome: the returned
+    report plan's input files are EXACTLY the unprocessed batch's
+    files — already-manifested files see zero data I/O (the pruning
+    happens at file-listing time, not as a post-scan filter)."""
+    from pipeline_apache_beam_entrega1_cs_spark.plans.pipeline_ops import (
+        _MANIFEST_NEW_FILES,
+        maintenance_incremental_manifest,
+    )
+
+    df = maintenance_incremental_manifest(spark, sf_dir)
+    files = df.inputFiles()
+    assert len(files) == _MANIFEST_NEW_FILES
+    assert all("/landing/b2/" in f for f in files), files
