@@ -492,3 +492,60 @@ def wav_fmt_meta(docs_with_payload: DataFrame) -> DataFrame:
             "duration_ms"
         ),
     )
+
+
+def pcm_frame_energy(
+    docs_with_payload: DataFrame,
+    frame_len: int = 16,
+    max_samples: int = 256,
+    silence_rms: float = 8.0,
+) -> DataFrame:
+    """Audio feature extraction without a codec: frame-level RMS energy
+    and peak deviation over the 8-bit PCM samples of WAV payloads
+    (with_wav_payload puts the sample data at byte 45, after the 44-byte
+    canonical header). The frame-energy / silence-detection pass an
+    audio curation pipeline runs before expensive transcription — drop
+    silent or clipped clips early.
+
+    Per row: slice ``max_samples`` PCM bytes (BINARY substring, O(1) in
+    blob size), hex to byte values, then one frame row per FULL
+    ``frame_len``-sample window: rms = sqrt(mean((v-128)²)) (128 = the
+    unsigned-8-bit DC offset), peak_dev = max |v-128|, is_silence =
+    rms < ``silence_rms``. The sum of squares stays exact-integer until
+    a single /frame_len division, so the double is bit-identical with
+    the SQL oracle (which reads the same bytes straight from
+    encode(text) — the fixture's PCM section IS the UTF-8 text bytes).
+    Row inflation is bounded by max_samples/frame_len = 16 frames/doc;
+    zero shuffles, zero UDFs."""
+    p = F.col("payload")
+    is_wav = (F.hex(F.substring(p, 1, 4)) == "52494646") & (
+        F.hex(F.substring(p, 9, 8)) == "57415645666D7420"
+    )
+    vals = F.transform(
+        F.regexp_extract_all(
+            F.hex(F.substring(p, 45, max_samples)), F.lit("(..)"), 1
+        ),
+        lambda x: F.conv(x, 16, 10).cast("long"),
+    )
+    base = docs_with_payload.filter(is_wav).select("doc_id", vals.alias("_v"))
+    nf = F.floor(F.size("_v") / frame_len).cast("int")
+    frames = base.filter(F.size("_v") >= frame_len).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), nf - 1)).alias("fi"),
+        F.col("_v"),
+    )
+    samples = F.slice(F.col("_v"), F.col("fi") * frame_len + 1, frame_len)
+    sum_sq = F.aggregate(
+        samples,
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + (v - 128) * (v - 128),
+    )
+    rms = F.round(F.sqrt(sum_sq.cast("double") / F.lit(float(frame_len))), 6)
+    peak = F.array_max(F.transform(samples, lambda v: F.abs(v - 128)))
+    return frames.select(
+        "doc_id",
+        F.col("fi").cast("long").alias("frame_idx"),
+        rms.alias("rms"),
+        peak.cast("long").alias("peak_dev"),
+        (rms < silence_rms).alias("is_silence"),
+    )

@@ -1201,6 +1201,40 @@ def multimodal_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.wav_fmt_meta(M.with_wav_payload(_docs(spark, sf_dir)))
 
 
+def multimodal_pcm_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level RMS/peak/silence features over the WAV fixture's
+    8-bit PCM samples (operators/multimodal.pcm_frame_energy) — codec-
+    free audio feature extraction; the silence gate of an audio
+    curation pass. The oracle reads the same sample bytes straight from
+    encode(text) because with_wav_payload's PCM section is, by
+    construction, the UTF-8 text bytes."""
+    return M.pcm_frame_energy(M.with_wav_payload(_docs(spark, sf_dir)))
+
+
+_PCM_FRAME = 16
+MULTIMODAL_PCM_ENERGY_SQL = f"""
+WITH pcm AS (
+  SELECT doc_id,
+         regexp_extract_all(substr(hex(encode(text)), 1, 512), '..') AS bp
+  FROM documents WHERE doc_id % 4 = 1
+), f AS (
+  SELECT doc_id, CAST(g.f AS BIGINT) AS frame_idx,
+         list_transform(bp[(g.f*{_PCM_FRAME}+1):((g.f+1)*{_PCM_FRAME})],
+                        p2 -> CAST('0x' || p2 AS BIGINT)) AS vals
+  FROM pcm, UNNEST(generate_series(0, len(bp)//{_PCM_FRAME} - 1)) AS g(f)
+  WHERE len(bp) >= {_PCM_FRAME}
+), e AS (
+  SELECT doc_id, frame_idx,
+         round(sqrt(CAST(list_sum(list_transform(vals,
+               v -> (v-128)*(v-128))) AS DOUBLE) / {_PCM_FRAME}.0), 6) AS rms,
+         CAST(list_max(list_transform(vals, v -> abs(v-128))) AS BIGINT)
+           AS peak_dev
+  FROM f
+)
+SELECT doc_id, frame_idx, rms, peak_dev, (rms < 8.0) AS is_silence FROM e
+"""
+
+
 def _wav_le_sql(expr: str, nbytes: int) -> str:
     """Little-endian hex of an integer SQL expression (LSB-first byte
     pairs) — mirrors operators/multimodal._le_hex."""
@@ -2517,6 +2551,8 @@ QUERIES: dict[str, QuerySpec] = {
         multimodal_byte_chisq, MULTIMODAL_BYTE_CHISQ_SQL, "multimodal"),
     "multimodal_wav_meta": QuerySpec(
         multimodal_wav_meta, _wav_meta_sql(), "multimodal"),
+    "multimodal_pcm_frame_energy": QuerySpec(
+        multimodal_pcm_frame_energy, MULTIMODAL_PCM_ENERGY_SQL, "multimodal"),
     "multimodal_frame_sample": QuerySpec(
         multimodal_frame_sample, MULTIMODAL_FRAME_SQL, "multimodal"),
     "dedup_components": QuerySpec(dedup_components, DEDUP_COMPONENTS_SQL, "dedup"),

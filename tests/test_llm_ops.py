@@ -987,3 +987,29 @@ def test_semantic_cluster_dedup_planted(spark):
     assert out[3].n_close == 1 and out[2].n_close == 0
     # identical vectors always co-assign
     assert out[2].cluster == out[3].cluster
+
+
+def test_pcm_frame_energy_matches_numpy(spark):
+    """Frame RMS/peak from the Spark expression pipeline must equal a
+    straight numpy computation over the same PCM bytes."""
+    import numpy as np
+
+    from pipeline_apache_beam_entrega1_cs_spark.operators.multimodal import (
+        pcm_frame_energy,
+        with_wav_payload,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog " * 3
+    docs = spark.createDataFrame(
+        [(1, text), (2, "short"), (4, text)], ["doc_id", "text"]
+    )  # doc 1 is the only %4==1 WAV row; doc 2's PCM < 1 frame after hdr
+    rows = pcm_frame_energy(with_wav_payload(docs)).collect()
+    assert {r.doc_id for r in rows} == {1}
+    v = np.frombuffer(text.encode(), dtype=np.uint8)[:256].astype(np.int64)
+    n_frames = len(v) // 16
+    assert len(rows) == n_frames
+    for r in sorted(rows, key=lambda r: r.frame_idx):
+        fr = v[r.frame_idx * 16:(r.frame_idx + 1) * 16] - 128
+        assert r.rms == pytest.approx(round(float(np.sqrt((fr ** 2).mean())), 6))
+        assert r.peak_dev == int(np.abs(fr).max())
+        assert r.is_silence == (r.rms < 8.0)
