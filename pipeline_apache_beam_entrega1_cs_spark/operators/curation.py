@@ -208,3 +208,89 @@ def repetition_stats(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> Dat
             (ratio > threshold).alias("is_repetitive"),
         )
     )
+
+
+# PII pattern classes — kept in the Java∩RE2 common regex dialect so the
+# DuckDB oracle applies the IDENTICAL patterns. Typed placeholders (not
+# one generic token) preserve downstream utility: an LM can still learn
+# "emails appear here" without memorizing the address.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def with_pii_spans(docs: DataFrame) -> DataFrame:
+    """Deterministic PII-injection fixture: residue-selected docs get an
+    e-mail, a phone number, and/or an IPv4 appended (the corpus ships
+    clean text), so every pattern class has live matches and docs can
+    carry several classes at once. Mirrored verbatim by the oracle."""
+    d = F.col("doc_id")
+    email = F.when(
+        d % 5 == 0,
+        F.concat(
+            F.lit(" contact user"), (d % 100).cast("string"),
+            F.lit("@mail-"), F.col("source"), F.lit(".org"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        d % 7 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((d % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        d % 11 == 0,
+        F.concat(
+            F.lit(" from 10.0."), (d % 256).cast("string"),
+            F.lit("."), (d % 250).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return docs.withColumn("text", F.concat(F.col("text"), email, phone, ip))
+
+
+def pii_report(docs: DataFrame) -> DataFrame:
+    """Per-source PII privacy report: redact e-mail / phone / IPv4 spans
+    with TYPED placeholders (e-mail first — the other patterns can match
+    inside an address) and aggregate detection counts per source — the
+    compliance dashboard a privacy scrub publishes, complementing
+    scrub_blocklist's per-doc md5 evidence.
+
+    100 TB shape: counting + redaction are narrow per-row regex passes
+    (zero UDF, codegen); the only shuffle is ONE mergeable hash
+    aggregate on the low-cardinality source key. Output stays
+    O(#sources)."""
+    t = F.col("text")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IPV4_RE,
+        "<IP>",
+    )
+    n_emails = F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long")
+    n_phones = F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long")
+    n_ips = F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("long")
+    per_doc = docs.select(
+        "source",
+        n_emails.alias("e"),
+        n_phones.alias("p"),
+        n_ips.alias("i"),
+        F.length(t).cast("long").alias("raw_len"),
+        F.length(redacted).cast("long").alias("red_len"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("e") + F.col("p") + F.col("i") > 0).cast("long")).alias(
+            "n_docs_with_pii"
+        ),
+        F.sum("e").alias("n_emails"),
+        F.sum("p").alias("n_phones"),
+        F.sum("i").alias("n_ips"),
+        F.sum("raw_len").alias("sum_raw_chars"),
+        F.sum("red_len").alias("sum_redacted_chars"),
+    )

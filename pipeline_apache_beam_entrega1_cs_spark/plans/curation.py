@@ -127,8 +127,58 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
 
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII privacy report: typed-placeholder redaction of
+    e-mail/phone/IPv4 spans + per-source detection counts
+    (operators/curation.pii_report over the deterministic injection
+    fixture with_pii_spans)."""
+    return C.pii_report(C.with_pii_spans(_docs(spark, sf_dir)))
+
+
+TEXT_PII_REDACT_SQL = rf"""
+WITH pii AS (
+  SELECT doc_id, source,
+    text
+    || (CASE WHEN doc_id % 5 = 0 THEN ' contact user'
+         || CAST(doc_id % 100 AS VARCHAR) || '@mail-' || source || '.org'
+         ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN ' call 555-'
+         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE '' END)
+    || (CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.'
+         || CAST(doc_id % 256 AS VARCHAR) || '.'
+         || CAST(doc_id % 250 AS VARCHAR)
+         ELSE '' END)
+    AS text
+  FROM documents
+), per AS (
+  SELECT source,
+    CAST(len(regexp_extract_all(text, '{C.PII_EMAIL_RE}')) AS BIGINT) AS e,
+    CAST(len(regexp_extract_all(text, '{C.PII_PHONE_RE}')) AS BIGINT) AS p,
+    CAST(len(regexp_extract_all(text, '{C.PII_IPV4_RE}')) AS BIGINT) AS i,
+    CAST(length(text) AS BIGINT) AS raw_len,
+    CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+      '{C.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+      '{C.PII_PHONE_RE}', '<PHONE>', 'g'),
+      '{C.PII_IPV4_RE}', '<IP>', 'g')) AS BIGINT) AS red_len
+  FROM pii
+)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_docs_with_pii,
+  CAST(SUM(e) AS BIGINT) AS n_emails,
+  CAST(SUM(p) AS BIGINT) AS n_phones,
+  CAST(SUM(i) AS BIGINT) AS n_ips,
+  CAST(SUM(raw_len) AS BIGINT) AS sum_raw_chars,
+  CAST(SUM(red_len) AS BIGINT) AS sum_redacted_chars
+FROM per GROUP BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_decontaminate": QuerySpec(text_decontaminate, TEXT_DECONTAMINATE_SQL, "text"),
+    "text_pii_redact": QuerySpec(text_pii_redact, TEXT_PII_REDACT_SQL, "text"),
     "text_scrub_blocklist": QuerySpec(text_scrub_blocklist, TEXT_SCRUB_SQL, "text"),
     "text_chunk_sliding": QuerySpec(text_chunk_sliding, TEXT_CHUNK_SQL, "text"),
     "text_repetition_stats": QuerySpec(text_repetition_stats, TEXT_REPETITION_SQL, "text"),

@@ -1013,3 +1013,38 @@ def test_pcm_frame_energy_matches_numpy(spark):
         assert r.rms == pytest.approx(round(float(np.sqrt((fr ** 2).mean())), 6))
         assert r.peak_dev == int(np.abs(fr).max())
         assert r.is_silence == (r.rms < 8.0)
+
+
+def test_pii_redact_spec(spark):
+    """Typed placeholders replace each PII class; counts match the
+    planted spans; clean text is untouched."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.curation import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+        pii_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-y.co and x@y.io here", "s1"),
+            (2, "call 555-123-4567 or 555-000-9999", "s1"),
+            (3, "host 192.168.1.254 down", "s2"),
+            (4, "all clean here", "s2"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    got = {r.source: r for r in pii_report(docs).collect()}
+    assert got["s1"].n_emails == 2 and got["s1"].n_phones == 2
+    assert got["s1"].n_docs_with_pii == 2
+    assert got["s2"].n_ips == 1 and got["s2"].n_docs_with_pii == 1
+    # redaction shrinks/changes only PII docs: clean doc keeps length
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE, "<PHONE>"), PII_IPV4_RE, "<IP>")
+    texts = {r.doc_id: r.r for r in docs.select("doc_id", red.alias("r")).collect()}
+    assert texts[1] == "mail <EMAIL> and <EMAIL> here"
+    assert texts[2] == "call <PHONE> or <PHONE>"
+    assert texts[3] == "host <IP> down"
+    assert texts[4] == "all clean here"
