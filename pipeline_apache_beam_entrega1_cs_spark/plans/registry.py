@@ -92,9 +92,14 @@ additions (the previous revision of this note undercounted them as
 three; VERDICT r7 flag #2 corrected the count) — two of which
 (sample_temperature_mixture, graph_link_prediction) also changed
 semantics this round per ADVICE r7, so their rows double as
-regression evidence, (c) 4 of the 50 entries whose latest driver
-evidence is r04, execution-heaviest first (the three streaming
-sinks/joins, dataset_build_pipeline), (d) the
+regression evidence, (c) FOUR fourth-session additions (text_perplexity_backoff,
+dedup_semantic_clusters, maintenance_incremental_manifest,
+multimodal_pcm_frame_energy) — these took the slots originally
+given to 4 r04-only entries (the three streaming sinks/joins,
+dataset_build_pipeline), which rejoin the round-9 back-fill;
+the session's two other additions (dedup_url_canonicalize,
+text_pii_redact, both locally oracle-green at sf0.001 and sf0.01
+plus spec-tested) wait for round 9, (d) the
 EIGHTEEN late round-8 additions from the second and third sessions
 (join_bloom_prefilter, join_dynamic_partition_pruning,
 agg_bitmap_distinct, join_null_skew_split; graph_bfs_levels,
@@ -105,14 +110,21 @@ window_max_drawdown, graph_sssp_weighted,
 timeseries_forecast_backtest, dq_ks_bucketed,
 multimodal_resize_plumbing, eval_langid_confusion,
 maintenance_retention_ttl — all locally
-oracle-green at sf0.001 and the sf0.01 gate SF), promoted so NO
-registry entry is left without driver evidence after r08.
-18 + 10 + 4 + 18 = 50.
+oracle-green at sf0.001 and the sf0.01 gate SF).
+18 + 10 + 4 + 18 = 50; the fourth-session revision swapped slice
+(c), so the final window is 46 never-checked round-7/8 additions
+from the first three sessions + the 4 never-checked fourth-session
+additions.
 
 ROUND 9 CHORE: rotate again — promote (a) any r08 failures, (b)
-entries added during round 9 itself,
-(c) the FORTY-SIX r04-only
-entries left outside the round-8 window: agg_approx_distinct,
+entries added during round 9 itself, (b2) the TWO fourth-session
+round-8 additions left past the window (dedup_url_canonicalize,
+text_pii_redact — never driver-checked, locally oracle-green at
+both SFs and spec-tested),
+(c) the FIFTY r04-only
+entries left outside the round-8 window: the three streaming
+sinks/joins + dataset_build_pipeline displaced by the fourth
+session, plus agg_approx_distinct,
 agg_approx_percentile, agg_basic_stats, agg_collect_sorted, agg_cube,
 agg_distinct, agg_grouping_sets, agg_having, agg_min_max_by,
 agg_percentiles, agg_rollup, ann_cosine_topk, cte_above_avg_nations,
@@ -155,6 +167,17 @@ from .spec import QuerySpec
 # front displaces the last back-fill name past slot 50 (trimmed names
 # join the round-9 chore list in the module docstring).
 DRIVER_PRIORITY: list[str] = [
+    # --- fourth-session round-8 additions: the four execution-heavy
+    # ones (LM-scoring join chain, kmeans + in-cluster pair join,
+    # manifest-diff file I/O, binary PCM parsing) take the window slots
+    # freed by dropping the four r04-backfill names (see (c) below);
+    # the two narrow string-expression additions of the same session
+    # (dedup_url_canonicalize, text_pii_redact — both spec-tested
+    # beyond the oracle) wait for round 9 ---
+    "text_perplexity_backoff",
+    "dedup_semantic_clusters",
+    "maintenance_incremental_manifest",
+    "multimodal_pcm_frame_energy",
     # --- round-8 additions (never driver-checked) go here, front ---
     "dq_distribution_drift",
     "dedup_binary_payload",
@@ -188,14 +211,12 @@ DRIVER_PRIORITY: list[str] = [
     "window_running_distinct",
     "filter_not_in_null_trap",
     "timeseries_moving_median",
-    # --- r04-only back-fill: execution-path-heavy surfaces first
-    # (streaming sinks/joins, format roundtrips, packing, skew,
-    # composed pipeline), then joins, TPC-H date queries, windows,
-    # aggs, text stats ---
-    "streaming_foreach_batch_sink",
-    "streaming_rollup_upsert",
-    "streaming_stream_left_join",
-    "dataset_build_pipeline",
+    # --- (c) r04-only back-fill: DROPPED in the fourth session — the
+    # four names that sat here (streaming_foreach_batch_sink,
+    # streaming_rollup_upsert, streaming_stream_left_join,
+    # dataset_build_pipeline) have r04 driver evidence and give up
+    # their slots to the four never-checked fourth-session additions
+    # at the front; they rejoin the round-9 back-fill ---
     # --- the eighteen LATE round-8 additions (second + third session),
     # promoted into the window so NO registry entry is left without
     # driver evidence after r08; they displace the last EIGHTEEN r04
