@@ -105,6 +105,12 @@ AUDIT = [
     "dq_ks_bucketed",
     "multimodal_resize_plumbing",
     "eval_langid_confusion",
+    "text_perplexity_backoff",
+    "dedup_url_canonicalize",
+    "dedup_semantic_clusters",
+    "text_pii_redact",
+    "multimodal_pcm_frame_energy",
+    "maintenance_incremental_manifest",
 ]
 
 
