@@ -112,6 +112,17 @@ BENCH_QUERIES = [
     # SCALING.md); cheap enough not to distort the total, and it keeps
     # a shuffle-reduction idiom under per-round measurement.
     "join_bloom_prefilter",
+    # round-8 fourth-session addition (subtotal_r01_comparable excludes
+    # it): bigram stupid-backoff perplexity scoring — corpus-
+    # proportional LM-table fit (two mergeable count aggregates) plus
+    # keyed shuffle-join scoring with no broadcast assumption on vocab
+    # size; the join-heaviest text line, so shuffle-path regressions on
+    # the LLM side show up here. (dedup_semantic_clusters was measured
+    # and REJECTED as a bench line on the ann_retrieval_pipeline
+    # precedent: the unrolled Lloyd fit is ~4 s of fixed per-stage
+    # scheduling at this SF, not data work; its scaling story lives in
+    # SCALING.md.)
+    "text_perplexity_backoff",
 ]
 
 
