@@ -1572,6 +1572,86 @@ def graph_pagerank(spark: SparkSession, sf_dir: str, iters: int = 3,
     return pr
 
 
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def graph_kcore_prune(spark: SparkSession, sf_dir: str,
+                      k: int = _KCORE_K,
+                      rounds: int = _KCORE_ROUNDS) -> DataFrame:
+    """k-core decomposition by iterative degree pruning, as a FIXED
+    number of unrolled rounds — the degeneracy-ordering primitive dense-
+    subgraph mining and community detection start from (Matula &
+    Beck 1983). Each round drops every node whose CURRENT degree is
+    < k and every edge touching a dropped node; after ``rounds`` rounds
+    the survivors approximate the k-core from above (monotone: the true
+    k-core is always contained in the survivor set, and the set only
+    shrinks — a fixpoint test asserts containment and monotonicity).
+
+    Same symmetric customer<->supplier trade graph as graph_pagerank.
+    Scale shape per round: one degree hash-agg (mergeable) + two
+    semi-joins of the edge list against the survivor set, all keyed on
+    node ids — linear in |E|; the whole computation is one straight-line
+    Catalyst plan, nothing materializes between rounds. Output: the
+    surviving nodes with their post-prune degree."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_suppkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + 1000000).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    for _ in range(rounds):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        edges = edges.join(keep, "src", "left_semi").join(
+            keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+        )
+    return edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+
+
+def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    """Unrolled k-core-pruning oracle: one (d_t, k_t, e_t) CTE triple
+    per round mirroring the Spark loop exactly."""
+    sql = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_orderkey % 20 = 0
+), e0 AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+)"""
+    prev = "e0"
+    for t in range(1, rounds + 1):
+        sql += f""", d{t} AS (
+  SELECT src, COUNT(*) AS deg FROM {prev} GROUP BY src
+), k{t} AS (
+  SELECT src FROM d{t} WHERE deg >= {k}
+), e{t} AS (
+  SELECT e.src, e.dst FROM {prev} e
+  WHERE e.src IN (SELECT src FROM k{t})
+    AND e.dst IN (SELECT src FROM k{t})
+)"""
+        prev = f"e{t}"
+    return sql + f"""
+SELECT src AS node, COUNT(*) AS deg FROM {prev} GROUP BY src
+"""
+
+
 def graph_label_propagation(spark: SparkSession, sf_dir: str,
                             iters: int = 2) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007 community
@@ -2750,6 +2830,7 @@ QUERIES: dict[str, QuerySpec] = {
         graph_pagerank, _pagerank_sql(), "graph",
         plan_waivers={"bnlj": "1-row node-count scalar attach"}),
     "graph_bfs_levels": QuerySpec(graph_bfs_levels, _bfs_sql(), "graph"),
+    "graph_kcore_prune": QuerySpec(graph_kcore_prune, _kcore_sql(), "graph"),
     "graph_sssp_weighted": QuerySpec(
         graph_sssp_weighted, _sssp_sql(), "graph"),
     "window_interval_coalesce": QuerySpec(

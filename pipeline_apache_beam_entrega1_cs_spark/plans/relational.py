@@ -889,6 +889,83 @@ FROM picked CROSS JOIN bounds
 """
 
 
+def agg_variance_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable variance partials — the moments member of the
+    partial-merge family (HLL -> distinct, histogram -> quantiles,
+    (n, Σx, Σx²) -> variance): per (returnflag, linestatus) group keep
+    the three integer moment sums of the integral l_quantity column;
+    any rollup scope — per-flag, '__all__' — is answered by SUMMING the
+    partials (Chan et al. pairwise-merge, degenerate form: the moments
+    are plain sums, so the merge is associative and shuffle-free beyond
+    the first aggregate), then var_samp = (n·Σx² − (Σx)²) / (n·(n−1))
+    evaluated on EXACT integers so both engines cast the identical
+    number to double.
+
+    100 TB shape: ONE shuffle to #groups×3 integer cells; every rollup
+    and the final algebra run on that O(#groups) frame — this is how a
+    warehouse serves ad-hoc variance rollups from per-day/per-partition
+    summary tables without re-touching raw rows. The n·Σx² product is
+    computed in DECIMAL(38,0) (DuckDB: HUGEINT) so the intermediate
+    never overflows at any scale."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", F.col("l_quantity").cast("bigint").alias("x")
+    )
+    partials = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    per_flag = partials.groupBy("l_returnflag").agg(
+        F.sum("n").alias("n"), F.sum("s1").alias("s1"), F.sum("s2").alias("s2")
+    ).select(F.col("l_returnflag").alias("scope"), "n", "s1", "s2")
+    overall = partials.agg(
+        F.sum("n").alias("n"), F.sum("s1").alias("s1"), F.sum("s2").alias("s2")
+    ).select(F.lit("__all__").alias("scope"), "n", "s1", "s2")
+    merged = per_flag.unionByName(overall)
+    dec = "decimal(38,0)"
+    num = (
+        F.col("n").cast(dec) * F.col("s2").cast(dec)
+        - F.col("s1").cast(dec) * F.col("s1").cast(dec)
+    )
+    den = (F.col("n") * (F.col("n") - 1)).cast(dec)
+    var = num.cast("double") / den.cast("double")
+    return merged.select(
+        "scope",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("s1").cast("double") / F.col("n"), 6).alias("mean_qty"),
+        F.round(var, 6).alias("var_qty"),
+        F.round(F.sqrt(var), 6).alias("stddev_qty"),
+    )
+
+
+AGG_VARIANCE_PARTIAL_SQL = """
+WITH p AS (
+  SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS BIGINT) AS s2
+  FROM lineitem GROUP BY 1, 2
+), m AS (
+  SELECT l_returnflag AS scope, CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(s1) AS BIGINT) AS s1, CAST(SUM(s2) AS BIGINT) AS s2
+  FROM p GROUP BY 1
+  UNION ALL
+  SELECT '__all__', CAST(SUM(n) AS BIGINT), CAST(SUM(s1) AS BIGINT),
+         CAST(SUM(s2) AS BIGINT)
+  FROM p
+)
+SELECT scope, n,
+       round(CAST(s1 AS DOUBLE) / n, 6) AS mean_qty,
+       round(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1
+                  AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE), 6) AS var_qty,
+       round(sqrt(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1
+                       AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)), 6) AS stddev_qty
+FROM m
+"""
+
+
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(returnflag, linestatus): hierarchical subtotals + grand
     total in one pass."""
@@ -1536,6 +1613,8 @@ QUERIES: dict[str, QuerySpec] = {
     "agg_quantile_partial_merge": QuerySpec(
         agg_quantile_partial_merge, AGG_QUANTILE_PARTIAL_SQL, "aggregation",
         plan_waivers={"bnlj": "1-row min/max bounds broadcast (x2 attaches)"}),
+    "agg_variance_partial_merge": QuerySpec(
+        agg_variance_partial_merge, AGG_VARIANCE_PARTIAL_SQL, "aggregation"),
     "agg_rollup": QuerySpec(agg_rollup, AGG_ROLLUP_SQL, "aggregation"),
     "agg_cube": QuerySpec(agg_cube, AGG_CUBE_SQL, "aggregation"),
     "agg_grouping_sets": QuerySpec(agg_grouping_sets, AGG_GROUPING_SETS_SQL, "aggregation"),

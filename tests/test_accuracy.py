@@ -1164,3 +1164,43 @@ def test_ks_bucketed_planted_distributions(spark):
         A._t = orig
     assert all(r["d"] == 0.0 for r in out)
     assert out[0]["ks_d"] == 0.0
+
+
+def test_kcore_prune_contains_true_core(spark, sf_dir):
+    """Fixed-round pruning must (a) be monotone (more rounds -> subset)
+    and (b) always CONTAIN the true k-core fixpoint, computed by a
+    plain-Python peel on the same edge set."""
+    from pipeline_apache_beam_entrega1_cs_spark.plans.analytics import (
+        _KCORE_K,
+        graph_kcore_prune,
+    )
+
+    r2 = {r.node for r in graph_kcore_prune(spark, sf_dir, rounds=2).collect()}
+    r3 = {r.node for r in graph_kcore_prune(spark, sf_dir, rounds=3).collect()}
+    assert r3 <= r2  # monotone shrink
+
+    # plain-Python true k-core on the same symmetric trade graph
+    from collections import defaultdict
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pairs = {
+        (r.o_custkey, r.l_suppkey + 1000000)
+        for r in li.filter(F.col("l_orderkey") % 20 == 0)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey", "l_suppkey")
+        .collect()
+    }
+    adj = defaultdict(set)
+    for c, s in pairs:
+        adj[c].add(s)
+        adj[s].add(c)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < _KCORE_K]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    true_core = {n for n, nb in adj.items() if nb}
+    assert true_core <= r3

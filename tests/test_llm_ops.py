@@ -1048,3 +1048,24 @@ def test_pii_redact_spec(spark):
     assert texts[2] == "call <PHONE> or <PHONE>"
     assert texts[3] == "host <IP> down"
     assert texts[4] == "all clean here"
+
+
+def test_variance_partial_merge_exact(spark, sf_dir):
+    """Merged (n, Σx, Σx²) partials must reproduce the direct sample
+    variance computed in plain Python over the same column."""
+    import statistics
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.relational import (
+        agg_variance_partial_merge,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    xs = [
+        int(r.l_quantity)
+        for r in load_table(spark, sf_dir, "lineitem").select("l_quantity").collect()
+    ]
+    got = {r.scope: r for r in agg_variance_partial_merge(spark, sf_dir).collect()}
+    allr = got["__all__"]
+    assert allr.n == len(xs)
+    assert allr.var_qty == pytest.approx(round(statistics.variance(xs), 6))
+    assert allr.mean_qty == pytest.approx(round(statistics.fmean(xs), 6), abs=1e-6)
