@@ -549,3 +549,50 @@ def pcm_frame_energy(
         peak.cast("long").alias("peak_dev"),
         (rms < silence_rms).alias("is_silence"),
     )
+
+
+def ahash_dedup(docs_with_payload: DataFrame, n_bytes: int = 64) -> DataFrame:
+    """Perceptual average-hash dedup over a binary column — the image
+    near-dup pass (aHash: threshold each of the 8x8 grayscale cells
+    against their mean) run on the payload's first ``n_bytes`` bytes as
+    the deterministic stand-in for decoded pixels; with a real codec the
+    byte slice is replaced by the decoder UDF's 8x8 thumbnail and
+    NOTHING else changes.
+
+    The threshold compare stays exact-integer (byte*n > sum avoids the
+    mean division), the 64 bits serialize as a '0'/'1' string, and the
+    dedup is ONE hash aggregate on the hash key with keep-min-id —
+    identical scale shape to dedup_hash: narrow per-row work, one
+    mergeable Exchange. Payloads shorter than ``n_bytes`` are excluded
+    (a real aHash always has its full 64 cells). Hamming-near pairs are
+    the simhash/banding family's job; the aHash stage collapses
+    EXACT perceptual hashes, which is the dominant real-world case."""
+    p = F.col("payload")
+    vals = F.transform(
+        F.regexp_extract_all(
+            F.hex(F.substring(p, 1, n_bytes)), F.lit("(..)"), 1
+        ),
+        lambda x: F.conv(x, 16, 10).cast("long"),
+    )
+    base = (
+        docs_with_payload.filter(F.octet_length(p) >= n_bytes)
+        .select("doc_id", vals.alias("_v"))
+    )
+    total = F.aggregate(F.col("_v"), F.lit(0).cast("long"), lambda a, v: a + v)
+    bits = F.array_join(
+        F.transform(
+            F.col("_v"),
+            lambda v: F.when(v * n_bytes > total, F.lit("1")).otherwise(
+                F.lit("0")
+            ),
+        ),
+        "",
+    )
+    return (
+        base.select("doc_id", bits.alias("ahash"))
+        .groupBy("ahash")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )

@@ -1201,6 +1201,36 @@ def multimodal_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.wav_fmt_meta(M.with_wav_payload(_docs(spark, sf_dir)))
 
 
+def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash image dedup (operators/multimodal.
+    ahash_dedup) over the binary payload's first 64 bytes as the
+    stand-in 8x8 grayscale grid — exact-integer mean thresholding,
+    one keep-min hash aggregate."""
+    return M.ahash_dedup(M.with_binary_payload(_docs(spark, sf_dir)))
+
+
+_AHASH_BYTES = 64
+MULTIMODAL_AHASH_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         list_transform(
+           regexp_extract_all(substr(hex(encode(text)), 1, {2 * _AHASH_BYTES}),
+                              '..'),
+           p2 -> CAST('0x' || p2 AS BIGINT)) AS v
+  FROM documents
+  WHERE octet_length(encode(text)) >= {_AHASH_BYTES}
+), h AS (
+  SELECT doc_id,
+         array_to_string(list_transform(v,
+           x -> CASE WHEN x * {_AHASH_BYTES} > list_sum(v)
+                THEN '1' ELSE '0' END), '') AS ahash
+  FROM b
+)
+SELECT ahash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_docs
+FROM h GROUP BY ahash
+"""
+
+
 def multimodal_pcm_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-level RMS/peak/silence features over the WAV fixture's
     8-bit PCM samples (operators/multimodal.pcm_frame_energy) — codec-
@@ -2425,6 +2455,83 @@ FROM documents d LEFT JOIN dots USING (doc_id)
 """
 
 
+_CALIB_BINS = 10
+_CALIB_QTH = 0.7
+
+
+def eval_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability binning of the learned quality model against the
+    rule-based quality heuristic — the calibration member of the eval
+    family (retrieval -> recall/nDCG, classification -> confusion,
+    forecasting -> MAPE, scoring -> THIS): docs are bucketed into
+    fixed-width bins over the model's logit range (bounds from a 1-row
+    broadcast, the QPM recipe) and each bin reports its observed
+    positive rate under the heuristic label (quality_score >= 0.7) —
+    the reliability-diagram frame a score consumer uses to pick a
+    threshold. The logit stays a logit (no sigmoid): exp() is a libm
+    call whose last ulp differs across engines, while the decimal
+    logit, the binning arithmetic, and the decimal-sum mean are
+    bit-identical.
+
+    100 TB shape: scoring + labeling are the quality_model plan (one
+    (doc,bucket) aggregate) plus narrow expressions; the report is ONE
+    mergeable aggregate to at most `_CALIB_BINS` rows."""
+    scored = text_quality_model(spark, sf_dir).select("doc_id", "logit")
+    labels = _docs(spark, sf_dir).select(
+        "doc_id",
+        (T.quality_score_col(F.col("text")) >= _CALIB_QTH).alias("label"),
+    )
+    j = scored.join(labels, "doc_id")
+    bounds = j.agg(F.min("logit").alias("mn"), F.max("logit").alias("mx"))
+    B = _CALIB_BINS
+    x = F.col("logit")
+    bin_ = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((x - F.col("mn")) * B / (F.col("mx") - F.col("mn"))),
+            F.lit(B - 1),
+        )
+    ).cast("long")
+    from ..functions.numeric import davg
+
+    return (
+        j.crossJoin(F.broadcast(bounds))
+        .groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("label").cast("long")).alias("n_pos"),
+            F.round(davg("logit"), 6).alias("mean_logit"),
+        )
+        .withColumn(
+            "pos_rate",
+            F.round(F.col("n_pos").cast("double") / F.col("n"), 6),
+        )
+    )
+
+
+def _calibration_sql() -> str:
+    from ..functions.numeric import sql_davg
+
+    B = _CALIB_BINS
+    return f"""
+WITH j AS (
+  SELECT s.doc_id, s.logit, ({_SQL_QSCORE} >= {_CALIB_QTH}) AS label
+  FROM ( {_qmodel_sql()} ) s JOIN documents d ON s.doc_id = d.doc_id
+), b AS (
+  SELECT min(logit) AS mn, max(logit) AS mx FROM j
+)
+SELECT CAST(CASE WHEN mx = mn THEN 0
+            ELSE least(floor((logit - mn) * {B} / (mx - mn)), {B - 1})
+       END AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       round({sql_davg("logit")}, 6) AS mean_logit,
+       round(SUM(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+         AS pos_rate
+FROM j CROSS JOIN b
+GROUP BY 1
+"""
+
+
 _SPAN_N = 8
 
 
@@ -2514,6 +2621,9 @@ QUERIES: dict[str, QuerySpec] = {
         plan_waivers={"bnlj": "k-row centroid/codebook broadcasts (IVF-PQ stage)"}),
     "eval_langid_confusion": QuerySpec(
         eval_langid_confusion, EVAL_LANGID_SQL, "text"),
+    "eval_score_calibration": QuerySpec(
+        eval_score_calibration, _calibration_sql(), "text",
+        plan_waivers={"bnlj": "1-row logit min/max bounds broadcast"}),
     "eval_retrieval_metrics": QuerySpec(
         eval_retrieval_metrics, _retrieval_eval_sql(), "similarity",
         plan_waivers={"bnlj": (
@@ -2553,6 +2663,8 @@ QUERIES: dict[str, QuerySpec] = {
         multimodal_wav_meta, _wav_meta_sql(), "multimodal"),
     "multimodal_pcm_frame_energy": QuerySpec(
         multimodal_pcm_frame_energy, MULTIMODAL_PCM_ENERGY_SQL, "multimodal"),
+    "multimodal_ahash_dedup": QuerySpec(
+        multimodal_ahash_dedup, MULTIMODAL_AHASH_SQL, "multimodal"),
     "multimodal_frame_sample": QuerySpec(
         multimodal_frame_sample, MULTIMODAL_FRAME_SQL, "multimodal"),
     "dedup_components": QuerySpec(dedup_components, DEDUP_COMPONENTS_SQL, "dedup"),

@@ -254,3 +254,35 @@ def test_resize_stub_aspect_and_thumb_spec(spark):
         assert r["stride"] == stride
         assert r["thumb_hex"] == b[::stride][:16].hex()
         assert r["thumb_len"] == len(b[::stride][:16])
+
+
+def test_ahash_matches_python_spec(spark):
+    """The aHash bit string must equal a plain-Python threshold pass,
+    identical payloads must land in one group, and a single changed
+    byte must flip only a small number of bits (perceptual locality)."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.multimodal import (
+        ahash_dedup,
+        with_binary_payload,
+    )
+
+    base = "x" * 30 + "HELLO WORLD, THIS IS A PAYLOAD!!" + "y" * 10
+    variant = "     " + base[5:]  # 5 bright bytes -> spaces: crosses mean
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, variant), (4, "tiny")],
+        ["doc_id", "text"],
+    )
+    rows = ahash_dedup(with_binary_payload(docs)).collect()
+
+    def spec(s):
+        v = [b for b in s.encode()[:64]]
+        t = sum(v)
+        return "".join("1" if x * 64 > t else "0" for x in v)
+
+    groups = {r.ahash: r for r in rows}
+    assert groups[spec(base)].n_docs == 2  # docs 1+2 collapse
+    assert groups[spec(base)].keeper_id == 1
+    assert spec(variant) in groups and groups[spec(variant)].n_docs == 1
+    assert sum(r.n_docs for r in rows) == 3  # doc 4 (<64 bytes) excluded
+    # perceptual locality: a 5-byte edit flips few bits, never ~half
+    ham = sum(a != b for a, b in zip(spec(base), spec(variant)))
+    assert 0 < ham <= 12
