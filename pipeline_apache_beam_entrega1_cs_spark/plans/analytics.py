@@ -1572,6 +1572,143 @@ def graph_pagerank(spark: SparkSession, sf_dir: str, iters: int = 3,
     return pr
 
 
+def graph_modularity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities — the clustering-quality
+    member of the eval family (retrieval -> recall/nDCG, classification
+    -> confusion, scoring -> calibration, communities -> THIS): per
+    community c, Q_c = L_c/m − (D_c/2m)², reported per community plus
+    the '__Q__' total a partitioning publishes as its headline score.
+
+    Exactness: with the symmetric directed edge list (E2 = 2m directed
+    edges, L2_c = 2L_c intra-community directed edges, D_c = degree
+    sum), Q_c = (L2_c·E2 − D_c²)/E2² — the numerator stays EXACT
+    integer (DECIMAL(38,0)/HUGEINT), the total sums NUMERATORS exactly,
+    and each scope does ONE final division — so no cross-row double
+    summation anywhere (plans/spec.py conventions).
+
+    Scale shape: the LPA subplan (fixed unrolled rounds), one
+    edges⋈labels join per endpoint (the melt/tag trick is unnecessary —
+    both joins shuffle node-id keys), and two O(#communities)
+    aggregates; the 1-row E2 scalar is a broadcast attach."""
+    labels = graph_label_propagation(spark, sf_dir)
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_suppkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + 1000000).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    lab_src = labels.select(F.col("node").alias("src"), F.col("label").alias("lsrc"))
+    lab_dst = labels.select(F.col("node").alias("dst"), F.col("label").alias("ldst"))
+    tagged = edges.join(lab_src, "src").join(lab_dst, "dst")
+    e2 = tagged.agg(F.count(F.lit(1)).alias("e2"))  # 1-row scalar
+    per_label = tagged.groupBy("lsrc").agg(
+        F.count(F.lit(1)).alias("d_sum"),  # directed degree sum of c
+        F.sum((F.col("lsrc") == F.col("ldst")).cast("long")).alias("l2_intra"),
+    )
+    nodes_per = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_nodes"))
+    dec = "decimal(38,0)"
+    base = (
+        per_label.join(nodes_per, per_label.lsrc == nodes_per.label)
+        .crossJoin(F.broadcast(e2))
+        .select(
+            F.col("label"),
+            "n_nodes",
+            "l2_intra",
+            "d_sum",
+            (
+                F.col("l2_intra").cast(dec) * F.col("e2").cast(dec)
+                - F.col("d_sum").cast(dec) * F.col("d_sum").cast(dec)
+            ).alias("q_num"),
+            F.col("e2"),
+        )
+    )
+    per_comm = base.select(
+        F.col("label").cast("string").alias("scope"),
+        "n_nodes",
+        "l2_intra",
+        "d_sum",
+        F.round(
+            F.col("q_num").cast("double")
+            / (F.col("e2").cast("double") * F.col("e2").cast("double")),
+            9,
+        ).alias("q"),
+    )
+    total = base.groupBy().agg(
+        F.sum("n_nodes").alias("n_nodes"),
+        F.sum("l2_intra").alias("l2_intra"),
+        F.sum("d_sum").alias("d_sum"),
+        F.sum("q_num").cast(dec).alias("q_num"),
+        F.first("e2").alias("e2"),
+    ).select(
+        F.lit("__Q__").alias("scope"),
+        "n_nodes",
+        "l2_intra",
+        "d_sum",
+        F.round(
+            F.col("q_num").cast("double")
+            / (F.col("e2").cast("double") * F.col("e2").cast("double")),
+            9,
+        ).alias("q"),
+    )
+    return per_comm.unionByName(total)
+
+
+def _modularity_sql() -> str:
+    lpa = _lpa_sql()
+    return f"""
+WITH labels AS ( {lpa} ),
+pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_orderkey % 20 = 0
+), edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+), tagged AS (
+  SELECT e.src, e.dst, a.label AS lsrc, b.label AS ldst
+  FROM edges e JOIN labels a ON e.src = a.node
+               JOIN labels b ON e.dst = b.node
+), e2 AS (
+  SELECT COUNT(*) AS e2 FROM tagged
+), per_label AS (
+  SELECT lsrc AS label, COUNT(*) AS d_sum,
+         CAST(SUM(CASE WHEN lsrc = ldst THEN 1 ELSE 0 END) AS BIGINT)
+           AS l2_intra
+  FROM tagged GROUP BY lsrc
+), np AS (
+  SELECT label, COUNT(*) AS n_nodes FROM labels GROUP BY label
+), base AS (
+  SELECT p.label, np.n_nodes, p.l2_intra, p.d_sum,
+         CAST(p.l2_intra AS HUGEINT) * e2.e2
+           - CAST(p.d_sum AS HUGEINT) * p.d_sum AS q_num,
+         e2.e2
+  FROM per_label p JOIN np USING (label) CROSS JOIN e2
+)
+SELECT CAST(label AS VARCHAR) AS scope, n_nodes, l2_intra, d_sum,
+       round(CAST(q_num AS DOUBLE)
+             / (CAST(e2 AS DOUBLE) * CAST(e2 AS DOUBLE)), 9) AS q
+FROM base
+UNION ALL
+SELECT '__Q__', CAST(SUM(n_nodes) AS BIGINT), CAST(SUM(l2_intra) AS BIGINT),
+       CAST(SUM(d_sum) AS BIGINT),
+       round(CAST(SUM(q_num) AS DOUBLE)
+             / (CAST(MIN(e2) AS DOUBLE) * CAST(MIN(e2) AS DOUBLE)), 9)
+FROM base
+"""
+
+
 _KCORE_K = 3
 _KCORE_ROUNDS = 3
 
@@ -2831,6 +2968,9 @@ QUERIES: dict[str, QuerySpec] = {
         plan_waivers={"bnlj": "1-row node-count scalar attach"}),
     "graph_bfs_levels": QuerySpec(graph_bfs_levels, _bfs_sql(), "graph"),
     "graph_kcore_prune": QuerySpec(graph_kcore_prune, _kcore_sql(), "graph"),
+    "graph_modularity_eval": QuerySpec(
+        graph_modularity_eval, _modularity_sql(), "graph",
+        plan_waivers={"bnlj": "1-row E2 directed-edge-count scalar attach"}),
     "graph_sssp_weighted": QuerySpec(
         graph_sssp_weighted, _sssp_sql(), "graph"),
     "window_interval_coalesce": QuerySpec(

@@ -1733,6 +1733,104 @@ GROUP BY label, i
 """
 
 
+_STD_UNIT = 1_000_000
+
+
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization (whitening-lite) of the embedding
+    table — the preprocessing step before PQ codebook fit or cosine
+    bucketing when dimensions have wildly different scales: fit
+    per-dim (mean, population std), apply z = (x - mean)/std, report
+    per-vector z-profile (sum/min/max) as the application checksum.
+
+    Determinism recipe: the FIT runs on integer MICRO-UNITS
+    (floor(x·1e6) — floor, not round: round() ties half-up on the JVM
+    and half-even in DuckDB) with (n, Σm, Σm²) BIGINT/HUGEINT moment
+    algebra — the agg_variance_partial_merge recipe — so mean and std
+    round to identical doubles on both engines; the APPLY then divides
+    identical doubles. Std==0 dims z to 0.0 by definition.
+
+    100 TB shape: fit = one posexplode + ONE mergeable (dim)-keyed
+    aggregate to #dims rows (broadcast back); apply is a narrow per-row
+    array transform after a #dims-row broadcast join; the final
+    per-vector aggregate is mergeable. Nothing scales beyond linear
+    passes + an O(dims) frame."""
+    U = _STD_UNIT
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dims = emb.select("vec_id", F.posexplode("v").alias("dim", "val"))
+    m = F.floor(F.col("val") * U).cast("long")
+    moments = dims.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(m).alias("s1"),
+        F.sum(m * m).alias("s2"),
+    )
+    dec = "decimal(38,0)"
+    num = (
+        F.col("n").cast(dec) * F.col("s2").cast(dec)
+        - F.col("s1").cast(dec) * F.col("s1").cast(dec)
+    )
+    stats = moments.select(
+        "dim",
+        F.round(F.col("s1").cast("double") / (F.col("n") * F.lit(float(U))), 6).alias("mean"),
+        F.round(
+            F.sqrt(num.cast("double")) / (F.col("n").cast("double") * F.lit(float(U))),
+            6,
+        ).alias("std"),
+    )
+    z = F.when(
+        F.col("std") > 0, (F.col("val") - F.col("mean")) / F.col("std")
+    ).otherwise(F.lit(0.0))
+    return (
+        dims.join(F.broadcast(stats), "dim")
+        .select("vec_id", z.alias("z"))
+        .groupBy("vec_id")
+        .agg(
+            # z_sum stays in exact micro-units: a raw double SUM would
+            # be partition-order dependent, and dividing back to a
+            # double lands exactly on round()'s tie grid (where JVM
+            # HALF_UP and DuckDB binary rounding disagree — this bit us
+            # at 4 dp on one vector); min/max are order-free
+            F.sum(F.floor(F.col("z") * U).cast("long")).alias("z_sum_micro"),
+            F.round(F.min("z"), 4).alias("z_min"),
+            F.round(F.max("z"), 4).alias("z_max"),
+        )
+    )
+
+
+EMBEDDING_STANDARDIZE_SQL = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), d AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, v[i] AS val,
+         CAST(floor(v[i] * {_STD_UNIT}) AS BIGINT) AS m
+  FROM v, UNNEST(generate_series(1, len(v))) AS g(i)
+), mo AS (
+  SELECT dim, COUNT(*) AS n, CAST(SUM(m) AS BIGINT) AS s1,
+         CAST(SUM(m * m) AS BIGINT) AS s2
+  FROM d GROUP BY dim
+), st AS (
+  SELECT dim,
+         round(CAST(s1 AS DOUBLE) / (n * {_STD_UNIT}.0), 6) AS mean,
+         round(sqrt(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1
+                         AS DOUBLE))
+               / (CAST(n AS DOUBLE) * {_STD_UNIT}.0), 6) AS std
+  FROM mo
+), z AS (
+  SELECT vec_id,
+         CASE WHEN std > 0 THEN (val - mean) / std ELSE 0.0 END AS z
+  FROM d JOIN st USING (dim)
+)
+SELECT vec_id,
+       CAST(SUM(CAST(floor(z * {_STD_UNIT}) AS BIGINT)) AS BIGINT)
+         AS z_sum_micro,
+       round(MIN(z), 4) AS z_min,
+       round(MAX(z), 4) AS z_max
+FROM z GROUP BY vec_id
+"""
+
+
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 min-max quantization (the storage-compression step
     a 100 TB embedding store runs before ANN indexing): codes =
@@ -2673,6 +2771,8 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_containment, DEDUP_CONTAINMENT_SQL, "dedup"),
     "dedup_cross_source_overlap": QuerySpec(
         dedup_cross_source_overlap, DEDUP_CROSS_SOURCE_SQL, "dedup"),
+    "embedding_standardize": QuerySpec(
+        embedding_standardize, EMBEDDING_STANDARDIZE_SQL, "similarity"),
     "embedding_norm_profile": QuerySpec(
         embedding_norm_profile, EMBEDDING_NORM_PROFILE_SQL, "similarity"),
     "text_winnow_sketch": QuerySpec(text_winnow_sketch, TEXT_WINNOW_SQL, "text"),

@@ -271,6 +271,73 @@ FROM events GROUP BY event_type
 """
 
 
+def streaming_file_source_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE incremental file ingest: Structured Streaming's file
+    source with an availableNow trigger — the built-in twin of
+    maintenance_incremental_manifest (there the manifest diff is
+    hand-rolled; here the checkpoint's file log IS the manifest).
+    Run 1 lands two order batches and drains them; MORE files then
+    arrive in the same landing dir; run 2 restarts from the SAME
+    checkpoint and must process ONLY the new files, tagging each run's
+    rows. The per-run aggregate hash-matching the orders slices proves
+    exactly-once file discovery across restarts — the property that
+    makes continuous 100 TB ingest idempotent after any crash.
+
+    Scale shape: file listing is metadata work (the checkpoint log
+    bounds the diff); the data path is a plain streamed scan into a
+    parquet sink, linear in NEW bytes only."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="graft_filesrc_")
+    landing, ckpt, sinkdir = f"{out}/landing", f"{out}/ckpt", f"{out}/sink"
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        orders.filter(F.col("o_orderkey") % 3 != 2).write.parquet(landing)
+
+        def drain(run_id: int) -> None:
+            stream = spark.readStream.schema(orders.schema).parquet(landing)
+            q = (
+                stream.withColumn("run", F.lit(run_id).cast("long"))
+                .writeStream.format("parquet")
+                .option("path", sinkdir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain(1)
+        orders.filter(F.col("o_orderkey") % 3 == 2).write.mode("append").parquet(
+            landing
+        )
+        drain(2)
+        back = spark.read.parquet(sinkdir)
+        res = back.groupBy("run").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice").alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+STREAMING_FILE_SOURCE_SQL = f"""
+SELECT CAST(1 AS BIGINT) AS run, COUNT(*) AS n_rows,
+       {sql_dsum('o_totalprice')} AS sum_price,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM orders WHERE o_orderkey % 3 <> 2
+UNION ALL
+SELECT CAST(2 AS BIGINT), COUNT(*), {sql_dsum('o_totalprice')},
+       MIN(o_orderkey), MAX(o_orderkey)
+FROM orders WHERE o_orderkey % 3 = 2
+"""
+
+
 def streaming_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-duplicate dedup over an incremental corpus ingest:
     documents replayed as FOUR micro-batches through a foreachBatch
@@ -580,6 +647,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "streaming_foreach_batch_sink": QuerySpec(
         streaming_foreach_batch_sink, STREAMING_FOREACH_BATCH_SQL, "streaming"
+    ),
+    "streaming_file_source_incremental": QuerySpec(
+        streaming_file_source_incremental, STREAMING_FILE_SOURCE_SQL,
+        "streaming"
     ),
     "streaming_rollup_upsert": QuerySpec(
         streaming_rollup_upsert, STREAMING_ROLLUP_UPSERT_SQL, "streaming"

@@ -1204,3 +1204,28 @@ def test_kcore_prune_contains_true_core(spark, sf_dir):
             changed = True
     true_core = {n for n, nb in adj.items() if nb}
     assert true_core <= r3
+
+
+def test_modularity_eval_properties(spark, sf_dir):
+    """Modularity invariants: the __Q__ total equals the sum of exact
+    per-community numerators (recomputed in Python), Q is within
+    [-0.5, 1], and intra-edge + degree totals are conserved."""
+    from fractions import Fraction
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.analytics import (
+        graph_modularity_eval,
+    )
+
+    import pytest
+
+    rows = graph_modularity_eval(spark, sf_dir).collect()
+    per = [r for r in rows if r.scope != "__Q__"]
+    tot = next(r for r in rows if r.scope == "__Q__")
+    assert tot.l2_intra == sum(r.l2_intra for r in per)
+    assert tot.d_sum == sum(r.d_sum for r in per)
+    e2 = tot.d_sum  # every directed edge contributes one degree
+    q_exact = sum(
+        Fraction(r.l2_intra * e2 - r.d_sum * r.d_sum, e2 * e2) for r in per
+    )
+    assert tot.q == pytest.approx(round(float(q_exact), 9))
+    assert -0.5 <= tot.q <= 1.0

@@ -1069,3 +1069,40 @@ def test_variance_partial_merge_exact(spark, sf_dir):
     assert allr.n == len(xs)
     assert allr.var_qty == pytest.approx(round(statistics.variance(xs), 6))
     assert allr.mean_qty == pytest.approx(round(statistics.fmean(xs), 6), abs=1e-6)
+
+
+def test_embedding_standardize_spec(spark):
+    """Standardization on a tiny frame must match a numpy z-score pass
+    (population std, 6-dp-rounded stats, micro-unit floor sums)."""
+    import numpy as np
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans import llm_data
+    from pipeline_apache_beam_entrega1_cs_spark.plans.llm_data import (
+        _STD_UNIT,
+    )
+
+    rows = [(0, [1.0, 10.0]), (1, [2.0, 20.0]), (2, [3.0, 60.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+
+    # call the plan fn against a monkeypatched loader
+    orig = llm_data._emb
+    llm_data._emb = lambda s, d: emb
+    try:
+        got = {r.vec_id: r for r in
+               llm_data.embedding_standardize(spark, "ignored").collect()}
+    finally:
+        llm_data._emb = orig
+
+    a = np.array([[1.0, 10.0], [2.0, 20.0], [3.0, 60.0]])
+    m = np.floor(a * _STD_UNIT)
+    mean = np.round(m.sum(0) / (3 * _STD_UNIT), 6)
+    var = (3 * (m * m).sum(0) - m.sum(0) ** 2)
+    std = np.round(np.sqrt(var) / (3 * _STD_UNIT), 6)
+    z = (a - mean) / std
+    zs = np.floor(z * _STD_UNIT).sum(1)
+    for i in range(3):
+        assert got[i].z_sum_micro == int(zs[i])
+        assert got[i].z_min == pytest.approx(round(float(z[i].min()), 4))
+        assert got[i].z_max == pytest.approx(round(float(z[i].max()), 4))
