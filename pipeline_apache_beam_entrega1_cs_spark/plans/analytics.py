@@ -1638,11 +1638,11 @@ def graph_modularity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes",
         "l2_intra",
         "d_sum",
-        F.round(
+        (F.round(
             F.col("q_num").cast("double")
             / (F.col("e2").cast("double") * F.col("e2").cast("double")),
             9,
-        ).alias("q"),
+        ) + F.lit(0.0)).alias("q"),  # +0.0 folds -0.0 (IEEE) to +0.0
     )
     total = base.groupBy().agg(
         F.sum("n_nodes").alias("n_nodes"),
@@ -1655,11 +1655,11 @@ def graph_modularity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes",
         "l2_intra",
         "d_sum",
-        F.round(
+        (F.round(
             F.col("q_num").cast("double")
             / (F.col("e2").cast("double") * F.col("e2").cast("double")),
             9,
-        ).alias("q"),
+        ) + F.lit(0.0)).alias("q"),  # +0.0 folds -0.0 (IEEE) to +0.0
     )
     return per_comm.unionByName(total)
 
@@ -1698,13 +1698,13 @@ pairs AS (
 )
 SELECT CAST(label AS VARCHAR) AS scope, n_nodes, l2_intra, d_sum,
        round(CAST(q_num AS DOUBLE)
-             / (CAST(e2 AS DOUBLE) * CAST(e2 AS DOUBLE)), 9) AS q
+             / (CAST(e2 AS DOUBLE) * CAST(e2 AS DOUBLE)), 9) + 0.0 AS q
 FROM base
 UNION ALL
 SELECT '__Q__', CAST(SUM(n_nodes) AS BIGINT), CAST(SUM(l2_intra) AS BIGINT),
        CAST(SUM(d_sum) AS BIGINT),
        round(CAST(SUM(q_num) AS DOUBLE)
-             / (CAST(MIN(e2) AS DOUBLE) * CAST(MIN(e2) AS DOUBLE)), 9)
+             / (CAST(MIN(e2) AS DOUBLE) * CAST(MIN(e2) AS DOUBLE)), 9) + 0.0
 FROM base
 """
 
