@@ -111,6 +111,12 @@ AUDIT = [
     "text_pii_redact",
     "multimodal_pcm_frame_energy",
     "maintenance_incremental_manifest",
+    "agg_variance_partial_merge",
+    "graph_kcore_prune",
+    "eval_score_calibration",
+    "multimodal_ahash_dedup",
+    "embedding_standardize",
+    "graph_modularity_eval",
 ]
 
 
