@@ -610,3 +610,37 @@ def bigram_backoff_score(
         F.round(F.avg("lp"), 6).alias("avg_logprob"),
         F.round(F.exp(-F.avg("lp")), 4).alias("ppl"),
     )
+
+
+# Code-vs-prose detection: shared pattern set in the Java∩RE2 common
+# dialect (mirrored by the SQL oracle). The keyword list is small on
+# purpose — high-precision anchors, not a language classifier.
+CODE_SYMBOL_RE = r"[{}();=<>\[\]]"
+CODE_KEYWORD_RE = r"\b(def|return|function|class|import|var|const)\b"
+CODE_INDENT_RE = r"(?m)^\s{2,}\S"
+
+
+def code_detect(docs: DataFrame,
+                symbol_ratio_min: float = 0.02,
+                kw_min: int = 1) -> DataFrame:
+    """Code-vs-prose heuristic per document — the routing gate a mixed
+    web corpus runs before tokenizer/quality choices (code wants
+    different filters than prose): symbol density (braces/semicolons/
+    operators), keyword anchors, and indented-line count; is_code =
+    symbol_ratio >= threshold AND a keyword anchor present. Entirely
+    narrow per-row regex (zero shuffle, zero UDF) — the map-only class."""
+    t = F.col("text")
+    n_sym = F.regexp_count(t, F.lit(CODE_SYMBOL_RE)).cast("long")
+    ratio = F.when(
+        F.length(t) > 0, F.round(n_sym / F.length(t), 6)
+    ).otherwise(F.lit(0.0))
+    kw = F.regexp_count(t, F.lit(CODE_KEYWORD_RE)).cast("long")
+    indents = F.regexp_count(t, F.lit(CODE_INDENT_RE)).cast("long")
+    return docs.select(
+        "doc_id",
+        n_sym.alias("n_symbols"),
+        ratio.alias("symbol_ratio"),
+        kw.alias("kw_hits"),
+        indents.alias("indent_lines"),
+        ((ratio >= symbol_ratio_min) & (kw >= kw_min)).alias("is_code"),
+    )

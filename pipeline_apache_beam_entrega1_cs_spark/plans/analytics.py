@@ -381,6 +381,74 @@ FROM framed
 """
 
 
+_CUSUM_K = "0.5"   # reference value (allowed drift per event)
+_CUSUM_H = "5.0"   # decision threshold
+
+
+def timeseries_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided upper CUSUM change detection per user (Page 1954) —
+    the sequential drift detector that fires when a metric runs
+    persistently above its reference k, long before any single point
+    is anomalous (the complement of anomaly_zscore/mad, which score
+    points, not runs).
+
+    The textbook recurrence S_t = max(0, S_{t-1} + x_t − k) is not
+    window-expressible, but its CLOSED FORM is: with prefix sums
+    P_t = Σ(x_i − k), S_t = P_t − min(0, min_{i<=t} P_i) — two frames
+    (running sum + running min) served from ONE (user) shuffle, no
+    recurrence state, no UDF. Exactness: x casts to DECIMAL(18,6)
+    before the running sum, so P_t and the running min are exact and
+    partition-order independent; the threshold compare runs on the
+    exact decimal; only the reported cusum converts to double (via
+    string, spec.py conventions).
+
+    100 TB shape: one keyed window shuffle; both frames are running
+    (O(1) per row); output is linear in events."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dec = "decimal(18,6)"
+    step = F.col("value").cast(dec) - F.lit(_CUSUM_K).cast(dec)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pt = F.sum(step).over(w)
+    base = ev.select("event_id", "user_id", "ts", pt.alias("pt"))
+    mn = F.min("pt").over(w)
+    zero = F.lit("0").cast("decimal(38,6)")
+    s = F.col("pt").cast("decimal(38,6)") - F.least(zero, mn.cast("decimal(38,6)"))
+    return base.select(
+        "event_id",
+        "user_id",
+        F.round(s.cast("string").cast("double"), 6).alias("cusum"),
+        (s > F.lit(_CUSUM_H).cast("decimal(38,6)")).alias("drifting"),
+    )
+
+
+TIMESERIES_CUSUM_SQL = f"""
+WITH p AS (
+  SELECT event_id, user_id, ts,
+         SUM(CAST(value AS DECIMAL(18,6)) - CAST({_CUSUM_K} AS DECIMAL(18,6)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt
+  FROM events WHERE value IS NOT NULL
+), m AS (
+  SELECT event_id, user_id, pt,
+         MIN(pt) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+  FROM p
+)
+SELECT event_id, user_id,
+       round(CAST(CAST(CAST(pt AS DECIMAL(38,6))
+             - least(CAST(0 AS DECIMAL(38,6)), CAST(mn AS DECIMAL(38,6)))
+             AS VARCHAR) AS DOUBLE), 6) AS cusum,
+       (CAST(pt AS DECIMAL(38,6))
+        - least(CAST(0 AS DECIMAL(38,6)), CAST(mn AS DECIMAL(38,6)))
+        > CAST({_CUSUM_H} AS DECIMAL(38,6))) AS drifting
+FROM m
+"""
+
+
 def resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resample events to 15-minute OHLC bars per type: open/close are
     the values of the first/last event in the bar under the total order
@@ -827,6 +895,81 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from_us)
 # --------------------------------------------------------------------------
 # Data-quality constraint report (Deequ-style)
 # --------------------------------------------------------------------------
+
+import math as _math
+
+_BENFORD_P = {d: round(_math.log10(1 + 1 / d), 12) for d in range(1, 10)}
+
+
+def dq_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of o_totalprice — the classic
+    data-forensics DQ probe (fabricated or truncated monetary data
+    drifts off the log-uniform first-digit curve). Per digit 1-9:
+    observed count, observed frequency, the Benford expectation
+    p_d = log10(1+1/d) (12-dp literals shared by both engines), and the
+    digit's chi-square term (obs − n·p)²/(n·p). The total χ² is the sum
+    of nine per-digit terms — left to the consumer/test, so the output
+    has no cross-row double summation.
+
+    Determinism: the first digit comes from the STRING of the exact
+    integer cents value (floor(x·100 + 0.5) — double→string formatting
+    differs across engines, bigint→string does not; log10-based digit
+    extraction has floor(log10(10^k)) ulp hazards). One mergeable
+    9-group aggregate + a 1-row total attach."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1)
+    counts = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    total = counts.agg(F.sum("n_obs").cast("double").alias("n"))
+    p = F.element_at(
+        F.create_map(
+            *[
+                x
+                for d, pv in _BENFORD_P.items()
+                for x in (F.lit(str(d)), F.lit(pv))
+            ]
+        ),
+        F.col("digit"),
+    )
+    exp = F.col("n") * p
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs") / F.col("n"), 6).alias("freq"),
+            p.alias("benford_p"),  # exact double literal, no re-round
+            F.round(
+                (F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp, 6
+            ).alias("chi2_term"),
+        )
+    )
+
+
+_BENFORD_VALUES = ", ".join(f"('{d}', {p})" for d, p in _BENFORD_P.items())
+DQ_BENFORD_SQL = f"""
+WITH c AS (
+  SELECT substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                     AS VARCHAR), 1, 1) AS digit,
+         COUNT(*) AS n_obs
+  FROM orders WHERE o_totalprice > 0
+  GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(n_obs) AS DOUBLE) AS n FROM c
+), bp AS (
+  SELECT digit, CAST(p AS DOUBLE) AS p
+  FROM (VALUES {_BENFORD_VALUES}) AS v(digit, p)
+)
+SELECT c.digit, c.n_obs,
+       round(c.n_obs / t.n, 6) AS freq,
+       bp.p AS benford_p,
+       round((c.n_obs - t.n * bp.p) * (c.n_obs - t.n * bp.p)
+             / (t.n * bp.p), 6) AS chi2_term
+FROM c JOIN bp USING (digit) CROSS JOIN t
+"""
+
 
 def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality checks evaluated as aggregates:
@@ -2954,6 +3097,11 @@ QUERIES: dict[str, QuerySpec] = {
     "window_reset_cumsum": QuerySpec(
         window_reset_cumsum, WINDOW_RESET_CUMSUM_SQL, "window"),
     "dq_constraint_report": QuerySpec(dq_constraint_report, DQ_SQL, "quality"),
+    "dq_benford_check": QuerySpec(
+        dq_benford_check, DQ_BENFORD_SQL, "quality",
+        plan_waivers={"bnlj": "1-row digit-total scalar attach"}),
+    "timeseries_cusum_drift": QuerySpec(
+        timeseries_cusum_drift, TIMESERIES_CUSUM_SQL, "timeseries"),
     "dq_distribution_drift": QuerySpec(
         dq_distribution_drift, DQ_DRIFT_SQL, "quality",
         plan_waivers={

