@@ -117,6 +117,9 @@ AUDIT = [
     "multimodal_ahash_dedup",
     "embedding_standardize",
     "graph_modularity_eval",
+    "timeseries_cusum_drift",
+    "dq_benford_check",
+    "text_code_detect",
 ]
 
 
