@@ -2196,6 +2196,103 @@ SELECT o_orderpriority, o_orderkey, draw_rank FROM (
 _WPRIO_K = 20
 
 
+_BOOT_R = 8
+# cumulative Poisson(1) CDF at k = 0..4 (12-dp literals shared by both
+# engines; draws above c4 take weight 5 — P ≈ 3.7e-3, the tail cap)
+_BOOT_CDF = (
+    "0.367879441171", "0.735758882343", "0.919698602929",
+    "0.981011843124", "0.996340153173",
+)
+
+
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str,
+                             reps: int = _BOOT_R) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al. 2012, "Estimating uncertainty
+    for massive data streams" — the Google large-scale bootstrap): each
+    replicate r re-weights every row by an independent Poisson(1) draw,
+    so resampling needs NO global n and NO shuffle of the data — the
+    only distributed-friendly bootstrap at 100 TB (classic resampling
+    needs n draws WITH replacement = a global shuffle per replicate).
+    The replicate mean's spread across r estimates the sampling
+    distribution of the mean.
+
+    Determinism: the Poisson draw inverts a 12-dp literal CDF at a
+    md5-derived uniform (hash of orderkey|replicate — same md5 on both
+    engines); the metric stays exact-integer (weight × price CENTS
+    summed as BIGINTs) until ONE division per replicate.
+
+    Scale shape: explode ×R (R=8 constant), one mergeable aggregate to
+    R rows. Everything else is narrow."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    rep = o.select(
+        "o_orderkey", "cents",
+        F.explode(F.array(*[F.lit(r) for r in range(reps)])).alias("r"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("o_orderkey"), F.col("r"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = (
+        F.when(u < float(_BOOT_CDF[0]), 0)
+        .when(u < float(_BOOT_CDF[1]), 1)
+        .when(u < float(_BOOT_CDF[2]), 2)
+        .when(u < float(_BOOT_CDF[3]), 3)
+        .when(u < float(_BOOT_CDF[4]), 4)
+        .otherwise(5)
+        .cast("long")
+    )
+    return (
+        rep.select(F.col("r").cast("long").alias("replicate"),
+                   w.alias("w"), "cents")
+        .groupBy("replicate")
+        .agg(
+            F.sum("w").alias("n_eff"),
+            F.round(
+                F.sum(F.col("w") * F.col("cents")).cast("double")
+                / (F.sum("w").cast("double") * 100.0),
+                6,
+            ).alias("boot_mean"),
+        )
+    )
+
+
+def _bootstrap_sql(reps: int = _BOOT_R) -> str:
+    return f"""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), rep AS (
+  SELECT o_orderkey, cents, CAST(g.r AS BIGINT) AS replicate,
+         CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|'
+                                 || CAST(g.r AS VARCHAR)), 1, 8) AS BIGINT)
+           / 4294967296.0 AS u
+  FROM o, UNNEST(generate_series(0, {reps - 1})) AS g(r)
+), wt AS (
+  SELECT replicate, cents,
+         CAST(CASE WHEN u < {_BOOT_CDF[0]} THEN 0
+              WHEN u < {_BOOT_CDF[1]} THEN 1
+              WHEN u < {_BOOT_CDF[2]} THEN 2
+              WHEN u < {_BOOT_CDF[3]} THEN 3
+              WHEN u < {_BOOT_CDF[4]} THEN 4
+              ELSE 5 END AS BIGINT) AS w
+  FROM rep
+)
+SELECT replicate, CAST(SUM(w) AS BIGINT) AS n_eff,
+       round(CAST(SUM(w * cents) AS DOUBLE)
+             / (CAST(SUM(w) AS DOUBLE) * 100.0), 6) AS boot_mean
+FROM wt GROUP BY replicate
+"""
+
+
 def sample_weighted_priority(spark: SparkSession, sf_dir: str,
                              k: int = _WPRIO_K) -> DataFrame:
     """Weighted sampling WITHOUT replacement, k per source — the
@@ -3102,6 +3199,8 @@ QUERIES: dict[str, QuerySpec] = {
         plan_waivers={"bnlj": "1-row digit-total scalar attach"}),
     "timeseries_cusum_drift": QuerySpec(
         timeseries_cusum_drift, TIMESERIES_CUSUM_SQL, "timeseries"),
+    "sample_poisson_bootstrap": QuerySpec(
+        sample_poisson_bootstrap, _bootstrap_sql(), "sampling"),
     "dq_distribution_drift": QuerySpec(
         dq_distribution_drift, DQ_DRIFT_SQL, "quality",
         plan_waivers={

@@ -966,6 +966,126 @@ FROM m
 """
 
 
+def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise covariance/correlation matrix of (l_quantity,
+    l_extendedprice, l_discount) from ONE pass of exact integer
+    moments — the feature-statistics pass a model-training pipeline
+    runs before normalization/PCA. Columns convert to exact integer
+    units first (quantity integral; price/discount to cents via
+    floor(x·100 + 0.5) — floor, not round(): round() ties split across
+    engines), so every moment sum is exact DECIMAL(38,0) and
+    partition-order independent:
+      cov(a,b)  = (n·Σab − Σa·Σb) / (n² · unit_a · unit_b)
+      corr(a,b) = (n·Σab − Σa·Σb) / (√(n·Σa²−(Σa)²) · √(n·Σb²−(Σb)²))
+    (unit scalings cancel in corr; the two sqrt's stay separate because
+    the numerator product would overflow DECIMAL(38,0)). Population
+    covariance; the n² denominator and each √ are doubles derived from
+    exact decimals, so both engines divide identical numbers.
+
+    100 TB shape: ONE mergeable aggregate produces all ten moments (a
+    single Exchange to a 1-row frame); the 3×3 matrix explodes from
+    literal pair structs on that 1-row frame — O(1) downstream."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("a"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("b"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    dec = "decimal(38,0)"
+
+    def dsum38(col):
+        return F.sum(col.cast(dec)).cast(dec)
+
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    mo = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum38(a).alias("sa"), dsum38(b).alias("sb"), dsum38(c).alias("sc"),
+        dsum38(a * a).alias("saa"), dsum38(b * b).alias("sbb"),
+        dsum38(c * c).alias("scc"),
+        dsum38(a * b).alias("sab"), dsum38(a * c).alias("sac"),
+        dsum38(b * c).alias("sbc"),
+    )
+    pairs = [
+        ("quantity", "extendedprice", "sa", "sb", "sab", "saa", "sbb", 1 * 100),
+        ("quantity", "discount", "sa", "sc", "sac", "saa", "scc", 1 * 100),
+        ("extendedprice", "discount", "sb", "sc", "sbc", "sbb", "scc", 100 * 100),
+    ]
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(ca).alias("col_a"),
+                    F.lit(cb).alias("col_b"),
+                    F.col(s1).alias("s1"),
+                    F.col(s2).alias("s2"),
+                    F.col(s12).alias("s12"),
+                    F.col(sq1).alias("sq1"),
+                    F.col(sq2).alias("sq2"),
+                    F.lit(u).cast("double").alias("uu"),
+                )
+                for ca, cb, s1, s2, s12, sq1, sq2, u in pairs
+            ]
+        )
+    ).alias("p")
+    ndec = F.col("n").cast(dec)
+    num = (ndec * F.col("p.s12") - F.col("p.s1") * F.col("p.s2")).cast(dec)
+    v1 = (ndec * F.col("p.sq1") - F.col("p.s1") * F.col("p.s1")).cast(dec)
+    v2 = (ndec * F.col("p.sq2") - F.col("p.s2") * F.col("p.s2")).cast(dec)
+    numd = num.cast("string").cast("double")
+    return mo.select("n", rows).select(
+        F.col("p.col_a").alias("col_a"),
+        F.col("p.col_b").alias("col_b"),
+        F.col("n"),
+        F.round(
+            numd / (F.col("n").cast("double") * F.col("n").cast("double")
+                    * F.col("p.uu")),
+            6,
+        ).alias("cov"),
+        F.round(
+            numd
+            / (F.sqrt(v1.cast("string").cast("double"))
+               * F.sqrt(v2.cast("string").cast("double"))),
+            6,
+        ).alias("corr"),
+    )
+
+
+AGG_COVARIANCE_SQL = """
+WITH u AS (
+  SELECT CAST(l_quantity AS BIGINT) AS a,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS b,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS c
+  FROM lineitem
+), mo AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(a) AS HUGEINT) AS sa, CAST(SUM(b) AS HUGEINT) AS sb,
+         CAST(SUM(c) AS HUGEINT) AS sc,
+         CAST(SUM(a*a) AS HUGEINT) AS saa, CAST(SUM(b*b) AS HUGEINT) AS sbb,
+         CAST(SUM(c*c) AS HUGEINT) AS scc,
+         CAST(SUM(a*b) AS HUGEINT) AS sab, CAST(SUM(a*c) AS HUGEINT) AS sac,
+         CAST(SUM(b*c) AS HUGEINT) AS sbc
+  FROM u
+), p AS (
+  SELECT 'quantity' AS col_a, 'extendedprice' AS col_b,
+         sa AS s1, sb AS s2, sab AS s12, saa AS sq1, sbb AS sq2,
+         100.0 AS uu, n FROM mo
+  UNION ALL
+  SELECT 'quantity', 'discount', sa, sc, sac, saa, scc, 100.0, n FROM mo
+  UNION ALL
+  SELECT 'extendedprice', 'discount', sb, sc, sbc, sbb, scc, 10000.0, n
+  FROM mo
+)
+SELECT col_a, col_b, n,
+       round(CAST(CAST(CAST(n AS HUGEINT)*s12 - s1*s2 AS VARCHAR) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * uu), 6) AS cov,
+       round(CAST(CAST(CAST(n AS HUGEINT)*s12 - s1*s2 AS VARCHAR) AS DOUBLE)
+             / (sqrt(CAST(CAST(CAST(n AS HUGEINT)*sq1 - s1*s1 AS VARCHAR)
+                          AS DOUBLE))
+                * sqrt(CAST(CAST(CAST(n AS HUGEINT)*sq2 - s2*s2 AS VARCHAR)
+                            AS DOUBLE))), 6) AS corr
+FROM p
+"""
+
+
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(returnflag, linestatus): hierarchical subtotals + grand
     total in one pass."""
@@ -1615,6 +1735,8 @@ QUERIES: dict[str, QuerySpec] = {
         plan_waivers={"bnlj": "1-row min/max bounds broadcast (x2 attaches)"}),
     "agg_variance_partial_merge": QuerySpec(
         agg_variance_partial_merge, AGG_VARIANCE_PARTIAL_SQL, "aggregation"),
+    "agg_covariance_matrix": QuerySpec(
+        agg_covariance_matrix, AGG_COVARIANCE_SQL, "aggregation"),
     "agg_rollup": QuerySpec(agg_rollup, AGG_ROLLUP_SQL, "aggregation"),
     "agg_cube": QuerySpec(agg_cube, AGG_CUBE_SQL, "aggregation"),
     "agg_grouping_sets": QuerySpec(agg_grouping_sets, AGG_GROUPING_SETS_SQL, "aggregation"),

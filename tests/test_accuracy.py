@@ -1283,3 +1283,56 @@ def test_benford_check_shape(spark, sf_dir):
     total_freq = sum(r.freq for r in rows.values())
     assert abs(total_freq - 1.0) < 1e-3
     assert all(r.chi2_term >= 0 for r in rows.values())
+
+
+def test_covariance_matrix_matches_numpy(spark, sf_dir):
+    """cov/corr from the exact-moment pass must match numpy population
+    covariance on the same integer-unit data."""
+    import numpy as np
+    import pytest
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.relational import (
+        agg_covariance_matrix,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    ).collect()
+    a = np.array([int(r.l_quantity) for r in li], dtype=np.int64)
+    b = np.array([int(np.floor(r.l_extendedprice * 100 + 0.5)) for r in li])
+    c = np.array([int(np.floor(r.l_discount * 100 + 0.5)) for r in li])
+    got = {(r.col_a, r.col_b): r for r in agg_covariance_matrix(spark, sf_dir).collect()}
+
+    def check(key, x, y, uu):
+        r = got[key]
+        cov = np.cov(x, y, bias=True)[0, 1] / uu
+        corr = np.corrcoef(x, y)[0, 1]
+        assert r.cov == pytest.approx(round(float(cov), 6), abs=1e-4)
+        assert r.corr == pytest.approx(round(float(corr), 6), abs=1e-6)
+
+    check(("quantity", "extendedprice"), a, b, 100.0)
+    check(("quantity", "discount"), a, c, 100.0)
+    check(("extendedprice", "discount"), b, c, 10000.0)
+
+
+def test_poisson_bootstrap_statistics(spark, sf_dir):
+    """Replicate weights behave like Poisson(1): n_eff ≈ n per
+    replicate (Σw concentrates around n), replicate means concentrate
+    around the true mean, and all replicates are distinct draws."""
+    import statistics
+    import pytest
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.analytics import (
+        _BOOT_R,
+        sample_poisson_bootstrap,
+    )
+
+    rows = sample_poisson_bootstrap(spark, sf_dir).collect()
+    assert len(rows) == _BOOT_R
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_totalprice")
+    vals = [r.o_totalprice for r in o.collect()]
+    n, mu = len(vals), statistics.fmean(vals)
+    for r in rows:
+        assert abs(r.n_eff - n) < 5 * (n ** 0.5)  # Poisson(1) sum ~ N(n, n)
+        assert r.boot_mean == pytest.approx(mu, rel=0.05)
+    assert len({r.boot_mean for r in rows}) > 1  # genuinely different draws
