@@ -120,6 +120,8 @@ AUDIT = [
     "timeseries_cusum_drift",
     "dq_benford_check",
     "text_code_detect",
+    "agg_covariance_matrix",
+    "sample_poisson_bootstrap",
 ]
 
 
