@@ -2196,6 +2196,73 @@ SELECT o_orderpriority, o_orderkey, draw_rank FROM (
 _WPRIO_K = 20
 
 
+def eval_ab_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test — the experimentation-analytics member of
+    the eval family: users split into variants by user_id parity (the
+    deterministic stand-in for an assignment column), conversion = the
+    user fired at least one 'purchase' event; the pooled-variance
+    z-score for rate_b − rate_a in ONE result row.
+
+    Every input to the z formula is an exact integer count, so the
+    doubles both engines derive are identical; the z computation is a
+    per-row expression on a 1-row frame. Scale shape: one per-user
+    aggregate (mergeable, keyed on user_id) + one 4-cell aggregate —
+    nothing downstream exceeds O(1)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("long")) >= 15
+        ).cast("long").alias("conv")
+    )
+    cells = per_user.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, F.col("conv")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, F.col("conv")).otherwise(0)).alias("conv_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ca, cb = F.col("conv_a").cast("double"), F.col("conv_b").cast("double")
+    pa, pb = ca / na, cb / nb
+    pool = (ca + cb) / (na + nb)
+    se = F.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+    z = F.when(se > 0, (pb - pa) / se).otherwise(F.lit(0.0))
+    return cells.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+EVAL_AB_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 15 THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+), cells AS (
+  SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+  FROM per_user
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       round(conv_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+       round(conv_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+       round(CASE WHEN sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                    * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                    * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE))) > 0
+             THEN (conv_b / CAST(n_b AS DOUBLE) - conv_a / CAST(n_a AS DOUBLE))
+             / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                    * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                    * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE)))
+             ELSE 0.0 END, 6)
+         AS z_score
+FROM cells
+"""
+
+
 _BOOT_R = 8
 # cumulative Poisson(1) CDF at k = 0..4 (12-dp literals shared by both
 # engines; draws above c4 take weight 5 — P ≈ 3.7e-3, the tail cap)
@@ -3201,6 +3268,8 @@ QUERIES: dict[str, QuerySpec] = {
         timeseries_cusum_drift, TIMESERIES_CUSUM_SQL, "timeseries"),
     "sample_poisson_bootstrap": QuerySpec(
         sample_poisson_bootstrap, _bootstrap_sql(), "sampling"),
+    "eval_ab_proportions": QuerySpec(
+        eval_ab_proportions, EVAL_AB_SQL, "quality"),
     "dq_distribution_drift": QuerySpec(
         dq_distribution_drift, DQ_DRIFT_SQL, "quality",
         plan_waivers={

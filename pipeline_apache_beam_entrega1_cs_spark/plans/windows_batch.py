@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..functions.numeric import dsum, sql_dsum
 from ..operators.sessionize import session_window_agg
 from ..schemas import load_table
+from .analytics import TIMESERIES_CUSUM_SQL as _CUSUM_ORACLE_SQL
 from .spec import QuerySpec
 
 
@@ -269,6 +270,17 @@ STREAMING_FOREACH_BATCH_SQL = f"""
 SELECT event_type, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
 FROM events GROUP BY event_type
 """
+
+
+def streaming_cusum_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch streaming CUSUM (streaming/sinks.CusumStateSink):
+    per-user drift state carried as ONE decimal across time-ordered
+    micro-batches; cold replay over any slicing equals the one-shot
+    batch closed form, so the oracle is TIMESERIES_CUSUM_SQL verbatim
+    — the strongest possible check of the carry algebra."""
+    from ..streaming.sinks import run_cusum_stream
+
+    return run_cusum_stream(spark, sf_dir)
 
 
 def streaming_file_source_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -651,6 +663,9 @@ QUERIES: dict[str, QuerySpec] = {
     "streaming_file_source_incremental": QuerySpec(
         streaming_file_source_incremental, STREAMING_FILE_SOURCE_SQL,
         "streaming"
+    ),
+    "streaming_cusum_state": QuerySpec(
+        streaming_cusum_state, _CUSUM_ORACLE_SQL, "streaming"
     ),
     "streaming_rollup_upsert": QuerySpec(
         streaming_rollup_upsert, STREAMING_ROLLUP_UPSERT_SQL, "streaming"

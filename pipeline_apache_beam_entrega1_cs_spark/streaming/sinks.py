@@ -1209,3 +1209,177 @@ def run_pattern_match_stream(spark, sf_dir: str):
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+class CusumStateSink:
+    """``foreachBatch`` state machine for CROSS-BATCH CUSUM drift
+    detection: per user the ONLY carried state is the current cusum
+    value S (one decimal per active user — O(1) state, the smallest
+    possible recurrence carry). Batches arrive in event-time order;
+    within a batch the recurrence S_t = max(0, S_{t-1} + x_t − k)
+    is served by its windowed closed form WITH carry:
+
+        S_t = greatest(S0 + P_t, P_t − min_{j<=t} P_j)
+
+    (P = running sum of x−k over the batch; the second arm is every
+    in-batch restart point incl. "restart now" = 0; the first arm is
+    "never restarted since the carry"). Each event is scored exactly
+    once, in its own batch, so the accumulated output of a cold replay
+    over ANY time-ordered slicing equals the one-shot batch closed form
+    — which is the entry's SQL oracle (TIMESERIES_CUSUM_SQL verbatim).
+
+    All arithmetic stays DECIMAL(38,6): exact, partition-order
+    independent, and the carry round-trips parquet losslessly as a
+    string. 100 TB shape: per batch one user-keyed window shuffle +
+    a broadcast-size carry join; state is one row per active user."""
+
+    K = "0.5"
+    H = "5.0"
+
+    def __init__(self, state_dir: str) -> None:
+        self.state = state_dir
+        os.makedirs(os.path.dirname(state_dir), exist_ok=True)
+
+    def is_committed(self, batch_id: int) -> bool:
+        return _state_committed(self.state, batch_id)
+
+    def __call__(self, batch_df, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        dec = "decimal(38,6)"
+        prev = _current_state(self.state)
+        if prev is not None:
+            st = spark.read.parquet(prev)
+            carry = st.filter(F.col("kind") == "carry").select(
+                "user_id", F.col("payload").cast(dec).alias("s0")
+            )
+            out_prev = st.filter(F.col("kind") == "out")
+        else:
+            carry = None
+            out_prev = None
+
+        step = F.col("value").cast("decimal(18,6)") - F.lit(self.K).cast(
+            "decimal(18,6)"
+        )
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        base = batch_df.filter(F.col("value").isNotNull()).select(
+            "event_id", "user_id", "ts",
+            F.sum(step).over(w).cast(dec).alias("pt"),
+        )
+        base = base.withColumn("mn", F.min("pt").over(w))
+        if carry is not None:
+            base = base.join(carry, "user_id", "left")
+        else:
+            base = base.withColumn("s0", F.lit(None).cast(dec))
+        s0 = F.coalesce(F.col("s0"), F.lit("0").cast(dec))
+        s = F.greatest(
+            (s0 + F.col("pt")).cast(dec),
+            (F.col("pt") - F.col("mn")).cast(dec),
+        )
+        scored = base.select(
+            "event_id", "user_id", "ts", s.alias("s")
+        )
+        out_new = scored.select(
+            F.lit("out").alias("kind"),
+            "event_id",
+            "user_id",
+            F.col("s").cast("string").alias("payload"),
+        )
+        wlast = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        carry_new = (
+            scored.withColumn("rn", F.row_number().over(wlast))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.lit("carry").alias("kind"),
+                F.lit(None).cast("long").alias("event_id"),
+                "user_id",
+                F.col("s").cast("string").alias("payload"),
+            )
+        )
+        # users with carried state but no event this batch keep their S
+        if carry is not None:
+            idle = (
+                carry.join(
+                    scored.select("user_id").distinct(), "user_id", "left_anti"
+                ).select(
+                    F.lit("carry").alias("kind"),
+                    F.lit(None).cast("long").alias("event_id"),
+                    "user_id",
+                    F.col("s0").cast("string").alias("payload"),
+                )
+            )
+            carry_new = carry_new.unionByName(idle)
+        parts = out_new.unionByName(carry_new)
+        if out_prev is not None:
+            parts = parts.unionByName(
+                out_prev.select("kind", "event_id", "user_id", "payload")
+            )
+        tmp = f"{self.state}.tmp-{batch_id}"
+        parts.write.mode("overwrite").parquet(tmp)
+        _install_state(self.state, tmp, batch_id)
+
+
+def run_cusum_stream(spark, sf_dir: str):
+    """Streaming CUSUM end-to-end: events replayed as four time-ordered
+    micro-batches through CusumStateSink; returns the accumulated
+    per-event cusum table (same shape/values as the batch
+    timeseries_cusum_drift entry — its SQL oracle)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..schemas import ensure_session_confs, load_table
+
+    ensure_session_confs(spark)
+    # PID-keyed scratch, cleaned at START and left on disk afterwards:
+    # the per-event output is corpus-sized, so (unlike the bounded
+    # match/aggregate sinks) collecting it to the driver is not an
+    # option — the entry returns a lazy reader over the state table.
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    work = f"/tmp/spark_graft_cusumstate/{tag}-{os.getpid()}"
+    shutil.rmtree(work, ignore_errors=True)
+    raw = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    src = _stage_time_slices(raw, work, "ts")
+    sink = CusumStateSink(os.path.join(work, "state"))
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(sink.state)
+        .filter(F.col("kind") == "out")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(
+                F.col("payload").cast("decimal(38,6)")
+                .cast("string").cast("double"), 6
+            ).alias("cusum"),
+            (
+                F.col("payload").cast("decimal(38,6)")
+                > F.lit(CusumStateSink.H).cast("decimal(38,6)")
+            ).alias("drifting"),
+        )
+    )

@@ -1336,3 +1336,26 @@ def test_poisson_bootstrap_statistics(spark, sf_dir):
         assert abs(r.n_eff - n) < 5 * (n ** 0.5)  # Poisson(1) sum ~ N(n, n)
         assert r.boot_mean == pytest.approx(mu, rel=0.05)
     assert len({r.boot_mean for r in rows}) > 1  # genuinely different draws
+
+
+def test_ab_proportions_matches_scipy_form(spark, sf_dir):
+    """The z-score must equal the textbook pooled two-proportion formula
+    recomputed in plain Python, and the cells must partition all users."""
+    import math
+
+    import pytest
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.analytics import (
+        eval_ab_proportions,
+    )
+
+    r = eval_ab_proportions(spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    assert r.n_a + r.n_b == n_users
+    pa, pb = r.conv_a / r.n_a, r.conv_b / r.n_b
+    pool = (r.conv_a + r.conv_b) / (r.n_a + r.n_b)
+    se = math.sqrt(pool * (1 - pool) * (1 / r.n_a + 1 / r.n_b))
+    z = (pb - pa) / se if se > 0 else 0.0
+    assert r.z_score == pytest.approx(round(z, 6), abs=1e-6)
+    assert 0 < pool < 1  # threshold keeps both classes populated

@@ -617,3 +617,42 @@ def test_streaming_pattern_match_replay(spark, sf_dir, tmp_path):
              (9, t(9), 9, "purchase")]), 1)
     again = spark.read.parquet(state).filter(F.col("kind") == "match").collect()
     assert len(again) == 1
+
+
+def test_cusum_sink_carry_across_batches(spark, tmp_path):
+    """A drift run straddling the batch boundary must accumulate through
+    the carried per-user S — feed two batches manually and compare every
+    event against the plain recurrence."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from pipeline_apache_beam_entrega1_cs_spark.streaming.sinks import (
+        CusumStateSink,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [  # user 1: persistent +1.5 drift; user 2: stays at k
+        (i, t0 + dt.timedelta(minutes=i), uid, v)
+        for i, (uid, v) in enumerate(
+            [(1, 2.0), (1, 2.0), (2, 0.5), (1, 2.0), (1, 2.0), (2, 0.5)]
+        )
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    sink = CusumStateSink(str(tmp_path / "state"))
+    sink(df.filter(F.col("event_id") < 3), 0)   # batch 0
+    sink(df.filter(F.col("event_id") >= 3), 1)  # batch 1
+    out = {
+        r.event_id: Decimal(r.payload)
+        for r in spark.read.parquet(sink.state)
+        .filter(F.col("kind") == "out")
+        .collect()
+    }
+    # plain recurrence, k = 0.5
+    s = {1: Decimal(0), 2: Decimal(0)}
+    expect = {}
+    for eid, ts, uid, v in rows:
+        s[uid] = max(Decimal(0), s[uid] + Decimal(str(v)) - Decimal("0.5"))
+        expect[eid] = s[uid]
+    assert {k: v for k, v in out.items()} == expect
+    # the straddling run really accumulated: event 4 reached 4x1.5
+    assert expect[4] == Decimal("6.0") and out[4] == Decimal("6.0")
