@@ -117,16 +117,17 @@ from the first three sessions + the 4 never-checked fourth-session
 additions.
 
 ROUND 9 CHORE: rotate again — promote (a) any r08 failures, (b)
-entries added during round 9 itself, (b2) the FOURTEEN
-fourth-session round-8 additions left past the window
+entries added during round 9 itself, (b2) the fourth-session
+round-8 additions left past the window
 (dedup_url_canonicalize, text_pii_redact,
 agg_variance_partial_merge, graph_kcore_prune,
 eval_score_calibration, multimodal_ahash_dedup,
 embedding_standardize, graph_modularity_eval,
 streaming_file_source_incremental, timeseries_cusum_drift,
 dq_benford_check, text_code_detect, agg_covariance_matrix,
-sample_poisson_bootstrap — never driver-checked, all locally
-oracle-green at both SFs and spec-tested),
+sample_poisson_bootstrap, streaming_cusum_state,
+eval_ab_proportions — SIXTEEN in all, never driver-checked, all
+locally oracle-green at both SFs and spec-tested),
 (c) the FIFTY r04-only
 entries left outside the round-8 window: the three streaming
 sinks/joins + dataset_build_pipeline displaced by the fourth
