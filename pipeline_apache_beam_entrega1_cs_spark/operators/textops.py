@@ -644,3 +644,42 @@ def code_detect(docs: DataFrame,
         indents.alias("indent_lines"),
         ((ratio >= symbol_ratio_min) & (kw >= kw_min)).alias("is_code"),
     )
+
+
+READABILITY_SENTENCE_RE = r"[.!?]+"
+READABILITY_VOWEL_RE = r"[aeiouy]+"
+
+
+def readability_score(docs: DataFrame, easy_min: float = 60.0) -> DataFrame:
+    """Flesch reading-ease heuristic per document — the readability
+    member of the quality family (very low scores flag boilerplate/
+    gibberish; very high flag trivial fragments). Syllables are
+    approximated by vowel GROUPS (the standard cheap proxy) and
+    sentences by terminal-punctuation runs, floored at 1:
+
+        flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words)
+
+    Every count is an exact integer from a common-dialect regex, so
+    both engines derive identical doubles. Map-only: zero shuffle,
+    zero UDF. Empty docs are excluded (no words -> no score)."""
+    t = F.lower(F.col("text"))
+    n_words = F.size(tokens(F.col("text"))).cast("long")
+    n_sent = F.greatest(
+        F.regexp_count(t, F.lit(READABILITY_SENTENCE_RE)), F.lit(1)
+    ).cast("long")
+    n_syll = F.greatest(
+        F.regexp_count(t, F.lit(READABILITY_VOWEL_RE)), F.lit(1)
+    ).cast("long")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    return docs.filter(n_words > 0).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        F.round(flesch, 4).alias("flesch"),
+        (F.round(flesch, 4) >= easy_min).alias("is_easy"),
+    )

@@ -2196,6 +2196,62 @@ SELECT o_orderpriority, o_orderkey, draw_rank FROM (
 _WPRIO_K = 20
 
 
+def agg_group_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity feature (bot/spam accounts skew to one action;
+    organic users spread). H = log2(n) − Σ c·log2(c) / n over the
+    per-(user, type) counts.
+
+    Determinism: the Σ c·log2(c) fold runs over the SORTED (type asc)
+    count array collected per user — a fixed fold order, so the double
+    sum is identical cross-engine (a plain SUM over grouped rows would
+    be partition-order dependent); counts are exact BIGINTs. Scale
+    shape: one (user, type) mergeable aggregate, one per-user
+    collect_list over ≤ #event-types rows — O(5) per user."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_user = counts.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("event_type", "c"))),
+            lambda s: s["c"].cast("double"),
+        ).alias("cs"),
+    )
+    sum_clogc = F.aggregate(
+        F.col("cs"), F.lit(0.0), lambda a, c: a + c * F.log2(c)
+    )
+    return per_user.select(
+        "user_id",
+        F.col("n"),
+        F.size("cs").cast("bigint").alias("n_types"),
+        F.round(
+            F.log2(F.col("n").cast("double"))
+            - sum_clogc / F.col("n").cast("double"),
+            6,
+        ).alias("entropy_bits"),
+    )
+
+
+AGG_GROUP_ENTROPY_SQL = """
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), per_user AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+         list_transform(list(c ORDER BY event_type), x -> CAST(x AS DOUBLE))
+           AS cs
+  FROM counts GROUP BY user_id
+)
+SELECT user_id, n, CAST(len(cs) AS BIGINT) AS n_types,
+       round(log2(CAST(n AS DOUBLE))
+             - list_sum(list_transform(cs, c -> c * log2(c)))
+               / CAST(n AS DOUBLE), 6) AS entropy_bits
+FROM per_user
+"""
+
+
 def eval_ab_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion z-test — the experimentation-analytics member of
     the eval family: users split into variants by user_id parity (the
@@ -3270,6 +3326,8 @@ QUERIES: dict[str, QuerySpec] = {
         sample_poisson_bootstrap, _bootstrap_sql(), "sampling"),
     "eval_ab_proportions": QuerySpec(
         eval_ab_proportions, EVAL_AB_SQL, "quality"),
+    "agg_group_entropy": QuerySpec(
+        agg_group_entropy, AGG_GROUP_ENTROPY_SQL, "aggregation"),
     "dq_distribution_drift": QuerySpec(
         dq_distribution_drift, DQ_DRIFT_SQL, "quality",
         plan_waivers={

@@ -1231,6 +1231,64 @@ FROM h GROUP BY ahash
 """
 
 
+def multimodal_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + cross-corpus chunk dedup
+    (operators/multimodal.cdc_chunk_stats) over the binary payload —
+    the rsync/FastCDC boundary-shift-robust dedup primitive for
+    binary/media data."""
+    return M.cdc_chunk_stats(M.with_binary_payload(_docs(spark, sf_dir)))
+
+
+def _cdc_sql(max_bytes: int = 256) -> str:
+    from ..operators.multimodal import _CDC_MASK, _CDC_MOD, _CDC_POW, _CDC_W
+
+    pows = "[" + ", ".join(str(p) for p in _CDC_POW) + "]"
+    return f"""
+WITH base AS (
+  SELECT doc_id, substr(hex(encode(text)), 1, {2 * max_bytes}) AS h
+  FROM documents
+), vv AS (
+  SELECT doc_id, h,
+         list_transform(regexp_extract_all(h, '..'),
+                        x -> CAST('0x' || x AS BIGINT)) AS v
+  FROM base
+), ok AS (
+  SELECT doc_id, h, v, CAST(len(v) AS BIGINT) AS n FROM vv
+  WHERE len(v) >= {_CDC_W}
+), b AS (
+  SELECT doc_id, h, n,
+         list_filter(generate_series({_CDC_W}, n),
+           i -> (list_sum(list_transform(generate_series(0, {_CDC_W - 1}),
+                 j -> v[CAST(i - j AS BIGINT)] * ({pows})[j + 1]))
+                 % {_CDC_MOD}) % {_CDC_MASK + 1} = 0) AS bpos
+  FROM ok
+), se AS (
+  SELECT doc_id, h,
+         list_prepend(CAST(1 AS BIGINT),
+                      list_transform(bpos, x -> x + 1)) AS ss,
+         list_append(bpos, n) AS ee
+  FROM b
+), ck AS (
+  SELECT doc_id,
+         CAST(ee[k] - ss[k] + 1 AS BIGINT) AS chunk_bytes,
+         md5(substr(h, CAST(2 * (ss[k] - 1) + 1 AS BIGINT),
+                    CAST(2 * (ee[k] - ss[k] + 1) AS BIGINT))) AS chunk_md5
+  FROM se, UNNEST(generate_series(1, len(ss))) AS g(k)
+  WHERE ss[k] <= ee[k]
+), shared AS (
+  SELECT chunk_md5,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_with_chunk
+  FROM ck GROUP BY chunk_md5
+)
+SELECT ck.doc_id, COUNT(*) AS n_chunks,
+       CAST(SUM(chunk_bytes) AS BIGINT) AS bytes_chunked,
+       CAST(SUM(CASE WHEN n_docs_with_chunk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_chunks
+FROM ck JOIN shared USING (chunk_md5)
+GROUP BY ck.doc_id
+"""
+
+
 def multimodal_pcm_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-level RMS/peak/silence features over the WAV fixture's
     8-bit PCM samples (operators/multimodal.pcm_frame_energy) — codec-
@@ -2553,6 +2611,40 @@ FROM documents d LEFT JOIN dots USING (doc_id)
 """
 
 
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (operators/textops.
+    readability_score) — vowel-group syllable proxy, terminal-
+    punctuation sentence proxy, exact integer counts into one map-only
+    expression."""
+    return T.readability_score(_docs(spark, sf_dir))
+
+
+def _readability_sql() -> str:
+    from ..operators.textops import (
+        READABILITY_SENTENCE_RE,
+        READABILITY_VOWEL_RE,
+    )
+
+    nw = f"len({_TOKS})"
+    ns = (f"greatest(len(regexp_extract_all(lower(text), "
+          f"'{READABILITY_SENTENCE_RE}')), 1)")
+    sy = (f"greatest(len(regexp_extract_all(lower(text), "
+          f"'{READABILITY_VOWEL_RE}')), 1)")
+    flesch = (f"round(206.835 - 1.015 * (CAST({nw} AS DOUBLE)"
+              f" / CAST({ns} AS DOUBLE))"
+              f" - 84.6 * (CAST({sy} AS DOUBLE) / CAST({nw} AS DOUBLE)), 4)")
+    return f"""
+SELECT doc_id,
+       CAST({nw} AS BIGINT) AS n_words,
+       CAST({ns} AS BIGINT) AS n_sentences,
+       CAST({sy} AS BIGINT) AS n_syllables,
+       {flesch} AS flesch,
+       ({flesch} >= 60.0) AS is_easy
+FROM documents
+WHERE trim(text) <> ''
+"""
+
+
 _CODE_SNIPPET = (
     "\ndef compute(x):\n    return x * 2;\nclass T {\n    var y = (x < 3);\n}"
 )
@@ -2819,6 +2911,8 @@ QUERIES: dict[str, QuerySpec] = {
         multimodal_pcm_frame_energy, MULTIMODAL_PCM_ENERGY_SQL, "multimodal"),
     "multimodal_ahash_dedup": QuerySpec(
         multimodal_ahash_dedup, MULTIMODAL_AHASH_SQL, "multimodal"),
+    "multimodal_cdc_chunking": QuerySpec(
+        multimodal_cdc_chunking, _cdc_sql(), "multimodal"),
     "multimodal_frame_sample": QuerySpec(
         multimodal_frame_sample, MULTIMODAL_FRAME_SQL, "multimodal"),
     "dedup_components": QuerySpec(dedup_components, DEDUP_COMPONENTS_SQL, "dedup"),
@@ -2850,6 +2944,8 @@ QUERIES: dict[str, QuerySpec] = {
     "curation_pipeline": QuerySpec(curation_pipeline, CURATION_PIPELINE_SQL, "composition"),
     "text_code_detect": QuerySpec(
         text_code_detect, _code_detect_sql(), "text"),
+    "text_readability": QuerySpec(
+        text_readability, _readability_sql(), "text"),
     "text_perplexity_backoff": QuerySpec(
         text_perplexity_backoff, TEXT_PERPLEXITY_BACKOFF_SQL, "text",
         plan_waivers={"bnlj": "1-row corpus token total"},

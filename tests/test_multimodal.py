@@ -286,3 +286,27 @@ def test_ahash_matches_python_spec(spark):
     # perceptual locality: a 5-byte edit flips few bits, never ~half
     ham = sum(a != b for a, b in zip(spec(base), spec(variant)))
     assert 0 < ham <= 12
+
+
+def test_cdc_boundary_shift_robustness(spark):
+    """The CDC property itself: inserting bytes at the FRONT of a blob
+    must leave the tail chunks identical (fixed-size blocks would lose
+    all alignment). Two docs sharing a long tail must report shared
+    chunks."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.multimodal import (
+        cdc_chunk_stats,
+        with_binary_payload,
+    )
+
+    tail = ("the common tail content that should chunk identically "
+            "regardless of what precedes it ") * 4
+    docs = spark.createDataFrame(
+        [(1, tail), (2, "INSERTED PREFIX >>> " + tail)],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in
+           cdc_chunk_stats(with_binary_payload(docs)).collect()}
+    # both docs found at least one chunk the other also contains
+    assert out[1].n_shared_chunks >= 1
+    assert out[2].n_shared_chunks >= 1
+    assert out[1].bytes_chunked == min(256, len(tail.encode()))
