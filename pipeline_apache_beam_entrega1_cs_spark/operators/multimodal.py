@@ -641,21 +641,22 @@ def cdc_chunk_stats(docs_with_payload: DataFrame,
         .filter(F.size("_v") >= _CDC_W)
         .withColumn("_n", F.size("_v"))
     )
-    pow_arr = F.array(*[F.lit(pw) for pw in _CDC_POW])
     pos = base.select(
         "doc_id", "_v",
         F.explode(F.sequence(F.lit(_CDC_W), F.col("_n"))).alias("i"),
     )
-    # window bytes v[i-7..i] ascending; reversed = offsets j = 0..7
-    win = F.reverse(F.slice(F.col("_v"), (F.col("i") - (_CDC_W - 1)).cast("int"), _CDC_W))
-    h = (
-        F.aggregate(
-            F.zip_with(win, pow_arr, lambda b, pw: b * pw),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        )
-        % _CDC_MOD
-    )
+    # h = Σ_j v[i-j]·31^j, UNROLLED to 8 plain element_at terms: the
+    # slice/reverse/zip_with array form allocates three arrays per
+    # position (measured 63 s at 500 k docs); straight arithmetic stays
+    # in whole-stage codegen
+    h = sum(
+        (
+            F.element_at(F.col("_v"), (F.col("i") - j).cast("int"))
+            * F.lit(_CDC_POW[j])
+            for j in range(1, _CDC_W)
+        ),
+        F.element_at(F.col("_v"), F.col("i").cast("int")) * F.lit(_CDC_POW[0]),
+    ) % _CDC_MOD
     bounds = (
         pos.filter(h % (_CDC_MASK + 1) == 0)
         .groupBy("doc_id")
