@@ -122,6 +122,10 @@ AUDIT = [
     "text_code_detect",
     "agg_covariance_matrix",
     "sample_poisson_bootstrap",
+    "eval_ab_proportions",
+    "agg_group_entropy",
+    "text_readability",
+    "multimodal_cdc_chunking",
 ]
 
 
