@@ -598,6 +598,46 @@ def ahash_dedup(docs_with_payload: DataFrame, n_bytes: int = 64) -> DataFrame:
     )
 
 
+def audio_trim_bounds(docs_with_payload: DataFrame,
+                      frame_len: int = 16,
+                      max_samples: int = 256,
+                      silence_rms: float = 8.0) -> DataFrame:
+    """Silence trimming — the clip-preparation step after frame-energy
+    analysis: per WAV doc, the first and last NON-silent frame bound
+    the kept span; leading/trailing silence is dropped and the trim
+    report (kept frame range, kept sample count, fraction retained)
+    is emitted. Pure composition over pcm_frame_energy's per-frame
+    rows: one mergeable per-doc aggregate with conditional min/max —
+    no new parsing, no new shuffle class. Docs whose every frame is
+    silent report a zero-length keep (kept_frames = 0)."""
+    frames = pcm_frame_energy(
+        docs_with_payload, frame_len=frame_len,
+        max_samples=max_samples, silence_rms=silence_rms,
+    )
+    loud = F.when(~F.col("is_silence"), F.col("frame_idx"))
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.min(loud).alias("first_loud"),
+        F.max(loud).alias("last_loud"),
+    ).select(
+        "doc_id",
+        "n_frames",
+        "first_loud",
+        "last_loud",
+        F.coalesce(
+            F.col("last_loud") - F.col("first_loud") + 1, F.lit(0).cast("long")
+        ).alias("kept_frames"),
+        F.round(
+            F.coalesce(
+                F.col("last_loud") - F.col("first_loud") + 1,
+                F.lit(0).cast("long"),
+            ).cast("double")
+            / F.col("n_frames"),
+            6,
+        ).alias("kept_frac"),
+    )
+
+
 _CDC_W = 8            # rolling-hash window (bytes)
 _CDC_MOD = 1 << 20    # hash modulus
 _CDC_MASK = 63        # boundary when h % 64 == 0 -> ~64-byte avg chunks

@@ -1231,6 +1231,33 @@ FROM h GROUP BY ahash
 """
 
 
+def multimodal_audio_trim_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-trim report per WAV clip (operators/multimodal.
+    audio_trim_bounds): first/last non-silent frame from the
+    frame-energy stage, kept-span length and retained fraction — the
+    step between feature extraction and transcription in an audio
+    curation pass."""
+    return M.audio_trim_bounds(M.with_wav_payload(_docs(spark, sf_dir)))
+
+
+def _audio_trim_sql() -> str:
+    # deferred: MULTIMODAL_PCM_ENERGY_SQL is defined later in the module
+    return f"""
+WITH e AS ( {MULTIMODAL_PCM_ENERGY_SQL} ),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_frames,
+         MIN(CASE WHEN NOT is_silence THEN frame_idx END) AS first_loud,
+         MAX(CASE WHEN NOT is_silence THEN frame_idx END) AS last_loud
+  FROM e GROUP BY doc_id
+)
+SELECT doc_id, n_frames, first_loud, last_loud,
+       COALESCE(last_loud - first_loud + 1, CAST(0 AS BIGINT)) AS kept_frames,
+       round(CAST(COALESCE(last_loud - first_loud + 1, CAST(0 AS BIGINT))
+                  AS DOUBLE) / n_frames, 6) AS kept_frac
+FROM agg
+"""
+
+
 def multimodal_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking + cross-corpus chunk dedup
     (operators/multimodal.cdc_chunk_stats) over the binary payload —
@@ -2913,6 +2940,8 @@ QUERIES: dict[str, QuerySpec] = {
         multimodal_ahash_dedup, MULTIMODAL_AHASH_SQL, "multimodal"),
     "multimodal_cdc_chunking": QuerySpec(
         multimodal_cdc_chunking, _cdc_sql(), "multimodal"),
+    "multimodal_audio_trim_bounds": QuerySpec(
+        multimodal_audio_trim_bounds, _audio_trim_sql(), "multimodal"),
     "multimodal_frame_sample": QuerySpec(
         multimodal_frame_sample, MULTIMODAL_FRAME_SQL, "multimodal"),
     "dedup_components": QuerySpec(dedup_components, DEDUP_COMPONENTS_SQL, "dedup"),

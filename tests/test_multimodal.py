@@ -310,3 +310,29 @@ def test_cdc_boundary_shift_robustness(spark):
     assert out[1].n_shared_chunks >= 1
     assert out[2].n_shared_chunks >= 1
     assert out[1].bytes_chunked == min(256, len(tail.encode()))
+
+
+def test_audio_trim_bounds_spec(spark):
+    """Leading/trailing silence must be trimmed: a clip whose PCM is
+    quiet-loud-quiet keeps exactly the loud span; an all-quiet clip
+    reports kept_frames = 0."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.multimodal import (
+        audio_trim_bounds,
+        with_wav_payload,
+    )
+
+    # PCM bytes are UTF-8 text bytes, so silence must be a 1-byte char
+    # near the 128 DC offset: DEL (127) has deviation 1 -> rms 1 < 8
+    quiet = chr(127) * 64
+    loud = "A" * 64               # dev 63 -> rms 63
+    docs = spark.createDataFrame(
+        [(1, quiet + loud + quiet), (5, quiet * 3)],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in
+            audio_trim_bounds(with_wav_payload(docs)).collect()}
+    r1 = rows[1]
+    assert (r1.first_loud, r1.last_loud) == (4, 7)  # frames 4..7 = loud 64B
+    assert r1.kept_frames == 4 and r1.n_frames == 12
+    r5 = rows[5]
+    assert r5.kept_frames == 0 and r5.first_loud is None
