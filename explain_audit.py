@@ -126,6 +126,7 @@ AUDIT = [
     "agg_group_entropy",
     "text_readability",
     "multimodal_cdc_chunking",
+    "multimodal_audio_trim_bounds",
 ]
 
 
