@@ -2252,6 +2252,176 @@ FROM per_user
 """
 
 
+_RI_CHECKS = [
+    # (name, child table, child FK col, parent table, parent PK col)
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+]
+
+
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's five FK
+    relationships: per relationship, child rows whose FK has no parent
+    (LEFT ANTI join) — the first DQ gate after any ingest, and the one
+    a lakehouse without DB-enforced constraints must run itself. NULL
+    FKs are counted separately (a NULL is a missing link, not an
+    orphan — the three-valued-logic trap filter_not_in_null_trap
+    demonstrates).
+
+    Scale shape: five independent anti-joins, each an equi-join keyed
+    on the FK (broadcast when the parent is small — nation/customer);
+    output is 5 rows. The test plants an orphan and a NULL to prove
+    detection."""
+    rows = []
+    for name, child, fk, parent, pk in _RI_CHECKS:
+        c = _t(spark, sf_dir, child).select(F.col(fk).alias("fk"))
+        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("pk"))
+        stats = c.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.col("fk").isNull().cast("long")).alias("n_null_fk"),
+        )
+        orphans = (
+            c.filter(F.col("fk").isNotNull())
+            .join(p, F.col("fk") == F.col("pk"), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        rows.append(
+            stats.crossJoin(orphans).select(
+                F.lit(name).alias("relationship"),
+                "n_child",
+                "n_null_fk",
+                "n_orphans",
+                F.round(
+                    F.col("n_orphans").cast("double") / F.col("n_child"), 6
+                ).alias("orphan_frac"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+DQ_REFERENTIAL_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS relationship,
+       COUNT(*) AS n_child,
+       CAST(SUM(CASE WHEN {fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_fk,
+       CAST((SELECT COUNT(*) FROM {child} c
+             WHERE c.{fk} IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM {parent} p
+                               WHERE p.{pk} = c.{fk})) AS BIGINT)
+         AS n_orphans,
+       round(CAST((SELECT COUNT(*) FROM {child} c
+             WHERE c.{fk} IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM {parent} p
+                               WHERE p.{pk} = c.{fk})) AS DOUBLE)
+             / COUNT(*), 6) AS orphan_frac
+FROM {child}"""
+    for name, child, fk, parent, pk in _RI_CHECKS
+)
+
+
+_ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
+
+
+def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — the marketing-analytics join:
+    every purchase's value is split EQUALLY across the user's 'click'
+    touches in the 7 days before it (pseudo-channel = props.k % 4, the
+    deterministic stand-in for a UTM channel); purchases with no touch
+    in the window attribute to 'direct'. Per channel: touch count,
+    converted-purchase count, attributed revenue.
+
+    Determinism: shares are EXACT integer micro-cents —
+    floor(cents·10⁴ / k) per touch (a double value/k has an infinite
+    decimal expansion, and the engines' double→decimal cast rounding
+    disagreed by 1e-6 per row in testing); the channel rollup sums
+    BIGINTs and converts once, with no final rounding needed. Scale shape: the touch⋈purchase
+    join is an EQUI-join on user_id with the time window as a residual
+    predicate — per-user touches × purchases is bounded by activity, so
+    the join output is linear in conversions; two mergeable aggregates
+    (per-purchase k, per-channel rollup) finish it."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.unix_micros("ts").alias("p_us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("c_us"),
+        F.concat(
+            F.lit("ch"),
+            (F.get_json_object("props", "$.k").cast("long") % 4).cast("string"),
+        ).alias("channel"),
+    )
+    touched = purchases.join(clicks, "user_id").filter(
+        (F.col("c_us") < F.col("p_us"))
+        & (F.col("c_us") >= F.col("p_us") - _ATTR_WINDOW_US)
+    )
+    k = touched.groupBy("p_id").agg(F.count(F.lit(1)).alias("k"))
+    shares = touched.join(k, "p_id").select(
+        "channel",
+        "p_id",
+        F.expr("(cents * 10000) DIV k").alias("share_micro"),
+    )
+    direct = (
+        purchases.join(k, purchases.p_id == k.p_id, "left_anti")
+        .select(
+            F.lit("direct").alias("channel"),
+            "p_id",
+            (F.col("cents") * 10000).alias("share_micro"),
+        )
+    )
+    return (
+        shares.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.count_distinct("p_id").alias("n_conversions"),
+            (F.sum("share_micro").cast("double") / F.lit(1000000.0)).alias(
+                "attributed_revenue"
+            ),
+        )
+    )
+
+
+ATTRIBUTION_LINEAR_SQL = f"""
+WITH purchases AS (
+  SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, epoch_us(ts) AS c_us,
+         'ch' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 4
+                      AS VARCHAR) AS channel
+  FROM events WHERE event_type = 'click'
+), touched AS (
+  SELECT p.p_id, p.cents, c.channel
+  FROM purchases p JOIN clicks c USING (user_id)
+  WHERE c.c_us < p.p_us AND c.c_us >= p.p_us - {_ATTR_WINDOW_US}
+), k AS (
+  SELECT p_id, COUNT(*) AS k FROM touched GROUP BY p_id
+), shares AS (
+  SELECT t.channel, t.p_id, (t.cents * 10000) // k.k AS share_micro
+  FROM touched t JOIN k USING (p_id)
+  UNION ALL
+  SELECT 'direct', p.p_id, p.cents * 10000
+  FROM purchases p WHERE p.p_id NOT IN (SELECT p_id FROM k)
+)
+SELECT channel, COUNT(*) AS n_touches,
+       CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_conversions,
+       CAST(CAST(SUM(share_micro) AS BIGINT) AS DOUBLE) / 1000000.0
+         AS attributed_revenue
+FROM shares GROUP BY channel
+"""
+
+
 def eval_ab_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion z-test — the experimentation-analytics member of
     the eval family: users split into variants by user_id parity (the
@@ -3328,6 +3498,11 @@ QUERIES: dict[str, QuerySpec] = {
         eval_ab_proportions, EVAL_AB_SQL, "quality"),
     "agg_group_entropy": QuerySpec(
         agg_group_entropy, AGG_GROUP_ENTROPY_SQL, "aggregation"),
+    "attribution_linear_touch": QuerySpec(
+        attribution_linear_touch, ATTRIBUTION_LINEAR_SQL, "analytics"),
+    "dq_referential_integrity": QuerySpec(
+        dq_referential_integrity, DQ_REFERENTIAL_SQL, "quality",
+        plan_waivers={"bnlj": "five 1-row stat×orphan-count scalar attaches"}),
     "dq_distribution_drift": QuerySpec(
         dq_distribution_drift, DQ_DRIFT_SQL, "quality",
         plan_waivers={

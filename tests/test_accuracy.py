@@ -1359,3 +1359,53 @@ def test_ab_proportions_matches_scipy_form(spark, sf_dir):
     z = (pb - pa) / se if se > 0 else 0.0
     assert r.z_score == pytest.approx(round(z, 6), abs=1e-6)
     assert 0 < pool < 1  # threshold keeps both classes populated
+
+
+def test_referential_integrity_detects_planted_orphan(spark, sf_dir):
+    """On the clean corpus every relationship reports zero orphans; a
+    planted dangling FK and a NULL FK are classified separately."""
+    from pipeline_apache_beam_entrega1_cs_spark.plans import analytics as A
+
+    clean = {r.relationship: r
+             for r in A.dq_referential_integrity(spark, sf_dir).collect()}
+    assert all(r.n_orphans == 0 for r in clean.values())
+    assert len(clean) == 5
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    broken = li.limit(2).withColumn(
+        "l_orderkey",
+        F.when(F.monotonically_increasing_id() == 0,
+               F.lit(999999999)).otherwise(F.lit(None).cast("long")),
+    ).unionByName(li)
+    orig = A._t
+    A._t = lambda s, d, t: broken if t == "lineitem" else orig(s, d, t)
+    try:
+        got = {r.relationship: r
+               for r in A.dq_referential_integrity(spark, sf_dir).collect()}
+    finally:
+        A._t = orig
+    r = got["lineitem->orders"]
+    assert r.n_orphans == 1 and r.n_null_fk == 1
+    assert r.n_child == li.count() + 2
+
+
+def test_attribution_conserves_revenue(spark, sf_dir):
+    """Linear attribution must conserve total purchase revenue up to the
+    micro-cent floors (each purchase loses < k micro-units), and the
+    channel set is the four pseudo-channels plus 'direct'."""
+    import pytest
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.analytics import (
+        attribution_linear_touch,
+    )
+
+    rows = attribution_linear_touch(spark, sf_dir).collect()
+    chans = {r.channel for r in rows}
+    assert chans <= {"ch0", "ch1", "ch2", "ch3", "direct"}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("value").collect()
+    total_cents = sum(int(v.value * 100 + 0.5) for v in purchases)
+    attributed = sum(r.attributed_revenue for r in rows)
+    # floors lose at most (k-1)/1e6 per touched purchase
+    assert attributed == pytest.approx(total_cents / 100.0, abs=len(purchases) * 1e-3)
+    assert attributed <= total_cents / 100.0 + 1e-9
