@@ -127,6 +127,8 @@ AUDIT = [
     "text_readability",
     "multimodal_cdc_chunking",
     "multimodal_audio_trim_bounds",
+    "attribution_linear_touch",
+    "dq_referential_integrity",
 ]
 
 
