@@ -2252,6 +2252,186 @@ FROM per_user
 """
 
 
+def timeseries_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly detection — the deseasonalized
+    sibling of anomaly_zscore/mad (a raw z-score flags every rush hour
+    as anomalous; subtracting the hour-of-day profile first flags only
+    what deviates from that hour's OWN norm): per event,
+    residual = value − mean(value | hour-of-day), flagged when
+    |residual| > 3·σ_residual.
+
+    Determinism recipe: values go to integer micro-units
+    (floor(value·1e6)); the 24-row hour profile keeps EXACT (n_h, s_h)
+    integer sums; the residual numerator r_num = m·n_h − s_h is exact,
+    so resid = r_num / n_h divides identical integers-as-doubles on
+    both engines, and the micro-residual r_q = floor(r_num/n_h) feeds
+    exact (n, Σr_q, Σr_q²) moments for σ — the variance-partial
+    recipe. Every reported double derives from the same exact inputs.
+
+    Scale shape: one 24-group aggregate (broadcast back), one 1-row
+    moment aggregate (broadcast attach), then a narrow flag pass — two
+    tiny attaches on a linear scan. (r_num is BIGINT here; a 100 TB
+    deployment with >9e18 intermediate lifts it to DECIMAL(38,0), the
+    agg_covariance_matrix move.)"""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    U = 1_000_000
+    base = ev.select(
+        "event_id",
+        F.hour("ts").alias("hod"),
+        F.floor(F.col("value") * U).cast("long").alias("m"),
+    )
+    prof = base.groupBy("hod").agg(
+        F.count(F.lit(1)).alias("n_h"), F.sum("m").alias("s_h")
+    )
+    joined = base.join(F.broadcast(prof), "hod").select(
+        "event_id", "hod",
+        (F.col("m") * F.col("n_h") - F.col("s_h")).alias("r_num"),
+        "n_h",
+    )
+    r_q = F.floor(
+        F.col("r_num").cast("double") / F.col("n_h").cast("double")
+    ).cast("long")
+    withq = joined.select("event_id", "hod", "r_num", "n_h", r_q.alias("r_q"))
+    dec = "decimal(38,0)"
+    mom = withq.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("r_q").cast(dec)).cast(dec).alias("s1"),
+        # r_q² ~1e18 per row: multiply in DECIMAL, a long Σ overflows
+        F.sum(F.col("r_q").cast(dec) * F.col("r_q").cast(dec))
+        .cast(dec).alias("s2"),
+    )
+    out = withq.crossJoin(F.broadcast(mom))
+    var_num = F.col("n").cast(dec) * F.col("s2") - F.col("s1") * F.col("s1")
+    sigma = F.round(
+        F.sqrt(var_num.cast("string").cast("double"))
+        / (F.col("n").cast("double") * U),
+        6,
+    )
+    resid = F.round(
+        F.col("r_num").cast("double") / (F.col("n_h").cast("double") * U), 6
+    )
+    return out.select(
+        "event_id",
+        F.col("hod").cast("long").alias("hod"),
+        resid.alias("residual"),
+        sigma.alias("sigma"),
+        (
+            F.abs(F.col("r_q").cast("double") / U) > F.lit(3.0) * sigma
+        ).alias("is_anomaly"),
+    )
+
+
+TIMESERIES_SEASONAL_SQL = """
+WITH base AS (
+  SELECT event_id, CAST(hour(ts) AS BIGINT) AS hod,
+         CAST(floor(value * 1000000) AS BIGINT) AS m
+  FROM events WHERE value IS NOT NULL
+), prof AS (
+  SELECT hod, COUNT(*) AS n_h, CAST(SUM(m) AS BIGINT) AS s_h
+  FROM base GROUP BY hod
+), j AS (
+  SELECT event_id, base.hod, (m * n_h - s_h) AS r_num, n_h,
+         CAST(floor(CAST(m * n_h - s_h AS DOUBLE)
+                    / CAST(n_h AS DOUBLE)) AS BIGINT) AS r_q
+  FROM base JOIN prof USING (hod)
+), mom AS (
+  SELECT COUNT(*) AS n, CAST(SUM(r_q) AS HUGEINT) AS s1,
+         CAST(SUM(r_q * r_q) AS HUGEINT) AS s2
+  FROM j
+)
+SELECT event_id, hod,
+       round(CAST(r_num AS DOUBLE) / (CAST(n_h AS DOUBLE) * 1000000), 6)
+         AS residual,
+       round(sqrt(CAST(CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS VARCHAR)
+                       AS DOUBLE))
+             / (CAST(n AS DOUBLE) * 1000000), 6) AS sigma,
+       (abs(CAST(r_q AS DOUBLE) / 1000000)
+        > 3.0 * round(sqrt(CAST(CAST(CAST(n AS HUGEINT) * s2 - s1 * s1
+                                     AS VARCHAR) AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * 1000000), 6)) AS is_anomaly
+FROM j CROSS JOIN mom
+"""
+
+
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per market segment — the
+    concentration/inequality metric a marketplace-health or data-skew
+    report leads with (0 = revenue spread evenly, →1 = one whale).
+    Formula on revenue sorted ascending with rank i (1..n):
+        G = Σ (2i − n − 1)·x_i / (n · Σx)
+    Everything stays EXACT integer cents until one final division: the
+    weighted sum runs in DECIMAL(38,0)/HUGEINT, ranks come from a
+    total order ((cents, custkey) — deterministic under ties), and
+    customers with no orders count as zero-revenue rows (a Gini that
+    drops them understates inequality).
+
+    Scale shape: revenue = one mergeable customer aggregate; ranking =
+    one window per segment (5 partitions here — at 100 TB the same
+    rank comes from the 256-bucket two-phase ranking of
+    dataset_shuffle_shards, cross-referenced); the weighted sums are
+    one mergeable per-segment aggregate to 5 rows."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    rev = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0).cast("long")).alias("cents"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "c_custkey")
+    ranked = rev.withColumn("i", F.row_number().over(w))
+    dec = "decimal(38,0)"
+    per_seg = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast(dec).alias("sx"),
+        F.sum(
+            (2 * F.col("i").cast("long") - 1).cast(dec) * F.col("cents").cast(dec)
+        ).cast(dec).alias("swx2"),  # Σ(2i−1)x; subtract n·Σx below
+    )
+    num = F.col("swx2") - F.col("n").cast(dec) * F.col("sx")
+    den = F.col("n").cast(dec) * F.col("sx")
+    return per_seg.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n").alias("n_customers"),
+        (F.col("sx").cast("string").cast("double") / 100.0).alias("total_revenue"),
+        F.round(
+            num.cast("string").cast("double") / den.cast("string").cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+AGG_GINI_SQL = """
+WITH rev AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         CAST(COALESCE(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)),
+                       0) AS BIGINT) AS cents
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT c_mktsegment, cents,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY cents, c_custkey) AS i
+  FROM rev
+), per_seg AS (
+  SELECT c_mktsegment AS segment, COUNT(*) AS n,
+         CAST(SUM(cents) AS HUGEINT) AS sx,
+         CAST(SUM((2 * i - 1) * CAST(cents AS HUGEINT)) AS HUGEINT) AS swx2
+  FROM ranked GROUP BY 1
+)
+SELECT segment, n AS n_customers,
+       CAST(CAST(sx AS VARCHAR) AS DOUBLE) / 100.0 AS total_revenue,
+       round(CAST(CAST(swx2 - CAST(n AS HUGEINT) * sx AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(n AS HUGEINT) * sx AS VARCHAR) AS DOUBLE), 6)
+         AS gini
+FROM per_seg
+"""
+
+
 _RI_CHECKS = [
     # (name, child table, child FK col, parent table, parent PK col)
     ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
@@ -3492,12 +3672,22 @@ QUERIES: dict[str, QuerySpec] = {
         plan_waivers={"bnlj": "1-row digit-total scalar attach"}),
     "timeseries_cusum_drift": QuerySpec(
         timeseries_cusum_drift, TIMESERIES_CUSUM_SQL, "timeseries"),
+    "timeseries_seasonal_residual": QuerySpec(
+        timeseries_seasonal_residual, TIMESERIES_SEASONAL_SQL, "timeseries",
+        plan_waivers={"bnlj": "1-row residual-moment scalar attach"}),
     "sample_poisson_bootstrap": QuerySpec(
         sample_poisson_bootstrap, _bootstrap_sql(), "sampling"),
     "eval_ab_proportions": QuerySpec(
         eval_ab_proportions, EVAL_AB_SQL, "quality"),
     "agg_group_entropy": QuerySpec(
         agg_group_entropy, AGG_GROUP_ENTROPY_SQL, "aggregation"),
+    "agg_gini_concentration": QuerySpec(
+        agg_gini_concentration, AGG_GINI_SQL, "aggregation",
+        plan_waivers={"global_window": (
+            "rank window partitioned by the 5 market segments; the "
+            "scale-safe rank recipe is dataset_shuffle_shards' "
+            "256-bucket two-phase ranking, cross-referenced in the "
+            "docstring")}),
     "attribution_linear_touch": QuerySpec(
         attribution_linear_touch, ATTRIBUTION_LINEAR_SQL, "analytics"),
     "dq_referential_integrity": QuerySpec(

