@@ -129,6 +129,8 @@ AUDIT = [
     "multimodal_audio_trim_bounds",
     "attribution_linear_touch",
     "dq_referential_integrity",
+    "timeseries_seasonal_residual",
+    "agg_gini_concentration",
 ]
 
 
