@@ -3681,13 +3681,11 @@ QUERIES: dict[str, QuerySpec] = {
         eval_ab_proportions, EVAL_AB_SQL, "quality"),
     "agg_group_entropy": QuerySpec(
         agg_group_entropy, AGG_GROUP_ENTROPY_SQL, "aggregation"),
+    # no waiver: the rank window is 5-way segment-partitioned (the gate
+    # only flags single-partition-fed windows); the 100 TB rank recipe
+    # is cross-referenced in the docstring
     "agg_gini_concentration": QuerySpec(
-        agg_gini_concentration, AGG_GINI_SQL, "aggregation",
-        plan_waivers={"global_window": (
-            "rank window partitioned by the 5 market segments; the "
-            "scale-safe rank recipe is dataset_shuffle_shards' "
-            "256-bucket two-phase ranking, cross-referenced in the "
-            "docstring")}),
+        agg_gini_concentration, AGG_GINI_SQL, "aggregation"),
     "attribution_linear_touch": QuerySpec(
         attribution_linear_touch, ATTRIBUTION_LINEAR_SQL, "analytics"),
     "dq_referential_integrity": QuerySpec(
