@@ -744,3 +744,42 @@ def url_canonical_dedup(docs_with_url: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.count_distinct(F.col("raw_url")).alias("n_raw_variants"),
     )
+
+
+def boundary_stitch_pairs(docs: DataFrame, k: int = 8,
+                          max_df: int = 10) -> DataFrame:
+    """Shard-stitch detection: document pairs where one doc's LAST k
+    tokens equal another's FIRST k tokens — the signature of a single
+    source document split across shard boundaries (each half passes
+    exact dedup, so only a boundary join finds them). The k-token
+    boundary windows hash to md5 keys; tails equi-join heads on the
+    key.
+
+    100 TB shape: two narrow per-row hash projections + ONE equi-join
+    on 32-hex keys; boilerplate boundaries (a common header/footer
+    phrase) are frequency-capped at ``max_df`` per side — the same
+    hub-cap rule as the n-gram inverted index — so no key can explode
+    the join. Docs with < k tokens have no boundary window."""
+    toks = tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("_tk")).filter(
+        F.size("_tk") >= k
+    )
+    head_h = F.md5(F.array_join(F.slice(F.col("_tk"), 1, k), " "))
+    tail_h = F.md5(
+        F.array_join(F.slice(F.col("_tk"), -k, k), " ")
+    )
+    heads = base.select(F.col("doc_id").alias("doc_head"), head_h.alias("h"))
+    tails = base.select(F.col("doc_id").alias("doc_tail"), tail_h.alias("h"))
+
+    def capped(side: DataFrame) -> DataFrame:
+        freq = side.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        return side.join(
+            freq.filter(F.col("df") <= max_df).select("h"), "h"
+        )
+
+    return (
+        capped(tails)
+        .join(capped(heads), "h")
+        .filter(F.col("doc_tail") != F.col("doc_head"))
+        .select("doc_tail", "doc_head", F.col("h").alias("boundary_md5"))
+    )

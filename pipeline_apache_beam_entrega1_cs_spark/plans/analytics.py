@@ -2442,6 +2442,59 @@ _RI_CHECKS = [
 ]
 
 
+_PK_CHECKS = [
+    ("orders", "o_orderkey"),
+    ("customer", "c_custkey"),
+    ("part", "p_partkey"),
+    ("supplier", "s_suppkey"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+]
+
+
+def dq_primary_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key uniqueness audit — the other half of constraint
+    enforcement a lakehouse must self-serve (dq_referential_integrity
+    checks the FK side): per declared key, row count, distinct-key
+    count, duplicated-key count and the worst key's multiplicity.
+    Scale shape: one mergeable two-level aggregate per table
+    (key-count then summary), 6 report rows."""
+    rows = []
+    for table, key in _PK_CHECKS:
+        per_key = (
+            _t(spark, sf_dir, table)
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        rows.append(
+            per_key.agg(
+                F.lit(f"{table}.{key}").alias("key"),
+                F.sum("c").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                    "n_rows_in_dup_keys"
+                ),
+                F.max("c").alias("max_multiplicity"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+DQ_PK_UNIQUENESS_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{table}.{key}' AS key,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_distinct,
+       CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+         AS n_rows_in_dup_keys,
+       CAST(MAX(c) AS BIGINT) AS max_multiplicity
+FROM (SELECT {key}, COUNT(*) AS c FROM {table} GROUP BY {key})"""
+    for table, key in _PK_CHECKS
+)
+
+
 def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across the star schema's five FK
     relationships: per relationship, child rows whose FK has no parent
@@ -3688,6 +3741,8 @@ QUERIES: dict[str, QuerySpec] = {
         agg_gini_concentration, AGG_GINI_SQL, "aggregation"),
     "attribution_linear_touch": QuerySpec(
         attribution_linear_touch, ATTRIBUTION_LINEAR_SQL, "analytics"),
+    "dq_primary_key_uniqueness": QuerySpec(
+        dq_primary_key_uniqueness, DQ_PK_UNIQUENESS_SQL, "quality"),
     "dq_referential_integrity": QuerySpec(
         dq_referential_integrity, DQ_REFERENTIAL_SQL, "quality",
         plan_waivers={"bnlj": "five 1-row stat×orphan-count scalar attaches"}),

@@ -250,6 +250,43 @@ WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.35
 """
 
 
+_STITCH_K = 8
+
+
+def dedup_boundary_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-stitch detection (operators/dedup.boundary_stitch_pairs):
+    pairs where one doc's LAST 8 tokens equal another's FIRST 8 —
+    split-document halves that exact dedup can never catch."""
+    return D.boundary_stitch_pairs(_docs(spark, sf_dir), k=_STITCH_K)
+
+
+DEDUP_BOUNDARY_STITCH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents WHERE trim(text) <> ''
+), base AS (
+  SELECT doc_id, tk FROM toks WHERE len(tk) >= {_STITCH_K}
+), heads AS (
+  SELECT doc_id AS doc_head,
+         md5(array_to_string(tk[1:{_STITCH_K}], ' ')) AS h
+  FROM base
+), tails AS (
+  SELECT doc_id AS doc_tail,
+         md5(array_to_string(tk[(len(tk) - {_STITCH_K - 1}):len(tk)], ' '))
+           AS h
+  FROM base
+), heads_c AS (
+  SELECT doc_head, h FROM heads
+  WHERE h IN (SELECT h FROM heads GROUP BY h HAVING COUNT(*) <= 10)
+), tails_c AS (
+  SELECT doc_tail, h FROM tails
+  WHERE h IN (SELECT h FROM tails GROUP BY h HAVING COUNT(*) <= 10)
+)
+SELECT t.doc_tail, hd.doc_head, t.h AS boundary_md5
+FROM tails_c t JOIN heads_c hd USING (h)
+WHERE t.doc_tail <> hd.doc_head
+"""
+
+
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: deterministic k-means partitions the embedding space,
     then within-cluster cosine >= tau marks larger-id vectors as dups
@@ -2865,6 +2902,8 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_binary_payload, DEDUP_BINARY_PAYLOAD_SQL, "dedup"),
     "dedup_url_canonicalize": QuerySpec(
         dedup_url_canonicalize, DEDUP_URL_CANONICALIZE_SQL, "dedup"),
+    "dedup_boundary_stitch": QuerySpec(
+        dedup_boundary_stitch, DEDUP_BOUNDARY_STITCH_SQL, "dedup"),
     "dedup_semantic_clusters": QuerySpec(
         dedup_semantic_clusters, _semantic_dedup_sql(), "dedup",
         plan_waivers={"bnlj": "k-row centroid broadcast (Lloyd fit + assignment)"}),

@@ -1125,3 +1125,22 @@ def test_code_detect_spec(spark):
     assert got[1].kw_hits == 4  # def, return, class, var
     assert got[1].indent_lines == 2
     assert got[2].n_symbols == 0
+
+
+def test_boundary_stitch_finds_split_doc(spark):
+    """A document split into two shards (8-token overlap at the cut)
+    must be found; unrelated docs and short docs must not pair."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.dedup import (
+        boundary_stitch_pairs,
+    )
+
+    words = [f"w{i}" for i in range(24)]
+    first_half = " ".join(words[:16])        # tail = w8..w15
+    second_half = " ".join(words[8:24])      # head = w8..w15 -> stitch!
+    docs = spark.createDataFrame(
+        [(1, first_half), (2, second_half),
+         (3, "totally unrelated content " * 4), (4, "too short")],
+        ["doc_id", "text"],
+    )
+    pairs = boundary_stitch_pairs(docs, k=8).collect()
+    assert [(p.doc_tail, p.doc_head) for p in pairs] == [(1, 2)]
