@@ -129,9 +129,10 @@ sample_poisson_bootstrap, streaming_cusum_state,
 eval_ab_proportions, agg_group_entropy, text_readability,
 multimodal_cdc_chunking, multimodal_audio_trim_bounds,
 attribution_linear_touch, dq_referential_integrity,
-timeseries_seasonal_residual, agg_gini_concentration —
-TWENTY-FOUR in all, never driver-checked, all locally
-oracle-green at both SFs and spec-tested),
+timeseries_seasonal_residual, agg_gini_concentration,
+dq_primary_key_uniqueness, dedup_boundary_stitch — TWENTY-SIX in
+all, never driver-checked, all locally oracle-green at both SFs
+and spec-tested),
 (c) the FIFTY r04-only
 entries left outside the round-8 window: the three streaming
 sinks/joins + dataset_build_pipeline displaced by the fourth
