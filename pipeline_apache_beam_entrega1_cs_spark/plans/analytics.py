@@ -2310,14 +2310,16 @@ def timeseries_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     resid = F.round(
         F.col("r_num").cast("double") / (F.col("n_h").cast("double") * U), 6
     )
+    # is_anomaly is derived from the SAME rounded residual that is
+    # reported, so no output row can show |residual| > 3·sigma with
+    # is_anomaly=false (ADVICE r8: the old flag used the floored
+    # micro-residual r_q, which disagreed at the boundary).
     return out.select(
         "event_id",
         F.col("hod").cast("long").alias("hod"),
         resid.alias("residual"),
         sigma.alias("sigma"),
-        (
-            F.abs(F.col("r_q").cast("double") / U) > F.lit(3.0) * sigma
-        ).alias("is_anomaly"),
+        (F.abs(resid) > F.lit(3.0) * sigma).alias("is_anomaly"),
     )
 
 
@@ -2345,7 +2347,8 @@ SELECT event_id, hod,
        round(sqrt(CAST(CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS VARCHAR)
                        AS DOUBLE))
              / (CAST(n AS DOUBLE) * 1000000), 6) AS sigma,
-       (abs(CAST(r_q AS DOUBLE) / 1000000)
+       (abs(round(CAST(r_num AS DOUBLE) / (CAST(n_h AS DOUBLE) * 1000000),
+                  6))
         > 3.0 * round(sqrt(CAST(CAST(CAST(n AS HUGEINT) * s2 - s1 * s1
                                      AS VARCHAR) AS DOUBLE))
                       / (CAST(n AS DOUBLE) * 1000000), 6)) AS is_anomaly
@@ -2655,11 +2658,18 @@ FROM shares GROUP BY channel
 """
 
 
+# Conversion threshold shared by the Spark plan and the DuckDB oracle:
+# a user "converts" when they fire at least this many purchase events.
+_AB_CONVERSION_MIN_PURCHASES = 15
+
+
 def eval_ab_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion z-test — the experimentation-analytics member of
     the eval family: users split into variants by user_id parity (the
     deterministic stand-in for an assignment column), conversion = the
-    user fired at least one 'purchase' event; the pooled-variance
+    user fired at least ``_AB_CONVERSION_MIN_PURCHASES`` 'purchase'
+    events (a heavy-buyer threshold chosen so both variants have
+    non-degenerate rates on the synthetic data); the pooled-variance
     z-score for rate_b − rate_a in ONE result row.
 
     Every input to the z formula is an exact integer count, so the
@@ -2670,7 +2680,8 @@ def eval_ab_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         (
-            F.sum((F.col("event_type") == "purchase").cast("long")) >= 15
+            F.sum((F.col("event_type") == "purchase").cast("long"))
+            >= _AB_CONVERSION_MIN_PURCHASES
         ).cast("long").alias("conv")
     )
     cells = per_user.agg(
@@ -2693,11 +2704,11 @@ def eval_ab_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EVAL_AB_SQL = """
+EVAL_AB_SQL = f"""
 WITH per_user AS (
   SELECT user_id,
          CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                   >= 15 THEN 1 ELSE 0 END AS conv
+                   >= {_AB_CONVERSION_MIN_PURCHASES} THEN 1 ELSE 0 END AS conv
   FROM events GROUP BY user_id
 ), cells AS (
   SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,

@@ -872,13 +872,37 @@ def maintenance_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFr
     report aggregates what the incremental run ingested — so the oracle
     (orders with key % 3 = 2 plus the literal file count) hash-matching
     proves the diff picked up all of batch 2 and nothing else. Per-PID
-    scratch dir."""
+    scratch dir; dirs of dead pids are swept at the start of each run
+    so they cannot accumulate across processes (ADVICE r8)."""
     import os
     import shutil
 
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    d = f"/tmp/spark_graft_manifest/{tag}-{os.getpid()}"
-    shutil.rmtree(d, ignore_errors=True)
+    root = f"/tmp/spark_graft_manifest/{tag}"
+    d = f"{root}/{os.getpid()}"
+    # Sweep scratch dirs left by PRIOR processes (ADVICE r8: the old
+    # per-pid-only cleanup let dead-pid dirs accumulate forever). A
+    # sibling dir whose pid is no longer alive can never be read again
+    # (inputFiles() laziness only spans this process), so it is safe
+    # to remove; our own dir is recreated fresh below.
+    if os.path.isdir(root):
+        for entry in os.listdir(root):
+            try:
+                pid = int(entry)
+            except ValueError:
+                shutil.rmtree(f"{root}/{entry}", ignore_errors=True)
+                continue
+            if pid == os.getpid() or not os.path.exists(f"/proc/{pid}"):
+                shutil.rmtree(f"{root}/{entry}", ignore_errors=True)
+    # Also sweep legacy flat-format dirs ({tag}-{pid}) from older runs,
+    # keeping any whose pid is still alive (a concurrent process may
+    # hold lazy reads against its own dir).
+    base = "/tmp/spark_graft_manifest"
+    if os.path.isdir(base):
+        for entry in os.listdir(base):
+            pid_part = entry.rsplit("-", 1)[-1]
+            if pid_part.isdigit() and not os.path.exists(f"/proc/{pid_part}"):
+                shutil.rmtree(f"{base}/{entry}", ignore_errors=True)
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     for b in range(3):
         orders.filter(F.col("o_orderkey") % 3 == b).repartition(

@@ -907,8 +907,13 @@ def agg_variance_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary tables without re-touching raw rows. The n·Σx² product is
     computed in DECIMAL(38,0) (DuckDB: HUGEINT) so the intermediate
     never overflows at any scale."""
+    # floor() before the bigint cast: Spark's cast truncates while
+    # DuckDB's rounds, so the explicit floor keeps the recipe safe to
+    # copy onto non-integral columns (ADVICE r8). l_quantity is
+    # integral, so floor is a no-op here.
     li = _t(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_linestatus", F.col("l_quantity").cast("bigint").alias("x")
+        "l_returnflag", "l_linestatus",
+        F.floor(F.col("l_quantity")).cast("bigint").alias("x"),
     )
     partials = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
@@ -941,8 +946,9 @@ def agg_variance_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_VARIANCE_PARTIAL_SQL = """
 WITH p AS (
   SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
-         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+         CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(SUM(CAST(floor(l_quantity) AS BIGINT)
+                  * CAST(floor(l_quantity) AS BIGINT))
               AS BIGINT) AS s2
   FROM lineitem GROUP BY 1, 2
 ), m AS (
@@ -985,8 +991,11 @@ def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: ONE mergeable aggregate produces all ten moments (a
     single Exchange to a 1-row frame); the 3×3 matrix explodes from
     literal pair structs on that 1-row frame — O(1) downstream."""
+    # floor() before the bigint cast on l_quantity too (ADVICE r8):
+    # Spark cast truncates, DuckDB cast rounds — explicit floor keeps
+    # both engines identical even on non-integral inputs.
     li = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_quantity").cast("bigint").alias("a"),
+        F.floor(F.col("l_quantity")).cast("bigint").alias("a"),
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("b"),
         F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long").alias("c"),
     )
@@ -1051,7 +1060,7 @@ def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AGG_COVARIANCE_SQL = """
 WITH u AS (
-  SELECT CAST(l_quantity AS BIGINT) AS a,
+  SELECT CAST(floor(l_quantity) AS BIGINT) AS a,
          CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS b,
          CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS c
   FROM lineitem
