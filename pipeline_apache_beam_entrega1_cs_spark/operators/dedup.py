@@ -378,14 +378,58 @@ def _minhash_banded_from_arrays(
 ) -> DataFrame:
     """The signature + banding + in-bucket pair core of
     minhash_banded_pairs over an arbitrary ``(doc_id, shingles
-    array<string>)`` frame — shared with binary_payload_dedup, whose
-    shingles are hex byte windows instead of word 3-grams."""
-    P = 2147483647
-    r = num_hashes // bands
+    array<string>)`` frame: each shingle string is hashed once via
+    md5 -> bigint mod P, then delegated to _minhash_banded_from_xs."""
     xs = F.transform(
         F.col("shingles"),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % P,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % _MINHASH_P,
     )
+    return _minhash_banded_from_xs(
+        arr.select("doc_id", xs.alias("xs")), num_hashes, bands, max_bucket
+    )
+
+
+_MINHASH_P = 2147483647
+
+
+def _shuffle_partitions(df: DataFrame) -> int:
+    """Explicit partition count for CPU-bound repartitions: AQE sizes
+    exchanges by BYTES, so a plain repartition("col") under a
+    byte-light but CPU-heavy stage coalesces to one partition and the
+    stage runs single-core (measured 5.7 s -> 0.5 s at sf0.1 on
+    binary_payload_dedup, SCALING.md round 9). Uses the session's
+    spark.sql.shuffle.partitions — the user's cluster-width knob."""
+    spark = df.sparkSession
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
+def _minhash_banded_from_xs(
+    xsdf: DataFrame, num_hashes: int, bands: int, max_bucket: int
+) -> DataFrame:
+    """Signature + banding + in-bucket pair emission over a
+    ``(doc_id, xs array<long>)`` frame of pre-hashed shingle values in
+    [0, P) — shared by the text family (md5-hashed string shingles) and
+    binary_payload_dedup (arithmetic byte-window hashes, no md5).
+
+    Partitioning is the load-bearing line here: the barrier repartition
+    carries an EXPLICIT partition count because this stage is CPU-bound
+    interpreted higher-order-function work whose byte footprint is tiny
+    — with plain ``repartition("doc_id")`` (REPARTITION_BY_COL) AQE
+    sizes the exchange by bytes, coalesces it to ONE partition, and the
+    whole signature+banding pipeline runs single-core: 5.7 s at sf0.1
+    vs 0.05 s with the explicit count (full ladder in SCALING.md,
+    round 9). The sig->banding step needs no second barrier: the band
+    keys live in the Generate operator's generator expression, and
+    Generate is not a Project, so CollapseProject cannot re-inline the
+    signature expression into it — ``sig`` is referenced as a plain
+    attribute (verified in the physical plan)."""
+    P = _MINHASH_P
+    r = num_hashes // bands
+    n_part = _shuffle_partitions(xsdf)
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda h: F.array_min(
@@ -395,27 +439,27 @@ def _minhash_banded_from_arrays(
             )
         ),
     )
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("sig"), b * r + 1, r),
+                    lambda v: v.cast("string"),
+                ),
+                "|",
+            )
+        ),
+    )
     banded = (
-        arr.select("doc_id", xs.alias("xs"))
-        .repartition("doc_id")  # barrier: md5 evaluated once, not 16x
+        # barrier: the xs projection (md5 / conv parses) is evaluated
+        # once below the exchange, not re-inlined into all num_hashes
+        # sig lambdas by CollapseProject; explicit n_part keeps AQE
+        # from coalescing this CPU-bound stage to one partition
+        xsdf.repartition(n_part, "doc_id")
         .select("doc_id", sig.alias("sig"))
         .select(
-            "doc_id",
-            "sig",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.md5(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("sig"), b * r + 1, r),
-                                lambda v: v.cast("string"),
-                            ),
-                            "|",
-                        )
-                    ),
-                )
-            ).alias("band", "band_key"),
+            "doc_id", "sig", F.posexplode(band_keys).alias("band", "band_key")
         )
     )
     buckets = (
@@ -473,13 +517,21 @@ def binary_payload_dedup(
        over ``hex(payload)`` — engine-portable (DuckDB's sha256 only
        accepts VARCHAR) and a bijection of the bytes, so grouping is
        identical to hashing the raw blob.
-    2. NEAR: MinHash + LSH banding (_minhash_banded_from_arrays — the
+    2. NEAR: MinHash + LSH banding (_minhash_banded_from_xs — the
        exact same signature/banding core as the text family) over byte
        ``shingle_bytes``-gram shingles of the exact-stage
-       REPRESENTATIVES, built as hex windows with a 1-BYTE stride: any
-       byte-aligned shift is a multiple of the stride, so near-dup
-       detection survives insertions/deletions anywhere in the blob
-       (a coarser stride would misalign odd-offset suffixes).
+       REPRESENTATIVES with a 1-BYTE stride: any byte-aligned shift is
+       a multiple of the stride, so near-dup detection survives
+       insertions/deletions anywhere in the blob (a coarser stride
+       would misalign odd-offset suffixes). The shingle hash is PURE
+       ARITHMETIC on the hex encoding — each 8-byte window parses as
+       two 32-bit conv() halves combined mod P = 2^31−1 (where
+       2^32 ≡ 2, so window mod P = (2·hi + lo) mod P exactly) — no
+       per-window md5 and no per-window 16-char string materialization.
+       The first cut md5-hashed one 16-hex-char substring per payload
+       byte; replacing it with the conv arithmetic cut the sf0.1
+       headline 5.69 s -> see SCALING.md (the CDC-chunking unroll
+       recipe applied to MinHash).
 
     Output is one frame: method='exact_sha256' rows carry
     (doc_a=keep_doc_id, n_members>=2); method='minhash_bytes' rows carry
@@ -490,7 +542,7 @@ def binary_payload_dedup(
     shape — per-row signatures (no shingle explode), one shuffle on
     band keys, max_bucket-capped pair emission — and runs on the
     already-collapsed representative set."""
-    w = 2 * shingle_bytes  # hex chars per shingle; stride = 2 (1 byte)
+    assert shingle_bytes == 8, "window arithmetic below is 8-byte-specific"
     dig = docs_with_payload.select(
         "doc_id", "payload", F.sha2(F.hex("payload"), 256).alias("digest")
     )
@@ -512,20 +564,52 @@ def binary_payload_dedup(
             "left_semi",
         )
         .filter(F.length("payload") >= shingle_bytes)
-        .select("doc_id", F.hex("payload").alias("hx"))
+        .select("doc_id", "payload")
     )
     # NO array_distinct: a MinHash signature is min-over-hashes, and the
     # min of a multiset equals the min of its set — shingle multiplicity
     # cannot change any signature, band key, or est_jaccard, while the
     # per-row distinct pass costs ~6% of the whole job at sf0.1
     # (interleaved warm A/B in SCALING.md; identical 4305 output pairs).
-    shingles = F.expr(
-        f"transform(sequence(1, length(hx) - {w - 1}, 2),"
-        f" i -> substring(hx, i, {w}))"
+    # Each 8-byte window at byte offset i (stride 1 byte) is sliced from
+    # the BINARY payload — substring on BinaryType is an O(1) byte
+    # slice, while the first cut sliced windows out of hex(payload), a
+    # STRING, where UTF8String.substring scans characters from position
+    # 0 every call: O(len²) per document and the true source of the
+    # 5.7 s r08 headline (jstack evidence + before/after in SCALING.md,
+    # round 9). The window hashes arithmetically: its two 32-bit halves
+    # parse via hex-of-4-bytes + conv (O(1) each), combine EXACTLY mod
+    # P = 2^31−1 (2^32 ≡ 2, so window mod P = (2·hi + lo) mod P), then
+    # a NONLINEAR mix x = (w² + a1·w) mod P. The quadratic term is
+    # load-bearing: the downstream universal-hash family is affine, and
+    # affine maps preserve pairwise DIFFERENCES — text byte-windows
+    # share difference structure, so with a linear-only mix the 16
+    # per-hash orderings correlate and the estimator collapses
+    # (measured 0.19 estimate on a true-0.86 fixture pair; w² breaks
+    # the additive structure and tracks an md5 base hash to within
+    # noise — simulation table in SCALING.md round 9). The nested
+    # transform binds w as a lambda variable so the window parse is
+    # evaluated once per window, not once per reference. Overflow:
+    # w² + a1·w ≤ (P−1)² + a1·(P−1) < 7.98e18 < 2^63−1 in both engines.
+    # DuckDB reproduces identical bigints from the hex string:
+    # hex(substr(payload,i,4)) = substr(hex(payload), 2i−1, 8).
+    # The explicit-count repartition BEFORE the window stage spreads
+    # this CPU-bound O(payload_bytes) work across cores even when the
+    # upstream scan is a single small parquet block; the exchange
+    # carries the compact (doc_id, payload) rows.
+    xs = F.expr(
+        f"transform("
+        f"transform(sequence(1, length(payload) - {shingle_bytes - 1}),"
+        f" i -> (2L * cast(conv(hex(substring(payload, i, 4)), 16, 10) as bigint)"
+        f"       + cast(conv(hex(substring(payload, i + 4, 4)), 16, 10) as bigint)"
+        f"      ) % {_MINHASH_P}L),"
+        f" w -> (w * w + 1566083941L * w) % {_MINHASH_P}L)"
     )
     near = (
-        _minhash_banded_from_arrays(
-            reps.select("doc_id", shingles.alias("shingles")),
+        _minhash_banded_from_xs(
+            reps.repartition(_shuffle_partitions(reps), "doc_id").select(
+                "doc_id", xs.alias("xs")
+            ),
             num_hashes,
             bands,
             max_bucket,

@@ -1520,7 +1520,8 @@ def dedup_binary_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs with identical TEXT but different doc_id%4 headers are NOT
     byte-duplicates — this is genuinely byte-level, not text dedup in
     disguise. Full SQL parity: digests are sha256-over-hex and shingle
-    hashes are md5-derived, both reproducible in DuckDB."""
+    hashes are pure conv()/'0x'-parse integer arithmetic on the hex
+    encoding (no per-window md5), identical in DuckDB."""
     return D.binary_payload_dedup(M.with_magic_payload(_docs(spark, sf_dir)))
 
 
@@ -1546,12 +1547,15 @@ WITH p AS (
   SELECT d.doc_id, hex(d.payload) AS hx
   FROM dig d JOIN groups g ON d.doc_id = g.keep_doc_id
   WHERE octet_length(d.payload) >= 8
-), sh AS (
-  SELECT DISTINCT doc_id, substr(hx, i, 16) AS shingle
+), ws AS (
+  -- hex(substr(payload, i, 4)) = substr(hex(payload), 2i-1, 8): the
+  -- Spark side slices the BINARY payload; identical window bigints.
+  SELECT doc_id,
+         (2 * ('0x' || substr(hx, i, 8))::BIGINT
+          + ('0x' || substr(hx, i + 8, 8))::BIGINT) % 2147483647 AS w
   FROM reps, UNNEST(generate_series(1, len(hx) - 15, 2)) AS g(i)
 ), xs AS (
-  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS x
-  FROM sh
+  SELECT doc_id, (w * w + 1566083941 * w) % 2147483647 AS x FROM ws
 ), sigs AS (
   SELECT doc_id, h, min(((2*h+1)*x + (1000003*h+12345)) % 2147483647) AS sig_h
   FROM xs, UNNEST(generate_series(0, 15)) AS hh(h)
