@@ -117,12 +117,23 @@ BENCH_QUERIES = [
     # proportional LM-table fit (two mergeable count aggregates) plus
     # keyed shuffle-join scoring with no broadcast assumption on vocab
     # size; the join-heaviest text line, so shuffle-path regressions on
-    # the LLM side show up here. (dedup_semantic_clusters was measured
-    # and REJECTED as a bench line on the ann_retrieval_pipeline
-    # precedent: the unrolled Lloyd fit is ~4 s of fixed per-stage
-    # scheduling at this SF, not data work; its scaling story lives in
-    # SCALING.md.)
+    # the LLM side show up here.
     "text_perplexity_backoff",
+    # round-9 additions (subtotal_r01_comparable excludes both):
+    # dedup_semantic_clusters per VERDICT r8 next-step #5 — it
+    # exercises the deterministic Lloyd k-means fit + in-cluster pair
+    # join path no other headline covers. Re-measured in round 9
+    # before adding: 4.9 s min at sf0.1, still dominated by the
+    # unrolled fit's fixed per-stage scheduling (the original
+    # rejection rationale stands — read its line as a
+    # scheduling-regression canary, not a data-throughput number).
+    # multimodal_cdc_chunking is the data-proportional multimodal
+    # heavy line (2.7 s min at sf0.1): exploded-position unrolled
+    # rolling-hash chunking over every payload byte — the binary
+    # scan-throughput counterpart to dedup_binary_payload's
+    # signature path.
+    "dedup_semantic_clusters",
+    "multimodal_cdc_chunking",
 ]
 
 
@@ -161,8 +172,6 @@ def main() -> None:
             time.sleep(pre_wait_s)
             control_waits += 1
             control_start = control_loop_s()
-    steal_ticks_start = read_steal_ticks()
-
     from pipeline_apache_beam_entrega1_cs_spark.plans.registry import all_queries
     from pipeline_apache_beam_entrega1_cs_spark.session import get_spark
 
@@ -209,33 +218,66 @@ def main() -> None:
                 }
             )
 
-    timings: dict[str, float] = {}
-    all_runs: dict[str, list[float]] = {}
-    for name in BENCH_QUERIES:
-        # min of 3 measured runs: local-mode wall times swing ±20% under
-        # shared-machine load; min is the stable estimator. Each run gets
-        # its own try so one transient failure doesn't discard valid
-        # measurements from the others.
-        load_guard(name)
-        measured: list[float] = []
-        for _ in range(3):
-            try:
-                measured.append(run(name, sf_dir))
-            except Exception as ex:
-                print(f"bench {name} failed: {ex}", file=sys.stderr)
-        all_runs[name] = [round(m, 3) for m in measured]
-        timings[name] = round(min(measured), 3) if measured else -1.0
+    hz = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
+    def measure_all() -> tuple[dict[str, float], dict[str, list[float]], float | None]:
+        """One full pass over BENCH_QUERIES; returns (timings, runs,
+        steal seconds accrued during THIS pass)."""
+        t_start = read_steal_ticks()
+        timings: dict[str, float] = {}
+        runs: dict[str, list[float]] = {}
+        for name in BENCH_QUERIES:
+            # min of 3 measured runs: local-mode wall times swing ±20%
+            # under shared-machine load; min is the stable estimator.
+            # Each run gets its own try so one transient failure doesn't
+            # discard valid measurements from the others.
+            load_guard(name)
+            measured: list[float] = []
+            for _ in range(3):
+                try:
+                    measured.append(run(name, sf_dir))
+                except Exception as ex:
+                    print(f"bench {name} failed: {ex}", file=sys.stderr)
+            runs[name] = [round(m, 3) for m in measured]
+            timings[name] = round(min(measured), 3) if measured else -1.0
+        t_end = read_steal_ticks()
+        steal = (
+            round((t_end - t_start) / hz, 2)
+            if t_start is not None and t_end is not None
+            else None
+        )
+        return timings, runs, steal
+
+    # Steal-robust measurement (round-8 lesson: BENCH_r08 carried
+    # steal_delta_s=25.4 s and every wall time inflated 7-25% — the
+    # gate artifact was whatever the noisy neighbor allowed). If the
+    # measured pass accrued more hypervisor steal than the threshold,
+    # re-run the whole loop (bounded) and keep the LOWEST-steal pass;
+    # all attempts are summarized in the JSON either way.
+    steal_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_STEAL_S", "5"))
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_STEAL_RETRIES", "3"))
+    attempts: list[dict] = []
+    best = None  # (steal_key, timings, runs, steal)
+    for attempt in range(1, max_attempts + 1):
+        timings, all_runs, steal_delta_s = measure_all()
+        sub = round(
+            sum(t for n, t in list(timings.items())[:R01_COMPARABLE] if t >= 0), 3
+        )
+        attempts.append(
+            {"attempt": attempt, "steal_delta_s": steal_delta_s,
+             "subtotal_r01_comparable": sub}
+        )
+        key = steal_delta_s if steal_delta_s is not None else 0.0
+        if best is None or key < best[0]:
+            best = (key, timings, all_runs, steal_delta_s)
+        if steal_delta_s is None or steal_delta_s <= steal_threshold:
+            break
+        time.sleep(pre_wait_s)  # let the neighbor drain before retrying
+    _, timings, all_runs, steal_delta_s = best
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     subtotal = round(
         sum(t for n, t in list(timings.items())[:R01_COMPARABLE] if t >= 0), 3
-    )
-    steal_ticks_end = read_steal_ticks()
-    hz = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
-    steal_delta_s = (
-        round((steal_ticks_end - steal_ticks_start) / hz, 2)
-        if steal_ticks_start is not None and steal_ticks_end is not None
-        else None
     )
     control_end = control_loop_s()
     result = {
@@ -260,9 +302,13 @@ def main() -> None:
         # each time the pre-query guard saw load above threshold
         # and paused: empty list == quiet machine throughout.
         "load_waits": load_events,
-        # hypervisor-steal seconds accrued DURING the measured window
+        # hypervisor-steal seconds accrued DURING the kept pass
         # (/proc/stat field 9 delta): nonzero-large == inflated run.
         "steal_delta_s": steal_delta_s,
+        # every measured pass (steal + comparable subtotal): >1 entry
+        # means the steal-retry loop fired and the kept reading is the
+        # lowest-steal one.
+        "attempts": attempts,
         # pure-Python control loop before/after vs quiet calibration:
         # ratio >~1.3 == every wall time above is uniformly inflated.
         "control_loop_s": {
