@@ -2917,7 +2917,13 @@ QUERIES: dict[str, QuerySpec] = {
         doc="LSH bucket blocking not SQL-expressible; recall tested vs exact all-pairs"),
     "ann_cosine_topk": QuerySpec(
         ann_cosine_topk, ANN_COSINE_TOPK_SQL, "similarity",
-        plan_waivers={"bnlj": "|queries| x corpus stream — exact baseline"}),
+        plan_waivers={"bnlj": (
+            "|queries| x corpus stream — exact brute-force baseline. "
+            "Cost is inherently O(|Q|*|C|): sound ONLY while |Q| is "
+            "a small fixed panel (10 here; the broadcast side must "
+            "stay driver-memory-bounded). A 10k-query workload must "
+            "use the IVF/LSH/PQ entries, which prune the corpus per "
+            "query instead of streaming all of it.")}),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, None, "similarity",
                               doc="LSH buckets not SQL-expressible; recall tested vs exact"),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, None, "similarity",
@@ -2928,7 +2934,11 @@ QUERIES: dict[str, QuerySpec] = {
         plan_waivers={"bnlj": "k-row centroid broadcast (quantizer fit + probe scoring)"}),
     "ann_mmr_rerank": QuerySpec(
         ann_mmr_rerank, _mmr_sql(), "similarity",
-        plan_waivers={"bnlj": "|queries| x corpus stream (cosine_topk candidate stage)"}),
+        plan_waivers={"bnlj": (
+            "|queries| x corpus stream (cosine_topk candidate stage): "
+            "O(|Q|*|C|), sound only for a small fixed query panel "
+            "(10 here) — swap the candidate stage for the IVF/PQ "
+            "entries at real query volumes.")}),
     "ann_truncated_rescore": QuerySpec(
         ann_truncated_rescore, ANN_TRUNCATED_RESCORE_SQL, "similarity",
         plan_waivers={"bnlj": "|queries| x corpus stream (coarse prefix stage)"}),
@@ -2944,7 +2954,11 @@ QUERIES: dict[str, QuerySpec] = {
         eval_retrieval_metrics, _retrieval_eval_sql(), "similarity",
         plan_waivers={"bnlj": (
             "k-row centroid broadcast (IVF arm) + |queries| x corpus "
-            "stream (exact ground-truth arm)")}),
+            "stream (exact ground-truth arm): the truth arm is "
+            "O(|Q|*|C|) by definition of exact recall@k — sound only "
+            "for the small eval panel (10 queries here); production "
+            "eval at larger |Q| samples the panel, it never widens "
+            "the brute-force arm.")}),
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_STATS_SQL, "text"),
     "text_bpe_token_count": QuerySpec(text_bpe_token_count, TEXT_BPE_TOKEN_SQL, "text"),
     "text_bpe_apply": QuerySpec(text_bpe_apply, _bpe_apply_sql(), "text"),

@@ -75,7 +75,10 @@ DRIVER_PRIORITY: list[str] = [
     "agg_gini_concentration",
     "dq_primary_key_uniqueness",
     "dedup_boundary_stitch",
-    # --- (b) round-9 additions go here ---
+    # --- (b) round-9 additions (each displaces the last back-fill
+    # name past slot 50; displaced names rejoin the round-10
+    # back-fill, tracked in ROTATION.md) ---
+    "streaming_url_dedup_state",
     # --- (c) r04-only back-fill, execution-heaviest first (24 slots;
     # the remaining 26 r04-only names are listed in ROTATION.md and
     # form the round-10 back-fill) ---
@@ -102,7 +105,9 @@ DRIVER_PRIORITY: list[str] = [
     "window_rank",
     "window_lag_lead",
     "window_distribution",
-    "window_running_frames",
+    # (window_running_frames displaced past slot 50 by the round-9
+    # addition streaming_url_dedup_state; it stays execution-covered
+    # by bench.py every round and rejoins the round-10 back-fill)
 ]
 
 

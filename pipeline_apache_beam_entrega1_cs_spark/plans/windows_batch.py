@@ -650,7 +650,34 @@ FROM events GROUP BY 1, 2
 """
 
 
+def streaming_url_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming URL-canonicalization dedup over a crawl ingest: the
+    documents table (with the deterministic raw-URL fixture column)
+    replayed as FOUR micro-batches through a foreachBatch MERGE that
+    canonicalizes each batch's URLs and maintains state at
+    (canonical_url, raw_url) grain — min keeper, summed counts — so
+    the per-canonical report (keeper_id, n_docs, n_raw_variants) is a
+    pure read-off (streaming/sinks.UrlDedupMergeSink); the streaming
+    twin of dedup_url_canonicalize per VERDICT r8 next-step #7.
+    Exactly-once via in-state commit markers + crash-safe swap;
+    canonicalization depends only on the row and all state columns are
+    associative, so cold replay equals the one-shot batch dedup the
+    oracle computes."""
+    from ..streaming.sinks import run_url_dedup_stream
+
+    return run_url_dedup_stream(spark, sf_dir)
+
+
+def _url_dedup_sql() -> str:
+    from .llm_data import DEDUP_URL_CANONICALIZE_SQL
+
+    return DEDUP_URL_CANONICALIZE_SQL
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "streaming_url_dedup_state": QuerySpec(
+        streaming_url_dedup_state, _url_dedup_sql(), "streaming"
+    ),
     "streaming_stream_join": QuerySpec(
         streaming_stream_join, STREAMING_STREAM_JOIN_SQL, "streaming"
     ),

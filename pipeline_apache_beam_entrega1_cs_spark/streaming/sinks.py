@@ -1383,3 +1383,125 @@ def run_cusum_stream(spark, sf_dir: str):
             ).alias("drifting"),
         )
     )
+
+
+class UrlDedupMergeSink:
+    """``foreachBatch`` MERGE for streaming URL-canonicalization dedup —
+    the streaming twin of plans/llm_data.dedup_url_canonicalize, giving
+    the web-crawl ingest the same batch<->streaming parity the dedup/
+    TF-IDF/curation/token-ledger families already have: each arriving
+    micro-batch of crawled docs canonicalizes its URLs (pure string/
+    array expressions, operators/dedup.canonical_url_col) and MERGEs
+    into a state table kept at (canonical_url, raw_url) grain with
+    keeper_id = MIN(doc_id) and n_docs = SUM counts.
+
+    The grain is the mergeability trick: the batch query's
+    n_raw_variants is a COUNT DISTINCT, which cannot be merged from
+    per-batch counts — but at (canonical, raw) grain every state column
+    is min/sum (associative), and the final per-canonical report is a
+    pure read-off (n_raw_variants = state rows per canonical). Cold
+    replay over any batch slicing therefore equals the one-shot batch
+    dedup — what the SQL oracle computes. Exactly-once follows the
+    FingerprintMergeSink contract (in-state ``_merged_N`` markers
+    installed by the same rename as the data, crash recovery via the
+    numerically newest ``state_old*``). At 100 TB: canonicalization is
+    a narrow codegen'd per-row pass, each batch shuffles one mergeable
+    hash-agg of its own distinct (canonical, raw) pairs, and state is
+    bounded by the corpus's distinct raw URLs (the exact-distinct
+    cost; the HLL family is the sketch alternative when cardinality
+    must stay O(1))."""
+
+    def __init__(self, state_dir: str) -> None:
+        self.state = state_dir
+        os.makedirs(os.path.dirname(state_dir), exist_ok=True)
+
+    def is_committed(self, batch_id: int) -> bool:
+        return _state_committed(self.state, batch_id)
+
+    def __call__(self, batch_df, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return  # replayed delivery of a committed batch: no-op
+        from pyspark.sql import functions as F
+
+        from ..operators.dedup import canonical_url_col
+
+        inc = (
+            batch_df.select(
+                "doc_id",
+                canonical_url_col(F.col("url")).alias("canonical_url"),
+                F.col("url").alias("raw_url"),
+            )
+            .groupBy("canonical_url", "raw_url")
+            .agg(
+                F.min("doc_id").alias("keeper_id"),
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+            )
+        )
+        prev = _current_state(self.state)
+        if prev is not None:
+            inc = (
+                batch_df.sparkSession.read.parquet(prev)
+                .unionByName(inc)
+                .groupBy("canonical_url", "raw_url")
+                .agg(
+                    F.min("keeper_id").alias("keeper_id"),
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                )
+            )
+        tmp = f"{self.state}_tmp{batch_id}"
+        inc.write.mode("overwrite").parquet(tmp)  # materializes BEFORE swap
+        _install_state(self.state, tmp, batch_id)  # marker atomic w/ state
+
+
+def run_url_dedup_stream(spark, sf_dir: str):
+    """Streaming URL-canonicalization dedup end-to-end: the documents
+    table (with the deterministic crawl-URL fixture column) replayed as
+    FOUR micro-batches through a UrlDedupMergeSink; returns the final
+    per-canonical-URL dedup report (keeper, n_docs, n_raw_variants)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import with_url_column
+    from ..schemas import ensure_session_confs
+
+    ensure_session_confs(spark)
+    work = tempfile.mkdtemp(prefix="graft_urldedup_")
+    try:
+        raw = with_url_column(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                "doc_id", "source"
+            )
+        ).select("doc_id", "url")
+        src = _stage_slices(raw, work, "doc_id")
+        sink = UrlDedupMergeSink(os.path.join(work, "state"))
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = (
+            spark.read.parquet(sink.state)
+            .groupBy("canonical_url")
+            .agg(
+                F.min("keeper_id").alias("keeper_id"),
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.count(F.lit(1)).cast("long").alias("n_raw_variants"),
+            )
+        )
+        # Materialize before the finally deletes the backing files; the
+        # report is one row per canonical URL (bounded fixture: <= 37
+        # keys per source x case variants).
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -656,3 +656,66 @@ def test_cusum_sink_carry_across_batches(spark, tmp_path):
     assert {k: v for k, v in out.items()} == expect
     # the straddling run really accumulated: event 4 reached 4x1.5
     assert expect[4] == Decimal("6.0") and out[4] == Decimal("6.0")
+
+
+def test_streaming_url_dedup_replay(spark, sf_dir, tmp_path):
+    """Streaming URL-canonicalization dedup: (1) the end-to-end entry
+    equals the one-shot batch dedup (canonicalization is row-local and
+    all state columns are associative at (canonical, raw) grain); (2)
+    replaying a committed batch id with different data is a no-op; (3)
+    a stranded rename-aside state is recovered."""
+    import os
+
+    from pipeline_apache_beam_entrega1_cs_spark.operators.dedup import (
+        url_canonical_dedup,
+        with_url_column,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.plans.windows_batch import (
+        streaming_url_dedup_state,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+    from pipeline_apache_beam_entrega1_cs_spark.streaming.sinks import (
+        UrlDedupMergeSink,
+    )
+
+    docs = with_url_column(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ).select("doc_id", "url")
+    cols = ["canonical_url", "keeper_id", "n_docs", "n_raw_variants"]
+    batch_expected = rows_multiset(url_canonical_dedup(docs).select(*cols))
+
+    # (1) end-to-end entry: cold replay == one-shot batch dedup
+    out = streaming_url_dedup_state(spark, sf_dir)
+    assert rows_multiset(out.select(*cols)) == batch_expected
+
+    # (2)+(3) drive the sink directly with 3 manual slices
+    state = str(tmp_path / "ud" / "state")
+    sink = UrlDedupMergeSink(state)
+    slices = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    sink(slices[0], 0)
+    sink(slices[1], 1)
+
+    # simulated crash between the swap renames: recovery picks state_old*
+    os.rename(state, f"{state}_old42")
+    sink(slices[2], 2)
+
+    def report(path):
+        return rows_multiset(
+            spark.read.parquet(path)
+            .groupBy("canonical_url")
+            .agg(
+                F.min("keeper_id").alias("keeper_id"),
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.count(F.lit(1)).cast("long").alias("n_raw_variants"),
+            )
+            .select(*cols)
+        )
+
+    assert report(state) == batch_expected
+
+    # replay of every committed batch with DIFFERENT data: no-op
+    replay = docs.limit(7)
+    for b in (0, 1, 2):
+        assert sink.is_committed(b)
+        sink(replay, b)
+    assert report(state) == batch_expected
