@@ -2892,7 +2892,166 @@ FROM toks t LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def dedup_typo_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 fuzzy dedup via FastSS deletion neighborhoods
+    (Bocek et al.) — the entity-resolution primitive for typo'd keys
+    (names, SKUs, usernames) where MinHash shingles are too coarse:
+    two strings are within edit distance 1 iff they collide on a
+    deletion variant (itself, or itself minus one character), so the
+    candidate join is a plain EQUI-join on variant keys instead of an
+    n² distance matrix; survivors verify with one levenshtein() call.
+
+    Fixture: supplier names ('Supplier#000000042' — the numeric tails
+    make real distance-1 neighbors at every SF). 100 TB shape: ~len+1
+    variants exploded per key (linear), hub variants frequency-capped
+    at max_df=50 (same rule as the n-gram inverted index), ONE equi
+    shuffle join on short string keys, verification row-local. The n²
+    alternative is structurally absent."""
+    names = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_name").alias("name"))
+        .distinct()
+    )
+    # the string itself + every single-character deletion
+    variants = names.select(
+        "name",
+        F.explode(
+            F.expr(
+                "concat(array(name), transform(sequence(1, length(name)),"
+                " i -> concat(substring(name, 1, i - 1),"
+                "             substring(name, i + 1, length(name) - i))))"
+            )
+        ).alias("v"),
+    ).distinct()
+    capped = (
+        variants.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 50)
+        .select("v")
+    )
+    a = variants.join(capped, "v")
+    b = a.select(F.col("v"), F.col("name").alias("name_b"))
+    return (
+        a.join(b, "v")
+        .filter(F.col("name") < F.col("name_b"))
+        .select(
+            F.col("name").alias("name_a"),
+            "name_b",
+            F.levenshtein("name", "name_b").cast("bigint").alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+        .distinct()
+    )
+
+
+DEDUP_TYPO_SQL = """
+WITH names AS (
+  SELECT DISTINCT s_name AS name FROM supplier
+), vars AS (
+  SELECT DISTINCT name, v FROM (
+    SELECT name,
+           unnest(list_prepend(name,
+             list_transform(range(1, length(name) + 1),
+               i -> substr(name, 1, i - 1) || substr(name, i + 1)))) AS v
+    FROM names)
+), capped AS (
+  SELECT v FROM vars GROUP BY v HAVING COUNT(*) <= 50
+)
+SELECT DISTINCT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM vars a
+JOIN capped USING (v)
+JOIN vars b USING (v)
+WHERE a.name < b.name AND levenshtein(a.name, b.name) <= 1
+"""
+
+
+def eval_quality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two quality raters — the model-governance
+    check a curation pipeline runs before swapping its heuristic gate
+    for a learned one: rater A = the hashed-feature logistic model
+    (text_quality_model's quality_pass), rater B = the heuristic
+    quality score at threshold 0.7. Reports the full 2x2 confusion plus
+    observed/expected agreement and kappa in ONE row; every double
+    derives from exact integer cell counts, so both engines divide
+    identical numbers.
+
+    100 TB shape: the model arm is the existing mergeable
+    (doc, bucket) aggregate; the heuristic arm is a row-local
+    expression; the confusion matrix is one 4-cell mergeable aggregate
+    — nothing downstream exceeds O(1)."""
+    model = text_quality_model(spark, sf_dir).select(
+        "doc_id", F.col("quality_pass").cast("int").alias("a")
+    )
+    heur = _docs(spark, sf_dir).select(
+        "doc_id",
+        (T.quality_score_col(F.col("text")) >= 0.7).cast("int").alias("b"),
+    )
+    j = model.join(heur, "doc_id")
+    cells = j.agg(
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("bigint").alias("n00"),
+    )
+    n11, n10 = F.col("n11").cast("double"), F.col("n10").cast("double")
+    n01, n00 = F.col("n01").cast("double"), F.col("n00").cast("double")
+    n = n11 + n10 + n01 + n00
+    po = (n11 + n00) / n
+    pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n)
+    kappa = F.when(pe < 1.0, (po - pe) / (1 - pe)).otherwise(F.lit(0.0))
+    return cells.select(
+        "n11", "n10", "n01", "n00",
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round(kappa, 6).alias("kappa"),
+    )
+
+
+def _quality_agreement_sql() -> str:
+    return f"""
+WITH m AS ( {_qmodel_sql()} ), r AS (
+  SELECT m.doc_id,
+         CASE WHEN m.quality_pass THEN 1 ELSE 0 END AS a,
+         CASE WHEN {_SQL_QSCORE} >= 0.7 THEN 1 ELSE 0 END AS b
+  FROM m JOIN documents d ON m.doc_id = d.doc_id
+), cells AS (
+  SELECT CAST(SUM(a * b) AS BIGINT) AS n11,
+         CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+         CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+         CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM r
+)
+SELECT n11, n10, n01, n00,
+       round((n11 + n00)::DOUBLE
+             / (n11 + n10 + n01 + n00)::DOUBLE, 6) AS p_observed,
+       round(((n11 + n10)::DOUBLE * (n11 + n01)::DOUBLE
+              + (n01 + n00)::DOUBLE * (n10 + n00)::DOUBLE)
+             / ((n11 + n10 + n01 + n00)::DOUBLE
+                * (n11 + n10 + n01 + n00)::DOUBLE), 6) AS p_expected,
+       CASE WHEN ((n11 + n10)::DOUBLE * (n11 + n01)::DOUBLE
+                  + (n01 + n00)::DOUBLE * (n10 + n00)::DOUBLE)
+                 / ((n11 + n10 + n01 + n00)::DOUBLE
+                    * (n11 + n10 + n01 + n00)::DOUBLE) < 1.0
+            THEN round(((n11 + n00)::DOUBLE / (n11 + n10 + n01 + n00)::DOUBLE
+                        - ((n11 + n10)::DOUBLE * (n11 + n01)::DOUBLE
+                           + (n01 + n00)::DOUBLE * (n10 + n00)::DOUBLE)
+                          / ((n11 + n10 + n01 + n00)::DOUBLE
+                             * (n11 + n10 + n01 + n00)::DOUBLE))
+                       / (1 - ((n11 + n10)::DOUBLE * (n11 + n01)::DOUBLE
+                               + (n01 + n00)::DOUBLE * (n10 + n00)::DOUBLE)
+                              / ((n11 + n10 + n01 + n00)::DOUBLE
+                                 * (n11 + n10 + n01 + n00)::DOUBLE)), 6)
+            ELSE 0.0 END AS kappa
+FROM cells
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_typo_neighborhood": QuerySpec(
+        dedup_typo_neighborhood, DEDUP_TYPO_SQL, "dedup"),
+    "eval_quality_agreement": QuerySpec(
+        eval_quality_agreement, _quality_agreement_sql(), "quality"),
     "dedup_span_ngram": QuerySpec(dedup_span_ngram, DEDUP_SPAN_NGRAM_SQL, "dedup"),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "dedup"),
     "dedup_hash": QuerySpec(dedup_hash, DEDUP_HASH_SQL, "dedup"),

@@ -317,6 +317,173 @@ WHERE op IS NULL OR op <> 'D'
 """
 
 
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog compaction — the Debezium-style op every lakehouse
+    ingest runs: a keyed changelog of sequenced upserts and delete
+    tombstones collapses to the live snapshot by LAST-WRITER-WINS per
+    key, dropping keys whose final change is a delete. Differs from
+    upsert_changeset (single-batch MERGE against a snapshot): here the
+    input is the raw multi-version change stream itself — several
+    sequenced changes per key — and the snapshot is derived, not
+    joined.
+
+    Changelog fixture: orders replayed as changes with key =
+    o_orderkey % 20000 (so keys average multiple versions at sf0.1),
+    seq = o_orderkey (unique, so every max_by tiebreak is
+    deterministic), op = 'D' tombstone for orderkey % 11 = 0 else 'U',
+    payload = o_totalprice (read straight from parquet — no arithmetic,
+    so both engines compare identical doubles).
+
+    100 TB shape: ONE mergeable hash aggregate (max/max_by/count) on
+    the change key — no window, no join, no sort; this is exactly why
+    compaction services prefer arg-max-by-seq over per-key ordering."""
+    o = _t(spark, sf_dir, "orders")
+    ch = o.select(
+        (F.col("o_orderkey") % 20000).alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return (
+        ch.groupBy("key")
+        .agg(
+            F.max("seq").alias("last_seq"),
+            F.max_by("op", "seq").alias("last_op"),
+            F.max_by("price", "seq").alias("price"),
+            F.count(F.lit(1)).cast("bigint").alias("n_changes"),
+        )
+        .filter(F.col("last_op") != "D")
+        .select("key", "last_seq", "price", "n_changes")
+    )
+
+
+CDC_APPLY_SQL = """
+WITH ch AS (
+  SELECT o_orderkey % 20000 AS key, o_orderkey AS seq,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+         o_totalprice AS price
+  FROM orders
+)
+SELECT key, MAX(seq) AS last_seq, arg_max(price, seq) AS price,
+       CAST(COUNT(*) AS BIGINT) AS n_changes
+FROM ch GROUP BY key
+HAVING arg_max(op, seq) <> 'D'
+"""
+
+
+def maintenance_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the data-versioning audit (Delta time-travel
+    DESCRIBE HISTORY's row-level sibling): compare table versions A and
+    B by key and report added / removed / changed / unchanged row
+    counts with key ranges, so a pipeline re-run can prove WHAT its new
+    snapshot touched before publishing.
+
+    Version fixture (deterministic residue classes of orders): A drops
+    orderkey % 10 = 0 (those become 'added' in B), B drops
+    orderkey % 13 = 0 ('removed') and doubles o_totalprice for
+    orderkey % 7 = 0 ('changed'; double*2 is exact in both engines).
+
+    100 TB shape: ONE full-outer sort-merge join on the key (both
+    sides must surface unmatched rows, so broadcast is structurally
+    out) followed by a 4-row mergeable aggregate; attribute comparison
+    is row-local. With a table format the same diff reads two manifests
+    instead of two scans — this is the engine-only equivalent."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    snap_a = o.filter(k % 10 != 0).select(
+        k.alias("key"), F.col("o_totalprice").alias("price_a")
+    )
+    snap_b = o.filter(k % 13 != 0).select(
+        k.alias("key"),
+        F.when(k % 7 == 0, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_b"),
+    )
+    joined = snap_a.join(snap_b, "key", "full_outer")
+    status = (
+        F.when(F.col("price_a").isNull(), F.lit("added"))
+        .when(F.col("price_b").isNull(), F.lit("removed"))
+        .when(F.col("price_a") != F.col("price_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select("key", status.alias("status"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("key").alias("min_key"),
+            F.max("key").alias("max_key"),
+        )
+    )
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH a AS (
+  SELECT o_orderkey AS key, o_totalprice AS price_a
+  FROM orders WHERE o_orderkey % 10 <> 0
+), b AS (
+  SELECT o_orderkey AS key,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS price_b
+  FROM orders WHERE o_orderkey % 13 <> 0
+), j AS (
+  SELECT COALESCE(a.key, b.key) AS key,
+         CASE WHEN price_a IS NULL THEN 'added'
+              WHEN price_b IS NULL THEN 'removed'
+              WHEN price_a <> price_b THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM a FULL OUTER JOIN b ON a.key = b.key
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(key) AS min_key, MAX(key) AS max_key
+FROM j GROUP BY status
+"""
+
+
+def scd2_build_from_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension BUILD from a change stream — the write-side
+    complement of join_pointintime_scd2 (which queries an existing SCD2
+    table): per key, each change opens a version valid from its own
+    timestamp until the NEXT change's timestamp (lead), with the last
+    version open-ended and flagged current. Change fixture: orders as a
+    per-customer attribute stream (key = o_custkey, ts = o_orderdate,
+    attribute = o_totalprice) with o_orderkey as the unique tiebreaker,
+    so versions are totally ordered even on same-day changes.
+
+    100 TB shape: ONE keyed window (partitionBy customer — millions of
+    small partitions, never global) with a single lead(); no join, no
+    aggregate. valid_to as the NEXT ts (not ts-1 day) follows the
+    half-open [from, to) convention every PIT join here uses."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("key").orderBy("valid_from", "seq")
+    ch = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_totalprice").alias("attr_price"),
+    )
+    return ch.select(
+        "key",
+        "seq",
+        "attr_price",
+        "valid_from",
+        F.lead("valid_from").over(w).alias("valid_to"),
+        F.lead("valid_from").over(w).isNull().alias("is_current"),
+    )
+
+
+SCD2_BUILD_SQL = """
+SELECT o_custkey AS key, o_orderkey AS seq, o_totalprice AS attr_price,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w AS valid_to,
+       (lead(o_orderdate) OVER w IS NULL) AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-granularity rollup: year -> month -> day
     subtotals over the events stream in ONE pass (ROLLUP on prefix-coded
@@ -1019,4 +1186,10 @@ QUERIES: dict[str, QuerySpec] = {
         plan_waivers={"global_window": "window input = #distinct sources (O(1))"}),
     "upsert_changeset": QuerySpec(upsert_changeset, UPSERT_SQL, "pipeline"),
     "rollup_time_hierarchy": QuerySpec(rollup_time_hierarchy, ROLLUP_TIME_SQL, "pipeline"),
+    "cdc_apply_changelog": QuerySpec(
+        cdc_apply_changelog, CDC_APPLY_SQL, "pipeline"),
+    "maintenance_snapshot_diff": QuerySpec(
+        maintenance_snapshot_diff, SNAPSHOT_DIFF_SQL, "pipeline"),
+    "scd2_build_from_changes": QuerySpec(
+        scd2_build_from_changes, SCD2_BUILD_SQL, "pipeline"),
 }

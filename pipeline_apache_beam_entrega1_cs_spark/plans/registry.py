@@ -79,6 +79,11 @@ DRIVER_PRIORITY: list[str] = [
     # name past slot 50; displaced names rejoin the round-10
     # back-fill, tracked in ROTATION.md) ---
     "streaming_url_dedup_state",
+    "cdc_apply_changelog",
+    "maintenance_snapshot_diff",
+    "scd2_build_from_changes",
+    "dedup_typo_neighborhood",
+    "eval_quality_agreement",
     # --- (c) r04-only back-fill, execution-heaviest first (24 slots;
     # the remaining 26 r04-only names are listed in ROTATION.md and
     # form the round-10 back-fill) ---
@@ -100,14 +105,11 @@ DRIVER_PRIORITY: list[str] = [
     "join_range_nonequi",
     "join_asof_events",
     "skew_salted_agg",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "window_rank",
-    "window_lag_lead",
-    "window_distribution",
-    # (window_running_frames displaced past slot 50 by the round-9
-    # addition streaming_url_dedup_state; it stays execution-covered
-    # by bench.py every round and rejoins the round-10 back-fill)
+    # (q3_shipping_priority, q5_region_revenue, window_rank,
+    # window_lag_lead, window_distribution, window_running_frames
+    # displaced past slot 50 by the six round-9 additions; q3/q5 and
+    # window_running_frames stay execution-covered by bench.py every
+    # round, and all six rejoin the round-10 back-fill)
 ]
 
 
