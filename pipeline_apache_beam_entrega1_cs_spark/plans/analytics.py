@@ -3711,7 +3711,264 @@ FROM d2 GROUP BY event_type
 """
 
 
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile — the first report every DQ framework
+    (Deequ/Great Expectations) materializes before writing constraints:
+    per column of orders, the null count, exact distinct cardinality,
+    and typed min/max (numeric columns in the *_numeric pair, text/date
+    columns rendered to strings — a shared string column for doubles
+    would trip cross-engine float formatting, so numerics stay DOUBLE
+    and dates use the ISO cast both engines print identically).
+
+    100 TB shape: ONE pass over the table computing all per-column
+    aggregates together (Spark plans the multi-distinct via Expand —
+    #columns x data, still one scan, all partials mergeable); the
+    5-row report explodes from literal structs on the 1-row frame.
+    Exact distincts are the audit-grade choice; the HLL family is the
+    sketch alternative when #columns x cardinality makes Expand too
+    wide."""
+    o = _t(spark, sf_dir, "orders")
+    num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    str_cols = ["o_orderstatus"]
+    date_cols = ["o_orderdate"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in num_cols + str_cols + date_cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}_distinct"),
+        ]
+    for c in num_cols:
+        aggs += [
+            F.round(F.min(F.col(c)).cast("double"), 6).alias(f"{c}_min"),
+            F.round(F.max(F.col(c)).cast("double"), 6).alias(f"{c}_max"),
+        ]
+    for c in str_cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    for c in date_cols:
+        aggs += [
+            F.min(F.col(c)).cast("string").alias(f"{c}_min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}_max"),
+        ]
+    one = _t(spark, sf_dir, "orders").agg(*aggs)
+
+    def row(c: str, numeric: bool) -> F.Column:
+        return F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}_nulls").cast("bigint").alias("null_count"),
+            F.col(f"{c}_distinct").cast("bigint").alias("n_distinct"),
+            (F.col(f"{c}_min") if numeric else F.lit(None).cast("double")).alias(
+                "min_numeric"
+            ),
+            (F.col(f"{c}_max") if numeric else F.lit(None).cast("double")).alias(
+                "max_numeric"
+            ),
+            (F.lit(None).cast("string") if numeric else F.col(f"{c}_min")).alias(
+                "min_text"
+            ),
+            (F.lit(None).cast("string") if numeric else F.col(f"{c}_max")).alias(
+                "max_text"
+            ),
+        )
+
+    rows = F.explode(
+        F.array(
+            *[row(c, True) for c in num_cols],
+            *[row(c, False) for c in str_cols + date_cols],
+        )
+    ).alias("p")
+    return one.select(F.col("n_rows").cast("bigint").alias("n_rows"), rows).select(
+        "p.column_name", "n_rows", "p.null_count", "p.n_distinct",
+        "p.min_numeric", "p.max_numeric", "p.min_text", "p.max_text",
+    )
+
+
+DQ_COLUMN_PROFILE_SQL = """
+WITH base AS (SELECT COUNT(*) AS n_rows FROM orders)
+SELECT 'o_orderkey' AS column_name, n_rows,
+       (SELECT CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders) AS null_count,
+       (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS n_distinct,
+       (SELECT round(CAST(MIN(o_orderkey) AS DOUBLE), 6) FROM orders) AS min_numeric,
+       (SELECT round(CAST(MAX(o_orderkey) AS DOUBLE), 6) FROM orders) AS max_numeric,
+       CAST(NULL AS VARCHAR) AS min_text, CAST(NULL AS VARCHAR) AS max_text
+FROM base
+UNION ALL
+SELECT 'o_custkey', n_rows,
+       (SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders),
+       (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders),
+       (SELECT round(CAST(MIN(o_custkey) AS DOUBLE), 6) FROM orders),
+       (SELECT round(CAST(MAX(o_custkey) AS DOUBLE), 6) FROM orders),
+       NULL, NULL
+FROM base
+UNION ALL
+SELECT 'o_totalprice', n_rows,
+       (SELECT CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders),
+       (SELECT CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) FROM orders),
+       (SELECT round(CAST(MIN(o_totalprice) AS DOUBLE), 6) FROM orders),
+       (SELECT round(CAST(MAX(o_totalprice) AS DOUBLE), 6) FROM orders),
+       NULL, NULL
+FROM base
+UNION ALL
+SELECT 'o_orderstatus', n_rows,
+       (SELECT CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders),
+       (SELECT CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       (SELECT MIN(o_orderstatus) FROM orders),
+       (SELECT MAX(o_orderstatus) FROM orders)
+FROM base
+UNION ALL
+SELECT 'o_orderdate', n_rows,
+       (SELECT CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders),
+       (SELECT CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) FROM orders),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       (SELECT CAST(MIN(o_orderdate) AS VARCHAR) FROM orders),
+       (SELECT CAST(MAX(o_orderdate) AS VARCHAR) FROM orders)
+FROM base
+"""
+
+
+def timeseries_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier time-to-convert survival curve — the
+    right-censoring-aware answer to "how long until a viewer
+    purchases?" that a naive mean-of-converters gets wrong (users who
+    never converted still carry information up to the observation
+    end). Per user: entry = first 'view', event = first 'purchase'
+    strictly after it (day = whole days between), censored users exit
+    at the global observation end. Per distinct exit day k:
+    n_at_risk_k (users whose exit day >= k), d_k conversions, c_k
+    censorings, and the product-limit survival
+    S(d) = prod_{k<=d}(1 - d_k/n_k) via exp(sum(ln ...)) over event
+    days — rounded 6, both engines derive the doubles from identical
+    exact integer counts.
+
+    100 TB shape: one per-user aggregate (mergeable first-ts picks),
+    one 1-row observation-end attach (waived scalar broadcast), one
+    day-level aggregate, then the cumulative windows run over the
+    #distinct-days frame (O(observation window), 1-2k rows at any
+    corpus scale — waived global window), never over users."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+                "entry_ts"
+            ),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+                "purchase_ts"
+            ),
+        )
+        .filter(F.col("entry_ts").isNotNull())
+    )
+    obs_end = ev.agg(F.max(F.to_date("ts")).alias("obs_end"))
+    exits = (
+        per_user.crossJoin(F.broadcast(obs_end))
+        .select(
+            F.when(
+                F.col("purchase_ts") > F.col("entry_ts"),
+                F.datediff(F.to_date("purchase_ts"), F.to_date("entry_ts")),
+            ).alias("event_day"),
+            F.datediff(F.col("obs_end"), F.to_date("entry_ts")).alias(
+                "censor_day"
+            ),
+        )
+        .select(
+            F.coalesce("event_day", "censor_day").cast("long").alias("day"),
+            F.col("event_day").isNotNull().cast("long").alias("is_event"),
+        )
+    )
+    daily = exits.groupBy("day").agg(
+        F.sum("is_event").cast("bigint").alias("n_converted"),
+        F.sum(1 - F.col("is_event")).cast("bigint").alias("n_censored"),
+    )
+    w_prior = (
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    total = exits.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    curve = (
+        daily.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_at_risk",
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("n_converted") + F.col("n_censored")).over(w_prior),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "log_surv",
+            F.sum(
+                F.when(
+                    F.col("n_converted") > 0,
+                    F.log(
+                        1.0
+                        - F.col("n_converted").cast("double")
+                        / F.col("n_at_risk").cast("double")
+                    ),
+                ).otherwise(F.lit(0.0))
+            ).over(w_cum),
+        )
+    )
+    return curve.select(
+        "day",
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        "n_converted",
+        "n_censored",
+        F.round(F.exp("log_surv"), 6).alias("survival"),
+    )
+
+
+TIMESERIES_SURVIVAL_KM_SQL = """
+WITH pu AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS entry_ts,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS purchase_ts
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY user_id
+  HAVING MIN(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL
+), oe AS (
+  SELECT MAX(CAST(ts AS DATE)) AS obs_end FROM events
+), exits AS (
+  SELECT COALESCE(
+           CASE WHEN purchase_ts > entry_ts
+                THEN date_diff('day', CAST(entry_ts AS DATE),
+                               CAST(purchase_ts AS DATE)) END,
+           date_diff('day', CAST(entry_ts AS DATE), obs_end)) AS day,
+         CASE WHEN purchase_ts > entry_ts THEN 1 ELSE 0 END AS is_event
+  FROM pu CROSS JOIN oe
+), daily AS (
+  SELECT day, CAST(SUM(is_event) AS BIGINT) AS n_converted,
+         CAST(SUM(1 - is_event) AS BIGINT) AS n_censored
+  FROM exits GROUP BY day
+), tot AS (SELECT COUNT(*) AS n_total FROM exits),
+curve AS (
+  SELECT day, n_converted, n_censored,
+         n_total - COALESCE(SUM(n_converted + n_censored) OVER
+           (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_at_risk
+  FROM daily CROSS JOIN tot
+)
+SELECT day, CAST(n_at_risk AS BIGINT) AS n_at_risk, n_converted, n_censored,
+       round(exp(SUM(CASE WHEN n_converted > 0
+                     THEN ln(1.0 - n_converted::DOUBLE / n_at_risk)
+                     ELSE 0.0 END)
+             OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)), 6) AS survival
+FROM curve
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dq_column_profile": QuerySpec(
+        dq_column_profile, DQ_COLUMN_PROFILE_SQL, "dq"),
+    "timeseries_survival_km": QuerySpec(
+        timeseries_survival_km, TIMESERIES_SURVIVAL_KM_SQL, "timeseries",
+        plan_waivers={
+            "bnlj": "1-row observation-end + total-count scalar attaches",
+            "global_window": (
+                "cumulative windows run over the #distinct-exit-days "
+                "frame (O(observation window) rows), never over users"),
+        }),
     "funnel_conversion": QuerySpec(funnel_conversion, FUNNEL_SQL, "analytics"),
     "retention_cohorts": QuerySpec(retention_cohorts, RETENTION_SQL, "analytics"),
     "timeseries_gapfill": QuerySpec(timeseries_gapfill, GAPFILL_SQL, "timeseries"),

@@ -3047,7 +3047,69 @@ FROM cells
 """
 
 
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level segmentation stats — the per-doc report a
+    chunking/curation stage reads before deciding split points: split
+    on terminal-punctuation runs ([.!?]+), drop whitespace-only
+    fragments, and report sentence count, total words across
+    sentences, mean words per sentence (exact integer division, round
+    6), and the longest sentence's word count. Regexes stay in the
+    Java∩DuckDB common dialect so the oracle mirrors them verbatim.
+
+    100 TB shape: map-only row-local array expressions — zero
+    Exchange; the plan is a scan + project."""
+    docs = _docs(spark, sf_dir)
+    sents = F.filter(
+        F.split(F.col("text"), r"[.!?]+"),
+        lambda s: F.trim(s) != "",
+    )
+    words_per = F.transform(
+        sents, lambda s: F.size(F.split(F.trim(s), r"\s+"))
+    )
+    n_sent = F.size(sents)
+    n_words = F.aggregate(
+        words_per, F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return docs.select(
+        "doc_id",
+        n_sent.cast("long").alias("n_sentences"),
+        n_words.alias("n_sentence_words"),
+        F.when(
+            n_sent > 0,
+            F.round(n_words.cast("double") / n_sent.cast("double"), 6),
+        ).otherwise(F.lit(0.0)).alias("mean_words_per_sentence"),
+        F.coalesce(F.array_max(words_per), F.lit(0)).cast("long").alias(
+            "max_sentence_words"
+        ),
+    )
+
+
+TEXT_SENTENCE_STATS_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[.!?]+'),
+                     x -> trim(x) <> '') AS sents
+  FROM documents
+), w AS (
+  SELECT doc_id, sents,
+         list_transform(sents,
+           x -> len(regexp_split_to_array(trim(x), '\s+'))) AS wp
+  FROM s
+)
+SELECT doc_id,
+       CAST(len(sents) AS BIGINT) AS n_sentences,
+       CAST(COALESCE(list_sum(wp), 0) AS BIGINT) AS n_sentence_words,
+       CASE WHEN len(sents) > 0
+            THEN round(COALESCE(list_sum(wp), 0)::DOUBLE / len(sents), 6)
+            ELSE 0.0 END AS mean_words_per_sentence,
+       CAST(COALESCE(list_max(wp), 0) AS BIGINT) AS max_sentence_words
+FROM w
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_sentence_stats": QuerySpec(
+        text_sentence_stats, TEXT_SENTENCE_STATS_SQL, "text"),
     "dedup_typo_neighborhood": QuerySpec(
         dedup_typo_neighborhood, DEDUP_TYPO_SQL, "dedup"),
     "eval_quality_agreement": QuerySpec(

@@ -484,6 +484,84 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+def dataset_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum scheduling with source interleaving — the training
+    data-loader order for curriculum learning: docs ascend through
+    difficulty TIERS (row-local token-count buckets: shorter = earlier,
+    the classic length curriculum), and WITHIN a tier the sources are
+    round-robin interleaved (so no tier opens with a monoculture run)
+    in a deterministic md5 shuffle order.
+
+    pos_in_tier = (md5-rank within (tier, source) − 1) · n_sources +
+    source_index — collision-free by construction, and reproducible
+    because every input is derived from data (n_sources is COUNTED,
+    never hardcoded — the sample_temperature_mixture lesson, ADVICE
+    r7). 100 TB shape: tiering is row-local; ranking windows are
+    partitioned by (tier, source) — never global over docs; the source
+    index + count run on the #sources frame (O(1), waived)."""
+    docs = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+    tiered = docs.select(
+        "doc_id",
+        "source",
+        F.when(ntok < 50, 0)
+        .when(ntok < 150, 1)
+        .when(ntok < 400, 2)
+        .otherwise(3)
+        .cast("int")
+        .alias("tier"),
+        F.md5(F.col("doc_id").cast("string")).alias("shuf"),
+    )
+    src_idx = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                F.row_number().over(Window.orderBy("source")) - 1
+            ).cast("long").alias("source_index"),
+        )
+    )
+    n_sources = docs.agg(
+        F.count_distinct("source").cast("long").alias("n_sources")
+    )
+    w = Window.partitionBy("tier", "source").orderBy("shuf", "doc_id")
+    return (
+        tiered.withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(src_idx), "source")
+        .crossJoin(F.broadcast(n_sources))
+        .select(
+            "doc_id",
+            "tier",
+            "source",
+            (
+                (F.col("rk") - 1) * F.col("n_sources") + F.col("source_index")
+            ).cast("long").alias("pos_in_tier"),
+        )
+    )
+
+
+CURRICULUM_SQL = r"""
+WITH tiered AS (
+  SELECT doc_id, source,
+         CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\s+')) < 50 THEN 0
+              WHEN len(regexp_split_to_array(trim(lower(text)), '\s+')) < 150 THEN 1
+              WHEN len(regexp_split_to_array(trim(lower(text)), '\s+')) < 400 THEN 2
+              ELSE 3 END AS tier,
+         md5(CAST(doc_id AS VARCHAR)) AS shuf
+  FROM documents
+), si AS (
+  SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS source_index
+  FROM (SELECT DISTINCT source FROM documents)
+), ns AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents)
+SELECT t.doc_id, CAST(t.tier AS INTEGER) AS tier, t.source,
+       CAST((ROW_NUMBER() OVER (PARTITION BY t.tier, t.source
+                                ORDER BY t.shuf, t.doc_id) - 1)
+            * ns.n_sources + si.source_index AS BIGINT) AS pos_in_tier
+FROM tiered t JOIN si USING (source) CROSS JOIN ns
+"""
+
+
 def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-granularity rollup: year -> month -> day
     subtotals over the events stream in ONE pass (ROLLUP on prefix-coded
@@ -1192,4 +1270,12 @@ QUERIES: dict[str, QuerySpec] = {
         maintenance_snapshot_diff, SNAPSHOT_DIFF_SQL, "pipeline"),
     "scd2_build_from_changes": QuerySpec(
         scd2_build_from_changes, SCD2_BUILD_SQL, "pipeline"),
+    "dataset_curriculum_interleave": QuerySpec(
+        dataset_curriculum_interleave, CURRICULUM_SQL, "pipeline",
+        plan_waivers={
+            "bnlj": "1-row n_sources scalar attach",
+            "global_window": (
+                "source-index window runs over the #distinct-sources "
+                "frame (O(1)), never over docs"),
+        }),
 }

@@ -84,6 +84,11 @@ DRIVER_PRIORITY: list[str] = [
     "scd2_build_from_changes",
     "dedup_typo_neighborhood",
     "eval_quality_agreement",
+    "agg_mode_per_group",
+    "dq_column_profile",
+    "text_sentence_stats",
+    "timeseries_survival_km",
+    "dataset_curriculum_interleave",
     # --- (c) r04-only back-fill, execution-heaviest first (24 slots;
     # the remaining 26 r04-only names are listed in ROTATION.md and
     # form the round-10 back-fill) ---
@@ -100,16 +105,14 @@ DRIVER_PRIORITY: list[str] = [
     "join_left_outer",
     "join_right_outer",
     "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_range_nonequi",
-    "join_asof_events",
-    "skew_salted_agg",
-    # (q3_shipping_priority, q5_region_revenue, window_rank,
-    # window_lag_lead, window_distribution, window_running_frames
-    # displaced past slot 50 by the six round-9 additions; q3/q5 and
+    # (join_semi, join_anti, join_range_nonequi, join_asof_events,
+    # skew_salted_agg, q3_shipping_priority, q5_region_revenue,
+    # window_rank, window_lag_lead, window_distribution,
+    # window_running_frames displaced past slot 50 by the ELEVEN
+    # round-9 additions; q3/q5, join_asof_events and
     # window_running_frames stay execution-covered by bench.py every
-    # round, and all six rejoin the round-10 back-fill)
+    # round, and all eleven displaced names rejoin the round-10
+    # back-fill)
 ]
 
 

@@ -1709,7 +1709,69 @@ FROM nation
 """
 
 
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group MODE with a deterministic tiebreak — the
+    categorical summary statistic Spark ships no reliable aggregate
+    for (mode() is 3.4+ but its ties are nondeterministic): most
+    frequent event_type per hour-of-day, ties broken to the
+    lexicographically smallest value, plus how many values tied.
+
+    Two-level shape: ONE mergeable (group, value) count aggregate
+    collapses the data, then the argmax runs as a rank window over the
+    pre-aggregated frame — window input is |groups|x|distinct values|
+    (24x5 rows here), never raw data, which is what makes exact mode
+    scale-safe where a naive collect-and-count would not."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.hour("ts").cast("long").alias("hod"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = Window.partitionBy("hod").orderBy(
+        F.col("cnt").desc(), F.col("event_type").asc()
+    )
+    wmax = Window.partitionBy("hod")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .withColumn("max_cnt", F.max("cnt").over(wmax))
+        .withColumn(
+            "n_tied",
+            F.sum((F.col("cnt") == F.col("max_cnt")).cast("long")).over(wmax),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "hod",
+            F.col("event_type").alias("mode_event_type"),
+            F.col("cnt").alias("mode_count"),
+            F.col("n_tied").cast("bigint").alias("n_tied"),
+        )
+    )
+
+
+AGG_MODE_SQL = """
+WITH counts AS (
+  SELECT CAST(hour(ts) AS BIGINT) AS hod, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), mx AS (
+  SELECT hod, event_type, cnt,
+         ROW_NUMBER() OVER (PARTITION BY hod
+                            ORDER BY cnt DESC, event_type) AS rn,
+         MAX(cnt) OVER (PARTITION BY hod) AS max_cnt
+  FROM counts
+), ranked AS (
+  SELECT hod, event_type, cnt, rn,
+         CAST(SUM(CASE WHEN cnt = max_cnt THEN 1 ELSE 0 END)
+              OVER (PARTITION BY hod) AS BIGINT) AS n_tied
+  FROM mx
+)
+SELECT hod, event_type AS mode_event_type, cnt AS mode_count, n_tied
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    # the rank window is partitioned by l_returnflag over the
+    # pre-aggregated |groups| x |values| frame — no waiver needed
+    "agg_mode_per_group": QuerySpec(
+        agg_mode_per_group, AGG_MODE_SQL, "aggregation"),
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL, "headline"),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL, "headline"),
     "q5_region_revenue": QuerySpec(q5_region_revenue, Q5_SQL, "headline"),
