@@ -360,6 +360,20 @@ def _kmeans_fit(vecs: DataFrame, k: int, iters: int):
             )
         )
 
+    def materialize(c: DataFrame) -> DataFrame:
+        # k-row driver materialization between iterations — the
+        # MLlib-KMeans structure (centroids live on the driver, data
+        # never does). Without it every downstream reference re-plans
+        # the whole fit subtree and Catalyst+AQE re-optimization
+        # dominates wall time: the lazy straight-line form cost ~3.7 s
+        # of driver work per consuming query at sf0.1 vs ~0.9 s
+        # materialized (SCALING.md round 9). Values are identical —
+        # the collect only pins the same deterministic rounded
+        # centroids — so the SQL oracle's full-fit replay still
+        # hash-matches.
+        rows = c.collect()
+        return c.sparkSession.createDataFrame(rows, c.schema)
+
     for _ in range(iters):
         assigned = assign(cents)
         cents = (
@@ -376,7 +390,7 @@ def _kmeans_fit(vecs: DataFrame, k: int, iters: int):
                 ).alias("c")
             )
         )
-    return cents, assign
+    return materialize(cents), assign
 
 
 def ivf_ann_topk_det(
@@ -979,18 +993,46 @@ def semantic_cluster_dedup(
     the deterministic k-means + rounded cosine recipe."""
     vecs = embeddings.select("vec_id", _as_double("embedding").alias("v"))
     cents, assign = _kmeans_fit(vecs, k, iters)
-    assigned = assign(cents).select("vec_id", "v", "cluster")
+    # Per-vector norms are computed ONCE here and reused per pair: the
+    # expression is the exact one cosine() evaluates, so the floats are
+    # bitwise-identical to recomputing them pair-side (oracle parity
+    # holds) while the per-pair work drops from dot+2 norms to dot
+    # alone — the pair stage is the Σ|cluster|² hot loop. The pair join
+    # is additionally SALTED: with small k the raw join has only k
+    # distinct keys, so the quadratic stage would run on <= k tasks
+    # (and AQE coalesces small-byte stages further); the a-side salt
+    # (vec_id mod S) with an S-fold replicated b-side keeps every pair
+    # exactly once (at the a-vector's salt) and spreads the work S*k
+    # ways. In production k scales with corpus (SemDeDup runs 50k
+    # clusters) and the salt becomes a no-op cost.
+    assigned = assign(cents).select(
+        "vec_id", "v", "cluster", _norm(F.col("v")).alias("nrm")
+    )
+    S = 16
     a = assigned.select(
-        "cluster", F.col("vec_id").alias("vec_a"), F.col("v").alias("emb_a")
+        "cluster",
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        (F.col("vec_id") % S).cast("int").alias("salt"),
     )
     b = assigned.select(
-        "cluster", F.col("vec_id").alias("vec_b"), F.col("v").alias("emb_b")
+        "cluster",
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        F.explode(F.sequence(F.lit(0), F.lit(S - 1))).alias("salt"),
     )
     close = (
-        a.join(b, "cluster")
+        a.join(b, ["cluster", "salt"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .filter(
-            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6) >= threshold
+            F.round(
+                _dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                6,
+            )
+            >= threshold
         )
         .groupBy("vec_b")
         .agg(F.count(F.lit(1)).alias("n_close"))
