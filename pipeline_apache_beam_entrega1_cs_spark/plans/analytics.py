@@ -3958,9 +3958,71 @@ FROM curve
 """
 
 
+def dq_event_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time freshness audit — the ingest-health report a
+    streaming-lakehouse on-call reads first: per event_type, the
+    newest/oldest event timestamps, the lag behind the globally newest
+    event in whole minutes (a stalled producer shows up as one type
+    falling behind the others), and the event count in the trailing
+    24 h window before the global high-water mark. All timestamps
+    render to epoch seconds / integer minutes, so both engines compare
+    exact integers.
+
+    100 TB shape: ONE mergeable per-type aggregate + a 1-row
+    high-water-mark attach (waived scalar broadcast); the trailing
+    count is a conditional sum in the same pass — no second scan."""
+    ev = _t(spark, sf_dir, "events")
+    hwm = ev.agg(F.max("ts").alias("hwm"))
+    per_type = (
+        ev.crossJoin(F.broadcast(hwm))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max("ts").alias("max_ts"),
+            F.min("ts").alias("min_ts"),
+            F.max(F.col("hwm")).alias("hwm"),
+            F.sum(
+                (
+                    F.col("ts")
+                    >= F.col("hwm") - F.expr("INTERVAL 24 HOURS")
+                ).cast("long")
+            ).cast("bigint").alias("n_last_24h"),
+        )
+    )
+    return per_type.select(
+        "event_type",
+        "n_events",
+        F.unix_timestamp("min_ts").alias("min_epoch_s"),
+        F.unix_timestamp("max_ts").alias("max_epoch_s"),
+        (
+            (F.unix_timestamp("hwm") - F.unix_timestamp("max_ts")) / 60
+        ).cast("bigint").alias("lag_minutes"),
+        "n_last_24h",
+    )
+
+
+DQ_EVENT_FRESHNESS_SQL = """
+WITH hwm AS (SELECT MAX(ts) AS hwm FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS min_epoch_s,
+       CAST(floor(epoch(MAX(ts))) AS BIGINT) AS max_epoch_s,
+       CAST((CAST(floor(epoch(MAX(hwm))) AS BIGINT)
+             - CAST(floor(epoch(MAX(ts))) AS BIGINT)) // 60 AS BIGINT)
+         AS lag_minutes,
+       CAST(SUM(CASE WHEN ts >= hwm - INTERVAL 24 HOURS THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_last_24h
+FROM events CROSS JOIN hwm
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dq_column_profile": QuerySpec(
         dq_column_profile, DQ_COLUMN_PROFILE_SQL, "dq"),
+    "dq_event_freshness": QuerySpec(
+        dq_event_freshness, DQ_EVENT_FRESHNESS_SQL, "dq",
+        plan_waivers={"bnlj": "1-row event-time high-water-mark attach"}),
     "timeseries_survival_km": QuerySpec(
         timeseries_survival_km, TIMESERIES_SURVIVAL_KM_SQL, "timeseries",
         plan_waivers={

@@ -3107,7 +3107,356 @@ FROM w
 """
 
 
+def eval_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the learned quality model against the heuristic
+    gate's labels — the rank-sum (Mann–Whitney) form with the standard
+    average-rank tie convention: AUC = Σ_s n_pos(s)·(cum_neg_below(s) +
+    n_neg(s)/2) / (N_pos·N_neg) over DISTINCT scores s ascending. The
+    logit scores tie heavily by construction (sums of a few fixed
+    weights), so the tie handling is load-bearing, not decorative.
+
+    Scale shape (the dataset_shuffle_shards two-phase-ranking recipe):
+    scores collapse to per-distinct-score counts (one mergeable agg);
+    distinct scores land in 256 fixed-width buckets under STATIC
+    min/max bounds (1-row attach, waived); the cross-bucket cumulative
+    runs over the 256-row bucket frame (waived O(1) window) and the
+    within-bucket cumulative over per-bucket partitions — no global
+    ordering over raw rows anywhere. ONE result row; every double
+    derives from exact integer counts."""
+    model = text_quality_model(spark, sf_dir).select("doc_id", "logit")
+    labels = _docs(spark, sf_dir).select(
+        "doc_id",
+        (T.quality_score_col(F.col("text")) >= 0.7).cast("long").alias("y"),
+    )
+    scored = model.join(labels, "doc_id")
+    per_score = scored.groupBy("logit").agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("n_neg"),
+    )
+    bounds = per_score.agg(
+        F.min("logit").alias("lo"), F.max("logit").alias("hi")
+    )
+    B = 256
+    bucket = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(
+            F.lit(B - 1),
+            F.floor(
+                (F.col("logit") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * B
+            ).cast("int"),
+        ),
+    ).otherwise(F.lit(0))
+    withb = per_score.crossJoin(F.broadcast(bounds)).select(
+        "logit", "n_pos", "n_neg", bucket.alias("bucket")
+    )
+    per_bucket = withb.groupBy("bucket").agg(
+        F.sum("n_neg").alias("bucket_neg")
+    )
+    w_bucket = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bucket_base = per_bucket.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_neg").over(w_bucket), F.lit(0)).alias(
+            "neg_before_bucket"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("logit")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    terms = (
+        withb.join(F.broadcast(bucket_base), "bucket")
+        .withColumn(
+            "neg_below",
+            F.col("neg_before_bucket")
+            + F.coalesce(F.sum("n_neg").over(w_in), F.lit(0)),
+        )
+        .select(
+            (
+                F.col("n_pos").cast("double")
+                * (
+                    F.col("neg_below").cast("double")
+                    + F.col("n_neg").cast("double") / 2
+                )
+            ).alias("t"),
+            "n_pos",
+            "n_neg",
+        )
+    )
+    denom = F.sum("n_pos").cast("double") * F.sum("n_neg").cast("double")
+    return terms.agg(
+        F.sum("n_pos").cast("bigint").alias("n_pos"),
+        F.sum("n_neg").cast("bigint").alias("n_neg"),
+        # AUC is undefined with a single-class label set (possible at
+        # tiny SFs) — report NULL, matching the oracle's NULLIF
+        F.round(F.sum("t") / F.nullif(denom, F.lit(0.0)), 6).alias("auc"),
+    )
+
+
+def _model_auc_sql() -> str:
+    return f"""
+WITH m AS ( {_qmodel_sql()} ), scored AS (
+  SELECT m.logit, CASE WHEN {_SQL_QSCORE} >= 0.7 THEN 1 ELSE 0 END AS y
+  FROM m JOIN documents d ON m.doc_id = d.doc_id
+), per_score AS (
+  SELECT logit, CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(1 - y) AS BIGINT) AS n_neg
+  FROM scored GROUP BY logit
+), bounds AS (SELECT MIN(logit) AS lo, MAX(logit) AS hi FROM per_score),
+withb AS (
+  SELECT logit, n_pos, n_neg,
+         CASE WHEN hi > lo
+              THEN least(255, CAST(floor((logit - lo) / (hi - lo) * 256)
+                                   AS INTEGER))
+              ELSE 0 END AS bucket
+  FROM per_score CROSS JOIN bounds
+), per_bucket AS (
+  SELECT bucket, SUM(n_neg) AS bucket_neg FROM withb GROUP BY bucket
+), bucket_base AS (
+  SELECT bucket,
+         COALESCE(SUM(bucket_neg) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS neg_before_bucket
+  FROM per_bucket
+), terms AS (
+  SELECT w.n_pos, w.n_neg,
+         w.n_pos::DOUBLE *
+         ((b.neg_before_bucket
+           + COALESCE(SUM(w.n_neg) OVER (PARTITION BY w.bucket
+               ORDER BY w.logit
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          )::DOUBLE + w.n_neg::DOUBLE / 2) AS t
+  FROM withb w JOIN bucket_base b USING (bucket)
+)
+SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+       round(SUM(t) / NULLIF(SUM(n_pos)::DOUBLE * SUM(n_neg)::DOUBLE, 0.0),
+             6) AS auc
+FROM terms
+"""
+
+
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping — the first transform every
+    web-crawl curation pipeline applies: drop tags, decode the five
+    core character entities, collapse runs of whitespace, and report
+    how much markup was removed. The HTML fixture wraps each document
+    deterministically (doc_id residues pick the wrapper: <p>/<div> +
+    <b> islands, a <script> block that must vanish ENTIRELY — tag AND
+    content — and &amp;-escaped text), so stripping has real work to
+    undo at every SF and the oracle mirrors the wrap + strip
+    expression-for-expression.
+
+    100 TB shape: map-only row-local regexp chain — zero Exchange.
+    Regexes stay in the Java∩DuckDB common dialect."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    open_tag = (
+        F.when(d % 3 == 0, F.lit("<p class=\"x\">"))
+        .when(d % 3 == 1, F.lit("<div id='a'>"))
+        .otherwise(F.lit("<article>"))
+    )
+    close_tag = (
+        F.when(d % 3 == 0, F.lit("</p>"))
+        .when(d % 3 == 1, F.lit("</div>"))
+        .otherwise(F.lit("</article>"))
+    )
+    script = F.when(
+        d % 4 == 0,
+        F.lit("<script>var x = 1 &amp;&amp; 2;</script>"),
+    ).otherwise(F.lit(""))
+    amp_text = F.when(d % 2 == 0, F.lit(" Fish &amp; chips &lt;here&gt;")).otherwise(
+        F.lit("")
+    )
+    html = F.concat(
+        open_tag,
+        F.regexp_replace(F.col("text"), r"(\w+) (\w+) ", r"$1 <b>$2</b> "),
+        amp_text,
+        script,
+        close_tag,
+    )
+    no_script = F.regexp_replace(
+        html, r"<script[^>]*>.*?</script>", " "
+    )
+    no_tags = F.regexp_replace(no_script, r"<[^>]+>", " ")
+    decoded = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(no_tags, "&amp;", "&"),
+                    "&lt;", "<",
+                ),
+                "&gt;", ">",
+            ),
+            "&quot;", "\"",
+        ),
+        "&#39;", "'",
+    )
+    clean = F.trim(F.regexp_replace(decoded, r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.length(html).cast("long").alias("n_html_chars"),
+        F.length(clean).cast("long").alias("n_clean_chars"),
+        clean.alias("clean_text"),
+    )
+
+
+TEXT_HTML_STRIP_SQL = r"""
+WITH wrapped AS (
+  SELECT doc_id,
+    (CASE doc_id % 3 WHEN 0 THEN '<p class="x">'
+                     WHEN 1 THEN '<div id=''a''>'
+                     ELSE '<article>' END)
+    || regexp_replace(text, '(\w+) (\w+) ', '\1 <b>\2</b> ', 'g')
+    || (CASE WHEN doc_id % 2 = 0 THEN ' Fish &amp; chips &lt;here&gt;'
+        ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 0
+        THEN '<script>var x = 1 &amp;&amp; 2;</script>' ELSE '' END)
+    || (CASE doc_id % 3 WHEN 0 THEN '</p>'
+                        WHEN 1 THEN '</div>'
+                        ELSE '</article>' END) AS html
+  FROM documents
+), stripped AS (
+  SELECT doc_id, html,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(
+        regexp_replace(
+          regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'g'),
+          '<[^>]+>', ' ', 'g'),
+        '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        '&#39;', ''''),
+      '\s+', ' ', 'g')) AS clean
+  FROM wrapped
+)
+SELECT doc_id,
+       CAST(length(html) AS BIGINT) AS n_html_chars,
+       CAST(length(clean) AS BIGINT) AS n_clean_chars,
+       clean AS clean_text
+FROM stripped
+"""
+
+
+def multimodal_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base64 transport-encoding round-trip over binary payloads — the
+    wire format every API-boundary ingest (webhooks, JSON event
+    streams, model-serving payloads) forces onto binary columns:
+    encode the magic-header payload to base64 text, decode it back,
+    and prove losslessness by comparing sha256 digests of the original
+    and the round-tripped bytes. Output carries the b64 length (≈ 4/3
+    the byte length, padded) so size-planning math is visible too.
+
+    100 TB shape: map-only row-local codec expressions — zero
+    Exchange. DuckDB mirrors with to_base64/from_base64; Spark's
+    base64() folds output with \\r\\n every 76 chars (MIME), so the
+    expression strips the folds to the canonical unwrapped form both
+    engines agree on."""
+    pay = M.with_magic_payload(_docs(spark, sf_dir)).select("doc_id", "payload")
+    b64 = F.regexp_replace(F.base64("payload"), r"[\r\n]", "")
+    return pay.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.length(b64).cast("long").alias("n_b64_chars"),
+        F.sha2(F.hex("payload"), 256).alias("digest_orig"),
+        F.sha2(F.hex(F.unbase64(b64)), 256).alias("digest_roundtrip"),
+        (
+            F.sha2(F.hex("payload"), 256)
+            == F.sha2(F.hex(F.unbase64(b64)), 256)
+        ).alias("lossless"),
+    )
+
+
+MULTIMODAL_B64_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         (CASE doc_id % 4 WHEN 0 THEN unhex('89504E470D0A1A0A')
+                          WHEN 1 THEN unhex('FFD8FFE0')
+                          WHEN 2 THEN unhex('474946383761')
+                          ELSE unhex('') END) || encode(text) AS payload
+  FROM documents
+), enc AS (
+  SELECT doc_id, payload, to_base64(payload) AS b64 FROM p
+)
+SELECT doc_id,
+       CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+       CAST(length(b64) AS BIGINT) AS n_b64_chars,
+       sha256(hex(payload)) AS digest_orig,
+       sha256(hex(from_base64(b64))) AS digest_roundtrip,
+       sha256(hex(payload)) = sha256(hex(from_base64(b64))) AS lossless
+FROM enc
+"""
+
+
+def dataset_kfold_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment + per-fold
+    balance report — the split mechanics an eval harness needs beyond
+    the train/val/test hash split: fold = md5-uniform of doc_id over
+    k=5 (content-independent, so re-runs and backfills land identically),
+    and the report proves the folds are usable (row count, token sum,
+    per-source min/max share) in one glance. Output is the per-(fold,
+    source) grid so imbalance is visible at the grain that matters for
+    stratified training.
+
+    100 TB shape: fold assignment is a row-local md5 expression; the
+    report is ONE mergeable (fold, source) aggregate."""
+    docs = _docs(spark, sf_dir)
+    k = 5
+    fold = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("fold:"),
+                                          F.col("doc_id").cast("string"))), 1, 8),
+               16, 10).cast("long") % k
+    )
+    ntok = F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+    return (
+        docs.select(
+            fold.alias("fold"),
+            "source",
+            ntok.alias("ntok"),
+        )
+        .groupBy("fold", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("n_tokens"),
+            F.min("ntok").cast("bigint").alias("min_tokens"),
+            F.max("ntok").cast("bigint").alias("max_tokens"),
+        )
+    )
+
+
+DATASET_KFOLD_SQL = r"""
+SELECT ('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         % 5 AS fold,
+       source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+            AS BIGINT) AS n_tokens,
+       CAST(MIN(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+            AS BIGINT) AS min_tokens,
+       CAST(MAX(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+            AS BIGINT) AS max_tokens
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_html_strip": QuerySpec(
+        text_html_strip, TEXT_HTML_STRIP_SQL, "text"),
+    "multimodal_base64_roundtrip": QuerySpec(
+        multimodal_base64_roundtrip, MULTIMODAL_B64_SQL, "multimodal"),
+    "dataset_kfold_splits": QuerySpec(
+        dataset_kfold_splits, DATASET_KFOLD_SQL, "pipeline"),
+    "eval_model_auc": QuerySpec(
+        eval_model_auc, _model_auc_sql(), "quality",
+        plan_waivers={
+            "bnlj": "1-row score-bounds scalar attach",
+            "global_window": (
+                "cross-bucket cumulative runs over the 256-row bucket "
+                "frame (O(1)); within-bucket windows are partitioned"),
+        }),
     "text_sentence_stats": QuerySpec(
         text_sentence_stats, TEXT_SENTENCE_STATS_SQL, "text"),
     "dedup_typo_neighborhood": QuerySpec(

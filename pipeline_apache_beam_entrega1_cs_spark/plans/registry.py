@@ -89,6 +89,11 @@ DRIVER_PRIORITY: list[str] = [
     "text_sentence_stats",
     "timeseries_survival_km",
     "dataset_curriculum_interleave",
+    "eval_model_auc",
+    "text_html_strip",
+    "multimodal_base64_roundtrip",
+    "dataset_kfold_splits",
+    "dq_event_freshness",
     # --- (c) r04-only back-fill, execution-heaviest first (24 slots;
     # the remaining 26 r04-only names are listed in ROTATION.md and
     # form the round-10 back-fill) ---
@@ -100,18 +105,14 @@ DRIVER_PRIORITY: list[str] = [
     "sink_orc_roundtrip",
     "pack_token_budget",
     "key_skew_profile",
-    "join_sort_merge",
-    "join_broadcast_dim",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    # (join_semi, join_anti, join_range_nonequi, join_asof_events,
+    # (join_sort_merge, join_broadcast_dim, join_left/right/full_outer,
+    # join_semi, join_anti, join_range_nonequi, join_asof_events,
     # skew_salted_agg, q3_shipping_priority, q5_region_revenue,
     # window_rank, window_lag_lead, window_distribution,
-    # window_running_frames displaced past slot 50 by the ELEVEN
-    # round-9 additions; q3/q5, join_asof_events and
+    # window_running_frames displaced past slot 50 by the SIXTEEN
+    # round-9 additions; q3/q5, join_sort_merge, join_asof_events and
     # window_running_frames stay execution-covered by bench.py every
-    # round, and all eleven displaced names rejoin the round-10
+    # round, and all sixteen displaced names rejoin the round-10
     # back-fill)
 ]
 
