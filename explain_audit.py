@@ -131,6 +131,22 @@ AUDIT = [
     "dq_referential_integrity",
     "timeseries_seasonal_residual",
     "agg_gini_concentration",
+    # round-9 additions
+    "cdc_apply_changelog",
+    "maintenance_snapshot_diff",
+    "scd2_build_from_changes",
+    "dedup_typo_neighborhood",
+    "eval_quality_agreement",
+    "agg_mode_per_group",
+    "dq_column_profile",
+    "text_sentence_stats",
+    "timeseries_survival_km",
+    "dataset_curriculum_interleave",
+    "eval_model_auc",
+    "text_html_strip",
+    "multimodal_base64_roundtrip",
+    "dataset_kfold_splits",
+    "dq_event_freshness",
 ]
 
 
@@ -172,6 +188,18 @@ NOTES = {
         "RELEASE the candidate/pair caches (ADVICE r7: no cache "
         "accumulation across invocations); the plan shown is the cached "
         "final frame over the full lineage"
+    ),
+    "eval_model_auc": (
+        "plan-TEXT inflation: the quality-model scoring subtree is "
+        "re-printed at each reference (per-score collapse + the 1-row "
+        "bounds and 256-row bucket-base attaches — the waived BNLJs); "
+        "executed work is one scoring pass, one per-distinct-score "
+        "aggregate, and windows over the 256-bucket frame"
+    ),
+    "timeseries_survival_km": (
+        "the BNLJ count is the waived 1-row observation-end and "
+        "total-count scalar attaches re-printed per reference; the "
+        "cumulative windows run over the #distinct-exit-days frame"
     ),
 }
 
