@@ -94,6 +94,7 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_base64_roundtrip",
     "dataset_kfold_splits",
     "dq_event_freshness",
+    "streaming_cdc_apply_state",
     # --- (c) r04-only back-fill, execution-heaviest first (24 slots;
     # the remaining 26 r04-only names are listed in ROTATION.md and
     # form the round-10 back-fill) ---
@@ -102,7 +103,8 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_stream_left_join",
     "dataset_build_pipeline",
     "sink_parquet_roundtrip",
-    "sink_orc_roundtrip",
+    # (sink_orc_roundtrip displaced by streaming_cdc_apply_state —
+    # seventeenth round-9 addition; rejoins the round-10 back-fill)
     "pack_token_budget",
     "key_skew_profile",
     # (join_sort_merge, join_broadcast_dim, join_left/right/full_outer,

@@ -674,7 +674,31 @@ def _url_dedup_sql() -> str:
     return DEDUP_URL_CANONICALIZE_SQL
 
 
+def streaming_cdc_apply_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC changelog compaction: the orders-derived change
+    stream replayed as FOUR micro-batches through a foreachBatch MERGE
+    that keeps per-key (max seq, op/payload at max seq, summed change
+    count) — arg-max-by-seq composes associatively, so cold replay over
+    any batch slicing equals the one-shot batch compaction
+    (streaming/sinks.CdcApplyMergeSink); the streaming twin of
+    cdc_apply_changelog. Tombstones stay in state and filter at
+    read-off, mirroring the batch HAVING. Exactly-once via in-state
+    commit markers + crash-safe swap."""
+    from ..streaming.sinks import run_cdc_apply_stream
+
+    return run_cdc_apply_stream(spark, sf_dir)
+
+
+def _cdc_apply_sql() -> str:
+    from .pipeline_ops import CDC_APPLY_SQL
+
+    return CDC_APPLY_SQL
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "streaming_cdc_apply_state": QuerySpec(
+        streaming_cdc_apply_state, _cdc_apply_sql(), "streaming"
+    ),
     "streaming_url_dedup_state": QuerySpec(
         streaming_url_dedup_state, _url_dedup_sql(), "streaming"
     ),

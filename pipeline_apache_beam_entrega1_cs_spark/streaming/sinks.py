@@ -1505,3 +1505,124 @@ def run_url_dedup_stream(spark, sf_dir: str):
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+class CdcApplyMergeSink:
+    """``foreachBatch`` MERGE for streaming CDC changelog compaction —
+    the streaming twin of plans/pipeline_ops.cdc_apply_changelog: each
+    arriving micro-batch of sequenced changes collapses to per-key
+    partials (max seq, the op/payload AT that max seq, change count)
+    and MERGEs into the state table by last-writer-wins.
+
+    The merge is associative because arg-max-by-seq composes: merging
+    two partials keeps the one with the larger last_seq (seq =
+    o_orderkey is unique, so there are no ties to break) and SUMS the
+    change counts — so cold replay over any batch slicing equals the
+    one-shot batch compaction the SQL oracle computes. Delete
+    tombstones are kept IN STATE (a later batch may carry an older
+    seq for the key after a crash-replay; dropping early would lose
+    the max-seq evidence) and filtered at read-off, exactly like the
+    batch plan's HAVING. Exactly-once follows the FingerprintMergeSink
+    contract (in-state ``_merged_N`` markers, rename-aside crash
+    recovery). At 100 TB each batch shuffles one mergeable hash-agg of
+    its own keys and state is one row per live-or-tombstoned key —
+    the Delta/Hudi MERGE INTO economics without a table format."""
+
+    def __init__(self, state_dir: str) -> None:
+        self.state = state_dir
+        os.makedirs(os.path.dirname(state_dir), exist_ok=True)
+
+    def is_committed(self, batch_id: int) -> bool:
+        return _state_committed(self.state, batch_id)
+
+    @staticmethod
+    def _collapse(df):
+        from pyspark.sql import functions as F
+
+        return df.groupBy("key").agg(
+            F.max("seq").alias("last_seq"),
+            F.max_by("op", "seq").alias("last_op"),
+            F.max_by("price", "seq").alias("price"),
+            F.sum("n_changes").cast("bigint").alias("n_changes"),
+        )
+
+    def __call__(self, batch_df, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return  # replayed delivery of a committed batch: no-op
+        from pyspark.sql import functions as F
+
+        inc = self._collapse(
+            batch_df.select(
+                "key", "seq", "op", "price", F.lit(1).alias("n_changes")
+            )
+        )
+        prev = _current_state(self.state)
+        if prev is not None:
+            inc = self._collapse(
+                batch_df.sparkSession.read.parquet(prev)
+                .selectExpr(
+                    "key", "last_seq AS seq", "last_op AS op", "price",
+                    "n_changes",
+                )
+                .unionByName(
+                    inc.selectExpr(
+                        "key", "last_seq AS seq", "last_op AS op", "price",
+                        "n_changes",
+                    )
+                )
+            )
+        tmp = f"{self.state}_tmp{batch_id}"
+        inc.write.mode("overwrite").parquet(tmp)  # materializes BEFORE swap
+        _install_state(self.state, tmp, batch_id)  # marker atomic w/ state
+
+
+def run_cdc_apply_stream(spark, sf_dir: str):
+    """Streaming CDC compaction end-to-end: the orders-derived changelog
+    replayed as FOUR micro-batches through a CdcApplyMergeSink; returns
+    the live snapshot (tombstoned keys filtered at read-off)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..schemas import ensure_session_confs
+
+    ensure_session_confs(spark)
+    work = tempfile.mkdtemp(prefix="graft_cdcapply_")
+    try:
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        raw = o.select(
+            (F.col("o_orderkey") % 20000).alias("key"),
+            F.col("o_orderkey").alias("seq"),
+            F.when(F.col("o_orderkey") % 11 == 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.col("o_totalprice").alias("price"),
+        )
+        src = _stage_slices(raw, work, "seq")
+        sink = CdcApplyMergeSink(os.path.join(work, "state"))
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = (
+            spark.read.parquet(sink.state)
+            .filter(F.col("last_op") != "D")
+            .select("key", "last_seq", "price", "n_changes")
+        )
+        # Materialize before the finally deletes the backing files;
+        # the snapshot is bounded by distinct keys (<= 20000 by the
+        # key residue construction).
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -719,3 +719,60 @@ def test_streaming_url_dedup_replay(spark, sf_dir, tmp_path):
         assert sink.is_committed(b)
         sink(replay, b)
     assert report(state) == batch_expected
+
+
+def test_streaming_cdc_apply_replay(spark, sf_dir, tmp_path):
+    """Streaming CDC compaction: (1) end-to-end equals the one-shot
+    batch compaction (arg-max-by-seq merges associatively); (2)
+    replaying a committed batch id is a no-op; (3) a stranded
+    rename-aside state is recovered."""
+    import os
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.pipeline_ops as P
+    from pipeline_apache_beam_entrega1_cs_spark.plans.windows_batch import (
+        streaming_cdc_apply_state,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.streaming.sinks import (
+        CdcApplyMergeSink,
+    )
+
+    cols = ["key", "last_seq", "price", "n_changes"]
+    batch_expected = rows_multiset(
+        P.cdc_apply_changelog(spark, sf_dir).select(*cols)
+    )
+
+    out = streaming_cdc_apply_state(spark, sf_dir)
+    assert rows_multiset(out.select(*cols)) == batch_expected
+
+    # drive the sink directly with 3 manual slices
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    raw = o.select(
+        (F.col("o_orderkey") % 20000).alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_totalprice").alias("price"),
+    )
+    state = str(tmp_path / "cdc" / "state")
+    sink = CdcApplyMergeSink(state)
+    slices = [raw.filter(F.col("seq") % 3 == i) for i in range(3)]
+    sink(slices[0], 0)
+    sink(slices[1], 1)
+    os.rename(state, f"{state}_old42")  # crash between swap renames
+    sink(slices[2], 2)
+
+    def snapshot(path):
+        return rows_multiset(
+            spark.read.parquet(path)
+            .filter(F.col("last_op") != "D")
+            .select(*cols)
+        )
+
+    assert snapshot(state) == batch_expected
+
+    replay = raw.limit(9)
+    for b in (0, 1, 2):
+        assert sink.is_committed(b)
+        sink(replay, b)
+    assert snapshot(state) == batch_expected
