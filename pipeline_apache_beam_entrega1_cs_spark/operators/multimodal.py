@@ -681,6 +681,12 @@ def cdc_chunk_stats(docs_with_payload: DataFrame,
         .filter(F.size("_v") >= _CDC_W)
         .withColumn("_n", F.size("_v"))
     )
+    # NOTE (round 9): an explicit-count repartition before this explode
+    # (the dedup._shuffle_partitions pattern) was A/B-measured and
+    # REVERTED — 2.72 s -> 4.68 s at sf0.1: the position arithmetic is
+    # already codegen'd and pipelined inside the scan stage, so the
+    # extra exchange (and the second read of `base` it splits off for
+    # the boundary join) costs more than the added parallelism buys.
     pos = base.select(
         "doc_id", "_v",
         F.explode(F.sequence(F.lit(_CDC_W), F.col("_n"))).alias("i"),
