@@ -682,11 +682,11 @@ def cdc_chunk_stats(docs_with_payload: DataFrame,
         .withColumn("_n", F.size("_v"))
     )
     # NOTE (round 9): an explicit-count repartition before this explode
-    # (the dedup._shuffle_partitions pattern) was A/B-measured and
-    # REVERTED — 2.72 s -> 4.68 s at sf0.1: the position arithmetic is
-    # already codegen'd and pipelined inside the scan stage, so the
-    # extra exchange (and the second read of `base` it splits off for
-    # the boundary join) costs more than the added parallelism buys.
+    # (the dedup._shuffle_partitions pattern) was A/B-measured on a
+    # quiet machine and made NO difference (3.354 s vs 3.348 s at
+    # sf0.1) — unlike the interpreted-HOF MinHash stage, this position
+    # arithmetic is codegen'd and cheap enough that the single-split
+    # scan stage is not the bottleneck; kept exchange-free.
     pos = base.select(
         "doc_id", "_v",
         F.explode(F.sequence(F.lit(_CDC_W), F.col("_n"))).alias("i"),
