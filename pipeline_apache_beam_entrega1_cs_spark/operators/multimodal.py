@@ -754,3 +754,93 @@ def cdc_chunk_stats(docs_with_payload: DataFrame,
             ).alias("n_shared_chunks"),
         )
     )
+
+
+def _npy_header(descr: str, shape: int) -> str:
+    """NumPy .npy v1.0 header dict string, space-padded so the full
+    preamble (6-byte magic + 2-byte version + 2-byte header length +
+    header) is 64-byte aligned and newline-terminated — the exact
+    layout numpy.lib.format writes."""
+    h = "{'descr': '%s', 'fortran_order': False, 'shape': (%d,), }" % (
+        descr, shape,
+    )
+    base = 10 + len(h) + 1
+    pad = (64 - base % 64) % 64
+    return h + " " * pad + "\n"
+
+
+def with_npy_payload(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """Deterministic .npy container fixture over the embeddings table:
+    each vector gets a byte payload in NumPy's .npy v1.0 layout —
+    magic \\x93NUMPY, version (1,0), little-endian uint16 header
+    length, the padded header dict, then a data section of the correct
+    byte length (dtype '<f8' for even vec_ids, '<f4' for odd — so the
+    parser's itemsize arithmetic is exercised, not constant). The
+    first 8 data bytes carry the big-endian vec_id (row-unique, so the
+    parse can prove it read the DATA region, not just the header);
+    the rest are zeros. Mirrored byte-for-byte by the SQL oracle."""
+    h8, h4 = _npy_header("<f8", dim), _npy_header("<f4", dim)
+
+    def preamble(h: str) -> bytes:
+        return (
+            b"\x93NUMPY\x01\x00"
+            + bytes([len(h) % 256, len(h) // 256])
+            + h.encode()
+        )
+
+    def tail(nbytes: int) -> bytes:
+        return bytes(nbytes - 8)
+
+    even = F.lit(preamble(h8))
+    odd = F.lit(preamble(h4))
+    id_be = F.unhex(F.lpad(F.hex(F.col("vec_id")), 16, "0"))
+    return emb.select(
+        "vec_id",
+        F.concat(
+            F.when(F.col("vec_id") % 2 == 0, even).otherwise(odd),
+            id_be,
+            F.when(
+                F.col("vec_id") % 2 == 0, F.lit(tail(dim * 8))
+            ).otherwise(F.lit(tail(dim * 4))),
+        ).alias("payload"),
+    )
+
+
+def npy_header_meta(npy: DataFrame) -> DataFrame:
+    """Parse .npy container metadata with pure expressions — the
+    tensor-interchange sibling of the PNG IHDR / RIFF WAV parsers: the
+    format detect + shape/dtype audit a training pipeline runs over a
+    directory of serialized arrays before mmap-ing them. Validates the
+    magic, reads the little-endian header length, extracts descr and
+    shape from the header dict via regex, checks the data-section byte
+    length against shape x itemsize, and proves data-region access by
+    recovering the big-endian id planted in the first 8 data bytes.
+
+    100 TB shape: fixed-offset BINARY substring + conv arithmetic,
+    O(1) per row, zero shuffle — binary substring is a byte slice
+    (never the O(len²) string-substring trap, SCALING.md round 9)."""
+    p = F.col("payload")
+    magic_ok = F.hex(F.substring(p, 1, 6)) == "934E554D5059"
+    ver_major = F.conv(F.hex(F.substring(p, 7, 1)), 16, 10).cast("long")
+    hlen = (
+        F.conv(F.hex(F.substring(p, 9, 1)), 16, 10).cast("long")
+        + 256 * F.conv(F.hex(F.substring(p, 10, 1)), 16, 10).cast("long")
+    )
+    header = F.substring(p, 11, hlen.cast("int")).cast("string")
+    descr = F.regexp_extract(header, "'descr': '([^']+)'", 1)
+    shape = F.regexp_extract(header, r"'shape': \((\d+),", 1).cast("long")
+    itemsize = F.regexp_extract(descr, r"(\d+)$", 1).cast("long")
+    data_len = F.length(p).cast("long") - 10 - hlen
+    embedded_id = F.conv(
+        F.hex(F.substring(p, (11 + hlen).cast("int"), 8)), 16, 10
+    ).cast("long")
+    return npy.select(
+        "vec_id",
+        magic_ok.alias("magic_ok"),
+        ver_major.alias("ver_major"),
+        hlen.alias("header_len"),
+        descr.alias("dtype"),
+        shape.alias("shape"),
+        (data_len == shape * itemsize).alias("data_len_ok"),
+        (embedded_id == F.col("vec_id")).alias("data_roundtrip_ok"),
+    )

@@ -3442,7 +3442,234 @@ GROUP BY 1, 2
 """
 
 
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring against a seen corpus — the freshness
+    gate an incremental crawl applies before paying to keep a document
+    (a doc whose 3-grams are all already in the corpus adds nothing
+    even if it is not an exact/near duplicate of any single doc): the
+    even-doc_id half plays the SEEN corpus, and every odd-doc_id doc
+    reports how many of its distinct 3-gram shingles are absent from
+    it.
+
+    100 TB shape: the seen side is a distinct-shingle key table (never
+    documents); scoring is ONE left equi-join on shingle keys + one
+    mergeable per-doc aggregate — dedup_ngram_jaccard's index shape
+    without the pair stage. Docs shorter than 3 tokens have no
+    shingles and produce no row (the ngram_shingles contract)."""
+    sh = D.ngram_shingles(_docs(spark, sf_dir), 3)
+    seen = (
+        sh.filter(F.col("doc_id") % 2 == 0).select("shingle").distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    new = sh.filter(F.col("doc_id") % 2 == 1)
+    return (
+        new.join(seen, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.col("_seen").isNull().cast("long")).cast("bigint").alias(
+                "n_novel"
+            ),
+        )
+        .withColumn(
+            "novelty",
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+TEXT_NGRAM_NOVELTY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents WHERE trim(text) <> ''
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS g(i)
+  WHERE len(tk) >= 3
+), seen AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0
+), newsh AS (
+  SELECT doc_id, shingle FROM sh WHERE doc_id % 2 = 1
+)
+SELECT n.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN s.shingle IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(SUM(CASE WHEN s.shingle IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*), 6) AS novelty
+FROM newsh n LEFT JOIN seen s USING (shingle)
+GROUP BY n.doc_id
+"""
+
+
+def eval_pr_curve_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 ladder over nine fixed score thresholds —
+    the operating-point table that turns eval_model_auc's single
+    number into a deployable cutoff choice: thresholds are the 10%
+    grid points of the observed logit RANGE (static min/max bounds —
+    the calibrated-bounds move the quantile/histogram family uses),
+    predictions are logit >= t, labels are the heuristic gate at 0.7.
+
+    100 TB shape: per-distinct-score counts (one mergeable agg) cross
+    the 9-row threshold frame — O(|distinct scores| x 9) — then one
+    9-group aggregate; every metric derives from exact integer
+    TP/FP/FN cells."""
+    model = text_quality_model(spark, sf_dir).select("doc_id", "logit")
+    labels = _docs(spark, sf_dir).select(
+        "doc_id",
+        (T.quality_score_col(F.col("text")) >= 0.7).cast("long").alias("y"),
+    )
+    per_score = (
+        model.join(labels, "doc_id")
+        .groupBy("logit")
+        .agg(
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.sum(1 - F.col("y")).cast("bigint").alias("n_neg"),
+        )
+    )
+    bounds = per_score.agg(
+        F.min("logit").alias("lo"), F.max("logit").alias("hi")
+    )
+    grid = spark.range(1, 10).select(F.col("id").cast("int").alias("i"))
+    thr = grid.crossJoin(F.broadcast(bounds)).select(
+        "i",
+        (
+            F.col("lo")
+            + F.col("i").cast("double") * (F.col("hi") - F.col("lo")) / 10
+        ).alias("t"),
+    )
+    cells = (
+        per_score.crossJoin(F.broadcast(thr))
+        .groupBy("i", "t")
+        .agg(
+            F.sum(F.when(F.col("logit") >= F.col("t"), F.col("n_pos"))
+                  .otherwise(0)).cast("bigint").alias("tp"),
+            F.sum(F.when(F.col("logit") >= F.col("t"), F.col("n_neg"))
+                  .otherwise(0)).cast("bigint").alias("fp"),
+            F.sum(F.when(F.col("logit") < F.col("t"), F.col("n_pos"))
+                  .otherwise(0)).cast("bigint").alias("fn"),
+        )
+    )
+    tp, fp, fn = (F.col(c).cast("double") for c in ("tp", "fp", "fn"))
+    prec = tp / F.nullif(tp + fp, F.lit(0.0))
+    rec = tp / F.nullif(tp + fn, F.lit(0.0))
+    f1 = 2 * tp / F.nullif(2 * tp + fp + fn, F.lit(0.0))
+    return cells.select(
+        F.col("i").cast("long").alias("threshold_idx"),
+        F.round("t", 6).alias("threshold"),
+        "tp", "fp", "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def _pr_curve_sql() -> str:
+    return f"""
+WITH m AS ( {_qmodel_sql()} ), scored AS (
+  SELECT m.logit, CASE WHEN {_SQL_QSCORE} >= 0.7 THEN 1 ELSE 0 END AS y
+  FROM m JOIN documents d ON m.doc_id = d.doc_id
+), per_score AS (
+  SELECT logit, CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(1 - y) AS BIGINT) AS n_neg
+  FROM scored GROUP BY logit
+), bounds AS (SELECT MIN(logit) AS lo, MAX(logit) AS hi FROM per_score),
+thr AS (
+  SELECT i, lo + i::DOUBLE * (hi - lo) / 10 AS t
+  FROM generate_series(1, 9) AS g(i) CROSS JOIN bounds
+), cells AS (
+  SELECT i, t,
+         CAST(SUM(CASE WHEN logit >= t THEN n_pos ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN logit >= t THEN n_neg ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN logit < t THEN n_pos ELSE 0 END) AS BIGINT) AS fn
+  FROM per_score CROSS JOIN thr
+  GROUP BY i, t
+)
+SELECT CAST(i AS BIGINT) AS threshold_idx, round(t, 6) AS threshold,
+       tp, fp, fn,
+       round(tp::DOUBLE / NULLIF(tp + fp, 0), 6) AS precision,
+       round(tp::DOUBLE / NULLIF(tp + fn, 0), 6) AS recall,
+       round(2 * tp::DOUBLE / NULLIF(2 * tp + fp + fn, 0), 6) AS f1
+FROM cells
+"""
+
+
+def multimodal_npy_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NumPy .npy container metadata parse
+    (operators/multimodal.npy_header_meta over with_npy_payload): the
+    tensor-interchange sibling of the PNG IHDR / RIFF WAV parsers —
+    magic/version validation, little-endian header length, descr/shape
+    regex extraction, data-length-vs-shape check, and a planted
+    big-endian id recovered from the data region. The fixture
+    alternates '<f8'/'<f4' dtypes so the itemsize arithmetic is
+    exercised."""
+    return M.npy_header_meta(M.with_npy_payload(_emb(spark, sf_dir)))
+
+
+def _npy_meta_sql() -> str:
+    from ..operators.multimodal import _npy_header
+
+    h8, h4 = M._npy_header("<f8", 64), _npy_header("<f4", 64)
+
+    def preamble_hex(h: str) -> str:
+        return (
+            "934E554D50590100"
+            + f"{len(h) % 256:02X}{len(h) // 256:02X}"
+            + h.encode().hex().upper()
+        )
+
+    return f"""
+WITH p AS (
+  SELECT vec_id,
+         (CASE WHEN vec_id % 2 = 0 THEN unhex('{preamble_hex(h8)}')
+               ELSE unhex('{preamble_hex(h4)}') END)
+         || unhex(lpad(ltrim(hex(vec_id), '0'), 16, '0'))
+         || (CASE WHEN vec_id % 2 = 0 THEN unhex(repeat('00', 504))
+             ELSE unhex(repeat('00', 248)) END) AS payload
+  FROM embeddings
+), hx AS (
+  SELECT vec_id, payload, hex(payload) AS h FROM p
+), parsed AS (
+  SELECT vec_id, payload, h,
+         substr(h, 1, 12) = '934E554D5059' AS magic_ok,
+         ('0x' || substr(h, 13, 2))::BIGINT AS ver_major,
+         ('0x' || substr(h, 17, 2))::BIGINT
+           + 256 * ('0x' || substr(h, 19, 2))::BIGINT AS header_len
+  FROM hx
+), meta AS (
+  SELECT vec_id, payload, h, magic_ok, ver_major, header_len,
+         decode(unhex(substr(h, 21, CAST(header_len * 2 AS INTEGER))))
+           AS header
+  FROM parsed
+)
+SELECT vec_id, magic_ok, ver_major, header_len,
+       regexp_extract(header, '''descr'': ''([^'']+)''', 1) AS dtype,
+       CAST(regexp_extract(header, '''shape'': \\((\\d+),', 1) AS BIGINT)
+         AS shape,
+       (octet_length(payload) - 10 - header_len)
+         = CAST(regexp_extract(header, '''shape'': \\((\\d+),', 1) AS BIGINT)
+           * CAST(regexp_extract(
+               regexp_extract(header, '''descr'': ''([^'']+)''', 1),
+               '(\\d+)$', 1) AS BIGINT) AS data_len_ok,
+       ('0x' || substr(h, CAST(21 + header_len * 2 AS INTEGER), 16))::BIGINT
+         = vec_id AS data_roundtrip_ok
+FROM meta
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "multimodal_npy_meta": QuerySpec(
+        multimodal_npy_meta, _npy_meta_sql(), "multimodal"),
+    "text_ngram_novelty": QuerySpec(
+        text_ngram_novelty, TEXT_NGRAM_NOVELTY_SQL, "text"),
+    "eval_pr_curve_thresholds": QuerySpec(
+        eval_pr_curve_thresholds, _pr_curve_sql(), "quality",
+        plan_waivers={"bnlj": (
+            "1-row score-bounds attach + 9-row threshold-grid "
+            "broadcast (O(1) both)")}),
     "text_html_strip": QuerySpec(
         text_html_strip, TEXT_HTML_STRIP_SQL, "text"),
     "multimodal_base64_roundtrip": QuerySpec(

@@ -95,18 +95,21 @@ DRIVER_PRIORITY: list[str] = [
     "dataset_kfold_splits",
     "dq_event_freshness",
     "streaming_cdc_apply_state",
+    "agg_weighted_percentile",
+    "text_ngram_novelty",
+    "eval_pr_curve_thresholds",
+    "multimodal_npy_meta",
     # --- (c) r04-only back-fill, execution-heaviest first (24 slots;
     # the remaining 26 r04-only names are listed in ROTATION.md and
     # form the round-10 back-fill) ---
     "streaming_foreach_batch_sink",
     "streaming_rollup_upsert",
     "streaming_stream_left_join",
-    "dataset_build_pipeline",
-    "sink_parquet_roundtrip",
-    # (sink_orc_roundtrip displaced by streaming_cdc_apply_state —
-    # seventeenth round-9 addition; rejoins the round-10 back-fill)
-    "pack_token_budget",
-    "key_skew_profile",
+    # (dataset_build_pipeline, sink_parquet_roundtrip,
+    # sink_orc_roundtrip, pack_token_budget, key_skew_profile displaced
+    # by the 18th-21st round-9 additions; they rejoin the round-10
+    # back-fill — the three streaming sinks/joins keep their slots as
+    # the execution-heaviest stale surfaces)
     # (join_sort_merge, join_broadcast_dim, join_left/right/full_outer,
     # join_semi, join_anti, join_range_nonequi, join_asof_events,
     # skew_salted_agg, q3_shipping_priority, q5_region_revenue,

@@ -164,6 +164,84 @@ GROUP BY l_returnflag
 """
 
 
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted percentiles (p25/p50/p75) per group — the
+    generalization of agg_weighted_median to a percentile ladder: per
+    l_returnflag, the first l_extendedprice whose running
+    quantity-weight reaches p of the group total, evaluated from ONE
+    cumulative pass (the three thresholds are integer-arithmetic
+    filters 4·cumw >= totw / 2·cumw >= totw / 4·cumw >= 3·totw — no
+    interpolation, every answer is an input value, so cross-engine
+    equality is exact by construction).
+
+    Scale shape: the same single partitioned sort per group as the
+    median (no global window); the three percentile slices reuse the
+    one windowed frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = (
+        li.select(
+            "l_returnflag",
+            "l_extendedprice",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .withColumn("cumw", F.sum("qty").over(w))
+        .withColumn("totw", F.sum("qty").over(wall))
+    )
+    slices = []
+    for label, lhs, rhs in (
+        ("p25", 4, 1),
+        ("p50", 2, 1),
+        ("p75", 4, 3),
+    ):
+        slices.append(
+            cum.filter(lhs * F.col("cumw") >= rhs * F.col("totw"))
+            .groupBy("l_returnflag")
+            .agg(
+                F.lit(label).alias("pct"),
+                F.min("l_extendedprice").alias("value"),
+                F.max("totw").alias("total_weight"),
+            )
+            .select("l_returnflag", "pct", "value", "total_weight")
+        )
+    out = slices[0]
+    for s in slices[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+AGG_WEIGHTED_PCTL_SQL = """
+WITH cum AS (
+  SELECT l_returnflag, l_extendedprice,
+         SUM(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS UNBOUNDED PRECEDING) AS cumw,
+         SUM(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag) AS totw
+  FROM lineitem
+)
+SELECT l_returnflag, 'p25' AS pct, MIN(l_extendedprice) AS value,
+       CAST(MAX(totw) AS BIGINT) AS total_weight
+FROM cum WHERE 4 * cumw >= totw GROUP BY l_returnflag
+UNION ALL
+SELECT l_returnflag, 'p50', MIN(l_extendedprice),
+       CAST(MAX(totw) AS BIGINT)
+FROM cum WHERE 2 * cumw >= totw GROUP BY l_returnflag
+UNION ALL
+SELECT l_returnflag, 'p75', MIN(l_extendedprice),
+       CAST(MAX(totw) AS BIGINT)
+FROM cum WHERE 4 * cumw >= 3 * totw GROUP BY l_returnflag
+"""
+
+
 def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running COUNT(DISTINCT) — the window aggregate SQL engines
     refuse to evaluate directly (DISTINCT inside a running frame):
@@ -1916,6 +1994,8 @@ QUERIES: dict[str, QuerySpec] = {
     "agg_percentiles": QuerySpec(agg_percentiles, AGG_PERCENTILES_SQL, "aggregation"),
     "agg_weighted_median": QuerySpec(
         agg_weighted_median, AGG_WEIGHTED_MEDIAN_SQL, "aggregation"),
+    "agg_weighted_percentile": QuerySpec(
+        agg_weighted_percentile, AGG_WEIGHTED_PCTL_SQL, "aggregation"),
     "higher_order_functions": QuerySpec(higher_order_functions, HIGHER_ORDER_SQL, "scalar_fn"),
     "agg_collect_sorted": QuerySpec(agg_collect_sorted, AGG_COLLECT_SORTED_SQL, "aggregation"),
     "agg_min_max_by": QuerySpec(agg_min_max_by, AGG_MIN_MAX_BY_SQL, "aggregation"),
