@@ -60,7 +60,11 @@ def _shingle_arrays(docs: DataFrame, n: int) -> DataFrame:
     )
     return (
         docs.select("doc_id", tokens(F.col("text")).alias("_tk"))
-        .repartition("doc_id")
+        # explicit count: REPARTITION_BY_COL lets AQE size this
+        # exchange by BYTES and coalesce it to ~1 partition, leaving
+        # the downstream shingle/md5 work single-core (the
+        # _shuffle_partitions lesson, SCALING.md round 9)
+        .repartition(_shuffle_partitions(docs), "doc_id")
         .select(
             "doc_id",
             F.array_distinct(
