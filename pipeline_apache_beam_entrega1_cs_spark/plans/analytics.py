@@ -4017,7 +4017,168 @@ GROUP BY event_type
 """
 
 
+def geo_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial proximity self-join via grid bucketing — the
+    scale-correct form of "find all user pairs within 50 km": each
+    point lands in a 1°x1° cell, one side replicates to its 9-cell
+    neighborhood (at |lat| <= 60° a 1° cell is >= 55 km wide, so a
+    50 km radius can never escape the neighborhood — the containment
+    argument that makes the candidate join LOSSLESS), candidates
+    equi-join on the cell key, and the exact haversine filter runs
+    row-local. The all-pairs O(n²) alternative is structurally absent
+    — this is the same inverted-index discipline as the dedup family,
+    in space.
+
+    Coordinates are a deterministic fixture over user ids (documents
+    ship no geo columns): lat in [-60, 60), lon in [-180, 180) from
+    integer residues, identical in the oracle. Distances round to 3 dp
+    before the threshold compare so both engines gate on the same
+    number. 100 TB shape: one explode x9, ONE equi shuffle on cell
+    keys, mergeable output."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    lat = (F.col("user_id") * 7919 % 12000).cast("double") / 100 - 60
+    lon = (F.col("user_id") * 104729 % 36000).cast("double") / 100 - 180
+    pts = users.select(
+        "user_id", lat.alias("lat"), lon.alias("lon"),
+        F.floor(lat).cast("long").alias("clat"),
+        F.floor(lon).cast("long").alias("clon"),
+    )
+    a = pts.select(
+        F.col("user_id").alias("user_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        "clat", "clon",
+    )
+    b = pts.select(
+        F.col("user_id").alias("user_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dy -> "
+                "transform(sequence(-1, 1), dx -> "
+                "struct(clat + dy AS clat, clon + dx AS clon))))"
+            )
+        ).alias("c"),
+    ).select("user_b", "lat_b", "lon_b", "c.clat", "c.clon")
+    dlat = F.radians(F.col("lat_b") - F.col("lat_a"))
+    dlon = F.radians(F.col("lon_b") - F.col("lon_a"))
+    h = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(F.radians("lat_a"))
+        * F.cos(F.radians("lat_b"))
+        * F.pow(F.sin(dlon / 2), 2)
+    )
+    dist = F.round(2 * 6371.0 * F.asin(F.sqrt(h)), 3)
+    return (
+        a.join(b, ["clat", "clon"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .select("user_a", "user_b", dist.alias("dist_km"))
+        .filter(F.col("dist_km") <= 50.0)
+    )
+
+
+GEO_BUCKET_JOIN_SQL = """
+WITH users AS (SELECT DISTINCT user_id FROM events),
+pts AS (
+  SELECT user_id,
+         (user_id * 7919 % 12000)::DOUBLE / 100 - 60 AS lat,
+         (user_id * 104729 % 36000)::DOUBLE / 100 - 180 AS lon
+  FROM users
+), cells AS (
+  SELECT user_id, lat, lon,
+         CAST(floor(lat) AS BIGINT) AS clat,
+         CAST(floor(lon) AS BIGINT) AS clon
+  FROM pts
+), b AS (
+  SELECT user_id AS user_b, lat AS lat_b, lon AS lon_b,
+         clat + dy AS clat, clon + dx AS clon
+  FROM cells, UNNEST(generate_series(-1, 1)) AS g1(dy),
+       UNNEST(generate_series(-1, 1)) AS g2(dx)
+)
+SELECT a.user_id AS user_a, b.user_b,
+       round(2 * 6371.0 * asin(sqrt(
+         pow(sin(radians(lat_b - a.lat) / 2), 2)
+         + cos(radians(a.lat)) * cos(radians(lat_b))
+           * pow(sin(radians(lon_b - a.lon) / 2), 2))), 3) AS dist_km
+FROM cells a JOIN b USING (clat, clon)
+WHERE a.user_id < b.user_b
+  AND round(2 * 6371.0 * asin(sqrt(
+        pow(sin(radians(lat_b - a.lat) / 2), 2)
+        + cos(radians(a.lat)) * cos(radians(lat_b))
+          * pow(sin(radians(lon_b - a.lon) / 2), 2))), 3) <= 50.0
+"""
+
+
+def analytics_dau_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users + cumulative unique users — the growth
+    dashboard's two headline series, computed the mergeable way: DAU is
+    a per-(day) distinct count; cumulative uniques do NOT re-distinct
+    an ever-growing prefix (the naive form is quadratic state) but
+    reduce each user to a FIRST-SEEN day (one mergeable min aggregate)
+    and cumulative-sum the per-day first-seen counts.
+
+    100 TB shape: two mergeable aggregates (per-(day,user) then
+    per-day) + one cumulative window over the #distinct-days frame
+    (O(observation window), waived) — user-volume data never meets a
+    window."""
+    ev = _t(spark, sf_dir, "events")
+    day_user = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    dau = day_user.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    first_seen = (
+        day_user.groupBy("user_id")
+        .agg(F.min("day").alias("first_day"))
+        .groupBy(F.col("first_day").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dau.join(first_seen, "day", "left")
+        .withColumn(
+            "n_new_users", F.coalesce("n_new_users", F.lit(0).cast("bigint"))
+        )
+        .withColumn(
+            "cumulative_users", F.sum("n_new_users").over(w).cast("bigint")
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau", "n_new_users", "cumulative_users",
+        )
+    )
+
+
+ANALYTICS_DAU_SQL = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day
+), fs AS (
+  SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new_users
+  FROM (SELECT user_id, MIN(day) AS first_day FROM du GROUP BY user_id)
+  GROUP BY first_day
+)
+SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau,
+       CAST(COALESCE(fs.n_new_users, 0) AS BIGINT) AS n_new_users,
+       CAST(SUM(COALESCE(fs.n_new_users, 0)) OVER (
+         ORDER BY dau.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cumulative_users
+FROM dau LEFT JOIN fs ON dau.day = fs.day
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "analytics_dau_cumulative": QuerySpec(
+        analytics_dau_cumulative, ANALYTICS_DAU_SQL, "analytics",
+        plan_waivers={"global_window": (
+            "cumulative window runs over the #distinct-days frame "
+            "(O(observation window)), never over users")}),
+    "geo_bucket_join": QuerySpec(
+        geo_bucket_join, GEO_BUCKET_JOIN_SQL, "join"),
     "dq_column_profile": QuerySpec(
         dq_column_profile, DQ_COLUMN_PROFILE_SQL, "dq"),
     "dq_event_freshness": QuerySpec(

@@ -3660,7 +3660,82 @@ FROM meta
 """
 
 
+_MOJIBAKE_MAP = [
+    ("Ã©", "é"),        # Ã©  -> é
+    ("Ã¼", "ü"),        # Ã¼  -> ü
+    ("â€™", "’"),  # â€™ -> ’
+    ("â€“", "–"),  # â€“ -> –
+]
+
+
+def text_mojibake_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair — the ftfy-style pass every web-crawl corpus
+    needs (UTF-8 bytes mis-decoded as Latin-1 leave 'Ã©' where 'é'
+    belongs): fix the four most common double-encoding artifacts with
+    chained replaces and report how many were repaired per doc. The
+    fixture plants the artifacts deterministically (doc_id residues
+    pick which suffix corrupts), so the fix has measurable work at
+    every SF and the oracle mirrors both plant and repair verbatim.
+
+    100 TB shape: map-only row-local string replaces — zero Exchange."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    suffix = (
+        F.when(d % 4 == 0, F.lit(" cafÃ© rÃ©sumÃ©"))
+        .when(d % 4 == 1, F.lit(" MÃ¼nchenâ€™s"))
+        .when(d % 4 == 2, F.lit(" 2019â€“2020"))
+        .otherwise(F.lit(""))
+    )
+    dirty = F.concat(F.col("text"), suffix)
+    n_bad = sum(
+        (
+            (F.length(dirty) - F.length(F.replace(dirty, F.lit(bad))))
+            / len(bad)
+            for bad, _ in _MOJIBAKE_MAP
+        ),
+        F.lit(0),
+    ).cast("long")
+    clean = dirty
+    for bad, good in _MOJIBAKE_MAP:
+        clean = F.replace(clean, F.lit(bad), F.lit(good))
+    return docs.select(
+        "doc_id",
+        n_bad.alias("n_mojibake"),
+        F.length(dirty).cast("long").alias("n_dirty_chars"),
+        F.length(clean).cast("long").alias("n_clean_chars"),
+        clean.alias("clean_text"),
+    )
+
+
+def _mojibake_sql() -> str:
+    plant = (
+        "(CASE doc_id % 4"
+        " WHEN 0 THEN ' cafÃ© rÃ©sumÃ©'"
+        " WHEN 1 THEN ' MÃ¼nchenâ€™s'"
+        " WHEN 2 THEN ' 2019â€“2020'"
+        " ELSE '' END)"
+    )
+    dirty = f"(text || {plant})"
+    n_bad_terms = " + ".join(
+        f"(length({dirty}) - length(replace({dirty}, '{bad}', ''))) / {len(bad)}"
+        for bad, _ in _MOJIBAKE_MAP
+    )
+    clean = dirty
+    for bad, good in _MOJIBAKE_MAP:
+        clean = f"replace({clean}, '{bad}', '{good}')"
+    return f"""
+SELECT doc_id,
+       CAST({n_bad_terms} AS BIGINT) AS n_mojibake,
+       CAST(length({dirty}) AS BIGINT) AS n_dirty_chars,
+       CAST(length({clean}) AS BIGINT) AS n_clean_chars,
+       {clean} AS clean_text
+FROM documents
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_mojibake_fix": QuerySpec(
+        text_mojibake_fix, _mojibake_sql(), "text"),
     "multimodal_npy_meta": QuerySpec(
         multimodal_npy_meta, _npy_meta_sql(), "multimodal"),
     "text_ngram_novelty": QuerySpec(

@@ -99,12 +99,16 @@ DRIVER_PRIORITY: list[str] = [
     "text_ngram_novelty",
     "eval_pr_curve_thresholds",
     "multimodal_npy_meta",
+    "geo_bucket_join",
+    "text_mojibake_fix",
+    "analytics_dau_cumulative",
     # --- (c) r04-only back-fill, execution-heaviest first (24 slots;
     # the remaining 26 r04-only names are listed in ROTATION.md and
     # form the round-10 back-fill) ---
-    "streaming_foreach_batch_sink",
-    "streaming_rollup_upsert",
-    "streaming_stream_left_join",
+    # (streaming_foreach_batch_sink, streaming_rollup_upsert,
+    # streaming_stream_left_join displaced by the 22nd-24th round-9
+    # additions; they rejoin the round-10 back-fill — the window is now
+    # 26 never-checked round-8 entries + 24 round-9 additions)
     # (dataset_build_pipeline, sink_parquet_roundtrip,
     # sink_orc_roundtrip, pack_token_budget, key_skew_profile displaced
     # by the 18th-21st round-9 additions; they rejoin the round-10
