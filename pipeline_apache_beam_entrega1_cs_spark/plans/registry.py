@@ -11,18 +11,19 @@ regardless of order. Per-round window history lives in
 plus the CORRECTNESS_r{N}.json files.
 
 CURRENT WINDOW (round 9; r08 had zero failures): (a) the 26
-never-driver-checked fourth-session round-8 additions, first; (b)
-round-9 additions; (c) back-fill with r04-only entries,
-execution-heaviest first (streaming sinks/joins,
-dataset_build_pipeline, parquet/ORC roundtrips, pack_token_budget,
-key_skew_profile, the join family, then windows). r04-only names the
-window can't hold are listed in ROTATION.md and become the round-10
-back-fill.
+never-driver-checked fourth-session round-8 additions, first; (b) the
+24 round-9 additions — together they fill the window exactly, so the
+planned r04-only back-fill slipped entirely to round 10 (never-checked
+entries outrank stale-but-many-times-green re-checks; full list in
+ROTATION.md).
 
 ROUND 10 CHORE: promote (a) any r09 failures, (b) round-10 additions,
-(c) the r04-only entries still outside the round-9 window (see the
-trailing comment in DRIVER_PRIORITY), (d) back-fill with r05-only
-entries, stalest/execution-heaviest first.
+(c) the FIFTY r04-only entries (none got a round-9 slot),
+execution-heaviest first: the three streaming sinks/joins,
+dataset_build_pipeline, parquet/ORC roundtrips, pack_token_budget,
+key_skew_profile, the join family, then windows/aggs (full list in
+ROTATION.md round-9 section); (d) back-fill with r05-only entries,
+stalest/execution-heaviest first.
 """
 
 from __future__ import annotations
