@@ -147,6 +147,13 @@ AUDIT = [
     "multimodal_base64_roundtrip",
     "dataset_kfold_splits",
     "dq_event_freshness",
+    "agg_weighted_percentile",
+    "text_ngram_novelty",
+    "eval_pr_curve_thresholds",
+    "multimodal_npy_meta",
+    "geo_bucket_join",
+    "text_mojibake_fix",
+    "analytics_dau_cumulative",
 ]
 
 
