@@ -1243,3 +1243,85 @@ def test_kfold_splits_deterministic_and_complete(spark, sf_dir):
     assert sum(r.n_docs for r in rows) == n_docs
     b = L.dataset_kfold_splits(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, b))
+
+
+def test_geo_bucket_join_matches_bruteforce(spark):
+    """The 9-neighbor grid candidate join must be LOSSLESS for the 50 km
+    radius: compare against an all-pairs haversine over a small planted
+    point set, including pairs that straddle cell borders."""
+    from unittest import mock
+    import math
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    # user ids chosen so the derived points include close pairs across
+    # cell borders and far pairs; plus exhaustive brute force below
+    ids = [(i,) for i in range(0, 400, 7)]
+    ev = spark.createDataFrame(ids, "user_id long")
+    with mock.patch.object(A, "_t", lambda sp, sf, t: ev):
+        got = {(r.user_a, r.user_b): r.dist_km
+               for r in A.geo_bucket_join(spark, "ignored").collect()}
+
+    def pt(u):
+        return ((u * 7919 % 12000) / 100 - 60, (u * 104729 % 36000) / 100 - 180)
+
+    def hav(a, b):
+        (la1, lo1), (la2, lo2) = pt(a), pt(b)
+        p1, p2 = math.radians(la1), math.radians(la2)
+        dphi = math.radians(la2 - la1)
+        dlmb = math.radians(lo2 - lo1)
+        h = (math.sin(dphi / 2) ** 2
+             + math.cos(p1) * math.cos(p2) * math.sin(dlmb / 2) ** 2)
+        return round(2 * 6371.0 * math.asin(math.sqrt(h)), 3)
+
+    us = [u for (u,) in ids]
+    expect = {(a, b): hav(a, b)
+              for i, a in enumerate(us) for b in us[i + 1:]
+              if a < b and hav(a, b) <= 50.0}
+    assert set(got) == set(expect), (
+        sorted(set(expect) - set(got))[:5], sorted(set(got) - set(expect))[:5])
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-6, (k, got[k], v)
+
+
+def test_mojibake_fix_repairs_all_planted(spark, sf_dir):
+    """Every planted artifact is repaired (no mojibake patterns survive
+    in clean_text) and the repair is idempotent in character count:
+    n_clean_chars == n_dirty_chars - sum(len(bad) - len(good))*counts."""
+    import pipeline_apache_beam_entrega1_cs_spark.plans.llm_data as L
+
+    rows = L.text_mojibake_fix(spark, sf_dir).collect()
+    assert any(r.n_mojibake > 0 for r in rows)
+    for r in rows:
+        for bad, _ in L._MOJIBAKE_MAP:
+            assert bad not in r.clean_text, (r.doc_id, bad)
+
+
+def test_weighted_percentile_vs_bruteforce(spark, sf_dir):
+    """p25/p50/p75 against a plain-Python weighted-percentile spec on
+    the real lineitem slice."""
+    from collections import defaultdict
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.relational2 as R2
+
+    got = {(r.l_returnflag, r.pct): (r.value, r.total_weight)
+           for r in R2.agg_weighted_percentile(spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber",
+        "l_quantity").collect()
+    groups = defaultdict(list)
+    for r in li:
+        groups[r.l_returnflag].append(
+            (r.l_extendedprice, r.l_orderkey, r.l_linenumber,
+             int(r.l_quantity)))
+    for flag, rows in groups.items():
+        rows.sort()
+        tot = sum(q for *_, q in rows)
+        for pct, num, den in (("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4)):
+            cum = 0
+            for price, *_rest, q in rows:
+                cum += q
+                if den * cum >= num * tot:
+                    assert got[(flag, pct)] == (price, tot), (
+                        flag, pct, got[(flag, pct)], price, tot)
+                    break

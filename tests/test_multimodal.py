@@ -336,3 +336,39 @@ def test_audio_trim_bounds_spec(spark):
     assert r1.kept_frames == 4 and r1.n_frames == 12
     r5 = rows[5]
     assert r5.kept_frames == 0 and r5.first_loud is None
+def test_npy_payload_matches_real_numpy(spark):
+    """The .npy fixture must be byte-identical to numpy.save output for
+    the same dtype/shape (zero data): if numpy's writer and our
+    expression-built container ever disagree, the parser is being
+    tested against a fantasy format."""
+    import io
+
+    import numpy as np
+
+    from pipeline_apache_beam_entrega1_cs_spark.operators.multimodal import (
+        npy_header_meta,
+        with_npy_payload,
+    )
+
+    emb = spark.createDataFrame([(0,), (1,)], "vec_id long")
+    rows = {r.vec_id: bytes(r.payload)
+            for r in with_npy_payload(emb, dim=64).collect()}
+
+    for vec_id, dtype in ((0, "<f8"), (1, "<f4")):
+        buf = io.BytesIO()
+        np.save(buf, np.zeros(64, dtype=dtype))
+        ref = bytearray(buf.getvalue())
+        got = rows[vec_id]
+        # our fixture plants the big-endian vec_id in the first 8 data
+        # bytes; zero it to compare the container layout
+        data_start = len(ref) - 64 * (8 if dtype == "<f8" else 4)
+        got_zeroed = bytearray(got)
+        got_zeroed[data_start:data_start + 8] = b"\x00" * 8
+        assert bytes(got_zeroed) == bytes(ref), (
+            vec_id, got[:80], bytes(ref)[:80])
+
+    meta = {r.vec_id: r for r in
+            npy_header_meta(with_npy_payload(emb, dim=64)).collect()}
+    assert meta[0].dtype == "<f8" and meta[1].dtype == "<f4"
+    assert all(m.magic_ok and m.data_len_ok and m.data_roundtrip_ok
+               and m.shape == 64 for m in meta.values())
