@@ -103,27 +103,16 @@ DRIVER_PRIORITY: list[str] = [
     "geo_bucket_join",
     "text_mojibake_fix",
     "analytics_dau_cumulative",
-    # --- (c) r04-only back-fill, execution-heaviest first (24 slots;
-    # the remaining 26 r04-only names are listed in ROTATION.md and
-    # form the round-10 back-fill) ---
-    # (streaming_foreach_batch_sink, streaming_rollup_upsert,
-    # streaming_stream_left_join displaced by the 22nd-24th round-9
-    # additions; they rejoin the round-10 back-fill — the window is now
-    # 26 never-checked round-8 entries + 24 round-9 additions)
-    # (dataset_build_pipeline, sink_parquet_roundtrip,
-    # sink_orc_roundtrip, pack_token_budget, key_skew_profile displaced
-    # by the 18th-21st round-9 additions; they rejoin the round-10
-    # back-fill — the three streaming sinks/joins keep their slots as
-    # the execution-heaviest stale surfaces)
-    # (join_sort_merge, join_broadcast_dim, join_left/right/full_outer,
-    # join_semi, join_anti, join_range_nonequi, join_asof_events,
-    # skew_salted_agg, q3_shipping_priority, q5_region_revenue,
-    # window_rank, window_lag_lead, window_distribution,
-    # window_running_frames displaced past slot 50 by the SIXTEEN
-    # round-9 additions; q3/q5, join_sort_merge, join_asof_events and
-    # window_running_frames stay execution-covered by bench.py every
-    # round, and all sixteen displaced names rejoin the round-10
-    # back-fill)
+    # The window is full: 26 never-checked round-8 entries + the 24
+    # round-9 additions above. The 25th round-9 addition
+    # (streaming_freshness_state, below at slot 51) plus the entire
+    # FIFTY-entry r04-only back-fill (streaming sinks/joins,
+    # dataset_build_pipeline, sink roundtrips, pack_token_budget,
+    # key_skew_profile, the join/window families — full list in
+    # ROTATION.md) carry over to the round-10 window. q1/q3/q5,
+    # join_sort_merge, join_asof_events and window_running_frames stay
+    # execution-covered by bench.py every round regardless.
+    "streaming_freshness_state",
 ]
 
 

@@ -695,7 +695,47 @@ def _cdc_apply_sql() -> str:
     return CDC_APPLY_SQL
 
 
+def streaming_freshness_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming event-time freshness monitor: events replayed as FOUR
+    micro-batches through a foreachBatch MERGE keeping a per-(type,
+    hour-bucket) grid of (count, min ts, max ts) — all sum/min/max, so
+    cold replay equals the one-shot batch audit — with the freshness
+    report (counts, epoch bounds, per-type lag vs the high-water mark,
+    and the trailing 24 COMPLETE hour buckets) served as a pure
+    read-off of the grid (streaming/sinks.FreshnessMergeSink); the
+    streaming twin of dq_event_freshness, at the bucket grain a
+    streaming monitor can answer exactly (the sub-hour-exact window is
+    the batch entry's job). Exactly-once via in-state commit markers +
+    crash-safe swap."""
+    from ..streaming.sinks import run_freshness_stream
+
+    return run_freshness_stream(spark, sf_dir)
+
+
+STREAMING_FRESHNESS_SQL = """
+WITH hwm AS (
+  SELECT MAX(ts) AS hwm, date_trunc('hour', MAX(ts)) AS hwm_hour
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS min_epoch_s,
+       CAST(floor(epoch(MAX(ts))) AS BIGINT) AS max_epoch_s,
+       CAST((CAST(floor(epoch(MAX(hwm))) AS BIGINT)
+             - CAST(floor(epoch(MAX(ts))) AS BIGINT)) // 60 AS BIGINT)
+         AS lag_minutes,
+       CAST(SUM(CASE WHEN date_trunc('hour', ts)
+                          >= hwm_hour - INTERVAL 23 HOURS
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_last_24_buckets
+FROM events CROSS JOIN hwm
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "streaming_freshness_state": QuerySpec(
+        streaming_freshness_state, STREAMING_FRESHNESS_SQL, "streaming"
+    ),
     "streaming_cdc_apply_state": QuerySpec(
         streaming_cdc_apply_state, _cdc_apply_sql(), "streaming"
     ),

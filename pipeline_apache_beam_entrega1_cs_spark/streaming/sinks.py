@@ -1626,3 +1626,130 @@ def run_cdc_apply_stream(spark, sf_dir: str):
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+class FreshnessMergeSink:
+    """``foreachBatch`` MERGE for the streaming event-time freshness
+    monitor — the twin of plans/analytics.dq_event_freshness and the
+    form that audit actually RUNS as (freshness is a property of an
+    ingest, so the monitor belongs on the stream): per batch, each
+    event_type's (count, min ts, max ts) partials merge into state by
+    sum/min/max — all associative, so cold replay over any batch
+    slicing equals the one-shot batch audit. The trailing-24 h count
+    and per-type lag are NOT state (they depend on the high-water
+    mark, which moves): they are computed at read-off from a
+    per-(type, hour-bucket) count grid kept in state — bucket counts
+    are sums (mergeable), and any window anchored at the final HWM is
+    a read-off over O(#types x #hours) rows. Exactly-once follows the
+    FingerprintMergeSink contract."""
+
+    def __init__(self, state_dir: str) -> None:
+        self.state = state_dir
+        os.makedirs(os.path.dirname(state_dir), exist_ok=True)
+
+    def is_committed(self, batch_id: int) -> bool:
+        return _state_committed(self.state, batch_id)
+
+    def __call__(self, batch_df, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return  # replayed delivery of a committed batch: no-op
+        from pyspark.sql import functions as F
+
+        inc = batch_df.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        prev = _current_state(self.state)
+        if prev is not None:
+            inc = (
+                batch_df.sparkSession.read.parquet(prev)
+                .unionByName(inc)
+                .groupBy("event_type", "hour_bucket")
+                .agg(
+                    F.sum("n_events").cast("long").alias("n_events"),
+                    F.min("min_ts").alias("min_ts"),
+                    F.max("max_ts").alias("max_ts"),
+                )
+            )
+        tmp = f"{self.state}_tmp{batch_id}"
+        inc.write.mode("overwrite").parquet(tmp)  # materializes BEFORE swap
+        _install_state(self.state, tmp, batch_id)  # marker atomic w/ state
+
+
+def run_freshness_stream(spark, sf_dir: str):
+    """Streaming freshness monitor end-to-end: events replayed as FOUR
+    micro-batches through a FreshnessMergeSink; the final per-type
+    freshness report (counts, epoch bounds, lag vs HWM, trailing-24 h
+    count) is a pure read-off of the (type, hour-bucket) state grid."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..schemas import ensure_session_confs, normalize_nanos_ts
+
+    ensure_session_confs(spark)
+    work = tempfile.mkdtemp(prefix="graft_fresh_")
+    try:
+        raw = normalize_nanos_ts(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        ).select("event_id", "ts", "event_type")
+        src = _stage_slices(raw, work, "event_id")
+        sink = FreshnessMergeSink(os.path.join(work, "state"))
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        state = spark.read.parquet(sink.state)
+        hwm = state.agg(
+            F.max("max_ts").alias("hwm"),
+            F.date_trunc("hour", F.max("max_ts")).alias("hwm_hour"),
+        )
+        out = (
+            state.crossJoin(F.broadcast(hwm))
+            .withColumn(
+                "in_window",
+                F.col("hour_bucket")
+                >= F.col("hwm_hour") - F.expr("INTERVAL 23 HOURS"),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.sum("n_events").cast("bigint").alias("n_events"),
+                F.unix_timestamp(F.min("min_ts")).alias("min_epoch_s"),
+                F.unix_timestamp(F.max("max_ts")).alias("max_epoch_s"),
+                (
+                    (
+                        F.unix_timestamp(F.max("hwm"))
+                        - F.unix_timestamp(F.max("max_ts"))
+                    )
+                    / 60
+                ).cast("bigint").alias("lag_minutes"),
+                # bucket-aligned trailing day: the last 24 COMPLETE hour
+                # buckets up to the HWM hour — the window a bucket-grain
+                # monitor can answer exactly (the sub-hour-exact variant
+                # is the batch entry dq_event_freshness); mirrored by
+                # this entry's own oracle
+                F.sum(
+                    F.when(F.col("in_window"), F.col("n_events")).otherwise(0)
+                ).cast("bigint").alias("n_last_24_buckets"),
+            )
+        )
+        # Materialize before the finally deletes the backing files; the
+        # report is one row per event type.
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
