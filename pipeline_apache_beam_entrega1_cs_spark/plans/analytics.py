@@ -4171,7 +4171,207 @@ FROM dau LEFT JOIN fs ON dau.day = fs.day
 """
 
 
+_LTTB_BUCKETS = 64
+
+
+def timeseries_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB-style series downsampling (Steinarsson's
+    largest-triangle-three-buckets, the dashboard standard) in its
+    PARALLEL bucket-local form: the per-user value series is split into
+    a fixed number of equal-rank buckets; each bucket keeps the point
+    with the largest triangle area against its NEIGHBOR BUCKETS' mean
+    points. Classic LTTB anchors on the previously SELECTED point — a
+    sequential dependency no engine can parallelize — so this uses the
+    standard parallel relaxation (prev-bucket mean instead of
+    prev-selected point); the deviation is documented because it is
+    the price of scale, and it only moves picks in near-degenerate
+    buckets.
+
+    Determinism: point coordinates are micro-unit integers
+    (floor(v·1e6), floored epoch seconds); bucket means divide exact
+    integer sums, so both engines derive identical doubles and the
+    cross-product comparison is engine-exact; ties break on event_id. 100 TB shape: per-(user) windows for rank/bucket (never
+    global), one mergeable (user, bucket) mean pass, one bucket-local
+    argmax — every stage keyed on user."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    U = 1_000_000
+    w_rank = Window.partitionBy("user_id").orderBy("x", "event_id")
+    w_cnt = Window.partitionBy("user_id")
+    base = ev.select(
+        "user_id", "event_id",
+        F.unix_timestamp("ts").alias("x"),
+        F.floor(F.col("value") * U).cast("long").alias("ym"),
+    ).withColumn("rk", F.row_number().over(w_rank)).withColumn(
+        "n", F.count(F.lit(1)).over(w_cnt)
+    )
+    b = F.least(
+        F.lit(_LTTB_BUCKETS - 1),
+        ((F.col("rk") - 1) * _LTTB_BUCKETS / F.col("n")).cast("int"),
+    )
+    pts = base.select("user_id", "event_id", "x", "ym", b.alias("bucket"))
+    means = pts.groupBy("user_id", "bucket").agg(
+        F.avg("x").alias("mx"), F.avg("ym").alias("my")
+    )
+    prev = means.select(
+        "user_id", (F.col("bucket") + 1).alias("bucket"),
+        F.col("mx").alias("px"), F.col("my").alias("py"),
+    )
+    nxt = means.select(
+        "user_id", (F.col("bucket") - 1).alias("bucket"),
+        F.col("mx").alias("nx"), F.col("my").alias("ny"),
+    )
+    tri = (
+        pts.join(prev, ["user_id", "bucket"], "left")
+        .join(nxt, ["user_id", "bucket"], "left")
+        # boundary buckets have no prev/next neighbor: anchor on the
+        # point itself (area 0 -> min event_id wins, deterministic)
+        .withColumn("px", F.coalesce("px", F.col("x").cast("double")))
+        .withColumn("py", F.coalesce("py", F.col("ym").cast("double")))
+        .withColumn("nx", F.coalesce("nx", F.col("x").cast("double")))
+        .withColumn("ny", F.coalesce("ny", F.col("ym").cast("double")))
+        .withColumn(
+            "area2",
+            F.abs(
+                (F.col("px") - F.col("nx")) * (F.col("ym") - F.col("ny"))
+                - (F.col("px") - F.col("x")) * (F.col("py") - F.col("ny"))
+            ),
+        )
+    )
+    w_pick = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("area2").desc(), F.col("event_id").asc()
+    )
+    return (
+        tri.withColumn("pick", F.row_number().over(w_pick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "user_id",
+            F.col("bucket").cast("long").alias("bucket"),
+            "event_id",
+            F.col("x").alias("epoch_s"),
+            F.round(F.col("ym").cast("double") / U, 6).alias("value"),
+        )
+    )
+
+
+TIMESERIES_LTTB_SQL = f"""
+WITH raw AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS x,
+         CAST(floor(value * 1000000) AS BIGINT) AS ym
+  FROM events WHERE value IS NOT NULL
+), base AS (
+  SELECT user_id, event_id, x, ym,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY x, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM raw
+), pts AS (
+  SELECT user_id, event_id, x, ym,
+         least({_LTTB_BUCKETS - 1},
+               CAST(floor((rk - 1) * {_LTTB_BUCKETS} / n) AS INTEGER))
+           AS bucket
+  FROM base
+), means AS (
+  SELECT user_id, bucket, AVG(x) AS mx, AVG(ym) AS my
+  FROM pts GROUP BY user_id, bucket
+), tri AS (
+  SELECT p.user_id, p.bucket, p.event_id, p.x, p.ym,
+         COALESCE(pv.mx, p.x::DOUBLE) AS px,
+         COALESCE(pv.my, p.ym::DOUBLE) AS py,
+         COALESCE(nx.mx, p.x::DOUBLE) AS nxx,
+         COALESCE(nx.my, p.ym::DOUBLE) AS nyy
+  FROM pts p
+  LEFT JOIN means pv ON pv.user_id = p.user_id AND pv.bucket = p.bucket - 1
+  LEFT JOIN means nx ON nx.user_id = p.user_id AND nx.bucket = p.bucket + 1
+), areas AS (
+  SELECT user_id, bucket, event_id, x, ym,
+         abs((px - nxx) * (ym - nyy) - (px - x) * (py - nyy)) AS area2,
+         ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                            ORDER BY abs((px - nxx) * (ym - nyy)
+                                         - (px - x) * (py - nyy)) DESC,
+                                     event_id) AS pick
+  FROM tri
+)
+SELECT user_id, CAST(bucket AS BIGINT) AS bucket, event_id,
+       x AS epoch_s, round(ym::DOUBLE / 1000000, 6) AS value
+FROM areas WHERE pick = 1
+"""
+
+
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event_type — the outlier-robust mean a
+    metrics pipeline reports when trimming (dropping) rows would bias
+    small groups: values are CLAMPED to the group's exact p05/p95 order
+    statistics (rank-based picks, the first value whose rank reaches
+    ceil(q·n) — answers are input values, no interpolation), then
+    averaged in exact micro-unit integers so the mean is
+    partition-order independent.
+
+    100 TB shape: one per-(type) rank window (partitioned, never
+    global) to locate the two order statistics, a 5-row bounds frame
+    re-joined (broadcast), and one mergeable clamped-sum aggregate."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    U = 1_000_000
+    w_rank = Window.partitionBy("event_type").orderBy("ym", "event_id")
+    w_cnt = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type", "event_id",
+        F.floor(F.col("value") * U).cast("long").alias("ym"),
+    ).withColumn("rk", F.row_number().over(w_rank)).withColumn(
+        "n", F.count(F.lit(1)).over(w_cnt)
+    )
+    lo = ranked.filter(
+        F.col("rk") == F.ceil(F.col("n") * 0.05).cast("long")
+    ).select("event_type", F.col("ym").alias("lo_m"))
+    hi = ranked.filter(
+        F.col("rk") == F.ceil(F.col("n") * 0.95).cast("long")
+    ).select("event_type", F.col("ym").alias("hi_m"))
+    clamped = (
+        ranked.join(F.broadcast(lo), "event_type")
+        .join(F.broadcast(hi), "event_type")
+        .select(
+            "event_type",
+            F.greatest(
+                F.col("lo_m"), F.least(F.col("hi_m"), F.col("ym"))
+            ).alias("cm"),
+        )
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum("cm").cast("double") / F.count(F.lit(1)) / U, 6
+        ).alias("winsorized_mean"),
+    )
+
+
+AGG_WINSORIZED_SQL = """
+WITH ranked AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS ym,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY floor(value * 1000000), event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+), lo AS (
+  SELECT event_type, ym AS lo_m FROM ranked
+  WHERE rk = CAST(ceil(n * 0.05) AS BIGINT)
+), hi AS (
+  SELECT event_type, ym AS hi_m FROM ranked
+  WHERE rk = CAST(ceil(n * 0.95) AS BIGINT)
+)
+SELECT r.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(SUM(greatest(lo_m, least(hi_m, ym)))::DOUBLE / COUNT(*)
+             / 1000000, 6) AS winsorized_mean
+FROM ranked r JOIN lo USING (event_type) JOIN hi USING (event_type)
+GROUP BY r.event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "timeseries_lttb_downsample": QuerySpec(
+        timeseries_lttb_downsample, TIMESERIES_LTTB_SQL, "timeseries"),
+    "agg_winsorized_mean": QuerySpec(
+        agg_winsorized_mean, AGG_WINSORIZED_SQL, "aggregation"),
     "analytics_dau_cumulative": QuerySpec(
         analytics_dau_cumulative, ANALYTICS_DAU_SQL, "analytics",
         plan_waivers={"global_window": (

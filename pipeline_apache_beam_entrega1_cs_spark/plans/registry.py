@@ -113,6 +113,8 @@ DRIVER_PRIORITY: list[str] = [
     # join_sort_merge, join_asof_events and window_running_frames stay
     # execution-covered by bench.py every round regardless.
     "streaming_freshness_state",
+    "timeseries_lttb_downsample",
+    "agg_winsorized_mean",
 ]
 
 
