@@ -154,6 +154,8 @@ AUDIT = [
     "geo_bucket_join",
     "text_mojibake_fix",
     "analytics_dau_cumulative",
+    "timeseries_lttb_downsample",
+    "agg_winsorized_mean",
 ]
 
 
