@@ -1325,3 +1325,85 @@ def test_weighted_percentile_vs_bruteforce(spark, sf_dir):
                     assert got[(flag, pct)] == (price, tot), (
                         flag, pct, got[(flag, pct)], price, tot)
                     break
+
+
+def test_snapshot_diff_counts_by_construction(spark, sf_dir):
+    """The diff statuses must equal the residue-class construction:
+    added = keys with k%10==0 surviving B's %13 filter; removed = keys
+    with k%13==0 surviving A's %10 filter; changed = %7==0 keys present
+    in both (price doubling) MINUS any whose price is 0 (2*0 == 0 is
+    'unchanged'); everything else unchanged."""
+    import pipeline_apache_beam_entrega1_cs_spark.plans.pipeline_ops as P
+    from pyspark.sql import functions as F
+
+    out = {r.status: r.n_rows
+           for r in P.maintenance_snapshot_diff(spark, sf_dir).collect()}
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    added = o.filter((k % 10 == 0) & (k % 13 != 0)).count()
+    removed = o.filter((k % 10 != 0) & (k % 13 == 0)).count()
+    changed = o.filter(
+        (k % 10 != 0) & (k % 13 != 0) & (k % 7 == 0)
+        & (F.col("o_totalprice") != 0)
+    ).count()
+    unchanged = o.filter(
+        (k % 10 != 0) & (k % 13 != 0)
+        & ((k % 7 != 0) | (F.col("o_totalprice") == 0))
+    ).count()
+    assert out.get("added", 0) == added
+    assert out.get("removed", 0) == removed
+    assert out.get("changed", 0) == changed
+    assert out.get("unchanged", 0) == unchanged
+
+
+def test_scd2_build_versions_partition_time(spark, sf_dir):
+    """SCD2 build invariants on the real change stream: per key exactly
+    one open (is_current) version; consecutive versions chain
+    (valid_to == next valid_from); version count == change count."""
+    import pipeline_apache_beam_entrega1_cs_spark.plans.pipeline_ops as P
+    from pyspark.sql import functions as F
+
+    scd = P.scd2_build_from_changes(spark, sf_dir)
+    n_changes = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert scd.count() == n_changes
+    per_key = scd.groupBy("key").agg(
+        F.sum(F.col("is_current").cast("long")).alias("n_open"),
+    )
+    bad = per_key.filter(F.col("n_open") != 1).count()
+    assert bad == 0
+    # chaining: a closed version's valid_to equals SOME version's
+    # valid_from for the same key (sampled check on one key)
+    k0 = scd.filter(~F.col("is_current")).select("key").first()
+    if k0:
+        rows = sorted(
+            scd.filter(F.col("key") == k0.key).collect(),
+            key=lambda r: (r.valid_from, r.seq),
+        )
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from, (a, b)
+        assert rows[-1].valid_to is None and rows[-1].is_current
+
+
+def test_dau_cumulative_monotone_and_bounded(spark, sf_dir):
+    """DAU report invariants: cumulative is nondecreasing, ends at the
+    total distinct-user count, and n_new_users sums to it; dau <=
+    cumulative at every day."""
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+    from pyspark.sql import functions as F
+
+    rows = sorted(
+        A.analytics_dau_cumulative(spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    total_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert rows[-1].cumulative_users == total_users
+    assert sum(r.n_new_users for r in rows) == total_users
+    prev = 0
+    for r in rows:
+        assert r.cumulative_users >= prev
+        assert r.dau <= r.cumulative_users
+        prev = r.cumulative_users
