@@ -3727,7 +3727,6 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact distincts are the audit-grade choice; the HLL family is the
     sketch alternative when #columns x cardinality makes Expand too
     wide."""
-    o = _t(spark, sf_dir, "orders")
     num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
     str_cols = ["o_orderstatus"]
     date_cols = ["o_orderdate"]

@@ -115,6 +115,7 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_freshness_state",
     "timeseries_lttb_downsample",
     "agg_winsorized_mean",
+    "pandas_udf_grouped_agg",
 ]
 
 

@@ -207,7 +207,69 @@ WHERE o_orderpriority = '1-URGENT'
 """
 
 
+def pandas_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the user-defined AGGREGATE member of
+    the sanctioned vectorized escape hatches (scalar pandas_udf,
+    applyInPandas, UDTF, cogroup, mapInArrow already have entries):
+    per event_type, a numpy median over micro-unit integer values,
+    mixed with a built-in count in the same .agg() — the calling
+    convention a custom sketch/statistic would use when Spark has no
+    native aggregate for it.
+
+    Median is the right demo statistic because it is ROW-ORDER
+    INDEPENDENT: the series pandas receives arrives in shuffle order,
+    so an order-sensitive float reduction (sum of logs, say) would not
+    be engine-reproducible — this is the same partition-order
+    discipline the decimal-sum convention enforces for built-ins.
+    Micro-unit longs in, one (a+b)/2 interpolation out, and the result
+    stays IN MICRO UNITS: an even-count median is x.5 exactly, and
+    dividing/rounding it back to value units measurably diverged
+    (Spark round() goes through BigDecimal HALF_UP on the shortest
+    decimal string while DuckDB rounds the binary double — a
+    .5-at-the-6th-decimal tie split engines). x.5 micro-units is an
+    exact double on both. 100 TB shape: Arrow-batched partial
+    aggregation per group; groups are the 5 event types."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def median_micro(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.median(v.to_numpy(dtype="int64")))
+
+    # Spark refuses to mix GROUPED_AGG pandas UDFs with built-in
+    # aggregates in one .agg() (INVALID_PANDAS_UDF_PLACEMENT), so the
+    # row count is a second pandas aggregate — a real calling-convention
+    # constraint worth pinning in the entry itself.
+    @pandas_udf("long")
+    def count_rows(v: pd.Series) -> int:
+        return int(len(v))
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    micro = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("ym"),
+    )
+    return micro.groupBy("event_type").agg(
+        count_rows("ym").alias("n"),
+        median_micro("ym").alias("median_value_micro"),
+    )
+
+
+PANDAS_GROUPED_AGG_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(median(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE)
+         AS median_value_micro
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pandas_udf_grouped_agg": QuerySpec(
+        pandas_udf_grouped_agg, PANDAS_GROUPED_AGG_SQL, "udf-surface"
+    ),
     "cogroup_order_gaps": QuerySpec(
         cogroup_order_gaps, COGROUP_ORDER_GAPS_SQL, "udf-surface"
     ),
