@@ -4366,7 +4366,107 @@ GROUP BY r.event_type
 """
 
 
+def window_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with BOTH an idle-timeout and a max-duration cap —
+    the production sessionizer rule (a 30-min-gap session left open by
+    a polling client otherwise grows unbounded): first the classic
+    gap-based pass (new session when the gap from the previous event
+    exceeds 30 min — a per-user lag + cumulative-sum window), then each
+    gap-session splits at fixed 2-hour offsets FROM ITS OWN START
+    (floor(elapsed/cap) — deterministic, window-free, and exactly the
+    "cap by wall-clock anchored at session start" semantics; a
+    sequential re-anchor at each split would be a per-user recursion no
+    engine parallelizes, and this fixed-grid split is the standard
+    relaxation). Output: one row per (user, capped session) with
+    bounds, event count, and which rule opened it.
+
+    100 TB shape: two per-user windows on ONE user-keyed shuffle + a
+    row-local split assignment + one mergeable aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    gap_s = 30 * 60
+    cap_s = 2 * 3600
+    base = ev.select(
+        "user_id", "event_id",
+        F.unix_timestamp("ts").alias("es"),
+    ).withColumn(
+        "new_sess",
+        (
+            F.coalesce(
+                F.col("es") - F.lag("es").over(w) > gap_s, F.lit(True)
+            )
+        ).cast("long"),
+    ).withColumn(
+        "gap_sess",
+        F.sum("new_sess").over(
+            Window.partitionBy("user_id")
+            .orderBy("es", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    w_sess = Window.partitionBy("user_id", "gap_sess")
+    capped = base.withColumn(
+        "sess_start", F.min("es").over(w_sess)
+    ).withColumn(
+        "sub", F.floor((F.col("es") - F.col("sess_start")) / cap_s).cast("long")
+    )
+    return (
+        capped.groupBy("user_id", "gap_sess", "sub")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("es").alias("start_epoch_s"),
+            F.max("es").alias("end_epoch_s"),
+        )
+        .select(
+            "user_id",
+            F.col("gap_sess").cast("bigint").alias("gap_session"),
+            F.col("sub").alias("cap_split"),
+            "n_events",
+            "start_epoch_s",
+            "end_epoch_s",
+            (F.col("sub") > 0).alias("opened_by_cap"),
+        )
+    )
+
+
+WINDOW_SESSION_CAPPED_SQL = """
+WITH base AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, es,
+         CASE WHEN es - lag(es) OVER (PARTITION BY user_id
+                                      ORDER BY es, event_id) > 1800
+              OR lag(es) OVER (PARTITION BY user_id
+                               ORDER BY es, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM base
+), sess AS (
+  SELECT user_id, event_id, es,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY es, event_id
+                             ROWS UNBOUNDED PRECEDING) AS gap_sess
+  FROM flagged
+), capped AS (
+  SELECT user_id, event_id, es, gap_sess,
+         MIN(es) OVER (PARTITION BY user_id, gap_sess) AS sess_start
+  FROM sess
+)
+SELECT user_id,
+       CAST(gap_sess AS BIGINT) AS gap_session,
+       CAST(floor((es - sess_start) / 7200) AS BIGINT) AS cap_split,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(es) AS start_epoch_s,
+       MAX(es) AS end_epoch_s,
+       floor((es - sess_start) / 7200) > 0 AS opened_by_cap
+FROM capped
+GROUP BY user_id, gap_sess, floor((es - sess_start) / 7200)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "window_session_capped": QuerySpec(
+        window_session_capped, WINDOW_SESSION_CAPPED_SQL, "time_window"),
     "timeseries_lttb_downsample": QuerySpec(
         timeseries_lttb_downsample, TIMESERIES_LTTB_SQL, "timeseries"),
     "agg_winsorized_mean": QuerySpec(

@@ -116,6 +116,7 @@ DRIVER_PRIORITY: list[str] = [
     "timeseries_lttb_downsample",
     "agg_winsorized_mean",
     "pandas_udf_grouped_agg",
+    "window_session_capped",
 ]
 
 
