@@ -4464,7 +4464,76 @@ GROUP BY user_id, gap_sess, floor((es - sess_start) / 7200)
 """
 
 
+def dq_null_run_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-NULL run detection — the sensor-outage signature a
+    DQ monitor must distinguish from random missingness (5% scattered
+    nulls is noise; 20 nulls IN A ROW is a dead instrument): per user,
+    find maximal runs of consecutive null-valued events (gaps-and-
+    islands via the rank-difference trick: seq_rank − null_rank is
+    constant within a run), report runs of length >= 3 with their
+    bounds. Every derived number is an exact integer.
+
+    100 TB shape: two per-user windows on ONE user-keyed shuffle (the
+    running index and the running null-index), then one mergeable
+    (user, island) aggregate — the same islands discipline as
+    window_interval_coalesce, pointed at missingness."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    base = ev.select(
+        "user_id", "event_id",
+        F.unix_timestamp("ts").alias("es"),
+        F.col("value").isNull().alias("is_null"),
+    ).withColumn("rn", F.row_number().over(w))
+    nulls = base.filter(F.col("is_null")).withColumn(
+        "nrn", F.row_number().over(w)
+    ).withColumn("island", F.col("rn") - F.col("nrn"))
+    return (
+        nulls.groupBy("user_id", "island")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("run_len"),
+            F.min("es").alias("start_epoch_s"),
+            F.max("es").alias("end_epoch_s"),
+            F.min("event_id").alias("first_event_id"),
+        )
+        .filter(F.col("run_len") >= 3)
+        .select(
+            "user_id", "run_len", "start_epoch_s", "end_epoch_s",
+            "first_event_id",
+        )
+    )
+
+
+DQ_NULL_RUN_SQL = """
+WITH base AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         value IS NULL AS is_null
+  FROM events
+), seq AS (
+  SELECT user_id, event_id, es, is_null,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY es, event_id) AS rn
+  FROM base
+), nulls AS (
+  SELECT user_id, event_id, es, rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY es, event_id) AS nrn
+  FROM seq WHERE is_null
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS run_len,
+       MIN(es) AS start_epoch_s,
+       MAX(es) AS end_epoch_s,
+       MIN(event_id) AS first_event_id
+FROM nulls
+GROUP BY user_id, rn - nrn
+HAVING COUNT(*) >= 3
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dq_null_run_detector": QuerySpec(
+        dq_null_run_detector, DQ_NULL_RUN_SQL, "dq"),
     "window_session_capped": QuerySpec(
         window_session_capped, WINDOW_SESSION_CAPPED_SQL, "time_window"),
     "timeseries_lttb_downsample": QuerySpec(

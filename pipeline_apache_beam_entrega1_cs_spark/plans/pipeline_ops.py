@@ -484,6 +484,79 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+def sample_systematic_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every k-th) sampling — the survey-methodology member
+    the sampling family still lacked (seeded Bernoulli, stratified
+    fixed-k, Neyman, weighted-priority, Poisson bootstrap, temperature
+    mixture all exist): order the frame by a deterministic md5 shuffle
+    key and keep every 20th row. Versus Bernoulli, systematic sampling
+    guarantees the EXACT sample size and even coverage of the shuffle
+    order — the property batch-eval pipelines want when a fixed-budget
+    slice must be reproducible.
+
+    Scale shape: the rank comes from the 256-bucket two-phase ranking
+    (dataset_shuffle_shards' recipe) — md5-prefix bucket, bucket-local
+    row_number, O(1) cross-bucket offsets — so there is NO global sort;
+    the modulus filter is row-local. Output is the sample with its
+    positions, deterministically identical on every run."""
+    docs = _t(spark, sf_dir, "documents")
+    k = 20
+    keyed = docs.select(
+        "doc_id", "source",
+        F.md5(F.concat(F.lit("sys:"), F.col("doc_id").cast("string"))).alias(
+            "shuf"
+        ),
+    ).withColumn(
+        "bucket",
+        F.conv(F.substring("shuf", 1, 2), 16, 10).cast("int"),
+    )
+    per_bucket = keyed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_bucket.select(
+        "bucket",
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("base"),
+    )
+    w_in = Window.partitionBy("bucket").orderBy("shuf", "doc_id")
+    ranked = keyed.join(F.broadcast(offsets), "bucket").withColumn(
+        "pos", F.col("base") + F.row_number().over(w_in) - 1
+    )
+    return (
+        ranked.filter(F.col("pos") % k == 0)
+        .select(
+            "doc_id", "source", F.col("pos").cast("bigint").alias("pos")
+        )
+    )
+
+
+SAMPLE_SYSTEMATIC_SQL = """
+WITH keyed AS (
+  SELECT doc_id, source,
+         md5('sys:' || CAST(doc_id AS VARCHAR)) AS shuf,
+         ('0x' || substr(md5('sys:' || CAST(doc_id AS VARCHAR)), 1, 2))::INTEGER
+           AS bucket
+  FROM documents
+), per_bucket AS (
+  SELECT bucket, COUNT(*) AS bn FROM keyed GROUP BY bucket
+), offsets AS (
+  SELECT bucket,
+         COALESCE(SUM(bn) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+  FROM per_bucket
+), ranked AS (
+  SELECT k.doc_id, k.source,
+         o.base + ROW_NUMBER() OVER (PARTITION BY k.bucket
+                                     ORDER BY k.shuf, k.doc_id) - 1 AS pos
+  FROM keyed k JOIN offsets o USING (bucket)
+)
+SELECT doc_id, source, CAST(pos AS BIGINT) AS pos
+FROM ranked WHERE pos % 20 = 0
+"""
+
+
 def dataset_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum scheduling with source interleaving — the training
     data-loader order for curriculum learning: docs ascend through
@@ -1270,6 +1343,12 @@ QUERIES: dict[str, QuerySpec] = {
         maintenance_snapshot_diff, SNAPSHOT_DIFF_SQL, "pipeline"),
     "scd2_build_from_changes": QuerySpec(
         scd2_build_from_changes, SCD2_BUILD_SQL, "pipeline"),
+    "sample_systematic_interval": QuerySpec(
+        sample_systematic_interval, SAMPLE_SYSTEMATIC_SQL, "pipeline",
+        plan_waivers={"global_window": (
+            "cross-bucket offsets window runs over the 256 md5-prefix "
+            "buckets (O(1)), never over rows — the two-phase ranking "
+            "recipe")}),
     "dataset_curriculum_interleave": QuerySpec(
         dataset_curriculum_interleave, CURRICULUM_SQL, "pipeline",
         plan_waivers={

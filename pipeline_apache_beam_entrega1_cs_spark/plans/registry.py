@@ -117,6 +117,8 @@ DRIVER_PRIORITY: list[str] = [
     "agg_winsorized_mean",
     "pandas_udf_grouped_agg",
     "window_session_capped",
+    "sample_systematic_interval",
+    "dq_null_run_detector",
 ]
 
 
