@@ -609,6 +609,17 @@ def binary_payload_dedup(
         f"      ) % {_MINHASH_P}L),"
         f" w -> (w * w + 1566083941L * w) % {_MINHASH_P}L)"
     )
+    # Two back-to-back doc_id exchanges are DELIBERATE (round-9 advisory
+    # proposed dropping one; the round-10 A/B in SCALING.md declined
+    # it): the outer spreads the O(payload_bytes) xs window parse —
+    # without it xs runs at scan parallelism (one small parquet block =
+    # one core: 2.1 s -> 5.7 s measured at sf0.1) — and the inner is
+    # the CollapseProject barrier keeping xs out of the 16 sig lambdas
+    # (skipping it instead re-inlines xs 16x and lands at the same
+    # 2.1 s, so neither alternative wins and this shape keeps both
+    # invariants explicit). The shuffled rows are compact
+    # (doc_id, payload) then (doc_id, xs) on a representatives-only
+    # frame — bytes are not the bottleneck at any scale; CPU spread is.
     near = (
         _minhash_banded_from_xs(
             reps.repartition(_shuffle_partitions(reps), "doc_id").select(

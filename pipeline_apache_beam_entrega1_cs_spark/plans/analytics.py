@@ -4024,7 +4024,10 @@ def geo_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     50 km radius can never escape the neighborhood — the containment
     argument that makes the candidate join LOSSLESS), candidates
     equi-join on the cell key, and the exact haversine filter runs
-    row-local. The all-pairs O(n²) alternative is structurally absent
+    row-local. The replicated cell longitude WRAPS at the antimeridian
+    (((clon + dx + 540) % 360) - 180) so pairs straddling ±180 stay
+    candidates; the haversine itself needs no wrap because
+    sin²(Δλ/2) is 360°-periodic in the raw longitude difference. The all-pairs O(n²) alternative is structurally absent
     — this is the same inverted-index discipline as the dedup family,
     in space.
 
@@ -4057,7 +4060,8 @@ def geo_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "flatten(transform(sequence(-1, 1), dy -> "
                 "transform(sequence(-1, 1), dx -> "
-                "struct(clat + dy AS clat, clon + dx AS clon))))"
+                "struct(clat + dy AS clat, "
+                "(clon + dx + 540) % 360 - 180 AS clon))))"
             )
         ).alias("c"),
     ).select("user_b", "lat_b", "lon_b", "c.clat", "c.clon")
@@ -4092,7 +4096,7 @@ pts AS (
   FROM pts
 ), b AS (
   SELECT user_id AS user_b, lat AS lat_b, lon AS lon_b,
-         clat + dy AS clat, clon + dx AS clon
+         clat + dy AS clat, (clon + dx + 540) % 360 - 180 AS clon
   FROM cells, UNNEST(generate_series(-1, 1)) AS g1(dy),
        UNNEST(generate_series(-1, 1)) AS g2(dx)
 )
@@ -4228,11 +4232,14 @@ def timeseries_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("py", F.coalesce("py", F.col("ym").cast("double")))
         .withColumn("nx", F.coalesce("nx", F.col("x").cast("double")))
         .withColumn("ny", F.coalesce("ny", F.col("ym").cast("double")))
+        # 2x the triangle area of (prev-mean, point, next-mean) via the
+        # shoelace cross product anchored at the prev-mean vertex:
+        # |(px-nx)(ym-py) - (px-x)(ny-py)|  (Steinarsson eq. 4.2)
         .withColumn(
             "area2",
             F.abs(
-                (F.col("px") - F.col("nx")) * (F.col("ym") - F.col("ny"))
-                - (F.col("px") - F.col("x")) * (F.col("py") - F.col("ny"))
+                (F.col("px") - F.col("nx")) * (F.col("ym") - F.col("py"))
+                - (F.col("px") - F.col("x")) * (F.col("ny") - F.col("py"))
             ),
         )
     )
@@ -4283,10 +4290,10 @@ WITH raw AS (
   LEFT JOIN means nx ON nx.user_id = p.user_id AND nx.bucket = p.bucket + 1
 ), areas AS (
   SELECT user_id, bucket, event_id, x, ym,
-         abs((px - nxx) * (ym - nyy) - (px - x) * (py - nyy)) AS area2,
+         abs((px - nxx) * (ym - py) - (px - x) * (nyy - py)) AS area2,
          ROW_NUMBER() OVER (PARTITION BY user_id, bucket
-                            ORDER BY abs((px - nxx) * (ym - nyy)
-                                         - (px - x) * (py - nyy)) DESC,
+                            ORDER BY abs((px - nxx) * (ym - py)
+                                         - (px - x) * (nyy - py)) DESC,
                                      event_id) AS pick
   FROM tri
 )

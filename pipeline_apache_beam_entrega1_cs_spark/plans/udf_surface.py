@@ -227,8 +227,17 @@ def pandas_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark round() goes through BigDecimal HALF_UP on the shortest
     decimal string while DuckDB rounds the binary double — a
     .5-at-the-6th-decimal tie split engines). x.5 micro-units is an
-    exact double on both. 100 TB shape: Arrow-batched partial
-    aggregation per group; groups are the 5 event types."""
+    exact double on both.
+
+    100 TB shape: THERE ISN'T ONE — this entry exists to pin the
+    calling convention, not a scale path. GROUPED_AGG does NO partial
+    aggregation: AggregateInPandasExec shuffles EVERY row of a group to
+    one reducer and materializes the whole group as a single pandas
+    Series, so with 5 event types at 100 TB that is ~20 TB on one
+    executor — a guaranteed OOM. At scale use percentile_approx, or the
+    exact two-phase bucketed-rank median recipe that
+    agg_weighted_percentile implements (plans/relational2.py:167) —
+    both are mergeable and never materialize a group."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")

@@ -1219,13 +1219,16 @@ def test_cdc_apply_changelog_tombstones(spark, sf_dir):
         (F.col("o_orderkey") % 20000).alias("key"),
         F.col("o_orderkey").alias("seq"),
     )
-    last = ch.groupBy("key").agg(F.max("seq").alias("last_seq"))
+    last = ch.groupBy("key").agg(F.max("seq").alias("expect_last_seq"))
     joined = out.join(last, "key", "inner").collect()
     assert len(joined) == out.count()  # every output key exists upstream
     for r in joined:
-        assert r["last_seq"] == r["last_seq"]  # schema sanity
+        # output's last_seq == independently recomputed max(seq) per key
+        assert r["last_seq"] == r["expect_last_seq"], r
     # tombstone check: keys whose max-seq orderkey % 11 == 0 are absent
-    dead = {r.key for r in last.filter(F.col("last_seq") % 11 == 0).collect()}
+    dead = {
+        r.key for r in last.filter(F.col("expect_last_seq") % 11 == 0).collect()
+    }
     alive = {r.key for r in out.collect()}
     assert not (dead & alive), sorted(dead & alive)[:5]
 
@@ -1248,15 +1251,21 @@ def test_kfold_splits_deterministic_and_complete(spark, sf_dir):
 def test_geo_bucket_join_matches_bruteforce(spark):
     """The 9-neighbor grid candidate join must be LOSSLESS for the 50 km
     radius: compare against an all-pairs haversine over a small planted
-    point set, including pairs that straddle cell borders."""
+    point set, including pairs that straddle cell borders AND the
+    antimeridian (the ±180 seam the wrapped cell key must cover)."""
     from unittest import mock
     import math
 
     import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
 
     # user ids chosen so the derived points include close pairs across
-    # cell borders and far pairs; plus exhaustive brute force below
+    # cell borders and far pairs; plus exhaustive brute force below.
+    # The four extra ids derive seam-straddling close pairs under the
+    # fixture: (11, 17048) -> lons -179.81 / +179.92 at lat -28.9
+    # (26.5 km apart) and (1904, 18941) -> -179.84 / +179.89 at
+    # lat -2.2 (30.2 km apart).
     ids = [(i,) for i in range(0, 400, 7)]
+    ids += [(11,), (17048,), (1904,), (18941,)]
     ev = spark.createDataFrame(ids, "user_id long")
     with mock.patch.object(A, "_t", lambda sp, sf, t: ev):
         got = {(r.user_a, r.user_b): r.dist_km
@@ -1282,6 +1291,8 @@ def test_geo_bucket_join_matches_bruteforce(spark):
         sorted(set(expect) - set(got))[:5], sorted(set(got) - set(expect))[:5])
     for k, v in expect.items():
         assert abs(got[k] - v) < 1e-6, (k, got[k], v)
+    # the seam pairs must actually be exercised, not vacuously absent
+    assert (11, 17048) in got and (1904, 18941) in got
 
 
 def test_mojibake_fix_repairs_all_planted(spark, sf_dir):
@@ -1383,6 +1394,89 @@ def test_scd2_build_versions_partition_time(spark, sf_dir):
         for a, b in zip(rows, rows[1:]):
             assert a.valid_to == b.valid_from, (a, b)
         assert rows[-1].valid_to is None and rows[-1].is_current
+
+
+def _lttb_reference(rows, n_buckets):
+    """Pure-Python spec of the PARALLEL LTTB relaxation the plan
+    implements (bucket-mean anchors instead of prev-selected point),
+    with Steinarsson's triangle area |(px-nx)(ym-py) - (px-x)(ny-py)|.
+    rows: (user_id, event_id, epoch_s, micro_value) tuples."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, e, x, ym in rows:
+        by_user[u].append((x, e, ym))
+    picks = {}
+    for u, pts in by_user.items():
+        pts.sort()  # (x, event_id) order == the plan's rank window
+        n = len(pts)
+        buckets = defaultdict(list)
+        for rk0, (x, e, ym) in enumerate(pts):
+            b = min(n_buckets - 1, int(rk0 * n_buckets / n))
+            buckets[b].append((x, e, ym))
+        means = {
+            b: (sum(p[0] for p in ps) / len(ps), sum(p[2] for p in ps) / len(ps))
+            for b, ps in buckets.items()
+        }
+        for b, ps in buckets.items():
+            best = None
+            for x, e, ym in ps:
+                px, py = means.get(b - 1, (float(x), float(ym)))
+                nx, ny = means.get(b + 1, (float(x), float(ym)))
+                area2 = abs((px - nx) * (ym - py) - (px - x) * (ny - py))
+                key = (-area2, e)
+                if best is None or key < best[0]:
+                    best = (key, (u, b, e))
+            picks[(u, best[1][1])] = best[1][2]
+    return picks
+
+
+def test_lttb_triangle_area_hand_check():
+    """The exact case from the round-9 advisory: A=(0,0), B=(2,3),
+    C=(5,1) has 2*area = |(0-5)(3-0) - (0-2)(1-0)| = 13 (the buggy
+    |(px-nx)(ym-ny) - (px-x)(py-ny)| form gives 12)."""
+    picks = _lttb_reference([(1, 0, 2, 3)], 1)
+    assert picks == {(1, 0): 0}  # plumbing sanity
+    px, py, x, ym, nx, ny = 0, 0, 2, 3, 5, 1
+    assert abs((px - nx) * (ym - py) - (px - x) * (ny - py)) == 13
+
+
+def test_lttb_downsample_matches_reference(spark):
+    """timeseries_lttb_downsample must pick exactly the points the
+    pure-Python parallel-LTTB spec picks, on a planted 2-user series
+    where the buggy and correct area formulas disagree."""
+    import math
+    from unittest import mock
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    rows = []
+    for u in (1, 2):
+        for i in range(300):
+            epoch = 1_700_000_000 + i * 60 + (u * 977 + i * i * 37) % 53
+            value = math.sin(i / 7.0 + u) * 100 + ((i * 2654435761) % 997) / 9.7
+            rows.append((u, u * 1000 + i, epoch, float(value)))
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, epoch long, value double"
+    ).select(
+        "user_id", "event_id",
+        F.timestamp_seconds("epoch").alias("ts"), "value",
+    )
+    with mock.patch.object(A, "_t", lambda sp, sf, t: ev):
+        got = {
+            (r.user_id, r.bucket): r.event_id
+            for r in A.timeseries_lttb_downsample(spark, "ignored").collect()
+        }
+    micro = [
+        (u, e, x, math.floor(v * 1_000_000)) for (u, e, x, v) in rows
+    ]
+    expect = _lttb_reference(micro, A._LTTB_BUCKETS)
+    assert got == expect, {
+        k: (got.get(k), expect.get(k))
+        for k in set(got) ^ set(expect) | {
+            k for k in expect if got.get(k) != expect[k]
+        }
+    }
 
 
 def test_dau_cumulative_monotone_and_bounded(spark, sf_dir):
