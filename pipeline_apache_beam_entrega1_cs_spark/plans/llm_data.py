@@ -3733,7 +3733,265 @@ FROM documents
 """
 
 
+def eval_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Family-level dedup quality harness (VERDICT r9 next-step #7):
+    plant a ground-truth duplicate structure over the documents corpus,
+    run THREE dedup methods over the SAME planted corpus, and report
+    per-method precision/recall/F1 — the auditable accuracy evidence
+    the individual entries' fixtures give only per-method, in the role
+    eval_retrieval_metrics plays for the ANN family.
+
+    Planted corpus: every doc with doc_id%17==0 gains an EXACT copy
+    (member_id = doc_id + 1e6) and every doc with doc_id%10==0 and
+    >= 5 tokens gains a NEAR-DUP variant (member_id = doc_id + 2e6,
+    text = the first floor(4n/5) tokens re-joined — 3-gram shingle
+    Jaccard ~= 0.8). Ground truth = all in-group pairs: (base, copy),
+    (base, variant), and (copy, variant) where both exist. Evaluation
+    restricts predicted pairs to those touching a planted member
+    (doc_b >= 1e6), so pre-existing near-dups inside the natural corpus
+    are out of scope for both truth and predictions.
+
+    Methods (shared cores with their standalone entries, identical
+    parameters): `exact` — same-text pairing (dedup_exact's criterion;
+    misses the near-dups by design, its recall IS the exact-method
+    ceiling); `ngram_jaccard` — operators/dedup.ngram_jaccard_pairs
+    (n=3, threshold 0.5, max_df 100; exact similarity, the recall
+    reference); `minhash_banded` — operators/dedup.minhash_banded_pairs
+    (16 hashes, 4 bands, est_jaccard >= 0.5; the probabilistic scale
+    path whose measured recall/precision this report makes visible).
+    The semantic arm (SemDeDup) is embedding-modal and has its own
+    planted-identical-vectors spec test + eval_retrieval_metrics-style
+    evidence; a text-derived fake embedding here would measure the
+    fake, not the method.
+
+    Determinism: both engines build byte-identical corpora (integer
+    token-prefix arithmetic), identical MinHash signatures (md5-derived
+    universal hashes — dedup_minhash_banded's scheme), and integer
+    tp/n_pred/n_truth, so precision = tp/n_pred, recall = tp/n_truth,
+    f1 = 2*tp/(n_pred+n_truth) are engine-exact doubles rounded at 6dp.
+    100 TB shape: inherits each method's own scale discipline
+    (hash-agg, frequency-capped inverted index, banded buckets); the
+    exact arm joins on raw text only because the harness corpus is the
+    planted sample — a production exact pass joins on sha256 digests
+    (dedup_hash)."""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    tk = T.tokens(F.col("text"))
+    n_tok = F.size(tk)
+    keep = F.greatest(F.lit(1), F.floor(n_tok * 4 / 5).cast("int"))
+    base = docs.select(F.col("doc_id").alias("member_id"), "text")
+    copies = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("member_id"), "text"
+    )
+    variants = docs.filter((F.col("doc_id") % 10 == 0) & (n_tok >= 5)).select(
+        (F.col("doc_id") + 2_000_000).alias("member_id"),
+        F.array_join(F.slice(tk, 1, keep), " ").alias("text"),
+    )
+    corpus = base.unionByName(copies).unionByName(variants)
+
+    has_copy = docs.filter(F.col("doc_id") % 17 == 0).select("doc_id")
+    has_var = docs.filter((F.col("doc_id") % 10 == 0) & (n_tok >= 5)).select(
+        "doc_id"
+    )
+    truth = (
+        has_copy.select(
+            F.col("doc_id").alias("a"),
+            (F.col("doc_id") + 1_000_000).alias("b"),
+        )
+        .unionByName(
+            has_var.select(
+                F.col("doc_id").alias("a"),
+                (F.col("doc_id") + 2_000_000).alias("b"),
+            )
+        )
+        .unionByName(
+            has_copy.join(has_var, "doc_id").select(
+                (F.col("doc_id") + 1_000_000).alias("a"),
+                (F.col("doc_id") + 2_000_000).alias("b"),
+            )
+        )
+    )
+
+    planted = F.col("b") >= 1_000_000
+    exact_pred = (
+        corpus.select(F.col("member_id").alias("a"), "text")
+        .join(corpus.select(F.col("member_id").alias("b"), "text"), "text")
+        .filter((F.col("a") < F.col("b")) & planted)
+        .select("a", "b")
+    )
+    as_docs = corpus.withColumnRenamed("member_id", "doc_id")
+    jac_pred = (
+        D.ngram_jaccard_pairs(as_docs, n=3, threshold=0.5, max_df=100)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .filter(planted)
+    )
+    mh_pred = (
+        D.minhash_banded_pairs(as_docs, num_hashes=16, bands=4, max_bucket=100)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .filter(planted)
+    )
+
+    preds = (
+        exact_pred.select(F.lit("exact").alias("method"), "a", "b")
+        .unionByName(
+            jac_pred.select(F.lit("ngram_jaccard").alias("method"), "a", "b")
+        )
+        .unionByName(
+            mh_pred.select(F.lit("minhash_banded").alias("method"), "a", "b")
+        )
+    )
+    stats = (
+        preds.join(
+            truth.withColumn("is_tp", F.lit(1)), ["a", "b"], "left"
+        )
+        .groupBy("method")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pred"),
+            F.sum(F.coalesce("is_tp", F.lit(0))).cast("bigint").alias("tp"),
+        )
+    )
+    methods = spark.createDataFrame(
+        [("exact",), ("ngram_jaccard",), ("minhash_banded",)],
+        "method string",
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    out = (
+        methods.join(stats, "method", "left")
+        .withColumn("n_pred", F.coalesce("n_pred", F.lit(0).cast("bigint")))
+        .withColumn("tp", F.coalesce("tp", F.lit(0).cast("bigint")))
+        .crossJoin(F.broadcast(n_truth))
+    )
+    return out.select(
+        "method",
+        "n_truth",
+        "n_pred",
+        "tp",
+        F.round(
+            F.when(
+                F.col("n_pred") > 0,
+                F.col("tp").cast("double") / F.col("n_pred"),
+            ),
+            6,
+        ).alias("precision"),
+        F.round(F.col("tp").cast("double") / F.col("n_truth"), 6).alias(
+            "recall"
+        ),
+        F.round(
+            2 * F.col("tp").cast("double")
+            / (F.col("n_pred") + F.col("n_truth")),
+            6,
+        ).alias("f1"),
+    )
+
+
+EVAL_DEDUP_QUALITY_SQL = rf"""
+WITH docs0 AS (
+  SELECT doc_id, text FROM documents WHERE trim(text) <> ''
+), toks0 AS (
+  SELECT doc_id, text, {_TOKS} AS tk FROM docs0
+), members AS (
+  SELECT doc_id AS member_id, text FROM docs0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM docs0 WHERE doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id + 2000000,
+         array_to_string(tk[1:greatest(1, (4 * len(tk)) // 5)], ' ')
+  FROM toks0 WHERE doc_id % 10 = 0 AND len(tk) >= 5
+), truth AS (
+  SELECT doc_id AS a, doc_id + 1000000 AS b
+  FROM docs0 WHERE doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id, doc_id + 2000000
+  FROM toks0 WHERE doc_id % 10 = 0 AND len(tk) >= 5
+  UNION ALL
+  SELECT doc_id + 1000000, doc_id + 2000000
+  FROM toks0 WHERE doc_id % 17 = 0 AND doc_id % 10 = 0 AND len(tk) >= 5
+), exact_pred AS (
+  SELECT x.member_id AS a, y.member_id AS b
+  FROM members x JOIN members y ON x.text = y.text
+  WHERE x.member_id < y.member_id AND y.member_id >= 1000000
+), mtoks AS (
+  SELECT member_id,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+  FROM members WHERE trim(text) <> ''
+), msh AS (
+  SELECT DISTINCT member_id, array_to_string(tk[i:i+2], ' ') AS shingle
+  FROM mtoks, UNNEST(generate_series(1, len(tk) - 2)) AS g(i)
+), sizes AS (
+  SELECT member_id, COUNT(*) AS n_sh FROM msh GROUP BY member_id
+), kept AS (
+  SELECT shingle FROM msh GROUP BY shingle HAVING COUNT(*) <= 100
+), shc AS (
+  SELECT msh.member_id, msh.shingle FROM msh JOIN kept USING (shingle)
+), jpairs AS (
+  SELECT x.member_id AS a, y.member_id AS b, COUNT(*) AS n_common
+  FROM shc x JOIN shc y USING (shingle)
+  WHERE x.member_id < y.member_id
+  GROUP BY 1, 2
+), jac_pred AS (
+  SELECT a, b FROM jpairs
+  JOIN sizes sa ON a = sa.member_id
+  JOIN sizes sb ON b = sb.member_id
+  WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+    AND b >= 1000000
+), mxs AS (
+  SELECT member_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS x
+  FROM msh
+), sigs AS (
+  SELECT member_id, h,
+         min(((2*h+1)*x + (1000003*h+12345)) % 2147483647) AS sig_h
+  FROM mxs, UNNEST(generate_series(0, 15)) AS hh(h)
+  GROUP BY member_id, h
+), sigarr AS (
+  SELECT member_id, array_agg(sig_h ORDER BY h) AS sig FROM sigs
+  GROUP BY member_id
+), bandkeys AS (
+  SELECT member_id, sig, b AS band,
+         md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS band_key
+  FROM sigarr, UNNEST(generate_series(0, 3)) AS bb(b)
+), buckets AS (
+  SELECT band, band_key FROM bandkeys GROUP BY 1, 2
+  HAVING COUNT(*) BETWEEN 2 AND 100
+), mh_pred AS (
+  SELECT DISTINCT x.member_id AS a, y.member_id AS b
+  FROM bandkeys x
+  JOIN bandkeys y USING (band, band_key)
+  JOIN buckets USING (band, band_key)
+  WHERE x.member_id < y.member_id AND y.member_id >= 1000000
+    AND len(list_filter(generate_series(1, 16),
+                        i -> x.sig[i] = y.sig[i]))::DOUBLE / 16 >= 0.5
+), preds AS (
+  SELECT 'exact' AS method, a, b FROM exact_pred
+  UNION ALL SELECT 'ngram_jaccard', a, b FROM jac_pred
+  UNION ALL SELECT 'minhash_banded', a, b FROM mh_pred
+), truth_n AS (
+  SELECT COUNT(*) AS n_truth FROM truth
+), stats AS (
+  SELECT method, COUNT(*) AS n_pred,
+         SUM(CASE WHEN t.a IS NOT NULL THEN 1 ELSE 0 END) AS tp
+  FROM preds p LEFT JOIN truth t ON p.a = t.a AND p.b = t.b
+  GROUP BY method
+), m AS (
+  SELECT UNNEST(['exact', 'ngram_jaccard', 'minhash_banded']) AS method
+)
+SELECT m.method,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred,
+       CAST(COALESCE(tp, 0) AS BIGINT) AS tp,
+       round(CASE WHEN COALESCE(n_pred, 0) > 0
+                  THEN COALESCE(tp, 0)::DOUBLE / n_pred END, 6)
+         AS "precision",
+       round(COALESCE(tp, 0)::DOUBLE / n_truth, 6) AS recall,
+       round(2 * COALESCE(tp, 0)::DOUBLE / (COALESCE(n_pred, 0) + n_truth), 6)
+         AS f1
+FROM m LEFT JOIN stats USING (method) CROSS JOIN truth_n
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "eval_dedup_quality": QuerySpec(
+        eval_dedup_quality, EVAL_DEDUP_QUALITY_SQL, "quality"),
     "text_mojibake_fix": QuerySpec(
         text_mojibake_fix, _mojibake_sql(), "text"),
     "multimodal_npy_meta": QuerySpec(

@@ -695,6 +695,31 @@ def _cdc_apply_sql() -> str:
     return CDC_APPLY_SQL
 
 
+def streaming_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 dimension maintenance: the orders-derived
+    per-customer change stream (scd2_build_from_changes' exact fixture)
+    replayed as FOUR micro-batches through a foreachBatch MERGE that
+    rewrites ONLY the affected keys' version chains per batch
+    (anti/semi split against state + keyed lead() re-window over the
+    affected keys' change sets — streaming/sinks.Scd2MergeSink); the
+    write-side streaming twin of scd2_build_from_changes and the
+    lakehouse family's missing write-path sibling of
+    streaming_cdc_apply_state. Per key the chain is a deterministic
+    function of the SET of its changes and (key, seq) dedup absorbs
+    replays, so cold replay over any batch slicing equals the one-shot
+    batch build — the oracle is SCD2_BUILD_SQL itself. Exactly-once via
+    in-state commit markers + crash-safe swap."""
+    from ..streaming.sinks import run_scd2_stream
+
+    return run_scd2_stream(spark, sf_dir)
+
+
+def _scd2_build_sql() -> str:
+    from .pipeline_ops import SCD2_BUILD_SQL
+
+    return SCD2_BUILD_SQL
+
+
 def streaming_freshness_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming event-time freshness monitor: events replayed as FOUR
     micro-batches through a foreachBatch MERGE keeping a per-(type,
@@ -733,6 +758,9 @@ GROUP BY event_type
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "streaming_scd2_state": QuerySpec(
+        streaming_scd2_state, _scd2_build_sql(), "streaming"
+    ),
     "streaming_freshness_state": QuerySpec(
         streaming_freshness_state, STREAMING_FRESHNESS_SQL, "streaming"
     ),

@@ -1628,6 +1628,127 @@ def run_cdc_apply_stream(spark, sf_dir: str):
         shutil.rmtree(work, ignore_errors=True)
 
 
+class Scd2MergeSink:
+    """``foreachBatch`` MERGE that maintains an SCD2 dimension
+    incrementally — the write-side streaming twin of
+    plans/pipeline_ops.scd2_build_from_changes (per VERDICT r9
+    next-step #6, the natural sibling of CdcApplyMergeSink): each
+    arriving micro-batch of (key, seq, attr, valid_from) changes
+    rewrites ONLY the affected keys' version chains.
+
+    Merge shape per batch: state splits by an anti/semi join on the
+    batch's distinct keys — untouched keys' versions pass through
+    byte-identical; affected keys' RAW change rows (state rows carry
+    their raw fields) union the batch, dedup on (key, seq), and re-run
+    the keyed lead() window that defines SCD2 versioning. Per key the
+    chain is a deterministic function of the SET of its changes, and
+    (key, seq) dedup makes replayed rows no-ops, so cold replay over
+    any batch slicing equals the one-shot batch build the SQL oracle
+    computes. Exactly-once follows the FingerprintMergeSink contract
+    (in-state ``_merged_N`` markers, rename-aside crash recovery).
+
+    100 TB shape: per batch, one mergeable distinct on the batch's
+    keys, one semi + one anti join against state (both equi, broadcast
+    when the batch key set is small), and the lead() window only over
+    the AFFECTED keys' versions — dimension history for quiet keys is
+    never read, shuffled, or rewritten; this is Delta/Hudi MERGE INTO
+    economics for the classic warehouse SCD2 maintenance job."""
+
+    def __init__(self, state_dir: str) -> None:
+        self.state = state_dir
+        os.makedirs(os.path.dirname(state_dir), exist_ok=True)
+
+    def is_committed(self, batch_id: int) -> bool:
+        return _state_committed(self.state, batch_id)
+
+    _RAW = ["key", "seq", "attr_price", "valid_from"]
+
+    @staticmethod
+    def _version(raw):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.partitionBy("key").orderBy("valid_from", "seq")
+        return raw.select(
+            "key", "seq", "attr_price", "valid_from",
+            F.lead("valid_from").over(w).alias("valid_to"),
+            F.lead("valid_from").over(w).isNull().alias("is_current"),
+        )
+
+    def __call__(self, batch_df, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return  # replayed delivery of a committed batch: no-op
+        from pyspark.sql import functions as F
+
+        inc = batch_df.select(*self._RAW).dropDuplicates(["key", "seq"])
+        prev = _current_state(self.state)
+        if prev is None:
+            out = self._version(inc)
+        else:
+            state_df = batch_df.sparkSession.read.parquet(prev)
+            keys = inc.select("key").distinct()
+            untouched = state_df.join(keys, "key", "left_anti")
+            affected = (
+                state_df.join(keys, "key", "left_semi")
+                .select(*self._RAW)
+                .unionByName(inc)
+                .dropDuplicates(["key", "seq"])
+            )
+            out = untouched.unionByName(self._version(affected))
+        tmp = f"{self.state}_tmp{batch_id}"
+        out.write.mode("overwrite").parquet(tmp)  # materializes BEFORE swap
+        _install_state(self.state, tmp, batch_id)  # marker atomic w/ state
+
+
+def run_scd2_stream(spark, sf_dir: str):
+    """Streaming SCD2 dimension maintenance end-to-end: the
+    orders-derived per-customer change stream (the exact
+    scd2_build_from_changes fixture) replayed as FOUR micro-batches
+    through an Scd2MergeSink; returns the maintained dimension."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..schemas import ensure_session_confs
+
+    ensure_session_confs(spark)
+    work = tempfile.mkdtemp(prefix="graft_scd2_")
+    try:
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        raw = o.select(
+            F.col("o_custkey").alias("key"),
+            F.col("o_orderkey").alias("seq"),
+            F.col("o_totalprice").alias("attr_price"),
+            F.col("o_orderdate").alias("valid_from"),
+        )
+        src = _stage_slices(raw, work, "seq")
+        sink = Scd2MergeSink(os.path.join(work, "state"))
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.read.parquet(sink.state).select(
+            "key", "seq", "attr_price", "valid_from", "valid_to",
+            "is_current",
+        )
+        # Materialize before the finally deletes the backing files; the
+        # dimension is one row per change (bounded by the orders table).
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 class FreshnessMergeSink:
     """``foreachBatch`` MERGE for the streaming event-time freshness
     monitor — the twin of plans/analytics.dq_event_freshness and the

@@ -1396,6 +1396,77 @@ def test_scd2_build_versions_partition_time(spark, sf_dir):
         assert rows[-1].valid_to is None and rows[-1].is_current
 
 
+def test_eval_dedup_quality_planted_micro_corpus(spark):
+    """Hand-checkable planted corpus: 4 vocabulary-disjoint docs where
+    doc 0 gets BOTH a copy and a variant, doc 10 a variant, doc 17 a
+    copy -> truth = {(0,1M),(0,2M),(1M,2M),(10,2M+10),(17,1M+17)}.
+    exact must find exactly the 2 copy pairs (precision 1, recall 2/5);
+    ngram_jaccard must find all 5 (variant shingle Jaccard = 6/8);
+    minhash_banded must at least find the identical-signature copy
+    pairs."""
+    from unittest import mock
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.llm_data as L
+
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        3: "red orange yellow green blue indigo violet umber ochre teal",
+        10: "one two three four five six seven eight nine ten",
+        17: "ant bee cat dog elk fox gnu hen ibis jay",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    with mock.patch.object(L, "_docs", lambda sp, sf: docs):
+        rows = {r.method: r for r in L.eval_dedup_quality(spark, "x").collect()}
+
+    assert set(rows) == {"exact", "ngram_jaccard", "minhash_banded"}
+    for r in rows.values():
+        assert r.n_truth == 5
+        # report self-consistency: f1 = 2tp/(n_pred+n_truth), 6dp-rounded
+        if r.n_pred + r.n_truth > 0:
+            assert abs(r.f1 - 2 * r.tp / (r.n_pred + r.n_truth)) < 5e-7
+
+    ex = rows["exact"]
+    assert (ex.n_pred, ex.tp) == (2, 2)
+    assert ex.precision == 1.0 and abs(ex.recall - 0.4) < 1e-9
+
+    ng = rows["ngram_jaccard"]
+    assert ng.recall == 1.0 and ng.tp == 5
+    assert ng.precision == 1.0  # vocab-disjoint docs: no cross FPs
+
+    mh = rows["minhash_banded"]
+    assert mh.tp >= 2  # identical signatures always collide
+
+
+def test_eval_dedup_quality_fixture_properties(spark, sf_dir):
+    """On the real documents fixture: truth size matches the planted
+    construction, exact recovers every copy pair, exact ngram Jaccard
+    reaches full recall (variants keep 4/5 of tokens -> J ~= 0.8 > 0.5),
+    and the banded MinHash arm lands in its expected accuracy band."""
+    import pipeline_apache_beam_entrega1_cs_spark.plans.llm_data as L
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.trim("text") != ""
+    )
+    n_copy = docs.filter(F.col("doc_id") % 17 == 0).count()
+    n_var = docs.filter(
+        (F.col("doc_id") % 10 == 0)
+        & (F.size(F.split(F.lower(F.trim("text")), r"\s+")) >= 5)
+    ).count()
+    n_both = docs.filter(
+        (F.col("doc_id") % 17 == 0) & (F.col("doc_id") % 10 == 0)
+        & (F.size(F.split(F.lower(F.trim("text")), r"\s+")) >= 5)
+    ).count()
+    rows = {r.method: r for r in L.eval_dedup_quality(spark, sf_dir).collect()}
+    assert rows["exact"].n_truth == n_copy + n_var + n_both
+    assert rows["exact"].tp >= n_copy  # every planted copy pair found
+    assert rows["ngram_jaccard"].recall == 1.0
+    assert rows["minhash_banded"].recall >= 0.7
+    assert rows["minhash_banded"].precision >= 0.6
+
+
 def _lttb_reference(rows, n_buckets):
     """Pure-Python spec of the PARALLEL LTTB relaxation the plan
     implements (bucket-mean anchors instead of prev-selected point),

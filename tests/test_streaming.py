@@ -778,6 +778,88 @@ def test_streaming_cdc_apply_replay(spark, sf_dir, tmp_path):
     assert snapshot(state) == batch_expected
 
 
+def test_streaming_scd2_replay(spark, sf_dir, tmp_path):
+    """Streaming SCD2 maintenance: (1) end-to-end equals the one-shot
+    batch build (per-key chains are set-functions of their changes);
+    (2) replaying a committed batch id is a no-op; (3) a stranded
+    rename-aside state is recovered; (4) per-batch incrementality —
+    a batch touching one key leaves other keys' version rows
+    byte-identical."""
+    import os
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.pipeline_ops as P
+    from pipeline_apache_beam_entrega1_cs_spark.plans.windows_batch import (
+        streaming_scd2_state,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.streaming.sinks import (
+        Scd2MergeSink,
+    )
+
+    cols = ["key", "seq", "attr_price", "valid_from", "valid_to", "is_current"]
+    batch_expected = rows_multiset(
+        P.scd2_build_from_changes(spark, sf_dir).select(*cols)
+    )
+
+    out = streaming_scd2_state(spark, sf_dir)
+    assert rows_multiset(out.select(*cols)) == batch_expected
+
+    # drive the sink directly with 3 manual slices
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    raw = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_totalprice").alias("attr_price"),
+        F.col("o_orderdate").alias("valid_from"),
+    )
+    state = str(tmp_path / "scd2" / "state")
+    sink = Scd2MergeSink(state)
+    slices = [raw.filter(F.col("seq") % 3 == i) for i in range(3)]
+    sink(slices[0], 0)
+    sink(slices[1], 1)
+    os.rename(state, f"{state}_old42")  # crash between swap renames
+    sink(slices[2], 2)
+
+    def snapshot(path):
+        return rows_multiset(spark.read.parquet(path).select(*cols))
+
+    assert snapshot(state) == batch_expected
+
+    replay = raw.limit(9)
+    for b in (0, 1, 2):
+        assert sink.is_committed(b)
+        sink(replay, b)
+    assert snapshot(state) == batch_expected
+
+    # (4) incrementality: one more change for ONE existing key must not
+    # alter any other key's rows (their chains pass through the anti
+    # branch untouched)
+    k0 = raw.select("key").first().key
+    before_others = rows_multiset(
+        spark.read.parquet(state).filter(F.col("key") != k0).select(*cols)
+    )
+    extra = spark.createDataFrame(
+        [(k0,)], "key long"
+    ).select(
+        "key",
+        F.lit(99_999_999).cast("long").alias("seq"),
+        F.lit(None).cast(raw.schema["attr_price"].dataType).alias(
+            "attr_price"
+        ),
+        F.lit("2099-01-01").cast("date").alias("valid_from"),
+    )
+    sink(extra, 3)
+    after = spark.read.parquet(state)
+    assert (
+        rows_multiset(after.filter(F.col("key") != k0).select(*cols))
+        == before_others
+    )
+    # the touched key gained exactly one version, still exactly one
+    # open (is_current) row
+    k0_rows = after.filter(F.col("key") == k0).collect()
+    assert sum(1 for r in k0_rows if r.is_current) == 1
+    assert any(r.seq == 99_999_999 and r.is_current for r in k0_rows)
+
+
 def test_streaming_freshness_replay(spark, sf_dir, tmp_path):
     """Streaming freshness monitor: (1) end-to-end equals the one-shot
     batch audit at bucket grain; (2) replaying a committed batch id is
