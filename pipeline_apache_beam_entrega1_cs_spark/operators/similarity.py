@@ -1005,8 +1005,22 @@ def semantic_cluster_dedup(
     # exactly once (at the a-vector's salt) and spreads the work S*k
     # ways. In production k scales with corpus (SemDeDup runs 50k
     # clusters) and the salt becomes a no-op cost.
-    assigned = assign(cents).select(
-        "vec_id", "v", "cluster", _norm(F.col("v")).alias("nrm")
+    # The assignment subtree is referenced THREE times (pair a-side,
+    # pair b-side, final row list). The explicit cluster repartition is
+    # a shared Exchange boundary directly above it, so physical
+    # planning (ReusedExchange / AQE stage reuse) executes the
+    # crossJoin+argmin assignment ONCE and the two extra references
+    # read shuffle output — measured 4.35 s -> 3.36 s (-23%) at sf0.1
+    # bench shape (round-10 ladder in SCALING.md; the r9 VERDICT ask).
+    # The exchange carries 2k compact rows here and O(corpus) at scale
+    # — the same rows the pair join would shuffle anyway.
+    n_part = int(
+        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    assigned = (
+        assign(cents)
+        .select("vec_id", "v", "cluster", _norm(F.col("v")).alias("nrm"))
+        .repartition(n_part, "cluster")
     )
     S = 16
     a = assigned.select(
