@@ -10,20 +10,26 @@ regardless of order. Per-round window history lives in
 /root/repo/ROTATION.md; the real source of truth is DRIVER_PRIORITY
 plus the CORRECTNESS_r{N}.json files.
 
-CURRENT WINDOW (round 9; r08 had zero failures): (a) the 26
-never-driver-checked fourth-session round-8 additions, first; (b) the
-24 round-9 additions — together they fill the window exactly, so the
-planned r04-only back-fill slipped entirely to round 10 (never-checked
-entries outrank stale-but-many-times-green re-checks; full list in
-ROTATION.md).
+CURRENT WINDOW (round 10; r09 had zero failures): (a) the SEVEN
+never-driver-checked round-9 late additions, named in full
+(streaming_freshness_state, timeseries_lttb_downsample,
+agg_winsorized_mean, pandas_udf_grouped_agg, window_session_capped,
+sample_systematic_interval, dq_null_run_detector); (b) the TWO
+round-10 additions (streaming_scd2_state, eval_dedup_quality); (c) 41
+of the 50 r04-only entries, execution-heaviest first. The NINE r04
+names left out are exactly the ones bench.py executes every round
+(q3_shipping_priority, q5_region_revenue, join_sort_merge,
+join_asof_events, join_range_nonequi, agg_rollup,
+window_running_frames, topk_per_group, ann_cosine_topk) — after r10
+they are the only entries with driver evidence older than r10.
 
-ROUND 10 CHORE: promote (a) any r09 failures, (b) round-10 additions,
-(c) the FIFTY r04-only entries (none got a round-9 slot),
-execution-heaviest first: the three streaming sinks/joins,
-dataset_build_pipeline, parquet/ORC roundtrips, pack_token_budget,
-key_skew_profile, the join family, then windows/aggs (full list in
-ROTATION.md round-9 section); (d) back-fill with r05-only entries,
-stalest/execution-heaviest first.
+ROUND 11 CHORE: promote (a) any r10 failures; (b) round-11 additions,
+NAMED IN FULL in this docstring (the round-7 and round-9 reviews both
+caught undercounts — list every never-checked entry explicitly);
+(c) the NINE bench-covered r04-only names above, closing the r04
+back-fill completely; (d) back-fill with r05-only entries,
+stalest/execution-heaviest first (50 entries sit at r05 — see the
+latest-round histogram check in ROTATION.md round-10).
 """
 
 from __future__ import annotations
@@ -42,76 +48,10 @@ from . import (
 )
 from .spec import QuerySpec
 
-# Round-9 window: the 26 never-driver-checked fourth-session round-8
-# additions first, then round-9 additions, then r04-only back-fill
-# (execution-heaviest first). Each round-9 addition inserted in the
-# middle displaces the last back-fill name past slot 50; trimmed names
-# rejoin the round-10 back-fill (tracked in ROTATION.md).
 DRIVER_PRIORITY: list[str] = [
-    # --- (a) the 26 fourth-session round-8 additions, never
-    # driver-checked; all locally oracle-green at sf0.001/sf0.01 ---
-    "dedup_url_canonicalize",
-    "text_pii_redact",
-    "agg_variance_partial_merge",
-    "graph_kcore_prune",
-    "eval_score_calibration",
-    "multimodal_ahash_dedup",
-    "embedding_standardize",
-    "graph_modularity_eval",
-    "streaming_file_source_incremental",
-    "timeseries_cusum_drift",
-    "dq_benford_check",
-    "text_code_detect",
-    "agg_covariance_matrix",
-    "sample_poisson_bootstrap",
-    "streaming_cusum_state",
-    "eval_ab_proportions",
-    "agg_group_entropy",
-    "text_readability",
-    "multimodal_cdc_chunking",
-    "multimodal_audio_trim_bounds",
-    "attribution_linear_touch",
-    "dq_referential_integrity",
-    "timeseries_seasonal_residual",
-    "agg_gini_concentration",
-    "dq_primary_key_uniqueness",
-    "dedup_boundary_stitch",
-    # --- (b) round-9 additions (each displaces the last back-fill
-    # name past slot 50; displaced names rejoin the round-10
-    # back-fill, tracked in ROTATION.md) ---
-    "streaming_url_dedup_state",
-    "cdc_apply_changelog",
-    "maintenance_snapshot_diff",
-    "scd2_build_from_changes",
-    "dedup_typo_neighborhood",
-    "eval_quality_agreement",
-    "agg_mode_per_group",
-    "dq_column_profile",
-    "text_sentence_stats",
-    "timeseries_survival_km",
-    "dataset_curriculum_interleave",
-    "eval_model_auc",
-    "text_html_strip",
-    "multimodal_base64_roundtrip",
-    "dataset_kfold_splits",
-    "dq_event_freshness",
-    "streaming_cdc_apply_state",
-    "agg_weighted_percentile",
-    "text_ngram_novelty",
-    "eval_pr_curve_thresholds",
-    "multimodal_npy_meta",
-    "geo_bucket_join",
-    "text_mojibake_fix",
-    "analytics_dau_cumulative",
-    # The window is full: 26 never-checked round-8 entries + the 24
-    # round-9 additions above. The 25th round-9 addition
-    # (streaming_freshness_state, below at slot 51) plus the entire
-    # FIFTY-entry r04-only back-fill (streaming sinks/joins,
-    # dataset_build_pipeline, sink roundtrips, pack_token_budget,
-    # key_skew_profile, the join/window families — full list in
-    # ROTATION.md) carry over to the round-10 window. q1/q3/q5,
-    # join_sort_merge, join_asof_events and window_running_frames stay
-    # execution-covered by bench.py every round regardless.
+    # --- (a) the 7 round-9 late additions, never driver-checked; all
+    # locally oracle-green (r9 review's 307-entry sweep + this round's
+    # full suite) ---
     "streaming_freshness_state",
     "timeseries_lttb_downsample",
     "agg_winsorized_mean",
@@ -119,6 +59,56 @@ DRIVER_PRIORITY: list[str] = [
     "window_session_capped",
     "sample_systematic_interval",
     "dq_null_run_detector",
+    # --- (b) round-10 additions ---
+    "streaming_scd2_state",
+    "eval_dedup_quality",
+    # --- (c) 41 of the 50 r04-only entries, execution-heaviest first
+    # (streaming sinks/joins, the composed dataset build, file-format
+    # roundtrips, packing, skew profile, the join family, windows,
+    # deciles, text corpus stats, the agg family, SQL-frontend forms,
+    # then the cheap scans/filters). The 9 left out are bench-covered
+    # every round; they lead the round-11 back-fill. ---
+    "streaming_stream_left_join",
+    "streaming_foreach_batch_sink",
+    "streaming_rollup_upsert",
+    "dataset_build_pipeline",
+    "sink_parquet_roundtrip",
+    "sink_orc_roundtrip",
+    "pack_token_budget",
+    "key_skew_profile",
+    "join_broadcast_dim",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "skew_salted_agg",
+    "window_rank",
+    "window_lag_lead",
+    "window_distribution",
+    "ntile_decile_stats",
+    "decile_stats_bucketed",
+    "text_tfidf_top_terms",
+    "text_unigram_logprob",
+    "text_bigram_pmi",
+    "agg_grouping_sets",
+    "agg_cube",
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_percentiles",
+    "agg_min_max_by",
+    "agg_basic_stats",
+    "agg_collect_sorted",
+    "agg_distinct",
+    "agg_having",
+    "cte_above_avg_nations",
+    "scalar_subquery_parts",
+    "pivot_flag_status",
+    "unpivot_order_metrics",
+    "filter_project_nullsafe",
+    "sort_limit_global",
+    "sample_seeded",
+    "try_functions",
 ]
 
 
