@@ -156,6 +156,7 @@ AUDIT = [
     "analytics_dau_cumulative",
     "timeseries_lttb_downsample",
     "agg_winsorized_mean",
+    "eval_dedup_quality",
 ]
 
 

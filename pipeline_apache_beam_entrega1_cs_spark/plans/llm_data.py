@@ -3991,7 +3991,10 @@ FROM m LEFT JOIN stats USING (method) CROSS JOIN truth_n
 
 QUERIES: dict[str, QuerySpec] = {
     "eval_dedup_quality": QuerySpec(
-        eval_dedup_quality, EVAL_DEDUP_QUALITY_SQL, "quality"),
+        eval_dedup_quality, EVAL_DEDUP_QUALITY_SQL, "quality",
+        plan_waivers={"bnlj": (
+            "1-row n_truth scalar attach onto the 3-row method report "
+            "— both sides scale-independent")}),
     "text_mojibake_fix": QuerySpec(
         text_mojibake_fix, _mojibake_sql(), "text"),
     "multimodal_npy_meta": QuerySpec(
