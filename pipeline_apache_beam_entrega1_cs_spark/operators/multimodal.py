@@ -844,3 +844,124 @@ def npy_header_meta(npy: DataFrame) -> DataFrame:
         (data_len == shape * itemsize).alias("data_len_ok"),
         (embedded_id == F.col("vec_id")).alias("data_roundtrip_ok"),
     )
+
+
+def with_tiff_payload(docs: DataFrame) -> DataFrame:
+    """Deterministic TIFF container fixture over documents: each doc
+    gets a structurally valid single-IFD TIFF — byte-order mark 'II'
+    (little-endian) for even doc_ids, 'MM' (big-endian) for odd, so
+    BOTH endiannesses are exercised in one table (TIFF is the classic
+    dual-endian container; PNG is always BE, WAV always LE); magic 42;
+    a NON-constant first-IFD offset (8 + doc_id % 5 pad bytes, so the
+    parser must actually read the offset field); an IFD with two LONG
+    entries (tag 256 ImageWidth = 16 + doc_id % 241, tag 257
+    ImageLength = 16 + doc_id % 181) and a zero next-IFD pointer; then
+    the UTF-8 text bytes as stand-in strip data. Mirrored byte-for-byte
+    by the SQL oracle."""
+    d = F.col("doc_id")
+    width = (d % 241 + 16).cast("bigint")
+    height = (d % 181 + 16).cast("bigint")
+    pad = (d % 5).cast("int")
+    ifd_off = (pad + 8).cast("bigint")
+
+    def le16(v):
+        b = F.lpad(F.hex(v.cast("bigint")), 4, "0")
+        return F.concat(F.substring(b, 3, 2), F.substring(b, 1, 2))
+
+    def be16(v):
+        return F.lpad(F.hex(v.cast("bigint")), 4, "0")
+
+    def le32(v):
+        b = F.lpad(F.hex(v.cast("bigint")), 8, "0")
+        return F.concat(
+            F.substring(b, 7, 2), F.substring(b, 5, 2),
+            F.substring(b, 3, 2), F.substring(b, 1, 2),
+        )
+
+    def be32(v):
+        return F.lpad(F.hex(v.cast("bigint")), 8, "0")
+
+    def entry(tag: int, value, u16, u32):
+        # 12-byte IFD entry: tag, type LONG (4), count 1, value
+        return F.concat(
+            u16(F.lit(tag)), u16(F.lit(4)), u32(F.lit(1)), u32(value)
+        )
+
+    def ifd(u16, u32):
+        return F.concat(
+            u16(F.lit(2)),                      # entry count
+            entry(256, width, u16, u32),        # ImageWidth
+            entry(257, height, u16, u32),       # ImageLength
+            u32(F.lit(0)),                      # next IFD: none
+        )
+
+    le_hex = F.concat(F.lit("49492A00"), le32(ifd_off),
+                      F.repeat(F.lit("00"), pad), ifd(le16, le32))
+    be_hex = F.concat(F.lit("4D4D002A"), be32(ifd_off),
+                      F.repeat(F.lit("00"), pad), ifd(be16, be32))
+    hdr = F.when(d % 2 == 0, F.unhex(le_hex)).otherwise(F.unhex(be_hex))
+    return docs.select(
+        "doc_id",
+        F.concat(hdr, F.encode(F.col("text"), "UTF-8")).alias("payload"),
+    )
+
+
+def tiff_header_meta(tiff: DataFrame) -> DataFrame:
+    """Parse TIFF/EXIF container metadata with pure expressions — the
+    dual-endian member of the container-parser family (PNG IHDR is
+    fixed big-endian, RIFF/WAV fixed little-endian, .npy little-endian
+    with a text header; TIFF's byte order is DECLARED by the file
+    itself, so every field read must branch on the BOM): validates the
+    magic (42 in the declared order), follows the first-IFD offset,
+    reads the entry count, and walks the 12-byte IFD entries to pull
+    ImageWidth (tag 256) and ImageLength (tag 257), checking the
+    next-IFD pointer is 0.
+
+    100 TB shape: fixed-offset BINARY substrings + conv arithmetic and
+    one bounded transform over n_entries (2 here; tens in real EXIF) —
+    O(entries) per row, zero shuffle, zero UDF."""
+    p = F.col("payload")
+    le = F.hex(F.substring(p, 1, 2)) == "4949"
+
+    def u16(off):  # off: 1-based byte offset Column
+        lo = F.conv(F.hex(F.substring(p, off.cast("int"), 1)), 16, 10)
+        hi = F.conv(F.hex(F.substring(p, (off + 1).cast("int"), 1)), 16, 10)
+        return F.when(le, lo + 256 * hi).otherwise(256 * lo + hi).cast("long")
+
+    def u32(off):
+        lo = u16(off)
+        hi = u16(off + 2)
+        return (
+            F.when(le, lo + 65536 * hi).otherwise(65536 * lo + hi)
+        ).cast("long")
+
+    magic_ok = u16(F.lit(3)) == 42
+    ifd_off = u32(F.lit(5))
+    base = ifd_off + 1  # 1-based position of the IFD
+    n_entries = u16(base)
+    entries = F.transform(
+        F.sequence(F.lit(0), (n_entries - 1).cast("int")),
+        lambda i: F.struct(
+            u16(base + 2 + 12 * i).alias("tag"),
+            u16(base + 4 + 12 * i).alias("ftype"),
+            u32(base + 10 + 12 * i).alias("value"),
+        ),
+    )
+
+    def tag_value(tag: int):
+        hits = F.filter(entries, lambda e: e["tag"] == tag)
+        return F.when(
+            F.size(hits) == 1, F.element_at(hits, 1)["value"]
+        ).cast("long")
+
+    next_ifd = u32(base + 2 + 12 * n_entries)
+    return tiff.select(
+        "doc_id",
+        le.alias("is_little_endian"),
+        magic_ok.alias("magic_ok"),
+        ifd_off.alias("ifd_offset"),
+        n_entries.alias("n_entries"),
+        tag_value(256).alias("width"),
+        tag_value(257).alias("height"),
+        (next_ifd == 0).alias("last_ifd"),
+    )

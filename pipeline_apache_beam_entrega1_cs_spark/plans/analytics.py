@@ -4538,7 +4538,241 @@ HAVING COUNT(*) >= 3
 """
 
 
+def analytics_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel — funnel_conversion's realistic sibling:
+    a later stage only counts if it happens strictly after the earliest
+    completion of the previous stage AND within a 1-hour conversion
+    window of it (the attribution rule product analytics actually uses;
+    the unwindowed funnel credits a purchase a week later). Same
+    chained window-min shape: t1 = first view, t2 = first click in
+    (t1, t1 + 1h], t3 = first purchase in (t2, t2 + 1h].
+
+    100 TB shape: one shuffle on user_id; three chained window-mins on
+    the SAME partitioning run in one Window stage; final 1-row
+    partial-agg collapse (no Exchange carries user rows to the
+    driver)."""
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    hour = F.expr("INTERVAL 1 HOUR")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu)
+    staged = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + hour),
+            F.col("ts"),
+        )
+    ).over(wu)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + hour),
+            F.col("ts"),
+        )
+    ).over(wu)
+    staged = staged.withColumn("t3", t3)
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_click_1h"),
+        F.count("t3").alias("n_purchase_1h"),
+        F.round(F.count("t2") / F.count("t1"), 6).alias("r_view_to_click"),
+        F.round(F.count("t3") / F.count("t2"), 6).alias("r_click_to_purchase"),
+    )
+
+
+FUNNEL_WINDOWED_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+  FROM events GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL 1 HOUR
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s2.t2 + INTERVAL 1 HOUR
+  GROUP BY e.user_id
+),
+j AS (
+  SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN s1 ON u.user_id = s1.user_id
+  LEFT JOIN s2 ON u.user_id = s2.user_id
+  LEFT JOIN s3 ON u.user_id = s3.user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t1) AS n_view,
+       COUNT(t2) AS n_click_1h,
+       COUNT(t3) AS n_purchase_1h,
+       round(COUNT(t2)::DOUBLE / COUNT(t1), 6) AS r_view_to_click,
+       round(COUNT(t3)::DOUBLE / COUNT(t2), 6) AS r_click_to_purchase
+FROM j
+"""
+
+
+def geo_path_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trip statistics over an ordered point stream — the
+    telemetry rollup a mobility/telemetry pipeline reports: total path
+    length (sum of haversine segments between consecutive pings),
+    point count, and the bounding box. Coordinates are a deterministic
+    per-EVENT fixture ((user_id, event_id) residues — geo_bucket_join's
+    per-user fixture, extended to event grain so paths have real
+    movement); ordering is (ts, event_id).
+
+    Determinism: each SEGMENT distance rounds at 6 dp (engine-exact on
+    these magnitudes, as geo_bucket_join established), then converts to
+    micro-km BIGINTs via floor (floor is tie-free, unlike the half-up vs
+    half-away round() split) — so the per-user sum is exact integer
+    arithmetic, independent of partial-aggregation order in BOTH
+    engines. 100 TB shape: one shuffle on user_id shared by the lag
+    window and the rollup; bbox min/max are mergeable."""
+    ev = _t(spark, sf_dir, "events")
+    lat = (
+        (F.col("user_id") * 7919 + F.col("event_id") * 31) % 12000
+    ).cast("double") / 100 - 60
+    lon = (
+        (F.col("user_id") * 104729 + F.col("event_id") * 17) % 36000
+    ).cast("double") / 100 - 180
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = ev.select(
+        "user_id", "ts", "event_id", lat.alias("lat"), lon.alias("lon")
+    ).select(
+        "user_id", "lat", "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    )
+    dlat = F.radians(F.col("lat") - F.col("plat"))
+    dlon = F.radians(F.col("lon") - F.col("plon"))
+    h = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(F.radians("plat"))
+        * F.cos(F.radians("lat"))
+        * F.pow(F.sin(dlon / 2), 2)
+    )
+    seg_km = F.round(2 * 6371.0 * F.asin(F.sqrt(h)), 6)
+    seg_micro = F.floor(seg_km * 1_000_000).cast("long")
+    return (
+        pts.select(
+            "user_id", "lat", "lon",
+            F.coalesce(seg_micro, F.lit(0).cast("long")).alias("seg_micro"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.round(F.sum("seg_micro") / 1_000_000.0, 6).alias("path_km"),
+            F.min("lat").alias("min_lat"),
+            F.max("lat").alias("max_lat"),
+            F.min("lon").alias("min_lon"),
+            F.max("lon").alias("max_lon"),
+        )
+    )
+
+
+GEO_PATH_STATS_SQL = """
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         ((user_id * 7919 + event_id * 31) % 12000)::DOUBLE / 100 - 60
+           AS lat,
+         ((user_id * 104729 + event_id * 17) % 36000)::DOUBLE / 100 - 180
+           AS lon
+  FROM events
+), seg AS (
+  SELECT user_id, lat, lon,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), dist AS (
+  SELECT user_id, lat, lon,
+         COALESCE(CAST(floor(round(2 * 6371.0 * asin(sqrt(
+           pow(sin(radians(lat - plat) / 2), 2)
+           + cos(radians(plat)) * cos(radians(lat))
+             * pow(sin(radians(lon - plon) / 2), 2))), 6)
+           * 1000000) AS BIGINT), 0) AS seg_micro
+  FROM seg
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+       round(SUM(seg_micro) / 1000000.0, 6) AS path_km,
+       MIN(lat) AS min_lat, MAX(lat) AS max_lat,
+       MIN(lon) AS min_lon, MAX(lon) AS max_lon
+FROM dist GROUP BY user_id
+"""
+
+
+_KANON_K = 5
+
+
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit — the privacy-governance DQ check a
+    training-data release runs before publishing: for a chosen
+    quasi-identifier set (here nation x market segment over customer),
+    every equivalence class smaller than k = 5 (_KANON_K) re-identifies
+    its members. Reports EVERY class with its size, at-risk flag, and
+    the share of the table it holds, so the release gate can both count
+    violations and locate them.
+
+    This is Sweeney's k-anonymity on the QI grain, not a sampling
+    estimate — classes are exact counts. 100 TB shape: ONE mergeable
+    hash aggregate on the QI columns plus a 1-row total attach
+    (broadcast); class cardinality is bounded by the QI domain
+    (|nations| x |segments|), not by rows."""
+    c = _t(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        F.col("c_nationkey").alias("qi_nation"),
+        F.col("c_mktsegment").alias("qi_segment"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("class_size"))
+    total = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    return (
+        classes.crossJoin(F.broadcast(total))
+        .select(
+            "qi_nation",
+            "qi_segment",
+            "class_size",
+            (F.col("class_size") < _KANON_K).alias("at_risk"),
+            F.round(
+                F.col("class_size").cast("double") / F.col("n_rows"), 6
+            ).alias("table_share"),
+        )
+    )
+
+
+DQ_K_ANONYMITY_SQL = f"""
+WITH classes AS (
+  SELECT c_nationkey AS qi_nation, c_mktsegment AS qi_segment,
+         CAST(COUNT(*) AS BIGINT) AS class_size
+  FROM customer GROUP BY 1, 2
+), total AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM customer
+)
+SELECT qi_nation, qi_segment, class_size,
+       class_size < {_KANON_K} AS at_risk,
+       round(class_size::DOUBLE / n_rows, 6) AS table_share
+FROM classes CROSS JOIN total
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "geo_path_stats": QuerySpec(
+        geo_path_stats, GEO_PATH_STATS_SQL, "geo"),
+    "analytics_funnel_windowed": QuerySpec(
+        analytics_funnel_windowed, FUNNEL_WINDOWED_SQL, "analytics"),
+    "dq_k_anonymity": QuerySpec(
+        dq_k_anonymity, DQ_K_ANONYMITY_SQL, "dq",
+        plan_waivers={"bnlj": (
+            "1-row table-total scalar attach onto the bounded QI-class "
+            "frame")}),
     "dq_null_run_detector": QuerySpec(
         dq_null_run_detector, DQ_NULL_RUN_SQL, "dq"),
     "window_session_capped": QuerySpec(

@@ -3660,6 +3660,230 @@ FROM meta
 """
 
 
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve — the tokenizer-budgeting
+    report an LLM-data pipeline runs before fixing a vocab size: order
+    the corpus by a deterministic md5 shuffle key and report, at ten
+    equal-size corpus checkpoints, how many DISTINCT tokens the prefix
+    has introduced. Sub-linear growth between checkpoints is the
+    empirical Heaps exponent; a near-linear tail means the corpus keeps
+    minting tokens (noise, mojibake, or ids) and a bigger vocab buys
+    little.
+
+    Scale shape: document positions come from the 256-bucket two-phase
+    ranking (dataset_shuffle_shards' recipe — NO global sort over
+    docs); each token reduces to its FIRST-SEEN position (one mergeable
+    min aggregate — the analytics_dau_cumulative move, so the prefix
+    vocab is never re-distincted per checkpoint); the checkpoint index
+    is closed-form integer arithmetic (k_min = ceil(10·(pos+1)/N)) and
+    the only windows run over the 256-bucket offsets frame and the
+    10-row checkpoint grid."""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    keyed = docs.select(
+        "doc_id", "text",
+        F.md5(F.concat(F.lit("heaps:"), F.col("doc_id").cast("string"))).alias(
+            "shuf"
+        ),
+    ).withColumn(
+        "bucket", F.conv(F.substring("shuf", 1, 2), 16, 10).cast("int")
+    )
+    per_bucket = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_bucket.select(
+        "bucket",
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("base"),
+    )
+    w_in = Window.partitionBy("bucket").orderBy("shuf", "doc_id")
+    ranked = keyed.join(F.broadcast(offsets), "bucket").withColumn(
+        "pos", F.col("base") + F.row_number().over(w_in) - 1
+    )
+    total = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    toks = (
+        ranked.select(
+            "pos", F.explode(F.array_distinct(T.tokens(F.col("text")))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.min("pos").alias("first_pos"))
+    )
+    per_k = (
+        toks.crossJoin(F.broadcast(total))
+        .select(
+            # exact integer ceil: DIV, not double division (a double
+            # quotient truncated can misround vs DuckDB's //)
+            F.expr(
+                "CAST((10 * (first_pos + 1) + n_total - 1) DIV n_total"
+                " AS BIGINT)"
+            ).alias("k_min"),
+            "n_total",
+        )
+        .groupBy("k_min", "n_total")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    )
+    grid = (
+        total.select(
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("checkpoint"),
+            "n_total",
+        )
+        .join(
+            per_k.withColumnRenamed("k_min", "checkpoint"),
+            ["checkpoint", "n_total"],
+            "left",
+        )
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0).cast("bigint")))
+    )
+    w_cum = Window.orderBy("checkpoint").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return grid.select(
+        F.col("checkpoint").cast("bigint").alias("checkpoint"),
+        F.floor(F.col("n_total") * F.col("checkpoint") / 10)
+        .cast("bigint")
+        .alias("n_docs"),
+        F.sum("n_new").over(w_cum).cast("bigint").alias("vocab_size"),
+    )
+
+
+TEXT_VOCAB_GROWTH_SQL = rf"""
+WITH docs0 AS (
+  SELECT doc_id, text FROM documents WHERE trim(text) <> ''
+), keyed AS (
+  SELECT doc_id, text,
+         md5('heaps:' || CAST(doc_id AS VARCHAR)) AS shuf,
+         ('0x' || substr(md5('heaps:' || CAST(doc_id AS VARCHAR)), 1, 2))
+           ::INTEGER AS bucket
+  FROM docs0
+), per_bucket AS (
+  SELECT bucket, COUNT(*) AS bn FROM keyed GROUP BY bucket
+), offsets AS (
+  SELECT bucket,
+         COALESCE(SUM(bn) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+  FROM per_bucket
+), ranked AS (
+  SELECT k.doc_id, k.text,
+         o.base + ROW_NUMBER() OVER (PARTITION BY k.bucket
+                                     ORDER BY k.shuf, k.doc_id) - 1 AS pos
+  FROM keyed k JOIN offsets o USING (bucket)
+), total AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM docs0
+), toks AS (
+  SELECT tok, MIN(pos) AS first_pos
+  FROM (
+    SELECT DISTINCT r.pos, u.tok
+    FROM ranked r, UNNEST({_TOKS.replace("text", "r.text")}) AS u(tok)
+  ) GROUP BY tok
+), per_k AS (
+  SELECT CAST((10 * (first_pos + 1) + n_total - 1) // n_total AS BIGINT)
+           AS k_min,
+         n_total, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM toks CROSS JOIN total
+  GROUP BY 1, 2
+), grid AS (
+  SELECT g.checkpoint, t.n_total, COALESCE(p.n_new, 0) AS n_new
+  FROM UNNEST(generate_series(1, 10)) AS g(checkpoint)
+  CROSS JOIN total t
+  LEFT JOIN per_k p ON p.k_min = g.checkpoint AND p.n_total = t.n_total
+)
+SELECT CAST(checkpoint AS BIGINT) AS checkpoint,
+       CAST(floor(n_total * checkpoint / 10) AS BIGINT) AS n_docs,
+       CAST(SUM(n_new) OVER (ORDER BY checkpoint
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab_size
+FROM grid
+"""
+
+
+def multimodal_tiff_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF/EXIF container metadata parse
+    (operators/multimodal.tiff_header_meta over with_tiff_payload): the
+    DUAL-ENDIAN member of the container-parser family — PNG is fixed
+    big-endian, RIFF/WAV fixed little-endian, .npy little-endian, but
+    TIFF declares its own byte order ('II' vs 'MM') and every later
+    field read must branch on it. The fixture alternates endianness by
+    doc_id parity and varies the first-IFD offset (8 + doc_id % 5 pad)
+    so the parser must follow the offset field, then walks the IFD
+    entries for ImageWidth/ImageLength and checks the next-IFD
+    terminator."""
+    return M.tiff_header_meta(M.with_tiff_payload(_docs(spark, sf_dir)))
+
+
+def _tiff_meta_sql() -> str:
+    def h(v: str, n: int) -> str:
+        return f"lpad(ltrim(hex({v}), '0'), {n}, '0')"
+
+    def le32(v: str) -> str:
+        b = h(v, 8)
+        return (f"(substr({b},7,2)||substr({b},5,2)"
+                f"||substr({b},3,2)||substr({b},1,2))")
+
+    def be32(v: str) -> str:
+        return h(v, 8)
+
+    w, ht, off = "(doc_id % 241 + 16)", "(doc_id % 181 + 16)", "(doc_id % 5 + 8)"
+    pad = "repeat('00', CAST(doc_id % 5 AS INTEGER))"
+    # constant entry fields: tag/type LONG/count-1 in each byte order
+    le_ifd = (f"'0200' || '0001' || '0400' || '01000000' || {le32(w)}"
+              f" || '0101' || '0400' || '01000000' || {le32(ht)}"
+              f" || '00000000'")
+    be_ifd = (f"'0002' || '0100' || '0004' || '00000001' || {be32(w)}"
+              f" || '0101' || '0004' || '00000001' || {be32(ht)}"
+              f" || '00000000'")
+
+    def u16(bytepos: str) -> str:
+        """Endian-aware u16 at 1-based byte position (hex pos 2b-1)."""
+        p = f"CAST(2*({bytepos}) - 1 AS INTEGER)"
+        return (f"(CASE WHEN le THEN ('0x'||substr(h,{p}+2,2)"
+                f"||substr(h,{p},2))::BIGINT "
+                f"ELSE ('0x'||substr(h,{p},4))::BIGINT END)")
+
+    def u32(bytepos: str) -> str:
+        p = f"CAST(2*({bytepos}) - 1 AS INTEGER)"
+        return (f"(CASE WHEN le THEN ('0x'||substr(h,{p}+6,2)"
+                f"||substr(h,{p}+4,2)||substr(h,{p}+2,2)"
+                f"||substr(h,{p},2))::BIGINT "
+                f"ELSE ('0x'||substr(h,{p},8))::BIGINT END)")
+
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0
+               THEN unhex('49492A00' || {le32(off)} || {pad} || {le_ifd})
+               ELSE unhex('4D4D002A' || {be32(off)} || {pad} || {be_ifd})
+          END) || encode(text) AS payload
+  FROM documents
+), hx AS (
+  SELECT doc_id, hex(payload) AS h FROM p
+), bo AS (
+  SELECT doc_id, h, substr(h, 1, 4) = '4949' AS le FROM hx
+), hdr AS (
+  SELECT doc_id, h, le,
+         {u16("3")} AS magic,
+         {u32("5")} AS ifd_off
+  FROM bo
+), cnt AS (
+  SELECT doc_id, h, le, magic, ifd_off,
+         {u16("ifd_off + 1")} AS n_entries
+  FROM hdr
+), ent AS (
+  SELECT doc_id,
+         {u16("ifd_off + 3 + 12*i")} AS tag,
+         {u32("ifd_off + 11 + 12*i")} AS value
+  FROM cnt, UNNEST(generate_series(0, n_entries - 1)) AS g(i)
+), dims AS (
+  SELECT doc_id,
+         MAX(CASE WHEN tag = 256 THEN value END) AS width,
+         MAX(CASE WHEN tag = 257 THEN value END) AS height
+  FROM ent GROUP BY doc_id
+)
+SELECT c.doc_id, le AS is_little_endian, magic = 42 AS magic_ok,
+       ifd_off AS ifd_offset, n_entries, width, height,
+       {u32("ifd_off + 3 + 12*n_entries")} = 0 AS last_ifd
+FROM cnt c JOIN dims d ON c.doc_id = d.doc_id
+"""
+
+
 _MOJIBAKE_MAP = [
     ("Ã©", "é"),        # Ã©  -> é
     ("Ã¼", "ü"),        # Ã¼  -> ü
@@ -3990,6 +4214,19 @@ FROM m LEFT JOIN stats USING (method) CROSS JOIN truth_n
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "multimodal_tiff_meta": QuerySpec(
+        multimodal_tiff_meta, _tiff_meta_sql(), "multimodal"),
+    "text_vocab_growth": QuerySpec(
+        text_vocab_growth, TEXT_VOCAB_GROWTH_SQL, "text",
+        plan_waivers={
+            "bnlj": (
+                "1-row corpus-total attach onto the token first-seen "
+                "frame and the 10-row grid"),
+            "global_window": (
+                "offsets window over the 256 md5-prefix buckets and the "
+                "cumulative window over the 10-row checkpoint grid — "
+                "both O(1), never over rows"),
+        }),
     "eval_dedup_quality": QuerySpec(
         eval_dedup_quality, EVAL_DEDUP_QUALITY_SQL, "quality",
         plan_waivers={"bnlj": (

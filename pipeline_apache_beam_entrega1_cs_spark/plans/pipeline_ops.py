@@ -1250,6 +1250,85 @@ def maintenance_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+_ORPHAN_FILES = 3
+
+
+def maintenance_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-file audit — the VACUUM / garbage-collection complement of
+    maintenance_incremental_manifest: a table directory accumulates
+    files the manifest never registered (crashed writers' uncommitted
+    output, aborted compactions), and the maintenance job must find
+    them by diffing the PHYSICAL listing against the manifest before
+    reclaiming space. Same economics as the ingest diff: the orphan
+    list is a driver-side FILE-METADATA collect (O(#files), zero row
+    I/O), and the audit read opens EXACTLY the orphan paths (asserted
+    physically in tests/test_scale_idioms.py) — never the committed
+    data.
+
+    Fixture: three committed batches land and register in the manifest;
+    a 'crashed writer' leaves _ORPHAN_FILES unregistered files of the
+    o_orderkey % 5 == 4 slice in the same tree, so the oracle (that
+    slice + the literal file count) hash-matching proves the diff found
+    all orphans and nothing else. Per-PID scratch dir with dead-pid
+    sweep (the maintenance_incremental_manifest convention)."""
+    import os
+    import shutil
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    root = f"/tmp/spark_graft_orphan/{tag}"
+    d = f"{root}/{os.getpid()}"
+    if os.path.isdir(root):
+        for entry in os.listdir(root):
+            try:
+                pid = int(entry)
+            except ValueError:
+                shutil.rmtree(f"{root}/{entry}", ignore_errors=True)
+                continue
+            if pid == os.getpid() or not os.path.exists(f"/proc/{pid}"):
+                shutil.rmtree(f"{root}/{entry}", ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    for b in range(3):
+        orders.filter(F.col("o_orderkey") % 3 == b).repartition(2).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/data/b{b}")
+    # the crashed writer: files in the tree, absent from the manifest
+    orders.filter(F.col("o_orderkey") % 5 == 4).repartition(
+        _ORPHAN_FILES
+    ).write.mode("overwrite").parquet(f"{d}/data/stray")
+    spark.read.parquet(f"{d}/data/b0", f"{d}/data/b1", f"{d}/data/b2").select(
+        F.col("_metadata.file_path").alias("file_path")
+    ).distinct().write.mode("overwrite").parquet(f"{d}/manifest")
+    listed = (
+        spark.read.parquet(f"{d}/data/*")
+        .select(F.col("_metadata.file_path").alias("file_path"))
+        .distinct()
+    )
+    manifest = spark.read.parquet(f"{d}/manifest")
+    orphan_paths = [
+        r.file_path
+        for r in listed.join(manifest, "file_path", "left_anti").collect()
+    ]
+    orphans = spark.read.parquet(*sorted(orphan_paths))
+    return orphans.agg(
+        F.lit(len(orphan_paths)).cast("bigint").alias("n_orphan_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+MAINT_ORPHAN_FILES_SQL = f"""
+SELECT CAST({_ORPHAN_FILES} AS BIGINT) AS n_orphan_files,
+       COUNT(*) AS n_rows,
+       {sql_dsum("o_totalprice")} AS sum_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders
+WHERE o_orderkey % 5 = 4
+"""
+
+
 MAINT_INCREMENTAL_MANIFEST_SQL = f"""
 SELECT CAST({_MANIFEST_NEW_FILES} AS BIGINT) AS n_new_files,
        COUNT(*) AS n_rows,
@@ -1322,6 +1401,8 @@ QUERIES: dict[str, QuerySpec] = {
     "maintenance_incremental_manifest": QuerySpec(
         maintenance_incremental_manifest, MAINT_INCREMENTAL_MANIFEST_SQL,
         "pipeline"),
+    "maintenance_orphan_files": QuerySpec(
+        maintenance_orphan_files, MAINT_ORPHAN_FILES_SQL, "pipeline"),
     "dq_split_leakage": QuerySpec(
         dq_split_leakage, DQ_SPLIT_LEAKAGE_SQL, "pipeline"),
     "split_train_val_test": QuerySpec(split_train_val_test, SPLIT_SQL, "pipeline"),

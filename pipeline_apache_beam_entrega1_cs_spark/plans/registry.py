@@ -23,11 +23,14 @@ join_asof_events, join_range_nonequi, agg_rollup,
 window_running_frames, topk_per_group, ann_cosine_topk) — after r10
 they are the only entries with driver evidence older than r10.
 
-ROUND 11 CHORE: promote (a) any r10 failures; (b) round-11 additions,
-NAMED IN FULL in this docstring (the round-7 and round-9 reviews both
-caught undercounts — list every never-checked entry explicitly);
-(c) the NINE bench-covered r04-only names above, closing the r04
-back-fill completely; (d) back-fill with r05-only entries,
+ROUND 11 CHORE: promote (a) any r10 failures; (b) the SIX round-10
+late additions past slot 50, named in full (multimodal_tiff_meta,
+dq_k_anonymity, geo_path_stats, analytics_funnel_windowed,
+text_vocab_growth, maintenance_orphan_files — all locally
+oracle-green; the round-7/round-9 undercount lesson: list every
+never-checked entry explicitly); (c) round-11 additions, also named
+in full; (d) the NINE bench-covered r04-only names above, closing the
+r04 back-fill completely; (e) back-fill with r05-only entries,
 stalest/execution-heaviest first (50 entries sit at r05 — see the
 latest-round histogram check in ROTATION.md round-10).
 """

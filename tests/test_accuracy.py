@@ -1473,3 +1473,148 @@ def test_seasonal_residual_properties(spark, sf_dir):
             assert abs(r.residual) <= 3 * sig + 2e-6, r
     flagged = sum(r.is_anomaly for r in rows)
     assert 0 < flagged < n * 0.05  # a real but small 3-sigma tail
+
+
+def test_k_anonymity_planted_violation(spark):
+    """Planted micro-frame: one QI class of size 2 (< k = 5) must be
+    flagged at_risk, the size-6 class must not, sizes sum to the row
+    count, and table_share sums to 1."""
+    from unittest import mock
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    rows = [(i, 7, "AUTO") for i in range(6)] + [(10, 3, "RARE"), (11, 3, "RARE")]
+    c = spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey long, c_mktsegment string"
+    )
+    with mock.patch.object(A, "_t", lambda sp, sf, t: c):
+        out = {(r.qi_nation, r.qi_segment): r
+               for r in A.dq_k_anonymity(spark, "x").collect()}
+    assert out[(7, "AUTO")].class_size == 6 and not out[(7, "AUTO")].at_risk
+    assert out[(3, "RARE")].class_size == 2 and out[(3, "RARE")].at_risk
+    assert sum(r.class_size for r in out.values()) == 8
+    assert abs(sum(r.table_share for r in out.values()) - 1.0) < 1e-6
+
+
+def test_geo_path_stats_matches_bruteforce(spark):
+    """Per-user path length equals a pure-Python haversine walk over
+    the same deterministic points in (ts, event_id) order; bbox is the
+    min/max of the visited coordinates."""
+    import datetime
+    import math
+    from unittest import mock
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    rows = []
+    for u in (1, 5, 42):
+        for e in range(7):
+            rows.append(
+                (u, u * 100 + e,
+                 datetime.datetime(2024, 3, 1, 10, e * 7 % 60, 0))
+            )
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    with mock.patch.object(A, "_t", lambda sp, sf, t: ev):
+        got = {r.user_id: r for r in A.geo_path_stats(spark, "x").collect()}
+
+    def pt(u, e):
+        return (((u * 7919 + e * 31) % 12000) / 100 - 60,
+                ((u * 104729 + e * 17) % 36000) / 100 - 180)
+
+    def hav(a, b):
+        (la1, lo1), (la2, lo2) = a, b
+        h = (math.sin(math.radians(la2 - la1) / 2) ** 2
+             + math.cos(math.radians(la1)) * math.cos(math.radians(la2))
+             * math.sin(math.radians(lo2 - lo1) / 2) ** 2)
+        return round(2 * 6371.0 * math.asin(math.sqrt(h)), 6)
+
+    for u in (1, 5, 42):
+        ordered = sorted(
+            [(ts, eid) for (uu, eid, ts) in rows if uu == u]
+        )
+        path = [pt(u, eid) for (ts, eid) in ordered]
+        total = sum(
+            math.floor(hav(a, b) * 1_000_000)
+            for a, b in zip(path, path[1:])
+        ) / 1_000_000
+        r = got[u]
+        assert r.n_points == 7
+        assert abs(r.path_km - round(total, 6)) < 1e-9, (u, r.path_km, total)
+        assert r.min_lat == min(p[0] for p in path)
+        assert r.max_lon == max(p[1] for p in path)
+
+
+def test_funnel_windowed_tighter_than_unwindowed(spark, sf_dir):
+    """The 1-hour-window funnel can never count MORE conversions than
+    the unwindowed funnel on the same events, and its stage counts obey
+    the funnel monotonicity n_view >= n_click_1h >= n_purchase_1h."""
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    w = A.analytics_funnel_windowed(spark, sf_dir).collect()[0]
+    u = A.funnel_conversion(spark, sf_dir).collect()[0]
+    assert w.n_users == u.n_users and w.n_view == u.n_view
+    assert w.n_click_1h <= u.n_click_after_view
+    assert w.n_purchase_1h <= u.n_purchase_after_click
+    assert w.n_view >= w.n_click_1h >= w.n_purchase_1h
+
+
+def test_funnel_windowed_planted_boundaries(spark):
+    """Hand-built events: a click exactly at t1+1h counts (closed upper
+    bound), one second later does not; a purchase before the qualifying
+    click never counts."""
+    import datetime
+    from unittest import mock
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    T0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def s(mins, secs=0):
+        return T0 + datetime.timedelta(minutes=mins, seconds=secs)
+
+    rows = [
+        # user 1: click at exactly +60min (counts), purchase +61min ok
+        (1, 1, "view", s(0)), (1, 2, "click", s(60)), (1, 3, "purchase", s(61)),
+        # user 2: click at +60min +1s (does NOT count)
+        (2, 4, "view", s(0)), (2, 5, "click", s(60, 1)),
+        # user 3: purchase BEFORE its click -> no purchase credit
+        (3, 6, "view", s(0)), (3, 7, "purchase", s(10)), (3, 8, "click", s(20)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    with mock.patch.object(A, "_t", lambda sp, sf, t: ev):
+        r = A.analytics_funnel_windowed(spark, "x").collect()[0]
+    assert (r.n_users, r.n_view) == (3, 3)
+    assert r.n_click_1h == 2      # users 1 and 3
+    assert r.n_purchase_1h == 1   # user 1 only
+
+
+def test_vocab_growth_monotone_and_exact_total(spark, sf_dir):
+    """Heaps curve invariants: vocab_size is nondecreasing, the last
+    checkpoint equals the corpus's exact distinct token count, n_docs
+    at checkpoint 10 equals the corpus size, and growth per checkpoint
+    never exceeds the tokens addable by the docs in that slice."""
+    import pipeline_apache_beam_entrega1_cs_spark.plans.llm_data as L
+    from pyspark.sql import functions as F
+
+    rows = sorted(
+        L.text_vocab_growth(spark, sf_dir).collect(),
+        key=lambda r: r.checkpoint,
+    )
+    assert [r.checkpoint for r in rows] == list(range(1, 11))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.trim("text") != ""
+    )
+    n_docs = docs.count()
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t")
+        ).select("t").distinct().count()
+    )
+    assert rows[-1].n_docs == n_docs
+    assert rows[-1].vocab_size == vocab
+    prev = 0
+    for r in rows:
+        assert r.vocab_size >= prev
+        prev = r.vocab_size

@@ -372,3 +372,63 @@ def test_npy_payload_matches_real_numpy(spark):
     assert meta[0].dtype == "<f8" and meta[1].dtype == "<f4"
     assert all(m.magic_ok and m.data_len_ok and m.data_roundtrip_ok
                and m.shape == 64 for m in meta.values())
+
+
+def test_tiff_payload_matches_struct_reference(spark):
+    """The TIFF fixture must be byte-identical to a struct.pack-built
+    reference TIFF in BOTH byte orders, and the expression parser must
+    agree with a pure-Python struct parse of those bytes."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from pipeline_apache_beam_entrega1_cs_spark.operators.multimodal import (
+        tiff_header_meta,
+        with_tiff_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"strip data {i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: bytes(r.payload)
+            for r in with_tiff_payload(docs).collect()}
+
+    def ref_tiff(doc_id, text):
+        le = doc_id % 2 == 0
+        e = "<" if le else ">"
+        pad = doc_id % 5
+        ifd_off = 8 + pad
+        width, height = 16 + doc_id % 241, 16 + doc_id % 181
+        out = (b"II" if le else b"MM") + struct.pack(e + "H", 42)
+        out += struct.pack(e + "I", ifd_off) + b"\x00" * pad
+        out += struct.pack(e + "H", 2)
+        out += struct.pack(e + "HHII", 256, 4, 1, width)
+        out += struct.pack(e + "HHII", 257, 4, 1, height)
+        out += struct.pack(e + "I", 0)
+        return out + text.encode()
+
+    def ref_parse(b):
+        le = b[:2] == b"II"
+        e = "<" if le else ">"
+        magic = struct.unpack_from(e + "H", b, 2)[0]
+        ifd = struct.unpack_from(e + "I", b, 4)[0]
+        n = struct.unpack_from(e + "H", b, ifd)[0]
+        dims = {}
+        for i in range(n):
+            tag, ftype, cnt, val = struct.unpack_from(
+                e + "HHII", b, ifd + 2 + 12 * i)
+            dims[tag] = val
+        nxt = struct.unpack_from(e + "I", b, ifd + 2 + 12 * n)[0]
+        return (le, magic == 42, ifd, n, dims[256], dims[257], nxt == 0)
+
+    for i in range(12):
+        assert rows[i] == ref_tiff(i, f"strip data {i}"), i
+
+    meta = {r.doc_id: r for r in
+            tiff_header_meta(with_tiff_payload(docs)).collect()}
+    for i in range(12):
+        got = meta[i]
+        assert (got.is_little_endian, got.magic_ok, got.ifd_offset,
+                got.n_entries, got.width, got.height, got.last_ifd
+                ) == ref_parse(rows[i]), i

@@ -759,3 +759,18 @@ def test_incremental_manifest_reads_only_new_files(spark, sf_dir):
     files = df.inputFiles()
     assert len(files) == _MANIFEST_NEW_FILES
     assert all("/landing/b2/" in f for f in files), files
+
+
+def test_orphan_audit_reads_only_orphan_files(spark, sf_dir):
+    """The orphan-file audit's physical outcome: the report plan's
+    input files are EXACTLY the unregistered stray files — committed
+    (manifested) data sees zero I/O, and every stray file is found."""
+    from pipeline_apache_beam_entrega1_cs_spark.plans.pipeline_ops import (
+        _ORPHAN_FILES,
+        maintenance_orphan_files,
+    )
+
+    df = maintenance_orphan_files(spark, sf_dir)
+    files = df.inputFiles()
+    assert len(files) == _ORPHAN_FILES
+    assert all("/data/stray/" in f for f in files), files
