@@ -965,3 +965,185 @@ def tiff_header_meta(tiff: DataFrame) -> DataFrame:
         tag_value(257).alias("height"),
         (next_ifd == 0).alias("last_ifd"),
     )
+
+
+_TAR_NAMES = ("member0.txt", "member1.txt", "member2.txt")
+
+
+def _tar_const_sum(name: str) -> int:
+    """Byte-sum of a ustar header's CONSTANT fields (everything except
+    the 12-byte size field), with the checksum field counted as 8
+    spaces per the tar spec: name, mode 0000644, uid/gid 0000000,
+    mtime zeros, typeflag '0', magic 'ustar\\0' + version '00'."""
+    return (
+        sum(name.encode())
+        + sum(b"0000644\x00")
+        + 2 * sum(b"0000000\x00")
+        + sum(b"00000000000\x00")
+        + 8 * 0x20
+        + ord("0")
+        + sum(b"ustar\x00")
+        + sum(b"00")
+    )
+
+
+def _oct_str(v, digits: int):
+    """Fixed-width octal rendering of a BIGINT column as a string —
+    manual digit arithmetic (integer div/mod), identical in DuckDB."""
+    parts = [
+        ((v / (8 ** i)).cast("long") % 8).cast("string")
+        for i in range(digits - 1, -1, -1)
+    ]
+    return F.concat(*parts)
+
+
+def _oct_digit_sum(v, digits: int):
+    """Sum of the octal digits of a BIGINT column."""
+    out = F.lit(0).cast("long")
+    for i in range(digits):
+        out = out + (v / (8 ** i)).cast("long") % 8
+    return out
+
+
+def with_tar_payload(docs: DataFrame) -> DataFrame:
+    """Deterministic ustar (POSIX tar) fixture over documents: each doc
+    becomes a 3-member tar archive — fixed names, data-dependent sizes
+    (member 1 spans 1-3 data blocks, so member offsets genuinely
+    depend on parsing the PREVIOUS member's size — the property that
+    makes tar an index-walk, not a fixed-offset read), correct octal
+    size fields, VALID checksums (constant-field byte sums precomputed
+    + octal-digit arithmetic for the size field), zero-padded data
+    blocks, and the 1024-byte end-of-archive trailer. Validated
+    byte-for-byte against Python's tarfile in tests."""
+    d = F.col("doc_id")
+    sizes = [
+        (d % 300 + 100).cast("long"),
+        (d % 800 + 400).cast("long"),
+        F.lit(50).cast("long"),
+    ]
+    pieces = []
+    for j, size in enumerate(sizes):
+        name = _TAR_NAMES[j]
+        header_prefix = (  # name[100] mode[8] uid[8] gid[8]
+            name.encode() + bytes(100 - len(name))
+            + b"0000644\x00" + b"0000000\x00" + b"0000000\x00"
+        )
+        chk = _tar_const_sum(name) + 11 * 0x30 + _oct_digit_sum(size, 11)
+        header = F.concat(
+            F.lit(header_prefix),
+            F.encode(_oct_str(size, 11), "UTF-8"), F.lit(b"\x00"),
+            F.lit(b"00000000000\x00"),                       # mtime[12]
+            F.encode(_oct_str(chk, 6), "UTF-8"),
+            F.lit(b"\x00 "),                                  # chksum[8]
+            F.lit(b"0"),                                      # typeflag
+            F.lit(bytes(100)),                                # linkname
+            F.lit(b"ustar\x0000"),                            # magic+ver
+            F.lit(bytes(512 - 265)),                          # rest of block
+        )
+        data = F.encode(
+            F.expr(
+                f"rpad(substring(text, 1, 10), "
+                f"CAST({'doc_id % 300 + 100' if j == 0 else 'doc_id % 800 + 400' if j == 1 else '50'} AS INT), 'x')"
+            ),
+            "UTF-8",
+        )
+        pad = ((512 - size % 512) % 512).cast("int")
+        pieces += [header, data, F.unhex(F.repeat(F.lit("00"), pad))]
+    pieces.append(F.lit(bytes(1024)))  # end-of-archive trailer
+    return docs.select("doc_id", F.concat(*pieces).alias("payload"))
+
+
+def tar_index(tar: DataFrame) -> DataFrame:
+    """Index a ustar archive with pure expressions — the
+    variable-offset member of the container-parser family (PNG/WAV/
+    npy/TIFF all read fixed or pointer-addressed offsets; tar member k
+    starts only where members 0..k-1's parsed sizes put it, so the
+    parser WALKS: parse size, advance 512 + 512*ceil(size/512),
+    repeat — unrolled for the fixture's 3 members, the unrolled-rounds
+    idiom). Per member: NUL-trimmed name, octal size, magic check,
+    full 512-byte checksum recomputation (checksum field as spaces, per
+    spec) compared against the stored value, the member's byte offset,
+    and an md5 of the data region proving the offsets address real
+    data.
+
+    100 TB shape: row-local BINARY slices; the checksum re-sum is a
+    bounded 512-step fold per member — O(archive bytes) per row, zero
+    shuffle, zero UDF."""
+    p = F.col("payload")
+
+    def byte_at(off):  # 0-based offset Column -> unsigned byte value
+        return F.conv(
+            F.hex(F.substring(p, (off + 1).cast("int"), 1)), 16, 10
+        ).cast("long")
+
+    def oct_field(off, digits):  # parse fixed-width octal at 0-based off
+        out = F.lit(0).cast("long")
+        for i in range(digits):
+            out = out * 8 + (byte_at(off + i) - 48)
+        return out
+
+    def member(off):
+        name_hex = F.hex(F.substring(p, (off + 1).cast("int"), 100))
+        nul_idx = F.element_at(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(99)),
+                    lambda i: F.when(
+                        F.substring(name_hex, i * 2 + 1, 2) == "00", i
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            ),
+            1,
+        )
+        name_len = F.coalesce(nul_idx, F.lit(100))
+        name = F.unhex(F.substring(name_hex, 1, (name_len * 2).cast("int"))).cast(
+            "string"
+        )
+        size = oct_field(off + 124, 11)
+        stored_chk = oct_field(off + 148, 6)
+        real_chk = F.aggregate(
+            F.sequence(F.lit(0), F.lit(511)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.when(
+                (i >= 148) & (i <= 155), F.lit(32).cast("long")
+            ).otherwise(byte_at(off + i)),
+        )
+        magic_ok = (
+            F.substring(p, (off + 258).cast("int"), 5).cast("string")
+            == "ustar"
+        )
+        data_md5 = F.md5(F.substring(p, (off + 513).cast("int"), size.cast("int")))
+        return name, size, stored_chk == real_chk, magic_ok, data_md5
+
+    off0 = F.lit(0).cast("long")
+    n0, s0, c0, m0, h0 = member(off0)
+    off1 = off0 + 512 + 512 * ((s0 + 511) / 512).cast("long")
+    n1, s1, c1, m1, h1 = member(off1)
+    off2 = off1 + 512 + 512 * ((s1 + 511) / 512).cast("long")
+    n2, s2, c2, m2, h2 = member(off2)
+
+    members = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("bigint").alias("member_idx"),
+                n.alias("name"),
+                s.alias("size"),
+                o.alias("byte_offset"),
+                c.alias("checksum_ok"),
+                m.alias("magic_ok"),
+                h.alias("data_md5"),
+            )
+            for j, (n, s, o, c, m, h) in enumerate(
+                [
+                    (n0, s0, off0, c0, m0, h0),
+                    (n1, s1, off1, c1, m1, h1),
+                    (n2, s2, off2, c2, m2, h2),
+                ]
+            )
+        ]
+    )
+    return tar.select(
+        "doc_id", F.explode_outer(members).alias("m")
+    ).select("doc_id", "m.*")

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import (
+    _dec_to_double,
     drev,
     dsum,
     dsum_dec,
@@ -4538,6 +4539,193 @@ HAVING COUNT(*) >= 3
 """
 
 
+def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic CRM/BI workload: per
+    customer, Recency (epoch day of last order), Frequency (order
+    count), and Monetary (exact decimal revenue) are each cut into
+    quintiles, concatenated into the familiar 3-digit RFM code
+    (555 = best). Quintile boundaries come from ONE exact-percentile
+    aggregate (p20/p40/p60/p80 per metric — Spark percentile() and
+    DuckDB quantile_cont are verified bit-identical, the
+    agg_percentiles convention), broadcast back, and each customer
+    buckets by threshold compare — NO ntile global sort (the
+    ntile_decile_stats trap): the only shuffle is the per-customer
+    rollup, then map-side compares.
+
+    100 TB shape: one hash-agg on custkey, one 1-row threshold frame
+    (broadcast attach), map-only coding."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.unix_date(F.to_date(F.max("o_orderdate")))
+        .cast("bigint")
+        .alias("recency_day"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    ths = per_cust.agg(
+        *[
+            F.round(F.expr(f"percentile({m}, {q})"), 6).alias(
+                f"{m[0]}{int(q * 100)}"
+            )
+            for m in ("recency_day", "frequency", "monetary")
+            for q in (0.2, 0.4, 0.6, 0.8)
+        ]
+    )
+
+    def quintile(metric: str, pfx: str):
+        c = F.col(metric).cast("double")
+        return (
+            F.lit(1)
+            + (c > F.col(f"{pfx}20")).cast("int")
+            + (c > F.col(f"{pfx}40")).cast("int")
+            + (c > F.col(f"{pfx}60")).cast("int")
+            + (c > F.col(f"{pfx}80")).cast("int")
+        ).cast("bigint")
+
+    return (
+        per_cust.crossJoin(F.broadcast(ths))
+        .select(
+            "o_custkey",
+            "recency_day",
+            "frequency",
+            F.round("monetary", 2).alias("monetary"),
+            quintile("recency_day", "r").alias("r_q"),
+            quintile("frequency", "f").alias("f_q"),
+            quintile("monetary", "m").alias("m_q"),
+        )
+        .withColumn(
+            "rfm_code",
+            (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).cast(
+                "bigint"
+            ),
+        )
+    )
+
+
+ANALYTICS_RFM_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(CAST(MAX(o_orderdate) AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS recency_day,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         {sql_dsum("o_totalprice")} AS monetary
+  FROM orders GROUP BY o_custkey
+), ths AS (
+  SELECT round(quantile_cont(recency_day, 0.2), 6) AS r20,
+         round(quantile_cont(recency_day, 0.4), 6) AS r40,
+         round(quantile_cont(recency_day, 0.6), 6) AS r60,
+         round(quantile_cont(recency_day, 0.8), 6) AS r80,
+         round(quantile_cont(frequency, 0.2), 6) AS f20,
+         round(quantile_cont(frequency, 0.4), 6) AS f40,
+         round(quantile_cont(frequency, 0.6), 6) AS f60,
+         round(quantile_cont(frequency, 0.8), 6) AS f80,
+         round(quantile_cont(monetary, 0.2), 6) AS m20,
+         round(quantile_cont(monetary, 0.4), 6) AS m40,
+         round(quantile_cont(monetary, 0.6), 6) AS m60,
+         round(quantile_cont(monetary, 0.8), 6) AS m80
+  FROM per_cust
+), coded AS (
+  SELECT o_custkey, recency_day, frequency, round(monetary, 2) AS monetary,
+         CAST(1 + (recency_day::DOUBLE > r20)::INTEGER
+                + (recency_day::DOUBLE > r40)::INTEGER
+                + (recency_day::DOUBLE > r60)::INTEGER
+                + (recency_day::DOUBLE > r80)::INTEGER AS BIGINT) AS r_q,
+         CAST(1 + (frequency::DOUBLE > f20)::INTEGER
+                + (frequency::DOUBLE > f40)::INTEGER
+                + (frequency::DOUBLE > f60)::INTEGER
+                + (frequency::DOUBLE > f80)::INTEGER AS BIGINT) AS f_q,
+         CAST(1 + (monetary > m20)::INTEGER + (monetary > m40)::INTEGER
+                + (monetary > m60)::INTEGER + (monetary > m80)::INTEGER
+              AS BIGINT) AS m_q
+  FROM per_cust CROSS JOIN ths
+)
+SELECT o_custkey, recency_day, frequency, monetary, r_q, f_q, m_q,
+       CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm_code
+FROM coded
+"""
+
+
+def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve — retention_cohorts' revenue
+    sibling: customers cohort by FIRST-order year; each cohort's
+    revenue accrues by account age (order year − cohort year), and the
+    running cumulative divided by cohort size is the LTV curve finance
+    actually plots. Revenue stays exact DECIMAL through the cumulative
+    window (order-free), converting to double only for the final
+    rounded per-customer ratio.
+
+    100 TB shape: one custkey hash-agg (cohort assignment), one
+    (cohort, age) hash-agg, one BOUNDED window (≤ #years rows per
+    cohort partition — scale-independent), one broadcast of the
+    #cohorts-row size frame."""
+    o = _t(spark, sf_dir, "orders")
+    cohort = o.groupBy("o_custkey").agg(
+        F.year(F.min("o_orderdate")).cast("int").alias("cohort_year")
+    )
+    sizes = cohort.groupBy("cohort_year").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+    rev = (
+        o.join(cohort, "o_custkey")
+        .groupBy(
+            "cohort_year",
+            (F.year("o_orderdate") - F.col("cohort_year"))
+            .cast("bigint")
+            .alias("age_years"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias(
+                "revenue_dec"
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_year")
+        .orderBy("age_years")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.withColumn("cum_dec", F.sum("revenue_dec").over(w))
+        .join(F.broadcast(sizes), "cohort_year")
+        .select(
+            "cohort_year",
+            "age_years",
+            "n_customers",
+            _dec_to_double(F.col("revenue_dec")).alias("revenue"),
+            F.round(
+                _dec_to_double(F.col("cum_dec")) / F.col("n_customers"), 6
+            ).alias("ltv_per_customer"),
+        )
+    )
+
+
+ANALYTICS_COHORT_LTV_SQL = """
+WITH cohort AS (
+  SELECT o_custkey, CAST(year(MIN(o_orderdate)) AS INTEGER) AS cohort_year
+  FROM orders GROUP BY o_custkey
+), sizes AS (
+  SELECT cohort_year, CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM cohort GROUP BY cohort_year
+), rev AS (
+  SELECT c.cohort_year,
+         CAST(year(o.o_orderdate) - c.cohort_year AS BIGINT) AS age_years,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18, 4))) AS revenue_dec
+  FROM orders o JOIN cohort c ON o.o_custkey = c.o_custkey
+  GROUP BY 1, 2
+), cum AS (
+  SELECT cohort_year, age_years, revenue_dec,
+         SUM(revenue_dec) OVER (PARTITION BY cohort_year ORDER BY age_years
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dec
+  FROM rev
+)
+SELECT c.cohort_year, c.age_years, s.n_customers,
+       CAST(CAST(revenue_dec AS VARCHAR) AS DOUBLE) AS revenue,
+       round(CAST(CAST(cum_dec AS VARCHAR) AS DOUBLE) / s.n_customers, 6)
+         AS ltv_per_customer
+FROM cum c JOIN sizes s USING (cohort_year)
+"""
+
+
 def analytics_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-constrained funnel — funnel_conversion's realistic sibling:
     a later stage only counts if it happens strictly after the earliest
@@ -4768,6 +4956,13 @@ QUERIES: dict[str, QuerySpec] = {
         geo_path_stats, GEO_PATH_STATS_SQL, "geo"),
     "analytics_funnel_windowed": QuerySpec(
         analytics_funnel_windowed, FUNNEL_WINDOWED_SQL, "analytics"),
+    "analytics_rfm_segmentation": QuerySpec(
+        analytics_rfm_segmentation, ANALYTICS_RFM_SQL, "analytics",
+        plan_waivers={"bnlj": (
+            "1-row quintile-threshold frame (12 exact percentiles) "
+            "attached onto the per-customer rollup")}),
+    "analytics_cohort_ltv": QuerySpec(
+        analytics_cohort_ltv, ANALYTICS_COHORT_LTV_SQL, "analytics"),
     "dq_k_anonymity": QuerySpec(
         dq_k_anonymity, DQ_K_ANONYMITY_SQL, "dq",
         plan_waivers={"bnlj": (

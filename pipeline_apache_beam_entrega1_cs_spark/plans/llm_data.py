@@ -3884,6 +3884,50 @@ FROM cnt c JOIN dims d ON c.doc_id = d.doc_id
 """
 
 
+def multimodal_tar_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ustar (POSIX tar) archive indexing
+    (operators/multimodal.tar_index over with_tar_payload): the
+    VARIABLE-OFFSET member of the container-parser family — member k's
+    position exists only after parsing members 0..k-1's sizes, so the
+    parser walks (parse octal size → advance 512 + 512·ceil(size/512)),
+    unrolled for the fixture's 3 members. Per member it recomputes the
+    full 512-byte header checksum (checksum field as spaces, per spec)
+    against the stored value and md5s the data region. Training
+    corpora ship as tar shards (WebDataset et al.), so this is the
+    no-decode index pass such a reader runs.
+
+    The oracle is the closed-form SPEC of the expected index (names,
+    size formulas, block-arithmetic offsets, data md5 over the same
+    rpad construction) rather than a parse replay — hash parity proves
+    the build+walk+verify round-trips to ground truth; Python tarfile
+    cross-validates the fixture bytes in tests."""
+    return M.tar_index(M.with_tar_payload(_docs(spark, sf_dir)))
+
+
+MULTIMODAL_TAR_INDEX_SQL = """
+WITH m AS (
+  SELECT doc_id, text, 0 AS member_idx, 'member0.txt' AS name,
+         CAST(doc_id % 300 + 100 AS BIGINT) AS size,
+         CAST(0 AS BIGINT) AS byte_offset
+  FROM documents
+  UNION ALL
+  SELECT doc_id, text, 1, 'member1.txt',
+         CAST(doc_id % 800 + 400 AS BIGINT),
+         CAST(1024 AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT doc_id, text, 2, 'member2.txt', CAST(50 AS BIGINT),
+         CAST(1536 + 512 * ((doc_id % 800 + 400 + 511) // 512) AS BIGINT)
+  FROM documents
+)
+SELECT doc_id, CAST(member_idx AS BIGINT) AS member_idx, name, size,
+       byte_offset, TRUE AS checksum_ok, TRUE AS magic_ok,
+       md5(rpad(substring(text, 1, 10), CAST(size AS INTEGER), 'x'))
+         AS data_md5
+FROM m
+"""
+
+
 _MOJIBAKE_MAP = [
     ("Ã©", "é"),        # Ã©  -> é
     ("Ã¼", "ü"),        # Ã¼  -> ü
@@ -4216,6 +4260,8 @@ FROM m LEFT JOIN stats USING (method) CROSS JOIN truth_n
 QUERIES: dict[str, QuerySpec] = {
     "multimodal_tiff_meta": QuerySpec(
         multimodal_tiff_meta, _tiff_meta_sql(), "multimodal"),
+    "multimodal_tar_index": QuerySpec(
+        multimodal_tar_index, MULTIMODAL_TAR_INDEX_SQL, "multimodal"),
     "text_vocab_growth": QuerySpec(
         text_vocab_growth, TEXT_VOCAB_GROWTH_SQL, "text",
         plan_waivers={

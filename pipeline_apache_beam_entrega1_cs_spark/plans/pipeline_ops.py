@@ -67,6 +67,57 @@ FROM assigned GROUP BY split
 """
 
 
+def dataset_split_group_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-FREE train/val/test split — the REPAIR whose need
+    dq_split_leakage detects: instead of hashing the doc_id (which
+    scatters exact/near duplicates across splits and leaks train
+    content into test), hash the content GROUP key (sha256 of
+    normalized text, hash_dedup's normalization), so every duplicate
+    of a document lands in the same split BY CONSTRUCTION — the split
+    is a pure function of content. Report per split: docs, distinct
+    content groups, and chars; a group spanning two splits is
+    structurally impossible (tested with planted duplicates).
+
+    100 TB shape: map-only split assignment inside the scan + one
+    3-group aggregate with a distinct on group keys (mergeable
+    partials); no joins, no windows."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    gkey = F.sha2(norm, 256)
+    split = (
+        F.when(F.substring(F.md5(gkey), 1, 8) < _TRAIN_MAX, "train")
+        .when(F.substring(F.md5(gkey), 1, 8) < _VAL_MAX, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), gkey.alias("gkey"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("gkey").alias("n_groups"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+SPLIT_GROUP_AWARE_SQL = rf"""
+WITH assigned AS (
+  SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS gkey,
+         n_chars
+  FROM documents
+), labeled AS (
+  SELECT CASE WHEN substr(md5(gkey), 1, 8) < '{_TRAIN_MAX}' THEN 'train'
+              WHEN substr(md5(gkey), 1, 8) < '{_VAL_MAX}' THEN 'val'
+              ELSE 'test' END AS split,
+         gkey, n_chars
+  FROM assigned
+)
+SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT gkey) AS n_groups,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM labeled GROUP BY split
+"""
+
+
 def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing: assign documents (in deterministic doc_id
     order) to fixed token-budget batches — the shard/batch preparation
@@ -1406,6 +1457,8 @@ QUERIES: dict[str, QuerySpec] = {
     "dq_split_leakage": QuerySpec(
         dq_split_leakage, DQ_SPLIT_LEAKAGE_SQL, "pipeline"),
     "split_train_val_test": QuerySpec(split_train_val_test, SPLIT_SQL, "pipeline"),
+    "dataset_split_group_aware": QuerySpec(
+        dataset_split_group_aware, SPLIT_GROUP_AWARE_SQL, "pipeline"),
     "dataset_build_pipeline": QuerySpec(
         dataset_build_pipeline, DATASET_BUILD_SQL, "composition"
     ),

@@ -1618,3 +1618,82 @@ def test_vocab_growth_monotone_and_exact_total(spark, sf_dir):
     for r in rows:
         assert r.vocab_size >= prev
         prev = r.vocab_size
+
+
+def test_group_aware_split_never_splits_duplicates(spark):
+    """Planted duplicate groups: two exact copies and a
+    whitespace/case variant of the same text must land in the SAME
+    split (the split is a function of normalized content), and the
+    group counts reflect the collapse."""
+    from unittest import mock
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.pipeline_ops as P
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "alpha beta gamma", 16),
+        (2, "alpha beta gamma", 16),          # exact copy
+        (3, "  ALPHA   beta GAMMA ", 21),     # normalizes to the same
+        (4, "something completely different", 30),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    with mock.patch.object(P, "_t", lambda sp, sf, t: docs):
+        out = P.dataset_split_group_aware(spark, "x").collect()
+    assert sum(r.n_docs for r in out) == 4
+    assert sum(r.n_groups for r in out) == 2  # two content groups
+    # the 3-dup group is indivisible: its whole surplus (3 docs - 1
+    # group = 2) sits in ONE split — no split holds a partial group
+    surpluses = [r.n_docs - r.n_groups for r in out]
+    assert sum(surpluses) == 2 and max(surpluses) == 2
+
+
+def test_rfm_quintiles_balanced_and_coded(spark, sf_dir):
+    """RFM invariants: quintile labels are 1..5, each quintile holds
+    between 10% and 30% of customers (exact-percentile cuts on ~uniform
+    metrics), rfm_code == 100r+10f+m, and the best-recency customers
+    (max recency_day) sit in r_q = 5."""
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    rows = A.analytics_rfm_segmentation(spark, sf_dir).collect()
+    n = len(rows)
+    for dim in ("r_q", "f_q", "m_q"):
+        vals = [getattr(r, dim) for r in rows]
+        assert set(vals) <= {1, 2, 3, 4, 5}
+        for q in (1, 5):  # the extreme buckets exist and are plausible
+            share = vals.count(q) / n
+            assert 0.05 < share < 0.45, (dim, q, share)
+    for r in rows:
+        assert r.rfm_code == r.r_q * 100 + r.f_q * 10 + r.m_q
+    best_rec = max(r.recency_day for r in rows)
+    assert all(r.r_q == 5 for r in rows if r.recency_day == best_rec)
+
+
+def test_cohort_ltv_consistency(spark, sf_dir):
+    """LTV curve invariants: per cohort, ltv_per_customer is
+    nondecreasing in age; revenue sums across all (cohort, age) cells
+    equal the table's total; cohort sizes sum to the distinct customer
+    count."""
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+    from pyspark.sql import functions as F
+
+    rows = A.analytics_cohort_ltv(spark, sf_dir).collect()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    total = float(
+        o.agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))).first()[0]
+    )
+    assert abs(sum(r.revenue for r in rows) - total) < 1e-2
+    n_cust = o.select("o_custkey").distinct().count()
+    sizes = {}
+    for r in rows:
+        sizes[r.cohort_year] = r.n_customers
+    assert sum(sizes.values()) == n_cust
+    from collections import defaultdict
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r.cohort_year].append(r)
+    for ages in by_cohort.values():
+        ages.sort(key=lambda r: r.age_years)
+        prev = 0.0
+        for r in ages:
+            assert r.ltv_per_customer >= prev - 1e-9
+            prev = r.ltv_per_customer

@@ -432,3 +432,46 @@ def test_tiff_payload_matches_struct_reference(spark):
         assert (got.is_little_endian, got.magic_ok, got.ifd_offset,
                 got.n_entries, got.width, got.height, got.last_ifd
                 ) == ref_parse(rows[i]), i
+
+
+def test_tar_payload_validates_with_python_tarfile(spark):
+    """The ustar fixture must be a REAL tar: Python's tarfile opens it,
+    lists exactly the 3 members with the expected names/sizes/offsets,
+    and member data matches; the expression parser agrees with
+    tarfile's own index (including checksum validity — tarfile raises
+    on a bad header checksum)."""
+    import io
+    import tarfile
+
+    from pipeline_apache_beam_entrega1_cs_spark.operators.multimodal import (
+        tar_index,
+        with_tar_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"payload text {i}") for i in (0, 1, 7, 112, 511, 799)],
+        "doc_id long, text string",
+    )
+    payloads = {r.doc_id: bytes(r.payload)
+                for r in with_tar_payload(docs).collect()}
+    parsed = {}
+    for r in tar_index(with_tar_payload(docs)).collect():
+        parsed[(r.doc_id, r.member_idx)] = r
+
+    import hashlib
+
+    for doc_id, blob in payloads.items():
+        tf = tarfile.open(fileobj=io.BytesIO(blob))  # raises on bad chksum
+        members = tf.getmembers()
+        assert [m.name for m in members] == [
+            "member0.txt", "member1.txt", "member2.txt"]
+        for j, m in enumerate(members):
+            r = parsed[(doc_id, j)]
+            assert r.name == m.name
+            assert r.size == m.size
+            # tarfile's offset is the HEADER offset — same convention
+            assert r.byte_offset == m.offset, (doc_id, j, r.byte_offset, m.offset)
+            assert r.checksum_ok and r.magic_ok
+            data = tf.extractfile(m).read()
+            assert r.data_md5 == hashlib.md5(data).hexdigest()
+        tf.close()
