@@ -1067,11 +1067,18 @@ def tar_index(tar: DataFrame) -> DataFrame:
     data.
 
     100 TB shape: row-local BINARY slices; the checksum re-sum is a
-    bounded 512-step fold per member — O(archive bytes) per row, zero
-    shuffle, zero UDF."""
+    bounded 512-step fold per member. The member offsets/sizes/header
+    hex are materialized as COLUMNS below an explicit repartition
+    barrier before the folds run: inlined into the 512-element lambdas
+    they re-evaluate per ELEMENT (member 2's offset transitively
+    re-parses members 0-1's octal sizes → ~20k interpreted ops/row and
+    a single-core scan stage; measured minutes at sf0.1 vs ~2 s with
+    the barrier — the CollapseProject lesson of _shingle_arrays, in
+    lambda form), and the same exchange spreads the CPU-bound fold
+    across the cluster instead of the scan's partitioning."""
     p = F.col("payload")
 
-    def byte_at(off):  # 0-based offset Column -> unsigned byte value
+    def byte_at(off):  # 0-based offset Column/int -> unsigned byte value
         return F.conv(
             F.hex(F.substring(p, (off + 1).cast("int"), 1)), 16, 10
         ).cast("long")
@@ -1082,8 +1089,34 @@ def tar_index(tar: DataFrame) -> DataFrame:
             out = out * 8 + (byte_at(off + i) - 48)
         return out
 
-    def member(off):
-        name_hex = F.hex(F.substring(p, (off + 1).cast("int"), 100))
+    # pass 1 (below the barrier): walk the sizes once per row
+    off0 = F.lit(0).cast("long")
+    s0 = oct_field(off0 + 124, 11)
+    off1 = off0 + 512 + 512 * ((s0 + 511) / 512).cast("long")
+    s1 = oct_field(off1 + 124, 11)
+    off2 = off1 + 512 + 512 * ((s1 + 511) / 512).cast("long")
+    s2 = oct_field(off2 + 124, 11)
+    staged = tar.select(
+        "doc_id", "payload",
+        off0.alias("off_0"), s0.alias("size_0"),
+        off1.alias("off_1"), s1.alias("size_1"),
+        off2.alias("off_2"), s2.alias("size_2"),
+        *[
+            F.hex(
+                F.substring(
+                    p,
+                    ([off0, off1, off2][j] + 1).cast("int"),
+                    100,
+                )
+            ).alias(f"name_hex_{j}")
+            for j in range(3)
+        ],
+    ).repartition(_TAR_PARTITIONS_FN(tar), "doc_id")
+
+    def member(j):
+        off = F.col(f"off_{j}")
+        size = F.col(f"size_{j}")
+        name_hex = F.col(f"name_hex_{j}")
         nul_idx = F.element_at(
             F.filter(
                 F.transform(
@@ -1097,10 +1130,9 @@ def tar_index(tar: DataFrame) -> DataFrame:
             1,
         )
         name_len = F.coalesce(nul_idx, F.lit(100))
-        name = F.unhex(F.substring(name_hex, 1, (name_len * 2).cast("int"))).cast(
-            "string"
-        )
-        size = oct_field(off + 124, 11)
+        name = F.unhex(
+            F.substring(name_hex, 1, (name_len * 2).cast("int"))
+        ).cast("string")
         stored_chk = oct_field(off + 148, 6)
         real_chk = F.aggregate(
             F.sequence(F.lit(0), F.lit(511)),
@@ -1114,36 +1146,26 @@ def tar_index(tar: DataFrame) -> DataFrame:
             F.substring(p, (off + 258).cast("int"), 5).cast("string")
             == "ustar"
         )
-        data_md5 = F.md5(F.substring(p, (off + 513).cast("int"), size.cast("int")))
-        return name, size, stored_chk == real_chk, magic_ok, data_md5
+        data_md5 = F.md5(
+            F.substring(p, (off + 513).cast("int"), size.cast("int"))
+        )
+        return F.struct(
+            F.lit(j).cast("bigint").alias("member_idx"),
+            name.alias("name"),
+            size.alias("size"),
+            off.alias("byte_offset"),
+            (stored_chk == real_chk).alias("checksum_ok"),
+            magic_ok.alias("magic_ok"),
+            data_md5.alias("data_md5"),
+        )
 
-    off0 = F.lit(0).cast("long")
-    n0, s0, c0, m0, h0 = member(off0)
-    off1 = off0 + 512 + 512 * ((s0 + 511) / 512).cast("long")
-    n1, s1, c1, m1, h1 = member(off1)
-    off2 = off1 + 512 + 512 * ((s1 + 511) / 512).cast("long")
-    n2, s2, c2, m2, h2 = member(off2)
-
-    members = F.array(
-        *[
-            F.struct(
-                F.lit(j).cast("bigint").alias("member_idx"),
-                n.alias("name"),
-                s.alias("size"),
-                o.alias("byte_offset"),
-                c.alias("checksum_ok"),
-                m.alias("magic_ok"),
-                h.alias("data_md5"),
-            )
-            for j, (n, s, o, c, m, h) in enumerate(
-                [
-                    (n0, s0, off0, c0, m0, h0),
-                    (n1, s1, off1, c1, m1, h1),
-                    (n2, s2, off2, c2, m2, h2),
-                ]
-            )
-        ]
-    )
-    return tar.select(
+    members = F.array(member(0), member(1), member(2))
+    return staged.select(
         "doc_id", F.explode_outer(members).alias("m")
     ).select("doc_id", "m.*")
+
+
+def _TAR_PARTITIONS_FN(df: DataFrame) -> int:
+    from .dedup import _shuffle_partitions
+
+    return _shuffle_partitions(df)
