@@ -157,6 +157,10 @@ AUDIT = [
     "timeseries_lttb_downsample",
     "agg_winsorized_mean",
     "eval_dedup_quality",
+    "multimodal_tar_index",
+    "analytics_rfm_segmentation",
+    "text_vocab_growth",
+    "geo_path_stats",
 ]
 
 

@@ -4539,6 +4539,119 @@ HAVING COUNT(*) >= 3
 """
 
 
+def timeseries_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function at lags 1-3 of each event type's hourly
+    value series — the seasonality/persistence diagnostic a forecasting
+    pipeline runs before model choice (timeseries_forecast_backtest's
+    upstream): r_l = Σ(x_t−x̄)(x_{t+l}−x̄) / Σ(x_t−x̄)², computed from
+    EXACT integer moments. The series is the per-(type, hour) sum of
+    micro-unit values (BIGINT-exact); Σx and the lagged cross sums
+    Σx_t·x_{t+l} / Σ heads / Σ tails accumulate as DECIMAL(38,0)
+    (micro² products overflow int64 — the agg_variance_partial_merge
+    HUGEINT discipline), string-hop to double once, and every later
+    double op is identical cross-engine. Lag pairs join on exact epoch
+    arithmetic (hour_s + 3600·l), so hours missing from the grid simply
+    contribute no pair (documented gap semantics).
+
+    100 TB shape: one (type, hour) hash-agg builds the series; lags
+    explode ×3 and equi-join back on (type, hour+Δ) — one shuffle; all
+    moments mergeable; output is #types × 3 rows."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    U = 1_000_000
+    series = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+        .cast("bigint")
+        .alias("hour_s"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * U).cast("long"))
+        .cast("bigint")
+        .alias("x")
+    )
+    moments = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    lagged = series.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("lag"),
+        (F.col("hour_s") + 3600 * F.col("lag")).alias("hour_s"),
+        F.col("x").alias("x_head"),
+    ).join(
+        series.select(
+            "event_type", "hour_s", F.col("x").alias("x_tail")
+        ),
+        ["event_type", "hour_s"],
+    )
+    pair_moments = lagged.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.col("x_head").cast("decimal(38,0)") * F.col("x_tail")
+        ).alias("sxy"),
+        F.sum("x_head").cast("decimal(38,0)").alias("sh"),
+        F.sum("x_tail").cast("decimal(38,0)").alias("st"),
+    )
+    xbar = _dec_to_double(F.col("sx")) / F.col("n")
+    num = (
+        _dec_to_double(F.col("sxy"))
+        - xbar * (_dec_to_double(F.col("sh")) + _dec_to_double(F.col("st")))
+        + F.col("n_pairs") * xbar * xbar
+    )
+    den = _dec_to_double(F.col("sxx")) - F.col("n") * xbar * xbar
+    return (
+        pair_moments.join(moments, "event_type")
+        .select(
+            "event_type",
+            F.col("lag").cast("bigint").alias("lag"),
+            "n_pairs",
+            F.round(num / den, 6).alias("acf"),
+        )
+    )
+
+
+TIMESERIES_ACF_SQL = """
+WITH series AS (
+  SELECT event_type,
+         CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT)
+           AS hour_s,
+         CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), moments AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+         SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+  FROM series GROUP BY event_type
+), lagged AS (
+  SELECT h.event_type, g.lag, h.x AS x_head, t.x AS x_tail
+  FROM series h
+  CROSS JOIN UNNEST(generate_series(1, 3)) AS g(lag)
+  JOIN series t ON t.event_type = h.event_type
+              AND t.hour_s = h.hour_s + 3600 * g.lag
+), pair_moments AS (
+  SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(CAST(x_head AS DECIMAL(38,0)) * x_tail) AS sxy,
+         CAST(SUM(x_head) AS DECIMAL(38,0)) AS sh,
+         CAST(SUM(x_tail) AS DECIMAL(38,0)) AS st
+  FROM lagged GROUP BY 1, 2
+)
+SELECT p.event_type, CAST(p.lag AS BIGINT) AS lag, p.n_pairs,
+       round(
+         (CAST(CAST(p.sxy AS VARCHAR) AS DOUBLE)
+          - (CAST(CAST(m.sx AS VARCHAR) AS DOUBLE) / m.n)
+            * (CAST(CAST(p.sh AS VARCHAR) AS DOUBLE)
+               + CAST(CAST(p.st AS VARCHAR) AS DOUBLE))
+          + p.n_pairs * (CAST(CAST(m.sx AS VARCHAR) AS DOUBLE) / m.n)
+            * (CAST(CAST(m.sx AS VARCHAR) AS DOUBLE) / m.n))
+         / (CAST(CAST(m.sxx AS VARCHAR) AS DOUBLE)
+            - m.n * (CAST(CAST(m.sx AS VARCHAR) AS DOUBLE) / m.n)
+              * (CAST(CAST(m.sx AS VARCHAR) AS DOUBLE) / m.n)),
+         6) AS acf
+FROM pair_moments p JOIN moments m USING (event_type)
+"""
+
+
 def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation — the classic CRM/BI workload: per
     customer, Recency (epoch day of last order), Frequency (order
@@ -4963,6 +5076,8 @@ QUERIES: dict[str, QuerySpec] = {
             "attached onto the per-customer rollup")}),
     "analytics_cohort_ltv": QuerySpec(
         analytics_cohort_ltv, ANALYTICS_COHORT_LTV_SQL, "analytics"),
+    "timeseries_acf_lags": QuerySpec(
+        timeseries_acf_lags, TIMESERIES_ACF_SQL, "timeseries"),
     "dq_k_anonymity": QuerySpec(
         dq_k_anonymity, DQ_K_ANONYMITY_SQL, "dq",
         plan_waivers={"bnlj": (

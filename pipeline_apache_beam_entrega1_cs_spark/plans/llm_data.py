@@ -3240,6 +3240,159 @@ FROM terms
 """
 
 
+def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-wise average precision (area under the PR step curve) of
+    the learned quality model vs the heuristic gate — the companion
+    ranking metric to eval_model_auc (AUC is threshold-free rank
+    quality; AP weights precision AT the positives, the retrieval
+    community's headline number): AP = Σ_blocks pos_b · P@block_b /
+    N_pos over DISTINCT scores descending, where P@block is the
+    precision at the block's END (every tie gets the block-end
+    precision — the pessimistic tie convention, stated because the
+    logits tie heavily by construction).
+
+    Determinism (the integer-quantum discipline of the nano-unit DCG
+    terms in eval_retrieval_metrics): per-block terms are
+    pos_b · ((TP_b · 1e12) DIV total_b) — exact pico-unit BIGINTs
+    (bounds: TP·1e12 ≤ 5e15 and pos·quotient ≤ 5e15 at sf0.1; at
+    larger corpora lower the quantum) — summed as DECIMAL(38,0), so
+    the sum is order-free and both engines divide the same exact
+    integer by N_pos at the end. Scale shape: identical to
+    eval_model_auc — per-distinct-score collapse, 256-bucket two-phase
+    DESC cumulatives, no global ordering over raw rows."""
+    model = text_quality_model(spark, sf_dir).select("doc_id", "logit")
+    labels = _docs(spark, sf_dir).select(
+        "doc_id",
+        (T.quality_score_col(F.col("text")) >= 0.7).cast("long").alias("y"),
+    )
+    scored = model.join(labels, "doc_id")
+    per_score = scored.groupBy("logit").agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("n_neg"),
+    )
+    bounds = per_score.agg(
+        F.min("logit").alias("lo"), F.max("logit").alias("hi")
+    )
+    B = 256
+    bucket = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(
+            F.lit(B - 1),
+            F.floor(
+                (F.col("logit") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * B
+            ).cast("int"),
+        ),
+    ).otherwise(F.lit(0))
+    withb = per_score.crossJoin(F.broadcast(bounds)).select(
+        "logit", "n_pos", "n_neg", bucket.alias("bucket")
+    )
+    per_bucket = withb.groupBy("bucket").agg(
+        F.sum("n_pos").alias("bucket_pos"),
+        F.sum("n_neg").alias("bucket_neg"),
+    )
+    w_above = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bucket_base = per_bucket.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_pos").over(w_above), F.lit(0)).alias(
+            "pos_above"
+        ),
+        F.coalesce(F.sum("bucket_neg").over(w_above), F.lit(0)).alias(
+            "neg_above"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("logit").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        withb.join(F.broadcast(bucket_base), "bucket")
+        .withColumn(
+            "tp",
+            F.col("pos_above")
+            + F.coalesce(F.sum("n_pos").over(w_in), F.lit(0))
+            + F.col("n_pos"),
+        )
+        .withColumn(
+            "total",
+            F.col("tp")
+            + F.col("neg_above")
+            + F.coalesce(F.sum("n_neg").over(w_in), F.lit(0))
+            + F.col("n_neg"),
+        )
+    )
+    term = (
+        F.col("n_pos")
+        * F.expr("(tp * 1000000000000L) DIV total")
+    ).cast("decimal(38,0)")
+    return cum.agg(
+        F.sum("n_pos").cast("bigint").alias("n_pos"),
+        F.sum("n_neg").cast("bigint").alias("n_neg"),
+        F.round(
+            _dec_to_double(F.sum(term))
+            / 1_000_000_000_000
+            / F.sum("n_pos").cast("double"),
+            6,
+        ).alias("avg_precision"),
+    )
+
+
+def _avg_precision_sql() -> str:
+    return f"""
+WITH m AS ( {_qmodel_sql()} ), scored AS (
+  SELECT m.logit, CASE WHEN {_SQL_QSCORE} >= 0.7 THEN 1 ELSE 0 END AS y
+  FROM m JOIN documents d ON m.doc_id = d.doc_id
+), per_score AS (
+  SELECT logit, CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(1 - y) AS BIGINT) AS n_neg
+  FROM scored GROUP BY logit
+), bounds AS (SELECT MIN(logit) AS lo, MAX(logit) AS hi FROM per_score),
+withb AS (
+  SELECT logit, n_pos, n_neg,
+         CASE WHEN hi > lo
+              THEN least(255, CAST(floor((logit - lo) / (hi - lo) * 256)
+                                   AS INTEGER))
+              ELSE 0 END AS bucket
+  FROM per_score CROSS JOIN bounds
+), per_bucket AS (
+  SELECT bucket, SUM(n_pos) AS bucket_pos, SUM(n_neg) AS bucket_neg
+  FROM withb GROUP BY bucket
+), bucket_base AS (
+  SELECT bucket,
+         COALESCE(SUM(bucket_pos) OVER (ORDER BY bucket DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS pos_above,
+         COALESCE(SUM(bucket_neg) OVER (ORDER BY bucket DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS neg_above
+  FROM per_bucket
+), cum AS (
+  SELECT w.n_pos, w.n_neg,
+         b.pos_above
+         + COALESCE(SUM(w.n_pos) OVER (PARTITION BY w.bucket
+             ORDER BY w.logit DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + w.n_pos AS tp,
+         b.pos_above + b.neg_above
+         + COALESCE(SUM(w.n_pos + w.n_neg) OVER (PARTITION BY w.bucket
+             ORDER BY w.logit DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + w.n_pos + w.n_neg AS total
+  FROM withb w JOIN bucket_base b USING (bucket)
+)
+SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+       round(CAST(CAST(SUM(CAST(n_pos * ((tp * 1000000000000) // total)
+                             AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+             / 1000000000000 / SUM(n_pos)::DOUBLE, 6) AS avg_precision
+FROM cum
+"""
+
+
 def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML boilerplate stripping — the first transform every
     web-crawl curation pipeline applies: drop tags, decode the five
@@ -4262,6 +4415,15 @@ QUERIES: dict[str, QuerySpec] = {
         multimodal_tiff_meta, _tiff_meta_sql(), "multimodal"),
     "multimodal_tar_index": QuerySpec(
         multimodal_tar_index, MULTIMODAL_TAR_INDEX_SQL, "multimodal"),
+    "eval_average_precision": QuerySpec(
+        eval_average_precision, _avg_precision_sql(), "quality",
+        plan_waivers={
+            "bnlj": "1-row score-bounds scalar attach",
+            "global_window": (
+                "cross-bucket DESC cumulative runs over the 256-row "
+                "bucket frame (O(1)); within-bucket windows are "
+                "partitioned"),
+        }),
     "text_vocab_growth": QuerySpec(
         text_vocab_growth, TEXT_VOCAB_GROWTH_SQL, "text",
         plan_waivers={

@@ -67,6 +67,59 @@ FROM assigned GROUP BY split
 """
 
 
+_BOTTOM_K = 200
+
+
+def sample_bottom_k_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k sampling sketch — the MERGEABLE uniform sample (the
+    KMV/bottom-k construction): keep the k documents with the smallest
+    md5 hash of their id. Unlike seeded Bernoulli (random size) or
+    systematic sampling (needs global positions), bottom-k composes:
+    bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)) — so
+    partitions, shards, and micro-batches each keep k rows and merge
+    losslessly (the streaming twin maintains exactly this state).
+
+    100 TB shape: Spark plans ORDER BY hash LIMIT k as
+    TakeOrderedAndProject — per-partition bottom-k then a k-row driver
+    merge, never a global sort shuffle; the sample is a pure function
+    of ids (stable across runs/engines/partitionings)."""
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.concat(F.lit("bks:"), F.col("doc_id").cast("string"))).alias(
+            "sample_key"
+        ),
+    )
+    return keyed.orderBy("sample_key").limit(_BOTTOM_K)
+
+
+SAMPLE_BOTTOM_K_SQL = f"""
+SELECT doc_id, source,
+       md5('bks:' || CAST(doc_id AS VARCHAR)) AS sample_key
+FROM documents
+ORDER BY sample_key
+LIMIT {_BOTTOM_K}
+"""
+
+
+def streaming_bottom_k_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming bottom-k sample maintenance: the documents table
+    replayed as FOUR micro-batches through a foreachBatch MERGE whose
+    state is just the current k-row sample — per batch, union the
+    batch's own bottom-k with state, dedup by doc_id (replay-proof),
+    re-take bottom-k, swap (streaming/sinks.BottomKMergeSink). The
+    bottom-k construction is associative and idempotent, so cold
+    replay over any batch slicing equals the one-shot batch sketch —
+    the oracle is SAMPLE_BOTTOM_K_SQL itself. Exactly-once via
+    in-state commit markers + crash-safe swap; state is k rows
+    regardless of stream length — the cheapest stateful operator in
+    the registry."""
+    from ..streaming.sinks import run_bottom_k_stream
+
+    return run_bottom_k_stream(spark, sf_dir, _BOTTOM_K)
+
+
 def dataset_split_group_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-FREE train/val/test split — the REPAIR whose need
     dq_split_leakage detects: instead of hashing the doc_id (which
@@ -1459,6 +1512,10 @@ QUERIES: dict[str, QuerySpec] = {
     "split_train_val_test": QuerySpec(split_train_val_test, SPLIT_SQL, "pipeline"),
     "dataset_split_group_aware": QuerySpec(
         dataset_split_group_aware, SPLIT_GROUP_AWARE_SQL, "pipeline"),
+    "sample_bottom_k_sketch": QuerySpec(
+        sample_bottom_k_sketch, SAMPLE_BOTTOM_K_SQL, "pipeline"),
+    "streaming_bottom_k_state": QuerySpec(
+        streaming_bottom_k_state, SAMPLE_BOTTOM_K_SQL, "streaming"),
     "dataset_build_pipeline": QuerySpec(
         dataset_build_pipeline, DATASET_BUILD_SQL, "composition"
     ),

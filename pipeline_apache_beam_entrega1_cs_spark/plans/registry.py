@@ -23,13 +23,16 @@ join_asof_events, join_range_nonequi, agg_rollup,
 window_running_frames, topk_per_group, ann_cosine_topk) — after r10
 they are the only entries with driver evidence older than r10.
 
-ROUND 11 CHORE: promote (a) any r10 failures; (b) the TEN round-10
-late additions past slot 50, named in full (multimodal_tiff_meta,
-dq_k_anonymity, geo_path_stats, analytics_funnel_windowed,
-text_vocab_growth, maintenance_orphan_files, dataset_split_group_aware,
-analytics_rfm_segmentation, analytics_cohort_ltv, multimodal_tar_index
-— all locally oracle-green; the round-7/round-9 undercount lesson:
-list every never-checked entry explicitly); (c) round-11 additions,
+ROUND 11 CHORE: promote (a) any r10 failures; (b) the FOURTEEN
+round-10 late additions past slot 50, named in full
+(multimodal_tiff_meta, dq_k_anonymity, geo_path_stats,
+analytics_funnel_windowed, text_vocab_growth,
+maintenance_orphan_files, dataset_split_group_aware,
+analytics_rfm_segmentation, analytics_cohort_ltv,
+multimodal_tar_index, eval_average_precision, sample_bottom_k_sketch,
+streaming_bottom_k_state, timeseries_acf_lags — all locally
+oracle-green; the round-7/round-9 undercount lesson: list every
+never-checked entry explicitly); (c) round-11 additions,
 also named in full; (d) the NINE bench-covered r04-only names above,
 closing the r04 back-fill completely; (e) back-fill with r05-only
 entries, stalest/execution-heaviest first (50 entries sit at r05 —

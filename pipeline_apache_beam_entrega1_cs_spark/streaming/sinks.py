@@ -1749,6 +1749,91 @@ def run_scd2_stream(spark, sf_dir: str):
         shutil.rmtree(work, ignore_errors=True)
 
 
+class BottomKMergeSink:
+    """``foreachBatch`` MERGE for the streaming bottom-k sample — the
+    minimal mergeable-sketch state: the state table IS the k-row
+    sample. Per batch: take the batch's own bottom-k by sample key,
+    union with state, dedup by doc_id (a replayed row can never
+    displace a distinct one), re-take bottom-k, swap. Associativity is
+    the KMV identity bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪
+    bottom-k(B)); idempotence comes from the dedup. Exactly-once
+    follows the FingerprintMergeSink contract. State is k rows forever
+    — O(1) in stream length."""
+
+    def __init__(self, state_dir: str, k: int) -> None:
+        self.state = state_dir
+        self.k = k
+        os.makedirs(os.path.dirname(state_dir), exist_ok=True)
+
+    def is_committed(self, batch_id: int) -> bool:
+        return _state_committed(self.state, batch_id)
+
+    def __call__(self, batch_df, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return  # replayed delivery of a committed batch: no-op
+
+        inc = batch_df.orderBy("sample_key").limit(self.k)
+        prev = _current_state(self.state)
+        if prev is not None:
+            inc = (
+                batch_df.sparkSession.read.parquet(prev)
+                .unionByName(inc)
+                .dropDuplicates(["doc_id"])
+                .orderBy("sample_key")
+                .limit(self.k)
+            )
+        tmp = f"{self.state}_tmp{batch_id}"
+        inc.write.mode("overwrite").parquet(tmp)  # materializes BEFORE swap
+        _install_state(self.state, tmp, batch_id)  # marker atomic w/ state
+
+
+def run_bottom_k_stream(spark, sf_dir: str, k: int):
+    """Streaming bottom-k sample end-to-end: documents (with the md5
+    sample key precomputed) replayed as FOUR micro-batches through a
+    BottomKMergeSink; returns the maintained k-row sample."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..schemas import ensure_session_confs
+
+    ensure_session_confs(spark)
+    work = tempfile.mkdtemp(prefix="graft_bottomk_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        raw = docs.select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.concat(F.lit("bks:"), F.col("doc_id").cast("string"))
+            ).alias("sample_key"),
+        )
+        src = _stage_slices(raw, work, "doc_id")
+        sink = BottomKMergeSink(os.path.join(work, "state"), k)
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.read.parquet(sink.state).select(
+            "doc_id", "source", "sample_key"
+        )
+        # k rows by construction; materialize before cleanup
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 class FreshnessMergeSink:
     """``foreachBatch`` MERGE for the streaming event-time freshness
     monitor — the twin of plans/analytics.dq_event_freshness and the

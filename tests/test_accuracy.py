@@ -1697,3 +1697,112 @@ def test_cohort_ltv_consistency(spark, sf_dir):
         for r in ages:
             assert r.ltv_per_customer >= prev - 1e-9
             prev = r.ltv_per_customer
+
+
+def test_bottom_k_sample_mergeable(spark, sf_dir):
+    """KMV mergeability: bottom-k of the union of per-half bottom-k's
+    equals the global bottom-k, and a re-run is bit-identical."""
+    import pipeline_apache_beam_entrega1_cs_spark.plans.pipeline_ops as P
+    from pyspark.sql import functions as F
+
+    k = P._BOTTOM_K
+    full = P.sample_bottom_k_sketch(spark, sf_dir).collect()
+    assert len({r.doc_id for r in full}) == len(full) <= k
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = docs.select(
+        "doc_id", "source",
+        F.md5(F.concat(F.lit("bks:"), F.col("doc_id").cast("string"))).alias(
+            "sample_key"
+        ),
+    )
+    halves = [
+        raw.filter(F.col("doc_id") % 2 == i).orderBy("sample_key").limit(k)
+        for i in (0, 1)
+    ]
+    merged = (
+        halves[0].unionByName(halves[1]).orderBy("sample_key").limit(k)
+    ).collect()
+    assert sorted(map(tuple, merged)) == sorted(map(tuple, full))
+    again = P.sample_bottom_k_sketch(spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, full))
+
+
+def test_average_precision_matches_bruteforce(spark, sf_dir):
+    """AP must equal a pure-Python computation with the same
+    block-end-precision tie convention over the same (logit, label)
+    pairs, and sit in [0, 1]; a perfect ranking on a planted frame
+    gives AP = 1."""
+    from collections import defaultdict
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.llm_data as L
+    from pipeline_apache_beam_entrega1_cs_spark.operators import textops as T
+    from pyspark.sql import functions as F
+
+    r = L.eval_average_precision(spark, sf_dir).collect()[0]
+    model = L.text_quality_model(spark, sf_dir).select("doc_id", "logit")
+    labels = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        (T.quality_score_col(F.col("text")) >= 0.7).cast("long").alias("y"),
+    )
+    pairs = [(p.logit, p.y) for p in model.join(labels, "doc_id").collect()]
+    blocks = defaultdict(lambda: [0, 0])
+    for logit, y in pairs:
+        blocks[logit][0] += y
+        blocks[logit][1] += 1 - y
+    tp = tot = 0
+    pico = 0
+    for logit in sorted(blocks, reverse=True):
+        pos, neg = blocks[logit]
+        tp += pos
+        tot += pos + neg
+        pico += pos * ((tp * 10**12) // tot)
+    n_pos = sum(v[0] for v in blocks.values())
+    expect = round(pico / 10**12 / n_pos, 6)
+    assert abs(r.avg_precision - expect) < 1e-9, (r.avg_precision, expect)
+    assert 0.0 <= r.avg_precision <= 1.0
+    assert r.n_pos == n_pos
+
+
+def test_acf_matches_numpy_and_bounds(spark, sf_dir):
+    """ACF must match a pure-Python moment computation over the same
+    hourly micro-unit series (same gap semantics: only existing
+    (t, t+l) hour pairs contribute), and lag-0 autocorrelation of any
+    series is 1 by the same formula."""
+    import math
+    from collections import defaultdict
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+    from pyspark.sql import functions as F
+
+    got = {(r.event_type, r.lag): r for r in
+           A.timeseries_acf_lags(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("value").isNotNull()
+    )
+    series_rows = (
+        ev.groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+            .cast("bigint").alias("hour_s"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 1_000_000).cast("long")).alias("x"))
+        .collect()
+    )
+    series = defaultdict(dict)
+    for r in series_rows:
+        series[r.event_type][r.hour_s] = r.x
+    for (etype, lag), r in got.items():
+        s = series[etype]
+        n = len(s)
+        sx = sum(s.values())
+        sxx = sum(v * v for v in s.values())
+        xbar = sx / n
+        pairs = [(x, s[h + 3600 * lag]) for h, x in s.items()
+                 if h + 3600 * lag in s]
+        assert len(pairs) == r.n_pairs
+        sxy = sum(a * b for a, b in pairs)
+        sh = sum(a for a, _ in pairs)
+        st = sum(b for _, b in pairs)
+        num = sxy - xbar * (sh + st) + len(pairs) * xbar * xbar
+        den = sxx - n * xbar * xbar
+        assert abs(r.acf - round(num / den, 6)) < 1e-6, (etype, lag)

@@ -919,3 +919,55 @@ def test_streaming_freshness_replay(spark, sf_dir, tmp_path):
         assert sink.is_committed(b)
         sink(replay, b)
     assert spark.read.parquet(state).agg(F.sum("n_events")).first()[0] == ev.count()
+
+
+def test_streaming_bottom_k_replay(spark, sf_dir, tmp_path):
+    """Streaming bottom-k sample: (1) end-to-end equals the one-shot
+    batch sketch; (2) replaying a committed batch id is a no-op; (3) a
+    stranded rename-aside state is recovered; (4) state never exceeds
+    k rows."""
+    import os
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.pipeline_ops as P
+    from pipeline_apache_beam_entrega1_cs_spark.plans.pipeline_ops import (
+        _BOTTOM_K,
+        streaming_bottom_k_state,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.streaming.sinks import (
+        BottomKMergeSink,
+    )
+
+    cols = ["doc_id", "source", "sample_key"]
+    batch_expected = rows_multiset(
+        P.sample_bottom_k_sketch(spark, sf_dir).select(*cols)
+    )
+
+    out = streaming_bottom_k_state(spark, sf_dir)
+    assert rows_multiset(out.select(*cols)) == batch_expected
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = docs.select(
+        "doc_id", "source",
+        F.md5(F.concat(F.lit("bks:"), F.col("doc_id").cast("string"))).alias(
+            "sample_key"
+        ),
+    )
+    state = str(tmp_path / "bk" / "state")
+    sink = BottomKMergeSink(state, _BOTTOM_K)
+    slices = [raw.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    sink(slices[0], 0)
+    sink(slices[1], 1)
+    os.rename(state, f"{state}_old42")  # crash between swap renames
+    sink(slices[2], 2)
+
+    def snapshot(path):
+        return rows_multiset(spark.read.parquet(path).select(*cols))
+
+    assert snapshot(state) == batch_expected
+    assert spark.read.parquet(state).count() <= _BOTTOM_K
+
+    replay = raw.limit(17)
+    for b in (0, 1, 2):
+        assert sink.is_committed(b)
+        sink(replay, b)
+    assert snapshot(state) == batch_expected
