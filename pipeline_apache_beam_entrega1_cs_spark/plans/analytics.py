@@ -4539,6 +4539,397 @@ HAVING COUNT(*) >= 3
 """
 
 
+def analytics_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration cut — "how many customers cover 80% of
+    revenue": the smallest top-revenue customer set whose cumulative
+    revenue reaches the threshold, with the achieved share. The
+    scalar sibling of agg_gini_concentration (Gini summarizes the whole
+    curve; operations wants the 80% headcount).
+
+    Scale shape (the agg_weighted_percentile / two-phase recipe, on
+    VALUE order descending): per-customer exact micro-cent revenues
+    bucket by range under broadcast min/max bounds; cross-bucket
+    cumulatives run over the 256-row bucket frame; the boundary
+    bucket's members rank in a PARTITIONED window; everything reduces
+    to one row. Threshold arithmetic stays in exact integers
+    (8·total <= 10·cum ⟺ cum >= 0.8·total with no float)."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("rev_c")
+    )
+    bounds = per_cust.agg(
+        F.min("rev_c").alias("lo"),
+        F.max("rev_c").alias("hi"),
+        F.sum("rev_c").cast("decimal(38,0)").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+    )
+    B = 256
+    bucket = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(
+            F.lit(B - 1),
+            F.floor(
+                (F.col("rev_c") - F.col("lo")).cast("double")
+                / (F.col("hi") - F.col("lo")).cast("double")
+                * B
+            ).cast("int"),
+        ),
+    ).otherwise(F.lit(0))
+    withb = per_cust.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey", "rev_c", bucket.alias("bucket"), "total", "n_cust"
+    )
+    per_bucket = withb.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bn"),
+        F.sum("rev_c").cast("decimal(38,0)").alias("bsum"),
+    )
+    w_above = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    base = per_bucket.select(
+        "bucket",
+        F.coalesce(F.sum("bn").over(w_above), F.lit(0))
+        .cast("bigint")
+        .alias("n_above"),
+        F.coalesce(
+            F.sum("bsum").over(w_above), F.lit(0).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("rev_above"),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("rev_c").desc(), F.col("o_custkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = (
+        withb.join(F.broadcast(base), "bucket")
+        .withColumn(
+            "cum_rev",
+            (F.col("rev_above") + F.sum("rev_c").over(w_in)).cast(
+                "decimal(38,0)"
+            ),
+        )
+        .withColumn(
+            "rank_desc",
+            F.col("n_above")
+            + F.row_number().over(
+                Window.partitionBy("bucket").orderBy(
+                    F.col("rev_c").desc(), F.col("o_custkey").asc()
+                )
+            ),
+        )
+    )
+    # smallest prefix with 10*cum >= 8*total (exact integer compare)
+    qualifying = ranked.filter(
+        F.col("cum_rev") * 10 >= F.col("total") * 8
+    )
+    cut = qualifying.agg(
+        F.min(F.struct("rank_desc", "cum_rev")).alias("m")
+    ).select(
+        F.col("m.rank_desc").alias("n_top"),
+        F.col("m.cum_rev").alias("cum_at_cut"),
+    )
+    return (
+        cut.crossJoin(F.broadcast(bounds))
+        .select(
+            "n_cust",
+            F.col("n_top").cast("bigint").alias("n_top"),
+            F.round(
+                F.col("n_top").cast("double") / F.col("n_cust"), 6
+            ).alias("pct_customers"),
+            F.round(
+                _dec_to_double(F.col("cum_at_cut"))
+                / _dec_to_double(F.col("total")),
+                6,
+            ).alias("revenue_share"),
+        )
+    )
+
+
+ANALYTICS_PARETO_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS rev_c
+  FROM orders GROUP BY o_custkey
+), bounds AS (
+  SELECT MIN(rev_c) AS lo, MAX(rev_c) AS hi,
+         CAST(SUM(rev_c) AS DECIMAL(38,0)) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_cust
+  FROM per_cust
+), withb AS (
+  SELECT o_custkey, rev_c, total, n_cust,
+         CASE WHEN hi > lo
+              THEN least(255, CAST(floor((rev_c - lo)::DOUBLE
+                                         / (hi - lo)::DOUBLE * 256)
+                                   AS INTEGER))
+              ELSE 0 END AS bucket
+  FROM per_cust CROSS JOIN bounds
+), per_bucket AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS bn,
+         CAST(SUM(rev_c) AS DECIMAL(38,0)) AS bsum
+  FROM withb GROUP BY bucket
+), base AS (
+  SELECT bucket,
+         CAST(COALESCE(SUM(bn) OVER (ORDER BY bucket DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_above,
+         CAST(COALESCE(SUM(bsum) OVER (ORDER BY bucket DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS DECIMAL(38,0)) AS rev_above
+  FROM per_bucket
+), ranked AS (
+  SELECT w.o_custkey, w.total, w.n_cust,
+         CAST(b.rev_above + SUM(w.rev_c) OVER (PARTITION BY w.bucket
+           ORDER BY w.rev_c DESC, w.o_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DECIMAL(38,0)) AS cum_rev,
+         b.n_above + ROW_NUMBER() OVER (PARTITION BY w.bucket
+           ORDER BY w.rev_c DESC, w.o_custkey) AS rank_desc
+  FROM withb w JOIN base b USING (bucket)
+), cut AS (
+  SELECT MIN(rank_desc) AS n_top,
+         arg_min(cum_rev, rank_desc) AS cum_at_cut,
+         MAX(total) AS total, MAX(n_cust) AS n_cust
+  FROM ranked WHERE cum_rev * 10 >= total * 8
+)
+SELECT n_cust, CAST(n_top AS BIGINT) AS n_top,
+       round(n_top::DOUBLE / n_cust, 6) AS pct_customers,
+       round(CAST(CAST(cum_at_cut AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(total AS VARCHAR) AS DOUBLE), 6)
+         AS revenue_share
+FROM cut
+"""
+
+
+def analytics_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness — analytics_dau_cumulative's engagement
+    sibling: per day, the distinct daily actives over the distinct
+    trailing-30-day actives. MAU is computed the mergeable way: each
+    (user, day) activity CONTRIBUTES to the 30 target days it falls in
+    (a bounded ×30 date explode — one shuffle on the target day), then
+    one exact distinct per day; no per-day re-scan of a growing window,
+    no quadratic re-distinct.
+
+    100 TB shape: per-(user,day) collapse first (the big reduction),
+    ×30 explode on the ALREADY-collapsed frame, one (day, user)
+    distinct — all mergeable; output is #days rows."""
+    ev = _t(spark, sf_dir, "events")
+    day_user = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = day_user.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    contrib = day_user.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 29))
+        ).alias("day"),
+        "user_id",
+    ).distinct()
+    mau = contrib.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("mau")
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "mau",
+            F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+ANALYTICS_DAU_MAU_SQL = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day
+), contrib AS (
+  SELECT DISTINCT day + CAST(g.i AS INTEGER) AS day, user_id
+  FROM du, UNNEST(generate_series(0, 29)) AS g(i)
+), mau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS mau FROM contrib GROUP BY day
+)
+SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, mau.mau,
+       round(dau.dau::DOUBLE / mau.mau, 6) AS stickiness
+FROM dau JOIN mau ON dau.day = mau.day
+"""
+
+
+_M4_BUCKETS = 64
+
+
+def timeseries_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 series downsampling (Jugel et al., VLDB 2014 — the OTHER
+    dashboard downsampler beside LTTB): per event type, the time range
+    splits into 64 equal-width buckets and each bucket keeps exactly
+    four aggregates — first, last, min, max — which is lossless for
+    min/max rendering at pixel resolution. Unlike LTTB (rank buckets,
+    triangle picks), M4 is pure mergeable aggregation: no windows, no
+    picks, one hash-agg.
+
+    Determinism: values are micro-unit BIGINTs; first/last resolve ties
+    with a composite integer key epoch_s·10^7 + event_id (unique;
+    bound: event_id < 10^7 in the fixture — at larger id spaces widen
+    the factor); min/max are plain integer extrema (value ties need no
+    break — only the value is reported). Bucket bounds come from one
+    per-type min/max aggregate joined back (broadcast, #types rows).
+    100 TB shape: two mergeable hash-aggs + one broadcast join —
+    nothing else."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    U = 1_000_000
+    pts = ev.select(
+        "event_type",
+        F.unix_timestamp("ts").cast("bigint").alias("es"),
+        "event_id",
+        F.floor(F.col("value") * U).cast("long").alias("ym"),
+    ).withColumn("k", F.col("es") * 10_000_000 + F.col("event_id"))
+    bounds = pts.groupBy("event_type").agg(
+        F.min("es").alias("lo"), F.max("es").alias("hi")
+    )
+    b = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(
+            F.lit(_M4_BUCKETS - 1),
+            F.floor(
+                (F.col("es") - F.col("lo"))
+                * _M4_BUCKETS
+                / (F.col("hi") - F.col("lo") + 1)
+            ).cast("int"),
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        pts.join(F.broadcast(bounds), "event_type")
+        .select("event_type", b.alias("bucket"), "k", "ym")
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.round(F.expr("min_by(ym, k)") / U, 6).alias("first_val"),
+            F.round(F.expr("max_by(ym, k)") / U, 6).alias("last_val"),
+            F.round(F.min("ym") / U, 6).alias("min_val"),
+            F.round(F.max("ym") / U, 6).alias("max_val"),
+        )
+        .withColumn("bucket", F.col("bucket").cast("bigint"))
+    )
+
+
+TIMESERIES_M4_SQL = f"""
+WITH pts AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es, event_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS ym,
+         CAST(floor(epoch(ts)) AS BIGINT) * 10000000 + event_id AS k
+  FROM events WHERE value IS NOT NULL
+), bounds AS (
+  SELECT event_type, MIN(es) AS lo, MAX(es) AS hi FROM pts
+  GROUP BY event_type
+), bucketed AS (
+  SELECT p.event_type,
+         CASE WHEN b.hi > b.lo
+              THEN least({_M4_BUCKETS - 1},
+                         CAST(floor((p.es - b.lo) * {_M4_BUCKETS}
+                                    / (b.hi - b.lo + 1)) AS INTEGER))
+              ELSE 0 END AS bucket,
+         p.k, p.ym
+  FROM pts p JOIN bounds b USING (event_type)
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       round(arg_min(ym, k) / 1000000, 6) AS first_val,
+       round(arg_max(ym, k) / 1000000, 6) AS last_val,
+       round(MIN(ym) / 1000000, 6) AS min_val,
+       round(MAX(ym) / 1000000, 6) AS max_val
+FROM bucketed GROUP BY 1, 2
+"""
+
+
+def dq_chi2_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square two-sample categorical drift — the DISCRETE sibling of
+    dq_ks_bucketed (KS handles continuous columns; category mixes need
+    the chi-square contingency test): the event-type distribution on
+    even vs odd epoch-days (a null-true split, so the statistic should
+    be small) with per-category observed/expected cells and chi-square
+    CONTRIBUTIONS as the output rows. No cross-row float sum happens in
+    the engines (float addition order would differ): the reader sums
+    the 6-dp contributions; every cell derives from exact integer
+    counts.
+
+    100 TB shape: ONE (type, period) hash-agg + broadcast 1-row totals;
+    output is |categories| rows."""
+    ev = _t(spark, sf_dir, "events")
+    period = (
+        (F.unix_timestamp("ts").cast("bigint") / 86400).cast("bigint") % 2
+    ).alias("period")
+    cells = ev.select("event_type", period).groupBy(
+        "event_type", "period"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    wide = cells.groupBy("event_type").agg(
+        F.sum(F.when(F.col("period") == 0, F.col("obs")).otherwise(0))
+        .cast("bigint")
+        .alias("obs_a"),
+        F.sum(F.when(F.col("period") == 1, F.col("obs")).otherwise(0))
+        .cast("bigint")
+        .alias("obs_b"),
+    )
+    totals = wide.agg(
+        F.sum("obs_a").cast("bigint").alias("tot_a"),
+        F.sum("obs_b").cast("bigint").alias("tot_b"),
+    )
+    n = F.col("tot_a") + F.col("tot_b")
+    row_tot = F.col("obs_a") + F.col("obs_b")
+    exp_a = row_tot.cast("double") * F.col("tot_a") / n
+    exp_b = row_tot.cast("double") * F.col("tot_b") / n
+    contrib = (F.col("obs_a") - exp_a) * (F.col("obs_a") - exp_a) / exp_a + (
+        F.col("obs_b") - exp_b
+    ) * (F.col("obs_b") - exp_b) / exp_b
+    return wide.crossJoin(F.broadcast(totals)).select(
+        "event_type",
+        "obs_a",
+        "obs_b",
+        F.round(exp_a, 6).alias("exp_a"),
+        F.round(exp_b, 6).alias("exp_b"),
+        F.round(contrib, 6).alias("chi2_contrib"),
+    )
+
+
+DQ_CHI2_DRIFT_SQL = """
+WITH cells AS (
+  SELECT event_type,
+         CAST(CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS BIGINT) % 2
+           AS period,
+         CAST(COUNT(*) AS BIGINT) AS obs
+  FROM events GROUP BY 1, 2
+), wide AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN period = 0 THEN obs ELSE 0 END) AS BIGINT)
+           AS obs_a,
+         CAST(SUM(CASE WHEN period = 1 THEN obs ELSE 0 END) AS BIGINT)
+           AS obs_b
+  FROM cells GROUP BY event_type
+), totals AS (
+  SELECT CAST(SUM(obs_a) AS BIGINT) AS tot_a,
+         CAST(SUM(obs_b) AS BIGINT) AS tot_b
+  FROM wide
+)
+SELECT event_type, obs_a, obs_b,
+       round((obs_a + obs_b)::DOUBLE * tot_a / (tot_a + tot_b), 6) AS exp_a,
+       round((obs_a + obs_b)::DOUBLE * tot_b / (tot_a + tot_b), 6) AS exp_b,
+       round(
+         (obs_a - (obs_a + obs_b)::DOUBLE * tot_a / (tot_a + tot_b))
+         * (obs_a - (obs_a + obs_b)::DOUBLE * tot_a / (tot_a + tot_b))
+         / ((obs_a + obs_b)::DOUBLE * tot_a / (tot_a + tot_b))
+         + (obs_b - (obs_a + obs_b)::DOUBLE * tot_b / (tot_a + tot_b))
+         * (obs_b - (obs_a + obs_b)::DOUBLE * tot_b / (tot_a + tot_b))
+         / ((obs_a + obs_b)::DOUBLE * tot_b / (tot_a + tot_b)), 6)
+         AS chi2_contrib
+FROM wide CROSS JOIN totals
+"""
+
+
 def timeseries_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation function at lags 1-3 of each event type's hourly
     value series — the seasonality/persistence diagnostic a forecasting
@@ -5078,6 +5469,26 @@ QUERIES: dict[str, QuerySpec] = {
         analytics_cohort_ltv, ANALYTICS_COHORT_LTV_SQL, "analytics"),
     "timeseries_acf_lags": QuerySpec(
         timeseries_acf_lags, TIMESERIES_ACF_SQL, "timeseries"),
+    "timeseries_m4_downsample": QuerySpec(
+        timeseries_m4_downsample, TIMESERIES_M4_SQL, "timeseries",
+        plan_waivers={"bnlj": (
+            "#types-row bucket-bounds frame broadcast onto the point "
+            "stream")}),
+    "dq_chi2_categorical_drift": QuerySpec(
+        dq_chi2_categorical_drift, DQ_CHI2_DRIFT_SQL, "dq",
+        plan_waivers={"bnlj": "1-row column-totals scalar attach"}),
+    "analytics_pareto_share": QuerySpec(
+        analytics_pareto_share, ANALYTICS_PARETO_SQL, "analytics",
+        plan_waivers={
+            "bnlj": (
+                "1-row revenue-bounds/total attach (twice: bucketing "
+                "and the final report)"),
+            "global_window": (
+                "cross-bucket cumulatives run over the 256-row bucket "
+                "frame (O(1)); within-bucket windows are partitioned"),
+        }),
+    "analytics_dau_mau_stickiness": QuerySpec(
+        analytics_dau_mau_stickiness, ANALYTICS_DAU_MAU_SQL, "analytics"),
     "dq_k_anonymity": QuerySpec(
         dq_k_anonymity, DQ_K_ANONYMITY_SQL, "dq",
         plan_waivers={"bnlj": (

@@ -23,14 +23,16 @@ join_asof_events, join_range_nonequi, agg_rollup,
 window_running_frames, topk_per_group, ann_cosine_topk) — after r10
 they are the only entries with driver evidence older than r10.
 
-ROUND 11 CHORE: promote (a) any r10 failures; (b) the FOURTEEN
+ROUND 11 CHORE: promote (a) any r10 failures; (b) the EIGHTEEN
 round-10 late additions past slot 50, named in full
 (multimodal_tiff_meta, dq_k_anonymity, geo_path_stats,
 analytics_funnel_windowed, text_vocab_growth,
 maintenance_orphan_files, dataset_split_group_aware,
 analytics_rfm_segmentation, analytics_cohort_ltv,
 multimodal_tar_index, eval_average_precision, sample_bottom_k_sketch,
-streaming_bottom_k_state, timeseries_acf_lags — all locally
+streaming_bottom_k_state, timeseries_acf_lags,
+timeseries_m4_downsample, dq_chi2_categorical_drift,
+analytics_pareto_share, analytics_dau_mau_stickiness — all locally
 oracle-green; the round-7/round-9 undercount lesson: list every
 never-checked entry explicitly); (c) round-11 additions,
 also named in full; (d) the NINE bench-covered r04-only names above,

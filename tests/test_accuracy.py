@@ -1806,3 +1806,152 @@ def test_acf_matches_numpy_and_bounds(spark, sf_dir):
         num = sxy - xbar * (sh + st) + len(pairs) * xbar * xbar
         den = sxx - n * xbar * xbar
         assert abs(r.acf - round(num / den, 6)) < 1e-6, (etype, lag)
+
+
+def test_m4_downsample_matches_bruteforce(spark):
+    """M4 picks equal a pure-Python bucket walk over a planted series
+    (same micro-units, same bucket arithmetic, same composite-key tie
+    handling), and every bucket satisfies min <= first,last <= max."""
+    import datetime
+    import math
+    from collections import defaultdict
+    from unittest import mock
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    rows = []
+    for e in range(500):
+        epoch = 1_700_000_000 + e * 137
+        val = math.sin(e / 5.0) * 50 + (e * 7919 % 101)
+        rows.append(("t%d" % (e % 2), e,
+                     datetime.datetime.utcfromtimestamp(epoch), float(val)))
+    ev = spark.createDataFrame(
+        rows, "event_type string, event_id long, ts timestamp, value double"
+    )
+    with mock.patch.object(A, "_t", lambda sp, sf, t: ev):
+        got = {(r.event_type, r.bucket): r
+               for r in A.timeseries_m4_downsample(spark, "x").collect()}
+
+    # NOTE: createDataFrame timestamps are session-tz-interpreted; use
+    # the plan's own epoch reading for the reference walk
+    eps = {r.event_id: None for r in []}
+    from pyspark.sql import functions as F
+    epochs = {r.event_id: r.es for r in ev.select(
+        "event_id", F.unix_timestamp("ts").cast("bigint").alias("es")).collect()}
+
+    series = defaultdict(list)
+    for etype, e, ts, val in rows:
+        ym = math.floor(val * 1_000_000)
+        es = epochs[e]
+        series[etype].append((es, e, ym))
+    B = A._M4_BUCKETS
+    for etype, pts in series.items():
+        lo = min(p[0] for p in pts)
+        hi = max(p[0] for p in pts)
+        buckets = defaultdict(list)
+        for es, e, ym in pts:
+            b = min(B - 1, int((es - lo) * B / (hi - lo + 1))) if hi > lo else 0
+            buckets[b].append((es * 10_000_000 + e, ym))
+        for b, members in buckets.items():
+            r = got[(etype, b)]
+            assert r.n_points == len(members)
+            first = min(members)[1]
+            last = max(members)[1]
+            vals = [m[1] for m in members]
+            assert r.first_val == round(first / 1e6, 6)
+            assert r.last_val == round(last / 1e6, 6)
+            assert r.min_val == round(min(vals) / 1e6, 6)
+            assert r.max_val == round(max(vals) / 1e6, 6)
+            assert r.min_val <= r.first_val <= r.max_val
+            assert r.min_val <= r.last_val <= r.max_val
+
+
+def test_chi2_drift_matches_bruteforce(spark, sf_dir):
+    """Chi-square cells recompute exactly from the raw contingency
+    counts; row sums and expected sums agree; contributions are
+    nonnegative."""
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+    from pyspark.sql import functions as F
+
+    rows = {r.event_type: r
+            for r in A.dq_chi2_categorical_drift(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cells = (
+        ev.select(
+            "event_type",
+            ((F.unix_timestamp("ts").cast("bigint") / 86400)
+             .cast("bigint") % 2).alias("p"),
+        )
+        .groupBy("event_type", "p").count().collect()
+    )
+    obs = {}
+    for c in cells:
+        obs.setdefault(c.event_type, [0, 0])[c.p] = c["count"]
+    tot_a = sum(v[0] for v in obs.values())
+    tot_b = sum(v[1] for v in obs.values())
+    n = tot_a + tot_b
+    for etype, (oa, ob) in obs.items():
+        r = rows[etype]
+        assert (r.obs_a, r.obs_b) == (oa, ob)
+        ea = (oa + ob) * tot_a / n
+        eb = (oa + ob) * tot_b / n
+        assert abs(r.exp_a - round(ea, 6)) < 1e-9
+        contrib = (oa - ea) ** 2 / ea + (ob - eb) ** 2 / eb
+        assert abs(r.chi2_contrib - round(contrib, 6)) < 1e-6
+        assert r.chi2_contrib >= 0
+
+
+def test_pareto_share_matches_bruteforce(spark, sf_dir):
+    """The Pareto cut equals a Python sort: smallest top-revenue prefix
+    whose cumulative micro-cent revenue reaches 80% of the total (exact
+    integer threshold), with the achieved share."""
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+    from pyspark.sql import functions as F
+
+    r = A.analytics_pareto_share(spark, sf_dir).collect()[0]
+    per = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+             .cast("decimal(38,0)").alias("rev"))
+        .collect()
+    )
+    revs = sorted(
+        ((int(p.rev), p.o_custkey) for p in per),
+        key=lambda t: (-t[0], t[1]),
+    )
+    total = sum(v for v, _ in revs)
+    cum = 0
+    for i, (v, _) in enumerate(revs, start=1):
+        cum += v
+        if cum * 10 >= total * 8:
+            break
+    assert r.n_cust == len(revs)
+    assert r.n_top == i, (r.n_top, i)
+    assert abs(r.revenue_share - round(cum / total, 6)) < 1e-6
+
+
+def test_dau_mau_stickiness_bounds_and_samples(spark, sf_dir):
+    """mau >= dau and stickiness in (0, 1] everywhere; for three
+    sampled days, mau equals the brute-force trailing-30-day distinct
+    user count."""
+    import datetime
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+    from pyspark.sql import functions as F
+
+    rows = {r.day: r
+            for r in A.analytics_dau_mau_stickiness(spark, sf_dir).collect()}
+    assert rows
+    for r in rows.values():
+        assert r.mau >= r.dau >= 1
+        assert 0 < r.stickiness <= 1
+    du = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(F.to_date("ts").alias("day"), "user_id").distinct().collect()
+    )
+    days = sorted({r.day for r in du})
+    for day in (days[0], days[len(days) // 2], days[-1]):
+        lo = day - datetime.timedelta(days=29)
+        expect = len({r.user_id for r in du if lo <= r.day <= day})
+        assert rows[str(day)].mau == expect, day
