@@ -1169,3 +1169,106 @@ def _TAR_PARTITIONS_FN(df: DataFrame) -> int:
     from .dedup import _shuffle_partitions
 
     return _shuffle_partitions(df)
+
+
+# --------------------------------------------------------------------------
+# JPEG marker-segment walk
+# --------------------------------------------------------------------------
+
+_JPEG_WALK_STEPS = 5  # fixture bound: SOI + at most 3 skippable segments
+
+
+def with_jpeg_payload(docs: DataFrame) -> DataFrame:
+    """Deterministic JFIF fixture over documents: ~4/5 of docs become a
+    JPEG byte stream — SOI, an APP0/JFIF segment, ONE or TWO comment
+    segments whose lengths depend on doc_id (so the SOF offset is only
+    reachable by parsing the length fields segment by segment — the
+    marker-walk property; a fixed-offset read cannot work), then a
+    SOF0 (baseline, even doc_id) or SOF2 (progressive, odd doc_id)
+    frame header carrying real big-endian height/width, then the doc
+    text as stand-in entropy data. doc_id % 5 == 4 rows keep raw text
+    (not a JPEG) to exercise the rejection path. Validated against a
+    Python struct/marker reference in tests."""
+    d = F.col("doc_id")
+    com1_payload = (d % 7 + 2).cast("int")  # bytes; len field = payload+2
+    h = (d % 480 + 8).cast("long")
+    w = (d % 640 + 8).cast("long")
+
+    def be16_hex(v):
+        return F.lpad(F.hex(v.cast("long")), 4, "0")
+
+    jpeg_hex = F.concat(
+        F.lit("FFD8"),                                   # SOI
+        F.lit("FFE0" + "0010" + "4A46494600"             # APP0/JFIF
+              + "0101" + "00" + "0048" + "0048" + "0000"),
+        F.lit("FFFE"), be16_hex(com1_payload + 2),       # COM #1
+        F.repeat(F.lit("58"), com1_payload),
+        F.when(d % 3 == 0,                               # COM #2 (some docs)
+               F.concat(F.lit("FFFE0005"), F.repeat(F.lit("59"), 3))
+               ).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.lit("FFC0")).otherwise(F.lit("FFC2")),
+        F.lit("0011" + "08"), be16_hex(h), be16_hex(w),  # len prec H W
+        F.lit("03" + "011100" + "021101" + "031101"),    # 3 components
+    )
+    payload = F.when(
+        d % 5 == 4, F.encode(F.col("text"), "UTF-8")
+    ).otherwise(F.concat(F.unhex(jpeg_hex), F.encode(F.col("text"), "UTF-8")))
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+def jpeg_sof_meta(jpeg: DataFrame) -> DataFrame:
+    """Parse JPEG frame geometry with pure expressions: validate the
+    FFD8 SOI magic, then WALK the marker segments (marker u8, length
+    u16 covering itself, next segment at off + 2 + len) until a SOF0 /
+    SOF2 frame header, and read precision, height, width, component
+    count from it. The walk is the unrolled-rounds idiom (tar_index's
+    sibling with length-prefixed instead of size-padded records),
+    bounded by the fixture's segment count; each step is an O(1)
+    BINARY substring, so the whole parse is a handful of row-local
+    exprs — no UDF, no Python.
+
+    100 TB shape: map-only, zero Exchange; offsets never materialize
+    more than _JPEG_WALK_STEPS fixed-size reads per row."""
+    p = F.col("payload")
+    is_jpeg = F.hex(F.substring(p, 1, 2)) == "FFD8"
+    # Walk reads go through the jpeg-gated payload: non-JPEG rows (and
+    # any runaway offset) yield NULL slices -> NULL offsets instead of
+    # conv() on ragged hex fragments; NULLs propagate to the outputs.
+    pj = F.when(is_jpeg, p)
+
+    def u8(off):  # 0-based byte offset -> unsigned byte value
+        return F.conv(
+            F.hex(F.substring(pj, (off + 1).cast("int"), 1)), 16, 10
+        ).cast("long")
+
+    def u16(off):
+        return F.conv(
+            F.hex(F.substring(pj, (off + 1).cast("int"), 2)), 16, 10
+        ).cast("long")
+    # The walk is a FOLD, not an unrolled expression chain: inside
+    # F.aggregate the offset accumulator is a bound variable evaluated
+    # once per step, whereas unrolled off_k expressions re-inline
+    # off_{k-1} into every byte read (CollapseProject) — ~4^steps
+    # reads/row and a codegen blow-up (measured 294 s vs ~2 s at
+    # sf0.1, the tar_index lesson in lambda form).
+    off = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_JPEG_WALK_STEPS)),
+        F.lit(2).cast("long"),
+        lambda acc, _: F.when(
+            (u8(acc) == 0xFF)
+            & ((u8(acc + 1) == 0xC0) | (u8(acc + 1) == 0xC2)),
+            acc,
+        ).otherwise(acc + 2 + u16(acc + 2)),
+    )
+    sof_m = u8(off + 1)
+    sof_ok = is_jpeg & (u8(off) == 0xFF) & ((sof_m == 0xC0) | (sof_m == 0xC2))
+    return jpeg.select(
+        "doc_id",
+        is_jpeg.cast("bigint").alias("is_jpeg"),
+        F.when(sof_ok, (sof_m == 0xC2).cast("bigint")).alias("progressive"),
+        F.when(sof_ok, u8(off + 4)).alias("precision"),
+        F.when(sof_ok, u16(off + 5)).alias("height"),
+        F.when(sof_ok, u16(off + 7)).alias("width"),
+        F.when(sof_ok, u8(off + 9)).alias("n_components"),
+        F.when(sof_ok, off).alias("sof_offset"),
+    )

@@ -5455,11 +5455,102 @@ FROM classes CROSS JOIN total
 """
 
 
+def analytics_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot matching — allocate each part's returns against its
+    receipts in first-in-first-out order (the inventory-costing /
+    order-to-cash matching primitive): per partkey, demands (returns,
+    l_returnflag = 'R') and supplies (receipts, 'N'/'A') each get a
+    cumulative-quantity interval [cum - qty, cum) ordered by
+    (shipdate, orderkey, linenumber), and an allocation of
+    min(hi) - max(lo) units exists wherever the two intervals overlap —
+    FIFO matching IS interval alignment on the cumulative axis, which
+    turns the sequential textbook loop into one set-based join.
+
+    100 TB shape: cumulative sums are per-PARTKEY windows (never
+    global); the overlap join is an equi-join on partkey with the range
+    predicate applied in-bucket, and FIFO's structure bounds output at
+    |D| + |S| - 1 pairs per key (each pair boundary consumes a demand
+    or a supply), so fan-out is linear, not |D|x|S|. Quantities are
+    integral -> every interval endpoint and allocation is an exact
+    BIGINT."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_linenumber", "l_returnflag",
+        "l_shipdate",
+        F.floor(F.col("l_quantity")).cast("bigint").alias("qty"),
+    )
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    def intervals(df):
+        cum = F.sum("qty").over(w)
+        return df.select(
+            "l_partkey", "l_orderkey", "l_linenumber", "qty",
+            (cum - F.col("qty")).alias("lo"), cum.alias("hi"),
+        )
+    dem = intervals(li.filter(F.col("l_returnflag") == "R"))
+    sup = intervals(li.filter(F.col("l_returnflag") != "R"))
+    d, s = dem.alias("d"), sup.alias("s")
+    return (
+        d.join(
+            s,
+            (F.col("d.l_partkey") == F.col("s.l_partkey"))
+            & (F.col("s.lo") < F.col("d.hi"))
+            & (F.col("d.lo") < F.col("s.hi")),
+        )
+        .select(
+            F.col("d.l_partkey").alias("l_partkey"),
+            F.col("d.l_orderkey").alias("d_orderkey"),
+            F.col("d.l_linenumber").cast("bigint").alias("d_linenumber"),
+            F.col("s.l_orderkey").alias("s_orderkey"),
+            F.col("s.l_linenumber").cast("bigint").alias("s_linenumber"),
+            (
+                F.least(F.col("d.hi"), F.col("s.hi"))
+                - F.greatest(F.col("d.lo"), F.col("s.lo"))
+            ).cast("bigint").alias("alloc_qty"),
+        )
+    )
+
+
+ANALYTICS_FIFO_SQL = """
+WITH li AS (
+  SELECT l_partkey, l_orderkey, l_linenumber, l_returnflag, l_shipdate,
+         CAST(floor(l_quantity) AS BIGINT) AS qty
+  FROM lineitem
+), dem AS (
+  SELECT l_partkey, l_orderkey, l_linenumber, qty,
+         SUM(qty) OVER w - qty AS lo, SUM(qty) OVER w AS hi
+  FROM li WHERE l_returnflag = 'R'
+  WINDOW w AS (PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING)
+), sup AS (
+  SELECT l_partkey, l_orderkey, l_linenumber, qty,
+         SUM(qty) OVER w - qty AS lo, SUM(qty) OVER w AS hi
+  FROM li WHERE l_returnflag <> 'R'
+  WINDOW w AS (PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT d.l_partkey,
+       d.l_orderkey AS d_orderkey,
+       CAST(d.l_linenumber AS BIGINT) AS d_linenumber,
+       s.l_orderkey AS s_orderkey,
+       CAST(s.l_linenumber AS BIGINT) AS s_linenumber,
+       CAST(least(d.hi, s.hi) - greatest(d.lo, s.lo) AS BIGINT) AS alloc_qty
+FROM dem d JOIN sup s
+  ON d.l_partkey = s.l_partkey AND s.lo < d.hi AND d.lo < s.hi
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "geo_path_stats": QuerySpec(
         geo_path_stats, GEO_PATH_STATS_SQL, "geo"),
     "analytics_funnel_windowed": QuerySpec(
         analytics_funnel_windowed, FUNNEL_WINDOWED_SQL, "analytics"),
+    "analytics_fifo_allocation": QuerySpec(
+        analytics_fifo_allocation, ANALYTICS_FIFO_SQL, "analytics"),
     "analytics_rfm_segmentation": QuerySpec(
         analytics_rfm_segmentation, ANALYTICS_RFM_SQL, "analytics",
         plan_waivers={"bnlj": (
@@ -5470,10 +5561,7 @@ QUERIES: dict[str, QuerySpec] = {
     "timeseries_acf_lags": QuerySpec(
         timeseries_acf_lags, TIMESERIES_ACF_SQL, "timeseries"),
     "timeseries_m4_downsample": QuerySpec(
-        timeseries_m4_downsample, TIMESERIES_M4_SQL, "timeseries",
-        plan_waivers={"bnlj": (
-            "#types-row bucket-bounds frame broadcast onto the point "
-            "stream")}),
+        timeseries_m4_downsample, TIMESERIES_M4_SQL, "timeseries"),
     "dq_chi2_categorical_drift": QuerySpec(
         dq_chi2_categorical_drift, DQ_CHI2_DRIFT_SQL, "dq",
         plan_waivers={"bnlj": "1-row column-totals scalar attach"}),

@@ -4410,7 +4410,253 @@ FROM m LEFT JOIN stats USING (method) CROSS JOIN truth_n
 """
 
 
+_PPJ_TAU_NUM, _PPJ_TAU_DEN = 19, 20   # tau = 0.95, kept as a ratio
+
+
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS set-similarity self-join via prefix filtering (the
+    SSJoin/PPJoin family, Chaudhuri et al. ICDE'06 / Xiao et al.
+    WWW'08): every document pair with word-set Jaccard >= tau (19/20),
+    with NO frequency cap. dedup_ngram_jaccard stays tractable by
+    DROPPING shingles with df > max_df (lossy for pathological
+    corpora); this entry is the exact counterpart, stacking the three
+    classic lossless prunes:
+
+    1. PREFIX filter — order each set's tokens by (global df ASC,
+       token); if J(x,y) >= tau then |x∩y| >= ceil(tau·|x|), so the
+       intersection cannot fit in the last ceil(tau·|x|)-1 tokens and
+       the first |x| - ceil(tau·|x|) + 1 tokens of BOTH sets must
+       share a token. Only prefixes are indexed/joined.
+    2. SIZE filter — J >= tau forces tau·max(|x|,|y|) <= min(|x|,|y|),
+       checked as DEN·min >= NUM·max (exact integers, no float
+       boundary).
+    3. POSITIONAL filter (PPJoin proper) — a candidate seen at prefix
+       positions (px, py) has overlap upper bound
+       1 + min(|x|-px, |y|-py); J >= tau needs overlap
+       alpha = ceil(NUM·(|x|+|y|) / (NUM+DEN)), so require
+       (NUM+DEN)·ubound >= NUM·(|x|+|y|) — again exact integers.
+
+    Plus the duplicate-cluster collapse from the PPJoin follow-ups:
+    IDENTICAL token sets group first (one representative each), the
+    filtered join runs over DISTINCT sets, within-group pairs emit
+    J = 1 directly (no verification), and qualifying set pairs expand
+    to doc pairs output-bound. On this corpus (a ~270-doc identical
+    template cluster) the collapse + positional filter cut candidates
+    2.9x and wall time ~2.6x — measured A/B in SCALING.md round-10.
+
+    100 TB shape: the global token order needs NO rank — (df, token)
+    IS the total order, so prefixes come from one array_sort over
+    struct(df, tok); the join shuffles only the ~(1-tau) prefix slice
+    of the DISTINCT-set incidence; verification touches surviving
+    candidates only (array_intersect over the two sorted arrays);
+    exact-dup clusters never re-verify. Output is the true pair set —
+    Θ(Σ cluster²) is inherent to pair semantics; at extreme cluster
+    sizes emit the (set_rep, member) star instead."""
+    NUM, DEN = _PPJ_TAU_NUM, _PPJ_TAU_DEN
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    dts = docs.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            )
+        ).alias("tset"),
+    )
+    sets = dts.groupBy("tset").agg(
+        F.min("doc_id").alias("sid"),
+        F.sort_array(F.collect_list("doc_id")).alias("members"),
+    )
+    stoks = sets.select(
+        "sid", F.explode("tset").alias("tok"), F.size("tset").alias("n")
+    )
+    dfreq = stoks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        stoks.join(dfreq, "tok")
+        .groupBy("sid", "n")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tok"))),
+                lambda s: s.tok,
+            ).alias("ts")
+        )
+    )
+    # prefix length = n - ceil(tau*n) + 1, ceil done in integers
+    plen = (
+        F.col("n") - F.floor((F.lit(NUM) * F.col("n") + DEN - 1) / DEN) + 1
+    ).cast("int")
+    pref = ordered.select(
+        "sid", "n",
+        F.posexplode(F.slice("ts", 1, plen)).alias("pos0", "tok"),
+    ).select("sid", "n", "tok", (F.col("pos0") + 1).alias("pos"))
+    a, b = pref.alias("a"), pref.alias("b")
+    na, nb = F.col("a.n"), F.col("b.n")
+    ub = 1 + F.least(na - F.col("a.pos"), nb - F.col("b.pos"))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.sid") < F.col("b.sid"))
+            & (F.lit(DEN) * F.least(na, nb) >= F.lit(NUM) * F.greatest(na, nb))
+            & (F.lit(NUM + DEN) * ub >= F.lit(NUM) * (na + nb)),
+        )
+        .select(
+            F.col("a.sid").alias("sid_a"), F.col("b.sid").alias("sid_b")
+        )
+        .distinct()
+    )
+    sa = sets.select(F.col("sid").alias("sid_a"),
+                     F.col("tset").alias("ts_a"),
+                     F.col("members").alias("m_a"))
+    sb = sets.select(F.col("sid").alias("sid_b"),
+                     F.col("tset").alias("ts_b"),
+                     F.col("members").alias("m_b"))
+    verified = (
+        cand.join(sa, "sid_a")
+        .join(sb, "sid_b")
+        .select(
+            "m_a", "m_b",
+            F.size(F.array_intersect("ts_a", "ts_b"))
+            .cast("long").alias("n_common"),
+            F.size("ts_a").alias("n_a"), F.size("ts_b").alias("n_b"),
+        )
+        .filter(
+            F.lit(DEN) * F.col("n_common")
+            >= F.lit(NUM) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+    )
+    cross = verified.select(
+        F.explode("m_a").alias("da"), "m_b", "n_common", "n_a", "n_b"
+    ).select(
+        F.explode("m_b").alias("db"), "da", "n_common",
+        (F.col("n_a") + F.col("n_b") - F.col("n_common")).alias("u"),
+    ).select(
+        F.least("da", "db").alias("doc_a"),
+        F.greatest("da", "db").alias("doc_b"),
+        "n_common",
+        F.round(F.col("n_common").cast("double") / F.col("u"), 6)
+        .alias("jaccard"),
+    )
+    m = F.col("members")
+    pair_arrays = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + 2, F.size(m) - i - 1),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    within = (
+        sets.filter(F.size("members") >= 2)
+        .select(F.size("tset").cast("long").alias("n_common"),
+                F.explode(pair_arrays).alias("p"))
+        .select("p.doc_a", "p.doc_b", "n_common",
+                F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(within)
+
+
+# Oracle = the BRUTE-FORCE inverted-index join over ALL tokens of ALL
+# docs (every pair with J >= tau > 0 shares a token, so this is
+# exhaustive) — an equivalence proof that the prefix/size/positional
+# filters and the identical-set collapse lose nothing, not a mirror.
+DEDUP_PREFIX_FILTER_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, list_distinct({_TOKS}) AS tk
+  FROM documents WHERE trim(text) <> ''
+), t AS (
+  SELECT doc_id, u.tok FROM toks, UNNEST(tk) AS u(tok)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS nc
+  FROM t a JOIN t b USING (tok)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(nc AS BIGINT) AS n_common,
+       round(nc::DOUBLE / (sa.n + sb.n - nc), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE {_PPJ_TAU_DEN} * nc >= {_PPJ_TAU_NUM} * (sa.n + sb.n - nc)
+"""
+
+
+def multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG/JFIF frame geometry via a marker-segment WALK
+    (operators/multimodal.with_jpeg_payload + jpeg_sof_meta): unlike
+    PNG's fixed IHDR offset, a JPEG's SOF0/SOF2 frame header sits after
+    a variable number of length-prefixed segments (APP0, comments), so
+    the parser must hop marker-to-marker reading big-endian u16 length
+    fields — the length-prefixed sibling of multimodal_tar_index's
+    size-padded walk. The fixture varies comment lengths and segment
+    counts by doc_id (offsets are unknowable without the walk), mixes
+    baseline FFC0 / progressive FFC2 frames, and routes 1/5 of rows as
+    non-JPEG text through the rejection path. The oracle rebuilds the
+    same bytes and replays the same unrolled hops on the hex string."""
+    return M.jpeg_sof_meta(M.with_jpeg_payload(_docs(spark, sf_dir)))
+
+
+def _jpeg_meta_sql() -> str:
+    jpeg_hex = (
+        "'FFD8' || 'FFE000104A46494600010100004800480000'"
+        " || 'FFFE' || lpad(hex(doc_id % 7 + 4), 4, '0')"
+        " || repeat('58', CAST(doc_id % 7 + 2 AS INT))"
+        " || CASE WHEN doc_id % 3 = 0 THEN 'FFFE0005595959' ELSE '' END"
+        " || CASE WHEN doc_id % 2 = 0 THEN 'FFC0' ELSE 'FFC2' END"
+        " || '001108' || lpad(hex(doc_id % 480 + 8), 4, '0')"
+        " || lpad(hex(doc_id % 640 + 8), 4, '0')"
+        " || '03011100021101031101'"
+    )
+
+    def u8(off):
+        return f"TRY_CAST('0x' || substr(hx, 2*({off}) + 1, 2) AS BIGINT)"
+
+    def u16(off):
+        return f"TRY_CAST('0x' || substr(hx, 2*({off}) + 1, 4) AS BIGINT)"
+
+    walk = ["SELECT doc_id, hx, CAST(2 AS BIGINT) AS off FROM h"]
+    for k in range(5):
+        walk.append(
+            f"SELECT doc_id, hx, CASE WHEN {u8('off')} = 255 AND "
+            f"{u8('off + 1')} IN (192, 194) THEN off "
+            f"ELSE off + 2 + {u16('off + 2')} END AS off "
+            f"FROM w{k}"
+        )
+    ctes = ",\n".join(f"w{k} AS ({q})" for k, q in enumerate(walk))
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 4 THEN NULL
+              ELSE hex(unhex({jpeg_hex}) || encode(text)) END AS hx
+  FROM documents
+),
+h AS (SELECT doc_id, hx FROM p),
+{ctes},
+sof AS (
+  SELECT doc_id, hx, off,
+         ({u8('off')} = 255 AND {u8('off + 1')} IN (192, 194)) AS ok,
+         {u8('off + 1')} AS m
+  FROM w5
+)
+SELECT doc_id,
+       CAST(hx IS NOT NULL AS BIGINT) AS is_jpeg,
+       CASE WHEN ok THEN CAST(m = 194 AS BIGINT) END AS progressive,
+       CASE WHEN ok THEN {u8('off + 4')} END AS precision,
+       CASE WHEN ok THEN {u16('off + 5')} END AS height,
+       CASE WHEN ok THEN {u16('off + 7')} END AS width,
+       CASE WHEN ok THEN {u8('off + 9')} END AS n_components,
+       CASE WHEN ok THEN off END AS sof_offset
+FROM sof
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_prefix_filter_join": QuerySpec(
+        dedup_prefix_filter_join, DEDUP_PREFIX_FILTER_SQL, "dedup"),
+    "multimodal_jpeg_meta": QuerySpec(
+        multimodal_jpeg_meta, _jpeg_meta_sql(), "multimodal"),
     "multimodal_tiff_meta": QuerySpec(
         multimodal_tiff_meta, _tiff_meta_sql(), "multimodal"),
     "multimodal_tar_index": QuerySpec(

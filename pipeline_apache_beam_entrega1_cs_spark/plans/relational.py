@@ -1767,6 +1767,117 @@ FROM ranked WHERE rn = 1
 """
 
 
+
+
+def agg_moments_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable 3rd/4th-moment partials -> exact skewness + excess
+    kurtosis — agg_variance_partial_merge extended up the moment
+    ladder: per (returnflag, linestatus) keep (n, Σx, Σx², Σx³, Σx⁴)
+    as integer sums; any rollup scope merges by SUMMING the partials;
+    then the central-moment numerators
+        m2n = n·S2 − S1²            (= n²·m2)
+        m3n = n²·S3 − 3n·S2·S1 + 2·S1³        (= n³·m3)
+        m4n = n³·S4 − 4n²·S3·S1 + 6n·S2·S1² − 3·S1⁴   (= n⁴·m4)
+    collapse the n-powers exactly:  g1 = m3n / m2n^1.5  and
+    g2 = m4n / m2n² − 3  (population skew / excess kurtosis) — every
+    numerator is an EXACT integer in DECIMAL(38,0)/HUGEINT, converted
+    to double through a STRING cast (the >2^53 convention), and ^1.5
+    is spelled x·sqrt(x) on both engines (libm pow() is not
+    correctly-rounded everywhere; sqrt is).
+
+    100 TB shape: ONE shuffle to #groups×5 integer cells; rollups and
+    the algebra run on the O(#groups) frame. Digit budget (documented,
+    the family convention): |Σx| < 3×10⁹ keeps S1⁴ < 8.1×10³⁷ — with
+    x = l_quantity ≤ 50 that is ~6×10⁷ rows per group; past it, salt
+    the group key and merge per-salt CENTRAL sums pairwise (Pébay's
+    update formulas), trading cross-engine bit-exactness for an
+    unbounded row budget."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus",
+        F.floor(F.col("l_quantity")).cast("bigint").alias("x"),
+    )
+    x = F.col("x")
+    partials = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    sums = [F.sum(c).alias(c) for c in ("n", "s1", "s2", "s3", "s4")]
+    per_flag = partials.groupBy("l_returnflag").agg(*sums).select(
+        F.col("l_returnflag").alias("scope"), "n", "s1", "s2", "s3", "s4"
+    )
+    overall = partials.agg(*sums).select(
+        F.lit("__all__").alias("scope"), "n", "s1", "s2", "s3", "s4"
+    )
+    dec = "decimal(38,0)"
+    n, s1, s2, s3, s4 = [
+        F.col(c).cast(dec) for c in ("n", "s1", "s2", "s3", "s4")
+    ]
+    m2n = n * s2 - s1 * s1
+    m3n = n * n * s3 - F.lit(3).cast(dec) * n * s2 * s1 \
+        + F.lit(2).cast(dec) * s1 * s1 * s1
+    m4n = n * n * n * s4 - F.lit(4).cast(dec) * n * n * s3 * s1 \
+        + F.lit(6).cast(dec) * n * s2 * s1 * s1 \
+        - F.lit(3).cast(dec) * s1 * s1 * s1 * s1
+
+    def sdbl(c):  # exact decimal -> double via string (the convention)
+        return c.cast("string").cast("double")
+
+    m2d, m3d, m4d = sdbl(m2n), sdbl(m3n), sdbl(m4n)
+    pos = m2n > 0
+    return per_flag.unionByName(overall).select(
+        "scope",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("s1").cast("double") / F.col("n"), 6).alias("mean_qty"),
+        F.when(pos, F.round(m3d / (m2d * F.sqrt(m2d)), 6)).alias("skewness"),
+        F.when(pos, F.round(m4d / (m2d * m2d) - 3, 6)).alias("ex_kurtosis"),
+    )
+
+
+AGG_MOMENTS_SQL = """
+WITH p AS (
+  SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         SUM(x) AS s1, SUM(x*x) AS s2, SUM(x*x*x) AS s3,
+         SUM(x*x*x*x) AS s4
+  FROM (SELECT l_returnflag, l_linestatus,
+               CAST(floor(l_quantity) AS HUGEINT) AS x
+        FROM lineitem)
+  GROUP BY 1, 2
+), m AS (
+  SELECT l_returnflag AS scope, CAST(SUM(n) AS HUGEINT) AS n,
+         CAST(SUM(s1) AS HUGEINT) AS s1, CAST(SUM(s2) AS HUGEINT) AS s2,
+         CAST(SUM(s3) AS HUGEINT) AS s3, CAST(SUM(s4) AS HUGEINT) AS s4
+  FROM p GROUP BY 1
+  UNION ALL
+  SELECT '__all__', CAST(SUM(n) AS HUGEINT), CAST(SUM(s1) AS HUGEINT),
+         CAST(SUM(s2) AS HUGEINT), CAST(SUM(s3) AS HUGEINT),
+         CAST(SUM(s4) AS HUGEINT)
+  FROM p
+), nums AS (
+  SELECT scope, n, s1,
+         n*s2 - s1*s1 AS m2n,
+         n*n*s3 - 3*n*s2*s1 + 2*s1*s1*s1 AS m3n,
+         n*n*n*s4 - 4*n*n*s3*s1 + 6*n*s2*s1*s1 - 3*s1*s1*s1*s1 AS m4n
+  FROM m
+)
+SELECT scope, CAST(n AS BIGINT) AS n,
+       round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_qty,
+       CASE WHEN m2n > 0 THEN
+         round(CAST(CAST(m3n AS VARCHAR) AS DOUBLE)
+               / (CAST(CAST(m2n AS VARCHAR) AS DOUBLE)
+                  * sqrt(CAST(CAST(m2n AS VARCHAR) AS DOUBLE))), 6)
+       END AS skewness,
+       CASE WHEN m2n > 0 THEN
+         round(CAST(CAST(m4n AS VARCHAR) AS DOUBLE)
+               / (CAST(CAST(m2n AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(m2n AS VARCHAR) AS DOUBLE)) - 3, 6)
+       END AS ex_kurtosis
+FROM nums
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # the rank window is partitioned by l_returnflag over the
     # pre-aggregated |groups| x |values| frame — no waiver needed
@@ -1804,6 +1915,8 @@ QUERIES: dict[str, QuerySpec] = {
     "agg_quantile_partial_merge": QuerySpec(
         agg_quantile_partial_merge, AGG_QUANTILE_PARTIAL_SQL, "aggregation",
         plan_waivers={"bnlj": "1-row min/max bounds broadcast (x2 attaches)"}),
+    "agg_moments_skew_kurtosis": QuerySpec(
+        agg_moments_skew_kurtosis, AGG_MOMENTS_SQL, "agg"),
     "agg_variance_partial_merge": QuerySpec(
         agg_variance_partial_merge, AGG_VARIANCE_PARTIAL_SQL, "aggregation"),
     "agg_covariance_matrix": QuerySpec(

@@ -1955,3 +1955,111 @@ def test_dau_mau_stickiness_bounds_and_samples(spark, sf_dir):
         lo = day - datetime.timedelta(days=29)
         expect = len({r.user_id for r in du if lo <= r.day <= day})
         assert rows[str(day)].mau == expect, day
+
+
+def test_fifo_allocation_matches_sequential_simulation(spark, sf_dir):
+    """The set-based interval-overlap FIFO join reproduces the textbook
+    sequential allocation loop exactly: per part, walk demands in
+    (shipdate, orderkey, linenumber) order, consuming supplies in the
+    same order, emitting (demand, supply, qty) slices."""
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+    from pyspark.sql import functions as F
+
+    out = {
+        (r.l_partkey, r.d_orderkey, r.d_linenumber,
+         r.s_orderkey, r.s_linenumber): r.alloc_qty
+        for r in A.analytics_fifo_allocation(spark, sf_dir).collect()
+    }
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_partkey", "l_orderkey", "l_linenumber",
+                "l_returnflag", "l_shipdate",
+                F.floor("l_quantity").cast("long").alias("qty"))
+        .collect()
+    )
+    from collections import defaultdict
+    dem, sup = defaultdict(list), defaultdict(list)
+    for r in li:
+        (dem if r.l_returnflag == "R" else sup)[r.l_partkey].append(
+            (r.l_shipdate, r.l_orderkey, r.l_linenumber, r.qty))
+    expect = {}
+    for pk, ds in dem.items():
+        ds.sort()
+        ss = sorted(sup.get(pk, []))
+        si, s_rem = 0, ss[0][3] if ss else 0
+        for (_, dok, dln, dq) in ds:
+            need = dq
+            while need > 0 and si < len(ss):
+                take = min(need, s_rem)
+                if take > 0:
+                    expect[(pk, dok, dln, ss[si][1], ss[si][2])] = take
+                need -= take
+                s_rem -= take
+                if s_rem == 0:
+                    si += 1
+                    s_rem = ss[si][3] if si < len(ss) else 0
+    assert out == expect
+    assert len(out) > 0
+
+
+def test_moments_skew_kurtosis_match_numpy(spark, sf_dir):
+    """The integer-moment-numerator algebra equals numpy's population
+    skewness/excess-kurtosis to 6 dp, per flag scope and overall."""
+    import numpy as np
+    import pipeline_apache_beam_entrega1_cs_spark.plans.relational as R
+
+    rows = {r.scope: r for r in
+            R.agg_moments_skew_kurtosis(spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_quantity").collect()
+    import collections
+    by_scope = collections.defaultdict(list)
+    for r in li:
+        q = float(int(r.l_quantity))
+        by_scope[r.l_returnflag].append(q)
+        by_scope["__all__"].append(q)
+    for scope, xs in by_scope.items():
+        a = np.asarray(xs)
+        m2 = ((a - a.mean()) ** 2).mean()
+        m3 = ((a - a.mean()) ** 3).mean()
+        m4 = ((a - a.mean()) ** 4).mean()
+        r = rows[scope]
+        assert r.n == len(xs)
+        assert abs(r.mean_qty - round(a.mean(), 6)) < 1e-6
+        assert abs(r.skewness - m3 / m2 ** 1.5) < 1e-5, scope
+        assert abs(r.ex_kurtosis - (m4 / m2 ** 2 - 3)) < 1e-5, scope
+
+
+def test_prefix_filter_join_is_lossless_and_prunes(spark, sf_dir):
+    """The prefix-filter lemma in practice: (a) the filtered join's
+    output EQUALS the brute-force all-shared-token join's qualifying
+    set (losslessness); (b) the prefix index is strictly smaller than
+    the full incidence index (the point of the idiom)."""
+    import pipeline_apache_beam_entrega1_cs_spark.plans.llm_data as L
+
+    num, den = L._PPJ_TAU_NUM, L._PPJ_TAU_DEN
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+        for r in L.dedup_prefix_filter_join(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    sets = {
+        d.doc_id: frozenset(d.text.lower().strip().split())
+        for d in docs if d.text.strip()
+    }
+    ids = sorted(sets)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and den * inter >= num * union:
+                expect[(a, b)] = (inter, round(inter / union, 6))
+    assert got == expect
+    assert len(got) > 0
+    # (b) pruning: total prefix length < total token incidence
+    n_tok = sum(len(s) for s in sets.values())
+    n_pref = sum(
+        len(s) - (num * len(s) + den - 1) // den + 1 for s in sets.values()
+    )
+    assert n_pref < n_tok

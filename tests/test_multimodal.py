@@ -475,3 +475,52 @@ def test_tar_payload_validates_with_python_tarfile(spark):
             data = tf.extractfile(m).read()
             assert r.data_md5 == hashlib.md5(data).hexdigest()
         tf.close()
+
+
+def test_jpeg_payload_matches_marker_walk_reference(spark, sf_dir):
+    """The Spark-side expression walk equals a pure-Python JPEG marker
+    walker (struct-based, no codec) over the same payloads: SOI
+    validation, segment hops via big-endian length fields, SOF0/SOF2
+    geometry, the progressive flag, and the non-JPEG rejection path."""
+    import struct
+    import pipeline_apache_beam_entrega1_cs_spark.operators.multimodal as M
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payloads = {
+        r.doc_id: bytes(r.payload)
+        for r in M.with_jpeg_payload(docs).collect()
+    }
+    got = {
+        r.doc_id: (r.is_jpeg, r.progressive, r.precision, r.height,
+                   r.width, r.n_components, r.sof_offset)
+        for r in M.jpeg_sof_meta(M.with_jpeg_payload(docs)).collect()
+    }
+
+    def reference(p):
+        if p[:2] != b"\xff\xd8":
+            return (0, None, None, None, None, None, None)
+        off = 2
+        for _ in range(64):
+            if p[off] == 0xFF and p[off + 1] in (0xC0, 0xC2):
+                prec = p[off + 4]
+                h, w = struct.unpack(">HH", p[off + 5:off + 9])
+                return (1, int(p[off + 1] == 0xC2), prec, h, w,
+                        p[off + 9], off)
+            (ln,) = struct.unpack(">H", p[off + 2:off + 4])
+            off += 2 + ln
+        raise AssertionError("no SOF found")
+
+    saw_prog = saw_base = saw_reject = saw_two_com = False
+    for doc_id, p in payloads.items():
+        assert got[doc_id] == reference(p), doc_id
+        if got[doc_id][0] == 0:
+            saw_reject = True
+        elif got[doc_id][1] == 1:
+            saw_prog = True
+        else:
+            saw_base = True
+        if doc_id % 3 == 0 and doc_id % 5 != 4:
+            saw_two_com = True
+            # two COM segments -> SOF offset really depends on the walk
+            assert got[doc_id][6] > 24
+    assert saw_prog and saw_base and saw_reject and saw_two_com
