@@ -5544,6 +5544,131 @@ FROM dem d JOIN sup s
 """
 
 
+_FD_TESTS = [
+    # (fd_name, lhs column, rhs column) — candidate dependencies over
+    # orders; the first holds by construction (PK), the others are the
+    # kind of "should this hold?" profiling questions an FD audit
+    # answers with violation counts instead of a boolean guess.
+    ("o_orderkey->o_custkey", "o_orderkey", "o_custkey"),
+    ("o_custkey->o_orderstatus", "o_custkey", "o_orderstatus"),
+    ("o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"),
+]
+
+
+def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (the Deequ/Metanome-style profiling
+    check): for each candidate FD "LHS -> RHS", how many LHS keys map
+    to MORE than one distinct RHS value — n_lhs, n_violating, the
+    worst key's distinct-RHS count, and a holds flag. A PK check says
+    unique/not; an FD audit quantifies HOW broken a suspected
+    invariant is, which is what decides repair vs. re-model.
+
+    100 TB shape: per FD, reduce to DISTINCT (lhs, rhs) pairs first
+    (mergeable, map-side combinable) and count per lhs — never
+    count_distinct over raw rows; each audit is then one hash-agg over
+    the deduplicated pair frame plus a 4-cell rollup. FDs are
+    independent scans (column-pruned to 2 columns each); at many FDs
+    over one table, share the scan with grouping sets."""
+    o = _t(spark, sf_dir, "orders")
+    outs = []
+    for fd_name, lhs, rhs in _FD_TESTS:
+        pairs = o.select(
+            F.col(lhs).alias("lhs"), F.col(rhs).alias("rhs")
+        ).distinct()
+        per_lhs = pairs.groupBy("lhs").agg(
+            F.count(F.lit(1)).alias("n_rhs")
+        )
+        outs.append(
+            per_lhs.agg(
+                F.lit(fd_name).alias("fd"),
+                F.count(F.lit(1)).cast("bigint").alias("n_lhs"),
+                F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+                .cast("bigint").alias("n_violating"),
+                F.max("n_rhs").cast("bigint").alias("max_rhs_per_lhs"),
+            ).select(
+                "fd", "n_lhs", "n_violating", "max_rhs_per_lhs",
+                (F.col("n_violating") == 0).cast("bigint").alias("holds"),
+            )
+        )
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def _fd_sql() -> str:
+    selects = []
+    for fd_name, lhs, rhs in _FD_TESTS:
+        selects.append(f"""
+  SELECT '{fd_name}' AS fd,
+         CAST(COUNT(*) AS BIGINT) AS n_lhs,
+         CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating,
+         CAST(MAX(n_rhs) AS BIGINT) AS max_rhs_per_lhs,
+         CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS BIGINT)
+           AS holds
+  FROM (SELECT {lhs}, COUNT(*) AS n_rhs
+        FROM (SELECT DISTINCT {lhs}, {rhs} FROM orders) GROUP BY 1)""")
+    return "\nUNION ALL\n".join(selects)
+
+
+def analytics_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral-model fit behind next-action
+    prediction and session simulation: order each user's events by
+    (ts, event_id), pair each with its successor via lag, and emit
+    count + row-normalized probability per (from_type, to_type) cell.
+
+    100 TB shape: ONE per-user window (the sequence order is
+    user-local — never a global sort) + one hash-agg to the #types²
+    cell frame; the row normalizer joins back on the tiny from_type
+    marginal. Probabilities divide exact BIGINT counts, rounded 6dp."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "user_id", "event_type",
+            F.lag("event_type").over(w).alias("from_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
+    )
+    marg = trans.groupBy("from_type").agg(
+        F.sum("n_trans").cast("bigint").alias("n_from")
+    )
+    return (
+        trans.join(marg, "from_type")
+        .select(
+            "from_type", "to_type", "n_trans",
+            F.round(
+                F.col("n_trans").cast("double") / F.col("n_from"), 6
+            ).alias("p"),
+        )
+    )
+
+
+ANALYTICS_MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type
+  FROM events
+), trans AS (
+  SELECT from_type, event_type AS to_type,
+         CAST(COUNT(*) AS BIGINT) AS n_trans
+  FROM seq WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+), marg AS (
+  SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+  FROM trans GROUP BY 1
+)
+SELECT t.from_type, t.to_type, t.n_trans,
+       round(t.n_trans::DOUBLE / m.n_from, 6) AS p
+FROM trans t JOIN marg m USING (from_type)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "geo_path_stats": QuerySpec(
         geo_path_stats, GEO_PATH_STATS_SQL, "geo"),
@@ -5551,6 +5676,10 @@ QUERIES: dict[str, QuerySpec] = {
         analytics_funnel_windowed, FUNNEL_WINDOWED_SQL, "analytics"),
     "analytics_fifo_allocation": QuerySpec(
         analytics_fifo_allocation, ANALYTICS_FIFO_SQL, "analytics"),
+    "dq_functional_dependency": QuerySpec(
+        dq_functional_dependency, _fd_sql(), "dq"),
+    "analytics_markov_transitions": QuerySpec(
+        analytics_markov_transitions, ANALYTICS_MARKOV_SQL, "analytics"),
     "analytics_rfm_segmentation": QuerySpec(
         analytics_rfm_segmentation, ANALYTICS_RFM_SQL, "analytics",
         plan_waivers={"bnlj": (

@@ -4583,6 +4583,151 @@ WHERE {_PPJ_TAU_DEN} * nc >= {_PPJ_TAU_NUM} * (sa.n + sb.n - nc)
 """
 
 
+_OUTLIER_U = 1_000_000
+_OUTLIER_TOPK = 5
+
+
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise candidates by centroid distance — the embedding-side
+    mislabel detector every curated training set runs (Northcutt's
+    confident-learning intuition in its cheapest form): per label, the
+    top-k vectors FARTHEST from their own label's centroid. All
+    arithmetic is exact: micro-unit integer components xu, per-label
+    integer sums S_d, and the n-scaled squared distance
+    D2 = Σ_d (n·xu_d − S_d)²  (= n²·U²·‖x − μ‖², so ranking by D2 is
+    ranking by true distance) — every comparison is integer, so the
+    top-k is deterministic across engines, and the reported distance
+    only converts to double at the very end (string-cast convention).
+
+    100 TB shape: one (label, dim) hash-agg for the sums (explode is
+    64× but mergeable map-side), the #labels-row centroid-sum frame
+    broadcast back, D2 via zip_with/aggregate on the UNEXPLODED
+    vectors, and a per-LABEL window for the top-k. Digit budget:
+    |n·xu| < 3×10⁹ per component keeps each square < 10¹⁹ and the
+    64-dim D2 < 10²¹ ≪ 10³⁸."""
+    emb = _emb(spark, sf_dir)
+    U = _OUTLIER_U
+    xu = emb.select(
+        "vec_id", "label",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * U).cast("long"),
+        ).alias("xu"),
+    )
+    sums = (
+        xu.select("label", F.posexplode("xu").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                lambda t: t.s,
+            ).alias("sa"),
+            F.max("n").alias("n"),
+        )
+    )
+    dec = "decimal(38,0)"
+    diff = F.zip_with(
+        F.col("xu"), F.col("sa"), lambda x, s: F.col("n") * x - s
+    )
+    d2 = F.aggregate(
+        diff,
+        F.lit(0).cast(dec),
+        lambda acc, v: acc + v.cast("decimal(19,0)") * v.cast("decimal(19,0)"),
+    )
+    scored = xu.join(F.broadcast(sums), "label").select(
+        "label", "vec_id", "n", d2.alias("d2")
+    )
+    w = Window.partitionBy("label").orderBy(F.col("d2").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _OUTLIER_TOPK)
+        .select(
+            "label",
+            F.col("rank").cast("bigint").alias("rank"),
+            "vec_id",
+            F.round(
+                F.sqrt(F.col("d2").cast("string").cast("double"))
+                / (F.col("n").cast("double") * U),
+                6,
+            ).alias("dist_to_centroid"),
+        )
+    )
+
+
+EMBEDDING_LABEL_OUTLIERS_SQL = f"""
+WITH xu AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {_OUTLIER_U}) AS HUGEINT)) AS xu
+  FROM embeddings
+), cnt AS (
+  SELECT label, CAST(COUNT(*) AS HUGEINT) AS n FROM xu GROUP BY label
+), ex AS (
+  SELECT label, u.i AS dim, xu[u.i] AS v
+  FROM xu, UNNEST(generate_series(1, len(xu))) AS u(i)
+), s AS (
+  SELECT label, dim, SUM(v) AS s FROM ex GROUP BY 1, 2
+), sa AS (
+  SELECT label, list(s ORDER BY dim) AS sa FROM s GROUP BY label
+), d AS (
+  SELECT xu.vec_id, xu.label, cnt.n,
+         list_sum(list_transform(generate_series(1, len(xu.xu)),
+           i -> (cnt.n * xu.xu[i] - sa.sa[i])
+              * (cnt.n * xu.xu[i] - sa.sa[i]))) AS d2
+  FROM xu JOIN cnt USING (label) JOIN sa USING (label)
+), r AS (
+  SELECT label, vec_id, n, d2,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY d2 DESC, vec_id) AS rank
+  FROM d
+)
+SELECT label, CAST(rank AS BIGINT) AS rank, vec_id,
+       round(sqrt(CAST(CAST(d2 AS VARCHAR) AS DOUBLE))
+             / (CAST(n AS DOUBLE) * {_OUTLIER_U}), 6) AS dist_to_centroid
+FROM r WHERE rank <= {_OUTLIER_TOPK}
+"""
+
+
+def multimodal_zip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP archive indexing via the EOCD → central-directory pointer
+    chain (operators/multimodal.with_zip_payload + zip_index): the
+    back-pointer member of the container-parser family (tar walks
+    sizes from the front; ZIP's tail record points at variable-length
+    central entries that chain to each member's local header). The
+    fixture carries REAL CRC-32s (F.crc32), so tests validate the
+    bytes end-to-end with Python's zipfile INCLUDING data reads. Like
+    MULTIMODAL_TAR_INDEX_SQL, the oracle derives the index closed-form
+    from the size formulas — an independent derivation of what the
+    byte walk must find, with the physical-parse rigor carried by the
+    zipfile spec test."""
+    return M.zip_index(M.with_zip_payload(_docs(spark, sf_dir)))
+
+
+def _zip_index_sql() -> str:
+    names = M._ZIP_NAMES
+    sizes = ["doc_id % 200 + 50", "doc_id % 500 + 200", "40"]
+    # local header offsets accumulate 30 + namelen + size per member;
+    # the central directory starts after the last member's data
+    offs, acc = [], "0"
+    for n, s in zip(names, sizes):
+        offs.append(acc)
+        acc = f"({acc} + 30 + {len(n)} + ({s}))"
+    selects = []
+    for j, (n, s) in enumerate(zip(names, sizes)):
+        selects.append(f"""
+  SELECT doc_id, CAST({j} AS BIGINT) AS member_idx, '{n}' AS name,
+         CAST(0 AS BIGINT) AS method,
+         CAST({s} AS BIGINT) AS usize,
+         CAST({offs[j]} AS BIGINT) AS local_offset,
+         TRUE AS cd_ok, TRUE AS local_ok,
+         md5(rpad(substring(text, 1, 10), CAST({s} AS INT), 'y'))
+           AS data_md5
+  FROM documents""")
+    return "\nUNION ALL\n".join(selects)
+
+
 def multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JPEG/JFIF frame geometry via a marker-segment WALK
     (operators/multimodal.with_jpeg_payload + jpeg_sof_meta): unlike
@@ -4657,6 +4802,11 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_prefix_filter_join, DEDUP_PREFIX_FILTER_SQL, "dedup"),
     "multimodal_jpeg_meta": QuerySpec(
         multimodal_jpeg_meta, _jpeg_meta_sql(), "multimodal"),
+    "multimodal_zip_index": QuerySpec(
+        multimodal_zip_index, _zip_index_sql(), "multimodal"),
+    "embedding_label_outliers": QuerySpec(
+        embedding_label_outliers, EMBEDDING_LABEL_OUTLIERS_SQL,
+        "similarity"),
     "multimodal_tiff_meta": QuerySpec(
         multimodal_tiff_meta, _tiff_meta_sql(), "multimodal"),
     "multimodal_tar_index": QuerySpec(

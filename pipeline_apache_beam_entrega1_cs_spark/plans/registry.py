@@ -23,7 +23,7 @@ join_asof_events, join_range_nonequi, agg_rollup,
 window_running_frames, topk_per_group, ann_cosine_topk) — after r10
 they are the only entries with driver evidence older than r10.
 
-ROUND 11 CHORE: promote (a) any r10 failures; (b) the TWENTY-TWO
+ROUND 11 CHORE: promote (a) any r10 failures; (b) the TWENTY-SIX
 round-10 late additions past slot 50, named in full
 (multimodal_tiff_meta, dq_k_anonymity, geo_path_stats,
 analytics_funnel_windowed, text_vocab_growth,
@@ -34,7 +34,9 @@ streaming_bottom_k_state, timeseries_acf_lags,
 timeseries_m4_downsample, dq_chi2_categorical_drift,
 analytics_pareto_share, analytics_dau_mau_stickiness,
 analytics_fifo_allocation, dedup_prefix_filter_join,
-multimodal_jpeg_meta, agg_moments_skew_kurtosis — all locally
+multimodal_jpeg_meta, agg_moments_skew_kurtosis,
+multimodal_zip_index, dq_functional_dependency,
+analytics_markov_transitions, embedding_label_outliers — all locally
 oracle-green; the round-7/round-9 undercount lesson: list every
 never-checked entry explicitly); (c) round-11 additions,
 also named in full; (d) the NINE bench-covered r04-only names above,

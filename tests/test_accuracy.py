@@ -2063,3 +2063,79 @@ def test_prefix_filter_join_is_lossless_and_prunes(spark, sf_dir):
         len(s) - (num * len(s) + den - 1) // den + 1 for s in sets.values()
     )
     assert n_pref < n_tok
+
+
+def test_functional_dependency_matches_bruteforce(spark, sf_dir):
+    """The FD audit equals a Python dict walk: per candidate FD, the
+    distinct-RHS-per-LHS map, its violation count and worst key."""
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+    from collections import defaultdict
+
+    rows = {r.fd: r for r in
+            A.dq_functional_dependency(spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    for fd_name, lhs, rhs in A._FD_TESTS:
+        m = defaultdict(set)
+        for o in orders:
+            m[o[lhs]].add(o[rhs])
+        r = rows[fd_name]
+        assert r.n_lhs == len(m)
+        assert r.n_violating == sum(1 for v in m.values() if len(v) > 1)
+        assert r.max_rhs_per_lhs == max(len(v) for v in m.values())
+        assert r.holds == int(r.n_violating == 0)
+    assert rows["o_orderkey->o_custkey"].holds == 1  # PK by construction
+
+
+def test_markov_transitions_match_bruteforce(spark, sf_dir):
+    """Transition counts equal a per-user sequential pair walk ordered
+    by (ts, event_id); probabilities row-normalize exactly."""
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+    from collections import Counter, defaultdict
+
+    got = {(r.from_type, r.to_type): (r.n_trans, r.p) for r in
+           A.analytics_markov_transitions(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    seqs = defaultdict(list)
+    for e in ev:
+        seqs[e.user_id].append((e.ts, e.event_id, e.event_type))
+    counts = Counter()
+    for s in seqs.values():
+        s.sort()
+        for a, b in zip(s, s[1:]):
+            counts[(a[2], b[2])] += 1
+    marg = Counter()
+    for (f, _), c in counts.items():
+        marg[f] += c
+    expect = {k: (c, round(c / marg[k[0]], 6)) for k, c in counts.items()}
+    assert got == expect
+
+
+def test_embedding_label_outliers_match_numpy(spark, sf_dir):
+    """The integer-D2 ranking equals an arbitrary-precision numpy/
+    Python recompute of n²U²·||x − centroid||² per label, including the
+    (D2 desc, vec_id) tie order and the reported double distance."""
+    import math
+    import pipeline_apache_beam_entrega1_cs_spark.plans.llm_data as L
+    from collections import defaultdict
+
+    U, K = L._OUTLIER_U, L._OUTLIER_TOPK
+    got = defaultdict(list)
+    for r in L.embedding_label_outliers(spark, sf_dir).collect():
+        got[r.label].append((r.rank, r.vec_id, r.dist_to_centroid))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    by_label = defaultdict(list)
+    for e in emb:
+        xu = [math.floor(float(v) * U) for v in e.embedding]
+        by_label[e.label].append((e.vec_id, xu))
+    for label, rows in by_label.items():
+        n = len(rows)
+        sums = [sum(x[d] for _, x in rows) for d in range(len(rows[0][1]))]
+        d2s = sorted(
+            (-sum((n * x[d] - sums[d]) ** 2 for d in range(len(x))), vid)
+            for vid, x in rows
+        )
+        expect = [
+            (i + 1, vid, round(math.sqrt(float(-negd2)) / (n * U), 6))
+            for i, (negd2, vid) in enumerate(d2s[:K])
+        ]
+        assert sorted(got[label]) == expect, label
