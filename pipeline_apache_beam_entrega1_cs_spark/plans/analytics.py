@@ -5669,6 +5669,250 @@ FROM trans t JOIN marg m USING (from_type)
 """
 
 
+_LDIV_L = 3
+
+
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's second line of defense
+    (Machanavajjhala et al.): a QI class can be large (k-anonymous) yet
+    still leak if everyone in it shares the SAME sensitive value, so
+    per (nation x segment) class we report the number of DISTINCT
+    sensitive values (account-balance band, floor(acctbal/1000) — the
+    derived attribute a release would bin to) and flag classes below
+    l = 3. Distinct-l is the paper's simplest instantiation; the
+    class_size/l_distinct pair in the output is what an entropy-l or
+    recursive-(c,l) variant would consume.
+
+    100 TB shape: reduce to DISTINCT (QI, sensitive) triples first
+    (mergeable), then one hash-agg per class for l and one for size —
+    never count_distinct over raw rows; class cardinality is the QI
+    domain."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("qi_nation"),
+        F.col("c_mktsegment").alias("qi_segment"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("sens_band"),
+    )
+    sizes = c.groupBy("qi_nation", "qi_segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size")
+    )
+    ldist = (
+        c.distinct()
+        .groupBy("qi_nation", "qi_segment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("l_distinct"))
+    )
+    return (
+        sizes.join(ldist, ["qi_nation", "qi_segment"])
+        .select(
+            "qi_nation", "qi_segment", "class_size", "l_distinct",
+            (F.col("l_distinct") < _LDIV_L).alias("below_l"),
+        )
+    )
+
+
+DQ_L_DIVERSITY_SQL = f"""
+WITH c AS (
+  SELECT c_nationkey AS qi_nation, c_mktsegment AS qi_segment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS sens_band
+  FROM customer
+), sizes AS (
+  SELECT qi_nation, qi_segment, CAST(COUNT(*) AS BIGINT) AS class_size
+  FROM c GROUP BY 1, 2
+), ld AS (
+  SELECT qi_nation, qi_segment, CAST(COUNT(*) AS BIGINT) AS l_distinct
+  FROM (SELECT DISTINCT * FROM c) GROUP BY 1, 2
+)
+SELECT qi_nation, qi_segment, class_size, l_distinct,
+       l_distinct < {_LDIV_L} AS below_l
+FROM sizes JOIN ld USING (qi_nation, qi_segment)
+"""
+
+
+def dq_reconciliation_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table aggregate reconciliation — the finance-grade DQ
+    audit (does the order header's total equal the sum of its lines?):
+    per order, recompute Σ extendedprice·(1−discount)·(1+tax) and
+    compare against the stored o_totalprice, reporting exact matches,
+    within-a-cent matches (the rounding tolerance a header/detail
+    pipeline legitimately accumulates), mismatches beyond a cent,
+    headers with no lines, and the worst absolute discrepancy.
+    Referential integrity says every key resolves; reconciliation says
+    the AMOUNTS agree — different failure modes (dropped lines pass
+    RI-on-orders, double-posted lines pass both key checks).
+
+    Determinism: the money×rate product casts OPERANDS to decimal
+    first (the drev/dcharge convention); diffs stay DECIMAL end-to-end
+    and every comparison is exact. 100 TB shape: one per-orderkey
+    hash-agg on lineitem, one keyed join against orders, one 1-row
+    rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = "decimal(18,4)"
+    charge = (
+        F.col("l_extendedprice").cast(d)
+        * (F.lit(1).cast(d) - F.col("l_discount").cast(d))
+        * (F.lit(1).cast(d) + F.col("l_tax").cast(d))
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(charge).alias("recomputed")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast(d).alias("stored")
+    )
+    j = o.join(
+        per_order, o.o_orderkey == per_order.l_orderkey, "left"
+    ).select(
+        "stored", "recomputed",
+        F.when(
+            F.col("recomputed").isNotNull(),
+            F.abs(F.col("recomputed") - F.col("stored")),
+        ).alias("adiff"),
+    )
+    cent = F.lit("0.01").cast("decimal(18,4)")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("recomputed").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_no_lines"),
+        F.sum(F.when(F.col("adiff") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_exact"),
+        F.sum(
+            F.when((F.col("adiff") > 0) & (F.col("adiff") <= cent), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_within_cent"),
+        F.sum(F.when(F.col("adiff") > cent, 1).otherwise(0))
+        .cast("bigint").alias("n_mismatched"),
+        F.round(F.max("adiff").cast("double"), 4).alias("max_abs_diff"),
+    )
+
+
+DQ_RECONCILIATION_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+             * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4))))
+           AS recomputed
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT CAST(o_totalprice AS DECIMAL(18,4)) AS stored, recomputed,
+         CASE WHEN recomputed IS NOT NULL
+              THEN abs(recomputed - CAST(o_totalprice AS DECIMAL(18,4)))
+         END AS adiff
+  FROM orders LEFT JOIN per_order ON o_orderkey = l_orderkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN recomputed IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_no_lines,
+       CAST(SUM(CASE WHEN adiff = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN adiff > 0 AND adiff <= CAST(0.01 AS DECIMAL(18,4))
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_within_cent,
+       CAST(SUM(CASE WHEN adiff > CAST(0.01 AS DECIMAL(18,4))
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+       round(CAST(MAX(adiff) AS DOUBLE), 4) AS max_abs_diff
+FROM j
+"""
+
+
+_IQR_U = 1_000_000
+
+
+def dq_outlier_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit per event type — the third classic
+    univariate screen beside anomaly_zscore (masking-prone) and
+    timeseries_anomaly_mad (robust scale): exact discrete quartiles
+    q1/q3 (percentile_disc: smallest value whose cumulative count
+    reaches ceil(p·n)), fences at q1 − 1.5·IQR / q3 + 1.5·IQR, and
+    per-type outlier counts beyond each fence. The 1.5 factor stays
+    exact by comparing 2·v against 2·q1 − 3·IQR (integers — no float
+    fence).
+
+    100 TB shape: reduce to per-(type, micro-unit value) counts first
+    (the distinct-value frame), cumulate with a TYPE-partitioned
+    window over that reduced frame, pick quartiles by integer
+    threshold, broadcast the #types-row fence frame back onto the
+    same reduced frame — raw rows are touched exactly once."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    U = _IQR_U
+    vals = ev.select(
+        "event_type",
+        F.floor(F.col("value") * U).cast("long").alias("v"),
+    )
+    counts = vals.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.select(
+        "event_type", "v", "c",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(
+            Window.partitionBy("event_type").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    # percentile_disc thresholds: ceil(p*n) = (p_num*n + p_den - 1) div p_den
+    t1 = F.floor((F.col("n") + 3) / 4)        # ceil(n/4)
+    t3 = F.floor((3 * F.col("n") + 3) / 4)    # ceil(3n/4)
+    q = cum.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") >= t1, F.col("v"))).alias("q1"),
+        F.min(F.when(F.col("cum") >= t3, F.col("v"))).alias("q3"),
+        F.max("n").alias("n"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    fenced = counts.join(F.broadcast(q), "event_type").select(
+        "event_type", "v", "c", "q1", "q3", "n",
+        (2 * F.col("v") < 2 * F.col("q1") - 3 * iqr).alias("low"),
+        (2 * F.col("v") > 2 * F.col("q3") + 3 * iqr).alias("high"),
+    )
+    return (
+        fenced.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.round(F.max("q1").cast("double") / U, 6).alias("q1"),
+            F.round(F.max("q3").cast("double") / U, 6).alias("q3"),
+            F.sum(F.when(F.col("low"), F.col("c")).otherwise(0))
+            .cast("bigint").alias("n_low_outliers"),
+            F.sum(F.when(F.col("high"), F.col("c")).otherwise(0))
+            .cast("bigint").alias("n_high_outliers"),
+        )
+    )
+
+
+DQ_IQR_FENCES_SQL = f"""
+WITH vals AS (
+  SELECT event_type, CAST(floor(value * {_IQR_U}) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+), counts AS (
+  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM vals GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, v, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM counts
+), q AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS q1,
+         MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS q3,
+         MAX(n) AS n
+  FROM cum GROUP BY 1
+)
+SELECT c.event_type,
+       CAST(MAX(q.n) AS BIGINT) AS n,
+       round(MAX(q.q1)::DOUBLE / {_IQR_U}, 6) AS q1,
+       round(MAX(q.q3)::DOUBLE / {_IQR_U}, 6) AS q3,
+       CAST(SUM(CASE WHEN 2 * c.v < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                THEN c.c ELSE 0 END) AS BIGINT) AS n_low_outliers,
+       CAST(SUM(CASE WHEN 2 * c.v > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                THEN c.c ELSE 0 END) AS BIGINT) AS n_high_outliers
+FROM counts c JOIN q ON c.event_type = q.event_type
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "geo_path_stats": QuerySpec(
         geo_path_stats, GEO_PATH_STATS_SQL, "geo"),
@@ -5678,6 +5922,12 @@ QUERIES: dict[str, QuerySpec] = {
         analytics_fifo_allocation, ANALYTICS_FIFO_SQL, "analytics"),
     "dq_functional_dependency": QuerySpec(
         dq_functional_dependency, _fd_sql(), "dq"),
+    "dq_l_diversity": QuerySpec(
+        dq_l_diversity, DQ_L_DIVERSITY_SQL, "dq"),
+    "dq_reconciliation_totals": QuerySpec(
+        dq_reconciliation_totals, DQ_RECONCILIATION_SQL, "dq"),
+    "dq_outlier_iqr_fences": QuerySpec(
+        dq_outlier_iqr_fences, DQ_IQR_FENCES_SQL, "dq"),
     "analytics_markov_transitions": QuerySpec(
         analytics_markov_transitions, ANALYTICS_MARKOV_SQL, "analytics"),
     "analytics_rfm_segmentation": QuerySpec(

@@ -757,7 +757,30 @@ GROUP BY event_type
 """
 
 
+def streaming_markov_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-order Markov transition matrix: the events table
+    replayed as FOUR time-ordered micro-batches through a foreachBatch
+    MERGE keeping (from,to) cell counts (summed — associative) plus a
+    per-user LAST-event carry so the batch-boundary transition is
+    counted exactly once (streaming/sinks.MarkovMergeSink); the
+    streaming twin of analytics_markov_transitions. Cold replay equals
+    the one-shot batch fit, so the oracle is the batch entry's own SQL.
+    Exactly-once via in-state commit markers + crash-safe swap."""
+    from ..streaming.sinks import run_markov_stream
+
+    return run_markov_stream(spark, sf_dir)
+
+
+def _markov_sql() -> str:
+    from .analytics import ANALYTICS_MARKOV_SQL
+
+    return ANALYTICS_MARKOV_SQL
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "streaming_markov_state": QuerySpec(
+        streaming_markov_state, _markov_sql(), "streaming"
+    ),
     "streaming_scd2_state": QuerySpec(
         streaming_scd2_state, _scd2_build_sql(), "streaming"
     ),

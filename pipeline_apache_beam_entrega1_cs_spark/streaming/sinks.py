@@ -1959,3 +1959,156 @@ def run_freshness_stream(spark, sf_dir: str):
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+class MarkovMergeSink:
+    """``foreachBatch`` MERGE for streaming first-order Markov
+    transition counting — the streaming twin of
+    plans/analytics.analytics_markov_transitions. State is ONE parquet
+    table holding two row kinds (the PatternMatchSink layout):
+
+    - ``cell`` rows: (from_type, to_type) -> n_trans, merged by SUM
+      (associative);
+    - ``carry`` rows: each user's LAST event (ts, event_id,
+      event_type) so the batch-boundary transition (previous batch's
+      tail -> this batch's head) is counted exactly once. The carry is
+      an arg-max by (ts, event_id) — associative, and correct because
+      the time-sliced replay (``_stage_time_slices``) never splits a
+      same-timestamp group across batches.
+
+    Cold replay over any time slicing therefore equals the one-shot
+    batch transition count — what ANALYTICS_MARKOV_SQL computes.
+    Exactly-once via the family's in-state commit markers + crash-safe
+    rename swap. At 100 TB: each batch does one user-local window over
+    (carry ∪ batch) and one hash-agg to the #types² cell frame; state
+    is #types² + one row per active user."""
+
+    def __init__(self, state_dir: str) -> None:
+        self.state = state_dir
+        os.makedirs(os.path.dirname(state_dir), exist_ok=True)
+
+    def is_committed(self, batch_id: int) -> bool:
+        return _state_committed(self.state, batch_id)
+
+    def __call__(self, batch_df, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return  # replayed delivery of a committed batch: no-op
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        ev_cols = ["user_id", "ts", "event_id", "event_type"]
+        prev = _current_state(self.state)
+        if prev is not None:
+            st = spark.read.parquet(prev)
+            carry = st.filter(F.col("kind") == "carry").select(*ev_cols)
+            cells_prev = st.filter(F.col("kind") == "cell").select(
+                "from_type", "to_type", "n_trans"
+            )
+        else:
+            carry = batch_df.select(*ev_cols).limit(0)
+            cells_prev = None
+
+        events_now = carry.unionByName(batch_df.select(*ev_cols))
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        cells_new = (
+            events_now.select(
+                "event_type",
+                F.lag("event_type").over(w).alias("from_type"),
+            )
+            .filter(F.col("from_type").isNotNull())
+            .groupBy("from_type", F.col("event_type").alias("to_type"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+        )
+        if cells_prev is not None:
+            cells_new = (
+                cells_prev.unionByName(cells_new)
+                .groupBy("from_type", "to_type")
+                .agg(F.sum("n_trans").cast("long").alias("n_trans"))
+            )
+        wtail = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        carry_new = (
+            events_now.withColumn("rk", F.row_number().over(wtail))
+            .filter(F.col("rk") == 1)
+            .select(*ev_cols)
+        )
+        null = lambda t: F.lit(None).cast(t)
+        combined = cells_new.select(
+            F.lit("cell").alias("kind"),
+            "from_type", "to_type", "n_trans",
+            null("bigint").alias("user_id"),
+            null("timestamp").alias("ts"),
+            null("bigint").alias("event_id"),
+            null("string").alias("event_type"),
+        ).unionByName(
+            carry_new.select(
+                F.lit("carry").alias("kind"),
+                null("string").alias("from_type"),
+                null("string").alias("to_type"),
+                null("bigint").alias("n_trans"),
+                "user_id", "ts", "event_id", "event_type",
+            )
+        )
+        tmp = f"{self.state}_tmp{batch_id}"
+        combined.write.mode("overwrite").parquet(tmp)
+        _install_state(self.state, tmp, batch_id)
+
+
+def run_markov_stream(spark, sf_dir: str):
+    """Streaming Markov transition matrix end-to-end: the events table
+    replayed as FOUR time-ordered micro-batches through a
+    MarkovMergeSink; returns the final row-normalized transition
+    report (from_type, to_type, n_trans, p)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..schemas import ensure_session_confs, load_table
+
+    ensure_session_confs(spark)
+    work = tempfile.mkdtemp(prefix="graft_markov_")
+    try:
+        # load_table (not a raw parquet read): the loader's NTZ->TZ
+        # timestamp normalization is what makes unix_micros legal in
+        # _stage_time_slices
+        raw = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type"
+        )
+        src = _stage_time_slices(raw, work, "ts")
+        sink = MarkovMergeSink(os.path.join(work, "state"))
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        cells = (
+            spark.read.parquet(sink.state)
+            .filter(F.col("kind") == "cell")
+            .select("from_type", "to_type", F.col("n_trans").cast("bigint").alias("n_trans"))
+        )
+        marg = cells.groupBy("from_type").agg(
+            F.sum("n_trans").cast("bigint").alias("n_from")
+        )
+        out = cells.join(marg, "from_type").select(
+            "from_type", "to_type", "n_trans",
+            F.round(
+                F.col("n_trans").cast("double") / F.col("n_from"), 6
+            ).alias("p"),
+        )
+        # Materialize before the finally deletes the backing files; the
+        # report is #event_types^2 rows.
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -2139,3 +2139,92 @@ def test_embedding_label_outliers_match_numpy(spark, sf_dir):
             for i, (negd2, vid) in enumerate(d2s[:K])
         ]
         assert sorted(got[label]) == expect, label
+
+
+def test_l_diversity_matches_bruteforce(spark, sf_dir):
+    """Per QI class: size and distinct-sensitive-band count equal a
+    Python set walk; below_l flags exactly the l < 3 classes."""
+    import math
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+    from collections import defaultdict
+
+    got = {(r.qi_nation, r.qi_segment): (r.class_size, r.l_distinct,
+                                         r.below_l)
+           for r in A.dq_l_diversity(spark, sf_dir).collect()}
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    size, bands = defaultdict(int), defaultdict(set)
+    for c in cust:
+        k = (c.c_nationkey, c.c_mktsegment)
+        size[k] += 1
+        bands[k].add(math.floor(c.c_acctbal / 1000))
+    expect = {k: (size[k], len(bands[k]), len(bands[k]) < A._LDIV_L)
+              for k in size}
+    assert got == expect
+
+
+def test_reconciliation_totals_matches_decimal_recompute(spark, sf_dir):
+    """The reconciliation report equals a Python Decimal recompute of
+    per-order charges vs stored totals (exact 4-dp arithmetic)."""
+    from decimal import Decimal
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+    from collections import defaultdict
+
+    r = A.dq_reconciliation_totals(spark, sf_dir).collect()[0]
+    q = Decimal("0.0001")
+    per = defaultdict(Decimal)
+    seen = set()
+    for li in spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect():
+        ep = Decimal(str(li.l_extendedprice)).quantize(q)
+        dc = Decimal(str(li.l_discount)).quantize(q)
+        tx = Decimal(str(li.l_tax)).quantize(q)
+        per[li.l_orderkey] += ep * (1 - dc) * (1 + tx)
+        seen.add(li.l_orderkey)
+    n_orders = n_no = n_exact = n_cent = n_mis = 0
+    mx = Decimal(0)
+    for o in spark.read.parquet(f"{sf_dir}/orders.parquet").collect():
+        n_orders += 1
+        if o.o_orderkey not in seen:
+            n_no += 1
+            continue
+        d = abs(per[o.o_orderkey] - Decimal(str(o.o_totalprice)).quantize(q))
+        mx = max(mx, d)
+        if d == 0:
+            n_exact += 1
+        elif d <= Decimal("0.01"):
+            n_cent += 1
+        else:
+            n_mis += 1
+    assert (r.n_orders, r.n_no_lines, r.n_exact, r.n_within_cent,
+            r.n_mismatched) == (n_orders, n_no, n_exact, n_cent, n_mis)
+    assert abs(r.max_abs_diff - float(round(mx, 4))) < 1e-9
+    assert r.n_orders == r.n_no_lines + r.n_exact + r.n_within_cent + \
+        r.n_mismatched
+
+
+def test_iqr_fences_match_bruteforce(spark, sf_dir):
+    """Quartiles (percentile_disc on micro-units), fences and outlier
+    counts equal a Python sort walk per event type."""
+    import math
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+    from collections import defaultdict
+
+    got = {r.event_type: r for r in
+           A.dq_outlier_iqr_fences(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    by_type = defaultdict(list)
+    for e in ev:
+        if e.value is not None:
+            by_type[e.event_type].append(math.floor(e.value * A._IQR_U))
+    for t, xs in by_type.items():
+        xs.sort()
+        n = len(xs)
+        q1 = xs[math.ceil(n / 4) - 1]
+        q3 = xs[math.ceil(3 * n / 4) - 1]
+        iqr = q3 - q1
+        lo = sum(1 for v in xs if 2 * v < 2 * q1 - 3 * iqr)
+        hi = sum(1 for v in xs if 2 * v > 2 * q3 + 3 * iqr)
+        r = got[t]
+        assert r.n == n
+        assert abs(r.q1 - round(q1 / A._IQR_U, 6)) < 1e-9
+        assert abs(r.q3 - round(q3 / A._IQR_U, 6)) < 1e-9
+        assert (r.n_low_outliers, r.n_high_outliers) == (lo, hi), t

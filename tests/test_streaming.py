@@ -971,3 +971,68 @@ def test_streaming_bottom_k_replay(spark, sf_dir, tmp_path):
         assert sink.is_committed(b)
         sink(replay, b)
     assert snapshot(state) == batch_expected
+
+
+def test_streaming_markov_replay(spark, sf_dir, tmp_path):
+    """Streaming Markov fit: (1) end-to-end over four time-ordered
+    micro-batches equals the one-shot batch transition matrix
+    (boundary transitions counted exactly once via the per-user
+    last-event carry); (2) replaying a committed batch id is a no-op;
+    (3) a stranded rename-aside state is recovered."""
+    import os
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+    from pipeline_apache_beam_entrega1_cs_spark.plans.windows_batch import (
+        streaming_markov_state,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.streaming.sinks import (
+        MarkovMergeSink,
+    )
+
+    cols = ["from_type", "to_type", "n_trans", "p"]
+    batch_expected = rows_multiset(
+        A.analytics_markov_transitions(spark, sf_dir).select(*cols)
+    )
+    out = streaming_markov_state(spark, sf_dir)
+    assert rows_multiset(out.select(*cols)) == batch_expected
+
+    # drive the sink directly with 3 manual TIME slices
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    import datetime
+    span = (hi - lo) or datetime.timedelta(seconds=1)
+    cut1, cut2 = lo + span / 3, lo + 2 * span / 3
+    slices = [
+        ev.filter(F.col("ts") <= F.lit(cut1)),
+        ev.filter((F.col("ts") > F.lit(cut1)) & (F.col("ts") <= F.lit(cut2))),
+        ev.filter(F.col("ts") > F.lit(cut2)),
+    ]
+    state = str(tmp_path / "markov" / "state")
+    sink = MarkovMergeSink(state)
+    sink(slices[0], 0)
+    sink(slices[1], 1)
+    os.rename(state, f"{state}_old42")  # crash between swap renames
+    sink(slices[2], 2)
+    cells = {
+        (r.from_type, r.to_type): r.n_trans
+        for r in spark.read.parquet(state)
+        .filter(F.col("kind") == "cell")
+        .collect()
+    }
+    expect_cells = {
+        (r.from_type, r.to_type): r.n_trans
+        for r in A.analytics_markov_transitions(spark, sf_dir).collect()
+    }
+    assert cells == expect_cells
+    # replayed committed batch: state unchanged
+    before = sorted(cells.items())
+    sink(slices[1], 1)
+    after = sorted(
+        ((r.from_type, r.to_type), r.n_trans)
+        for r in spark.read.parquet(state)
+        .filter(F.col("kind") == "cell")
+        .collect()
+    )
+    assert after == before
