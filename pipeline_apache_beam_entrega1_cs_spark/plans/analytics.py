@@ -5913,7 +5913,453 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Statistical-inference family: Welch t, one-way ANOVA F, Spearman rho,
+# degree assortativity. All four reduce raw rows to exact integer /
+# decimal moments first (HUGEINT/DECIMAL(38,0) oracle mirror) and derive
+# the statistic as ONE fixed expression tree on a 1-row (or k-row) frame
+# — the same determinism discipline as eval_ab_proportions /
+# agg_regression_stats, and the mergeable map-side-combinable shape a
+# 100 TB scan needs anyway.
+# --------------------------------------------------------------------------
+
+_STAT_U = 1_000_000  # micro-unit grid for events.value (same as _IQR_U)
+# events.event_type domain is the fixed synthetic 5-set; the guard filter
+# + the spec test pin it so a fixture change fails loudly instead of
+# silently skewing the pivoted moments.
+_ANOVA_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test of mean event value,
+    'purchase' vs 'click' — the means sibling of eval_ab_proportions
+    (which tests proportions): per-group n / Σv / Σv² on the micro-unit
+    grid (Σv² runs in DECIMAL(38,0) — micro² products overflow int64),
+    then t and the Welch–Satterthwaite df as one fixed expression tree
+    on the 1-row frame. Sample variance uses ddof=1.
+
+    100 TB shape: ONE mergeable hash-agg over the filtered scan (3
+    partial sums per group, pivoted to columns by a 2-value tag);
+    everything downstream is O(1)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "click")
+    )
+    v = F.floor(F.col("value") * _STAT_U).cast("long")
+    tagged = ev.select(
+        (F.col("event_type") == "purchase").cast("int").alias("g"),
+        v.alias("v"),
+    )
+    vd = F.col("v").cast("decimal(18,0)")
+    m = tagged.agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("g") == 1, F.col("v")).otherwise(0)).cast("bigint").alias("sa"),
+        F.sum(F.when(F.col("g") == 0, F.col("v")).otherwise(0)).cast("bigint").alias("sb"),
+        _dec_to_double(
+            F.sum(F.when(F.col("g") == 1, vd * vd).otherwise(F.lit(0).cast("decimal(38,0)")))
+        ).alias("qa"),
+        _dec_to_double(
+            F.sum(F.when(F.col("g") == 0, vd * vd).otherwise(F.lit(0).cast("decimal(38,0)")))
+        ).alias("qb"),
+    )
+    U = float(_STAT_U)
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    ma, mb = sa / na / U, sb / nb / U
+    # sample variance (ddof=1), value units²
+    va = (F.col("qa") - sa * sa / na) / (na - 1) / (U * U)
+    vb = (F.col("qb") - sb * sb / nb) / (nb - 1) / (U * U)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)
+    )
+    return m.select(
+        "n_a", "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 6).alias("df_welch"),
+    )
+
+
+STAT_WELCH_SQL = f"""
+WITH m AS (
+  SELECT
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN event_type = 'purchase'
+             THEN CAST(floor(value * {_STAT_U}) AS BIGINT) ELSE 0 END) AS BIGINT) AS sa,
+    CAST(SUM(CASE WHEN event_type = 'click'
+             THEN CAST(floor(value * {_STAT_U}) AS BIGINT) ELSE 0 END) AS BIGINT) AS sb,
+    CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
+             THEN CAST(floor(value * {_STAT_U}) AS HUGEINT)
+                  * CAST(floor(value * {_STAT_U}) AS HUGEINT)
+             ELSE 0 END) AS VARCHAR) AS DOUBLE) AS qa,
+    CAST(CAST(SUM(CASE WHEN event_type = 'click'
+             THEN CAST(floor(value * {_STAT_U}) AS HUGEINT)
+                  * CAST(floor(value * {_STAT_U}) AS HUGEINT)
+             ELSE 0 END) AS VARCHAR) AS DOUBLE) AS qb
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+)
+SELECT n_a, n_b,
+  round(sa::DOUBLE / n_a / {_STAT_U}.0, 6) AS mean_a,
+  round(sb::DOUBLE / n_b / {_STAT_U}.0, 6) AS mean_b,
+  round((sa::DOUBLE / n_a / {_STAT_U}.0 - sb::DOUBLE / n_b / {_STAT_U}.0)
+    / sqrt(((qa - sa::DOUBLE * sa / n_a) / (n_a - 1) / ({_STAT_U}.0 * {_STAT_U}.0)) / n_a
+         + ((qb - sb::DOUBLE * sb / n_b) / (n_b - 1) / ({_STAT_U}.0 * {_STAT_U}.0)) / n_b), 6)
+    AS t_stat,
+  round(
+    (((qa - sa::DOUBLE * sa / n_a) / (n_a - 1) / ({_STAT_U}.0 * {_STAT_U}.0)) / n_a
+     + ((qb - sb::DOUBLE * sb / n_b) / (n_b - 1) / ({_STAT_U}.0 * {_STAT_U}.0)) / n_b)
+    * (((qa - sa::DOUBLE * sa / n_a) / (n_a - 1) / ({_STAT_U}.0 * {_STAT_U}.0)) / n_a
+     + ((qb - sb::DOUBLE * sb / n_b) / (n_b - 1) / ({_STAT_U}.0 * {_STAT_U}.0)) / n_b)
+    / ((((qa - sa::DOUBLE * sa / n_a) / (n_a - 1) / ({_STAT_U}.0 * {_STAT_U}.0)) / n_a)
+       * (((qa - sa::DOUBLE * sa / n_a) / (n_a - 1) / ({_STAT_U}.0 * {_STAT_U}.0)) / n_a)
+       / (n_a - 1)
+     + (((qb - sb::DOUBLE * sb / n_b) / (n_b - 1) / ({_STAT_U}.0 * {_STAT_U}.0)) / n_b)
+       * (((qb - sb::DOUBLE * sb / n_b) / (n_b - 1) / ({_STAT_U}.0 * {_STAT_U}.0)) / n_b)
+       / (n_b - 1)), 6) AS df_welch
+FROM m
+"""
+
+
+def stat_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic of event value across the five event
+    types — the k-group generalization of stat_welch_ttest: per-type
+    n_t / Σv (exact BIGINT micro-units, pivoted to columns over the
+    FIXED 5-type domain) + the global Σv² (DECIMAL(38,0)), then
+    SSB = Σ_t s_t²/n_t − S²/N and SSW = SST − SSB as one fixed
+    expression tree written in alphabetical type order — both engines
+    evaluate the identical left-fold, so no cross-row float sum exists
+    anywhere. The isin guard + the spec test pin the type domain; a
+    fixture change fails loudly rather than skewing the pivot.
+
+    100 TB shape: ONE mergeable hash-agg (11 partial sums) over the
+    filtered scan; the statistic is O(1) arithmetic on the 1-row
+    frame."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isin(*_ANOVA_TYPES)
+    )
+    v = F.floor(F.col("value") * _STAT_U).cast("long")
+    base = ev.select("event_type", v.alias("v"))
+    vd = F.col("v").cast("decimal(18,0)")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n"),
+            _dec_to_double(F.sum(vd * vd)).alias("q")]
+    for t in _ANOVA_TYPES:
+        aggs.append(
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("bigint").alias(f"n_{t}"))
+        aggs.append(
+            F.sum(F.when(F.col("event_type") == t, F.col("v")).otherwise(0))
+            .cast("bigint").alias(f"s_{t}"))
+    m = base.agg(*aggs)
+    U2 = float(_STAT_U) * float(_STAT_U)
+    nd = F.col("n").cast("double")
+    s_tot = sum((F.col(f"s_{t}") for t in _ANOVA_TYPES), F.lit(0)).cast("double")
+    between = None
+    for t in _ANOVA_TYPES:
+        term = (
+            F.col(f"s_{t}").cast("double") * F.col(f"s_{t}").cast("double")
+            / F.col(f"n_{t}").cast("double")
+        )
+        between = term if between is None else between + term
+    ssb = (between - s_tot * s_tot / nd) / U2
+    sst = (F.col("q") - s_tot * s_tot / nd) / U2
+    ssw = sst - ssb
+    k = len(_ANOVA_TYPES)
+    f_stat = (ssb / (k - 1)) / (ssw / (nd - k))
+    return m.select(
+        F.col("n").alias("n"),
+        F.lit(k).cast("bigint").alias("k"),
+        F.round(ssb, 6).alias("ssb"),
+        F.round(ssw, 6).alias("ssw"),
+        F.round(f_stat, 6).alias("f_stat"),
+    )
+
+
+def _anova_sql() -> str:
+    U, k = _STAT_U, len(_ANOVA_TYPES)
+    types = ", ".join(f"'{t}'" for t in _ANOVA_TYPES)
+    cells = []
+    for t in _ANOVA_TYPES:
+        cells.append(
+            f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}")
+        cells.append(
+            f"CAST(SUM(CASE WHEN event_type = '{t}' THEN v ELSE 0 END) AS BIGINT) AS s_{t}")
+    s_tot = " + ".join(f"s_{t}" for t in _ANOVA_TYPES)
+    between = " + ".join(
+        f"s_{t}::DOUBLE * s_{t} / n_{t}" for t in _ANOVA_TYPES)
+    return f"""
+WITH base AS (
+  SELECT event_type, CAST(floor(value * {U}) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND event_type IN ({types})
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(CAST(v AS HUGEINT) * v) AS VARCHAR) AS DOUBLE) AS q,
+         {", ".join(cells)}
+  FROM base
+)
+SELECT n, CAST({k} AS BIGINT) AS k,
+  round((({between}) - ({s_tot})::DOUBLE * ({s_tot}) / n)
+        / ({U}.0 * {U}.0), 6) AS ssb,
+  round(((q - ({s_tot})::DOUBLE * ({s_tot}) / n) / ({U}.0 * {U}.0))
+        - ((({between}) - ({s_tot})::DOUBLE * ({s_tot}) / n)
+           / ({U}.0 * {U}.0)), 6) AS ssw,
+  round((((({between}) - ({s_tot})::DOUBLE * ({s_tot}) / n) / ({U}.0 * {U}.0))
+         / ({k} - 1))
+        / (((((q - ({s_tot})::DOUBLE * ({s_tot}) / n) / ({U}.0 * {U}.0))
+            - ((({between}) - ({s_tot})::DOUBLE * ({s_tot}) / n)
+               / ({U}.0 * {U}.0))) / (n - {k}))), 6) AS f_stat
+FROM m
+"""
+
+
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation of l_quantity vs l_extendedprice
+    — the monotone-association twin of agg_regression_stats' Pearson
+    (which this reduces to on AVERAGE TIE RANKS). Doubled average ranks
+    2·r̄(v) = 2·cum_before(v) + c(v) + 1 stay INTEGER, so every moment
+    (Σ4rxry, Σ4rx², Σ4ry²) accumulates exactly in DECIMAL(38,0); rho is
+    one fixed expression on the 1-row moment frame.
+
+    100 TB shape: ranks never sort raw rows. l_extendedprice ranks use
+    the two-phase recipe (per-distinct-value counts → 256 fixed-width
+    buckets under a 1-row bounds attach → cross-bucket cumulative over
+    the 256-row frame + within-bucket partitioned cumulative);
+    l_quantity's distinct domain is the fixed 1..50 grid, so its
+    cumulative runs over ≤50 rows. Rank maps join back keyed (the qty
+    map broadcasts); moments are one mergeable agg."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    # --- x ranks: distinct domain is the 1..50 quantity grid ---
+    px = li.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wx = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    rx = px.select(
+        "x",
+        (2 * F.coalesce(F.sum("c").over(wx), F.lit(0)) + F.col("c") + 1)
+        .cast("bigint").alias("rx2"),
+    )
+    # --- y ranks: two-phase bucketed cumulative over distinct prices ---
+    py = li.groupBy("y").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    bounds = py.agg(F.min("y").alias("lo"), F.max("y").alias("hi"))
+    B = 256
+    bucket = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(
+            F.lit(B - 1),
+            F.floor((F.col("y") - F.col("lo")) / (F.col("hi") - F.col("lo")) * B)
+            .cast("int"),
+        ),
+    ).otherwise(F.lit(0))
+    withb = py.crossJoin(F.broadcast(bounds)).select(
+        "y", "c", bucket.alias("bucket"))
+    per_bucket = withb.groupBy("bucket").agg(F.sum("c").alias("bc"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_base = per_bucket.select(
+        "bucket",
+        F.coalesce(F.sum("bc").over(wb), F.lit(0)).alias("before_bucket"),
+    )
+    win = (
+        Window.partitionBy("bucket").orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ry = (
+        withb.join(F.broadcast(bucket_base), "bucket")
+        .select(
+            "y",
+            (
+                2 * (F.col("before_bucket")
+                     + F.coalesce(F.sum("c").over(win), F.lit(0)))
+                + F.col("c") + 1
+            ).cast("bigint").alias("ry2"),
+        )
+    )
+    ranked = li.join(F.broadcast(rx), "x").join(ry, "y")
+    rx2d = F.col("rx2").cast("decimal(19,0)")
+    ry2d = F.col("ry2").cast("decimal(19,0)")
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rx2").cast("bigint").alias("sx"),
+        F.sum("ry2").cast("bigint").alias("sy"),
+        _dec_to_double(F.sum(rx2d * ry2d)).alias("sxy"),
+        _dec_to_double(F.sum(rx2d * rx2d)).alias("sxx"),
+        _dec_to_double(F.sum(ry2d * ry2d)).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    rho = (nd * F.col("sxy") - sx * sy) / F.sqrt(
+        (nd * F.col("sxx") - sx * sx) * (nd * F.col("syy") - sy * sy)
+    )
+    return m.select("n", F.round(rho, 6).alias("spearman_rho"))
+
+
+AGG_SPEARMAN_SQL = """
+WITH li AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x, l_extendedprice AS y FROM lineitem
+), px AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY x
+), rx AS (
+  SELECT x, CAST(2 * COALESCE(SUM(c) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c + 1 AS BIGINT) AS rx2
+  FROM px
+), py AS (
+  SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY y
+), bounds AS (SELECT MIN(y) AS lo, MAX(y) AS hi FROM py),
+withb AS (
+  SELECT y, c,
+         CASE WHEN hi > lo
+              THEN least(255, CAST(floor((y - lo) / (hi - lo) * 256) AS INTEGER))
+              ELSE 0 END AS bucket
+  FROM py CROSS JOIN bounds
+), per_bucket AS (
+  SELECT bucket, SUM(c) AS bc FROM withb GROUP BY bucket
+), bucket_base AS (
+  SELECT bucket, COALESCE(SUM(bc) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS before_bucket
+  FROM per_bucket
+), ry AS (
+  SELECT w.y,
+         CAST(2 * (b.before_bucket
+               + COALESCE(SUM(w.c) OVER (PARTITION BY w.bucket ORDER BY w.y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+               + w.c + 1 AS BIGINT) AS ry2
+  FROM withb w JOIN bucket_base b USING (bucket)
+), ranked AS (
+  SELECT rx.rx2, ry.ry2 FROM li
+  JOIN rx ON li.x = rx.x
+  JOIN ry ON li.y = ry.y
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rx2) AS BIGINT) AS sx,
+         CAST(SUM(ry2) AS BIGINT) AS sy,
+         CAST(CAST(SUM(CAST(rx2 AS HUGEINT) * ry2) AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(CAST(rx2 AS HUGEINT) * rx2) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(ry2 AS HUGEINT) * ry2) AS VARCHAR) AS DOUBLE) AS syy
+  FROM ranked
+)
+SELECT n,
+       round((n::DOUBLE * sxy - sx::DOUBLE * sy)
+             / sqrt((n::DOUBLE * sxx - sx::DOUBLE * sx)
+                    * (n::DOUBLE * syy - sy::DOUBLE * sy)), 6)
+         AS spearman_rho
+FROM m
+"""
+
+
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the part co-purchase graph
+    — Pearson correlation of endpoint degrees over edges, the one-number
+    summary of whether hubs link to hubs (r > 0) or to leaves (r < 0).
+    Uses graph_triangle_count's edge set (1-in-20 order sample, distinct
+    undirected u < v pairs). Undirected symmetrization sums BOTH
+    orientations' moments per edge row (Sx = Σ(du+dv), Sxy = Σ2·du·dv,
+    Sxx = Σ(du²+dv²), n = 2|E|) — all exact integers in DECIMAL(38,0),
+    r is one fixed expression on the 1-row frame.
+
+    100 TB shape: degree table is one hash-agg on edges; attaching
+    degrees is two broadcast joins (the degree frame is |V| rows of two
+    ints); moments are one mergeable agg — no global structure
+    anywhere."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"),
+                F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    withd = (
+        edges.join(F.broadcast(du), edges.u == F.col("du.node"))
+        .join(F.broadcast(dv), edges.v == F.col("dv.node"))
+        .select(F.col("du.deg").alias("dx"), F.col("dv.deg").alias("dy"))
+    )
+    dxd = F.col("dx").cast("decimal(19,0)")
+    dyd = F.col("dy").cast("decimal(19,0)")
+    m = withd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum(F.col("dx") + F.col("dy")).cast("bigint").alias("sx"),
+        _dec_to_double(F.sum(2 * dxd * dyd)).alias("sxy"),
+        _dec_to_double(F.sum(dxd * dxd + dyd * dyd)).alias("sxx"),
+    )
+    n = (2 * F.col("n_edges")).cast("double")
+    sx = F.col("sx").cast("double")
+    r = (n * F.col("sxy") - sx * sx) / (n * F.col("sxx") - sx * sx)
+    return m.select(
+        "n_edges",
+        F.round(r, 6).alias("assortativity"),
+    )
+
+
+GRAPH_ASSORTATIVITY_SQL = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 20 = 0
+),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY node
+),
+withd AS (
+  SELECT du.deg AS dx, dv.deg AS dy
+  FROM edges JOIN deg du ON edges.u = du.node JOIN deg dv ON edges.v = dv.node
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(dx + dy) AS BIGINT) AS sx,
+         CAST(CAST(SUM(2 * CAST(dx AS HUGEINT) * dy) AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(CAST(dx AS HUGEINT) * dx + CAST(dy AS HUGEINT) * dy)
+              AS VARCHAR) AS DOUBLE) AS sxx
+  FROM withd
+)
+SELECT n_edges,
+       round((2 * n_edges::DOUBLE * sxy - sx::DOUBLE * sx)
+             / (2 * n_edges::DOUBLE * sxx - sx::DOUBLE * sx), 6)
+         AS assortativity
+FROM m
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stat_welch_ttest": QuerySpec(
+        stat_welch_ttest, STAT_WELCH_SQL, "quality"),
+    "stat_anova_f": QuerySpec(
+        stat_anova_f, _anova_sql(), "quality"),
+    "agg_spearman_corr": QuerySpec(
+        agg_spearman_corr, AGG_SPEARMAN_SQL, "aggregation",
+        plan_waivers={
+            "bnlj": "1-row price-bounds scalar attach",
+            "global_window": (
+                "cross-bucket cumulative runs over the 256-row bucket "
+                "frame and the qty cumulative over the fixed 1..50 "
+                "quantity domain — both O(1); within-bucket windows "
+                "are partitioned"),
+        }),
+    "graph_degree_assortativity": QuerySpec(
+        graph_degree_assortativity, GRAPH_ASSORTATIVITY_SQL, "graph"),
     "geo_path_stats": QuerySpec(
         geo_path_stats, GEO_PATH_STATS_SQL, "geo"),
     "analytics_funnel_windowed": QuerySpec(

@@ -2228,3 +2228,131 @@ def test_iqr_fences_match_bruteforce(spark, sf_dir):
         assert abs(r.q1 - round(q1 / A._IQR_U, 6)) < 1e-9
         assert abs(r.q3 - round(q3 / A._IQR_U, 6)) < 1e-9
         assert (r.n_low_outliers, r.n_high_outliers) == (lo, hi), t
+
+
+def test_welch_ttest_matches_bruteforce(spark, sf_dir):
+    """t and the Welch-Satterthwaite df equal a Python recompute on the
+    same micro-unit grid (ddof=1 variances)."""
+    import math
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    r = A.stat_welch_ttest(spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    groups = {"purchase": [], "click": []}
+    for e in ev:
+        if e.value is not None and e.event_type in groups:
+            groups[e.event_type].append(math.floor(e.value * A._STAT_U))
+    a, b = groups["purchase"], groups["click"]
+    U = float(A._STAT_U)
+
+    def stats(xs):
+        n = len(xs)
+        s = sum(xs)
+        q = sum(x * x for x in xs)
+        mean = s / n / U
+        var = (q - s * s / n) / (n - 1) / (U * U)
+        return n, mean, var
+
+    na, ma, va = stats(a)
+    nb, mb, vb = stats(b)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se2)
+    df = se2 * se2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert abs(r.mean_a - ma) < 1.01e-6
+    assert abs(r.mean_b - mb) < 1.01e-6
+    assert abs(r.t_stat - t) < 1.01e-6
+    assert abs(r.df_welch - df) < 1.01e-6
+
+
+def test_anova_f_matches_bruteforce(spark, sf_dir):
+    """SSB/SSW/F equal a Python recompute; the pivoted type domain is
+    exactly the fixture's event-type set (the pivot's guard)."""
+    import math
+    from collections import defaultdict
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    r = A.stat_anova_f(spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    assert {e.event_type for e in ev} == set(A._ANOVA_TYPES)
+    by = defaultdict(list)
+    for e in ev:
+        if e.value is not None:
+            by[e.event_type].append(math.floor(e.value * A._STAT_U))
+    U2 = float(A._STAT_U) ** 2
+    n = sum(len(xs) for xs in by.values())
+    s = sum(sum(xs) for xs in by.values())
+    q = sum(x * x for xs in by.values() for x in xs)
+    ssb = (sum(sum(xs) ** 2 / len(xs) for xs in by.values()) - s * s / n) / U2
+    sst = (q - s * s / n) / U2
+    ssw = sst - ssb
+    k = len(by)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert (r.n, r.k) == (n, k)
+    assert abs(r.ssb - ssb) < max(1e-9 * abs(ssb), 1.01e-6)
+    assert abs(r.ssw - ssw) < max(1e-9 * abs(ssw), 1.01e-6)
+    assert abs(r.f_stat - f) < 1.01e-6
+
+
+def test_spearman_matches_bruteforce(spark, sf_dir):
+    """rho equals a Python average-tie-rank recompute (sort + Pearson
+    on ranks); the doubled-rank sums obey the n(n+1) invariant."""
+    import math
+    from collections import Counter
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    r = A.agg_spearman_corr(spark, sf_dir).collect()[0]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    xs = [int(row.l_quantity) for row in li]
+    ys = [row.l_extendedprice for row in li]
+    n = len(xs)
+    assert r.n == n
+
+    def avg_ranks(vals):
+        c = Counter(vals)
+        ranks, cum = {}, 0
+        for v in sorted(c):
+            ranks[v] = cum + (c[v] + 1) / 2
+            cum += c[v]
+        return [ranks[v] for v in vals]
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    sx, sy = sum(rx), sum(ry)
+    assert sx == sy == n * (n + 1) / 2
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    rho = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert abs(r.spearman_rho - rho) < 1.01e-6
+
+
+def test_assortativity_matches_bruteforce(spark, sf_dir):
+    """Newman's r equals a Python recompute over the same sampled
+    co-purchase edge set (both orientations' degree pairs)."""
+    from collections import defaultdict
+    from itertools import combinations
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    r = A.graph_degree_assortativity(spark, sf_dir).collect()[0]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    per_order = defaultdict(set)
+    for row in li:
+        if row.l_orderkey % 20 == 0:
+            per_order[row.l_orderkey].add(row.l_partkey)
+    edges = {tuple(sorted(p))
+             for parts in per_order.values()
+             for p in combinations(parts, 2)}
+    assert r.n_edges == len(edges)
+    deg = defaultdict(int)
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    pairs = [(deg[u], deg[v]) for u, v in edges] + \
+            [(deg[v], deg[u]) for u, v in edges]
+    m = len(pairs)
+    sx = sum(a for a, _ in pairs)
+    sxy = sum(a * b for a, b in pairs)
+    sxx = sum(a * a for a, _ in pairs)
+    expect = (m * sxy - sx * sx) / (m * sxx - sx * sx)
+    assert abs(r.assortativity - expect) < 1.01e-6
