@@ -1457,3 +1457,378 @@ def zip_index(z: DataFrame) -> DataFrame:
             ).alias("data_md5"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# GIF / BMP / WebP / ISO-BMFF (MP4) container parsers — round 10.
+# The image-format corners the PNG/JPEG/TIFF family doesn't cover:
+# GIF's packed bit-field byte, BMP's SIGNED little-endian height
+# (negative = top-down row order), WebP's three-way RIFF variant
+# dispatch with VP8L's sub-byte 14-bit fields, and the MP4 box walk
+# (the length-prefixed BE sibling of tar/zip's member walks — the
+# video-shard indexing pass). All fixtures are deterministic and
+# mirrored closed-form by the SQL oracles; the physical byte parses
+# are pinned by struct.pack reference tests.
+# --------------------------------------------------------------------------
+
+
+def with_gif_payload(docs: DataFrame) -> DataFrame:
+    """GIF fixture: 4/5 of rows carry a valid 13-byte GIF header +
+    Logical Screen Descriptor ('GIF87a' for even doc_ids, 'GIF89a' for
+    odd; LE u16 width/height; a packed byte exercising all three bit
+    fields: GCT flag = doc_id % 3 != 0, color resolution = doc_id % 8,
+    GCT size = doc_id % 8) followed by the UTF-8 text bytes; doc_id %
+    5 == 4 rows are bare text (the rejection path)."""
+    d = F.col("doc_id")
+    version = F.when(d % 2 == 0, F.lit("3761")).otherwise(F.lit("3961"))
+    width = d % 500 + 1
+    height = d % 300 + 1
+    packed = (
+        F.when(d % 3 != 0, F.lit(128)).otherwise(F.lit(0))
+        + (d % 8) * 16
+        + d % 8
+    )
+    hdr = F.concat(
+        F.lit("474946" + "38"), version,
+        _le_hex(width, 2), _le_hex(height, 2),
+        _le_hex(packed, 1), _le_hex(d % 256, 1), F.lit("00"),
+    )
+    payload = F.when(
+        d % 5 == 4, F.encode(F.col("text"), "UTF-8")
+    ).otherwise(F.concat(F.unhex(hdr), F.encode(F.col("text"), "UTF-8")))
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+def gif_lsd_meta(gif: DataFrame) -> DataFrame:
+    """Parse the GIF Logical Screen Descriptor with pure expressions:
+    validate 'GIF87a'/'GIF89a', read LE u16 width/height, and unpack
+    the flags byte's three bit fields (bit 7 = global color table
+    flag, bits 6-4 = color resolution, bits 2-0 = GCT size with
+    2^(size+1) table entries). O(1) fixed-offset reads per row, zero
+    shuffle, zero UDF — the bit-field member of the container family
+    (TIFF branches on endianness; GIF packs three fields in one
+    byte)."""
+    p = F.col("payload")
+    sig6 = F.hex(F.substring(p, 1, 6))
+    is_gif = sig6.isin("474946383761", "474946383961")
+
+    def le_uint(pos: int, nbytes: int):
+        v = F.lit(0).cast("long")
+        for i in range(nbytes):
+            v = v + F.conv(F.hex(F.substring(p, pos + i, 1)), 16, 10).cast(
+                "long"
+            ) * F.lit(256**i)
+        return v
+
+    packed = le_uint(11, 1)
+    has_gct = F.shiftright(packed, 7).bitwiseAND(F.lit(1)) == 1
+    color_res = F.shiftright(packed, 4).bitwiseAND(F.lit(7))
+    gct_size = packed.bitwiseAND(F.lit(7))
+    return gif.select(
+        "doc_id",
+        is_gif.cast("long").alias("is_gif"),
+        F.when(is_gif, F.when(sig6.endswith("3761"), "87a").otherwise("89a"))
+        .alias("version"),
+        F.when(is_gif, le_uint(7, 2)).alias("width"),
+        F.when(is_gif, le_uint(9, 2)).alias("height"),
+        F.when(is_gif, has_gct).alias("has_gct"),
+        F.when(is_gif, color_res.cast("long")).alias("color_resolution"),
+        F.when(
+            is_gif,
+            # 2^(size+1) via pow (shiftleft needs a literal shift); size
+            # <= 7 so the double is exact
+            F.when(
+                has_gct,
+                F.pow(F.lit(2.0), (gct_size + 1).cast("double")),
+            ).otherwise(F.lit(0)).cast("long"),
+        ).alias("gct_entries"),
+        F.when(is_gif, le_uint(12, 1)).alias("bg_index"),
+    )
+
+
+def with_bmp_payload(docs: DataFrame) -> DataFrame:
+    """BMP fixture: 4/5 of rows carry a valid 54-byte
+    BITMAPFILEHEADER + BITMAPINFOHEADER ('BM', LE u32 file size, LE
+    u32 pixel-data offset = 54, DIB size = 40, i32 width, SIGNED i32
+    height — negative, i.e. top-down row order, when doc_id % 3 == 0
+    (two's-complement encoding is the novel parse), planes = 1, bpp
+    cycling 8/16/24, compression = 0) followed by the text bytes as
+    stand-in pixel data; doc_id % 5 == 4 rows are bare text."""
+    d = F.col("doc_id")
+    text_len = F.octet_length(F.encode(F.col("text"), "UTF-8"))
+    width = d % 400 + 1
+    hmag = d % 300 + 1
+    # two's complement of -hmag as an unsigned u32
+    height_raw = F.when(d % 3 == 0, F.lit(2**32).cast("long") - hmag).otherwise(hmag)
+    bpp = (d % 3) * 8 + 8  # 8 / 16 / 24 by residue — keep derivable
+    hdr = F.concat(
+        F.lit("424D"),                      # 'BM'
+        _le_hex(text_len + 54, 4),          # file size
+        F.lit("00000000"),                  # reserved
+        _le_hex(F.lit(54), 4),              # pixel-data offset
+        _le_hex(F.lit(40), 4),              # DIB header size
+        _le_hex(width, 4),
+        _le_hex(height_raw, 4),
+        _le_hex(F.lit(1), 2),               # planes
+        _le_hex(bpp, 2),
+        _le_hex(F.lit(0), 4),               # compression = BI_RGB
+        F.repeat(F.lit("00"), 20),          # remaining DIB fields
+    )
+    payload = F.when(
+        d % 5 == 4, F.encode(F.col("text"), "UTF-8")
+    ).otherwise(F.concat(F.unhex(hdr), F.encode(F.col("text"), "UTF-8")))
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+def bmp_header_meta(bmp: DataFrame) -> DataFrame:
+    """Parse BMP headers with pure expressions — the SIGNED-field
+    member of the container family: height is a little-endian two's-
+    complement i32 whose sign encodes row order (negative = top-down),
+    so the parser must reconstruct the sign from the unsigned read
+    (v >= 2^31 -> v - 2^32). Also validates 'BM', reads file size,
+    pixel-data offset, width, planes, bpp, compression. O(1)/row."""
+    p = F.col("payload")
+    is_bmp = F.hex(F.substring(p, 1, 2)) == "424D"
+
+    def le_uint(pos: int, nbytes: int):
+        v = F.lit(0).cast("long")
+        for i in range(nbytes):
+            v = v + F.conv(F.hex(F.substring(p, pos + i, 1)), 16, 10).cast(
+                "long"
+            ) * F.lit(256**i)
+        return v
+
+    hraw = le_uint(23, 4)
+    hsigned = F.when(hraw >= 2**31, hraw - F.lit(2**32).cast("long")).otherwise(hraw)
+    return bmp.select(
+        "doc_id",
+        is_bmp.cast("long").alias("is_bmp"),
+        F.when(is_bmp, le_uint(3, 4)).alias("file_size"),
+        F.when(is_bmp, le_uint(11, 4)).alias("data_offset"),
+        F.when(is_bmp, le_uint(19, 4)).alias("width"),
+        F.when(is_bmp, F.abs(hsigned)).alias("height"),
+        F.when(is_bmp, (hsigned < 0)).alias("top_down"),
+        F.when(is_bmp, le_uint(29, 2)).alias("bits_per_pixel"),
+        F.when(is_bmp, le_uint(31, 4) == 0).alias("uncompressed"),
+    )
+
+
+def with_webp_payload(docs: DataFrame) -> DataFrame:
+    """WebP fixture: 4/5 of rows carry a valid RIFF/WEBP container —
+    lossy 'VP8 ' bitstream for even doc_ids (3-byte frame tag, the
+    9D 01 2A start code, 14-bit width/height in LE u16s with 2-bit
+    scale fields = doc_id % 4) and lossless 'VP8L' for odd (the 2F
+    signature byte, then width-1 / height-1 as 14-bit fields packed
+    into one LE u32 with an alpha bit = doc_id % 2 of doc_id/2);
+    doc_id % 5 == 4 rows are bare text. Text bytes follow as stand-in
+    bitstream payload."""
+    d = F.col("doc_id")
+    text_len = F.octet_length(F.encode(F.col("text"), "UTF-8"))
+    width = d % 800 + 1
+    height = d % 600 + 1
+    scale = d % 4
+    # lossy: u16 = (scale << 14) | dim
+    lossy_chunk = F.concat(
+        F.lit("56503820"),                        # 'VP8 '
+        _le_hex(text_len + 10, 4),                # chunk size
+        _le_hex(d % 256, 1), F.lit("0000"),       # frame tag (3 bytes)
+        F.lit("9D012A"),                          # start code
+        _le_hex(scale * 16384 + width, 2),
+        _le_hex(scale * 16384 + height, 2),
+    )
+    alpha = F.floor(d / 2) % 2
+    packed = (width - 1) + (height - 1) * 16384 + alpha * F.lit(2**28).cast("long")
+    lossless_chunk = F.concat(
+        F.lit("5650384C"),                        # 'VP8L'
+        _le_hex(text_len + 5, 4),                 # chunk size
+        F.lit("2F"),                              # VP8L signature
+        _le_hex(packed, 4),
+    )
+    chunk = F.when(d % 2 == 0, lossy_chunk).otherwise(lossless_chunk)
+    riff = F.concat(
+        F.lit("52494646"),
+        _le_hex(
+            text_len + F.when(d % 2 == 0, F.lit(22)).otherwise(F.lit(17)), 4
+        ),                                        # RIFF size = total - 8
+        F.lit("57454250"),                        # 'WEBP'
+        chunk,
+    )
+    payload = F.when(
+        d % 5 == 4, F.encode(F.col("text"), "UTF-8")
+    ).otherwise(F.concat(F.unhex(riff), F.encode(F.col("text"), "UTF-8")))
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+def webp_meta(webp: DataFrame) -> DataFrame:
+    """Parse WebP dimensions with pure expressions — the
+    variant-dispatch member of the container family: one RIFF
+    container, three bitstream layouts ('VP8 ' lossy = 14-bit fields
+    inside LE u16s after a start code; 'VP8L' lossless = two 14-bit
+    fields + alpha bit packed into one LE u32, stored MINUS ONE; the
+    parser dispatches on the chunk fourcc and decodes each shape).
+    O(1)/row, zero shuffle, zero UDF."""
+    p = F.col("payload")
+    is_webp = (F.hex(F.substring(p, 1, 4)) == "52494646") & (
+        F.hex(F.substring(p, 9, 4)) == "57454250"
+    )
+    fourcc = F.substring(p, 13, 4).cast("string")
+
+    def le_uint(pos: int, nbytes: int):
+        v = F.lit(0).cast("long")
+        for i in range(nbytes):
+            v = v + F.conv(F.hex(F.substring(p, pos + i, 1)), 16, 10).cast(
+                "long"
+            ) * F.lit(256**i)
+        return v
+
+    lossy_ok = F.hex(F.substring(p, 24, 3)) == "9D012A"
+    lossy_w = le_uint(27, 2).bitwiseAND(F.lit(16383))
+    lossy_h = le_uint(29, 2).bitwiseAND(F.lit(16383))
+    vp8l_ok = F.hex(F.substring(p, 21, 1)) == "2F"
+    packed = le_uint(22, 4)
+    vp8l_w = packed.bitwiseAND(F.lit(16383)) + 1
+    vp8l_h = F.shiftright(packed, 14).bitwiseAND(F.lit(16383)) + 1
+    vp8l_alpha = F.shiftright(packed, 28).bitwiseAND(F.lit(1)) == 1
+    fmt = F.when(fourcc == "VP8 ", F.lit("lossy")).when(
+        fourcc == "VP8L", F.lit("lossless")
+    )
+    ok = (
+        F.when(fourcc == "VP8 ", lossy_ok)
+        .when(fourcc == "VP8L", vp8l_ok)
+        .otherwise(F.lit(False))
+    )
+    return webp.select(
+        "doc_id",
+        is_webp.cast("long").alias("is_webp"),
+        F.when(is_webp & ok, fmt).alias("format"),
+        F.when(
+            is_webp & ok,
+            F.when(fourcc == "VP8 ", lossy_w).otherwise(vp8l_w),
+        ).alias("width"),
+        F.when(
+            is_webp & ok,
+            F.when(fourcc == "VP8 ", lossy_h).otherwise(vp8l_h),
+        ).alias("height"),
+        F.when(is_webp & ok & (fourcc == "VP8L"), vp8l_alpha).alias(
+            "has_alpha"
+        ),
+    )
+
+
+_MP4_WALK_STEPS = 4  # fixture bound: ftyp + free + mdat + moov
+
+
+def with_mp4_payload(docs: DataFrame) -> DataFrame:
+    """ISO-BMFF (MP4) fixture: 4/5 of rows carry a 4-box file —
+    ftyp(20: brand 'isom', minor 0x200, one compatible brand 'iso2'),
+    free(doc_id % 32 + 8: zero padding, so the walk must READ the size
+    field), mdat(8 + text bytes), moov(8, stand-in) — sizes and types
+    as u32-BE + fourcc box headers; doc_id % 5 == 4 rows are bare
+    text."""
+    d = F.col("doc_id")
+    text_len = F.octet_length(F.encode(F.col("text"), "UTF-8"))
+
+    def be_hex(v, nbytes: int):
+        return F.lpad(F.hex(v.cast("long")), 2 * nbytes, "0")
+
+    free_len = d % 32 + 8
+    boxes = F.concat(
+        be_hex(F.lit(20), 4), F.lit("66747970"),       # ftyp
+        F.lit("69736F6D"), be_hex(F.lit(512), 4),      # brand, minor
+        F.lit("69736F32"),                             # compatible brand
+        be_hex(free_len, 4), F.lit("66726565"),        # free
+        F.repeat(F.lit("00"), (free_len - 8).cast("int")),
+        be_hex(text_len + 8, 4), F.lit("6D646174"),    # mdat
+    )
+    tail = F.unhex(F.concat(be_hex(F.lit(8), 4), F.lit("6D6F6F76")))  # moov
+    payload = F.when(d % 5 == 4, F.encode(F.col("text"), "UTF-8")).otherwise(
+        F.concat(F.unhex(boxes), F.encode(F.col("text"), "UTF-8"), tail)
+    )
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+def mp4_box_index(mp4: DataFrame) -> DataFrame:
+    """Index the top-level box table of an ISO-BMFF (MP4) payload —
+    the big-endian length-prefixed sibling of tar_index (size-padded)
+    and zip_index (tail-directory): each box is u32-BE size + fourcc,
+    and the walk hops size-by-size from offset 0. The hop runs as ONE
+    F.aggregate fold (the multimodal_jpeg_meta CollapseProject lesson:
+    per-step column expressions re-inline exponentially), emitting a
+    bounded 4-entry box array that explodes via the struct-transform
+    idiom (NOT posexplode — see the zip_index ladder). Non-MP4 rows
+    keep one row with NULL box fields; end_ok checks the walk landed
+    exactly on the payload end.
+
+    100 TB shape: O(boxes)/row expressions below one repartition
+    barrier, zero shuffle beyond it, zero UDF — a WebDataset-style
+    video-shard indexing pass."""
+    p = F.col("payload")
+    plen = F.octet_length(p)
+    is_mp4 = F.hex(F.substring(p, 5, 4)) == "66747970"
+
+    def u32(off):  # off: 0-based Column; reads BE u32
+        return F.conv(
+            F.hex(F.substring(p, (off + 1).cast("int"), 4)), 16, 10
+        ).cast("long")
+
+    boxes = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_MP4_WALK_STEPS)),
+        F.struct(
+            F.lit(0).cast("long").alias("off"),
+            F.array().cast(
+                "array<struct<idx:long,off:long,size:long,type:string>>"
+            ).alias("acc"),
+        ),
+        lambda acc, i: F.struct(
+            (acc["off"] + u32(acc["off"])).alias("off"),
+            F.concat(
+                acc["acc"],
+                F.array(
+                    F.struct(
+                        (i - 1).cast("long").alias("idx"),
+                        acc["off"].alias("off"),
+                        u32(acc["off"]).alias("size"),
+                        F.substring(
+                            p, (acc["off"] + 5).cast("int"), 4
+                        ).cast("string").alias("type"),
+                    )
+                ),
+            ).alias("acc"),
+        ),
+    )
+    base = (
+        mp4.repartition(32, "doc_id")
+        .select(
+            "doc_id",
+            plen.alias("plen"),
+            is_mp4.alias("is_mp4"),
+            F.when(is_mp4, boxes).alias("b"),
+        )
+    )
+    exploded = base.select(
+        "doc_id", "plen", "is_mp4",
+        F.col("b.off").alias("end_off"),
+        F.explode_outer(
+            F.when(
+                F.col("is_mp4"),
+                F.col("b.acc"),
+            ).otherwise(
+                F.array(
+                    F.lit(None).cast(
+                        "struct<idx:long,off:long,size:long,type:string>"
+                    )
+                )
+            )
+        ).alias("m"),
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("is_mp4").cast("long").alias("is_mp4"),
+        F.col("m.idx").alias("box_idx"),
+        F.col("m.type").alias("box_type"),
+        F.col("m.size").alias("box_size"),
+        F.col("m.off").alias("box_offset"),
+        F.when(F.col("is_mp4"), F.col("end_off") == F.col("plen")).alias(
+            "end_ok"
+        ),
+    )

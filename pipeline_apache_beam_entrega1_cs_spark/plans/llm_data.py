@@ -4797,7 +4797,141 @@ FROM sof
 """
 
 
+
+def multimodal_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF Logical Screen Descriptor parse
+    (operators/multimodal.with_gif_payload + gif_lsd_meta): the packed
+    BIT-FIELD member of the container-parser family — one flags byte
+    carries the global-color-table flag (bit 7), color resolution
+    (bits 6-4) and GCT size (bits 2-0, table entries = 2^(size+1)),
+    so the parser must mask/shift inside a byte rather than read whole
+    fields. 1/5 of rows route through the non-GIF rejection path. The
+    oracle derives every field closed-form from the fixture formulas;
+    the physical byte parse is pinned by the struct.pack reference
+    test."""
+    return M.gif_lsd_meta(M.with_gif_payload(_docs(spark, sf_dir)))
+
+
+MULTIMODAL_GIF_SQL = """
+SELECT doc_id,
+  CAST(doc_id % 5 <> 4 AS BIGINT) AS is_gif,
+  CASE WHEN doc_id % 5 <> 4 THEN
+    CASE WHEN doc_id % 2 = 0 THEN '87a' ELSE '89a' END END AS version,
+  CASE WHEN doc_id % 5 <> 4 THEN CAST(doc_id % 500 + 1 AS BIGINT) END AS width,
+  CASE WHEN doc_id % 5 <> 4 THEN CAST(doc_id % 300 + 1 AS BIGINT) END AS height,
+  CASE WHEN doc_id % 5 <> 4 THEN doc_id % 3 <> 0 END AS has_gct,
+  CASE WHEN doc_id % 5 <> 4 THEN CAST(doc_id % 8 AS BIGINT) END
+    AS color_resolution,
+  CASE WHEN doc_id % 5 <> 4 THEN
+    CASE WHEN doc_id % 3 <> 0
+         THEN CAST(2 << (doc_id % 8) AS BIGINT) ELSE 0 END END AS gct_entries,
+  CASE WHEN doc_id % 5 <> 4 THEN CAST(doc_id % 256 AS BIGINT) END AS bg_index
+FROM documents
+"""
+
+
+def multimodal_bmp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP header parse (operators/multimodal.with_bmp_payload +
+    bmp_header_meta): the SIGNED-field member of the container-parser
+    family — height is a little-endian two's-complement i32 whose sign
+    encodes row order (negative = top-down), so the parser
+    reconstructs sign from the unsigned read (v >= 2^31 -> v - 2^32).
+    1/5 of rows route through the rejection path. Closed-form oracle +
+    struct.pack reference test."""
+    return M.bmp_header_meta(M.with_bmp_payload(_docs(spark, sf_dir)))
+
+
+MULTIMODAL_BMP_SQL = """
+SELECT doc_id,
+  CAST(doc_id % 5 <> 4 AS BIGINT) AS is_bmp,
+  CASE WHEN doc_id % 5 <> 4
+       THEN CAST(octet_length(encode(text)) + 54 AS BIGINT) END AS file_size,
+  CASE WHEN doc_id % 5 <> 4 THEN CAST(54 AS BIGINT) END AS data_offset,
+  CASE WHEN doc_id % 5 <> 4 THEN CAST(doc_id % 400 + 1 AS BIGINT) END AS width,
+  CASE WHEN doc_id % 5 <> 4 THEN CAST(doc_id % 300 + 1 AS BIGINT) END AS height,
+  CASE WHEN doc_id % 5 <> 4 THEN doc_id % 3 = 0 END AS top_down,
+  CASE WHEN doc_id % 5 <> 4 THEN CAST((doc_id % 3) * 8 + 8 AS BIGINT) END
+    AS bits_per_pixel,
+  CASE WHEN doc_id % 5 <> 4 THEN TRUE END AS uncompressed
+FROM documents
+"""
+
+
+def multimodal_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP dimension parse (operators/multimodal.with_webp_payload +
+    webp_meta): the VARIANT-DISPATCH member of the container-parser
+    family — one RIFF container, two bitstream layouts in the fixture
+    ('VP8 ' lossy: 14-bit dims inside LE u16s after the 9D 01 2A start
+    code; 'VP8L' lossless: width-1/height-1 as 14-bit fields + alpha
+    bit packed in one LE u32), dispatched on the chunk fourcc. 1/5 of
+    rows route through the rejection path. Closed-form oracle +
+    struct.pack reference test."""
+    return M.webp_meta(M.with_webp_payload(_docs(spark, sf_dir)))
+
+
+MULTIMODAL_WEBP_SQL = """
+SELECT doc_id,
+  CAST(doc_id % 5 <> 4 AS BIGINT) AS is_webp,
+  CASE WHEN doc_id % 5 <> 4 THEN
+    CASE WHEN doc_id % 2 = 0 THEN 'lossy' ELSE 'lossless' END END AS format,
+  CASE WHEN doc_id % 5 <> 4 THEN CAST(doc_id % 800 + 1 AS BIGINT) END AS width,
+  CASE WHEN doc_id % 5 <> 4 THEN CAST(doc_id % 600 + 1 AS BIGINT) END AS height,
+  CASE WHEN doc_id % 5 <> 4 AND doc_id % 2 = 1
+       THEN (doc_id // 2) % 2 = 1 END AS has_alpha
+FROM documents
+"""
+
+
+def multimodal_mp4_box_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-BMFF (MP4) top-level box-table index
+    (operators/multimodal.with_mp4_payload + mp4_box_index): the
+    big-endian length-prefixed sibling of multimodal_tar_index
+    (size-padded walk) and multimodal_zip_index (tail-directory walk)
+    — u32-BE size + fourcc headers hopped size-by-size from offset 0
+    as ONE F.aggregate fold, exploded via the struct-transform idiom.
+    The free box's size varies by doc_id, so offsets are unknowable
+    without reading the size fields. Non-MP4 rows (1/5) keep one row
+    with NULL box fields. The oracle derives the box table closed-form
+    from the fixture's size formulas — an independent derivation of
+    what the byte walk must find; the physical parse rigor is carried
+    by the struct-unpack reference test."""
+    return M.mp4_box_index(M.with_mp4_payload(_docs(spark, sf_dir)))
+
+
+MULTIMODAL_MP4_SQL = """
+WITH L AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS tl,
+         CAST(doc_id % 32 + 8 AS BIGINT) AS fl
+  FROM documents
+), boxes AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS box_idx, 'ftyp' AS box_type,
+         CAST(20 AS BIGINT) AS box_size, CAST(0 AS BIGINT) AS box_offset
+  FROM L WHERE doc_id % 5 <> 4
+  UNION ALL
+  SELECT doc_id, 1, 'free', fl, 20 FROM L WHERE doc_id % 5 <> 4
+  UNION ALL
+  SELECT doc_id, 2, 'mdat', tl + 8, 20 + fl FROM L WHERE doc_id % 5 <> 4
+  UNION ALL
+  SELECT doc_id, 3, 'moov', 8, 28 + fl + tl FROM L WHERE doc_id % 5 <> 4
+)
+SELECT doc_id, CAST(1 AS BIGINT) AS is_mp4, box_idx, box_type, box_size,
+       box_offset, TRUE AS end_ok
+FROM boxes
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT), NULL, NULL, NULL, NULL, NULL
+FROM L WHERE doc_id % 5 = 4
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "multimodal_gif_meta": QuerySpec(
+        multimodal_gif_meta, MULTIMODAL_GIF_SQL, "multimodal"),
+    "multimodal_bmp_meta": QuerySpec(
+        multimodal_bmp_meta, MULTIMODAL_BMP_SQL, "multimodal"),
+    "multimodal_webp_meta": QuerySpec(
+        multimodal_webp_meta, MULTIMODAL_WEBP_SQL, "multimodal"),
+    "multimodal_mp4_box_index": QuerySpec(
+        multimodal_mp4_box_index, MULTIMODAL_MP4_SQL, "multimodal"),
     "dedup_prefix_filter_join": QuerySpec(
         dedup_prefix_filter_join, DEDUP_PREFIX_FILTER_SQL, "dedup"),
     "multimodal_jpeg_meta": QuerySpec(

@@ -559,3 +559,200 @@ def test_zip_payload_validates_with_python_zipfile(spark, sf_dir):
             assert off == i.header_offset
             assert md5 == hashlib.md5(data).hexdigest()
     assert zf.testzip() is None
+
+
+def test_gif_payload_and_parse_match_struct_reference(spark):
+    """The GIF fixture is byte-identical to a struct.pack-built
+    reference (GIF89a spec layout), and gif_lsd_meta agrees with a
+    pure-Python unpack of those bytes; % 5 == 4 rows reject."""
+    import struct
+
+    from pipeline_apache_beam_entrega1_cs_spark.operators.multimodal import (
+        gif_lsd_meta,
+        with_gif_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"frame data {i}") for i in range(17)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: bytes(r.payload)
+            for r in with_gif_payload(docs).collect()}
+
+    def ref_gif(doc_id, text):
+        if doc_id % 5 == 4:
+            return text.encode()
+        sig = b"GIF87a" if doc_id % 2 == 0 else b"GIF89a"
+        packed = (128 if doc_id % 3 != 0 else 0) | ((doc_id % 8) << 4) | (doc_id % 8)
+        lsd = struct.pack("<HHBBB", doc_id % 500 + 1, doc_id % 300 + 1,
+                          packed, doc_id % 256, 0)
+        return sig + lsd + text.encode()
+
+    for i in range(17):
+        assert rows[i] == ref_gif(i, f"frame data {i}"), i
+
+    meta = {r.doc_id: r for r in
+            gif_lsd_meta(with_gif_payload(docs)).collect()}
+    for i in range(17):
+        b = rows[i]
+        r = meta[i]
+        if i % 5 == 4:
+            assert r.is_gif == 0 and r.width is None and r.version is None
+            continue
+        w, h, packed, bg, _ = struct.unpack_from("<HHBBB", b, 6)
+        assert r.is_gif == 1
+        assert r.version == b[3:6].decode() == ("87a" if i % 2 == 0 else "89a")
+        assert (r.width, r.height, r.bg_index) == (w, h, bg)
+        assert r.has_gct == bool(packed >> 7)
+        assert r.color_resolution == (packed >> 4) & 7
+        assert r.gct_entries == (2 << (packed & 7) if packed >> 7 else 0)
+
+
+def test_bmp_payload_and_parse_match_struct_reference(spark):
+    """The BMP fixture is byte-identical to a struct.pack reference
+    (BITMAPFILEHEADER + BITMAPINFOHEADER), and bmp_header_meta decodes
+    the SIGNED i32 height (negative = top-down) like struct's '<i'."""
+    import struct
+
+    from pipeline_apache_beam_entrega1_cs_spark.operators.multimodal import (
+        bmp_header_meta,
+        with_bmp_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"pixel rows {i}") for i in range(17)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: bytes(r.payload)
+            for r in with_bmp_payload(docs).collect()}
+
+    def ref_bmp(doc_id, text):
+        if doc_id % 5 == 4:
+            return text.encode()
+        data = text.encode()
+        h = doc_id % 300 + 1
+        hdr = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        dib = struct.pack("<IiiHHI", 40, doc_id % 400 + 1,
+                          -h if doc_id % 3 == 0 else h,
+                          1, (doc_id % 3) * 8 + 8, 0) + b"\x00" * 20
+        return hdr + dib + data
+
+    for i in range(17):
+        assert rows[i] == ref_bmp(i, f"pixel rows {i}"), i
+
+    meta = {r.doc_id: r for r in
+            bmp_header_meta(with_bmp_payload(docs)).collect()}
+    for i in range(17):
+        r = meta[i]
+        if i % 5 == 4:
+            assert r.is_bmp == 0 and r.width is None
+            continue
+        b = rows[i]
+        fsize, _, _, off = struct.unpack_from("<IHHI", b, 2)
+        _, w, hraw, planes, bpp, comp = struct.unpack_from("<IiiHHI", b, 14)
+        assert r.is_bmp == 1
+        assert (r.file_size, r.data_offset, r.width) == (fsize, off, w)
+        assert r.height == abs(hraw) and r.top_down == (hraw < 0)
+        assert r.bits_per_pixel == bpp and r.uncompressed == (comp == 0)
+
+
+def test_webp_payload_and_parse_match_struct_reference(spark):
+    """The WebP fixture is byte-identical to a struct.pack reference
+    (RIFF + VP8 lossy / VP8L lossless bitstream headers) and webp_meta
+    decodes both variants' packed 14-bit fields like a Python unpack."""
+    import struct
+
+    from pipeline_apache_beam_entrega1_cs_spark.operators.multimodal import (
+        webp_meta,
+        with_webp_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"bitstream {i}") for i in range(17)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: bytes(r.payload)
+            for r in with_webp_payload(docs).collect()}
+
+    def ref_webp(doc_id, text):
+        if doc_id % 5 == 4:
+            return text.encode()
+        data = text.encode()
+        w, h, scale = doc_id % 800 + 1, doc_id % 600 + 1, doc_id % 4
+        if doc_id % 2 == 0:
+            chunk = (b"VP8 " + struct.pack("<I", len(data) + 10)
+                     + bytes([doc_id % 256, 0, 0]) + b"\x9d\x01\x2a"
+                     + struct.pack("<HH", (scale << 14) | w, (scale << 14) | h))
+            riff_size = len(data) + 22
+        else:
+            packed = (w - 1) | ((h - 1) << 14) | (((doc_id // 2) % 2) << 28)
+            chunk = (b"VP8L" + struct.pack("<I", len(data) + 5)
+                     + b"\x2f" + struct.pack("<I", packed))
+            riff_size = len(data) + 17
+        return b"RIFF" + struct.pack("<I", riff_size) + b"WEBP" + chunk + data
+
+    for i in range(17):
+        assert rows[i] == ref_webp(i, f"bitstream {i}"), i
+
+    meta = {r.doc_id: r for r in
+            webp_meta(with_webp_payload(docs)).collect()}
+    for i in range(17):
+        r = meta[i]
+        if i % 5 == 4:
+            assert r.is_webp == 0 and r.format is None
+            continue
+        b = rows[i]
+        assert r.is_webp == 1
+        if b[12:16] == b"VP8 ":
+            wraw, hraw = struct.unpack_from("<HH", b, 26)
+            assert r.format == "lossy"
+            assert (r.width, r.height) == (wraw & 0x3FFF, hraw & 0x3FFF)
+            assert r.has_alpha is None
+        else:
+            packed = struct.unpack_from("<I", b, 21)[0]
+            assert r.format == "lossless"
+            assert r.width == (packed & 0x3FFF) + 1
+            assert r.height == ((packed >> 14) & 0x3FFF) + 1
+            assert r.has_alpha == bool((packed >> 28) & 1)
+
+
+def test_mp4_box_index_matches_struct_walk(spark):
+    """mp4_box_index equals a pure-Python size-by-size box walk of the
+    fixture bytes (u32-BE + fourcc, the ISO-BMFF top-level layout);
+    end_ok verifies the walk lands exactly on the payload end, and
+    non-MP4 rows yield one NULL-box row."""
+    import struct
+
+    from pipeline_apache_beam_entrega1_cs_spark.operators.multimodal import (
+        mp4_box_index,
+        with_mp4_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"sample bytes {i}") for i in range(17)],
+        "doc_id long, text string",
+    )
+    payloads = {r.doc_id: bytes(r.payload)
+                for r in with_mp4_payload(docs).collect()}
+    out = {}
+    for r in mp4_box_index(with_mp4_payload(docs)).collect():
+        out.setdefault(r.doc_id, []).append(r)
+
+    for i in range(17):
+        b = payloads[i]
+        got = sorted(out[i], key=lambda r: (r.box_idx is None, r.box_idx))
+        if i % 5 == 4:
+            assert len(got) == 1 and got[0].is_mp4 == 0
+            assert got[0].box_type is None and got[0].end_ok is None
+            continue
+        walk, off = [], 0
+        while off < len(b) and len(walk) < 4:
+            size = struct.unpack_from(">I", b, off)[0]
+            walk.append((len(walk), b[off + 4:off + 8].decode(), size, off))
+            off += size
+        assert off == len(b)
+        assert len(got) == 4
+        for (idx, typ, size, boff), r in zip(walk, got):
+            assert (r.box_idx, r.box_type, r.box_size, r.box_offset) == \
+                (idx, typ, size, boff)
+            assert r.is_mp4 == 1 and r.end_ok is True
