@@ -6343,7 +6343,126 @@ FROM m
 """
 
 
+def interval_gap_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user FREE-time gaps — the complement of
+    window_interval_coalesce: after merging overlapping busy intervals
+    into islands, emit the gap between consecutive islands (prev
+    island end → next island start). The pair is the classic
+    scheduling/telemetry duo: coalesce answers "when was the system
+    busy", gaps answer "when was it free / dark" (outage windows,
+    maintenance slots, idle-capacity audits). Island merging
+    guarantees gaps are strictly positive and non-adjacent.
+
+    100 TB shape: reuses the coalesce core (two user-keyed windows
+    after one hash shuffle), then ONE more lag() over the same
+    user-partitioned island frame — no new shuffle (same key), no
+    global ordering. Epoch seconds as BIGINT end-to-end."""
+    islands = window_interval_coalesce(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("island_id")
+    gaps = islands.select(
+        "user_id",
+        (F.row_number().over(w) - 1).cast("bigint").alias("gap_idx"),
+        F.lag("island_end_s").over(w).alias("gap_start_s"),
+        F.col("island_start_s").alias("gap_end_s"),
+    ).filter(F.col("gap_start_s").isNotNull())
+    return gaps.select(
+        "user_id", "gap_idx", "gap_start_s", "gap_end_s",
+        (F.col("gap_end_s") - F.col("gap_start_s")).cast("bigint")
+        .alias("gap_s"),
+    )
+
+
+INTERVAL_GAPS_SQL = f"""
+WITH islands AS ({INTERVAL_COALESCE_SQL}),
+lagged AS (
+  SELECT user_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY island_id)
+              - 1 AS BIGINT) AS gap_idx,
+         lag(island_end_s) OVER (PARTITION BY user_id ORDER BY island_id)
+           AS gap_start_s,
+         island_start_s AS gap_end_s
+  FROM islands
+)
+SELECT user_id, gap_idx, gap_start_s, gap_end_s,
+       CAST(gap_end_s - gap_start_s AS BIGINT) AS gap_s
+FROM lagged WHERE gap_start_s IS NOT NULL
+"""
+
+
+# Candidate key sets audited by dq_candidate_keys: the true PK, a
+# known-duplicated FK, and three composite candidates of rising
+# plausibility. All columns are non-null in the fixture (concat_ws
+# would silently merge NULL states otherwise — dq_column_profile is
+# the null audit).
+_CK_CANDIDATES = (
+    ("o_orderkey",),
+    ("o_custkey",),
+    ("o_custkey", "o_orderdate"),
+    ("o_orderpriority", "o_orderdate"),
+    ("o_custkey", "o_orderstatus"),
+)
+
+
+def dq_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key audit — the UNIQUENESS sibling of
+    dq_functional_dependency (FDs test determination between columns;
+    this tests whether a column SET identifies rows): for each
+    candidate set, count rows vs distinct combinations; dup_rows =
+    rows − distinct is the violation mass and is_key flags the sets
+    that hold. The schema-discovery pass a warehouse runs before
+    declaring MERGE keys or bucketing columns.
+
+    100 TB shape: one mergeable two-phase distinct per candidate
+    (groupBy the combo key, then a 1-row rollup), unioned — each
+    candidate is a single hash-agg over a projected key; no joins, no
+    windows. The candidate list is fixed metadata, not data."""
+    orders = _t(spark, sf_dir, "orders")
+    frames = []
+    for cols in _CK_CANDIDATES:
+        key = F.concat_ws(
+            "\u001f", *[F.col(c).cast("string") for c in cols]
+        )
+        frames.append(
+            orders.select(key.alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.lit("+".join(cols)).alias("candidate"),
+                F.sum("c").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionAll(fr)
+    return out.select(
+        "candidate", "n_rows", "n_distinct",
+        (F.col("n_rows") - F.col("n_distinct")).cast("bigint")
+        .alias("dup_rows"),
+        (F.col("n_rows") == F.col("n_distinct")).alias("is_key"),
+    )
+
+
+def _candidate_keys_sql() -> str:
+    selects = []
+    for cols in _CK_CANDIDATES:
+        key = " || chr(31) || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        name = "+".join(cols)
+        selects.append(f"""
+  SELECT '{name}' AS candidate,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT {key}) AS BIGINT) AS n_distinct,
+         CAST(COUNT(*) - COUNT(DISTINCT {key}) AS BIGINT) AS dup_rows,
+         COUNT(*) = COUNT(DISTINCT {key}) AS is_key
+  FROM orders""")
+    return "\nUNION ALL\n".join(selects)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "interval_gap_extraction": QuerySpec(
+        interval_gap_extraction, INTERVAL_GAPS_SQL, "window"),
+    "dq_candidate_keys": QuerySpec(
+        dq_candidate_keys, _candidate_keys_sql(), "dq"),
     "stat_welch_ttest": QuerySpec(
         stat_welch_ttest, STAT_WELCH_SQL, "quality"),
     "stat_anova_f": QuerySpec(

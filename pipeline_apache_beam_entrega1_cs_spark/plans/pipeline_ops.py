@@ -1481,7 +1481,132 @@ GROUP BY 1
 """
 
 
+_SKIP_LO, _SKIP_HI = "1997-04-01", "1997-06-30"  # the probe predicate
+_SKIP_HASH_FILES = 28  # match the date layout's (years x quarters) count
+
+
+def maintenance_file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data-skipping audit — the WHY behind
+    maintenance_zorder_layout and every lakehouse clustering decision:
+    simulate two physical file layouts of the orders table (``date``:
+    files = ingestion batches keyed by (year, quarter) of o_orderdate,
+    the natural append layout; ``hash``: files = md5(o_orderkey) mod
+    28, the worst-case scattered layout), compute each file's min/max
+    o_orderdate zone map, and evaluate a one-quarter probe predicate
+    ([1997-04-01, 1997-06-30]) against the maps. A file is skippable
+    iff its max < lo or its min > hi — the exact test Delta/Iceberg/
+    parquet row-group pruning runs. The report quantifies the cliff:
+    the date-clustered layout skips all but ~1 file, the hash layout
+    skips nothing, row counts identical.
+
+    100 TB shape: ONE hash-agg per layout over (layout, file) keys
+    (mergeable min/max/count partials), then a #files-row rollup —
+    raw rows are touched once; no joins, no windows."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    d = F.col("o_orderdate")
+    date_file = ((F.year(d) - 1995) * 4 + F.quarter(d) - 1).cast("long")
+    hash_file = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+            16, 10,
+        ).cast("long")
+        % _SKIP_HASH_FILES
+    )
+    tagged = o.select(
+        F.lit("date").alias("layout"), date_file.alias("file_id"), d.alias("dt")
+    ).unionAll(
+        o.select(
+            F.lit("hash").alias("layout"), hash_file.alias("file_id"),
+            d.alias("dt"),
+        )
+    )
+    zones = tagged.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("dt").alias("mn"),
+        F.max("dt").alias("mx"),
+    )
+    lo, hi = F.lit(_SKIP_LO).cast("date"), F.lit(_SKIP_HI).cast("date")
+    skippable = (F.col("mx") < lo) | (F.col("mn") > hi)
+    return (
+        zones.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum(skippable.cast("long")).cast("bigint").alias("n_skippable"),
+            F.sum("n_rows").cast("bigint").alias("rows_total"),
+            F.sum(F.when(skippable, F.col("n_rows")).otherwise(0))
+            .cast("bigint").alias("rows_skipped"),
+        )
+        .select(
+            "layout", "n_files", "n_skippable", "rows_total", "rows_skipped",
+            F.round(
+                F.col("rows_skipped").cast("double")
+                / F.col("rows_total").cast("double"),
+                6,
+            ).alias("skip_fraction"),
+        )
+    )
+
+
+MAINTENANCE_FILE_SKIPPING_SQL = f"""
+WITH tagged AS (
+  SELECT 'date' AS layout,
+         CAST((year(o_orderdate) - 1995) * 4 + quarter(o_orderdate) - 1
+              AS BIGINT) AS file_id,
+         o_orderdate AS dt
+  FROM orders
+  UNION ALL
+  SELECT 'hash',
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+           % {_SKIP_HASH_FILES},
+         o_orderdate
+  FROM orders
+), zones AS (
+  SELECT layout, file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         MIN(dt) AS mn, MAX(dt) AS mx
+  FROM tagged GROUP BY layout, file_id
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN mx < DATE '{_SKIP_LO}' OR mn > DATE '{_SKIP_HI}'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_skippable,
+       CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+       CAST(SUM(CASE WHEN mx < DATE '{_SKIP_LO}' OR mn > DATE '{_SKIP_HI}'
+                THEN n_rows ELSE 0 END) AS BIGINT) AS rows_skipped,
+       round(SUM(CASE WHEN mx < DATE '{_SKIP_LO}' OR mn > DATE '{_SKIP_HI}'
+                 THEN n_rows ELSE 0 END)::DOUBLE / SUM(n_rows), 6)
+         AS skip_fraction
+FROM zones GROUP BY layout
+"""
+
+
+def streaming_countmin_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch maintenance: orders replayed as FOUR
+    micro-batches through a foreachBatch MERGE whose state is the
+    cell-wise-additive d x w sketch grid plus the per-key exact counts
+    the final audit needs (streaming/sinks.CountMinMergeSink) — the
+    streaming twin of agg_countmin_heavy_hitters, exploiting exactly
+    the mergeability that makes count-min the 100 TB frequency
+    monitor. Cold replay over any batch slicing equals the one-shot
+    batch sketch, so the oracle is AGG_COUNTMIN_SQL itself.
+    Exactly-once via in-state commit markers + crash-safe swap; grid
+    state is 2048 rows regardless of stream length."""
+    from ..streaming.sinks import run_countmin_stream
+
+    return run_countmin_stream(spark, sf_dir)
+
+
+def _COUNTMIN_ORACLE() -> str:
+    from .relational2 import AGG_COUNTMIN_SQL
+
+    return AGG_COUNTMIN_SQL
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "maintenance_file_skipping_stats": QuerySpec(
+        maintenance_file_skipping_stats, MAINTENANCE_FILE_SKIPPING_SQL,
+        "maintenance"),
+    "streaming_countmin_state": QuerySpec(
+        streaming_countmin_state, _COUNTMIN_ORACLE(), "streaming"),
     # the 1-row MAX-scalar BNLJ lives in the eager compaction WRITE, not
     # in the returned report plan (a plain scan + groupBy over the
     # compacted files) — so no plan waiver is needed or allowed here

@@ -2112,3 +2112,149 @@ def run_markov_stream(spark, sf_dir: str):
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+class CountMinMergeSink:
+    """``foreachBatch`` MERGE for the streaming count-min sketch — the
+    twin of plans/relational2.agg_countmin_heavy_hitters and the form
+    frequency monitoring actually runs as: the sketch grid is cell-wise
+    ADDITIVE (Cormode & Muthukrishnan's mergeability), so each batch's
+    d×w partial grid sums into state and cold replay over any batch
+    slicing equals the one-shot batch sketch. State is ONE parquet
+    holding two mergeable frames tagged by ``kind``: 'grid' rows are
+    (r, bucket) -> cnt sketch cells (2048 rows forever, the production
+    state), 'key' rows are per-key exact counts that exist ONLY so the
+    final report can carry the same true-vs-estimate audit as the
+    batch entry (a production monitor would keep just the grid and
+    probe ad hoc). Exactly-once follows the FingerprintMergeSink
+    contract (commit markers + crash-safe swap)."""
+
+    def __init__(self, state_dir: str) -> None:
+        self.state = state_dir
+        os.makedirs(os.path.dirname(state_dir), exist_ok=True)
+
+    def is_committed(self, batch_id: int) -> bool:
+        return _state_committed(self.state, batch_id)
+
+    def __call__(self, batch_df, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return  # replayed delivery of a committed batch: no-op
+
+        from pyspark.sql import functions as F
+
+        from ..plans.relational2 import _CMS_D as d, _CMS_W as w
+
+        rows = batch_df.withColumn(
+            "r", F.explode(F.array(*[F.lit(i) for i in range(d)]))
+        )
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("r"), F.col("o_custkey"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            % w
+        )
+        grid = rows.groupBy(
+            F.lit("grid").alias("kind"),
+            F.col("r").cast("long").alias("r"),
+            bucket.alias("bucket"),
+            F.lit(None).cast("long").alias("key"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        keys = batch_df.groupBy(
+            F.lit("key").alias("kind"),
+            F.lit(None).cast("long").alias("r"),
+            F.lit(None).cast("long").alias("bucket"),
+            F.col("o_custkey").cast("long").alias("key"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        inc = grid.unionByName(keys)
+        prev = _current_state(self.state)
+        if prev is not None:
+            inc = (
+                batch_df.sparkSession.read.parquet(prev)
+                .unionByName(inc)
+                .groupBy("kind", "r", "bucket", "key")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+            )
+        tmp = f"{self.state}_tmp{batch_id}"
+        inc.write.mode("overwrite").parquet(tmp)  # materialize BEFORE swap
+        _install_state(self.state, tmp, batch_id)
+
+
+def run_countmin_stream(spark, sf_dir: str):
+    """Streaming count-min sketch end-to-end: orders replayed as FOUR
+    micro-batches through a CountMinMergeSink, then the batch entry's
+    true-vs-estimate top-10 report is derived FROM THE STATE (top keys
+    from the 'key' frame, estimates probed from the 'grid' frame)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..schemas import ensure_session_confs
+
+    ensure_session_confs(spark)
+    work = tempfile.mkdtemp(prefix="graft_cms_")
+    try:
+        raw = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey"
+        )
+        src = _stage_slices(raw, work, "o_orderkey")
+        sink = CountMinMergeSink(os.path.join(work, "state"))
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        state = spark.read.parquet(sink.state)
+        top = (
+            state.filter(F.col("kind") == "key")
+            .select(F.col("key").alias("o_custkey"),
+                    F.col("cnt").alias("true_cnt"))
+            .orderBy(F.desc("true_cnt"), F.asc("o_custkey"))
+            .limit(10)
+        )
+        from ..plans.relational2 import _CMS_D as d, _CMS_W as w
+
+        probes = top.withColumn(
+            "r", F.explode(F.array(*[F.lit(i) for i in range(d)]))
+        ).select(
+            "o_custkey", "true_cnt", F.col("r").cast("long").alias("r"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(":", F.col("r"), F.col("o_custkey"))
+                        ),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("long")
+                % w
+            ).alias("bucket"),
+        )
+        grid = state.filter(F.col("kind") == "grid").select(
+            "r", "bucket", F.col("cnt").alias("cell")
+        )
+        out = (
+            probes.join(grid, ["r", "bucket"])
+            .groupBy("o_custkey")
+            .agg(
+                F.min("true_cnt").alias("true_cnt"),
+                F.min("cell").alias("est_cnt"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

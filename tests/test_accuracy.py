@@ -2356,3 +2356,89 @@ def test_assortativity_matches_bruteforce(spark, sf_dir):
     sxx = sum(a * a for a, _ in pairs)
     expect = (m * sxy - sx * sx) / (m * sxx - sx * sx)
     assert abs(r.assortativity - expect) < 1.01e-6
+
+
+def test_interval_gaps_match_bruteforce(spark, sf_dir):
+    """Gaps equal a plain-Python interval merge + complement walk over
+    the same padded events; every gap is strictly positive and lies
+    between two islands of the coalesce entry."""
+    from collections import defaultdict
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    got = defaultdict(list)
+    for r in A.interval_gap_extraction(spark, sf_dir).collect():
+        got[r.user_id].append((r.gap_idx, r.gap_start_s, r.gap_end_s, r.gap_s))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    per_user = defaultdict(list)
+    for e in ev:
+        s = int(e.ts.timestamp())
+        per_user[e.user_id].append((s, s + A._COALESCE_PAD_S))
+    for uid, ivs in per_user.items():
+        ivs.sort()
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        expect = [
+            (i, merged[i - 1][1], merged[i][0], merged[i][0] - merged[i - 1][1])
+            for i in range(1, len(merged))
+        ]
+        assert sorted(got.get(uid, [])) == expect, uid
+        assert all(g[3] > 0 for g in expect)
+
+
+def test_candidate_keys_match_bruteforce(spark, sf_dir):
+    """Distinct-combo counts equal Python set sizes per candidate; the
+    true PK is flagged as a key, the known-duplicated FK is not."""
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    got = {r.candidate: r for r in A.dq_candidate_keys(spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    assert set(got) == {"+".join(c) for c in A._CK_CANDIDATES}
+    for cols in A._CK_CANDIDATES:
+        combos = {tuple(str(getattr(o, c)) for c in cols) for o in orders}
+        r = got["+".join(cols)]
+        assert r.n_rows == len(orders)
+        assert r.n_distinct == len(combos), cols
+        assert r.dup_rows == len(orders) - len(combos)
+        assert r.is_key == (len(combos) == len(orders))
+    assert got["o_orderkey"].is_key is True
+    assert got["o_custkey"].is_key is False
+
+
+def test_file_skipping_stats_match_bruteforce(spark, sf_dir):
+    """Zone-map skip counts equal a Python recompute of per-file
+    min/max vs the probe window; the date-clustered layout skips most
+    files while the hash layout skips none (the clustering cliff)."""
+    import hashlib
+    from collections import defaultdict
+    import pipeline_apache_beam_entrega1_cs_spark.plans.pipeline_ops as P
+    from datetime import date
+
+    got = {r.layout: r for r in
+           P.maintenance_file_skipping_stats(spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    lo = date.fromisoformat(P._SKIP_LO)
+    hi = date.fromisoformat(P._SKIP_HI)
+    for layout in ("date", "hash"):
+        zones = defaultdict(list)
+        for o in orders:
+            d = o.o_orderdate.date() if hasattr(o.o_orderdate, "date") \
+                else o.o_orderdate
+            if layout == "date":
+                fid = (d.year - 1995) * 4 + (d.month - 1) // 3
+            else:
+                fid = int(hashlib.md5(str(o.o_orderkey).encode())
+                          .hexdigest()[:8], 16) % P._SKIP_HASH_FILES
+            zones[fid].append(d)
+        skip = {f for f, ds in zones.items()
+                if max(ds) < lo or min(ds) > hi}
+        r = got[layout]
+        assert r.n_files == len(zones)
+        assert r.n_skippable == len(skip)
+        assert r.rows_total == len(orders)
+        assert r.rows_skipped == sum(len(zones[f]) for f in skip)
+    assert got["date"].n_skippable >= got["date"].n_files - 2
+    assert got["hash"].n_skippable == 0

@@ -1036,3 +1036,53 @@ def test_streaming_markov_replay(spark, sf_dir, tmp_path):
         .collect()
     )
     assert after == before
+
+
+def test_streaming_countmin_replay(spark, sf_dir, tmp_path):
+    """Streaming count-min sketch: (1) end-to-end over four
+    micro-batches equals the one-shot batch sketch report (cell-wise
+    additivity); (2) replaying a committed batch id is a no-op; (3) a
+    stranded rename-aside state is recovered; (4) grid state stays
+    bounded at d*w rows."""
+    import os
+
+    import pipeline_apache_beam_entrega1_cs_spark.plans.relational2 as R2
+    from pipeline_apache_beam_entrega1_cs_spark.plans.pipeline_ops import (
+        streaming_countmin_state,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.streaming.sinks import (
+        CountMinMergeSink,
+    )
+
+    cols = ["o_custkey", "true_cnt", "est_cnt"]
+    batch_expected = rows_multiset(
+        R2.agg_countmin_heavy_hitters(spark, sf_dir).select(*cols)
+    )
+    out = streaming_countmin_state(spark, sf_dir)
+    assert rows_multiset(out.select(*cols)) == batch_expected
+
+    raw = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    state = str(tmp_path / "cms" / "state")
+    sink = CountMinMergeSink(state)
+    slices = [raw.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    sink(slices[0], 0)
+    sink(slices[1], 1)
+    os.rename(state, f"{state}_old42")  # crash between swap renames
+    sink(slices[2], 2)
+    st = spark.read.parquet(state)
+    grid = st.filter(F.col("kind") == "grid")
+    assert grid.count() <= R2._CMS_D * R2._CMS_W
+    # total grid mass = d * rows ingested (every row lands in d cells)
+    assert grid.agg(F.sum("cnt")).first()[0] == R2._CMS_D * raw.count()
+    key_total = st.filter(F.col("kind") == "key").agg(F.sum("cnt")).first()[0]
+    assert key_total == raw.count()
+
+    replay = raw.limit(23)
+    for b in (0, 1, 2):
+        assert sink.is_committed(b)
+        sink(replay, b)
+    st2 = spark.read.parquet(state)
+    assert st2.filter(F.col("kind") == "grid").agg(F.sum("cnt")).first()[0] \
+        == R2._CMS_D * raw.count()
