@@ -6458,7 +6458,296 @@ def _candidate_keys_sql() -> str:
     return "\nUNION ALL\n".join(selects)
 
 
+def analytics_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth per calendar month — the BI report behind
+    every "up X% YoY" number, done calendar-ALIGNED (January compares
+    to last January, not to a trailing window — the seasonality trap
+    timeseries_seasonal_residual models, sidestepped by alignment):
+    monthly order revenue (decimal-exact sums), self-joined to the
+    same month one year earlier, yoy_pct = (rev − prev)/prev.
+
+    100 TB shape: ONE (year, month) hash-agg over the scan (mergeable
+    decimal partials), then a self-join on the ~#months-row grid —
+    O(observation window), never over raw rows."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+    prev = monthly.select(
+        (F.col("y") + 1).alias("y"), F.col("m").alias("m"),
+        F.col("revenue").alias("prev_year_revenue"),
+    )
+    return (
+        monthly.join(prev, ["y", "m"], "left")
+        .select(
+            F.col("y").alias("year"), F.col("m").alias("month"),
+            "n_orders", "revenue", "prev_year_revenue",
+            F.round(
+                (F.col("revenue") - F.col("prev_year_revenue"))
+                / F.col("prev_year_revenue"),
+                6,
+            ).alias("yoy_pct"),
+        )
+    )
+
+
+ANALYTICS_YOY_SQL = f"""
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+         CAST(month(o_orderdate) AS BIGINT) AS m,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         {sql_dsum("o_totalprice")} AS revenue
+  FROM orders GROUP BY 1, 2
+)
+SELECT c.y AS year, c.m AS month, c.n_orders, c.revenue,
+       p.revenue AS prev_year_revenue,
+       round((c.revenue - p.revenue) / p.revenue, 6) AS yoy_pct
+FROM monthly c LEFT JOIN monthly p ON p.y = c.y - 1 AND p.m = c.m
+"""
+
+
+_GAP_BUCKET = 4096
+
+
+def dq_key_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-key gap audit — "is this surrogate key dense, and
+    where are the holes?" (dropped loads, purged ranges, generator
+    skips): over DISTINCT o_orderkey values, count the gaps between
+    consecutive keys, their total missing mass, and the largest hole.
+    The invariant missing_total = (max − min + 1) − n_keys is asserted
+    by the spec test — the audit must balance to the closed form.
+
+    100 TB shape: the dataset_shuffle_shards two-phase recipe — keys
+    reduce to value-range buckets (floor(key/4096)); consecutive-key
+    lag runs WITHIN each bucket partition, and the cross-bucket
+    boundary gaps come from a lag over the per-bucket (min, max) frame
+    (O(#buckets) rows, waived) — no global ordering over raw keys."""
+    keys = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    b = F.floor(F.col("k") / _GAP_BUCKET).alias("b")
+    kb = keys.select("k", b)
+    w_in = Window.partitionBy("b").orderBy("k")
+    within = kb.select(
+        (F.col("k") - F.lag("k").over(w_in) - 1).alias("g")
+    ).filter(F.col("g").isNotNull())
+    per_bucket = kb.groupBy("b").agg(
+        F.min("k").alias("mn"), F.max("k").alias("mx")
+    )
+    w_b = Window.orderBy("b")
+    boundary = per_bucket.select(
+        (F.col("mn") - F.lag("mx").over(w_b) - 1).alias("g")
+    ).filter(F.col("g").isNotNull())
+    gaps = within.unionAll(boundary)
+    gap_stats = gaps.agg(
+        F.sum((F.col("g") > 0).cast("long")).cast("bigint").alias("n_gaps"),
+        F.sum("g").cast("bigint").alias("missing_total"),
+        F.max("g").cast("bigint").alias("max_gap"),
+    ).select(F.lit("g").alias("t"), "n_gaps", "missing_total", "max_gap")
+    key_stats = keys.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.min("k").cast("bigint").alias("key_min"),
+        F.max("k").cast("bigint").alias("key_max"),
+    ).select(F.lit("k").alias("t"), "n_keys", "key_min", "key_max")
+    # tagged union (the graph_triangle_count move — no 1-row crossJoin)
+    tagged = key_stats.unionByName(
+        gap_stats.select(
+            "t",
+            F.col("n_gaps").alias("n_keys"),
+            F.col("missing_total").alias("key_min"),
+            F.col("max_gap").alias("key_max"),
+        )
+    )
+    return tagged.agg(
+        F.max(F.when(F.col("t") == "k", F.col("n_keys"))).alias("n_keys"),
+        F.max(F.when(F.col("t") == "k", F.col("key_min"))).alias("key_min"),
+        F.max(F.when(F.col("t") == "k", F.col("key_max"))).alias("key_max"),
+        F.max(F.when(F.col("t") == "g", F.col("n_keys"))).alias("n_gaps"),
+        F.max(F.when(F.col("t") == "g", F.col("key_min")))
+        .alias("missing_total"),
+        F.max(F.when(F.col("t") == "g", F.col("key_max"))).alias("max_gap"),
+    )
+
+
+DQ_KEY_GAP_SQL = f"""
+WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+kb AS (SELECT k, CAST(floor(k / {_GAP_BUCKET}) AS BIGINT) AS b FROM keys),
+within AS (
+  SELECT k - lag(k) OVER (PARTITION BY b ORDER BY k) - 1 AS g FROM kb
+), per_bucket AS (
+  SELECT b, MIN(k) AS mn, MAX(k) AS mx FROM kb GROUP BY b
+), boundary AS (
+  SELECT mn - lag(mx) OVER (ORDER BY b) - 1 AS g FROM per_bucket
+), gaps AS (
+  SELECT g FROM within WHERE g IS NOT NULL
+  UNION ALL SELECT g FROM boundary WHERE g IS NOT NULL
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM keys) AS n_keys,
+       (SELECT CAST(MIN(k) AS BIGINT) FROM keys) AS key_min,
+       (SELECT CAST(MAX(k) AS BIGINT) FROM keys) AS key_max,
+       CAST(SUM(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+       CAST(SUM(g) AS BIGINT) AS missing_total,
+       CAST(MAX(g) AS BIGINT) AS max_gap
+FROM gaps
+"""
+
+
+_CLUSTCOEF_K = 20
+
+
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient — Watts-Strogatz's "are my
+    neighbors neighbors of each other": c(v) = 2·T(v) / (d(v)·(d(v)−1))
+    on the part co-purchase graph (graph_triangle_count's edge set and
+    degree-oriented wedge machinery; each triangle increments all three
+    corners' T). Top-20 by (coefficient, triangle count, node) — the
+    tightly-knit-neighborhood probe between triangle COUNTING (global)
+    and community detection (labels).
+
+    100 TB shape: identical to the triangle entry (orientation bounds
+    wedge fan-out by out-degree), plus one 3-way corner explode of the
+    triangle rows and a node hash-agg; the report is TakeOrdered k."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, bb = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(bb, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"),
+                F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    oriented = (
+        edges.join(F.broadcast(du), edges.u == F.col("du.node"))
+        .join(F.broadcast(dv), edges.v == F.col("dv.node"))
+        .select(
+            F.when(
+                (F.col("du.deg") < F.col("dv.deg"))
+                | ((F.col("du.deg") == F.col("dv.deg"))
+                   & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
+            .alias("e")
+        )
+        .select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = (
+        e1.join(e2, F.col("e1.src") == F.col("e2.src"))
+        .filter(F.col("e1.dst") < F.col("e2.dst"))
+        .select(
+            F.col("e1.src").alias("s"),
+            F.col("e1.dst").alias("x"),
+            F.col("e2.dst").alias("y"),
+        )
+    )
+    closing = oriented.select(
+        F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y")
+    ).distinct()
+    tri = wedges.join(closing, ["x", "y"])
+    corners = (
+        tri.select(F.col("s").alias("node"))
+        .unionAll(tri.select(F.col("x").alias("node")))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    coef = (
+        deg.join(corners, "node", "left")
+        .withColumn(
+            "n_triangles",
+            F.coalesce("n_triangles", F.lit(0).cast("bigint")),
+        )
+        .filter(F.col("deg") >= 2)
+        .select(
+            "node", "deg", "n_triangles",
+            F.round(
+                2 * F.col("n_triangles").cast("double")
+                / (F.col("deg").cast("double") * (F.col("deg") - 1)),
+                6,
+            ).alias("clustering_coef"),
+        )
+    )
+    return coef.orderBy(
+        F.desc("clustering_coef"), F.desc("n_triangles"), F.asc("node")
+    ).limit(_CLUSTCOEF_K)
+
+
+GRAPH_CLUSTCOEF_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 20 = 0
+),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN u ELSE v END AS src,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN v ELSE u END AS dst
+  FROM edges JOIN deg du ON edges.u = du.node JOIN deg dv ON edges.v = dv.node
+),
+wedges AS (
+  SELECT e1.src AS s, e1.dst AS x, e2.dst AS y
+  FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src AND e1.dst < e2.dst
+),
+closing AS (
+  SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y FROM oriented
+),
+tri AS (
+  SELECT w.s, w.x, w.y FROM wedges w JOIN closing c ON c.x = w.x AND c.y = w.y
+),
+corners AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT s AS node FROM tri
+    UNION ALL SELECT x FROM tri
+    UNION ALL SELECT y FROM tri
+  ) GROUP BY node
+)
+SELECT d.node, d.deg,
+       COALESCE(c.n_triangles, 0) AS n_triangles,
+       round(2 * COALESCE(c.n_triangles, 0)::DOUBLE
+             / (d.deg::DOUBLE * (d.deg - 1)), 6) AS clustering_coef
+FROM deg d LEFT JOIN corners c ON c.node = d.node
+WHERE d.deg >= 2
+ORDER BY clustering_coef DESC, n_triangles DESC, d.node ASC
+LIMIT {_CLUSTCOEF_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "analytics_yoy_growth": QuerySpec(
+        analytics_yoy_growth, ANALYTICS_YOY_SQL, "analytics"),
+    "dq_key_gap_audit": QuerySpec(
+        dq_key_gap_audit, DQ_KEY_GAP_SQL, "dq",
+        plan_waivers={"global_window": (
+            "boundary-gap lag runs over the per-bucket (min,max) frame "
+            "— O(#buckets = key range / 4096 shrunk by the distinct "
+            "reduction), never over raw keys")}),
+    "graph_clustering_coefficient": QuerySpec(
+        graph_clustering_coefficient, GRAPH_CLUSTCOEF_SQL, "graph"),
     "interval_gap_extraction": QuerySpec(
         interval_gap_extraction, INTERVAL_GAPS_SQL, "window"),
     "dq_candidate_keys": QuerySpec(

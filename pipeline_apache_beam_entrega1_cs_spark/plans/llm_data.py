@@ -4923,7 +4923,112 @@ FROM L WHERE doc_id % 5 = 4
 """
 
 
+_RAKE_STOP = (
+    "the", "of", "and", "a", "to", "in", "is", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
+    "or", "from", "but", "not", "have", "has", "had", "they", "you",
+    "we",
+)
+_RAKE_MIN_FREQ = 3
+_RAKE_K = 20
+
+
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus — the
+    unsupervised keyword pass between plain TF (text_token_stats) and
+    TF-IDF (text_tfidf_top_terms): candidate phrases are maximal runs
+    of non-stopword tokens (stopwords AND punctuation break phrases —
+    the fixed 30-word stoplist + empty tokens from the [^a-z]+ split),
+    a word's degree sums the LENGTHS of the phrases it occurs in
+    (co-occurrence incl. self, per occurrence), and the RAKE score is
+    degree/freq — favoring words that live in long multi-word phrases.
+    Top-20 with freq >= 3, totally ordered.
+
+    100 TB shape: phrase segmentation is ONE doc-keyed
+    gaps-and-islands window (running break count) after a bounded
+    token explode; scoring is one (doc, phrase) size agg + one word
+    hash-agg; the report is TakeOrdered k. Every number is an exact
+    integer until the single score division."""
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.lower(F.col("text")), r"[^a-z]+")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(words, lambda w, i: F.struct(
+                i.alias("pos"), w.alias("w")))
+        ).alias("t"),
+    ).select("doc_id", F.col("t.pos").alias("pos"), F.col("t.w").alias("w"))
+    is_break = (F.col("w") == "") | F.col("w").isin(*_RAKE_STOP)
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    islands = toks.select(
+        "doc_id", "w",
+        is_break.cast("long").alias("br"),
+        F.sum(is_break.cast("long")).over(w_doc).alias("isl"),
+    )
+    members = islands.filter(F.col("br") == 0).select("doc_id", "isl", "w")
+    sizes = members.groupBy("doc_id", "isl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("plen")
+    )
+    scored = (
+        members.join(sizes, ["doc_id", "isl"])
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("degree"),
+        )
+        .filter(F.col("freq") >= _RAKE_MIN_FREQ)
+        .select(
+            F.col("w").alias("word"), "freq", "degree",
+            F.round(
+                F.col("degree").cast("double") / F.col("freq").cast("double"),
+                6,
+            ).alias("rake_score"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("rake_score"), F.desc("freq"), F.asc("word")
+    ).limit(_RAKE_K)
+
+
+def _rake_sql() -> str:
+    stops = ", ".join(f"'{s}'" for s in _RAKE_STOP)
+    return f"""
+WITH split_docs AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z]+') AS l
+  FROM documents
+), toks AS (
+  SELECT doc_id, i AS pos, l[i + 1] AS w
+  FROM split_docs, unnest(range(length(l))) t(i)
+), flagged AS (
+  SELECT doc_id, pos, w,
+         CAST(w = '' OR w IN ({stops}) AS BIGINT) AS br
+  FROM toks
+), islands AS (
+  SELECT doc_id, w, br,
+         SUM(br) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM flagged
+), members AS (
+  SELECT doc_id, isl, w FROM islands WHERE br = 0
+), sizes AS (
+  SELECT doc_id, isl, CAST(COUNT(*) AS BIGINT) AS plen
+  FROM members GROUP BY doc_id, isl
+), scored AS (
+  SELECT m.w, CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(s.plen) AS BIGINT) AS degree
+  FROM members m JOIN sizes s USING (doc_id, isl)
+  GROUP BY m.w
+)
+SELECT w AS word, freq, degree,
+       round(degree::DOUBLE / freq, 6) AS rake_score
+FROM scored WHERE freq >= {_RAKE_MIN_FREQ}
+ORDER BY rake_score DESC, freq DESC, word ASC
+LIMIT {_RAKE_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_keyword_rake": QuerySpec(
+        text_keyword_rake, _rake_sql(), "text"),
     "multimodal_gif_meta": QuerySpec(
         multimodal_gif_meta, MULTIMODAL_GIF_SQL, "multimodal"),
     "multimodal_bmp_meta": QuerySpec(

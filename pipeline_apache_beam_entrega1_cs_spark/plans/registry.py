@@ -23,7 +23,7 @@ join_asof_events, join_range_nonequi, agg_rollup,
 window_running_frames, topk_per_group, ann_cosine_topk) — after r10
 they are the only entries with driver evidence older than r10.
 
-ROUND 11 CHORE: promote (a) any r10 failures; (b) the FORTY-TWO
+ROUND 11 CHORE: promote (a) any r10 failures; (b) the FORTY-SIX
 round-10 late additions past slot 50, named in full
 (multimodal_tiff_meta, dq_k_anonymity, geo_path_stats,
 analytics_funnel_windowed, text_vocab_growth,
@@ -42,8 +42,10 @@ dq_outlier_iqr_fences, stat_welch_ttest, stat_anova_f,
 agg_spearman_corr, graph_degree_assortativity, multimodal_gif_meta,
 multimodal_bmp_meta, multimodal_webp_meta, multimodal_mp4_box_index,
 interval_gap_extraction, dq_candidate_keys,
-maintenance_file_skipping_stats, streaming_countmin_state
-— FORTY-TWO entries, all locally oracle-green; the round-7/round-9
+maintenance_file_skipping_stats, streaming_countmin_state,
+analytics_yoy_growth, dq_key_gap_audit,
+graph_clustering_coefficient, text_keyword_rake
+— FORTY-SIX entries, all locally oracle-green; the round-7/round-9
 undercount lesson: list every
 never-checked entry explicitly); (c) round-11 additions,
 also named in full; (d) the NINE bench-covered r04-only names above,

@@ -2442,3 +2442,106 @@ def test_file_skipping_stats_match_bruteforce(spark, sf_dir):
         assert r.rows_skipped == sum(len(zones[f]) for f in skip)
     assert got["date"].n_skippable >= got["date"].n_files - 2
     assert got["hash"].n_skippable == 0
+
+
+def test_yoy_growth_matches_decimal_recompute(spark, sf_dir):
+    """Monthly revenue and the aligned YoY percentage equal a Python
+    Decimal recompute; months with no prior-year month carry NULLs."""
+    from collections import defaultdict
+    from decimal import Decimal
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    got = {(r.year, r.month): r
+           for r in A.analytics_yoy_growth(spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    rev, cnt = defaultdict(Decimal), defaultdict(int)
+    for o in orders:
+        key = (o.o_orderdate.year, o.o_orderdate.month)
+        rev[key] += Decimal(str(o.o_totalprice)).quantize(Decimal("0.0001"))
+        cnt[key] += 1
+    assert set(got) == set(rev)
+    for key, r in got.items():
+        assert r.n_orders == cnt[key]
+        assert abs(r.revenue - float(rev[key])) < 1e-6
+        prev = (key[0] - 1, key[1])
+        if prev in rev:
+            expect = (float(rev[key]) - float(rev[prev])) / float(rev[prev])
+            assert abs(r.yoy_pct - expect) < 1.01e-6
+        else:
+            assert r.prev_year_revenue is None and r.yoy_pct is None
+
+
+def test_key_gap_audit_matches_sorted_walk(spark, sf_dir):
+    """Gap stats equal a sorted-key Python walk, and the audit balances
+    to the closed form missing_total = (max - min + 1) - n_keys."""
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    r = A.dq_key_gap_audit(spark, sf_dir).collect()[0]
+    ks = sorted({o.o_orderkey for o in
+                 spark.read.parquet(f"{sf_dir}/orders.parquet").collect()})
+    gaps = [b - a - 1 for a, b in zip(ks, ks[1:])]
+    assert r.n_keys == len(ks)
+    assert (r.key_min, r.key_max) == (ks[0], ks[-1])
+    assert r.n_gaps == sum(1 for g in gaps if g > 0)
+    assert r.missing_total == sum(gaps)
+    assert r.max_gap == max(gaps)
+    assert r.missing_total == (r.key_max - r.key_min + 1) - r.n_keys
+
+
+def test_clustering_coefficient_matches_bruteforce(spark, sf_dir):
+    """Top-20 coefficients equal a Python adjacency-set recompute over
+    the same sampled co-purchase edges (exact tie order replicated)."""
+    from collections import defaultdict
+    from itertools import combinations
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    got = [(r.node, r.deg, r.n_triangles, r.clustering_coef)
+           for r in A.graph_clustering_coefficient(spark, sf_dir).collect()]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    per_order = defaultdict(set)
+    for row in li:
+        if row.l_orderkey % 20 == 0:
+            per_order[row.l_orderkey].add(row.l_partkey)
+    adj = defaultdict(set)
+    for parts in per_order.values():
+        for u, v in combinations(parts, 2):
+            adj[u].add(v)
+            adj[v].add(u)
+    rows = []
+    for n, nb in adj.items():
+        d = len(nb)
+        if d < 2:
+            continue
+        t = sum(1 for u, v in combinations(sorted(nb), 2) if v in adj[u])
+        rows.append((n, d, t, round(2 * t / (d * (d - 1)), 6)))
+    rows.sort(key=lambda r: (-r[3], -r[2], r[0]))
+    assert got == rows[:A._CLUSTCOEF_K]
+
+
+def test_rake_matches_bruteforce(spark, sf_dir):
+    """RAKE top-20 equals a pure-Python phrase segmentation + score
+    walk with the same split regex and stoplist."""
+    import re
+    from collections import defaultdict
+    import pipeline_apache_beam_entrega1_cs_spark.plans.llm_data as L
+
+    got = [(r.word, r.freq, r.degree, r.rake_score)
+           for r in L.text_keyword_rake(spark, sf_dir).collect()]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    stop = set(L._RAKE_STOP)
+    freq, degree = defaultdict(int), defaultdict(int)
+    for d in docs:
+        toks = re.split(r"[^a-z]+", d.text.lower())
+        phrase = []
+        for w in toks + [""]:
+            if w == "" or w in stop:
+                for pw in phrase:
+                    freq[pw] += 1
+                    degree[pw] += len(phrase)
+                phrase = []
+            else:
+                phrase.append(w)
+    rows = [(w, freq[w], degree[w], round(degree[w] / freq[w], 6))
+            for w in freq if freq[w] >= L._RAKE_MIN_FREQ]
+    rows.sort(key=lambda r: (-r[3], -r[1], r[0]))
+    assert got == rows[:L._RAKE_K]
