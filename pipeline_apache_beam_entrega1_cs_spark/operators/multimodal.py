@@ -1832,3 +1832,144 @@ def mp4_box_index(mp4: DataFrame) -> DataFrame:
             "end_ok"
         ),
     )
+
+
+_PNG_WALK_STEPS = 4  # fixture bound: IHDR + tEXt + IDAT + IEND
+
+
+def with_png_chunks_payload(docs: DataFrame) -> DataFrame:
+    """Full-structure PNG fixture: 4/5 of rows carry a spec-valid
+    4-chunk PNG — signature, IHDR (width/height from doc_id, 8-bit
+    RGB), a tEXt chunk whose keyword length varies by doc_id (offsets
+    unknowable without the walk), an IDAT carrying a text-prefix as
+    stand-in compressed data, and IEND — with REAL CRC-32s
+    (F.crc32 over type+data, the PNG spec's coverage). Rows with
+    doc_id % 7 == 3 get their tEXt CRC corrupted (xor 0xFF), so CRC
+    verification is load-bearing, not decorative; doc_id % 5 == 4 rows
+    are bare text (rejection path)."""
+    d = F.col("doc_id")
+
+    def be32(v):
+        return F.lpad(F.hex(v.cast("bigint")), 8, "0")
+
+    def chunk(type_hex: str, data_hex, corrupt=None):
+        body = F.concat(F.lit(type_hex), data_hex)
+        crc = F.crc32(F.unhex(body))
+        if corrupt is not None:
+            crc = F.when(corrupt, crc.bitwiseXOR(F.lit(255))).otherwise(crc)
+        return F.concat(
+            be32(F.octet_length(F.unhex(data_hex))), body, be32(crc)
+        )
+
+    ihdr_data = F.concat(
+        be32(d % 480 + 8), be32(d % 640 + 8),
+        F.lit("08") , F.lit("02"),          # bit depth 8, color type RGB
+        F.lit("000000"),                    # compression/filter/interlace
+    )
+    text_kw = F.repeat(F.lit("6B"), (d % 20 + 1).cast("int"))  # 'k' * n
+    text_data = F.concat(text_kw, F.lit("00"), F.lit("76"))     # kw NUL 'v'
+    idat_data = F.substring(
+        F.hex(F.encode(F.col("text"), "UTF-8")), 1, 160
+    )  # 80-byte stand-in stream (hex substring keeps whole bytes)
+    png = F.concat(
+        F.lit("89504E470D0A1A0A"),
+        chunk("49484452", ihdr_data),
+        chunk("74455874", text_data, corrupt=(d % 7 == 3)),
+        chunk("49444154", idat_data),
+        chunk("49454E44", F.lit("")),
+    )
+    payload = F.when(
+        d % 5 == 4, F.encode(F.col("text"), "UTF-8")
+    ).otherwise(F.unhex(png))
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+def png_chunk_index(png: DataFrame) -> DataFrame:
+    """Index a PNG's chunk table with REAL CRC-32 verification — the
+    checksummed member of the walk family (tar verifies octal header
+    checksums, zip verifies CRCs via the spec test; PNG's CRC covers
+    type+data and F.crc32 recomputes it IN-PLAN): hop
+    length-BE/type/data/CRC records from byte 8 as ONE F.aggregate
+    fold, then explode and verify each chunk's stored CRC against
+    F.crc32 of the type+data slice. Corrupted chunks (the fixture
+    plants them) surface as crc_ok = false.
+
+    100 TB shape: O(chunks)/row expressions below a repartition
+    barrier; bounded ×4 explode; zero shuffle beyond the barrier, zero
+    UDF — the integrity-scan pass of an image-corpus ingest."""
+    p = F.col("payload")
+    plen = F.octet_length(p)
+    is_png = F.hex(F.substring(p, 1, 8)) == "89504E470D0A1A0A"
+
+    def u32(off):  # off: 0-based Column -> BE u32 at that offset
+        return F.conv(
+            F.hex(F.substring(p, (off + 1).cast("int"), 4)), 16, 10
+        ).cast("long")
+
+    chunks = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_PNG_WALK_STEPS)),
+        F.struct(
+            F.lit(8).cast("long").alias("off"),
+            F.array().cast(
+                "array<struct<idx:long,off:long,dlen:long,type:string>>"
+            ).alias("acc"),
+        ),
+        lambda acc, i: F.struct(
+            (acc["off"] + 12 + u32(acc["off"])).alias("off"),
+            F.concat(
+                acc["acc"],
+                F.array(
+                    F.struct(
+                        (i - 1).cast("long").alias("idx"),
+                        acc["off"].alias("off"),
+                        u32(acc["off"]).alias("dlen"),
+                        F.substring(
+                            p, (acc["off"] + 5).cast("int"), 4
+                        ).cast("string").alias("type"),
+                    )
+                ),
+            ).alias("acc"),
+        ),
+    )
+    base = (
+        png.repartition(32, "doc_id")
+        .select(
+            "doc_id",
+            "payload",
+            plen.alias("plen"),
+            is_png.alias("is_png"),
+            F.when(is_png, chunks).alias("c"),
+        )
+    )
+    # struct-transform explode (NOT posexplode) carries the payload
+    # column safely — the zip_index ladder's lesson
+    exploded = base.select(
+        "doc_id", "payload", "plen", "is_png",
+        F.col("c.off").alias("end_off"),
+        F.explode_outer(
+            F.when(F.col("is_png"), F.col("c.acc")).otherwise(
+                F.array(
+                    F.lit(None).cast(
+                        "struct<idx:long,off:long,dlen:long,type:string>"
+                    )
+                )
+            )
+        ).alias("m"),
+    )
+    off, dlen = F.col("m.off"), F.col("m.dlen")
+    stored = F.conv(
+        F.hex(F.substring(p, (off + 9 + dlen).cast("int"), 4)), 16, 10
+    ).cast("long")
+    calc = F.crc32(F.substring(p, (off + 5).cast("int"), (dlen + 4).cast("int")))
+    return exploded.select(
+        "doc_id",
+        F.col("is_png").cast("long").alias("is_png"),
+        F.col("m.idx").alias("chunk_idx"),
+        F.col("m.type").alias("chunk_type"),
+        dlen.alias("data_len"),
+        off.alias("chunk_offset"),
+        F.when(F.col("is_png"), stored == calc).alias("crc_ok"),
+        F.when(F.col("is_png"), F.col("end_off") == F.col("plen")).alias(
+            "end_ok"
+        ),
+    )

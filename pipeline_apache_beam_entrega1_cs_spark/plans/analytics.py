@@ -6737,7 +6737,102 @@ LIMIT {_CLUSTCOEF_K}
 """
 
 
+_APRIORI_MIN_SUPPORT = 2
+_APRIORI_K = 20
+
+
+def analytics_apriori_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-pair association mining (the 2-itemset slice of
+    Apriori) on the sampled co-purchase baskets — support, confidence
+    and lift per part pair, the market-basket report behind
+    "customers who bought X also bought Y". basket_brand_lift measures
+    ONE planted brand pair; this mines ALL pairs above min support and
+    ranks the top-20 by lift (exact integer supports; two divisions at
+    the end). Anti-monotone pruning is structural: pairs are generated
+    only from items co-present in a basket, and the support filter
+    runs before any scoring.
+
+    100 TB shape: pair generation is bounded per basket (TPC-H orders
+    have ≤ 7 lines); supports are two mergeable hash-aggs (item, pair);
+    item supports broadcast back onto the pair frame; the report is
+    TakeOrdered k."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    nb = li.agg(F.countDistinct("l_orderkey").cast("bigint").alias("nb"))
+    a, bb = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(bb, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support_xy"))
+        .filter(F.col("support_xy") >= _APRIORI_MIN_SUPPORT)
+    )
+    items = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("support")
+    )
+    ia, ib = items.alias("ia"), items.alias("ib")
+    scored = (
+        pairs.join(F.broadcast(ia), pairs.x == F.col("ia.item"))
+        .join(F.broadcast(ib), pairs.y == F.col("ib.item"))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "x", "y", "support_xy",
+            F.col("ia.support").alias("support_x"),
+            F.col("ib.support").alias("support_y"),
+            F.round(
+                F.col("support_xy").cast("double") / F.col("ia.support"),
+                6,
+            ).alias("confidence_x_to_y"),
+            F.round(
+                F.col("support_xy").cast("double") * F.col("nb")
+                / (F.col("ia.support").cast("double") * F.col("ib.support")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.desc("support_xy"), F.asc("x"), F.asc("y")
+    ).limit(_APRIORI_K)
+
+
+APRIORI_PAIRS_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 20 = 0
+), n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM li),
+pairs AS (
+  SELECT a.l_partkey AS x, b.l_partkey AS y,
+         CAST(COUNT(*) AS BIGINT) AS support_xy
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_APRIORI_MIN_SUPPORT}
+), items AS (
+  SELECT l_partkey AS item, CAST(COUNT(*) AS BIGINT) AS support
+  FROM li GROUP BY 1
+)
+SELECT p.x, p.y, p.support_xy,
+       ia.support AS support_x, ib.support AS support_y,
+       round(p.support_xy::DOUBLE / ia.support, 6) AS confidence_x_to_y,
+       round(p.support_xy::DOUBLE * (SELECT n_baskets FROM n)
+             / (ia.support::DOUBLE * ib.support), 6) AS lift
+FROM pairs p
+JOIN items ia ON p.x = ia.item
+JOIN items ib ON p.y = ib.item
+ORDER BY lift DESC, support_xy DESC, x ASC, y ASC
+LIMIT {_APRIORI_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "analytics_apriori_pairs": QuerySpec(
+        analytics_apriori_pairs, APRIORI_PAIRS_SQL, "analytics",
+        plan_waivers={"bnlj": "1-row basket-count scalar attach"}),
     "analytics_yoy_growth": QuerySpec(
         analytics_yoy_growth, ANALYTICS_YOY_SQL, "analytics"),
     "dq_key_gap_audit": QuerySpec(

@@ -5026,7 +5026,188 @@ LIMIT {_RAKE_K}
 """
 
 
+def multimodal_png_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG chunk-table walk with REAL CRC-32 verification
+    (operators/multimodal.with_png_chunks_payload + png_chunk_index):
+    the CHECKSUMMED member of the walk family — PNG's CRC covers
+    type+data and F.crc32 recomputes it in-plan, so the fixture's
+    planted corruptions (tEXt CRC xor'd on doc_id % 7 == 3) surface as
+    crc_ok = false; a variable-length tEXt keyword makes offsets
+    unknowable without the walk. Complements multimodal_png_meta
+    (fixed-offset IHDR read) with the full container scan. The oracle
+    derives lengths/offsets/verdicts closed-form from the fixture
+    formulas; the physical parse is pinned by the zlib.crc32 reference
+    test."""
+    return M.png_chunk_index(M.with_png_chunks_payload(_docs(spark, sf_dir)))
+
+
+MULTIMODAL_PNG_CHUNKS_SQL = """
+WITH L AS (
+  SELECT doc_id,
+         CAST(doc_id % 20 + 1 + 2 AS BIGINT) AS tlen,
+         CAST(least(80, octet_length(encode(text))) AS BIGINT) AS ilen
+  FROM documents
+), chunks AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS chunk_idx, 'IHDR' AS chunk_type,
+         CAST(13 AS BIGINT) AS data_len, CAST(8 AS BIGINT) AS chunk_offset,
+         TRUE AS crc_ok
+  FROM L WHERE doc_id % 5 <> 4
+  UNION ALL
+  SELECT doc_id, 1, 'tEXt', tlen, 33, doc_id % 7 <> 3
+  FROM L WHERE doc_id % 5 <> 4
+  UNION ALL
+  SELECT doc_id, 2, 'IDAT', ilen, 45 + tlen, TRUE
+  FROM L WHERE doc_id % 5 <> 4
+  UNION ALL
+  SELECT doc_id, 3, 'IEND', 0, 57 + tlen + ilen, TRUE
+  FROM L WHERE doc_id % 5 <> 4
+)
+SELECT doc_id, CAST(1 AS BIGINT) AS is_png, chunk_idx, chunk_type,
+       data_len, chunk_offset, crc_ok, TRUE AS end_ok
+FROM chunks
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL
+FROM L WHERE doc_id % 5 = 4
+"""
+
+
+_PCA_U = 1_000_000
+_PCA_SCALE = 1e13
+_PCA_ITERS = 3
+
+
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding table by UNROLLED power
+    iteration — the deterministic twin of PCA's first component (the
+    embedding_kmeans_lloyd move applied to spectra): three in-plan
+    iterations of v ← normalize(XᵀXv) starting from the fixed ramp
+    v₀ ∝ (dim+1), with EVERY cross-row reduction exact — embeddings
+    quantize to micro-units once, each iteration's row scalar Xv is an
+    exact BIGINT dot product, the dim reduction Xᵀ(Xv) accumulates in
+    DECIMAL(38,0)/HUGEINT, and the norm comes from exact sums of
+    1e13-scaled components (string-hop doubles throughout, so both
+    engines land bit-identical loadings WITHOUT any driver-side loop —
+    unlike SemDeDup's driver-pinned centroids, the whole spectrum pass
+    is one Catalyst plan and one SQL statement).
+
+    100 TB shape: per iteration, one broadcast join of the 64-row v
+    frame + two mergeable hash-aggs (per-vector, per-dim) — never a
+    d×d covariance materialization, never a global sort; the 1-row
+    norm attach is waived. The fixture's spectrum is nearly flat
+    (λ2/λ1 ≈ 0.93), so 3 iterations do NOT pin the exact eigenvector
+    — the spec test asserts what power iteration guarantees: a
+    STRICTLY MONOTONE Rayleigh quotient bounded by λ1 (0.81·λ1 after
+    3 steps here), plus exact numpy-replica equality of the quantized
+    arithmetic."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dims = emb.select(
+        "vec_id", F.posexplode("v").alias("dim", "val")
+    ).select(
+        "vec_id", "dim",
+        F.floor(F.col("val") * _PCA_U).cast("long").alias("m"),
+    )
+    v = spark.range(64).select(
+        F.col("id").cast("bigint").alias("dim"),
+        ((F.col("id") + 1) * _PCA_U).cast("long").alias("w"),
+    )
+    dec = "decimal(38,0)"
+    for _ in range(_PCA_ITERS):
+        s = (
+            dims.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("m") * F.col("w")).cast("bigint").alias("srow"))
+        )
+        t = (
+            dims.join(s, "vec_id")
+            .groupBy("dim")
+            .agg(
+                _dec_to_double(
+                    F.sum(F.col("srow").cast(dec) * F.col("m"))
+                ).alias("t")
+            )
+        )
+        tt = t.select(
+            "dim", "t",
+            F.floor(F.col("t") / F.lit(_PCA_SCALE)).cast("long").alias("ts"),
+        )
+        nsq = tt.agg(
+            _dec_to_double(F.sum(F.col("ts").cast(dec) * F.col("ts")))
+            .alias("nsq")
+        )
+        v = tt.crossJoin(F.broadcast(nsq)).select(
+            "dim",
+            F.when(
+                F.col("nsq") > 0,
+                F.floor(
+                    F.col("t")
+                    / (F.sqrt(F.col("nsq")) * F.lit(_PCA_SCALE))
+                    * F.lit(float(_PCA_U))
+                ),
+            ).otherwise(F.lit(0)).cast("long").alias("w"),
+        )
+    return v.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.round(F.col("w") / F.lit(float(_PCA_U)), 6).alias("loading"),
+    )
+
+
+def _pca_power_sql() -> str:
+    U, S = _PCA_U, _PCA_SCALE
+    parts = [f"""
+d AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(embedding AS DOUBLE[])[i] * {U}) AS BIGINT) AS m
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+),
+v0 AS (
+  SELECT CAST(i AS BIGINT) AS dim, CAST((i + 1) * {U} AS BIGINT) AS w
+  FROM range(64) t(i)
+)"""]
+    for k in range(1, _PCA_ITERS + 1):
+        parts.append(f"""
+s{k} AS (
+  SELECT d.vec_id, CAST(SUM(d.m * v.w) AS BIGINT) AS srow
+  FROM d JOIN v{k - 1} v USING (dim) GROUP BY d.vec_id
+),
+t{k} AS (
+  SELECT d.dim,
+         CAST(CAST(SUM(CAST(s.srow AS HUGEINT) * d.m) AS VARCHAR) AS DOUBLE)
+           AS t
+  FROM d JOIN s{k} s USING (vec_id) GROUP BY d.dim
+),
+tt{k} AS (
+  SELECT dim, t, CAST(floor(t / {S}) AS BIGINT) AS ts FROM t{k}
+),
+n{k} AS (
+  SELECT CAST(CAST(SUM(CAST(ts AS HUGEINT) * ts) AS VARCHAR) AS DOUBLE)
+           AS nsq
+  FROM tt{k}
+),
+v{k} AS (
+  SELECT dim,
+         CASE WHEN nsq > 0
+              THEN CAST(floor(t / (sqrt(nsq) * {S}) * {U}.0) AS BIGINT)
+              ELSE 0 END AS w
+  FROM tt{k} CROSS JOIN n{k}
+)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+SELECT dim, round(w / {U}.0, 6) AS loading FROM v{_PCA_ITERS}
+"""
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "multimodal_png_chunk_index": QuerySpec(
+        multimodal_png_chunk_index, MULTIMODAL_PNG_CHUNKS_SQL, "multimodal"),
+    "embedding_pca_power": QuerySpec(
+        embedding_pca_power, _pca_power_sql(), "similarity",
+        plan_waivers={"bnlj": (
+            "1-row norm attach per unrolled power iteration (3 total) "
+            "— scale-independent scalars")}),
     "text_keyword_rake": QuerySpec(
         text_keyword_rake, _rake_sql(), "text"),
     "multimodal_gif_meta": QuerySpec(

@@ -1595,6 +1595,103 @@ def streaming_countmin_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_countmin_stream(spark, sf_dir)
 
 
+def maintenance_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map OVERLAP depth — the metric BEHIND
+    maintenance_file_skipping_stats' verdict (Delta's clustering-depth
+    idea): for each simulated file, how many OTHER files' [min, max]
+    o_orderdate ranges overlap its own. A perfectly range-clustered
+    layout has overlap ~0-2 (only ingestion-boundary neighbors); a
+    hash layout's every file overlaps every other, so any point
+    predicate touches all of them. Reported per layout: file count,
+    average and max overlap — the number a compaction/OPTIMIZE job
+    watches to decide when re-clustering pays.
+
+    100 TB shape: zone maps reduce to ONE (layout, file) min/max
+    hash-agg (≤ ~56 rows total); the overlap self-join runs on that
+    zone FRAME, not on rows — O(#files²) with #files a layout
+    constant, waived as such."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    d = F.col("o_orderdate")
+    date_file = ((F.year(d) - 1995) * 4 + F.quarter(d) - 1).cast("long")
+    hash_file = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+            16, 10,
+        ).cast("long")
+        % _SKIP_HASH_FILES
+    )
+    tagged = o.select(
+        F.lit("date").alias("layout"), date_file.alias("file_id"),
+        d.alias("dt"),
+    ).unionAll(
+        o.select(
+            F.lit("hash").alias("layout"), hash_file.alias("file_id"),
+            d.alias("dt"),
+        )
+    )
+    zones = tagged.groupBy("layout", "file_id").agg(
+        F.min("dt").alias("mn"), F.max("dt").alias("mx")
+    )
+    z1, z2 = zones.alias("z1"), zones.alias("z2")
+    overlaps = (
+        z1.join(
+            z2,
+            (F.col("z1.layout") == F.col("z2.layout"))
+            & (F.col("z1.file_id") != F.col("z2.file_id"))
+            & (F.col("z1.mn") <= F.col("z2.mx"))
+            & (F.col("z2.mn") <= F.col("z1.mx")),
+            "left",
+        )
+        .groupBy(F.col("z1.layout").alias("layout"),
+                 F.col("z1.file_id").alias("file_id"))
+        .agg(
+            F.sum(F.when(F.col("z2.file_id").isNotNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_overlap")
+        )
+    )
+    return overlaps.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.round(
+            F.sum("n_overlap").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("avg_overlap"),
+        F.max("n_overlap").cast("bigint").alias("max_overlap"),
+    )
+
+
+MAINTENANCE_CLUSTERING_DEPTH_SQL = f"""
+WITH tagged AS (
+  SELECT 'date' AS layout,
+         CAST((year(o_orderdate) - 1995) * 4 + quarter(o_orderdate) - 1
+              AS BIGINT) AS file_id,
+         o_orderdate AS dt
+  FROM orders
+  UNION ALL
+  SELECT 'hash',
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+           % {_SKIP_HASH_FILES},
+         o_orderdate
+  FROM orders
+), zones AS (
+  SELECT layout, file_id, MIN(dt) AS mn, MAX(dt) AS mx
+  FROM tagged GROUP BY layout, file_id
+), ovl AS (
+  SELECT z1.layout, z1.file_id,
+         CAST(SUM(CASE WHEN z2.file_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_overlap
+  FROM zones z1
+  LEFT JOIN zones z2
+    ON z1.layout = z2.layout AND z1.file_id <> z2.file_id
+   AND z1.mn <= z2.mx AND z2.mn <= z1.mx
+  GROUP BY z1.layout, z1.file_id
+)
+SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+       round(SUM(n_overlap)::DOUBLE / COUNT(*), 6) AS avg_overlap,
+       CAST(MAX(n_overlap) AS BIGINT) AS max_overlap
+FROM ovl GROUP BY layout
+"""
+
+
 def _COUNTMIN_ORACLE() -> str:
     from .relational2 import AGG_COUNTMIN_SQL
 
@@ -1604,6 +1701,12 @@ def _COUNTMIN_ORACLE() -> str:
 QUERIES: dict[str, QuerySpec] = {
     "maintenance_file_skipping_stats": QuerySpec(
         maintenance_file_skipping_stats, MAINTENANCE_FILE_SKIPPING_SQL,
+        "maintenance"),
+    # the overlap self-join equi-keys on layout (range terms become
+    # join filters), so no BNLJ arises — no waiver needed; the frame
+    # is the ≤ ~56-row zone map either way
+    "maintenance_clustering_depth": QuerySpec(
+        maintenance_clustering_depth, MAINTENANCE_CLUSTERING_DEPTH_SQL,
         "maintenance"),
     "streaming_countmin_state": QuerySpec(
         streaming_countmin_state, _COUNTMIN_ORACLE(), "streaming"),

@@ -23,7 +23,7 @@ join_asof_events, join_range_nonequi, agg_rollup,
 window_running_frames, topk_per_group, ann_cosine_topk) — after r10
 they are the only entries with driver evidence older than r10.
 
-ROUND 11 CHORE: promote (a) any r10 failures; (b) the FORTY-SIX
+ROUND 11 CHORE: promote (a) any r10 failures; (b) the FIFTY
 round-10 late additions past slot 50, named in full
 (multimodal_tiff_meta, dq_k_anonymity, geo_path_stats,
 analytics_funnel_windowed, text_vocab_growth,
@@ -44,8 +44,10 @@ multimodal_bmp_meta, multimodal_webp_meta, multimodal_mp4_box_index,
 interval_gap_extraction, dq_candidate_keys,
 maintenance_file_skipping_stats, streaming_countmin_state,
 analytics_yoy_growth, dq_key_gap_audit,
-graph_clustering_coefficient, text_keyword_rake
-— FORTY-SIX entries, all locally oracle-green; the round-7/round-9
+graph_clustering_coefficient, text_keyword_rake,
+multimodal_png_chunk_index, embedding_pca_power,
+maintenance_clustering_depth, analytics_apriori_pairs
+— FIFTY entries, all locally oracle-green; the round-7/round-9
 undercount lesson: list every
 never-checked entry explicitly); (c) round-11 additions,
 also named in full; (d) the NINE bench-covered r04-only names above,

