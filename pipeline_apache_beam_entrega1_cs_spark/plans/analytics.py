@@ -6829,7 +6829,213 @@ LIMIT {_APRIORI_K}
 """
 
 
+_ROLLREG_W = 24  # trailing observations per regression window
+
+
+def timeseries_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling least-squares TREND per event type — the windowed
+    sibling of agg_regression_stats (global fit) and timeseries_ewma
+    (level smoothing): over each type's hourly micro-unit series,
+    the slope of value-vs-time across the trailing 24 OBSERVATIONS
+    (ROWS frame — gaps make it 24 observations, not 24 hours;
+    documented). The classic cancellation trap is real here — epoch-
+    hour x values make n·Σxx and (Σx)² agree to ~2 digits — so BOTH
+    numerator and denominator accumulate as exact BIGINTs inside the
+    frame and the slope is ONE double division; engines agree
+    bit-for-bit.
+
+    100 TB shape: one (type, hour) hash-agg builds the series, then
+    four windowed integer sums over type-keyed partitions — per-key
+    sorts after one shuffle, no global ordering."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    U = 1_000_000
+    series = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+        .cast("bigint").alias("hour_s"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * U).cast("long"))
+        .cast("bigint").alias("y")
+    ).select(
+        "event_type", "hour_s",
+        (F.col("hour_s") / 3600).cast("bigint").alias("x"), "y",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_s")
+        .rowsBetween(-(_ROLLREG_W - 1), 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("x").over(w)
+    sy = F.sum("y").over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    num = n * sxy - sx * sy          # exact BIGINT arithmetic
+    den = n * sxx - sx * sx
+    out = series.select(
+        "event_type", "hour_s",
+        n.alias("n_obs"),
+        num.alias("num"), den.alias("den"), sy.alias("sy"),
+    ).filter(F.col("n_obs") == _ROLLREG_W)
+    return out.select(
+        "event_type", "hour_s",
+        F.round(
+            F.col("num").cast("double") / F.col("den") / U, 6
+        ).alias("slope_per_hour"),
+        F.round(F.col("sy").cast("double") / _ROLLREG_W / U, 6)
+        .alias("window_mean"),
+    )
+
+
+TIMESERIES_ROLLREG_SQL = f"""
+WITH series AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,
+         CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), xy AS (
+  SELECT event_type, hour_s, CAST(hour_s // 3600 AS BIGINT) AS x, y
+  FROM series
+), win AS (
+  SELECT event_type, hour_s,
+         COUNT(*) OVER wf AS n_obs,
+         SUM(x) OVER wf AS sx, SUM(y) OVER wf AS sy,
+         SUM(x * y) OVER wf AS sxy, SUM(x * x) OVER wf AS sxx
+  FROM xy
+  WINDOW wf AS (PARTITION BY event_type ORDER BY hour_s
+                ROWS BETWEEN {_ROLLREG_W - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, hour_s,
+       round(CAST(n_obs * sxy - sx * sy AS DOUBLE)
+             / (n_obs * sxx - sx * sx) / 1000000, 6) AS slope_per_hour,
+       round(CAST(sy AS DOUBLE) / {_ROLLREG_W} / 1000000, 6)
+         AS window_mean
+FROM win WHERE n_obs = {_ROLLREG_W}
+"""
+
+
+# Bitemporal probes: (valid-time cut, transaction-seq fraction of max
+# orderkey). Fractions, not literals, so the probe set is meaningful
+# at every SF.
+_BT_PROBES = (
+    ("1996-06-30", 0.25),
+    ("1997-12-31", 0.50),
+    ("1999-06-30", 0.75),
+    ("2001-12-31", 1.00),
+)
+
+
+def join_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal AS-OF — the two-axis generalization of
+    join_pointintime_scd2 (valid time only) and cdc_apply_changelog
+    (transaction order only): for each probe (valid-time V, known-by
+    transaction cut T), reconstruct what the dimension LOOKED LIKE to
+    the system at T for business time V — the active version per
+    customer is the max-(valid_from, seq) change among those with
+    valid_from ≤ V AND seq ≤ T. Late-arriving history (a change
+    recorded after T for an earlier valid date) is correctly invisible
+    — the audit/backtest semantics temporal databases call
+    "AS OF SYSTEM TIME ... FOR BUSINESS TIME AS OF ...".
+
+    100 TB shape: ×4 bounded probe explode on the change scan + ONE
+    (probe, key) max_by hash-agg + a #probes-row rollup; the 1-row
+    max-seq attach is waived. No windows, no self-joins."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").alias("valid_from"),
+    )
+    bounds = o.agg(F.max("seq").alias("mx"))
+    probes = F.array(*[
+        F.struct(
+            F.lit(i).alias("probe_id"),
+            F.lit(v).alias("valid_cut"),
+            F.lit(frac).alias("tx_frac"),
+        )
+        for i, (v, frac) in enumerate(_BT_PROBES)
+    ])
+    exploded = (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            "key", "seq", "price", "valid_from", "mx",
+            F.explode(probes).alias("p"),
+        )
+        .select(
+            "key", "seq", "price", "valid_from",
+            F.col("p.probe_id").cast("bigint").alias("probe_id"),
+            F.col("p.valid_cut").alias("valid_cut"),
+            F.col("p.tx_frac").alias("tx_frac"),
+            F.floor(F.col("mx") * F.col("p.tx_frac")).cast("bigint")
+            .alias("tx_cut"),
+        )
+        .filter(
+            (F.col("valid_from") <= F.col("valid_cut").cast("timestamp"))
+            & (F.col("seq") <= F.col("tx_cut"))
+        )
+    )
+    # composite (valid_from, seq) order packed into ONE comparable
+    # BIGINT (epoch-seconds * 1e7 + seq; seq < 1e7 at every SF) —
+    # DuckDB's max_by has no struct ordering
+    ordkey = (
+        F.unix_timestamp("valid_from").cast("bigint") * 10_000_000
+        + F.col("seq")
+    )
+    active = exploded.groupBy("probe_id", "valid_cut", "tx_frac", "key").agg(
+        F.max_by(F.col("price"), ordkey).alias("price")
+    )
+    return active.groupBy("probe_id", "valid_cut", "tx_frac").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.round(
+            _dec_to_double(
+                F.sum(F.col("price").cast("decimal(18,4)"))
+            ) / F.count(F.lit(1)),
+            6,
+        ).alias("avg_price"),
+    )
+
+
+def _bitemporal_sql() -> str:
+    probes = "\nUNION ALL\n".join(
+        f"  SELECT CAST({i} AS BIGINT) AS probe_id, '{v}' AS valid_cut, "
+        f"CAST({frac} AS DOUBLE) AS tx_frac"
+        for i, (v, frac) in enumerate(_BT_PROBES)
+    )
+    return f"""
+WITH probes AS (
+{probes}
+), bounds AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+exploded AS (
+  SELECT o.o_custkey AS key, o.o_orderkey AS seq,
+         o.o_totalprice AS price, o.o_orderdate AS valid_from,
+         p.probe_id, p.valid_cut, p.tx_frac,
+         CAST(floor(b.mx * p.tx_frac) AS BIGINT) AS tx_cut
+  FROM orders o CROSS JOIN bounds b CROSS JOIN probes p
+  WHERE o.o_orderdate <= CAST(p.valid_cut AS TIMESTAMP)
+    AND o.o_orderkey <= CAST(floor(b.mx * p.tx_frac) AS BIGINT)
+), active AS (
+  SELECT probe_id, valid_cut, tx_frac, key,
+         max_by(price, CAST(floor(epoch(valid_from)) AS BIGINT)
+                       * 10000000 + seq) AS price
+  FROM exploded GROUP BY 1, 2, 3, 4
+)
+SELECT probe_id, valid_cut, tx_frac,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       round(CAST(CAST(SUM(CAST(price AS DECIMAL(18,4))) AS VARCHAR)
+                  AS DOUBLE) / COUNT(*), 6) AS avg_price
+FROM active GROUP BY 1, 2, 3
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "timeseries_rolling_regression": QuerySpec(
+        timeseries_rolling_regression, TIMESERIES_ROLLREG_SQL, "timeseries"),
+    "join_bitemporal_asof": QuerySpec(
+        join_bitemporal_asof, _bitemporal_sql(), "join",
+        plan_waivers={"bnlj": (
+            "1-row max-seq bound attach before the bounded ×4 probe "
+            "explode")}),
     "analytics_apriori_pairs": QuerySpec(
         analytics_apriori_pairs, APRIORI_PAIRS_SQL, "analytics",
         plan_waivers={"bnlj": "1-row basket-count scalar attach"}),

@@ -5200,7 +5200,293 @@ SELECT dim, round(w / {U}.0, 6) AS loading FROM v{_PCA_ITERS}
     )
 
 
+def eval_model_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table of the learned quality model — the
+    decile-grained companion of eval_model_auc's one-number rank test
+    (campaign targeting reads "the top 2 deciles capture X% of
+    positives" straight off this): score DESC deciles with a
+    DETERMINISTIC tie convention (a distinct score's whole tie group
+    lands in the decile of its TOP row — ntile's arbitrary tie split
+    would be engine-dependent), per-decile rows/positives and
+    cumulative capture + lift.
+
+    Scale shape: scores collapse to per-distinct-score counts, the
+    below-count comes from the AUC entry's two-phase 256-bucket
+    cumulative (no global ordering over raw rows), deciles are
+    closed-form integer arithmetic, and the cumulative windows run
+    over the ≤10-row decile grid (waived)."""
+    model = text_quality_model(spark, sf_dir).select("doc_id", "logit")
+    labels = _docs(spark, sf_dir).select(
+        "doc_id",
+        (T.quality_score_col(F.col("text")) >= 0.7).cast("long").alias("y"),
+    )
+    scored = model.join(labels, "doc_id")
+    per_score = scored.groupBy("logit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    bounds = per_score.agg(
+        F.min("logit").alias("lo"), F.max("logit").alias("hi")
+    )
+    B = 256
+    bucket = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(
+            F.lit(B - 1),
+            F.floor(
+                (F.col("logit") - F.col("lo"))
+                / (F.col("hi") - F.col("lo")) * B
+            ).cast("int"),
+        ),
+    ).otherwise(F.lit(0))
+    withb = per_score.crossJoin(F.broadcast(bounds)).select(
+        "logit", "n", "n_pos", bucket.alias("bucket")
+    )
+    per_bucket = withb.groupBy("bucket").agg(F.sum("n").alias("bn"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_base = per_bucket.select(
+        "bucket",
+        F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("below_bucket"),
+    )
+    win = (
+        Window.partitionBy("bucket").orderBy("logit")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    totals_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        withb.join(F.broadcast(bucket_base), "bucket")
+        .select(
+            "logit", "n", "n_pos",
+            (
+                F.col("below_bucket")
+                + F.coalesce(F.sum("n").over(win), F.lit(0))
+            ).alias("n_below"),
+        )
+    )
+    tot = per_score.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.sum("n_pos").cast("bigint").alias("total_pos"),
+    )
+    # decile of the tie group = decile of its TOP row in DESC order
+    dec = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "n", "n_pos", "total", "total_pos",
+            F.floor(
+                10 * (F.col("total") - F.col("n_below") - F.col("n"))
+                / F.col("total")
+            ).cast("bigint").alias("decile"),
+        )
+        .groupBy("decile", "total", "total_pos")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.sum("n_pos").cast("bigint").alias("n_pos"),
+        )
+    )
+    grid = tot.select(
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("d10"),
+        "total", "total_pos",
+    ).select(
+        F.col("d10").cast("bigint").alias("decile"), "total", "total_pos"
+    ).join(dec, ["decile", "total", "total_pos"], "left").select(
+        "decile", "total", "total_pos",
+        F.coalesce("n_rows", F.lit(0).cast("bigint")).alias("n_rows"),
+        F.coalesce("n_pos", F.lit(0).cast("bigint")).alias("n_pos"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum_rows = F.sum("n_rows").over(wcum)
+    cum_pos = F.sum("n_pos").over(wcum)
+    return grid.select(
+        "decile", "n_rows", "n_pos",
+        F.round(
+            cum_pos.cast("double") / F.nullif(F.col("total_pos"), F.lit(0)),
+            6,
+        ).alias("cum_capture"),
+        F.round(
+            (cum_pos.cast("double") / F.nullif(cum_rows, F.lit(0)))
+            / (
+                F.col("total_pos").cast("double")
+                / F.col("total")
+            ),
+            6,
+        ).alias("cum_lift"),
+    )
+
+
+def _gains_sql() -> str:
+    return f"""
+WITH m AS ( {_qmodel_sql()} ), scored AS (
+  SELECT m.logit, CASE WHEN {_SQL_QSCORE} >= 0.7 THEN 1 ELSE 0 END AS y
+  FROM m JOIN documents d ON m.doc_id = d.doc_id
+), per_score AS (
+  SELECT logit, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM scored GROUP BY logit
+), bounds AS (SELECT MIN(logit) AS lo, MAX(logit) AS hi FROM per_score),
+withb AS (
+  SELECT logit, n, n_pos,
+         CASE WHEN hi > lo
+              THEN least(255, CAST(floor((logit - lo) / (hi - lo) * 256)
+                                   AS INTEGER))
+              ELSE 0 END AS bucket
+  FROM per_score CROSS JOIN bounds
+), per_bucket AS (
+  SELECT bucket, SUM(n) AS bn FROM withb GROUP BY bucket
+), bucket_base AS (
+  SELECT bucket,
+         COALESCE(SUM(bn) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS below_bucket
+  FROM per_bucket
+), ranked AS (
+  SELECT w.n, w.n_pos,
+         b.below_bucket
+         + COALESCE(SUM(w.n) OVER (PARTITION BY w.bucket ORDER BY w.logit
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_below
+  FROM withb w JOIN bucket_base b USING (bucket)
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total,
+         CAST(SUM(n_pos) AS BIGINT) AS total_pos
+  FROM per_score
+), dec AS (
+  SELECT CAST(floor(10 * (t.total - r.n_below - r.n) / t.total) AS BIGINT)
+           AS decile,
+         t.total, t.total_pos,
+         CAST(SUM(r.n) AS BIGINT) AS n_rows,
+         CAST(SUM(r.n_pos) AS BIGINT) AS n_pos
+  FROM ranked r CROSS JOIN tot t
+  GROUP BY 1, 2, 3
+), grid AS (
+  SELECT CAST(g.i AS BIGINT) AS decile, t.total, t.total_pos,
+         COALESCE(d.n_rows, 0) AS n_rows, COALESCE(d.n_pos, 0) AS n_pos
+  FROM range(10) g(i) CROSS JOIN tot t
+  LEFT JOIN dec d ON d.decile = g.i AND d.total = t.total
+                 AND d.total_pos = t.total_pos
+)
+SELECT decile, n_rows, n_pos,
+       round(CAST(SUM(n_pos) OVER wc AS DOUBLE)
+             / NULLIF(total_pos, 0), 6) AS cum_capture,
+       round((CAST(SUM(n_pos) OVER wc AS DOUBLE)
+              / NULLIF(SUM(n_rows) OVER wc, 0))
+             / (CAST(total_pos AS DOUBLE) / total), 6) AS cum_lift
+FROM grid
+WINDOW wc AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+"""
+
+
+_SOUNDEX_MAP = "01230120022455012623010202"
+_SOUNDEX_MIN_WORDS = 3
+_SOUNDEX_K = 20
+
+
+def _soundex_col(w):
+    """American Soundex, simplified variant (h/w treated as vowels, a
+    documented divergence — RE2 has no backreferences, so run-collapse
+    is six per-digit regex passes identical in both engines): map
+    letters to digit classes, collapse runs ACROSS the first letter
+    (the Pfister rule), drop the first position, strip zeros, pad to
+    LETTER + 3 digits."""
+    m = F.translate(w, "abcdefghijklmnopqrstuvwxyz", _SOUNDEX_MAP)
+    for d in "123456":
+        m = F.regexp_replace(m, d + "{2,}", d)
+    rest = F.regexp_replace(F.substring(m, 2, 1000), "0", "")
+    return F.concat(
+        F.upper(F.substring(w, 1, 1)),
+        F.rpad(F.substring(rest, 1, 3), 3, "0"),
+    )
+
+
+def dedup_phonetic_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking via Soundex — the SOUND-ALIKE member of the
+    dedup/blocking family (edit distance catches typos
+    [dedup_typo_neighborhood], shingles catch rearrangement; phonetic
+    codes catch spelling-by-ear variants, the classic entity-resolution
+    blocking key for names): code every distinct corpus word (≥ 4
+    letters) and report the codes holding ≥ 3 DISTINCT words — each
+    group is a candidate confusion set an ER pass would compare
+    pairwise. Top-20 by group size; first 4 words as the sample.
+
+    100 TB shape: the code is a pure per-row expression chain
+    (translate + 6 regex passes); one distinct-word reduction + one
+    code hash-agg; the report is TakeOrdered k. Blocking at scale IS
+    this group-by — pairwise comparison happens within code groups
+    only (Σ|group|², never n²)."""
+    docs = _docs(spark, sf_dir)
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col("text")), r"[^a-z]+")
+            ).alias("w")
+        )
+        .filter(F.length("w") >= 4)
+        .distinct()
+    )
+    coded = words.select("w", _soundex_col(F.col("w")).alias("code"))
+    groups = (
+        coded.groupBy("code")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("w")), 1, 4), ","
+            ).alias("sample_words"),
+        )
+        .filter(F.col("n_words") >= _SOUNDEX_MIN_WORDS)
+    )
+    return groups.orderBy(
+        F.desc("n_words"), F.asc("code")
+    ).limit(_SOUNDEX_K)
+
+
+def _soundex_sql() -> str:
+    collapse = "translate(w, 'abcdefghijklmnopqrstuvwxyz', " \
+        f"'{_SOUNDEX_MAP}')"
+    for d in "123456":
+        collapse = f"regexp_replace({collapse}, '{d}{{2,}}', '{d}', 'g')"
+    code = (
+        f"upper(substr(w, 1, 1)) || "
+        f"rpad(substr(replace(substr({collapse}, 2), '0', ''), 1, 3), "
+        f"3, '0')"
+    )
+    return f"""
+WITH words AS (
+  SELECT DISTINCT w
+  FROM documents,
+       UNNEST(regexp_split_to_array(lower(text), '[^a-z]+')) t(w)
+  WHERE length(w) >= 4
+), coded AS (
+  SELECT w, {code} AS code FROM words
+), groups AS (
+  SELECT code, CAST(COUNT(*) AS BIGINT) AS n_words,
+         array_to_string(list_sort(list(w))[1:4], ',') AS sample_words
+  FROM coded GROUP BY code
+  HAVING COUNT(*) >= {_SOUNDEX_MIN_WORDS}
+)
+SELECT code, n_words, sample_words FROM groups
+ORDER BY n_words DESC, code ASC
+LIMIT {_SOUNDEX_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "eval_model_gains_deciles": QuerySpec(
+        eval_model_gains_deciles, _gains_sql(), "quality",
+        plan_waivers={
+            "bnlj": (
+                "1-row score-bounds + 1-row totals scalar attaches "
+                "(the eval_model_auc recipe)"),
+            "global_window": (
+                "cross-bucket cumulative over the 256-row bucket frame "
+                "and the cumulative capture over the 10-row decile "
+                "grid — both O(1); within-bucket windows are "
+                "partitioned"),
+        }),
+    "dedup_phonetic_soundex": QuerySpec(
+        dedup_phonetic_soundex, _soundex_sql(), "dedup"),
     "multimodal_png_chunk_index": QuerySpec(
         multimodal_png_chunk_index, MULTIMODAL_PNG_CHUNKS_SQL, "multimodal"),
     "embedding_pca_power": QuerySpec(

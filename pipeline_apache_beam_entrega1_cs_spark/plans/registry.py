@@ -23,7 +23,7 @@ join_asof_events, join_range_nonequi, agg_rollup,
 window_running_frames, topk_per_group, ann_cosine_topk) — after r10
 they are the only entries with driver evidence older than r10.
 
-ROUND 11 CHORE: promote (a) any r10 failures; (b) the FIFTY
+ROUND 11 CHORE: promote (a) any r10 failures; (b) the FIFTY-FOUR
 round-10 late additions past slot 50, named in full
 (multimodal_tiff_meta, dq_k_anonymity, geo_path_stats,
 analytics_funnel_windowed, text_vocab_growth,
@@ -46,8 +46,12 @@ maintenance_file_skipping_stats, streaming_countmin_state,
 analytics_yoy_growth, dq_key_gap_audit,
 graph_clustering_coefficient, text_keyword_rake,
 multimodal_png_chunk_index, embedding_pca_power,
-maintenance_clustering_depth, analytics_apriori_pairs
-— FIFTY entries, all locally oracle-green; the round-7/round-9
+maintenance_clustering_depth, analytics_apriori_pairs,
+timeseries_rolling_regression, join_bitemporal_asof,
+eval_model_gains_deciles, dedup_phonetic_soundex
+— FIFTY-FOUR entries (more than one full future window — rotate
+over rounds 11 AND 12 if needed, never undercount), all locally
+oracle-green; the round-7/round-9
 undercount lesson: list every
 never-checked entry explicitly); (c) round-11 additions,
 also named in full; (d) the NINE bench-covered r04-only names above,

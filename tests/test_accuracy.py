@@ -2669,3 +2669,162 @@ def test_apriori_pairs_match_bruteforce(spark, sf_dir):
     ]
     rows.sort(key=lambda r: (-r[6], -r[2], r[0], r[1]))
     assert got == rows[:A._APRIORI_K]
+
+
+def test_rolling_regression_matches_bruteforce(spark, sf_dir):
+    """Trailing-24-observation slopes equal a Python exact-integer
+    recompute over each type's sorted hourly series."""
+    from collections import defaultdict
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+    import math
+
+    got = {(r.event_type, r.hour_s): (r.slope_per_hour, r.window_mean)
+           for r in A.timeseries_rolling_regression(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    series = defaultdict(lambda: defaultdict(int))
+    for e in ev:
+        if e.value is not None:
+            h = int(e.ts.replace(minute=0, second=0, microsecond=0)
+                    .timestamp())
+            series[e.event_type][h] += math.floor(e.value * 1_000_000)
+    W = A._ROLLREG_W
+    expect = {}
+    for t, hs in series.items():
+        pts = sorted(hs.items())
+        for i in range(W - 1, len(pts)):
+            win = pts[i - W + 1:i + 1]
+            xs = [h // 3600 for h, _ in win]
+            ys = [y for _, y in win]
+            sx, sy = sum(xs), sum(ys)
+            sxy = sum(x * y for x, y in zip(xs, ys))
+            sxx = sum(x * x for x in xs)
+            num, den = W * sxy - sx * sy, W * sxx - sx * sx
+            expect[(t, pts[i][0])] = (
+                round(num / den / 1e6, 6), round(sy / W / 1e6, 6))
+    assert set(got) == set(expect)
+    for k in expect:
+        assert abs(got[k][0] - expect[k][0]) < 1e-9, k
+        assert abs(got[k][1] - expect[k][1]) < 1e-9, k
+
+
+def test_bitemporal_asof_matches_bruteforce(spark, sf_dir):
+    """Each probe's reconstruction equals a Python two-axis filter +
+    per-key argmax; coverage is monotone in the transaction cut."""
+    from collections import defaultdict
+    from datetime import datetime
+    from decimal import Decimal
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    got = {r.probe_id: r
+           for r in A.join_bitemporal_asof(spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    mx = max(o.o_orderkey for o in orders)
+    for i, (v, frac) in enumerate(A._BT_PROBES):
+        vcut = datetime.fromisoformat(v + " 00:00:00")
+        tcut = int(mx * frac)
+        best = {}
+        for o in orders:
+            if o.o_orderdate <= vcut and o.o_orderkey <= tcut:
+                key = (o.o_orderdate, o.o_orderkey)
+                if o.o_custkey not in best or key > best[o.o_custkey][0]:
+                    best[o.o_custkey] = (key, o.o_totalprice)
+        r = got[i]
+        assert r.n_keys == len(best), i
+        if best:
+            avg = sum(Decimal(str(p)).quantize(Decimal("0.0001"))
+                      for _, p in best.values()) / len(best)
+            assert abs(r.avg_price - round(float(avg), 6)) < 2e-6, i
+    counts = [got[i].n_keys for i in range(len(A._BT_PROBES))]
+    assert counts == sorted(counts)  # both axes widen across probes
+
+
+def test_gains_deciles_match_bruteforce(spark, sf_dir):
+    """The gains table equals a Python recompute with the same
+    top-row-of-tie-group decile convention; decile 9 captures 100%."""
+    from collections import Counter, defaultdict
+    import pipeline_apache_beam_entrega1_cs_spark.plans.llm_data as L
+
+    rows = {r.decile: r
+            for r in L.eval_model_gains_deciles(spark, sf_dir).collect()}
+    scored = L.text_quality_model(spark, sf_dir).select("doc_id", "logit") \
+        .collect()
+    logit = {r.doc_id: r.logit for r in scored}
+    from pipeline_apache_beam_entrega1_cs_spark.operators import textops as T
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    labels = {
+        r.doc_id: r.y
+        for r in docs.select(
+            "doc_id",
+            (T.quality_score_col(F.col("text")) >= 0.7).cast("long")
+            .alias("y"),
+        ).collect()
+    }
+    per = defaultdict(lambda: [0, 0])
+    for d, s in logit.items():
+        per[s][0] += 1
+        per[s][1] += labels[d]
+    total = sum(n for n, _ in per.values())
+    total_pos = sum(p for _, p in per.values())
+    dec_agg = defaultdict(lambda: [0, 0])
+    below = 0
+    for s in sorted(per):
+        n, p = per[s]
+        decile = (10 * (total - below - n)) // total
+        dec_agg[decile][0] += n
+        dec_agg[decile][1] += p
+        below += n
+    cum_r = cum_p = 0
+    for d in range(10):
+        n, p = dec_agg.get(d, (0, 0))
+        cum_r += n
+        cum_p += p
+        r = rows[d]
+        assert (r.n_rows, r.n_pos) == (n, p), d
+        if total_pos:
+            assert abs(r.cum_capture - round(cum_p / total_pos, 6)) < 1e-9
+        if cum_r:
+            assert abs(
+                r.cum_lift
+                - round((cum_p / cum_r) / (total_pos / total), 6)
+            ) < 1e-9
+    assert rows[9].cum_capture == 1.0
+
+
+def test_soundex_matches_python_and_classics(spark, sf_dir):
+    """The expression Soundex equals a Python replica on the corpus
+    vocabulary AND reproduces classic textbook codes (robert→R163,
+    pfister→P236, tymczak→T522); group report equals a dict walk."""
+    import re
+    from collections import defaultdict
+    import pipeline_apache_beam_entrega1_cs_spark.plans.llm_data as L
+
+    mapping = {c: d for c, d in
+               zip("abcdefghijklmnopqrstuvwxyz", L._SOUNDEX_MAP)}
+
+    def py_soundex(w):
+        m = "".join(mapping[c] for c in w)
+        for d in "123456":
+            m = re.sub(d + "{2,}", d, m)
+        rest = m[1:].replace("0", "")
+        return w[0].upper() + (rest[:3] + "000")[:3]
+
+    assert py_soundex("robert") == "R163"
+    assert py_soundex("pfister") == "P236"
+    assert py_soundex("tymczak") == "T522"
+    planted = spark.createDataFrame(
+        [("robert",), ("pfister",), ("tymczak",)], "w string"
+    ).select(L._soundex_col(F.col("w")).alias("c")).collect()
+    assert [r.c for r in planted] == ["R163", "P236", "T522"]
+
+    got = [(r.code, r.n_words, r.sample_words)
+           for r in L.dedup_phonetic_soundex(spark, sf_dir).collect()]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    vocab = {w for d in docs for w in re.split(r"[^a-z]+", d.text.lower())
+             if len(w) >= 4}
+    groups = defaultdict(list)
+    for w in vocab:
+        groups[py_soundex(w)].append(w)
+    rows = [(c, len(ws), ",".join(sorted(ws)[:4]))
+            for c, ws in groups.items() if len(ws) >= L._SOUNDEX_MIN_WORDS]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    assert got == rows[:L._SOUNDEX_K]
