@@ -134,6 +134,17 @@ BENCH_QUERIES = [
     # signature path.
     "dedup_semantic_clusters",
     "multimodal_cdc_chunking",
+    # round-10 additions (subtotal_r01_comparable excludes both):
+    # embedding_pca_power — the 3-iteration in-plan spectral pass
+    # (exact-arithmetic power iteration; per-iteration work is
+    # data-proportional but, like dedup_semantic_clusters, the line
+    # carries 3 rounds of fixed per-stage scheduling — read it as the
+    # unrolled-iterative-plan canary). text_keyword_rake — corpus-
+    # proportional phrase segmentation (doc-keyed gaps-and-islands
+    # window + two hash-aggs), the windowed-text shape no other
+    # headline covers.
+    "embedding_pca_power",
+    "text_keyword_rake",
 ]
 
 

@@ -161,6 +161,32 @@ AUDIT = [
     "analytics_rfm_segmentation",
     "text_vocab_growth",
     "geo_path_stats",
+    # round-10 fifth-session additions (batch entries only — streaming
+    # twins execute their stream on call, so their plan audit lives in
+    # the batch sibling's row)
+    "stat_welch_ttest",
+    "stat_anova_f",
+    "agg_spearman_corr",
+    "graph_degree_assortativity",
+    "multimodal_gif_meta",
+    "multimodal_bmp_meta",
+    "multimodal_webp_meta",
+    "multimodal_mp4_box_index",
+    "interval_gap_extraction",
+    "dq_candidate_keys",
+    "maintenance_file_skipping_stats",
+    "analytics_yoy_growth",
+    "dq_key_gap_audit",
+    "graph_clustering_coefficient",
+    "text_keyword_rake",
+    "multimodal_png_chunk_index",
+    "embedding_pca_power",
+    "maintenance_clustering_depth",
+    "analytics_apriori_pairs",
+    "timeseries_rolling_regression",
+    "join_bitemporal_asof",
+    "eval_model_gains_deciles",
+    "dedup_phonetic_soundex",
 ]
 
 
