@@ -7028,7 +7028,180 @@ FROM active GROUP BY 1, 2, 3
 """
 
 
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill by LINEAR interpolation — the between-neighbors sibling
+    of timeseries_gapfill's LOCF (forward-fill repeats the last
+    reading; interpolation draws the line to the NEXT one — the right
+    call for sampled physical measurements vs. state variables): on
+    the same per-type hourly spine, missing hours get
+    v = prev + (next − prev)·(h − h_prev)/(h_next − h_prev); leading/
+    trailing gaps (no neighbor on one side) stay NULL, flagged by
+    fill_kind ∈ (observed, interpolated, edge).
+
+    Determinism: observed sums are decimal-exact (dsum); the
+    interpolation is ONE fixed expression over two string-hopped
+    doubles and exact integer hour distances — identical cross-engine.
+    100 TB shape: spine = hours × types (generated from the grouped
+    min/max, independent of event count); neighbor lookups are four
+    last/first(ignorenulls) windows over type partitions — one
+    shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    hourly = ev.groupBy(hour.alias("hour_s"), "event_type").agg(
+        dsum("value").alias("v")
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour_s").alias("h0"), F.max("hour_s").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("h0"), F.col("h1"), F.lit(3600))
+            ).alias("hour_s"),
+        )
+    )
+    grid = spine.join(hourly, ["event_type", "hour_s"], "left")
+    w_prev = (
+        Window.partitionBy("event_type").orderBy("hour_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("event_type").orderBy("hour_s")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    prev_v = F.last("v", ignorenulls=True).over(w_prev)
+    next_v = F.first("v", ignorenulls=True).over(w_next)
+    prev_h = F.last(
+        F.when(F.col("v").isNotNull(), F.col("hour_s")), ignorenulls=True
+    ).over(w_prev)
+    next_h = F.first(
+        F.when(F.col("v").isNotNull(), F.col("hour_s")), ignorenulls=True
+    ).over(w_next)
+    interp = prev_v + (next_v - prev_v) * (
+        (F.col("hour_s") - prev_h).cast("double")
+        / (next_h - prev_h).cast("double")
+    )
+    filled = grid.select(
+        "event_type", "hour_s",
+        F.when(F.col("v").isNotNull(), F.round(F.col("v"), 6))
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull(), F.round(interp, 6)
+        )
+        .alias("value"),
+        F.when(F.col("v").isNotNull(), F.lit("observed"))
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull(), F.lit("interpolated")
+        )
+        .otherwise(F.lit("edge")).alias("fill_kind"),
+    )
+    return filled
+
+
+TIMESERIES_INTERP_SQL = f"""
+WITH hourly AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS hour_s,
+         event_type, {sql_dsum("value")} AS v
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, MIN(hour_s) AS h0, MAX(hour_s) AS h1
+  FROM hourly GROUP BY event_type
+), spine AS (
+  SELECT event_type,
+         CAST(unnest(generate_series(h0, h1, 3600)) AS BIGINT) AS hour_s
+  FROM bounds
+), grid AS (
+  SELECT s.event_type, s.hour_s, h.v
+  FROM spine s LEFT JOIN hourly h USING (event_type, hour_s)
+), nb AS (
+  SELECT event_type, hour_s, v,
+         last_value(v IGNORE NULLS) OVER wp AS prev_v,
+         first_value(v IGNORE NULLS) OVER wn AS next_v,
+         last_value(CASE WHEN v IS NOT NULL THEN hour_s END IGNORE NULLS)
+           OVER wp AS prev_h,
+         first_value(CASE WHEN v IS NOT NULL THEN hour_s END IGNORE NULLS)
+           OVER wn AS next_h
+  FROM grid
+  WINDOW wp AS (PARTITION BY event_type ORDER BY hour_s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         wn AS (PARTITION BY event_type ORDER BY hour_s
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, hour_s,
+       CASE WHEN v IS NOT NULL THEN round(v, 6)
+            WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+            THEN round(prev_v + (next_v - prev_v)
+                       * (CAST(hour_s - prev_h AS DOUBLE)
+                          / CAST(next_h - prev_h AS DOUBLE)), 6)
+       END AS value,
+       CASE WHEN v IS NOT NULL THEN 'observed'
+            WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+            THEN 'interpolated'
+            ELSE 'edge' END AS fill_kind
+FROM nb
+"""
+
+
+# Category-set drift snapshots: same split as dq_distribution_drift
+# (orders through 1997 vs later) but auditing the CATEGORY SETS, not
+# the distribution shape.
+def dq_value_set_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category-set drift audit — the SCHEMA-of-values companion to
+    dq_distribution_drift (PSI) and dq_chi2_categorical_drift (shape):
+    those two compare frequencies over a SHARED category set; this one
+    audits the set itself — which (clerk-bucket, priority) categories
+    are NEW in the recent snapshot, which VANISHED, which persist —
+    the first question when a upstream enum or producer version
+    changes. Full-outer join of the two snapshots' distinct category
+    counts; one row per category with its status.
+
+    100 TB shape: one conditional-count hash-agg per category key
+    (both snapshots in a single scan pass), category-set-sized output
+    — raw rows touched once, no windows."""
+    o = _t(spark, sf_dir, "orders")
+    snap = F.when(
+        F.year("o_orderdate") <= 1997, F.lit("a")
+    ).otherwise(F.lit("b"))
+    cat = F.concat_ws(
+        "|", F.col("o_orderpriority"), F.col("o_orderstatus")
+    )
+    cells = o.select(snap.alias("snap"), cat.alias("category")).groupBy(
+        "category"
+    ).agg(
+        F.sum(F.when(F.col("snap") == "a", 1).otherwise(0))
+        .cast("bigint").alias("n_old"),
+        F.sum(F.when(F.col("snap") == "b", 1).otherwise(0))
+        .cast("bigint").alias("n_new"),
+    )
+    status = (
+        F.when((F.col("n_old") > 0) & (F.col("n_new") > 0), "persisting")
+        .when(F.col("n_old") > 0, "vanished")
+        .otherwise("new")
+    )
+    return cells.select("category", "n_old", "n_new", status.alias("status"))
+
+
+DQ_VALUE_SET_DRIFT_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority || '|' || o_orderstatus AS category,
+         CAST(SUM(CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_old,
+         CAST(SUM(CASE WHEN year(o_orderdate) > 1997 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_new
+  FROM orders GROUP BY 1
+)
+SELECT category, n_old, n_new,
+       CASE WHEN n_old > 0 AND n_new > 0 THEN 'persisting'
+            WHEN n_old > 0 THEN 'vanished'
+            ELSE 'new' END AS status
+FROM cells
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "timeseries_interpolate_linear": QuerySpec(
+        timeseries_interpolate_linear, TIMESERIES_INTERP_SQL, "timeseries"),
+    "dq_value_set_drift": QuerySpec(
+        dq_value_set_drift, DQ_VALUE_SET_DRIFT_SQL, "dq"),
     "timeseries_rolling_regression": QuerySpec(
         timeseries_rolling_regression, TIMESERIES_ROLLREG_SQL, "timeseries"),
     "join_bitemporal_asof": QuerySpec(

@@ -5472,7 +5472,245 @@ LIMIT {_SOUNDEX_K}
 """
 
 
+def dedup_sentence_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide SENTENCE-level dedup with in-place document
+    reassembly — the CCNet paragraph-dedup step at sentence grain (the
+    grain between dedup_span_ngram's n-grams and whole-document
+    hashes): every sentence keeps only its FIRST corpus occurrence
+    (min packed (doc_id, idx) per normalized sentence — deterministic,
+    never dropDuplicates), later occurrences are cut, and each
+    document reassembles from its surviving sentences in original
+    order. Per doc: sentence count, removed count, and the md5 of the
+    reassembled text as the value-checksum.
+
+    100 TB shape: sentences explode bounded by document length; the
+    first-occurrence reduction is ONE mergeable min hash-agg on the
+    normalized-sentence key (the analytics_dau_cumulative move); the
+    keep-filter is an equi-join on that key; reassembly sorts WITHIN
+    each doc's bounded sentence array (array_sort on (idx, text)
+    structs — no cross-doc ordering)."""
+    docs = _docs(spark, sf_dir)
+    sents = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.split(F.col("text"), r"[.!?]+"),
+                    lambda s, i: F.struct(
+                        i.alias("idx"),
+                        F.trim(s).alias("sent"),
+                    ),
+                ),
+                lambda st: F.length(st["sent"]) > 0,
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.idx").cast("bigint").alias("idx"),
+        F.col("s.sent").alias("sent"),
+        F.lower(F.col("s.sent")).alias("norm"),
+    )
+    packed = F.col("doc_id") * 1_000_000 + F.col("idx")
+    firsts = sents.groupBy("norm").agg(
+        F.min(packed).cast("bigint").alias("first_packed")
+    )
+    kept = sents.join(firsts, "norm").select(
+        "doc_id", "idx", "sent",
+        (packed == F.col("first_packed")).alias("keep"),
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sentences"),
+        F.sum((~F.col("keep")).cast("long")).cast("bigint")
+        .alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct(
+                                    F.col("idx"), F.col("sent")
+                                ),
+                            )
+                        )
+                    ),
+                    lambda st: st["sent"],
+                ),
+                ". ",
+            )
+        ).alias("cleaned_md5"),
+    )
+
+
+DEDUP_SENTENCE_CCNET_SQL = r"""
+WITH sents AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS idx, trim(l[i + 1]) AS sent,
+         lower(trim(l[i + 1])) AS norm
+  FROM (SELECT doc_id, regexp_split_to_array(text, '[.!?]+') AS l
+        FROM documents),
+       unnest(range(length(l))) t(i)
+  WHERE length(trim(l[i + 1])) > 0
+), firsts AS (
+  SELECT norm, CAST(MIN(doc_id * 1000000 + idx) AS BIGINT) AS first_packed
+  FROM sents GROUP BY norm
+), kept AS (
+  SELECT s.doc_id, s.idx, s.sent,
+         s.doc_id * 1000000 + s.idx = f.first_packed AS keep
+  FROM sents s JOIN firsts f USING (norm)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sentences,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       md5(COALESCE(array_to_string(
+         list_transform(
+           list_sort(COALESCE(list({'idx': idx, 'sent': sent})
+                              FILTER (WHERE keep), [])),
+           x -> x.sent),
+         '. '), '')) AS cleaned_md5
+FROM kept GROUP BY doc_id
+"""
+
+
+_BLOOM_M = 4096   # bits
+_BLOOM_K = 3      # hash functions
+_BLOOM_PROBE_ABSENT = 50  # planted non-member probes
+
+
+def agg_bloom_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter BUILT AS DATA — the membership member of the
+    mergeable-sketch family (HLL = cardinality, count-min = frequency,
+    bottom-k = sampling; Bloom = set membership), materialized rather
+    than hinted (join_bloom_prefilter uses the idea as a semi-join;
+    this entry builds the actual bitset so it can be SHIPPED — to a
+    scan filter, an ingest gate, a cross-cluster exchange): k=3
+    md5-derived bit positions per customer key into an m=4096 bitset,
+    the occupied-bit reduction is one distinct hash-agg (bitsets from
+    any partition merge by OR = distinct position union), and the
+    report carries occupancy, the theoretical false-positive rate
+    (occupied/m)^k, and an EMPIRICAL check: 50 planted absent keys
+    probed through the same hashes, counting full-collision hits.
+
+    100 TB shape: positions are ×3 bounded per-row expressions; the
+    bitset is a ≤ m-row distinct; probes are a 150-row broadcast
+    semi-ish join against it."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+
+    def positions(key_col, r):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(r), key_col.cast("string"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            % _BLOOM_M
+        )
+
+    bits = (
+        orders.select(
+            F.explode(
+                F.array(*[
+                    positions(F.col("o_custkey"), r)
+                    for r in range(_BLOOM_K)
+                ])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    n_keys = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys")
+    )
+    occupied = bits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("occupied")
+    )
+    # planted absent probes: negative ids never occur in the fixture
+    probes = (
+        n_keys.select(
+            F.explode(
+                F.sequence(F.lit(1), F.lit(_BLOOM_PROBE_ABSENT))
+            ).alias("i"),
+            "n_keys",
+        )
+        .select((-F.col("i")).cast("bigint").alias("probe_key"), "n_keys")
+    )
+    probe_bits = probes.select(
+        "probe_key",
+        F.explode(
+            F.array(*[
+                positions(F.col("probe_key"), r) for r in range(_BLOOM_K)
+            ])
+        ).alias("bit"),
+    )
+    hits = (
+        probe_bits.join(bits, "bit", "left_semi")
+        .groupBy("probe_key")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .filter(F.col("n_set") == _BLOOM_K)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("fp_hits"))
+    )
+    tagged = (
+        n_keys.select(F.lit("k").alias("t"), F.col("n_keys").alias("v"))
+        .unionAll(
+            occupied.select(F.lit("o").alias("t"), F.col("occupied"))
+        )
+        .unionAll(hits.select(F.lit("f").alias("t"), F.col("fp_hits")))
+    )
+    m, k = float(_BLOOM_M), _BLOOM_K
+    occ = F.max(F.when(F.col("t") == "o", F.col("v")))
+    return tagged.agg(
+        F.max(F.when(F.col("t") == "k", F.col("v"))).alias("n_keys"),
+        occ.alias("occupied_bits"),
+        F.round(
+            F.pow(occ.cast("double") / F.lit(m), F.lit(k)), 6
+        ).alias("fpr_theoretical"),
+        F.max(F.when(F.col("t") == "f", F.col("v"))).alias("fp_hits"),
+    )
+
+
+AGG_BLOOM_SQL = f"""
+WITH keys AS (SELECT DISTINCT o_custkey FROM orders),
+bits AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(CAST(r AS VARCHAR) || ':'
+                             || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+           % {_BLOOM_M} AS bit
+  FROM keys, range({_BLOOM_K}) t(r)
+), nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys FROM keys),
+occ AS (SELECT CAST(COUNT(*) AS BIGINT) AS occupied FROM bits),
+probes AS (
+  SELECT CAST(-(i + 1) AS BIGINT) AS probe_key
+  FROM range({_BLOOM_PROBE_ABSENT}) t(i)
+), probe_bits AS (
+  SELECT probe_key,
+         ('0x' || substr(md5(CAST(r AS VARCHAR) || ':'
+                             || CAST(probe_key AS VARCHAR)), 1, 8))::BIGINT
+           % {_BLOOM_M} AS bit
+  FROM probes, range({_BLOOM_K}) t(r)
+), hits AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS fp_hits FROM (
+    SELECT probe_key FROM probe_bits pb
+    WHERE EXISTS (SELECT 1 FROM bits b WHERE b.bit = pb.bit)
+    GROUP BY probe_key HAVING COUNT(*) = {_BLOOM_K}
+  )
+)
+SELECT nk.n_keys, occ.occupied AS occupied_bits,
+       round(pow(occ.occupied::DOUBLE / {_BLOOM_M}, {_BLOOM_K}), 6)
+         AS fpr_theoretical,
+       hits.fp_hits
+FROM nk CROSS JOIN occ CROSS JOIN hits
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_sentence_ccnet": QuerySpec(
+        dedup_sentence_ccnet, DEDUP_SENTENCE_CCNET_SQL, "dedup"),
+    # the three 1-row sketch-stat frames assemble by tagged union and
+    # the 50-row probe frame semi-joins the bitset on an equi key, so
+    # no BNLJ arises — no waiver needed
+    "agg_bloom_filter_stats": QuerySpec(
+        agg_bloom_filter_stats, AGG_BLOOM_SQL, "aggregation"),
     "eval_model_gains_deciles": QuerySpec(
         eval_model_gains_deciles, _gains_sql(), "quality",
         plan_waivers={

@@ -23,7 +23,7 @@ join_asof_events, join_range_nonequi, agg_rollup,
 window_running_frames, topk_per_group, ann_cosine_topk) — after r10
 they are the only entries with driver evidence older than r10.
 
-ROUND 11 CHORE: promote (a) any r10 failures; (b) the FIFTY-FOUR
+ROUND 11 CHORE: promote (a) any r10 failures; (b) the FIFTY-EIGHT
 round-10 late additions past slot 50, named in full
 (multimodal_tiff_meta, dq_k_anonymity, geo_path_stats,
 analytics_funnel_windowed, text_vocab_growth,
@@ -48,8 +48,10 @@ graph_clustering_coefficient, text_keyword_rake,
 multimodal_png_chunk_index, embedding_pca_power,
 maintenance_clustering_depth, analytics_apriori_pairs,
 timeseries_rolling_regression, join_bitemporal_asof,
-eval_model_gains_deciles, dedup_phonetic_soundex
-— FIFTY-FOUR entries (more than one full future window — rotate
+eval_model_gains_deciles, dedup_phonetic_soundex,
+dedup_sentence_ccnet, agg_bloom_filter_stats,
+timeseries_interpolate_linear, dq_value_set_drift
+— FIFTY-EIGHT entries (more than one full future window — rotate
 over rounds 11 AND 12 if needed, never undercount), all locally
 oracle-green; the round-7/round-9
 undercount lesson: list every

@@ -2828,3 +2828,125 @@ def test_soundex_matches_python_and_classics(spark, sf_dir):
             for c, ws in groups.items() if len(ws) >= L._SOUNDEX_MIN_WORDS]
     rows.sort(key=lambda r: (-r[1], r[0]))
     assert got == rows[:L._SOUNDEX_K]
+
+
+def test_sentence_ccnet_matches_bruteforce(spark, sf_dir):
+    """Per-doc sentence counts, removals and reassembled-text md5
+    equal a Python first-occurrence walk over the same split."""
+    import hashlib
+    import re
+    import pipeline_apache_beam_entrega1_cs_spark.plans.llm_data as L
+
+    got = {r.doc_id: (r.n_sentences, r.n_removed, r.cleaned_md5)
+           for r in L.dedup_sentence_ccnet(spark, sf_dir).collect()}
+    docs = sorted(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").collect(),
+        key=lambda d: d.doc_id,
+    )
+    first = {}
+    per_doc = {}
+    for d in docs:
+        parts = re.split(r"[.!?]+", d.text)
+        sents = [(i, p.strip()) for i, p in enumerate(parts) if p.strip()]
+        per_doc[d.doc_id] = sents
+        for i, sent in sents:
+            key = sent.lower()
+            packed = d.doc_id * 1_000_000 + i
+            if key not in first or packed < first[key]:
+                first[key] = packed
+    for d in docs:
+        sents = per_doc[d.doc_id]
+        kept = [s for i, s in sents
+                if first[s.lower()] == d.doc_id * 1_000_000 + i]
+        md5 = hashlib.md5(". ".join(kept).encode()).hexdigest()
+        assert got[d.doc_id] == (len(sents), len(sents) - len(kept), md5), \
+            d.doc_id
+
+
+def test_interpolate_linear_matches_bruteforce(spark, sf_dir):
+    """Interpolated values equal a Python neighbor walk on the same
+    hourly decimal-exact series; observed rows pass through; edge rows
+    stay NULL."""
+    from collections import defaultdict
+    from decimal import Decimal
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    got = {(r.event_type, r.hour_s): (r.value, r.fill_kind)
+           for r in A.timeseries_interpolate_linear(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    series = defaultdict(lambda: defaultdict(Decimal))
+    for e in ev:
+        h = int(e.ts.timestamp()) // 3600 * 3600
+        if e.value is not None:
+            series[e.event_type][h] += \
+                Decimal(str(e.value)).quantize(Decimal("0.0001"))
+        else:
+            series[e.event_type][h] += 0
+    for t, hs in series.items():
+        hours = sorted(hs)
+        vals = {h: float(hs[h]) for h in hours}
+        for h in range(hours[0], hours[-1] + 1, 3600):
+            key = (t, h)
+            if h in vals:
+                assert got[key][1] == "observed"
+                assert abs(got[key][0] - round(vals[h], 6)) < 1e-9
+            else:
+                prevs = [x for x in hours if x < h]
+                nexts = [x for x in hours if x > h]
+                if prevs and nexts:
+                    hp, hn = prevs[-1], nexts[0]
+                    expect = vals[hp] + (vals[hn] - vals[hp]) * (
+                        (h - hp) / (hn - hp))
+                    assert got[key][1] == "interpolated"
+                    assert abs(got[key][0] - round(expect, 6)) < 1e-9
+                else:
+                    assert got[key] == (None, "edge")
+
+
+def test_value_set_drift_matches_bruteforce(spark, sf_dir):
+    """Category statuses equal a Python two-snapshot dict walk."""
+    from collections import Counter
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    got = {r.category: (r.n_old, r.n_new, r.status)
+           for r in A.dq_value_set_drift(spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    old, new = Counter(), Counter()
+    for o in orders:
+        cat = f"{o.o_orderpriority}|{o.o_orderstatus}"
+        (old if o.o_orderdate.year <= 1997 else new)[cat] += 1
+    expect = {}
+    for c in set(old) | set(new):
+        no, nn = old.get(c, 0), new.get(c, 0)
+        status = ("persisting" if no and nn
+                  else "vanished" if no else "new")
+        expect[c] = (no, nn, status)
+    assert got == expect
+
+
+def test_bloom_filter_matches_bruteforce(spark, sf_dir):
+    """Bitset occupancy, theoretical FPR and the empirical planted-
+    probe hits equal a Python md5 recompute of the same k=3 hashes."""
+    import hashlib
+    import pipeline_apache_beam_entrega1_cs_spark.plans.llm_data as L
+
+    r = L.agg_bloom_filter_stats(spark, sf_dir).collect()[0]
+    keys = {o.o_custkey for o in
+            spark.read.parquet(f"{sf_dir}/orders.parquet").collect()}
+
+    def pos(rr, k):
+        return int(hashlib.md5(f"{rr}:{k}".encode()).hexdigest()[:8], 16) \
+            % L._BLOOM_M
+
+    bits = {pos(rr, k) for k in keys for rr in range(L._BLOOM_K)}
+    assert r.n_keys == len(keys)
+    assert r.occupied_bits == len(bits)
+    assert abs(
+        r.fpr_theoretical
+        - round((len(bits) / L._BLOOM_M) ** L._BLOOM_K, 6)
+    ) < 1e-9
+    fp = sum(
+        1 for i in range(1, L._BLOOM_PROBE_ABSENT + 1)
+        if all(pos(rr, -i) in bits for rr in range(L._BLOOM_K))
+    )
+    assert r.fp_hits == fp
