@@ -187,6 +187,10 @@ AUDIT = [
     "join_bitemporal_asof",
     "eval_model_gains_deciles",
     "dedup_phonetic_soundex",
+    "dedup_sentence_ccnet",
+    "timeseries_interpolate_linear",
+    "dq_value_set_drift",
+    "agg_bloom_filter_stats",
 ]
 
 
