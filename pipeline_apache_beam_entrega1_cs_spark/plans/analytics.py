@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_u32
 from ..functions.numeric import (
     _dec_to_double,
     drev,
@@ -1403,6 +1404,67 @@ FROM assigned GROUP BY bucket
 # Degree-oriented triangle counting
 # --------------------------------------------------------------------------
 
+def _copurchase_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE sampled co-purchase basket frame (1-in-20 orders,
+    distinct (order, part)) shared by graph_triangle_count,
+    graph_clustering_coefficient, graph_degree_assortativity, and
+    analytics_apriori_pairs — entries that all claim to analyze the
+    same graph, so they must derive it from the same definition."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+
+
+def _copurchase_edges(li: DataFrame) -> DataFrame:
+    """Distinct undirected u < v part pairs over the basket frame.
+    Pair generation is bounded per basket (TPC-H orders have <= 7
+    lines), so the self-join fan-out is O(|baskets|), never n^2."""
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"),
+                F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+
+
+def _copurchase_degrees(edges: DataFrame) -> DataFrame:
+    """Per-node degree of the undirected edge set — one hash-agg."""
+    return (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+
+
+def _copurchase_oriented(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Edges oriented from the (degree, id)-smaller endpoint to the
+    larger — the standard trick that bounds per-node wedge fan-out by
+    sqrt(|E|)-ish out-degree on power-law graphs. Degrees attach via
+    two broadcast joins (the degree frame is |V| rows of two ints)."""
+    du, dv = deg.alias("du"), deg.alias("dv")
+    return (
+        edges.join(F.broadcast(du), edges.u == F.col("du.node"))
+        .join(F.broadcast(dv), edges.v == F.col("dv.node"))
+        .select(
+            F.when(
+                (F.col("du.deg") < F.col("dv.deg"))
+                | ((F.col("du.deg") == F.col("dv.deg"))
+                   & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
+            .alias("e")
+        )
+        .select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
+    )
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count on the part co-purchase graph (parts are linked
     when they appear in the same order; a deterministic 1-in-20 order
@@ -1417,40 +1479,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the small degree table; the wedge join + closing semi-join shuffle
     on node ids.
     """
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 20 == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    du, dv = deg.alias("du"), deg.alias("dv")
-    oriented = (
-        edges.join(F.broadcast(du), edges.u == F.col("du.node"))
-        .join(F.broadcast(dv), edges.v == F.col("dv.node"))
-        .select(
-            F.when(
-                (F.col("du.deg") < F.col("dv.deg"))
-                | ((F.col("du.deg") == F.col("dv.deg")) & (F.col("u") < F.col("v"))),
-                F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
-            )
-            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
-            .alias("e")
-        )
-        .select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
-    )
+    edges = _copurchase_edges(_copurchase_baskets(spark, sf_dir))
+    deg = _copurchase_degrees(edges)
+    oriented = _copurchase_oriented(edges, deg)
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = (
         e1.join(e2, F.col("e1.src") == F.col("e2.src"))
@@ -2859,9 +2890,7 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str,
         .filter(F.col("n_chars") > 0)
     )
     u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("double")
-        + F.lit(0.5)
+        md5_u32(F.col("doc_id").cast("string")).cast("double") + F.lit(0.5)
     ) / F.lit(float(2**32))
     key = F.round(F.log(u) / F.col("n_chars"), 12)
     w = Window.partitionBy("source").orderBy(
@@ -4484,26 +4513,45 @@ def dq_null_run_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: two per-user windows on ONE user-keyed shuffle (the
     running index and the running null-index), then one mergeable
     (user, island) aggregate — the same islands discipline as
-    window_interval_coalesce, pointed at missingness."""
+    window_interval_coalesce, pointed at missingness.
+
+    Evidence note: the driver fixtures contain NO null values, so this
+    entry's driver row is 0 == 0 by construction. The islands core is
+    therefore (a) shared verbatim with dq_error_burst_detector, whose
+    driver output is non-empty at every SF and certifies the same
+    rank-difference machinery by hash, and (b) exercised directly by a
+    planted-outage fixture test (tests/test_oracle.py) that plants a
+    >= 3 null run, a 2-run, and scattered singles and asserts exact
+    run bounds."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("es", "event_id")
     base = ev.select(
         "user_id", "event_id",
         F.unix_timestamp("ts").alias("es"),
-        F.col("value").isNull().alias("is_null"),
-    ).withColumn("rn", F.row_number().over(w))
-    nulls = base.filter(F.col("is_null")).withColumn(
+        F.col("value").isNull().alias("is_missing"),
+    )
+    return _missing_run_islands(base, min_len=3)
+
+
+def _missing_run_islands(base: DataFrame, min_len: int) -> DataFrame:
+    """Gaps-and-islands over a boolean missingness signal: maximal runs
+    of consecutive is_missing rows per user (seq_rank − missing_rank is
+    constant within a run), reported with exact-integer bounds when
+    run_len >= min_len. Shared by dq_null_run_detector and
+    dq_error_burst_detector — one definition, two signals."""
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    seq = base.withColumn("rn", F.row_number().over(w))
+    hits = seq.filter(F.col("is_missing")).withColumn(
         "nrn", F.row_number().over(w)
     ).withColumn("island", F.col("rn") - F.col("nrn"))
     return (
-        nulls.groupBy("user_id", "island")
+        hits.groupBy("user_id", "island")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("run_len"),
             F.min("es").alias("start_epoch_s"),
             F.max("es").alias("end_epoch_s"),
             F.min("event_id").alias("first_event_id"),
         )
-        .filter(F.col("run_len") >= 3)
+        .filter(F.col("run_len") >= min_len)
         .select(
             "user_id", "run_len", "start_epoch_s", "end_epoch_s",
             "first_event_id",
@@ -4511,32 +4559,61 @@ def dq_null_run_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DQ_NULL_RUN_SQL = """
+def dq_error_burst_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-error burst detection — the ops-monitor sibling of
+    dq_null_run_detector (N errors IN A ROW is an incident; scattered
+    errors are noise): per user, maximal runs of consecutive
+    event_type = 'error' events in the full event sequence, reporting
+    runs of length >= 3 with exact bounds. Same shared islands core,
+    different missingness signal — and this signal FIRES on the driver
+    fixtures (~60 bursts at sf0.01), so its per-round hash match is
+    the non-vacuous certificate for the rank-difference machinery.
+
+    100 TB shape: identical to the null detector — two per-user
+    windows on ONE user-keyed shuffle, then a mergeable island agg."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_id",
+        F.unix_timestamp("ts").alias("es"),
+        (F.col("event_type") == "error").alias("is_missing"),
+    )
+    return _missing_run_islands(base, min_len=3)
+
+
+def _run_islands_sql(signal: str) -> str:
+    """Oracle twin of _missing_run_islands, parameterized on the
+    missingness predicate so both detector entries share ONE SQL
+    shape exactly as they share one Spark core."""
+    return f"""
 WITH base AS (
   SELECT user_id, event_id,
          CAST(floor(epoch(ts)) AS BIGINT) AS es,
-         value IS NULL AS is_null
+         {signal} AS is_missing
   FROM events
 ), seq AS (
-  SELECT user_id, event_id, es, is_null,
+  SELECT user_id, event_id, es, is_missing,
          ROW_NUMBER() OVER (PARTITION BY user_id
                             ORDER BY es, event_id) AS rn
   FROM base
-), nulls AS (
+), hits AS (
   SELECT user_id, event_id, es, rn,
          ROW_NUMBER() OVER (PARTITION BY user_id
                             ORDER BY es, event_id) AS nrn
-  FROM seq WHERE is_null
+  FROM seq WHERE is_missing
 )
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS run_len,
        MIN(es) AS start_epoch_s,
        MAX(es) AS end_epoch_s,
        MIN(event_id) AS first_event_id
-FROM nulls
+FROM hits
 GROUP BY user_id, rn - nrn
 HAVING COUNT(*) >= 3
 """
+
+
+DQ_NULL_RUN_SQL = _run_islands_sql("value IS NULL")
+DQ_ERROR_BURST_SQL = _run_islands_sql("event_type = 'error'")
 
 
 def analytics_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6267,26 +6344,8 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrees is two broadcast joins (the degree frame is |V| rows of two
     ints); moments are one mergeable agg — no global structure
     anywhere."""
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 20 == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("u"),
-                F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-    )
+    edges = _copurchase_edges(_copurchase_baskets(spark, sf_dir))
+    deg = _copurchase_degrees(edges)
     du, dv = deg.alias("du"), deg.alias("dv")
     withd = (
         edges.join(F.broadcast(du), edges.u == F.col("du.node"))
@@ -6564,14 +6623,23 @@ def dq_key_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_gap").alias("key_max"),
         )
     )
+    # gap aggregates coalesce to 0 so a dense key space reads "0 gaps"
+    # unambiguously (NULL would make the balance invariant
+    # missing_total = (max-min+1) - n_keys unverifiable)
+    zero = F.lit(0).cast("bigint")
     return tagged.agg(
         F.max(F.when(F.col("t") == "k", F.col("n_keys"))).alias("n_keys"),
         F.max(F.when(F.col("t") == "k", F.col("key_min"))).alias("key_min"),
         F.max(F.when(F.col("t") == "k", F.col("key_max"))).alias("key_max"),
-        F.max(F.when(F.col("t") == "g", F.col("n_keys"))).alias("n_gaps"),
-        F.max(F.when(F.col("t") == "g", F.col("key_min")))
-        .alias("missing_total"),
-        F.max(F.when(F.col("t") == "g", F.col("key_max"))).alias("max_gap"),
+        F.coalesce(
+            F.max(F.when(F.col("t") == "g", F.col("n_keys"))), zero
+        ).alias("n_gaps"),
+        F.coalesce(
+            F.max(F.when(F.col("t") == "g", F.col("key_min"))), zero
+        ).alias("missing_total"),
+        F.coalesce(
+            F.max(F.when(F.col("t") == "g", F.col("key_max"))), zero
+        ).alias("max_gap"),
     )
 
 
@@ -6591,9 +6659,10 @@ within AS (
 SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM keys) AS n_keys,
        (SELECT CAST(MIN(k) AS BIGINT) FROM keys) AS key_min,
        (SELECT CAST(MAX(k) AS BIGINT) FROM keys) AS key_max,
-       CAST(SUM(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
-       CAST(SUM(g) AS BIGINT) AS missing_total,
-       CAST(MAX(g) AS BIGINT) AS max_gap
+       COALESCE(CAST(SUM(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS BIGINT),
+                0) AS n_gaps,
+       COALESCE(CAST(SUM(g) AS BIGINT), 0) AS missing_total,
+       COALESCE(CAST(MAX(g) AS BIGINT), 0) AS max_gap
 FROM gaps
 """
 
@@ -6613,42 +6682,9 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: identical to the triangle entry (orientation bounds
     wedge fan-out by out-degree), plus one 3-way corner explode of the
     triangle rows and a node hash-agg; the report is TakeOrdered k."""
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 20 == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, bb = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(bb, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("u"),
-                F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-    )
-    du, dv = deg.alias("du"), deg.alias("dv")
-    oriented = (
-        edges.join(F.broadcast(du), edges.u == F.col("du.node"))
-        .join(F.broadcast(dv), edges.v == F.col("dv.node"))
-        .select(
-            F.when(
-                (F.col("du.deg") < F.col("dv.deg"))
-                | ((F.col("du.deg") == F.col("dv.deg"))
-                   & (F.col("u") < F.col("v"))),
-                F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
-            )
-            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
-            .alias("e")
-        )
-        .select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
-    )
+    edges = _copurchase_edges(_copurchase_baskets(spark, sf_dir))
+    deg = _copurchase_degrees(edges)
+    oriented = _copurchase_oriented(edges, deg)
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = (
         e1.join(e2, F.col("e1.src") == F.col("e2.src"))
@@ -6756,12 +6792,7 @@ def analytics_apriori_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     have ≤ 7 lines); supports are two mergeable hash-aggs (item, pair);
     item supports broadcast back onto the pair frame; the report is
     TakeOrdered k."""
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 20 == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    li = _copurchase_baskets(spark, sf_dir)
     nb = li.agg(F.countDistinct("l_orderkey").cast("bigint").alias("nb"))
     a, bb = li.alias("a"), li.alias("b")
     pairs = (
@@ -6976,8 +7007,13 @@ def join_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # composite (valid_from, seq) order packed into ONE comparable
-    # BIGINT (epoch-seconds * 1e7 + seq; seq < 1e7 at every SF) —
-    # DuckDB's max_by has no struct ordering
+    # BIGINT (epoch-seconds * 1e7 + seq). Lexicographic packing only
+    # needs seq < 8.64e11: valid_from steps in whole days, so distinct
+    # epoch-seconds differ by >= 86400, i.e. packed keys by >= 8.64e11
+    # — far above any TPC-H orderkey-derived seq (6e6 * SF). The spec
+    # test asserts max(seq) < 8.64e11 so a finer-grained timestamp
+    # fixture cannot silently break the packing. DuckDB's max_by has
+    # no struct ordering, hence the scalar key.
     ordkey = (
         F.unix_timestamp("valid_from").cast("bigint") * 10_000_000
         + F.col("seq")
@@ -7291,6 +7327,8 @@ QUERIES: dict[str, QuerySpec] = {
             "frame")}),
     "dq_null_run_detector": QuerySpec(
         dq_null_run_detector, DQ_NULL_RUN_SQL, "dq"),
+    "dq_error_burst_detector": QuerySpec(
+        dq_error_burst_detector, DQ_ERROR_BURST_SQL, "dq"),
     "window_session_capped": QuerySpec(
         window_session_capped, WINDOW_SESSION_CAPPED_SQL, "time_window"),
     "timeseries_lttb_downsample": QuerySpec(

@@ -15,8 +15,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_u32
 from ..functions.numeric import dsum, sql_dsum
 from ..schemas import load_table
+from .relational2 import AGG_COUNTMIN_SQL
 from .spec import QuerySpec
 
 # 80/10/10 split: 0.8*2^32 = 0xCCCCCCCC, 0.9*2^32 = 0xE6666666.
@@ -318,7 +320,7 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source")
         .join(F.broadcast(weights), "source")
         .withColumn(
-            "u32", F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+            "u32", md5_u32(F.col("doc_id").cast("string"))
         )
         .withColumn(
             "kept", F.col("u32") < F.least(F.col("keep_rate"), F.lit(1.0)) * F.lit(float(2**32))
@@ -1692,12 +1694,6 @@ FROM ovl GROUP BY layout
 """
 
 
-def _COUNTMIN_ORACLE() -> str:
-    from .relational2 import AGG_COUNTMIN_SQL
-
-    return AGG_COUNTMIN_SQL
-
-
 QUERIES: dict[str, QuerySpec] = {
     "maintenance_file_skipping_stats": QuerySpec(
         maintenance_file_skipping_stats, MAINTENANCE_FILE_SKIPPING_SQL,
@@ -1709,7 +1705,7 @@ QUERIES: dict[str, QuerySpec] = {
         maintenance_clustering_depth, MAINTENANCE_CLUSTERING_DEPTH_SQL,
         "maintenance"),
     "streaming_countmin_state": QuerySpec(
-        streaming_countmin_state, _COUNTMIN_ORACLE(), "streaming"),
+        streaming_countmin_state, AGG_COUNTMIN_SQL, "streaming"),
     # the 1-row MAX-scalar BNLJ lives in the eager compaction WRITE, not
     # in the returned report plan (a plain scan + groupBy over the
     # compacted files) — so no plan waiver is needed or allowed here

@@ -8,58 +8,38 @@ ORDER MATTERS: the driver's per-round correctness gate checks the FIRST
 listed first (DRIVER_PRIORITY). Local tests always run ALL entries
 regardless of order. Per-round window history lives in
 /root/repo/ROTATION.md; the real source of truth is DRIVER_PRIORITY
-plus the CORRECTNESS_r{N}.json files.
+plus the CORRECTNESS_r{N}.json files — and since round 11 the window
+composition is MECHANIZED: tests/test_rotation.py derives the
+never-driver-checked set from CORRECTNESS_r*.json and fails if any
+front slot is spent on an already-checked entry while a never-checked
+one waits (the round-7/round-9 undercount failure mode, now CI-caught).
 
-CURRENT WINDOW (round 10; r09 had zero failures): (a) the SEVEN
-never-driver-checked round-9 late additions, named in full
-(streaming_freshness_state, timeseries_lttb_downsample,
-agg_winsorized_mean, pandas_udf_grouped_agg, window_session_capped,
-sample_systematic_interval, dq_null_run_detector); (b) the TWO
-round-10 additions (streaming_scd2_state, eval_dedup_quality); (c) 41
-of the 50 r04-only entries, execution-heaviest first. The NINE r04
-names left out are exactly the ones bench.py executes every round
-(q3_shipping_priority, q5_region_revenue, join_sort_merge,
-join_asof_events, join_range_nonequi, agg_rollup,
-window_running_frames, topk_per_group, ann_cosine_topk) — after r10
-they are the only entries with driver evidence older than r10.
+CURRENT WINDOW (round 11; r10 had zero failures): 50 of the 58
+never-driver-checked round-10 late additions, execution-heaviest /
+highest-risk first (the streaming twins, the 9 container parsers, the
+statistical-inference entries, the graph family, and every entry whose
+code changed this round: dq_key_gap_audit [gap aggs coalesce to 0],
+graph_degree_assortativity / graph_clustering_coefficient /
+analytics_apriori_pairs [shared _copurchase_* helpers],
+multimodal_bmp_meta [strengthened rejection check]).
 
-ROUND 11 CHORE: promote (a) any r10 failures; (b) the FIFTY-EIGHT
-round-10 late additions past slot 50, named in full
-(multimodal_tiff_meta, dq_k_anonymity, geo_path_stats,
-analytics_funnel_windowed, text_vocab_growth,
-maintenance_orphan_files, dataset_split_group_aware,
-analytics_rfm_segmentation, analytics_cohort_ltv,
-multimodal_tar_index, eval_average_precision, sample_bottom_k_sketch,
-streaming_bottom_k_state, timeseries_acf_lags,
-timeseries_m4_downsample, dq_chi2_categorical_drift,
-analytics_pareto_share, analytics_dau_mau_stickiness,
-analytics_fifo_allocation, dedup_prefix_filter_join,
-multimodal_jpeg_meta, agg_moments_skew_kurtosis,
-multimodal_zip_index, dq_functional_dependency,
-analytics_markov_transitions, embedding_label_outliers,
-streaming_markov_state, dq_l_diversity, dq_reconciliation_totals,
-dq_outlier_iqr_fences, stat_welch_ttest, stat_anova_f,
-agg_spearman_corr, graph_degree_assortativity, multimodal_gif_meta,
-multimodal_bmp_meta, multimodal_webp_meta, multimodal_mp4_box_index,
+ROUND 12 CHORE: promote (a) any r11 failures; (b) the EIGHT deferred
+round-10 entries (analytics_yoy_growth, analytics_pareto_share,
+dq_outlier_iqr_fences, dq_reconciliation_totals,
 interval_gap_extraction, dq_candidate_keys,
-maintenance_file_skipping_stats, streaming_countmin_state,
-analytics_yoy_growth, dq_key_gap_audit,
-graph_clustering_coefficient, text_keyword_rake,
-multimodal_png_chunk_index, embedding_pca_power,
-maintenance_clustering_depth, analytics_apriori_pairs,
-timeseries_rolling_regression, join_bitemporal_asof,
-eval_model_gains_deciles, dedup_phonetic_soundex,
-dedup_sentence_ccnet, agg_bloom_filter_stats,
-timeseries_interpolate_linear, dq_value_set_drift
-— FIFTY-EIGHT entries (more than one full future window — rotate
-over rounds 11 AND 12 if needed, never undercount), all locally
-oracle-green; the round-7/round-9
-undercount lesson: list every
-never-checked entry explicitly); (c) round-11 additions,
-also named in full; (d) the NINE bench-covered r04-only names above,
-closing the r04 back-fill completely; (e) back-fill with r05-only
-entries, stalest/execution-heaviest first (50 entries sit at r05 —
-see the latest-round histogram check in ROTATION.md round-10).
+timeseries_interpolate_linear, dq_value_set_drift); (c) the round-11
+additions, named in full (dq_error_burst_detector,
+dq_benford_first_digit, analytics_sessionized_conversion,
+timeseries_holt_winters_fit, dedup_lsh_bucket_stats,
+text_char_ngram_lang_id, agg_theil_sen_slope, join_interval_overlap_len,
+maintenance_small_file_compaction_plan, streaming_topk_state); (d) the
+NINE bench-covered r04-only names (q3_shipping_priority,
+q5_region_revenue, join_sort_merge, join_asof_events,
+join_range_nonequi, agg_rollup, window_running_frames, topk_per_group,
+ann_cosine_topk), closing the r04 back-fill; (e) back-fill with
+r05-only entries, stalest/execution-heaviest first. 8 + 10 + 9 = 27
+named entries, so (e) gets ~23 slots. tests/test_rotation.py enforces
+(b)+(c) mechanically.
 """
 
 from __future__ import annotations
@@ -79,66 +59,68 @@ from . import (
 from .spec import QuerySpec
 
 DRIVER_PRIORITY: list[str] = [
-    # --- (a) the 7 round-9 late additions, never driver-checked; all
-    # locally oracle-green (r9 review's 307-entry sweep + this round's
-    # full suite) ---
-    "streaming_freshness_state",
-    "timeseries_lttb_downsample",
-    "agg_winsorized_mean",
-    "pandas_udf_grouped_agg",
-    "window_session_capped",
-    "sample_systematic_interval",
-    "dq_null_run_detector",
-    # --- (b) round-10 additions ---
-    "streaming_scd2_state",
-    "eval_dedup_quality",
-    # --- (c) 41 of the 50 r04-only entries, execution-heaviest first
-    # (streaming sinks/joins, the composed dataset build, file-format
-    # roundtrips, packing, skew profile, the join family, windows,
-    # deciles, text corpus stats, the agg family, SQL-frontend forms,
-    # then the cheap scans/filters). The 9 left out are bench-covered
-    # every round; they lead the round-11 back-fill. ---
-    "streaming_stream_left_join",
-    "streaming_foreach_batch_sink",
-    "streaming_rollup_upsert",
-    "dataset_build_pipeline",
-    "sink_parquet_roundtrip",
-    "sink_orc_roundtrip",
-    "pack_token_budget",
-    "key_skew_profile",
-    "join_broadcast_dim",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "skew_salted_agg",
-    "window_rank",
-    "window_lag_lead",
-    "window_distribution",
-    "ntile_decile_stats",
-    "decile_stats_bucketed",
-    "text_tfidf_top_terms",
-    "text_unigram_logprob",
-    "text_bigram_pmi",
-    "agg_grouping_sets",
-    "agg_cube",
-    "agg_approx_distinct",
-    "agg_approx_percentile",
-    "agg_percentiles",
-    "agg_min_max_by",
-    "agg_basic_stats",
-    "agg_collect_sorted",
-    "agg_distinct",
-    "agg_having",
-    "cte_above_avg_nations",
-    "scalar_subquery_parts",
-    "pivot_flag_status",
-    "unpivot_order_metrics",
-    "filter_project_nullsafe",
-    "sort_limit_global",
-    "sample_seeded",
-    "try_functions",
+    # --- streaming twins (foreachBatch state machinery — heaviest) ---
+    "streaming_bottom_k_state",
+    "streaming_markov_state",
+    "streaming_countmin_state",
+    # --- the 9 round-10 container parsers (byte-walk expression trees;
+    # multimodal_bmp_meta's rejection check changed this round) ---
+    "multimodal_tiff_meta",
+    "multimodal_tar_index",
+    "multimodal_jpeg_meta",
+    "multimodal_zip_index",
+    "multimodal_gif_meta",
+    "multimodal_bmp_meta",
+    "multimodal_webp_meta",
+    "multimodal_mp4_box_index",
+    "multimodal_png_chunk_index",
+    # --- statistical inference (17-digit float strictness) ---
+    "stat_welch_ttest",
+    "stat_anova_f",
+    "agg_spearman_corr",
+    "agg_moments_skew_kurtosis",
+    # --- graph family (code refactored this round: shared
+    # _copurchase_* helpers) ---
+    "graph_degree_assortativity",
+    "graph_clustering_coefficient",
+    "analytics_apriori_pairs",
+    # --- embedding / eval ---
+    "embedding_pca_power",
+    "embedding_label_outliers",
+    "eval_average_precision",
+    "eval_model_gains_deciles",
+    # --- heavy analytics ---
+    "analytics_funnel_windowed",
+    "analytics_rfm_segmentation",
+    "analytics_cohort_ltv",
+    "analytics_fifo_allocation",
+    "analytics_markov_transitions",
+    "analytics_dau_mau_stickiness",
+    "geo_path_stats",
+    # --- dedup / text ---
+    "dedup_prefix_filter_join",
+    "dedup_phonetic_soundex",
+    "dedup_sentence_ccnet",
+    "text_vocab_growth",
+    "text_keyword_rake",
+    # --- timeseries ---
+    "timeseries_acf_lags",
+    "timeseries_m4_downsample",
+    "timeseries_rolling_regression",
+    "join_bitemporal_asof",
+    # --- DQ (dq_key_gap_audit's gap aggs coalesce to 0 this round) ---
+    "dq_k_anonymity",
+    "dq_l_diversity",
+    "dq_chi2_categorical_drift",
+    "dq_functional_dependency",
+    "dq_key_gap_audit",
+    # --- maintenance / dataset mechanics / sketch ---
+    "maintenance_orphan_files",
+    "maintenance_file_skipping_stats",
+    "maintenance_clustering_depth",
+    "dataset_split_group_aware",
+    "sample_bottom_k_sketch",
+    "agg_bloom_filter_stats",
 ]
 
 

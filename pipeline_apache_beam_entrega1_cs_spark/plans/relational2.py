@@ -1879,6 +1879,18 @@ _CMS_D = 4      # hash rows
 _CMS_W = 512    # buckets per row
 
 
+def cms_bucket(r_col, key_col):
+    """Row-salted count-min bucket h_r(key) = md5_u32("r:key") % w.
+    The ONE definition shared by the batch sketch below and the
+    streaming twin (streaming/sinks.CountMinMergeSink +
+    run_countmin_stream): a streaming state hashed differently from
+    its batch oracle would merge garbage, so the hash must never be
+    copy-edited independently."""
+    from ..functions.hashing import md5_u32
+
+    return md5_u32(F.concat_ws(":", r_col, key_col)) % _CMS_W
+
+
 def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan 2005) frequency
     estimates for the true top-10 customers by order count — the
@@ -1905,16 +1917,7 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = orders.withColumn(
         "r", F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)]))
     )
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col("r"), F.col("o_custkey"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        % _CMS_W
-    )
+    bucket = cms_bucket(F.col("r"), F.col("o_custkey"))
     sketch = rows.groupBy("r", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("cell")
     )

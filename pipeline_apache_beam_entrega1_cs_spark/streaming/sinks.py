@@ -2142,21 +2142,12 @@ class CountMinMergeSink:
 
         from pyspark.sql import functions as F
 
-        from ..plans.relational2 import _CMS_D as d, _CMS_W as w
+        from ..plans.relational2 import _CMS_D as d, cms_bucket
 
         rows = batch_df.withColumn(
             "r", F.explode(F.array(*[F.lit(i) for i in range(d)]))
         )
-        bucket = (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(":", F.col("r"), F.col("o_custkey"))),
-                    1, 8,
-                ),
-                16, 10,
-            ).cast("long")
-            % w
-        )
+        bucket = cms_bucket(F.col("r"), F.col("o_custkey"))
         grid = rows.groupBy(
             F.lit("grid").alias("kind"),
             F.col("r").cast("long").alias("r"),
@@ -2225,24 +2216,13 @@ def run_countmin_stream(spark, sf_dir: str):
             .orderBy(F.desc("true_cnt"), F.asc("o_custkey"))
             .limit(10)
         )
-        from ..plans.relational2 import _CMS_D as d, _CMS_W as w
+        from ..plans.relational2 import _CMS_D as d, cms_bucket
 
         probes = top.withColumn(
             "r", F.explode(F.array(*[F.lit(i) for i in range(d)]))
         ).select(
             "o_custkey", "true_cnt", F.col("r").cast("long").alias("r"),
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat_ws(":", F.col("r"), F.col("o_custkey"))
-                        ),
-                        1, 8,
-                    ),
-                    16, 10,
-                ).cast("long")
-                % w
-            ).alias("bucket"),
+            cms_bucket(F.col("r"), F.col("o_custkey")).alias("bucket"),
         )
         grid = state.filter(F.col("kind") == "grid").select(
             "r", "bucket", F.col("cnt").alias("cell")

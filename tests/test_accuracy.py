@@ -2736,6 +2736,87 @@ def test_bitemporal_asof_matches_bruteforce(spark, sf_dir):
             assert abs(r.avg_price - round(float(avg), 6)) < 2e-6, i
     counts = [got[i].n_keys for i in range(len(A._BT_PROBES))]
     assert counts == sorted(counts)  # both axes widen across probes
+    # the (valid_from, seq) -> BIGINT packing is lexicographic only
+    # while seq stays below the 86400-epoch-second day step * 1e7
+    assert mx < 8.64e11
+
+
+def test_null_run_detector_planted_outage(spark, tmp_path):
+    """dq_null_run_detector on a planted fixture (the driver fixtures
+    contain zero nulls, so the entry's driver row is vacuously 0 == 0):
+    a 4-null run is reported with exact bounds, a 2-run and scattered
+    singles are excluded, and a clean user contributes nothing."""
+    from datetime import datetime
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    def ts(minute):
+        return datetime(2024, 1, 1, 0, minute, 0)
+
+    rows = []
+    # user 1: null run at positions 3-6 (events 103..106), single null
+    # at position 8 (event 108)
+    for i in range(10):
+        val = None if i in (3, 4, 5, 6, 8) else float(i)
+        rows.append((100 + i, ts(i), 1, "view", val, "{}"))
+    # user 2: exactly-2 null run (events 202, 203) — below threshold
+    for i in range(6):
+        val = None if i in (2, 3) else float(i)
+        rows.append((200 + i, ts(i), 2, "view", val, "{}"))
+    # user 3: no nulls
+    for i in range(4):
+        rows.append((300 + i, ts(i), 3, "view", float(i), "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    out = A.dq_null_run_detector(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.user_id, r.run_len, r.first_event_id) == (1, 4, 103)
+    # bounds are the planted run's first/last event timestamps
+    # (epoch seconds in the session timezone — recompute via Spark to
+    # stay TZ-agnostic)
+    es = {
+        x.event_id: x.es
+        for x in df.selectExpr(
+            "event_id", "unix_timestamp(ts) AS es").collect()
+    }
+    assert r.start_epoch_s == es[103]
+    assert r.end_epoch_s == es[106]
+
+
+def test_error_burst_detector_matches_bruteforce(spark, sf_dir):
+    """dq_error_burst_detector (the non-vacuous islands twin) equals a
+    per-user sequential scan for consecutive-'error' runs >= 3 — and
+    actually fires on the fixture, certifying the shared rank-difference
+    core that the null detector cannot exercise on null-free data."""
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    got = {(r.user_id, r.first_event_id): (r.run_len, r.start_epoch_s,
+                                           r.end_epoch_s)
+           for r in A.dq_error_burst_detector(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "event_id", "event_type", "unix_timestamp(ts) AS es"
+    ).collect()
+    from collections import defaultdict
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+    expect = {}
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: (r.es, r.event_id))
+        run = []
+        for r in rs + [None]:
+            if r is not None and r.event_type == "error":
+                run.append(r)
+                continue
+            if len(run) >= 3:
+                expect[(u, min(x.event_id for x in run))] = (
+                    len(run), run[0].es, run[-1].es)
+            run = []
+    assert got == expect
+    assert expect  # the signal fires on the fixture — never vacuous
 
 
 def test_gains_deciles_match_bruteforce(spark, sf_dir):

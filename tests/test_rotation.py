@@ -1,0 +1,72 @@
+"""Mechanized driver-window composition check (round-10 VERDICT item 5).
+
+The driver's per-round correctness gate reads the FIRST 50 registry
+entries. Twice (rounds 7 and 9) a hand-maintained DRIVER_PRIORITY
+undercounted the never-driver-checked backlog and spent front slots on
+already-checked entries while unchecked ones waited — caught only by
+judge review. This test derives the never-checked set from the
+CORRECTNESS_r*.json evidence files and fails the suite if the front of
+DRIVER_PRIORITY wastes a slot:
+
+- every DRIVER_PRIORITY name must exist in the registry (no ghosts);
+- if there are >= 50 never-checked entries, all 50 front slots must be
+  never-checked entries;
+- if there are fewer, the first len(never) slots must be EXACTLY the
+  never-checked set (order within the front is free — that's the
+  heaviest-first judgment call — but membership is not).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pipeline_apache_beam_entrega1_cs_spark.plans.registry import (
+    DRIVER_PRIORITY,
+    all_queries,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50
+
+
+def _driver_checked() -> set[str]:
+    checked: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            checked.update(json.load(f).keys())
+    return checked
+
+
+def test_driver_priority_has_no_ghosts():
+    reg = set(all_queries())
+    ghosts = [n for n in DRIVER_PRIORITY if n not in reg]
+    assert not ghosts, f"DRIVER_PRIORITY names not in registry: {ghosts}"
+
+
+def test_driver_priority_front_spends_no_slot_on_checked_entries():
+    reg = set(all_queries())
+    never = reg - _driver_checked()
+    front = DRIVER_PRIORITY[: min(WINDOW, len(DRIVER_PRIORITY))]
+    if len(never) >= WINDOW:
+        wasted = [n for n in front if n not in never]
+        assert not wasted, (
+            f"{len(never)} entries have no driver evidence, but these "
+            f"front-window slots hold already-checked entries: {wasted}"
+        )
+    else:
+        front_exact = set(DRIVER_PRIORITY[: len(never)])
+        missing = never - front_exact
+        assert not missing, (
+            "never-driver-checked entries not at the front of "
+            f"DRIVER_PRIORITY: {sorted(missing)}"
+        )
+
+
+def test_correctness_history_has_no_ghost_names():
+    """Every name the driver ever checked must still exist — a renamed
+    or deleted entry would silently orphan its evidence trail."""
+    reg = set(all_queries())
+    ghosts = sorted(_driver_checked() - reg)
+    assert not ghosts, f"CORRECTNESS history names missing from registry: {ghosts}"
