@@ -644,6 +644,18 @@ _CDC_MASK = 63        # boundary when h % 64 == 0 -> ~64-byte avg chunks
 _CDC_POW = [pow(31, j, _CDC_MOD) for j in range(_CDC_W)]
 
 
+def _cdc_parallelism(df: DataFrame) -> int:
+    """Partition count for the CPU-dense CDC hash stage — the
+    dedup._shuffle_partitions rule: AQE sizes exchanges by bytes, so a
+    byte-light/CPU-heavy stage must carry an explicit count or it
+    coalesces to the scan's split layout and runs single-core."""
+    spark = df.sparkSession
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def cdc_chunk_stats(docs_with_payload: DataFrame,
                     max_bytes: int = 256) -> DataFrame:
     """Content-defined chunking (rsync/FastCDC-style) over a binary
@@ -670,7 +682,10 @@ def cdc_chunk_stats(docs_with_payload: DataFrame,
     p = F.col("payload")
     hexs = F.hex(F.substring(p, 1, max_bytes))
     base = (
-        docs_with_payload.select("doc_id", hexs.alias("_h"))
+        docs_with_payload.repartition(
+            _cdc_parallelism(docs_with_payload), "doc_id"
+        )
+        .select("doc_id", hexs.alias("_h"))
         .withColumn(
             "_v",
             F.transform(
@@ -681,12 +696,16 @@ def cdc_chunk_stats(docs_with_payload: DataFrame,
         .filter(F.size("_v") >= _CDC_W)
         .withColumn("_n", F.size("_v"))
     )
-    # NOTE (round 9): an explicit-count repartition before this explode
-    # (the dedup._shuffle_partitions pattern) was A/B-measured on a
-    # quiet machine and made NO difference (3.354 s vs 3.348 s at
-    # sf0.1) — unlike the interpreted-HOF MinHash stage, this position
-    # arithmetic is codegen'd and cheap enough that the single-split
-    # scan stage is not the bottleneck; kept exchange-free.
+    # NOTE (round 11, reversing the round-9 "kept exchange-free" call):
+    # the position-hash stage is CPU-dense but BYTE-light, so it
+    # inherits the scan's split count — one partition on a small
+    # single-file input — and runs single-core. The round-9 A/B saw no
+    # difference; re-laddered on a quiet round-11 window the explicit
+    # doc_id repartition measures 3.54 s -> 2.22 s min-of-3 at sf0.1
+    # (SCALING.md round 11). At 100 TB the same reasoning holds in
+    # reverse: the exchange is one narrow (doc_id, payload<=256B) pass,
+    # amortized by spreading the 8-term-per-byte rolling-hash burn
+    # across the cluster instead of the scan's split layout.
     pos = base.select(
         "doc_id", "_v",
         F.explode(F.sequence(F.lit(_CDC_W), F.col("_n"))).alias("i"),
