@@ -377,6 +377,65 @@ def minhash_banded_pairs(
     )
 
 
+def minhash_bucket_stats(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int = 100,
+) -> DataFrame:
+    """LSH bucket-load audit — the governance report you run BEFORE a
+    banded dedup pass at scale: per band, how many buckets exist, how
+    skewed they are, how many candidate pairs the in-bucket emission
+    will generate (sum of C(size, 2) over joinable buckets), and how
+    many buckets/docs the max_bucket frequency cap silently drops.
+    The pair-generation cost of minhash_banded_pairs IS this report's
+    n_candidate_pairs — an unbounded max bucket here is the signal to
+    raise bands or cap before running the join, because in-bucket pair
+    emission is quadratic in bucket size.
+
+    Shares _banded_keys with minhash_banded_pairs, so the audit counts
+    the exact buckets the dedup join will use. All outputs are exact
+    integers.
+
+    100 TB shape: one shuffle on band keys to the bucket-size
+    hash-agg, then one mergeable per-band rollup to `bands` rows —
+    strictly cheaper than the dedup pass it de-risks."""
+    arr = _shingle_arrays(docs, 3).filter(F.col("n_sh") > 0)
+    xs = F.transform(
+        F.col("shingles"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % _MINHASH_P,
+    )
+    banded = _banded_keys(
+        arr.select("doc_id", xs.alias("xs")), num_hashes, bands
+    )
+    sizes = banded.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    s = F.col("sz")
+    joinable = (s >= 2) & (s <= max_bucket)
+    zero = F.lit(0).cast("bigint")
+    return (
+        sizes.groupBy(F.col("band").cast("bigint").alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum((s == 1).cast("long")).cast("bigint").alias("n_singleton"),
+            F.max("sz").alias("max_bucket_size"),
+            F.coalesce(
+                F.sum(F.when(joinable, (s * (s - 1) / 2).cast("bigint"))),
+                zero,
+            ).alias("n_candidate_pairs"),
+            F.coalesce(
+                F.sum(F.when(s > max_bucket, F.lit(1).cast("bigint"))), zero
+            ).alias("n_capped_buckets"),
+            F.coalesce(
+                F.sum(F.when(s > max_bucket, s)), zero
+            ).alias("n_docs_in_capped"),
+        )
+        .orderBy("band")
+    )
+
+
 def _minhash_banded_from_arrays(
     arr: DataFrame, num_hashes: int, bands: int, max_bucket: int
 ) -> DataFrame:
@@ -411,26 +470,12 @@ def _shuffle_partitions(df: DataFrame) -> int:
         return spark.sparkContext.defaultParallelism
 
 
-def _minhash_banded_from_xs(
-    xsdf: DataFrame, num_hashes: int, bands: int, max_bucket: int
-) -> DataFrame:
-    """Signature + banding + in-bucket pair emission over a
-    ``(doc_id, xs array<long>)`` frame of pre-hashed shingle values in
-    [0, P) — shared by the text family (md5-hashed string shingles) and
-    binary_payload_dedup (arithmetic byte-window hashes, no md5).
-
-    Partitioning is the load-bearing line here: the barrier repartition
-    carries an EXPLICIT partition count because this stage is CPU-bound
-    interpreted higher-order-function work whose byte footprint is tiny
-    — with plain ``repartition("doc_id")`` (REPARTITION_BY_COL) AQE
-    sizes the exchange by bytes, coalesces it to ONE partition, and the
-    whole signature+banding pipeline runs single-core: 5.7 s at sf0.1
-    vs 0.05 s with the explicit count (full ladder in SCALING.md,
-    round 9). The sig->banding step needs no second barrier: the band
-    keys live in the Generate operator's generator expression, and
-    Generate is not a Project, so CollapseProject cannot re-inline the
-    signature expression into it — ``sig`` is referenced as a plain
-    attribute (verified in the physical plan)."""
+def _banded_keys(xsdf: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, sig, band, band_key) frame — the signature + band-key
+    construction shared by _minhash_banded_from_xs (pair emission) and
+    minhash_bucket_stats (bucket-load audit): one definition so the
+    audit always describes the buckets the dedup pass will actually
+    join through."""
     P = _MINHASH_P
     r = num_hashes // bands
     n_part = _shuffle_partitions(xsdf)
@@ -455,7 +500,7 @@ def _minhash_banded_from_xs(
             )
         ),
     )
-    banded = (
+    return (
         # barrier: the xs projection (md5 / conv parses) is evaluated
         # once below the exchange, not re-inlined into all num_hashes
         # sig lambdas by CollapseProject; explicit n_part keeps AQE
@@ -466,6 +511,29 @@ def _minhash_banded_from_xs(
             "doc_id", "sig", F.posexplode(band_keys).alias("band", "band_key")
         )
     )
+
+
+def _minhash_banded_from_xs(
+    xsdf: DataFrame, num_hashes: int, bands: int, max_bucket: int
+) -> DataFrame:
+    """Signature + banding + in-bucket pair emission over a
+    ``(doc_id, xs array<long>)`` frame of pre-hashed shingle values in
+    [0, P) — shared by the text family (md5-hashed string shingles) and
+    binary_payload_dedup (arithmetic byte-window hashes, no md5).
+
+    Partitioning is the load-bearing line here: the barrier repartition
+    carries an EXPLICIT partition count because this stage is CPU-bound
+    interpreted higher-order-function work whose byte footprint is tiny
+    — with plain ``repartition("doc_id")`` (REPARTITION_BY_COL) AQE
+    sizes the exchange by bytes, coalesces it to ONE partition, and the
+    whole signature+banding pipeline runs single-core: 5.7 s at sf0.1
+    vs 0.05 s with the explicit count (full ladder in SCALING.md,
+    round 9). The sig->banding step needs no second barrier: the band
+    keys live in the Generate operator's generator expression, and
+    Generate is not a Project, so CollapseProject cannot re-inline the
+    signature expression into it — ``sig`` is referenced as a plain
+    attribute (verified in the physical plan)."""
+    banded = _banded_keys(xsdf, num_hashes, bands)
     buckets = (
         banded.groupBy("band", "band_key")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("ds"))

@@ -683,3 +683,117 @@ def readability_score(docs: DataFrame, easy_min: float = 60.0) -> DataFrame:
         F.round(flesch, 4).alias("flesch"),
         (F.round(flesch, 4) >= easy_min).alias("is_easy"),
     )
+
+
+# Gopher quality-filter rule set (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", table A1):
+# the published heuristic gate a web-corpus curation pipeline runs
+# before model-based scoring. Thresholds are the paper's.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_MIN = 3.0
+GOPHER_MWL_MAX = 10.0
+GOPHER_SYMBOL_MAX = 0.1
+GOPHER_BULLET_MAX = 0.9
+GOPHER_ELLIPSIS_MAX = 0.3
+GOPHER_ALPHA_MIN = 0.8
+GOPHER_STOP_MIN = 2
+
+
+def gopher_quality_filters(docs: DataFrame) -> DataFrame:
+    """Gopher rule-based document quality gate — every metric and its
+    pass/fail flag per document, plus the conjunction. One map-only
+    pass: every metric is an array-lambda or counting expression over
+    the whitespace token array, no explode, no shuffle — the shape a
+    100 TB curation pre-filter must have (it runs on ALL data, before
+    anything expensive).
+
+    Metrics (thresholds in the module constants): word count in
+    [50, 100000]; mean word length in [3, 10]; symbol-to-word ratio
+    ('#' chars + '...' runs, per word) < 0.1; < 90% of lines starting
+    with a bullet; < 30% of lines ending with an ellipsis; > 80% of
+    words containing an alphabetic character; >= 2 distinct Gopher
+    stopwords present. Ratios are exact-integer divisions rounded to
+    6 — deterministic on both engines."""
+    t = F.col("text")
+    toks = tokens(t)
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mwl = F.when(
+        n_words > 0,
+        F.round(sum_len.cast("double") / n_words, 6),
+    ).otherwise(F.lit(0.0))
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = F.when(
+        n_words > 0,
+        F.round((n_hash + n_ell).cast("double") / n_words, 6),
+    ).otherwise(F.lit(0.0))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("long")
+    bullet_frac = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.ltrim(ln).rlike(r"^[-*•]"),
+            )
+        ).cast("double")
+        / n_lines,
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$"),
+            )
+        ).cast("double")
+        / n_lines,
+        6,
+    )
+    alpha_frac = F.when(
+        n_words > 0,
+        F.round(
+            F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+            .cast("double") / n_words,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+    flags = {
+        "word_count_ok": (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS),
+        "mwl_ok": (mwl >= GOPHER_MWL_MIN) & (mwl <= GOPHER_MWL_MAX),
+        "symbol_ok": symbol_ratio < GOPHER_SYMBOL_MAX,
+        "bullet_ok": bullet_frac < GOPHER_BULLET_MAX,
+        "ellipsis_ok": ellipsis_frac < GOPHER_ELLIPSIS_MAX,
+        "alpha_ok": alpha_frac > GOPHER_ALPHA_MIN,
+        "stopword_ok": stop_hits >= GOPHER_STOP_MIN,
+    }
+    gopher_pass = None
+    for c in flags.values():
+        gopher_pass = c if gopher_pass is None else (gopher_pass & c)
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_to_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+        *[c.alias(name) for name, c in flags.items()],
+        gopher_pass.alias("gopher_pass"),
+    )

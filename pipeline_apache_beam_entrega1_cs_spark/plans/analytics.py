@@ -7233,6 +7233,307 @@ FROM cells
 """
 
 
+_THEIL_K = 64
+_THEIL_EPOCH = 1_704_067_200  # 2024-01-01 UTC — fixed x origin for OLS
+
+
+def agg_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope per event type — the median of all
+    pairwise slopes, the estimator that shrugs off the outliers OLS
+    chases (breakdown point 29%): value-vs-time trend over a
+    deterministic K-point skeleton per type, reported next to the OLS
+    slope on the SAME points so the robust-vs-classical gap is visible
+    in one row. Pairwise slopes are exact double divisions; the median
+    is linear-interpolated identically in both engines; OLS uses the
+    decimal-moment recipe (agg_regression_stats).
+
+    100 TB shape: Theil-Sen is inherently O(n²) in pairs, so the
+    skeleton IS the algorithm: the first K = 64 points per type
+    (row_number over a type-partitioned window — never global) bound
+    the self-join at C(K,2) = 2016 pairs per type at ANY corpus
+    scale. The textbook alternative — all-pairs over raw rows — is
+    the kind of plan the no-cartesian gate exists to catch."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("es", "event_id")
+    pts = (
+        ev.select(
+            "event_type", "event_id",
+            F.unix_timestamp("ts").alias("es"),
+            "value",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _THEIL_K)
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.rn") < F.col("b.rn"))
+            & (F.col("a.es") != F.col("b.es")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.round(
+                (F.col("b.value") - F.col("a.value"))
+                / (F.col("b.es") - F.col("a.es")).cast("double"),
+                12,
+            ).alias("slope"),
+        )
+    )
+    ts_med = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 9).alias("theil_sen_slope"),
+    )
+    # OLS x is epoch-seconds SHIFTED to a fixed origin: the slope is
+    # translation-invariant, and the shift keeps x^2 inside a narrow
+    # decimal (raw epoch^2 overflows DECIMAL(18) on the oracle side)
+    x = (F.col("es") - _THEIL_EPOCH).cast("decimal(14,0)")
+    y = F.col("value").cast("decimal(18,4)")
+    m = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        dsum_dec(x).alias("sx"),
+        dsum_dec(y).alias("sy"),
+        dsum_dec(x * y).alias("sxy"),
+        dsum_dec(x * x).alias("sxx"),
+    )
+    nd = F.col("n_points").cast("double")
+    ols = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        m.join(ts_med, "event_type")
+        .select(
+            "event_type", "n_points", "n_pairs", "theil_sen_slope",
+            F.round(ols, 9).alias("ols_slope"),
+        )
+    )
+
+
+AGG_THEIL_SEN_SQL = f"""
+WITH pts AS (
+  SELECT event_type, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY floor(epoch(ts)), event_id) AS rn
+  FROM events
+  QUALIFY rn <= {_THEIL_K}
+), pairs AS (
+  SELECT a.event_type,
+         round((b.value - a.value) / CAST(b.es - a.es AS DOUBLE), 12)
+           AS slope
+  FROM pts a JOIN pts b
+    ON a.event_type = b.event_type AND a.rn < b.rn AND a.es <> b.es
+), med AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         round(quantile_cont(slope, 0.5), 9) AS theil_sen_slope
+  FROM pairs GROUP BY 1
+), m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points,
+    {sql_dsum_dec(f"CAST(es - {_THEIL_EPOCH} AS DECIMAL(14,0))")} AS sx,
+    {sql_dsum_dec("CAST(value AS DECIMAL(18,4))")} AS sy,
+    {sql_dsum_dec(f"CAST(es - {_THEIL_EPOCH} AS DECIMAL(14,0))"
+                  " * CAST(value AS DECIMAL(18,4))")} AS sxy,
+    {sql_dsum_dec(f"CAST(es - {_THEIL_EPOCH} AS DECIMAL(14,0))"
+                  f" * CAST(es - {_THEIL_EPOCH} AS DECIMAL(14,0))")} AS sxx
+  FROM pts GROUP BY 1
+)
+SELECT m.event_type, n_points, n_pairs, theil_sen_slope,
+       round((n_points * sxy - sx * sy) / (n_points * sxx - sx * sx), 9)
+         AS ols_slope
+FROM m JOIN med USING (event_type)
+"""
+
+
+def timeseries_changepoint_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection by binary segmentation: per event
+    type, the hourly-mean series split that maximizes the
+    between-segment SSE reduction gain(t) = S_L²/n_L + S_R²/n_R − S²/n
+    (the CUSUM/binary-segmentation objective — the first step of every
+    recursive change-point algorithm, and the level-shift detector a
+    metrics monitor runs per series). Reports the argmax split with
+    segment means.
+
+    Determinism: hourly means are decimal-sum averages rounded to 6;
+    prefix sums run over DECIMAL in identical hr order on both
+    engines; the gain is then identical double arithmetic, rounded,
+    and the argmax carries a total tie order (gain DESC, hr ASC).
+
+    100 TB shape: one (type, hour) mergeable pre-aggregate collapses
+    the raw stream to bounded series; prefix sums and the argmax are
+    type-partitioned windows over those ≤ |hours| rows — the
+    rollup-then-window discipline, never a window over raw events."""
+    ev = _t(spark, sf_dir, "events")
+    hr = (F.unix_timestamp("ts") / 3600).cast("bigint")
+    hourly = (
+        ev.groupBy("event_type", hr.alias("hr"))
+        .agg(
+            F.round(
+                _dec_to_double(F.sum(F.col("value").cast("decimal(18,4)")))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("yv"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    dec = "decimal(20,6)"
+    pre = (
+        hourly.withColumn("idx", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "cum_s",
+            _dec_to_double(
+                F.sum(F.col("yv").cast(dec)).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                )
+            ),
+        )
+    )
+    tot = pre.groupBy("event_type").agg(
+        F.max("idx").alias("n_hours"),
+        F.max_by("cum_s", "idx").alias("s_total"),
+    )
+    g = (
+        pre.join(F.broadcast(tot), "event_type")
+        .filter(F.col("idx") < F.col("n_hours"))
+        .select(
+            "event_type", "hr", "idx", "n_hours",
+            F.round(
+                F.col("cum_s") * F.col("cum_s") / F.col("idx")
+                + (F.col("s_total") - F.col("cum_s"))
+                * (F.col("s_total") - F.col("cum_s"))
+                / (F.col("n_hours") - F.col("idx"))
+                - F.col("s_total") * F.col("s_total") / F.col("n_hours"),
+                9,
+            ).alias("gain"),
+            F.round(F.col("cum_s") / F.col("idx"), 6).alias("mean_before"),
+            F.round(
+                (F.col("s_total") - F.col("cum_s"))
+                / (F.col("n_hours") - F.col("idx")),
+                6,
+            ).alias("mean_after"),
+        )
+    )
+    wpick = Window.partitionBy("event_type").orderBy(
+        F.desc("gain"), F.asc("hr")
+    )
+    return (
+        g.withColumn("pick", F.row_number().over(wpick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "event_type", "n_hours",
+            F.col("hr").alias("split_last_left_hr"),
+            "mean_before", "mean_after", "gain",
+        )
+    )
+
+
+TIMESERIES_CHANGEPOINT_SQL = """
+WITH hourly AS (
+  SELECT event_type, CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS hr,
+         round(CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
+                    AS DOUBLE) / COUNT(*), 6) AS yv
+  FROM events GROUP BY 1, 2
+), pre AS (
+  SELECT event_type, hr,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS idx,
+         CAST(CAST(SUM(CAST(yv AS DECIMAL(20,6))) OVER
+                   (w ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE)
+           AS cum_s
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+), tot AS (
+  SELECT event_type, MAX(idx) AS n_hours,
+         max_by(cum_s, idx) AS s_total
+  FROM pre GROUP BY 1
+), g AS (
+  SELECT p.event_type, p.hr, p.idx, t.n_hours,
+         round(p.cum_s * p.cum_s / p.idx
+               + (t.s_total - p.cum_s) * (t.s_total - p.cum_s)
+                 / (t.n_hours - p.idx)
+               - t.s_total * t.s_total / t.n_hours, 9) AS gain,
+         round(p.cum_s / p.idx, 6) AS mean_before,
+         round((t.s_total - p.cum_s) / (t.n_hours - p.idx), 6) AS mean_after
+  FROM pre p JOIN tot t USING (event_type)
+  WHERE p.idx < t.n_hours
+)
+SELECT event_type, n_hours, hr AS split_last_left_hr,
+       mean_before, mean_after, gain
+FROM g
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                           ORDER BY gain DESC, hr ASC) = 1
+"""
+
+
+def analytics_interval_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-to-calendar-month proration — the billing/allocation
+    primitive "split each interval's days across the months it
+    touches" (usage metering, revenue recognition, capacity
+    accounting): each lineitem carries a deterministic transit
+    interval [shipdate, shipdate + (7·orderkey + linenumber) % 45 + 5
+    days]; per (month, returnflag): intervals touching the month and
+    exact in-month day counts. No range join anywhere — the interval
+    EXPLODES to the ≤ 3 months it overlaps via sequence(), turning a
+    nonequi problem into a bounded generate + one mergeable hash-agg
+    (the same move as the as-of family's bucketed probes).
+
+    100 TB shape: bounded per-row explode (interval length caps the
+    fan-out), one (month, flag) hash-agg; all exact integers."""
+    li = _t(spark, sf_dir, "lineitem")
+    ship = F.to_date("l_shipdate")
+    dur = ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 45 + 5)
+    endd = F.date_add(ship, dur.cast("int"))
+    rows = li.select(
+        "l_returnflag",
+        ship.alias("ship"),
+        endd.alias("endd"),
+        F.explode(
+            F.sequence(
+                F.trunc(ship, "MM"), F.trunc(endd, "MM"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("m"),
+    )
+    overlap = (
+        F.datediff(
+            F.least(F.col("endd"), F.last_day(F.col("m"))),
+            F.greatest(F.col("ship"), F.col("m")),
+        )
+        + 1
+    )
+    return (
+        rows.groupBy(
+            F.date_format("m", "yyyy-MM").alias("month"), "l_returnflag"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum(overlap.cast("long")).cast("bigint").alias("days_in_month"),
+        )
+    )
+
+
+ANALYTICS_INTERVAL_PRORATION_SQL = """
+WITH iv AS (
+  SELECT l_returnflag, CAST(l_shipdate AS DATE) AS ship,
+         CAST(l_shipdate AS DATE)
+           + CAST(((l_orderkey * 7 + l_linenumber) % 45 + 5) AS INTEGER)
+           AS endd
+  FROM lineitem
+), ex AS (
+  SELECT l_returnflag, ship, endd, CAST(m AS DATE) AS m
+  FROM iv, UNNEST(generate_series(date_trunc('month', ship),
+                                  date_trunc('month', endd),
+                                  INTERVAL 1 MONTH)) AS t(m)
+)
+SELECT strftime(m, '%Y-%m') AS month, l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(date_diff('day', greatest(ship, m),
+                          least(endd, last_day(m))) + 1) AS BIGINT)
+         AS days_in_month
+FROM ex
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "timeseries_interpolate_linear": QuerySpec(
         timeseries_interpolate_linear, TIMESERIES_INTERP_SQL, "timeseries"),
@@ -7329,6 +7630,14 @@ QUERIES: dict[str, QuerySpec] = {
         dq_null_run_detector, DQ_NULL_RUN_SQL, "dq"),
     "dq_error_burst_detector": QuerySpec(
         dq_error_burst_detector, DQ_ERROR_BURST_SQL, "dq"),
+    "agg_theil_sen_slope": QuerySpec(
+        agg_theil_sen_slope, AGG_THEIL_SEN_SQL, "agg"),
+    "timeseries_changepoint_binary": QuerySpec(
+        timeseries_changepoint_binary, TIMESERIES_CHANGEPOINT_SQL,
+        "timeseries"),
+    "analytics_interval_proration": QuerySpec(
+        analytics_interval_proration, ANALYTICS_INTERVAL_PRORATION_SQL,
+        "analytics"),
     "window_session_capped": QuerySpec(
         window_session_capped, WINDOW_SESSION_CAPPED_SQL, "time_window"),
     "timeseries_lttb_downsample": QuerySpec(

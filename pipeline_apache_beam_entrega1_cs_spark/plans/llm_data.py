@@ -1479,7 +1479,11 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_banded_pairs(_docs(spark, sf_dir))
 
 
-DEDUP_MINHASH_BANDED_SQL = rf"""
+# Shared CTE chain text -> shingles -> minhash signatures -> band keys:
+# ONE definition consumed by the pair oracle (DEDUP_MINHASH_BANDED_SQL)
+# and the bucket-load audit oracle (DEDUP_LSH_BUCKET_STATS_SQL), exactly
+# as the Spark side shares operators/dedup._banded_keys.
+_MINHASH_BANDKEYS_CTE = rf"""
 WITH toks AS (
   SELECT doc_id, {_TOKS} AS tk FROM documents WHERE trim(text) <> ''
 ), sh AS (
@@ -1497,7 +1501,10 @@ WITH toks AS (
 ), bandkeys AS (
   SELECT doc_id, sig, b AS band, md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS band_key
   FROM sigarr, UNNEST(generate_series(0, 3)) AS bb(b)
-), buckets AS (
+)"""
+
+DEDUP_MINHASH_BANDED_SQL = rf"""
+{_MINHASH_BANDKEYS_CTE}, buckets AS (
   SELECT band, band_key FROM bandkeys GROUP BY 1, 2
   HAVING COUNT(*) BETWEEN 2 AND 100
 )
@@ -1507,6 +1514,42 @@ FROM bandkeys a
 JOIN bandkeys b USING (band, band_key)
 JOIN buckets USING (band, band_key)
 WHERE a.doc_id < b.doc_id
+"""
+
+
+def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-load audit (operators/dedup.minhash_bucket_stats) —
+    per band: bucket count, singleton count, max bucket size, the
+    exact candidate-pair count the in-bucket emission will generate
+    (Σ C(size,2) over joinable buckets), and what the frequency cap
+    drops. The pre-flight governance report for the MinHash family:
+    at 100 TB you read THIS before launching the dedup join, because
+    pair emission is quadratic in bucket size. Shares _banded_keys
+    with dedup_minhash_banded, so the audit describes the exact
+    buckets that pass will join through."""
+    return D.minhash_bucket_stats(_docs(spark, sf_dir))
+
+
+DEDUP_LSH_BUCKET_STATS_SQL = rf"""
+{_MINHASH_BANDKEYS_CTE}, sizes AS (
+  SELECT band, band_key, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM bandkeys GROUP BY 1, 2
+)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_singleton,
+       MAX(sz) AS max_bucket_size,
+       COALESCE(CAST(SUM(CASE WHEN sz BETWEEN 2 AND 100
+                         THEN sz * (sz - 1) // 2 END) AS BIGINT), 0)
+         AS n_candidate_pairs,
+       COALESCE(CAST(SUM(CASE WHEN sz > 100 THEN 1 END) AS BIGINT), 0)
+         AS n_capped_buckets,
+       COALESCE(CAST(SUM(CASE WHEN sz > 100 THEN sz END) AS BIGINT), 0)
+         AS n_docs_in_capped
+FROM sizes
+GROUP BY band
+ORDER BY band
 """
 
 
@@ -2679,6 +2722,262 @@ FROM documents d LEFT JOIN dots USING (doc_id)
 """
 
 
+_ZIPF_K = 1000
+
+
+def text_zipf_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus frequency spectrum: OLS of
+    ln(freq) on ln(rank) for the top-K tokens — the companion
+    diagnostic to text_vocab_growth (Heaps = vocabulary GROWTH, Zipf =
+    frequency DECAY; a natural corpus fits slope ≈ −1, and a corpus of
+    templated/duplicated text bends the tail). Ranks come from ONE
+    TakeOrdered(K) over the mergeable token-count aggregate; the fit
+    runs on the ≤ K-row frame with the decimal-moment OLS recipe
+    (agg_regression_stats) — logs rounded to 12 first, because ln() is
+    a libm call whose last ulp differs across engines, then EXACT
+    decimal sums, then identical double arithmetic.
+
+    100 TB shape: token counts are one map-side-combinable hash-agg;
+    TakeOrdered never global-sorts; everything after is O(K)."""
+    freq = (
+        T.explode_tokens(_docs(spark, sf_dir))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(_ZIPF_K)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    ranked = freq.withColumn("rank", F.row_number().over(w).cast("bigint"))
+    x = F.round(F.log(F.col("rank").cast("double")), 12)
+    y = F.round(F.log(F.col("freq").cast("double")), 12)
+    dec = "decimal(24,10)"
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fit"),
+        _dec_to_double(F.sum(x.cast(dec))).alias("sx"),
+        _dec_to_double(F.sum(y.cast(dec))).alias("sy"),
+        _dec_to_double(F.sum(F.round(x * y, 10).cast(dec))).alias("sxy"),
+        _dec_to_double(F.sum(F.round(x * x, 10).cast(dec))).alias("sxx"),
+        _dec_to_double(F.sum(F.round(y * y, 10).cast(dec))).alias("syy"),
+    )
+    nd = F.col("n_fit").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / varx_n
+    return m.select(
+        "n_fit",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / nd, 6)
+        .alias("intercept"),
+        F.round(cov_n * cov_n / (varx_n * vary_n), 6).alias("r2"),
+    )
+
+
+def _zipf_sql() -> str:
+    return f"""
+WITH tf AS (
+  SELECT t AS tok, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM documents, UNNEST({_TOKS}) AS u(t)
+  WHERE trim(text) <> ''
+  GROUP BY 1
+), top AS (
+  SELECT tok, freq FROM tf ORDER BY freq DESC, tok LIMIT {_ZIPF_K}
+), ranked AS (
+  SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank
+  FROM top
+), pts AS (
+  SELECT round(ln(CAST(rank AS DOUBLE)), 12) AS x,
+         round(ln(CAST(freq AS DOUBLE)), 12) AS y
+  FROM ranked
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_fit,
+    CAST(CAST(SUM(CAST(x AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(SUM(CAST(y AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(SUM(CAST(round(x * y, 10) AS DECIMAL(24,10))) AS VARCHAR)
+         AS DOUBLE) AS sxy,
+    CAST(CAST(SUM(CAST(round(x * x, 10) AS DECIMAL(24,10))) AS VARCHAR)
+         AS DOUBLE) AS sxx,
+    CAST(CAST(SUM(CAST(round(y * y, 10) AS DECIMAL(24,10))) AS VARCHAR)
+         AS DOUBLE) AS syy
+  FROM pts
+)
+SELECT n_fit,
+       round((n_fit * sxy - sx * sy) / (n_fit * sxx - sx * sx), 6)
+         AS zipf_slope,
+       round((sy - ((n_fit * sxy - sx * sy) / (n_fit * sxx - sx * sx)) * sx)
+             / n_fit, 6) AS intercept,
+       round((n_fit * sxy - sx * sy) * (n_fit * sxy - sx * sy)
+             / ((n_fit * sxx - sx * sx) * (n_fit * syy - sy * sy)), 6)
+         AS r2
+FROM m
+"""
+
+
+_COVERAGE_KS = [16, 64, 256, 1024, 4096]
+
+
+def text_token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design coverage curve: for vocabulary budgets K in
+    {16, 64, 256, 1024, 4096}, what fraction of all token OCCURRENCES
+    the K most frequent types cover — the "how big must the vocab be"
+    curve read before fitting a tokenizer (text_bpe_fit's budget
+    question, answered from data). Exact integers until one final
+    division.
+
+    100 TB shape: ONE mergeable token-count hash-agg feeds both the
+    TakeOrdered(max K) head and the 1-row total; the per-budget
+    conditional sums run on the ≤ max-K frame; the total attaches as a
+    1-row broadcast (QPM recipe)."""
+    freq = (
+        T.explode_tokens(_docs(spark, sf_dir))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    totals = freq.agg(
+        F.sum("freq").cast("bigint").alias("total_occurrences"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+    )
+    top = freq.orderBy(F.desc("freq"), F.asc("tok")).limit(max(_COVERAGE_KS))
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    ranked = top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+    per_k = (
+        ranked.select(
+            F.explode(
+                F.array(*[F.lit(k).cast("bigint") for k in _COVERAGE_KS])
+            ).alias("k"),
+            "rank", "freq",
+        )
+        .filter(F.col("rank") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum("freq").cast("bigint").alias("covered_occurrences"),
+            F.count(F.lit(1)).cast("bigint").alias("types_in_budget"),
+        )
+    )
+    return (
+        per_k.crossJoin(F.broadcast(totals))
+        .select(
+            "k", "types_in_budget", "covered_occurrences",
+            "total_occurrences", "vocab_size",
+            F.round(
+                F.col("covered_occurrences").cast("double")
+                / F.col("total_occurrences"), 6,
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
+def _coverage_sql() -> str:
+    ks = ", ".join(str(k) for k in _COVERAGE_KS)
+    return f"""
+WITH tf AS (
+  SELECT t AS tok, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM documents, UNNEST({_TOKS}) AS u(t)
+  WHERE trim(text) <> ''
+  GROUP BY 1
+), totals AS (
+  SELECT CAST(SUM(freq) AS BIGINT) AS total_occurrences,
+         CAST(COUNT(*) AS BIGINT) AS vocab_size
+  FROM tf
+), top AS (
+  SELECT tok, freq FROM tf ORDER BY freq DESC, tok LIMIT {max(_COVERAGE_KS)}
+), ranked AS (
+  SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank FROM top
+), per_k AS (
+  SELECT k, CAST(SUM(freq) AS BIGINT) AS covered_occurrences,
+         CAST(COUNT(*) AS BIGINT) AS types_in_budget
+  FROM ranked, UNNEST([{ks}]) AS u(k)
+  WHERE rank <= k
+  GROUP BY k
+)
+SELECT CAST(k AS BIGINT) AS k, types_in_budget, covered_occurrences,
+       total_occurrences, vocab_size,
+       round(covered_occurrences::DOUBLE / total_occurrences, 6) AS coverage
+FROM per_k CROSS JOIN totals
+ORDER BY k
+"""
+
+
+def text_gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule-based quality gate (Rae et al. 2021 table A1;
+    operators/textops.gopher_quality_filters): word-count bounds, mean
+    word length, symbol-to-word ratio, bullet/ellipsis line fractions,
+    alphabetic-word fraction, distinct-stopword presence — each metric
+    with its pass flag plus the conjunction. Map-only (array lambdas,
+    no explode/shuffle): the shape of a pre-filter that runs on ALL
+    of a 100 TB crawl before anything expensive."""
+    return T.gopher_quality_filters(_docs(spark, sf_dir))
+
+
+def _gopher_sql() -> str:
+    from ..operators.textops import (
+        GOPHER_ALPHA_MIN,
+        GOPHER_BULLET_MAX,
+        GOPHER_ELLIPSIS_MAX,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_MWL_MAX,
+        GOPHER_MWL_MIN,
+        GOPHER_STOP_MIN,
+        GOPHER_STOPWORDS,
+        GOPHER_SYMBOL_MAX,
+    )
+
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+              ELSE {_TOKS} END AS tk,
+         str_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(tk) AS BIGINT) AS n_words,
+    CASE WHEN len(tk) > 0 THEN round(
+      COALESCE(list_sum(list_transform(tk, x -> length(x))), 0)::DOUBLE
+      / len(tk), 6) ELSE 0.0 END AS mean_word_len,
+    CASE WHEN len(tk) > 0 THEN round(
+      ((length(text) - length(replace(text, '#', '')))
+       + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
+      / len(tk), 6) ELSE 0.0 END AS symbol_to_word_ratio,
+    round(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]')))
+          ::DOUBLE / len(lines), 6) AS bullet_line_frac,
+    round(len(list_filter(lines,
+                          l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+          ::DOUBLE / len(lines), 6) AS ellipsis_line_frac,
+    CASE WHEN len(tk) > 0 THEN round(
+      len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+      / len(tk), 6) ELSE 0.0 END AS alpha_word_frac,
+    CAST(len(list_intersect(list_distinct(tk), [{stops}])) AS BIGINT)
+      AS stopword_hits
+  FROM base
+)
+SELECT doc_id, n_words, mean_word_len, symbol_to_word_ratio,
+       bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+       stopword_hits,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+         AS word_count_ok,
+       (mean_word_len >= {GOPHER_MWL_MIN}
+        AND mean_word_len <= {GOPHER_MWL_MAX}) AS mwl_ok,
+       symbol_to_word_ratio < {GOPHER_SYMBOL_MAX} AS symbol_ok,
+       bullet_line_frac < {GOPHER_BULLET_MAX} AS bullet_ok,
+       ellipsis_line_frac < {GOPHER_ELLIPSIS_MAX} AS ellipsis_ok,
+       alpha_word_frac > {GOPHER_ALPHA_MIN} AS alpha_ok,
+       stopword_hits >= {GOPHER_STOP_MIN} AS stopword_ok,
+       ((n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+        AND (mean_word_len >= {GOPHER_MWL_MIN}
+             AND mean_word_len <= {GOPHER_MWL_MAX})
+        AND symbol_to_word_ratio < {GOPHER_SYMBOL_MAX}
+        AND bullet_line_frac < {GOPHER_BULLET_MAX}
+        AND ellipsis_line_frac < {GOPHER_ELLIPSIS_MAX}
+        AND alpha_word_frac > {GOPHER_ALPHA_MIN}
+        AND stopword_hits >= {GOPHER_STOP_MIN}) AS gopher_pass
+FROM m
+"""
+
+
 def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease per document (operators/textops.
     readability_score) — vowel-group syllable proxy, terminal-
@@ -2843,6 +3142,155 @@ SELECT CAST(CASE WHEN mx = mn THEN 0
          AS pos_rate
 FROM j CROSS JOIN b
 GROUP BY 1
+"""
+
+
+_BRIER_BINS = 10
+_BRIER_LO, _BRIER_HI = -2.0, 2.0  # logit->score squash range
+
+
+def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score for the quality
+    model against the heuristic label: BRIER = RELIABILITY −
+    RESOLUTION + UNCERTAINTY, the one-line diagnosis of WHERE a
+    probabilistic scorer loses points (mis-calibrated vs
+    non-discriminating vs irreducible base-rate noise) — the summary
+    companion to eval_score_calibration's per-bin reliability table.
+    The probability is a piecewise-LINEAR min-max squash of the
+    decimal logit onto [0,1] (clip((logit+2)/4)), not a sigmoid —
+    same determinism call as the calibration entry: exp() is a libm
+    call whose last ulp differs across engines, while clip/divide are
+    exact IEEE. The within-bin-variance residual of the 3-term
+    identity is reported as decomposition_gap (exactly the within-bin
+    variance term the binned decomposition drops).
+
+    Determinism: p rounded to 6 → DECIMAL sums; every per-bin double
+    term is rounded to 12 and decimal-summed over the 10-bin frame, so
+    no double accumulates in engine-dependent order.
+
+    100 TB shape: scoring is the quality-model plan; then ONE
+    mergeable (bin) aggregate to 10 rows, a 1-row totals broadcast
+    back onto them (QPM recipe), and a 10-row final fold."""
+    scored = text_quality_model(spark, sf_dir).select("doc_id", "logit")
+    labels = _docs(spark, sf_dir).select(
+        "doc_id",
+        (T.quality_score_col(F.col("text")) >= _CALIB_QTH)
+        .cast("long").alias("y"),
+    )
+    j = scored.join(labels, "doc_id")
+    p = F.round(
+        F.least(
+            F.greatest(
+                (F.col("logit") - _BRIER_LO) / (_BRIER_HI - _BRIER_LO),
+                F.lit(0.0),
+            ),
+            F.lit(1.0),
+        ),
+        6,
+    )
+    binc = F.least(
+        F.floor(F.col("p") * _BRIER_BINS), F.lit(_BRIER_BINS - 1)
+    ).cast("long")
+    rows = j.select("doc_id", p.alias("p"), "y")
+    pd6 = "decimal(12,6)"
+    pd12 = "decimal(24,12)"
+    bins = rows.groupBy(binc.alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        _dec_to_double(F.sum(F.col("p").cast(pd6))).alias("sum_p"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+        _dec_to_double(
+            F.sum(F.round((F.col("p") - F.col("y"))
+                          * (F.col("p") - F.col("y")), 12).cast(pd12))
+        ).alias("sum_sqerr"),
+    )
+    totals = bins.agg(
+        F.sum("n_b").cast("bigint").alias("n"),
+        F.sum("sum_y").cast("bigint").alias("n_pos"),
+    )
+    withg = bins.crossJoin(F.broadcast(totals))
+    ybar = F.col("n_pos").cast("double") / F.col("n")
+    pbar_b = F.col("sum_p") / F.col("n_b")
+    ybar_b = F.col("sum_y").cast("double") / F.col("n_b")
+    final = withg.agg(
+        F.max("n").alias("n"),
+        _dec_to_double(
+            F.sum(F.round(F.col("sum_sqerr"), 12).cast(pd12))
+        ).alias("brier_sum"),
+        _dec_to_double(
+            F.sum(
+                F.round(
+                    F.col("n_b") * (pbar_b - ybar_b) * (pbar_b - ybar_b), 12
+                ).cast(pd12)
+            )
+        ).alias("rel_sum"),
+        _dec_to_double(
+            F.sum(
+                F.round(
+                    F.col("n_b") * (ybar_b - ybar) * (ybar_b - ybar), 12
+                ).cast(pd12)
+            )
+        ).alias("res_sum"),
+        F.max("n_pos").alias("n_pos"),
+    )
+    nD = F.col("n").cast("double")
+    brier = F.col("brier_sum") / nD
+    rel = F.col("rel_sum") / nD
+    res = F.col("res_sum") / nD
+    unc = (F.col("n_pos") / nD) * (1 - F.col("n_pos") / nD)
+    return final.select(
+        "n",
+        F.round(brier, 6).alias("brier"),
+        F.round(rel, 6).alias("reliability"),
+        F.round(res, 6).alias("resolution"),
+        F.round(unc, 6).alias("uncertainty"),
+        F.round(brier - (rel - res + unc), 6).alias("decomposition_gap"),
+    )
+
+
+def _brier_sql() -> str:
+    B, lo, hi = _BRIER_BINS, _BRIER_LO, _BRIER_HI
+    return f"""
+WITH j AS (
+  SELECT s.doc_id,
+         round(least(greatest((s.logit - {lo}) / ({hi} - {lo}), 0.0), 1.0), 6)
+           AS p,
+         CAST({_SQL_QSCORE} >= {_CALIB_QTH} AS BIGINT) AS y
+  FROM ( {_qmodel_sql()} ) s JOIN documents d ON s.doc_id = d.doc_id
+), bins AS (
+  SELECT CAST(least(floor(p * {B}), {B - 1}) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(CAST(SUM(CAST(p AS DECIMAL(12,6))) AS VARCHAR) AS DOUBLE)
+           AS sum_p,
+         CAST(SUM(y) AS BIGINT) AS sum_y,
+         CAST(CAST(SUM(CAST(round((p - y) * (p - y), 12)
+                            AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE)
+           AS sum_sqerr
+  FROM j GROUP BY 1
+), totals AS (
+  SELECT CAST(SUM(n_b) AS BIGINT) AS n, CAST(SUM(sum_y) AS BIGINT) AS n_pos
+  FROM bins
+), final AS (
+  SELECT MAX(n) AS n, MAX(n_pos) AS n_pos,
+    CAST(CAST(SUM(CAST(round(sum_sqerr, 12) AS DECIMAL(24,12)))
+              AS VARCHAR) AS DOUBLE) AS brier_sum,
+    CAST(CAST(SUM(CAST(round(n_b * (sum_p / n_b - sum_y::DOUBLE / n_b)
+                             * (sum_p / n_b - sum_y::DOUBLE / n_b), 12)
+                       AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS rel_sum,
+    CAST(CAST(SUM(CAST(round(n_b * (sum_y::DOUBLE / n_b - n_pos::DOUBLE / n)
+                             * (sum_y::DOUBLE / n_b - n_pos::DOUBLE / n), 12)
+                       AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS res_sum
+  FROM bins CROSS JOIN totals
+)
+SELECT n,
+       round(brier_sum / n, 6) AS brier,
+       round(rel_sum / n, 6) AS reliability,
+       round(res_sum / n, 6) AS resolution,
+       round((n_pos::DOUBLE / n) * (1 - n_pos::DOUBLE / n), 6)
+         AS uncertainty,
+       round(brier_sum / n - (rel_sum / n - res_sum / n
+             + (n_pos::DOUBLE / n) * (1 - n_pos::DOUBLE / n)), 6)
+         AS decomposition_gap
+FROM final
 """
 
 
@@ -5820,6 +6268,8 @@ QUERIES: dict[str, QuerySpec] = {
                                    doc="MLlib LSH banding not SQL-expressible; recall tested vs exact"),
     "dedup_minhash_banded": QuerySpec(
         dedup_minhash_banded, DEDUP_MINHASH_BANDED_SQL, "dedup"),
+    "dedup_lsh_bucket_stats": QuerySpec(
+        dedup_lsh_bucket_stats, DEDUP_LSH_BUCKET_STATS_SQL, "dedup"),
     "dedup_binary_payload": QuerySpec(
         dedup_binary_payload, DEDUP_BINARY_PAYLOAD_SQL, "dedup"),
     "dedup_url_canonicalize": QuerySpec(
@@ -5868,6 +6318,11 @@ QUERIES: dict[str, QuerySpec] = {
     "eval_score_calibration": QuerySpec(
         eval_score_calibration, _calibration_sql(), "text",
         plan_waivers={"bnlj": "1-row logit min/max bounds broadcast"}),
+    "eval_brier_decomposition": QuerySpec(
+        eval_brier_decomposition, _brier_sql(), "text",
+        plan_waivers={"bnlj": (
+            "1-row (n, n_pos) totals broadcast onto the 10-bin frame "
+            "(QPM recipe)")}),
     "eval_retrieval_metrics": QuerySpec(
         eval_retrieval_metrics, _retrieval_eval_sql(), "similarity",
         plan_waivers={"bnlj": (
@@ -5885,6 +6340,21 @@ QUERIES: dict[str, QuerySpec] = {
         plan_waivers={"bnlj": "1-row argmax merge-pair broadcast per fit round"}),
     "text_lang_id": QuerySpec(text_lang_id, TEXT_LANG_ID_SQL, "text"),
     "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL, "text"),
+    "text_gopher_quality_filters": QuerySpec(
+        text_gopher_quality_filters, _gopher_sql(), "text"),
+    "text_zipf_tail_fit": QuerySpec(
+        text_zipf_tail_fit, _zipf_sql(), "text",
+        plan_waivers={"global_window": (
+            "row_number runs on the TakeOrdered <= 1000-row top-K "
+            "frame — scale-independent by construction")}),
+    "text_token_coverage_curve": QuerySpec(
+        text_token_coverage_curve, _coverage_sql(), "text",
+        plan_waivers={
+            "global_window": (
+                "row_number runs on the TakeOrdered <= 4096-row top-K "
+                "frame — scale-independent by construction"),
+            "bnlj": "1-row corpus-totals broadcast (QPM recipe)",
+        }),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL, "text"),
     "text_feature_hashing": QuerySpec(
         text_feature_hashing, TEXT_FEATURE_HASHING_SQL, "text"),

@@ -1597,6 +1597,34 @@ def streaming_countmin_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_countmin_stream(spark, sf_dir)
 
 
+_TOPK_STATE_K = 10
+
+
+def streaming_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT heavy-hitters: orders replayed as FOUR
+    micro-batches through a foreachBatch MERGE whose state is the
+    per-key count table — additive, hence mergeable, hence
+    replay-order-independent — with the top-10 report derived at
+    read-off (streaming/sinks.TopKCountMergeSink). The exact
+    complement of streaming_countmin_state: same stream, same
+    question, state O(#keys) instead of O(1) — the right trade when
+    the key space is customer-sized; the sketch twin is the 100 TB
+    fallback when it isn't. Cold replay equals the one-shot batch
+    GROUP BY + TakeOrdered, which is the oracle below."""
+    from ..streaming.sinks import run_topk_stream
+
+    return run_topk_stream(spark, sf_dir, _TOPK_STATE_K)
+
+
+STREAMING_TOPK_SQL = f"""
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_custkey
+ORDER BY n_orders DESC, o_custkey ASC
+LIMIT {_TOPK_STATE_K}
+"""
+
+
 def maintenance_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map OVERLAP depth — the metric BEHIND
     maintenance_file_skipping_stats' verdict (Delta's clustering-depth
@@ -1706,6 +1734,8 @@ QUERIES: dict[str, QuerySpec] = {
         "maintenance"),
     "streaming_countmin_state": QuerySpec(
         streaming_countmin_state, AGG_COUNTMIN_SQL, "streaming"),
+    "streaming_topk_state": QuerySpec(
+        streaming_topk_state, STREAMING_TOPK_SQL, "streaming"),
     # the 1-row MAX-scalar BNLJ lives in the eager compaction WRITE, not
     # in the returned report plan (a plain scan + groupBy over the
     # compacted files) — so no plan waiver is needed or allowed here

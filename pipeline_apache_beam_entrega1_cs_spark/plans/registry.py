@@ -27,12 +27,13 @@ ROUND 12 CHORE: promote (a) any r11 failures; (b) the EIGHT deferred
 round-10 entries (analytics_yoy_growth, analytics_pareto_share,
 dq_outlier_iqr_fences, dq_reconciliation_totals,
 interval_gap_extraction, dq_candidate_keys,
-timeseries_interpolate_linear, dq_value_set_drift); (c) the round-11
-additions, named in full (dq_error_burst_detector,
-dq_benford_first_digit, analytics_sessionized_conversion,
-timeseries_holt_winters_fit, dedup_lsh_bucket_stats,
-text_char_ngram_lang_id, agg_theil_sen_slope, join_interval_overlap_len,
-maintenance_small_file_compaction_plan, streaming_topk_state); (d) the
+timeseries_interpolate_linear, dq_value_set_drift); (c) the TEN
+round-11 additions, named in full (dq_error_burst_detector,
+dedup_lsh_bucket_stats, text_gopher_quality_filters,
+text_zipf_tail_fit, text_token_coverage_curve,
+eval_brier_decomposition, agg_theil_sen_slope,
+timeseries_changepoint_binary, analytics_interval_proration,
+streaming_topk_state); (d) the
 NINE bench-covered r04-only names (q3_shipping_priority,
 q5_region_revenue, join_sort_merge, join_asof_events,
 join_range_nonequi, agg_rollup, window_running_frames, topk_per_group,

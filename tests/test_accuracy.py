@@ -3031,3 +3031,127 @@ def test_bloom_filter_matches_bruteforce(spark, sf_dir):
         if all(pos(rr, -i) in bits for rr in range(L._BLOOM_K))
     )
     assert r.fp_hits == fp
+
+
+def test_theil_sen_matches_bruteforce(spark, sf_dir):
+    """Theil-Sen per type equals a Python all-pairs median over the
+    same 64-point skeleton; OLS slope matches numpy on those points."""
+    import statistics
+    import numpy as np
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    got = {r.event_type: r
+           for r in A.agg_theil_sen_slope(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_type", "event_id", "unix_timestamp(ts) AS es", "value"
+    ).collect()
+    from collections import defaultdict
+    by_type = defaultdict(list)
+    for r in ev:
+        by_type[r.event_type].append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: (r.es, r.event_id))
+        pts = rs[: A._THEIL_K]
+        slopes = [
+            round((b.value - a.value) / (b.es - a.es), 12)
+            for i, a in enumerate(pts)
+            for b in pts[i + 1:]
+            if b.es != a.es
+        ]
+        r = got[t]
+        assert r.n_points == len(pts)
+        assert r.n_pairs == len(slopes)
+        assert abs(r.theil_sen_slope - statistics.median(slopes)) < 1e-8
+        x = np.array([p.es - A._THEIL_EPOCH for p in pts], dtype=float)
+        y = np.array([p.value for p in pts])
+        Amat = np.vstack([x, np.ones(len(x))]).T
+        slope = np.linalg.lstsq(Amat, y, rcond=None)[0][0]
+        assert abs(r.ols_slope - slope) < 1e-6
+
+
+def test_changepoint_matches_bruteforce_and_finds_planted_shift(
+        spark, sf_dir, tmp_path):
+    """(1) The argmax split equals a Python recompute of the gain curve
+    on the fixture; (2) on a planted level-shift series the detector
+    finds the exact boundary."""
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    got = {r.event_type: r
+           for r in A.timeseries_changepoint_binary(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_type", "CAST(floor(unix_timestamp(ts) / 3600) AS LONG) AS hr",
+        "value",
+    ).collect()
+    sums = defaultdict(lambda: [0.0, 0])
+    for r in ev:
+        s = sums[(r.event_type, r.hr)]
+        s[0] += r.value
+        s[1] += 1
+    series = defaultdict(list)
+    for (t, hr), (sv, n) in sums.items():
+        series[t].append((hr, round(sv / n, 6)))
+    for t, pts in series.items():
+        pts.sort()
+        ys = [y for _, y in pts]
+        n = len(ys)
+        S = sum(ys)
+        best = None
+        for i in range(1, n):
+            sl = sum(ys[:i])
+            gain = sl * sl / i + (S - sl) ** 2 / (n - i) - S * S / n
+            key = (round(gain, 9), -pts[i - 1][0])
+            if best is None or key > best[0]:
+                best = (key, pts[i - 1][0], i)
+        r = got[t]
+        assert r.n_hours == n
+        assert r.split_last_left_hr == best[1], t
+        assert abs(r.gain - best[0][0]) < 1e-6
+
+    # planted level shift: 48 hourly points, mean 10 then mean 50
+    base = datetime(2024, 3, 1)
+    rows = []
+    for i in range(48):
+        val = 10.0 if i < 30 else 50.0
+        rows.append((i, base + timedelta(hours=i, minutes=5), 1, "m", val,
+                     "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = A.timeseries_changepoint_binary(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    hr29 = df.selectExpr(
+        "CAST(floor(unix_timestamp(ts) / 3600) AS LONG) AS hr"
+    ).collect()[29].hr
+    assert r.split_last_left_hr == hr29  # last hour of the low regime
+    assert abs(r.mean_before - 10.0) < 1e-9
+    assert abs(r.mean_after - 50.0) < 1e-9
+
+
+def test_interval_proration_conserves_days(spark, sf_dir):
+    """Proration is exact: per-month day allocations sum back to each
+    interval's total length (conservation), and a spot recompute of
+    one month matches a Python day-walk."""
+    from collections import Counter
+    from datetime import timedelta
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    out = A.analytics_interval_proration(spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        "l_returnflag", "CAST(l_shipdate AS DATE) AS ship",
+        "(l_orderkey * 7 + l_linenumber) % 45 + 5 AS dur",
+    ).collect()
+    total_alloc = sum(r.days_in_month for r in out)
+    total_len = sum(r.dur + 1 for r in li)
+    assert total_alloc == total_len  # every interval day lands exactly once
+    expect = Counter()
+    for r in li:
+        d = r.ship
+        for i in range(int(r.dur) + 1):
+            day = d + timedelta(days=i)
+            expect[(day.strftime("%Y-%m"), r.l_returnflag)] += 1
+    got_days = {(r.month, r.l_returnflag): r.days_in_month for r in out}
+    assert got_days == dict(expect)

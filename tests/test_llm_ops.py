@@ -1572,3 +1572,211 @@ def test_dau_cumulative_monotone_and_bounded(spark, sf_dir):
         assert r.cumulative_users >= prev
         assert r.dau <= r.cumulative_users
         prev = r.cumulative_users
+
+
+# ---------------------------------------------------------------------------
+# Round-11 additions
+# ---------------------------------------------------------------------------
+
+def test_lsh_bucket_stats_matches_bruteforce(spark, sf_dir):
+    """Per-band bucket stats equal a Python recompute over the exact
+    banded frame the dedup pass uses (shared _banded_keys), and the
+    candidate-pair count is the sum of C(size, 2) over joinable
+    buckets."""
+    from collections import Counter
+    from pipeline_apache_beam_entrega1_cs_spark.operators import dedup as D
+    from pipeline_apache_beam_entrega1_cs_spark.plans.llm_data import (
+        dedup_lsh_bucket_stats,
+    )
+
+    got = {r.band: r for r in dedup_lsh_bucket_stats(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    arr = D._shingle_arrays(docs, 3).filter(F.col("n_sh") > 0)
+    xs = F.transform(
+        F.col("shingles"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % D._MINHASH_P,
+    )
+    banded = D._banded_keys(arr.select("doc_id", xs.alias("xs")), 16, 4)
+    sizes = Counter(
+        (r.band, r.band_key) for r in banded.select("band", "band_key").collect()
+    )
+    for band in range(4):
+        szs = [v for (b, _), v in sizes.items() if b == band]
+        r = got[band]
+        assert r.n_buckets == len(szs)
+        assert r.n_singleton == sum(1 for s in szs if s == 1)
+        assert r.max_bucket_size == max(szs)
+        assert r.n_candidate_pairs == sum(
+            s * (s - 1) // 2 for s in szs if 2 <= s <= 100
+        )
+        assert r.n_capped_buckets == sum(1 for s in szs if s > 100)
+        assert r.n_docs_in_capped == sum(s for s in szs if s > 100)
+
+
+def test_gopher_filters_planted_documents(spark, tmp_path):
+    """Gopher metrics and flags on planted documents with known
+    properties: a bullet list, an ellipsis-heavy doc, a symbol-laden
+    doc, a too-short doc, a stopword-free doc, and a healthy doc."""
+    from pipeline_apache_beam_entrega1_cs_spark.plans.llm_data import (
+        text_gopher_quality_filters,
+    )
+
+    healthy = ("the quick brown fox jumps over that lazy dog and then "
+               "rests with a friend of his to have some tea ") * 3
+    rows = [
+        (0, healthy, "en", "s", len(healthy)),
+        (1, "- one\n- two\n- three\n* four", "en", "s", 26),
+        (2, "wait...\nmore...\nfine", "en", "s", 20),
+        (3, "### ## # word " * 20, "en", "s", 280),
+        (4, "too short to pass", "en", "s", 17),
+        (5, ("zz yy xx ww vv uu tt ss rr qq " * 10), "en", "s", 300),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {r.doc_id: r
+           for r in text_gopher_quality_filters(spark, str(tmp_path)).collect()}
+
+    h = got[0]
+    assert h.n_words == 63 and h.word_count_ok and h.stopword_ok
+    assert h.gopher_pass == (
+        h.word_count_ok and h.mwl_ok and h.symbol_ok and h.bullet_ok
+        and h.ellipsis_ok and h.alpha_ok and h.stopword_ok)
+    # stopword hits are DISTINCT stopwords present
+    assert h.stopword_hits == len(
+        {"the", "that", "and", "with", "to", "of", "have"})
+    b = got[1]
+    assert b.bullet_line_frac == 1.0 and not b.bullet_ok
+    e = got[2]
+    assert abs(e.ellipsis_line_frac - 2 / 3) < 1e-6 and not e.ellipsis_ok
+    s = got[3]
+    assert s.symbol_to_word_ratio > 0.1 and not s.symbol_ok
+    assert not s.alpha_ok  # '###' tokens carry no alphabetic char
+    t = got[4]
+    assert t.n_words == 4 and not t.word_count_ok and not t.gopher_pass
+    z = got[5]
+    assert z.stopword_hits == 0 and not z.stopword_ok
+
+
+def test_zipf_fit_matches_numpy(spark, sf_dir):
+    """The decimal-moment OLS equals numpy's lstsq on the same
+    (ln rank, ln freq) points."""
+    import math
+    import numpy as np
+    from collections import Counter
+    from pipeline_apache_beam_entrega1_cs_spark.plans.llm_data import (
+        _ZIPF_K,
+        text_zipf_tail_fit,
+    )
+
+    r = text_zipf_tail_fit(spark, sf_dir).collect()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    cnt = Counter()
+    for d in docs:
+        t = (d.text or "").strip().lower()
+        if t:
+            cnt.update(t.split())
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:_ZIPF_K]
+    x = np.array([round(math.log(i + 1), 12) for i in range(len(top))])
+    y = np.array([round(math.log(f), 12) for _, f in top])
+    A = np.vstack([x, np.ones(len(x))]).T
+    (slope, intercept), res, *_ = np.linalg.lstsq(A, y, rcond=None)
+    assert r.n_fit == len(top)
+    assert abs(r.zipf_slope - slope) < 1e-5
+    assert abs(r.intercept - intercept) < 1e-5
+    corr = np.corrcoef(x, y)[0, 1]
+    assert abs(r.r2 - corr * corr) < 1e-5
+    assert r.zipf_slope < 0  # frequency decays with rank
+
+
+def test_coverage_curve_matches_python(spark, sf_dir):
+    """Coverage at each budget equals a Counter recompute; coverage is
+    monotone in K and hits 1.0 once K >= vocabulary size."""
+    from collections import Counter
+    from pipeline_apache_beam_entrega1_cs_spark.plans.llm_data import (
+        _COVERAGE_KS,
+        text_token_coverage_curve,
+    )
+
+    rows = {r.k: r
+            for r in text_token_coverage_curve(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    cnt = Counter()
+    for d in docs:
+        t = (d.text or "").strip().lower()
+        if t:
+            cnt.update(t.split())
+    total = sum(cnt.values())
+    freqs = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    prev_cov = 0.0
+    for k in _COVERAGE_KS:
+        r = rows[k]
+        covered = sum(f for _, f in freqs[:k])
+        assert r.covered_occurrences == covered
+        assert r.types_in_budget == min(k, len(freqs))
+        assert r.total_occurrences == total
+        assert r.vocab_size == len(freqs)
+        assert abs(r.coverage - round(covered / total, 6)) < 1e-9
+        assert r.coverage >= prev_cov
+        prev_cov = r.coverage
+    if max(_COVERAGE_KS) >= len(freqs):
+        assert rows[max(_COVERAGE_KS)].coverage == 1.0
+
+
+def test_brier_decomposition_matches_python(spark, sf_dir):
+    """Components equal a Python recompute with the same binning; the
+    3-term Murphy identity holds up to the reported gap; uncertainty
+    is the base-rate variance."""
+    from pipeline_apache_beam_entrega1_cs_spark.plans.llm_data import (
+        _BRIER_BINS,
+        _BRIER_HI,
+        _BRIER_LO,
+        _CALIB_QTH,
+        eval_brier_decomposition,
+        text_quality_model,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.operators import textops as T
+
+    r = eval_brier_decomposition(spark, sf_dir).collect()[0]
+    scored = {x.doc_id: x.logit
+              for x in text_quality_model(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    labels = {
+        x.doc_id: int(x.y)
+        for x in docs.select(
+            "doc_id",
+            (T.quality_score_col(F.col("text")) >= _CALIB_QTH).alias("y"),
+        ).collect()
+    }
+    pts = [
+        (round(min(max((scored[d] - _BRIER_LO) / (_BRIER_HI - _BRIER_LO), 0.0),
+                   1.0), 6), labels[d])
+        for d in scored
+    ]
+    n = len(pts)
+    ybar = sum(y for _, y in pts) / n
+    brier = sum((p - y) ** 2 for p, y in pts) / n
+    bins = {}
+    for p, y in pts:
+        b = min(int(p * _BRIER_BINS), _BRIER_BINS - 1)
+        bins.setdefault(b, []).append((p, y))
+    rel = sum(
+        len(v) * (sum(p for p, _ in v) / len(v)
+                  - sum(y for _, y in v) / len(v)) ** 2
+        for v in bins.values()
+    ) / n
+    res = sum(
+        len(v) * (sum(y for _, y in v) / len(v) - ybar) ** 2
+        for v in bins.values()
+    ) / n
+    unc = ybar * (1 - ybar)
+    assert r.n == n
+    assert abs(r.brier - brier) < 1e-6
+    assert abs(r.reliability - rel) < 1e-6
+    assert abs(r.resolution - res) < 1e-6
+    assert abs(r.uncertainty - unc) < 1e-6
+    # Murphy identity holds exactly up to the reported within-bin gap
+    assert abs(r.brier - (r.reliability - r.resolution + r.uncertainty)
+               - r.decomposition_gap) < 2e-6

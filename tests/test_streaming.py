@@ -1086,3 +1086,45 @@ def test_streaming_countmin_replay(spark, sf_dir, tmp_path):
     st2 = spark.read.parquet(state)
     assert st2.filter(F.col("kind") == "grid").agg(F.sum("cnt")).first()[0] \
         == R2._CMS_D * raw.count()
+
+
+def test_streaming_topk_replay(spark, sf_dir, tmp_path):
+    """Streaming exact top-k: (1) end-to-end equals the one-shot batch
+    GROUP BY + TakeOrdered; (2) replaying a committed batch id is a
+    no-op (counts would double otherwise); (3) a stranded rename-aside
+    state is recovered; (4) state totals conserve the row count."""
+    import os
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.pipeline_ops import (
+        _TOPK_STATE_K,
+        streaming_topk_state,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.streaming.sinks import (
+        TopKCountMergeSink,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    batch = rows_multiset(
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+        .limit(_TOPK_STATE_K)
+    )
+    out = streaming_topk_state(spark, sf_dir)
+    assert rows_multiset(out) == batch
+
+    raw = orders.select("o_orderkey", "o_custkey")
+    state = str(tmp_path / "tk" / "state")
+    sink = TopKCountMergeSink(state)
+    slices = [raw.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    sink(slices[0], 0)
+    sink(slices[1], 1)
+    os.rename(state, f"{state}_old42")  # crash between swap renames
+    sink(slices[1], 1)  # committed marker inside state dir: replayed no-op
+    assert os.path.exists(f"{state}_old42")
+    os.rename(f"{state}_old42", state)
+    sink(slices[1], 1)  # still a no-op after recovery
+    sink(slices[2], 2)
+    st = spark.read.parquet(state)
+    assert st.agg(F.sum("cnt")).first()[0] == raw.count()  # conservation
+    assert st.select("o_custkey").distinct().count() == st.count()
