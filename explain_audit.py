@@ -191,6 +191,44 @@ AUDIT = [
     "timeseries_interpolate_linear",
     "dq_value_set_drift",
     "agg_bloom_filter_stats",
+    # round-10 families the round-10 VERDICT asked to add (item 6):
+    # the container-parse folds (repartition barrier + bounded explode
+    # must survive optimizer changes), the statistical one-agg
+    # entries, and heavy round-10 analytics
+    "multimodal_tiff_meta",
+    "multimodal_tar_index",
+    "multimodal_jpeg_meta",
+    "multimodal_zip_index",
+    "multimodal_gif_meta",
+    "multimodal_bmp_meta",
+    "multimodal_webp_meta",
+    "multimodal_mp4_box_index",
+    "multimodal_png_chunk_index",
+    "multimodal_cdc_chunking",
+    "stat_welch_ttest",
+    "stat_anova_f",
+    "agg_spearman_corr",
+    "agg_moments_skew_kurtosis",
+    "graph_degree_assortativity",
+    "graph_clustering_coefficient",
+    "analytics_apriori_pairs",
+    "embedding_pca_power",
+    "embedding_label_outliers",
+    "dq_key_gap_audit",
+    "eval_dedup_quality",
+    "timeseries_rolling_regression",
+    "join_bitemporal_asof",
+    "eval_model_gains_deciles",
+    # round-11 additions
+    "dq_error_burst_detector",
+    "dedup_lsh_bucket_stats",
+    "text_gopher_quality_filters",
+    "text_zipf_tail_fit",
+    "text_token_coverage_curve",
+    "eval_brier_decomposition",
+    "agg_theil_sen_slope",
+    "timeseries_changepoint_binary",
+    "analytics_interval_proration",
 ]
 
 

@@ -644,16 +644,15 @@ _CDC_MASK = 63        # boundary when h % 64 == 0 -> ~64-byte avg chunks
 _CDC_POW = [pow(31, j, _CDC_MOD) for j in range(_CDC_W)]
 
 
-def _cdc_parallelism(df: DataFrame) -> int:
-    """Partition count for the CPU-dense CDC hash stage — the
-    dedup._shuffle_partitions rule: AQE sizes exchanges by bytes, so a
-    byte-light/CPU-heavy stage must carry an explicit count or it
-    coalesces to the scan's split layout and runs single-core."""
-    spark = df.sparkSession
-    try:
-        return int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        return spark.sparkContext.defaultParallelism
+def _explicit_partitions(df: DataFrame) -> int:
+    """Explicit partition count for CPU-dense/byte-light repartition
+    barriers (the dedup._shuffle_partitions rule: AQE sizes exchanges
+    by BYTES, so without an explicit count these stages coalesce to
+    the scan's split layout and run single-core). One definition for
+    every container-parse and CDC barrier in this module."""
+    from .dedup import _shuffle_partitions
+
+    return _shuffle_partitions(df)
 
 
 def cdc_chunk_stats(docs_with_payload: DataFrame,
@@ -683,7 +682,7 @@ def cdc_chunk_stats(docs_with_payload: DataFrame,
     hexs = F.hex(F.substring(p, 1, max_bytes))
     base = (
         docs_with_payload.repartition(
-            _cdc_parallelism(docs_with_payload), "doc_id"
+            _explicit_partitions(docs_with_payload), "doc_id"
         )
         .select("doc_id", hexs.alias("_h"))
         .withColumn(
@@ -1130,7 +1129,7 @@ def tar_index(tar: DataFrame) -> DataFrame:
             ).alias(f"name_hex_{j}")
             for j in range(3)
         ],
-    ).repartition(_TAR_PARTITIONS_FN(tar), "doc_id")
+    ).repartition(_explicit_partitions(tar), "doc_id")
 
     def member(j):
         off = F.col(f"off_{j}")
@@ -1184,10 +1183,6 @@ def tar_index(tar: DataFrame) -> DataFrame:
     ).select("doc_id", "m.*")
 
 
-def _TAR_PARTITIONS_FN(df: DataFrame) -> int:
-    from .dedup import _shuffle_partitions
-
-    return _shuffle_partitions(df)
 
 
 # --------------------------------------------------------------------------
@@ -1388,7 +1383,7 @@ def zip_index(z: DataFrame) -> DataFrame:
     construction (concat + three crc32s) into every one — measured
     17.6 s vs 1.6 s at sf0.1, the tar_index barrier lesson on the
     build side instead of the walk side."""
-    z = z.repartition(_TAR_PARTITIONS_FN(z), "doc_id")
+    z = z.repartition(_explicit_partitions(z), "doc_id")
     p = F.col("payload")
 
     def u16(off):  # little-endian, 0-based offset
@@ -1837,7 +1832,7 @@ def mp4_box_index(mp4: DataFrame) -> DataFrame:
         ),
     )
     base = (
-        mp4.repartition(32, "doc_id")
+        mp4.repartition(_explicit_partitions(mp4), "doc_id")
         .select(
             "doc_id",
             plen.alias("plen"),
@@ -1972,7 +1967,7 @@ def png_chunk_index(png: DataFrame) -> DataFrame:
         ),
     )
     base = (
-        png.repartition(32, "doc_id")
+        png.repartition(_explicit_partitions(png), "doc_id")
         .select(
             "doc_id",
             "payload",

@@ -774,3 +774,33 @@ def test_orphan_audit_reads_only_orphan_files(spark, sf_dir):
     files = df.inputFiles()
     assert len(files) == _ORPHAN_FILES
     assert all("/data/stray/" in f for f in files), files
+
+
+def test_cpu_dense_barriers_carry_explicit_partition_count(spark, sf_dir):
+    """The byte-light/CPU-dense stages (CDC rolling hash, the
+    length-walk container parsers) must not inherit the scan's split
+    layout — their plans carry an explicit-count doc_id exchange sized
+    by spark.sql.shuffle.partitions (the round-11 CDC re-ladder: the
+    exchange-free shape ran the hash stage on ONE core, 3.54 s vs
+    2.22 s at sf0.1; SCALING.md round 11)."""
+    from pipeline_apache_beam_entrega1_cs_spark.plans.registry import (
+        all_queries,
+    )
+
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    reg = all_queries()
+    for name in (
+        "multimodal_cdc_chunking",
+        "multimodal_tar_index",
+        "multimodal_zip_index",
+        "multimodal_mp4_box_index",
+        "multimodal_png_chunk_index",
+    ):
+        plan = physical_plan(reg[name].fn(spark, sf_dir))
+        import re
+
+        m = re.search(rf"hashpartitioning\(doc_id#\d+L?, {n}\)", plan)
+        assert m, (
+            f"{name}: no explicit {n}-partition doc_id exchange in plan "
+            "— the CPU-dense stage would inherit the scan split layout"
+        )
