@@ -494,6 +494,107 @@ def wav_fmt_meta(docs_with_payload: DataFrame) -> DataFrame:
     )
 
 
+_RIFF_WALK_STEPS = 3  # fixture bound: fmt + data (+1 overshoot guard)
+
+
+def riff_chunk_index(docs_with_payload: DataFrame) -> DataFrame:
+    """Generic RIFF chunk-table index — the LITTLE-endian sibling of
+    mp4_box_index (BE size-prefixed) and png_chunk_index (BE + CRC):
+    validate 'RIFF'+'WAVE', then hop (fourcc, LE u32 size) chunk
+    headers from offset 12 size-by-size, honoring the RIFF even-byte
+    padding rule (an odd-size chunk is followed by one pad byte). The
+    hop is ONE F.aggregate fold (the jpeg CollapseProject lesson)
+    emitting a bounded chunk array that explodes via the
+    struct-transform idiom. wav_fmt_meta reads this container with
+    FIXED offsets; this walker earns its keep on layouts where chunk
+    order/length varies — and end_ok proves the size chain is
+    consistent with the payload length (writers commonly omit the
+    FINAL pad byte, so landing one byte past the end after an odd
+    final chunk also passes).
+
+    100 TB shape: O(chunks)/row expressions below the explicit-count
+    repartition barrier, zero shuffle beyond it, zero UDF."""
+    p = F.col("payload")
+    plen = F.octet_length(p)
+    is_riff = (F.hex(F.substring(p, 1, 4)) == "52494646") & (
+        F.hex(F.substring(p, 9, 4)) == "57415645"
+    )
+
+    def le_u32(off):  # off: 0-based Column
+        v = F.lit(0).cast("long")
+        for i in range(4):
+            v = v + F.conv(
+                F.hex(F.substring(p, (off + 1 + i).cast("int"), 1)), 16, 10
+            ).cast("long") * F.lit(256**i)
+        return v
+
+    step = lambda sz: sz + 8 + sz % 2  # noqa: E731 — header + data + pad
+    chunks = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_RIFF_WALK_STEPS)),
+        F.struct(
+            F.lit(12).cast("long").alias("off"),
+            F.array().cast(
+                "array<struct<idx:long,off:long,size:long,fourcc:string>>"
+            ).alias("acc"),
+        ),
+        lambda acc, i: F.when(
+            acc["off"] + 8 <= plen,
+            F.struct(
+                (acc["off"] + step(le_u32(acc["off"] + 4))).alias("off"),
+                F.concat(
+                    acc["acc"],
+                    F.array(
+                        F.struct(
+                            (i - 1).cast("long").alias("idx"),
+                            acc["off"].alias("off"),
+                            le_u32(acc["off"] + 4).alias("size"),
+                            F.substring(p, (acc["off"] + 1).cast("int"), 4)
+                            .cast("string").alias("fourcc"),
+                        )
+                    ),
+                ).alias("acc"),
+            ),
+        ).otherwise(acc),
+    )
+    base = (
+        docs_with_payload.repartition(
+            _explicit_partitions(docs_with_payload), "doc_id"
+        )
+        .select(
+            "doc_id",
+            plen.alias("plen"),
+            is_riff.alias("is_riff"),
+            F.when(is_riff, chunks).alias("c"),
+        )
+    )
+    exploded = base.select(
+        "doc_id", "plen", "is_riff",
+        F.col("c.off").alias("end_off"),
+        F.explode_outer(
+            F.when(F.col("is_riff"), F.col("c.acc")).otherwise(
+                F.array(
+                    F.lit(None).cast(
+                        "struct<idx:long,off:long,size:long,fourcc:string>"
+                    )
+                )
+            )
+        ).alias("m"),
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("is_riff").cast("long").alias("is_riff"),
+        F.col("m.idx").alias("chunk_idx"),
+        F.col("m.fourcc").alias("fourcc"),
+        F.col("m.size").alias("chunk_size"),
+        F.col("m.off").alias("chunk_offset"),
+        F.when(
+            F.col("is_riff"),
+            (F.col("end_off") == F.col("plen"))
+            | (F.col("end_off") == F.col("plen") + 1),
+        ).alias("end_ok"),
+    )
+
+
 def pcm_frame_energy(
     docs_with_payload: DataFrame,
     frame_len: int = 16,

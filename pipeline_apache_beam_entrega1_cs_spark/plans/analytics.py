@@ -7534,6 +7534,208 @@ GROUP BY 1, 2
 """
 
 
+def analytics_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency per month — "how many orders were
+    simultaneously open" (capacity planning, license sizing, staffing):
+    each order opens at o_orderdate and closes after a deterministic
+    (o_orderkey % 20 + 3)-day fulfillment window (half-open [open,
+    close)); per month: the month's peak concurrent count, open/close
+    event counts, and the carry-in level.
+
+    The scale idiom is the TWO-PHASE GLOBAL PREFIX SUM: a single
+    time-ordered ±1 sweep would serialize the whole corpus through one
+    partition, so the sweep runs WITHIN month partitions and the
+    cross-month baseline arrives as a carry-in — each month's net
+    open−close delta rolls up to one row, and a window over that
+    O(#months) frame (scale-independent, waived) accumulates the
+    starting level, exactly the dq_key_gap_audit bucket-boundary
+    move. Peak(month) = carry_in + max(0, max running sum within the
+    month); ties at the same timestamp process closes before opens
+    (half-open intervals), tie-broken deterministically by order key."""
+    o = _t(spark, sf_dir, "orders")
+    open_d = F.to_date("o_orderdate")
+    dur = (F.col("o_orderkey") % 20 + 3).cast("int")
+    iv = o.select(
+        "o_orderkey", open_d.alias("od"), F.date_add(open_d, dur).alias("cd")
+    )
+    bounds = iv.select(
+        F.col("od").alias("t"), F.lit(1).alias("delta"), "o_orderkey"
+    ).unionAll(
+        iv.select(
+            F.col("cd").alias("t"), F.lit(-1).alias("delta"), "o_orderkey"
+        )
+    ).withColumn("m", F.date_format(F.trunc("t", "MM"), "yyyy-MM"))
+    w_in = (
+        Window.partitionBy("m")
+        .orderBy("t", "delta", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = bounds.withColumn("run", F.sum("delta").over(w_in))
+    per_month = run.groupBy("m").agg(
+        F.max("run").cast("bigint").alias("max_run"),
+        F.sum("delta").cast("bigint").alias("net"),
+        F.sum((F.col("delta") == 1).cast("long")).cast("bigint")
+        .alias("n_opens"),
+        F.sum((F.col("delta") == -1).cast("long")).cast("bigint")
+        .alias("n_closes"),
+    )
+    w_m = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_month.withColumn(
+            "carry_in", (F.sum("net").over(w_m) - F.col("net")).cast("bigint")
+        )
+        .select(
+            F.col("m").alias("month"), "n_opens", "n_closes", "carry_in",
+            (F.col("carry_in")
+             + F.greatest(F.col("max_run"), F.lit(0).cast("bigint")))
+            .cast("bigint").alias("peak_concurrency"),
+        )
+    )
+
+
+ANALYTICS_PEAK_CONCURRENCY_SQL = """
+WITH iv AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+         CAST(o_orderdate AS DATE)
+           + CAST((o_orderkey % 20 + 3) AS INTEGER) AS cd
+  FROM orders
+), bounds AS (
+  SELECT od AS t, 1 AS delta, o_orderkey FROM iv
+  UNION ALL
+  SELECT cd AS t, -1 AS delta, o_orderkey FROM iv
+), marked AS (
+  SELECT t, delta, o_orderkey, strftime(date_trunc('month', t), '%Y-%m') AS m
+  FROM bounds
+), run AS (
+  SELECT m, delta,
+         SUM(delta) OVER (PARTITION BY m ORDER BY t, delta, o_orderkey
+                          ROWS UNBOUNDED PRECEDING) AS run
+  FROM marked
+), per_month AS (
+  SELECT m, CAST(MAX(run) AS BIGINT) AS max_run,
+         CAST(SUM(delta) AS BIGINT) AS net,
+         CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_opens,
+         CAST(SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_closes
+  FROM run GROUP BY m
+)
+SELECT m AS month, n_opens, n_closes,
+       CAST(SUM(net) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) - net
+            AS BIGINT) AS carry_in,
+       CAST(SUM(net) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) - net
+            + greatest(max_run, 0) AS BIGINT) AS peak_concurrency
+FROM per_month
+"""
+
+
+def _arr_median(c):
+    """Exact median of a double array column — sort, pick middle (odd)
+    or average the two middles (even). Identical IEEE arithmetic in
+    both engines."""
+    s = F.sort_array(c)
+    n = F.size(c)
+    return F.when(
+        n % 2 == 1, F.element_at(s, ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at(s, (n / 2).cast("int"))
+            + F.element_at(s, (n / 2 + 1).cast("int"))
+        ) / 2
+    )
+
+
+def window_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel outlier filter — the ROBUST rolling detector (rolling
+    median ± 3·1.4826·rolling MAD) that flags spikes without letting
+    the spike contaminate its own baseline, which is exactly what the
+    rolling-MEAN z-score (anomaly_zscore) gets wrong at level shifts:
+    per event type's hourly series, a ±3-hour centered window, the
+    window median, the median absolute deviation, and the flag.
+    Medians come from sorted bounded arrays (7 values) — no
+    percentile aggregate, pure array arithmetic, identical in both
+    engines.
+
+    100 TB shape: the hourly rollup collapses raw events first (one
+    mergeable agg); the windowed collect runs per type partition over
+    the bounded series — the rollup-then-window discipline; the ±3
+    frame caps every array at 7 doubles."""
+    ev = _t(spark, sf_dir, "events")
+    hr = F.floor(F.unix_timestamp("ts") / 3600).cast("bigint")
+    hourly = ev.groupBy("event_type", hr.alias("hr")).agg(
+        F.round(
+            _dec_to_double(F.sum(F.col("value").cast("decimal(18,4)")))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("yv"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-3, 3)
+    )
+    arr = F.collect_list("yv").over(w)
+    base = hourly.withColumn("win", arr)
+    med = F.round(_arr_median(F.col("win")), 6)
+    base = base.withColumn("rolling_med", med)
+    absdev = F.transform(
+        F.col("win"), lambda x: F.round(F.abs(x - F.col("rolling_med")), 6)
+    )
+    mad = F.round(_arr_median(absdev), 6)
+    base = base.withColumn("rolling_mad", mad)
+    return base.select(
+        "event_type", "hr", "yv",
+        F.size("win").cast("bigint").alias("window_n"),
+        "rolling_med", "rolling_mad",
+        (
+            F.abs(F.col("yv") - F.col("rolling_med"))
+            > F.lit(3 * 1.4826) * F.col("rolling_mad")
+        ).alias("is_outlier"),
+    )
+
+
+WINDOW_HAMPEL_SQL = """
+WITH hourly AS (
+  SELECT event_type, CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS hr,
+         round(CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
+                    AS DOUBLE) / COUNT(*), 6) AS yv
+  FROM events GROUP BY 1, 2
+), windowed AS (
+  SELECT event_type, hr, yv,
+         list(yv) OVER (PARTITION BY event_type ORDER BY hr
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS win
+  FROM hourly
+), med AS (
+  SELECT event_type, hr, yv, win,
+         round(CASE WHEN len(win) % 2 = 1
+               THEN list_sort(win)[CAST((len(win) + 1) / 2 AS INTEGER)]
+               ELSE (list_sort(win)[CAST(len(win) / 2 AS INTEGER)]
+                     + list_sort(win)[CAST(len(win) / 2 + 1 AS INTEGER)]) / 2
+               END, 6) AS rolling_med
+  FROM windowed
+), madt AS (
+  SELECT event_type, hr, yv, win, rolling_med,
+         list_sort(list_transform(win, x -> round(abs(x - rolling_med), 6)))
+           AS dev
+  FROM med
+)
+SELECT event_type, hr, yv, CAST(len(win) AS BIGINT) AS window_n,
+       rolling_med,
+       round(CASE WHEN len(dev) % 2 = 1
+             THEN dev[CAST((len(dev) + 1) / 2 AS INTEGER)]
+             ELSE (dev[CAST(len(dev) / 2 AS INTEGER)]
+                   + dev[CAST(len(dev) / 2 + 1 AS INTEGER)]) / 2
+             END, 6) AS rolling_mad,
+       abs(yv - rolling_med) >
+         3 * 1.4826 * round(CASE WHEN len(dev) % 2 = 1
+             THEN dev[CAST((len(dev) + 1) / 2 AS INTEGER)]
+             ELSE (dev[CAST(len(dev) / 2 AS INTEGER)]
+                   + dev[CAST(len(dev) / 2 + 1 AS INTEGER)]) / 2
+             END, 6) AS is_outlier
+FROM madt
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "timeseries_interpolate_linear": QuerySpec(
         timeseries_interpolate_linear, TIMESERIES_INTERP_SQL, "timeseries"),
@@ -7638,6 +7840,16 @@ QUERIES: dict[str, QuerySpec] = {
     "analytics_interval_proration": QuerySpec(
         analytics_interval_proration, ANALYTICS_INTERVAL_PRORATION_SQL,
         "analytics"),
+    "analytics_peak_concurrency": QuerySpec(
+        analytics_peak_concurrency, ANALYTICS_PEAK_CONCURRENCY_SQL,
+        "analytics",
+        plan_waivers={"global_window": (
+            "the cross-month carry-in cumsum runs over the O(#months) "
+            "per-month rollup frame — scale-independent (the "
+            "dq_key_gap_audit bucket-boundary move); the raw ±1 sweep "
+            "itself is month-partitioned")}),
+    "window_hampel_filter": QuerySpec(
+        window_hampel_filter, WINDOW_HAMPEL_SQL, "window"),
     "window_session_capped": QuerySpec(
         window_session_capped, WINDOW_SESSION_CAPPED_SQL, "time_window"),
     "timeseries_lttb_downsample": QuerySpec(

@@ -3294,6 +3294,215 @@ FROM final
 """
 
 
+def eval_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECE/MCE — the one-number calibration summary quoted in model
+    cards (Guo et al. 2017): over the same 10 equal-width probability
+    bins as eval_brier_decomposition, ECE = Σ (n_b/N)·|p̄_b − ȳ_b| and
+    MCE = max_b |p̄_b − ȳ_b|. Completes the calibration trio: the
+    reliability TABLE (eval_score_calibration), the Murphy
+    DECOMPOSITION (eval_brier_decomposition), and THIS scalar. Same
+    libm-free linear logit squash, same decimal-sum determinism.
+
+    100 TB shape: one mergeable (bin) aggregate to 10 rows, a 10-row
+    fold; the scoring plan dominates and is shared machinery."""
+    scored = text_quality_model(spark, sf_dir).select("doc_id", "logit")
+    labels = _docs(spark, sf_dir).select(
+        "doc_id",
+        (T.quality_score_col(F.col("text")) >= _CALIB_QTH)
+        .cast("long").alias("y"),
+    )
+    j = scored.join(labels, "doc_id")
+    p = F.round(
+        F.least(
+            F.greatest(
+                (F.col("logit") - _BRIER_LO) / (_BRIER_HI - _BRIER_LO),
+                F.lit(0.0),
+            ),
+            F.lit(1.0),
+        ),
+        6,
+    )
+    binc = F.least(
+        F.floor(F.col("p") * _BRIER_BINS), F.lit(_BRIER_BINS - 1)
+    ).cast("long")
+    rows = j.select(p.alias("p"), "y")
+    bins = rows.groupBy(binc.alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        _dec_to_double(F.sum(F.col("p").cast("decimal(12,6)"))).alias("sum_p"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+    )
+    gap = F.abs(
+        F.col("sum_p") / F.col("n_b")
+        - F.col("sum_y").cast("double") / F.col("n_b")
+    )
+    final = bins.agg(
+        F.sum("n_b").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_nonempty_bins"),
+        _dec_to_double(
+            F.sum(F.round(F.col("n_b") * gap, 12).cast("decimal(24,12)"))
+        ).alias("wsum"),
+        F.max(F.round(gap, 9)).alias("mce"),
+    )
+    return final.select(
+        "n", "n_nonempty_bins",
+        F.round(F.col("wsum") / F.col("n"), 6).alias("ece"),
+        F.round("mce", 6).alias("mce"),
+    )
+
+
+def _ece_sql() -> str:
+    B, lo, hi = _BRIER_BINS, _BRIER_LO, _BRIER_HI
+    return f"""
+WITH j AS (
+  SELECT round(least(greatest((s.logit - {lo}) / ({hi} - {lo}), 0.0), 1.0), 6)
+           AS p,
+         CAST({_SQL_QSCORE} >= {_CALIB_QTH} AS BIGINT) AS y
+  FROM ( {_qmodel_sql()} ) s JOIN documents d ON s.doc_id = d.doc_id
+), bins AS (
+  SELECT CAST(least(floor(p * {B}), {B - 1}) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(CAST(SUM(CAST(p AS DECIMAL(12,6))) AS VARCHAR) AS DOUBLE)
+           AS sum_p,
+         CAST(SUM(y) AS BIGINT) AS sum_y
+  FROM j GROUP BY 1
+), final AS (
+  SELECT CAST(SUM(n_b) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_nonempty_bins,
+         CAST(CAST(SUM(CAST(round(n_b * abs(sum_p / n_b
+                                            - sum_y::DOUBLE / n_b), 12)
+                            AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE)
+           AS wsum,
+         MAX(round(abs(sum_p / n_b - sum_y::DOUBLE / n_b), 9)) AS mce
+  FROM bins
+)
+SELECT n, n_nonempty_bins, round(wsum / n, 6) AS ece, round(mce, 6) AS mce
+FROM final
+"""
+
+
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by source — subword tokens emitted per
+    whitespace word, THE cross-segment tokenizer-quality metric in
+    multilingual LLM evals (fertility ≈ 1 is efficient; a segment
+    tokenizing at 3× pays 3× the context budget): per source, exact
+    total BPE-ish and whitespace token counts, their ratio, and chars
+    per subword token. Rolls up text_bpe_token_count's per-doc cost
+    model to the segment report a tokenizer/mixture decision reads.
+
+    100 TB shape: one map-only token-count pass + one (source)
+    mergeable hash-agg; two final divisions."""
+    docs = _docs(spark, sf_dir)
+    counted = T.bpe_token_stats(docs).join(
+        docs.select("doc_id", "source", "n_chars"), "doc_id"
+    )
+    return (
+        counted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_ws_tokens").cast("bigint").alias("ws_tokens"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("bpe_tokens"),
+            F.sum(
+                F.when(F.col("n_bpe_tokens") > 0, F.col("n_chars"))
+                .otherwise(F.lit(0))
+            ).cast("bigint").alias("chars_in_tokenized"),
+        )
+        .select(
+            "source", "n_docs", "ws_tokens", "bpe_tokens",
+            F.round(
+                F.col("bpe_tokens").cast("double") / F.col("ws_tokens"), 6
+            ).alias("fertility"),
+            F.round(
+                F.col("chars_in_tokenized").cast("double")
+                / F.col("bpe_tokens"), 6,
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+TEXT_FERTILITY_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, source, n_chars,
+         CASE WHEN trim(lower(text)) = '' THEN 0 ELSE len({_TOKS}) END AS n_ws,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+'))
+           AS n_bpe
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+       round(SUM(n_bpe)::DOUBLE / SUM(n_ws), 6) AS fertility,
+       round(SUM(CASE WHEN n_bpe > 0 THEN n_chars ELSE 0 END)::DOUBLE
+             / SUM(n_bpe), 6) AS chars_per_token
+FROM t
+GROUP BY source
+"""
+
+
+# thresholds as exact integer PERCENTS — a double literal round-trips
+# differently through DuckDB's DECIMAL UNNEST vs Spark's double array
+# and hash-mismatches; pct/100.0 is the same IEEE double in both
+_COS_SWEEP_PCTS = [20, 35, 50, 65, 80, 95]
+
+
+def dedup_cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup threshold governance — "how many pairs would each
+    cosine cutoff merge?": cumulative candidate-pair counts at
+    thresholds 0.20..0.95 over the SAME label-blocked candidate set
+    dedup_embedding_cosine prunes from, plus each stratum's mean
+    similarity. The capacity-planning sweep you read before picking a
+    semantic dedup threshold (the cosine analog of
+    dedup_lsh_bucket_stats): a cutoff that merges half the corpus is
+    visible here BEFORE the merge runs.
+
+    100 TB shape: same bounded blocked pair generation as the dedup
+    entry (Σ block², LSH buckets at scale), then ONE conditional-sum
+    hash-agg over the thresholds — strictly cheaper than the dedup."""
+    pairs = S.embedding_cosine_pairs(
+        _emb(spark, sf_dir), block_col="label", threshold=-1.0
+    )
+    rows = pairs.select(
+        F.explode(
+            F.array(*[F.lit(t).cast("bigint") for t in _COS_SWEEP_PCTS])
+        ).alias("threshold_pct"),
+        "cos_sim",
+    ).filter(F.col("cos_sim") >= F.col("threshold_pct") / F.lit(100.0))
+    return (
+        rows.groupBy("threshold_pct")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(
+                _dec_to_double(
+                    F.sum(F.col("cos_sim").cast("decimal(12,6)"))
+                ) / F.count(F.lit(1)),
+                6,
+            ).alias("mean_cos_sim"),
+        )
+        .orderBy("threshold_pct")
+    )
+
+
+def _cos_sweep_sql() -> str:
+    ts = ", ".join(str(t) for t in _COS_SWEEP_PCTS)
+    return f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), pairs AS (
+  SELECT round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT CAST(threshold_pct AS BIGINT) AS threshold_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(CAST(CAST(SUM(CAST(cos_sim AS DECIMAL(12,6))) AS VARCHAR)
+                  AS DOUBLE) / COUNT(*), 6) AS mean_cos_sim
+FROM pairs, UNNEST([{ts}]) AS u(threshold_pct)
+WHERE cos_sim >= threshold_pct / 100.0
+GROUP BY threshold_pct
+ORDER BY threshold_pct
+"""
+
+
 _SPAN_N = 8
 
 
@@ -5371,6 +5580,40 @@ FROM L WHERE doc_id % 5 = 4
 """
 
 
+def multimodal_riff_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic RIFF chunk-table walk (operators/multimodal.
+    riff_chunk_index over with_wav_payload): the LITTLE-endian
+    length-prefixed member of the container-walk family (mp4 = BE
+    boxes, png = BE + CRC, tar = 512-padded, zip = tail directory) —
+    (fourcc, LE u32 size) headers hopped from offset 12 with the RIFF
+    even-byte padding rule, as ONE F.aggregate fold. 3/4 of rows route
+    through the rejection path (the wav fixture gives only
+    doc_id % 4 == 1 rows a full RIFF container). The oracle derives
+    the fmt/data chunk table closed-form from the fixture; physical
+    parse rigor is carried by the struct.pack corruption test."""
+    return M.riff_chunk_index(M.with_wav_payload(_docs(spark, sf_dir)))
+
+
+MULTIMODAL_RIFF_SQL = """
+WITH L AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS dl
+  FROM documents
+), chunks AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS chunk_idx, 'fmt ' AS fourcc,
+         CAST(16 AS BIGINT) AS chunk_size, CAST(12 AS BIGINT) AS chunk_offset
+  FROM L WHERE doc_id % 4 = 1
+  UNION ALL
+  SELECT doc_id, 1, 'data', dl, 36 FROM L WHERE doc_id % 4 = 1
+)
+SELECT doc_id, CAST(1 AS BIGINT) AS is_riff, chunk_idx, fourcc,
+       chunk_size, chunk_offset, TRUE AS end_ok
+FROM chunks
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT), NULL, NULL, NULL, NULL, NULL
+FROM L WHERE doc_id % 4 <> 1
+"""
+
+
 _RAKE_STOP = (
     "the", "of", "and", "a", "to", "in", "is", "it", "that", "for",
     "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
@@ -6188,6 +6431,8 @@ QUERIES: dict[str, QuerySpec] = {
         multimodal_bmp_meta, MULTIMODAL_BMP_SQL, "multimodal"),
     "multimodal_webp_meta": QuerySpec(
         multimodal_webp_meta, MULTIMODAL_WEBP_SQL, "multimodal"),
+    "multimodal_riff_chunk_index": QuerySpec(
+        multimodal_riff_chunk_index, MULTIMODAL_RIFF_SQL, "multimodal"),
     "multimodal_mp4_box_index": QuerySpec(
         multimodal_mp4_box_index, MULTIMODAL_MP4_SQL, "multimodal"),
     "dedup_prefix_filter_join": QuerySpec(
@@ -6323,6 +6568,12 @@ QUERIES: dict[str, QuerySpec] = {
         plan_waivers={"bnlj": (
             "1-row (n, n_pos) totals broadcast onto the 10-bin frame "
             "(QPM recipe)")}),
+    "eval_expected_calibration_error": QuerySpec(
+        eval_expected_calibration_error, _ece_sql(), "text"),
+    "text_tokenizer_fertility": QuerySpec(
+        text_tokenizer_fertility, TEXT_FERTILITY_SQL, "text"),
+    "dedup_cosine_threshold_sweep": QuerySpec(
+        dedup_cosine_threshold_sweep, _cos_sweep_sql(), "dedup"),
     "eval_retrieval_metrics": QuerySpec(
         eval_retrieval_metrics, _retrieval_eval_sql(), "similarity",
         plan_waivers={"bnlj": (
@@ -6342,17 +6593,15 @@ QUERIES: dict[str, QuerySpec] = {
     "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL, "text"),
     "text_gopher_quality_filters": QuerySpec(
         text_gopher_quality_filters, _gopher_sql(), "text"),
+    # NOTE: both entries rank inside a TakeOrdered(K) frame; the
+    # resulting window consumes the already-single-partition limit
+    # output with no global-sort exchange, so no global_window waiver
+    # is needed (the stale-waiver gate verifies this stays true)
     "text_zipf_tail_fit": QuerySpec(
-        text_zipf_tail_fit, _zipf_sql(), "text",
-        plan_waivers={"global_window": (
-            "row_number runs on the TakeOrdered <= 1000-row top-K "
-            "frame — scale-independent by construction")}),
+        text_zipf_tail_fit, _zipf_sql(), "text"),
     "text_token_coverage_curve": QuerySpec(
         text_token_coverage_curve, _coverage_sql(), "text",
         plan_waivers={
-            "global_window": (
-                "row_number runs on the TakeOrdered <= 4096-row top-K "
-                "frame — scale-independent by construction"),
             "bnlj": "1-row corpus-totals broadcast (QPM recipe)",
         }),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL, "text"),

@@ -230,6 +230,89 @@ FROM packed GROUP BY bucket, batch_id
 """
 
 
+def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-quality governance for pack_token_budget — "how much of
+    the context budget does the greedy packer actually fill?": batch
+    count vs the information-theoretic lower bound
+    ceil(total_tokens / budget), exact fill distribution summary
+    (mean/min/max, fraction >= 90%), and the overflow count (the
+    greedy rule lets the crossing doc overshoot the budget). The
+    pre-flight read before a tokenize-and-pack run: efficiency far
+    below 1.0 means the shard/bucket granularity, not the budget, is
+    deciding batch count.
+
+    100 TB shape: ONE rollup over pack_token_budget's (bucket, batch)
+    frame — strictly cheaper than the packing it audits; exact
+    integers until three final divisions."""
+    batches = pack_token_budget(spark, sf_dir)
+    budget = 2048
+    fill = F.col("n_tokens").cast("double") / budget
+    rep = batches.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+        F.countDistinct("bucket").cast("bigint").alias("n_buckets"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.min(fill), 6).alias("min_fill"),
+        F.round(F.max(fill), 6).alias("max_fill"),
+        F.sum((F.col("n_tokens") > budget).cast("long")).cast("bigint")
+        .alias("n_overfull"),
+        F.sum((fill >= 0.9).cast("long")).cast("bigint")
+        .alias("n_above_90pct"),
+    )
+    lower_bound = F.ceil(F.col("total_tokens") / budget).cast("bigint")
+    return rep.select(
+        "n_batches", "n_buckets", "n_docs", "total_tokens",
+        lower_bound.alias("lower_bound_batches"),
+        F.round(lower_bound.cast("double") / F.col("n_batches"), 6)
+        .alias("efficiency"),
+        F.round(
+            F.col("total_tokens").cast("double")
+            / (F.col("n_batches") * budget), 6,
+        ).alias("mean_fill"),
+        "min_fill", "max_fill", "n_overfull", "n_above_90pct",
+    )
+
+
+PACK_EFFICIENCY_SQL = rf"""
+WITH sized AS (
+  SELECT doc_id, doc_id // 1024 AS bucket,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END
+           AS n_tok
+  FROM documents
+), packed AS (
+  SELECT bucket, n_tok,
+         CAST((SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok) // 2048
+              AS BIGINT) AS batch_id
+  FROM sized
+), batches AS (
+  SELECT bucket, batch_id, COUNT(*) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM packed GROUP BY bucket, batch_id
+), rep AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_batches,
+         CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets,
+         CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         round(MIN(n_tokens::DOUBLE / 2048), 6) AS min_fill,
+         round(MAX(n_tokens::DOUBLE / 2048), 6) AS max_fill,
+         CAST(SUM(CASE WHEN n_tokens > 2048 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_overfull,
+         CAST(SUM(CASE WHEN n_tokens::DOUBLE / 2048 >= 0.9
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_above_90pct
+  FROM batches
+)
+SELECT n_batches, n_buckets, n_docs, total_tokens,
+       CAST(ceil(total_tokens / 2048.0) AS BIGINT) AS lower_bound_batches,
+       round(CAST(ceil(total_tokens / 2048.0) AS BIGINT)::DOUBLE
+             / n_batches, 6) AS efficiency,
+       round(total_tokens::DOUBLE / (n_batches * 2048), 6) AS mean_fill,
+       min_fill, max_fill, n_overfull, n_above_90pct
+FROM rep
+"""
+
+
 def mixture_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture report: per-source document share and the repeat
     factor that would equalize sources to the largest one — the
@@ -1774,6 +1857,8 @@ QUERIES: dict[str, QuerySpec] = {
         dataset_build_pipeline, DATASET_BUILD_SQL, "composition"
     ),
     "pack_token_budget": QuerySpec(pack_token_budget, PACK_SQL, "pipeline"),
+    "pack_efficiency_report": QuerySpec(
+        pack_efficiency_report, PACK_EFFICIENCY_SQL, "pipeline"),
     "mixture_by_source": QuerySpec(
         mixture_by_source, MIXTURE_SQL, "pipeline",
         plan_waivers={"global_window": "window input = #distinct sources (O(1))"}),

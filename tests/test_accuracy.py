@@ -3155,3 +3155,106 @@ def test_interval_proration_conserves_days(spark, sf_dir):
             expect[(day.strftime("%Y-%m"), r.l_returnflag)] += 1
     got_days = {(r.month, r.l_returnflag): r.days_in_month for r in out}
     assert got_days == dict(expect)
+
+
+def test_peak_concurrency_matches_bruteforce(spark, sf_dir):
+    """Per-month peaks equal a single global Python sweep (the
+    two-phase carry-in decomposition must be exactly equivalent to the
+    one-pass form), and open/close totals conserve."""
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    out = {r.month: r
+           for r in A.analytics_peak_concurrency(spark, sf_dir).collect()}
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "o_orderkey", "CAST(o_orderdate AS DATE) AS od",
+        "date_add(CAST(o_orderdate AS DATE), "
+        "CAST(o_orderkey % 20 + 3 AS INT)) AS cd",
+    ).collect()
+    bounds = []
+    for r in o:
+        bounds.append((r.od, 1, r.o_orderkey))
+        bounds.append((r.cd, -1, r.o_orderkey))
+    bounds.sort()
+    level = 0
+    month_peak, month_start_level = {}, {}
+    for t, delta, _ in bounds:
+        m = t.strftime("%Y-%m")
+        if m not in month_start_level:
+            month_start_level[m] = level
+            month_peak[m] = level  # level at month start counts
+        level += delta
+        month_peak[m] = max(month_peak[m], level)
+    assert set(out) == set(month_peak)
+    for m, r in out.items():
+        assert r.peak_concurrency == month_peak[m], m
+        assert r.carry_in == month_start_level[m], m
+    assert sum(r.n_opens for r in out.values()) == len(o)
+    assert sum(r.n_closes for r in out.values()) == len(o)
+
+
+def test_hampel_matches_python_and_flags_planted_spike(
+        spark, sf_dir, tmp_path):
+    """Rolling median/MAD equal statistics.median recomputes on every
+    window; a planted single-sample spike in an otherwise steady
+    series is flagged while the steady points are not."""
+    import statistics
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    rows = A.window_hampel_filter(spark, sf_dir).collect()
+    series = defaultdict(dict)
+    for r in rows:
+        series[r.event_type][r.hr] = r
+    for t, by_hr in series.items():
+        hrs = sorted(by_hr)
+        ys = [by_hr[h].yv for h in hrs]
+        for i, h in enumerate(hrs):
+            win = ys[max(0, i - 3): i + 4]
+            med = round(statistics.median(win), 6)
+            mad = round(statistics.median(
+                [round(abs(x - med), 6) for x in win]), 6)
+            r = by_hr[h]
+            assert r.window_n == len(win)
+            assert abs(r.rolling_med - med) < 1e-9, (t, h)
+            assert abs(r.rolling_mad - mad) < 1e-9, (t, h)
+            assert r.is_outlier == (abs(r.yv - med) > 3 * 1.4826 * mad)
+
+    base = datetime(2024, 5, 1)
+    planted = []
+    for i in range(24):
+        v = 100.0 + (i % 3)  # steady with tiny wobble, nonzero MAD
+        if i == 12:
+            v = 500.0
+        planted.append((i, base + timedelta(hours=i, minutes=1), 1, "m", v,
+                        "{}"))
+    df = spark.createDataFrame(
+        planted, "event_id long, ts timestamp, user_id long, "
+                 "event_type string, value double, props string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = A.window_hampel_filter(spark, str(tmp_path)).collect()
+    flagged = [r for r in out if r.is_outlier]
+    assert len(flagged) == 1
+    assert flagged[0].yv == 500.0
+
+
+def test_pack_efficiency_consistent_with_packing(spark, sf_dir):
+    """The efficiency report is exactly the rollup of the packing
+    frame: batch counts, totals, fill extremes, and the lower bound."""
+    import math
+    import pipeline_apache_beam_entrega1_cs_spark.plans.pipeline_ops as P
+
+    r = P.pack_efficiency_report(spark, sf_dir).collect()[0]
+    batches = P.pack_token_budget(spark, sf_dir).collect()
+    total = sum(b.n_tokens for b in batches)
+    fills = [b.n_tokens / 2048 for b in batches]
+    assert r.n_batches == len(batches)
+    assert r.n_buckets == len({b.bucket for b in batches})
+    assert r.n_docs == sum(b.n_docs for b in batches)
+    assert r.total_tokens == total
+    assert r.lower_bound_batches == math.ceil(total / 2048)
+    assert abs(r.mean_fill - round(total / (len(batches) * 2048), 6)) < 1e-9
+    assert abs(r.min_fill - round(min(fills), 6)) < 1e-9
+    assert abs(r.max_fill - round(max(fills), 6)) < 1e-9
+    assert r.n_overfull == sum(1 for b in batches if b.n_tokens > 2048)
+    assert r.n_above_90pct == sum(1 for f in fills if f >= 0.9)

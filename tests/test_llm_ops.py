@@ -1780,3 +1780,162 @@ def test_brier_decomposition_matches_python(spark, sf_dir):
     # Murphy identity holds exactly up to the reported within-bin gap
     assert abs(r.brier - (r.reliability - r.resolution + r.uncertainty)
                - r.decomposition_gap) < 2e-6
+
+
+def test_ece_matches_python(spark, sf_dir):
+    """ECE/MCE equal a Python recompute with the same binning; both are
+    bounded by [0, 1] and MCE >= ECE."""
+    from pipeline_apache_beam_entrega1_cs_spark.plans.llm_data import (
+        _BRIER_BINS,
+        _BRIER_HI,
+        _BRIER_LO,
+        _CALIB_QTH,
+        eval_expected_calibration_error,
+        text_quality_model,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.operators import textops as T
+
+    r = eval_expected_calibration_error(spark, sf_dir).collect()[0]
+    scored = {x.doc_id: x.logit
+              for x in text_quality_model(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    labels = {
+        x.doc_id: int(x.y)
+        for x in docs.select(
+            "doc_id",
+            (T.quality_score_col(F.col("text")) >= _CALIB_QTH).alias("y"),
+        ).collect()
+    }
+    bins = {}
+    for d, logit in scored.items():
+        p = round(min(max((logit - _BRIER_LO) / (_BRIER_HI - _BRIER_LO), 0.0),
+                      1.0), 6)
+        b = min(int(p * _BRIER_BINS), _BRIER_BINS - 1)
+        bins.setdefault(b, []).append((p, labels[d]))
+    n = sum(len(v) for v in bins.values())
+    gaps = {
+        b: abs(sum(p for p, _ in v) / len(v) - sum(y for _, y in v) / len(v))
+        for b, v in bins.items()
+    }
+    ece = sum(len(bins[b]) * g for b, g in gaps.items()) / n
+    mce = max(gaps.values())
+    assert r.n == n and r.n_nonempty_bins == len(bins)
+    assert abs(r.ece - ece) < 1e-6
+    assert abs(r.mce - mce) < 1e-6
+    assert 0.0 <= r.ece <= r.mce <= 1.0
+
+
+def test_fertility_matches_python(spark, sf_dir):
+    """Per-source fertility equals a recompute from the per-doc token
+    cost model, and the totals conserve."""
+    from collections import defaultdict
+    from pipeline_apache_beam_entrega1_cs_spark.plans.llm_data import (
+        text_bpe_token_count,
+        text_tokenizer_fertility,
+    )
+
+    rows = {r.source: r
+            for r in text_tokenizer_fertility(spark, sf_dir).collect()}
+    per_doc = text_bpe_token_count(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars").collect()
+    meta = {d.doc_id: d for d in docs}
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # docs, ws, bpe, chars
+    for r in per_doc:
+        m = meta[r.doc_id]
+        a = agg[m.source]
+        a[0] += 1
+        a[1] += r.n_ws_tokens
+        a[2] += r.n_bpe_tokens
+        a[3] += m.n_chars if r.n_bpe_tokens > 0 else 0
+    for src, (nd, ws, bpe, ch) in agg.items():
+        r = rows[src]
+        assert (r.n_docs, r.ws_tokens, r.bpe_tokens) == (nd, ws, bpe)
+        assert abs(r.fertility - round(bpe / ws, 6)) < 1e-9
+        assert abs(r.chars_per_token - round(ch / bpe, 6)) < 1e-9
+
+
+def test_cosine_sweep_matches_numpy_and_is_monotone(spark, sf_dir):
+    """Cumulative pair counts per threshold equal a numpy recompute
+    over the label-blocked pairs, and counts are non-increasing in the
+    threshold."""
+    import numpy as np
+    from collections import defaultdict
+    from pipeline_apache_beam_entrega1_cs_spark.plans.llm_data import (
+        _COS_SWEEP_PCTS,
+        dedup_cosine_threshold_sweep,
+    )
+
+    got = {r.threshold_pct: r
+           for r in dedup_cosine_threshold_sweep(spark, sf_dir).collect()}
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    by_label = defaultdict(list)
+    for e in emb:
+        by_label[e.label].append((e.vec_id, np.array(e.embedding, float)))
+    sims = []
+    for vs in by_label.values():
+        vs.sort()
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                a, b = vs[i][1], vs[j][1]
+                sims.append(round(
+                    float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))),
+                    6))
+    prev = None
+    for pct in _COS_SWEEP_PCTS:
+        hits = [s for s in sims if s >= pct / 100.0]
+        if not hits:
+            assert pct not in got
+            continue
+        r = got[pct]
+        assert r.n_pairs == len(hits), pct
+        assert abs(r.mean_cos_sim - round(sum(hits) / len(hits), 6)) < 1e-5
+        if prev is not None:
+            assert r.n_pairs <= prev
+        prev = r.n_pairs
+
+
+def test_riff_walker_matches_struct_walk_and_detects_corruption(spark):
+    """The RIFF chunk walk equals a Python struct walk on planted
+    payloads, honors odd-size padding between chunks, and a corrupted
+    size field breaks the end_ok check."""
+    import struct
+    from pipeline_apache_beam_entrega1_cs_spark.operators import (
+        multimodal as M,
+    )
+
+    def riff(chunks, corrupt_first_size=False):
+        body = b""
+        for fourcc, data in chunks:
+            size = len(data)
+            if corrupt_first_size and not body:
+                size += 7
+            body += fourcc + struct.pack("<I", size) + data
+            if len(data) % 2 == 1:
+                body += b"\x00"
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    payloads = [
+        # odd-size first chunk: the walker must add the pad byte to
+        # reach the second chunk's header
+        (0, riff([(b"fmt ", b"\x01\x02\x03"), (b"data", b"abcdef")])),
+        (1, riff([(b"fmt ", b"\x00" * 16), (b"data", b"hello world")])),
+        (2, riff([(b"fmt ", b"\x00" * 16)], corrupt_first_size=True)),
+        (3, b"plain text, not a container"),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    rows = M.riff_chunk_index(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    d0 = sorted(by_doc[0], key=lambda r: r.chunk_idx)
+    assert [(r.fourcc, r.chunk_size, r.chunk_offset) for r in d0] == [
+        ("fmt ", 3, 12), ("data", 6, 24)]  # 12+8+3+1(pad)=24
+    assert all(r.end_ok for r in d0)
+    d1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [(r.fourcc, r.chunk_size) for r in d1] == [("fmt ", 16),
+                                                      ("data", 11)]
+    assert all(r.end_ok for r in d1)  # odd final chunk: end lands +1
+    assert all(r.end_ok is False for r in by_doc[2])  # corrupted size
+    assert by_doc[3][0].is_riff == 0 and by_doc[3][0].fourcc is None
