@@ -80,6 +80,8 @@ def embedding_cosine_pairs(
     Blocking keeps the pair count at Σ block² instead of n²; at scale the
     block key comes from LSH bucketing (see lsh_ann_topk) rather than a
     semantic label."""
+    from .dedup import _shuffle_partitions
+
     a = embeddings.select(
         F.col(block_col).alias("blk"),
         F.col("vec_id").alias("vec_a"),
@@ -90,8 +92,16 @@ def embedding_cosine_pairs(
         F.col("vec_id").alias("vec_b"),
         _as_double("embedding").alias("emb_b"),
     )
+    # explicit-count barrier (the dedup._shuffle_partitions rule): the
+    # in-block pair cosine stage is CPU-dense but byte-light, so left
+    # to AQE it coalesces to the scan's split layout and runs
+    # single-core — measured 2.16 s -> 0.71 s at sf0.1 (SCALING.md
+    # round 11). Per-block skew at scale is the known limit of
+    # semantic-label blocking; the LSH-bucketed variant below is the
+    # geometry-bounded path.
     return (
-        a.join(b, "blk")
+        a.repartition(_shuffle_partitions(a), "blk")
+        .join(b, "blk")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
