@@ -229,6 +229,11 @@ AUDIT = [
     "agg_theil_sen_slope",
     "timeseries_changepoint_binary",
     "analytics_interval_proration",
+    "timeseries_spectral_peak",
+    "analytics_peak_concurrency",
+    "window_hampel_filter",
+    "dedup_cosine_threshold_sweep",
+    "multimodal_riff_chunk_index",
 ]
 
 

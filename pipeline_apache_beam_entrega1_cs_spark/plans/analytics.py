@@ -7736,6 +7736,132 @@ FROM madt
 """
 
 
+_SPECTRAL_HARMONICS = 6
+_PI = 3.141592653589793
+
+
+def timeseries_spectral_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded periodogram — seasonality detection by direct DFT at
+    the first 6 harmonics of each event type's hourly series:
+    amplitude_k = 2·√(C_k² + S_k²)/n with C_k = Σ ỹ·cos(2πk·t/n),
+    S_k = Σ ỹ·sin(2πk·t/n) over the mean-centered series, plus the
+    dominant-harmonic flag. The "is there a daily/weekly cycle, and
+    at which period" probe that decides whether a forecast needs a
+    seasonal term (timeseries_seasonal_residual assumes the period;
+    THIS finds it).
+
+    Determinism: the series is the decimal-rounded hourly rollup;
+    cos/sin are libm calls whose last ulp differs across engines, so
+    every trig value is rounded to 12 before the multiply, products
+    round to 10, and sums run in DECIMAL — the agg_regression_stats
+    discipline pointed at a Fourier basis.
+
+    100 TB shape: the (type, hour) rollup collapses raw events first;
+    the DFT is ONE mergeable (type, k) hash-agg over the bounded
+    series × 6 exploded harmonics, with n and the mean arriving as a
+    per-type broadcast — no FFT machinery, no global ordering beyond
+    the per-type index window."""
+    ev = _t(spark, sf_dir, "events")
+    hr = F.floor(F.unix_timestamp("ts") / 3600).cast("bigint")
+    hourly = ev.groupBy("event_type", hr.alias("hr")).agg(
+        F.round(
+            _dec_to_double(F.sum(F.col("value").cast("decimal(18,4)")))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("yv"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    idx = hourly.withColumn("idx", (F.row_number().over(w) - 1).cast("bigint"))
+    tot = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.round(
+            _dec_to_double(F.sum(F.col("yv").cast("decimal(20,6)")))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("ybar"),
+    )
+    j = idx.join(F.broadcast(tot), "event_type").select(
+        "event_type", "idx", "n_hours",
+        F.round(F.col("yv") - F.col("ybar"), 6).alias("yc"),
+        F.explode(
+            F.array(*[
+                F.lit(k).cast("bigint")
+                for k in range(1, _SPECTRAL_HARMONICS + 1)
+            ])
+        ).alias("k"),
+    )
+    angle = (
+        F.lit(2.0 * _PI) * F.col("k") * F.col("idx")
+        / F.col("n_hours").cast("double")
+    )
+    cosv = F.round(F.cos(angle), 12)
+    sinv = F.round(F.sin(angle), 12)
+    dec = "decimal(24,10)"
+    g = j.groupBy("event_type", "k").agg(
+        F.max("n_hours").alias("n_hours"),
+        _dec_to_double(
+            F.sum(F.round(F.col("yc") * cosv, 10).cast(dec))
+        ).alias("sc"),
+        _dec_to_double(
+            F.sum(F.round(F.col("yc") * sinv, 10).cast(dec))
+        ).alias("ss"),
+    )
+    amp = F.round(
+        2.0
+        * F.sqrt(F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss"))
+        / F.col("n_hours").cast("double"),
+        6,
+    )
+    wd = Window.partitionBy("event_type").orderBy(
+        F.desc("amplitude"), F.asc("k")
+    )
+    return (
+        g.select("event_type", "k", "n_hours", amp.alias("amplitude"))
+        .withColumn("is_dominant", F.row_number().over(wd) == 1)
+    )
+
+
+TIMESERIES_SPECTRAL_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS hr,
+         round(CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
+                    AS DOUBLE) / COUNT(*), 6) AS yv
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT event_type, yv,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) - 1
+              AS BIGINT) AS idx
+  FROM hourly
+), tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+         round(CAST(CAST(SUM(CAST(yv AS DECIMAL(20,6))) AS VARCHAR)
+                    AS DOUBLE) / COUNT(*), 6) AS ybar
+  FROM idx GROUP BY 1
+), j AS (
+  SELECT i.event_type, i.idx, t.n_hours,
+         round(i.yv - t.ybar, 6) AS yc, k
+  FROM idx i JOIN tot t USING (event_type),
+       UNNEST(generate_series(1, {_SPECTRAL_HARMONICS})) AS u(k)
+), g AS (
+  SELECT event_type, CAST(k AS BIGINT) AS k, MAX(n_hours) AS n_hours,
+    CAST(CAST(SUM(CAST(round(yc * round(cos(2 * {_PI} * k * idx
+                                            / n_hours), 12), 10)
+                       AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE) AS sc,
+    CAST(CAST(SUM(CAST(round(yc * round(sin(2 * {_PI} * k * idx
+                                            / n_hours), 12), 10)
+                       AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE) AS ss
+  FROM j GROUP BY 1, 2
+)
+SELECT event_type, k, n_hours,
+       round(2 * sqrt(sc * sc + ss * ss) / n_hours, 6) AS amplitude,
+       ROW_NUMBER() OVER (PARTITION BY event_type
+                          ORDER BY round(2 * sqrt(sc * sc + ss * ss)
+                                         / n_hours, 6) DESC, k ASC) = 1
+         AS is_dominant
+FROM g
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "timeseries_interpolate_linear": QuerySpec(
         timeseries_interpolate_linear, TIMESERIES_INTERP_SQL, "timeseries"),
@@ -7850,6 +7976,8 @@ QUERIES: dict[str, QuerySpec] = {
             "itself is month-partitioned")}),
     "window_hampel_filter": QuerySpec(
         window_hampel_filter, WINDOW_HAMPEL_SQL, "window"),
+    "timeseries_spectral_peak": QuerySpec(
+        timeseries_spectral_peak, TIMESERIES_SPECTRAL_SQL, "timeseries"),
     "window_session_capped": QuerySpec(
         window_session_capped, WINDOW_SESSION_CAPPED_SQL, "time_window"),
     "timeseries_lttb_downsample": QuerySpec(

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import md5_u32
 from ..functions.numeric import dsum, sql_dsum
 from ..schemas import load_table
+from .llm_data import _coverage_sql
 from .relational2 import AGG_COUNTMIN_SQL
 from .spec import QuerySpec
 
@@ -1680,6 +1681,23 @@ def streaming_countmin_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_countmin_stream(spark, sf_dir)
 
 
+def streaming_token_freq_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus token-frequency maintenance: documents
+    replayed as FOUR micro-batches through a foreachBatch MERGE whose
+    state is the additive (token, freq) table
+    (streaming/sinks.TokenFreqMergeSink), with the vocabulary-coverage
+    curve derived AT READ-OFF — the live form of the corpus-spectrum
+    statistics (Zipf fit, coverage curve, TF-IDF DF counts) an
+    always-on ingest keeps current. Cold replay over any batch
+    slicing equals the one-shot batch count, so the oracle is the
+    batch coverage entry's SQL verbatim. Exactly-once via in-state
+    commit markers + crash-safe swap; state is O(vocabulary) —
+    sublinear in the corpus by Heaps' law."""
+    from ..streaming.sinks import run_token_freq_stream
+
+    return run_token_freq_stream(spark, sf_dir)
+
+
 _TOPK_STATE_K = 10
 
 
@@ -1819,6 +1837,8 @@ QUERIES: dict[str, QuerySpec] = {
         streaming_countmin_state, AGG_COUNTMIN_SQL, "streaming"),
     "streaming_topk_state": QuerySpec(
         streaming_topk_state, STREAMING_TOPK_SQL, "streaming"),
+    "streaming_token_freq_state": QuerySpec(
+        streaming_token_freq_state, _coverage_sql(), "streaming"),
     # the 1-row MAX-scalar BNLJ lives in the eager compaction WRITE, not
     # in the returned report plan (a plain scan + groupBy over the
     # compacted files) — so no plan waiver is needed or allowed here

@@ -1924,6 +1924,136 @@ def run_topk_stream(spark, sf_dir: str, k: int = 10):
         shutil.rmtree(work, ignore_errors=True)
 
 
+class TokenFreqMergeSink:
+    """``foreachBatch`` MERGE for streaming corpus token-frequency
+    maintenance: state is the (token, freq) table — additive, hence
+    mergeable, hence replay-order-independent — the live corpus
+    statistic behind the Zipf-fit and vocabulary-coverage reports
+    (text_zipf_tail_fit / text_token_coverage_curve): maintain counts
+    on the stream, derive any spectrum report at read-off. Cold
+    replay over any batch slicing equals the one-shot batch count.
+    Exactly-once follows the FingerprintMergeSink contract. State is
+    O(vocabulary) — sublinear in the corpus (Heaps' law); the
+    bounded-state fallback for adversarial key spaces is
+    streaming_countmin_state."""
+
+    def __init__(self, state_dir: str) -> None:
+        self.state = state_dir
+        os.makedirs(os.path.dirname(state_dir), exist_ok=True)
+
+    def is_committed(self, batch_id: int) -> bool:
+        return _state_committed(self.state, batch_id)
+
+    def __call__(self, batch_df, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return  # replayed delivery of a committed batch: no-op
+
+        from pyspark.sql import functions as F
+
+        from ..operators.textops import explode_tokens
+
+        inc = explode_tokens(batch_df).groupBy("tok").agg(
+            F.count(F.lit(1)).cast("long").alias("freq")
+        )
+        prev = _current_state(self.state)
+        if prev is not None:
+            inc = (
+                batch_df.sparkSession.read.parquet(prev)
+                .unionByName(inc)
+                .groupBy("tok")
+                .agg(F.sum("freq").cast("long").alias("freq"))
+            )
+        tmp = f"{self.state}_tmp{batch_id}"
+        inc.write.mode("overwrite").parquet(tmp)  # materialize BEFORE swap
+        _install_state(self.state, tmp, batch_id)
+
+
+def run_token_freq_stream(spark, sf_dir: str):
+    """Streaming token-frequency state end-to-end: documents replayed
+    as FOUR micro-batches through a TokenFreqMergeSink, then the
+    vocabulary-coverage curve derived FROM THE STATE (the exact
+    text_token_coverage_curve report, so the batch entry's oracle
+    checks the streaming path)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from ..schemas import ensure_session_confs
+
+    ensure_session_confs(spark)
+    work = tempfile.mkdtemp(prefix="graft_tokfreq_")
+    try:
+        raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        src = _stage_slices(raw, work, "doc_id")
+        sink = TokenFreqMergeSink(os.path.join(work, "state"))
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        from ..plans.llm_data import _COVERAGE_KS
+
+        freq = spark.read.parquet(sink.state).select(
+            "tok", F.col("freq").cast("bigint").alias("freq")
+        )
+        totals = freq.agg(
+            F.sum("freq").cast("bigint").alias("total_occurrences"),
+            F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        )
+        top = freq.orderBy(F.desc("freq"), F.asc("tok")).limit(
+            max(_COVERAGE_KS)
+        )
+        w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+        ranked = top.withColumn(
+            "rank", F.row_number().over(w).cast("bigint")
+        )
+        per_k = (
+            ranked.select(
+                F.explode(
+                    F.array(
+                        *[F.lit(k).cast("bigint") for k in _COVERAGE_KS]
+                    )
+                ).alias("k"),
+                "rank", "freq",
+            )
+            .filter(F.col("rank") <= F.col("k"))
+            .groupBy("k")
+            .agg(
+                F.sum("freq").cast("bigint").alias("covered_occurrences"),
+                F.count(F.lit(1)).cast("bigint").alias("types_in_budget"),
+            )
+        )
+        out = (
+            per_k.crossJoin(F.broadcast(totals))
+            .select(
+                "k", "types_in_budget", "covered_occurrences",
+                "total_occurrences", "vocab_size",
+                F.round(
+                    F.col("covered_occurrences").cast("double")
+                    / F.col("total_occurrences"), 6,
+                ).alias("coverage"),
+            )
+            .orderBy("k")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 class FreshnessMergeSink:
     """``foreachBatch`` MERGE for the streaming event-time freshness
     monitor — the twin of plans/analytics.dq_event_freshness and the

@@ -3258,3 +3258,66 @@ def test_pack_efficiency_consistent_with_packing(spark, sf_dir):
     assert abs(r.max_fill - round(max(fills), 6)) < 1e-9
     assert r.n_overfull == sum(1 for b in batches if b.n_tokens > 2048)
     assert r.n_above_90pct == sum(1 for f in fills if f >= 0.9)
+
+
+def test_spectral_peak_matches_numpy_and_finds_planted_cycle(
+        spark, sf_dir, tmp_path):
+    """(1) Harmonic amplitudes equal a numpy DFT recompute on the same
+    rounded centered series; (2) a planted pure k=2 cosine series gets
+    is_dominant at k=2 with the planted amplitude."""
+    import math
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+    import numpy as np
+    import pipeline_apache_beam_entrega1_cs_spark.plans.analytics as A
+
+    rows = A.timeseries_spectral_peak(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_type", "CAST(floor(unix_timestamp(ts) / 3600) AS LONG) AS hr",
+        "value",
+    ).collect()
+    sums = defaultdict(lambda: [0.0, 0])
+    for r in ev:
+        s = sums[(r.event_type, r.hr)]
+        s[0] += r.value
+        s[1] += 1
+    series = defaultdict(list)
+    for (t, hr), (sv, n) in sums.items():
+        series[t].append((hr, round(sv / n, 6)))
+    got = {(r.event_type, r.k): r for r in rows}
+    for t, pts in series.items():
+        pts.sort()
+        ys = np.array([y for _, y in pts])
+        n = len(ys)
+        ybar = round(float(ys.sum()) / n, 6)
+        yc = np.round(ys - ybar, 6)
+        dominant = None
+        for k in range(1, A._SPECTRAL_HARMONICS + 1):
+            ang = 2 * math.pi * k * np.arange(n) / n
+            sc = float(np.sum(yc * np.round(np.cos(ang), 12)))
+            ss = float(np.sum(yc * np.round(np.sin(ang), 12)))
+            amp = round(2 * math.sqrt(sc * sc + ss * ss) / n, 6)
+            r = got[(t, k)]
+            assert r.n_hours == n
+            assert abs(r.amplitude - amp) < 1e-5, (t, k)
+            if dominant is None or amp > dominant[1] + 1e-12:
+                dominant = (k, amp)
+        assert got[(t, dominant[0])].is_dominant
+
+    base = datetime(2024, 6, 1)
+    n = 48
+    planted = []
+    for i in range(n):
+        v = 10.0 + 4.0 * math.cos(2 * math.pi * 2 * i / n)
+        planted.append((i, base + timedelta(hours=i, minutes=2), 1, "m",
+                        round(v, 4), "{}"))
+    df = spark.createDataFrame(
+        planted, "event_id long, ts timestamp, user_id long, "
+                 "event_type string, value double, props string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r.k: r
+           for r in A.timeseries_spectral_peak(spark, str(tmp_path)).collect()}
+    assert out[2].is_dominant
+    assert abs(out[2].amplitude - 4.0) < 1e-3
+    for k in (1, 3, 4, 5, 6):
+        assert out[k].amplitude < 0.01

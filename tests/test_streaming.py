@@ -1128,3 +1128,47 @@ def test_streaming_topk_replay(spark, sf_dir, tmp_path):
     st = spark.read.parquet(state)
     assert st.agg(F.sum("cnt")).first()[0] == raw.count()  # conservation
     assert st.select("o_custkey").distinct().count() == st.count()
+
+
+def test_streaming_token_freq_replay(spark, sf_dir, tmp_path):
+    """Streaming token-frequency state: (1) the read-off coverage
+    curve equals the one-shot batch entry; (2) replaying a committed
+    batch is a no-op (counts would double); (3) stranded rename-aside
+    state recovers; (4) state totals conserve the corpus token count."""
+    import os
+
+    from pipeline_apache_beam_entrega1_cs_spark.operators.textops import (
+        explode_tokens,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.plans.llm_data import (
+        text_token_coverage_curve,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.plans.pipeline_ops import (
+        streaming_token_freq_state,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.streaming.sinks import (
+        TokenFreqMergeSink,
+    )
+
+    batch = rows_multiset(text_token_coverage_curve(spark, sf_dir))
+    out = streaming_token_freq_state(spark, sf_dir)
+    assert rows_multiset(out) == batch
+
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    state = str(tmp_path / "tf" / "state")
+    sink = TokenFreqMergeSink(state)
+    slices = [raw.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    sink(slices[0], 0)
+    sink(slices[1], 1)
+    os.rename(state, f"{state}_old42")  # crash between swap renames
+    sink(slices[1], 1)  # committed marker inside state: replayed no-op
+    assert os.path.exists(f"{state}_old42")
+    os.rename(f"{state}_old42", state)
+    sink(slices[1], 1)  # still a no-op after recovery
+    sink(slices[2], 2)
+    st = spark.read.parquet(state)
+    total = explode_tokens(raw).count()
+    assert st.agg(F.sum("freq")).first()[0] == total  # conservation
+    assert st.select("tok").distinct().count() == st.count()
