@@ -285,19 +285,28 @@ def embedding_cosine_pairs_lsh(
         .select("tbl", "bucket")
     )
     pruned = hashed.join(live, ["tbl", "bucket"])
-    a = pruned.select(
-        F.col("tbl"), F.col("bucket"), F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a")
-    )
-    b = pruned.select(
-        F.col("tbl"), F.col("bucket"), F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b")
-    )
-    # A pair colliding in several tables appears several times with
-    # IDENTICAL row content, so distinct() is deterministic here.
-    return (
+    # Pair dedup runs on BARE IDS; embeddings re-attach afterwards by
+    # two joins against the vector table. The first cut carried both
+    # 64-dim arrays through the cross-table distinct() — every
+    # candidate-pair row was ~1 KB wide and a mega-bucket geometry
+    # shuffled GBs to dedup what is logically a 16-byte id pair:
+    # measured ~93 s -> 6.4 s at sf0.1, bit-identical output
+    # (SCALING.md round 11). At 100 TB the same holds: the distinct is
+    # the multiplied frame (x num_tables collisions), so it must be
+    # narrow; the embedding re-attach touches each unique pair once.
+    a = pruned.select("tbl", "bucket", F.col("vec_id").alias("vec_a"))
+    b = pruned.select("tbl", "bucket", F.col("vec_id").alias("vec_b"))
+    pair_ids = (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "emb_a", "emb_b")
+        .select("vec_a", "vec_b")
         .distinct()
+    )
+    ea = vecs.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
+    eb = vecs.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+    return (
+        pair_ids.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
