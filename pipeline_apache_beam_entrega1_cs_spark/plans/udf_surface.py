@@ -30,6 +30,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _keyed(df: DataFrame, key: str) -> DataFrame:
+    """Explicit-count key repartition before grouped applyInPandas /
+    cogroup (the dedup._shuffle_partitions rule, Python edition): the
+    per-group Python invocation is CPU-dense but the grouped exchange
+    is byte-light, so AQE coalesces it to ONE partition and every
+    group's pandas call runs on a single core — measured 13.3 s ->
+    1.9 s at sf0.1 on applyinpandas_trimmed_mean (SCALING.md round
+    11). The explicit hash distribution satisfies the grouped
+    operator's required clustering, so no second exchange appears."""
+    spark = df.sparkSession
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n = spark.sparkContext.defaultParallelism
+    return df.repartition(n, key)
+
+
 def cogroup_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cogroup(customer, orders).applyInPandas: per-customer order
     cadence — order count, exact spend in cents, and the maximum gap in
@@ -70,8 +87,8 @@ def cogroup_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        cust.groupBy("c_custkey")
-        .cogroup(orders.groupBy("o_custkey"))
+        _keyed(cust, "c_custkey").groupBy("c_custkey")
+        .cogroup(_keyed(orders, "o_custkey").groupBy("o_custkey"))
         .applyInPandas(
             merge,
             "c_custkey long, n_orders long, spend_cents long, max_gap_days long",
@@ -153,7 +170,7 @@ def applyinpandas_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return orders.groupBy("o_custkey").applyInPandas(
+    return _keyed(orders, "o_custkey").groupBy("o_custkey").applyInPandas(
         trimmed, "o_custkey long, n_orders long, trimmed_mean double"
     )
 
