@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import md5_u32
 from ..functions.numeric import dsum, sql_dsum
 from ..schemas import load_table
+from .analytics import DQ_ERROR_BURST_SQL
 from .llm_data import _coverage_sql
 from .relational2 import AGG_COUNTMIN_SQL
 from .spec import QuerySpec
@@ -1698,6 +1699,21 @@ def streaming_token_freq_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_token_freq_stream(spark, sf_dir)
 
 
+def streaming_error_burst_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming consecutive-error burst detection: events replayed as
+    FOUR time-ordered micro-batches through a foreachBatch state
+    machine whose carry is each user's TRAILING error run as a bounded
+    SUMMARY (streaming/sinks.ErrorBurstSink) — the cross-batch form of
+    the gaps-and-islands family (dq_error_burst_detector /
+    dq_null_run_detector): a burst that straddles a batch boundary is
+    spliced from the carry, and each run is emitted exactly once when
+    broken. Cold replay over any time slicing equals the one-shot
+    batch detector, so the oracle is DQ_ERROR_BURST_SQL verbatim."""
+    from ..streaming.sinks import run_error_burst_stream
+
+    return run_error_burst_stream(spark, sf_dir)
+
+
 _TOPK_STATE_K = 10
 
 
@@ -1839,6 +1855,8 @@ QUERIES: dict[str, QuerySpec] = {
         streaming_topk_state, STREAMING_TOPK_SQL, "streaming"),
     "streaming_token_freq_state": QuerySpec(
         streaming_token_freq_state, _coverage_sql(), "streaming"),
+    "streaming_error_burst_state": QuerySpec(
+        streaming_error_burst_state, DQ_ERROR_BURST_SQL, "streaming"),
     # the 1-row MAX-scalar BNLJ lives in the eager compaction WRITE, not
     # in the returned report plan (a plain scan + groupBy over the
     # compacted files) — so no plan waiver is needed or allowed here

@@ -27,7 +27,7 @@ ROUND 12 CHORE: promote (a) any r11 failures; (b) the EIGHT deferred
 round-10 entries (analytics_yoy_growth, analytics_pareto_share,
 dq_outlier_iqr_fences, dq_reconciliation_totals,
 interval_gap_extraction, dq_candidate_keys,
-timeseries_interpolate_linear, dq_value_set_drift); (c) the NINETEEN
+timeseries_interpolate_linear, dq_value_set_drift); (c) the TWENTY
 round-11 additions, named in full (dq_error_burst_detector,
 dedup_lsh_bucket_stats, text_gopher_quality_filters,
 text_zipf_tail_fit, text_token_coverage_curve,
@@ -37,13 +37,14 @@ streaming_topk_state, eval_expected_calibration_error,
 text_tokenizer_fertility, dedup_cosine_threshold_sweep,
 multimodal_riff_chunk_index, pack_efficiency_report,
 analytics_peak_concurrency, window_hampel_filter,
-streaming_token_freq_state, timeseries_spectral_peak); (d) the
+streaming_token_freq_state, timeseries_spectral_peak,
+streaming_error_burst_state); (d) the
 NINE bench-covered r04-only names (q3_shipping_priority,
 q5_region_revenue, join_sort_merge, join_asof_events,
 join_range_nonequi, agg_rollup, window_running_frames, topk_per_group,
 ann_cosine_topk), closing the r04 back-fill; (e) back-fill with
-r05-only entries, stalest/execution-heaviest first. 8 + 19 + 9 = 36
-named entries, so (e) gets ~14 slots. tests/test_rotation.py enforces
+r05-only entries, stalest/execution-heaviest first. 8 + 20 + 9 = 37
+named entries, so (e) gets ~13 slots. tests/test_rotation.py enforces
 (b)+(c) mechanically.
 """
 

@@ -1156,6 +1156,193 @@ class PatternMatchSink:
         _install_state(self.state, tmp, batch_id)
 
 
+class ErrorBurstSink:
+    """``foreachBatch`` state machine for CROSS-BATCH consecutive-run
+    detection — the streaming twin of the gaps-and-islands burst
+    detector (plans/analytics.dq_error_burst_detector): batches arrive
+    in event-time order and each user's TRAILING error run is carried
+    forward as a bounded SUMMARY (length, start, first id — never raw
+    events, so a month-long outage costs one state row), spliced onto
+    the next batch's leading run when the first event continues it.
+    A run is emitted exactly once, when something BREAKS it: an
+    interior run ends inside its batch; a leading run completes when a
+    non-error follows the splice; a carried run completes when its
+    user's next batch starts with a non-error. Unbroken trailing runs
+    finalize at read-off (a batch scan over a finite table counts its
+    trailing runs too, so cold replay over any time slicing equals the
+    one-shot batch detector — the SQL oracle verbatim). Exactly-once
+    follows the FingerprintMergeSink contract.
+
+    100 TB shape: per batch, two per-user windows over batch rows only
+    plus O(#active users) joins against the carry frame; state is one
+    row per user currently inside a run plus the emitted reports."""
+
+    _CARRY_COLS = ["user_id", "run_len", "start_epoch_s", "end_epoch_s",
+                   "first_event_id"]
+
+    def __init__(self, state_dir: str, min_len: int = 3) -> None:
+        self.state = state_dir
+        self.min_len = min_len
+        os.makedirs(os.path.dirname(state_dir), exist_ok=True)
+
+    def is_committed(self, batch_id: int) -> bool:
+        return _state_committed(self.state, batch_id)
+
+    def __call__(self, batch_df, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return  # replayed delivery of a committed batch: no-op
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        prev = _current_state(self.state)
+        if prev is not None:
+            st = spark.read.parquet(prev)
+            carry = st.filter(F.col("kind") == "carry").select(
+                *self._CARRY_COLS
+            )
+            runs_prev = st.filter(F.col("kind") == "run")
+        else:
+            carry = None
+            runs_prev = None
+
+        w = Window.partitionBy("user_id").orderBy("es", "event_id")
+        seq = batch_df.select(
+            "user_id", "event_id",
+            F.unix_timestamp("ts").alias("es"),
+            (F.col("event_type") == "error").alias("is_err"),
+        ).withColumn("rn", F.row_number().over(w))
+        islands = (
+            seq.filter(F.col("is_err"))
+            .withColumn("ern", F.row_number().over(w))
+            .withColumn("isl", F.col("rn") - F.col("ern"))
+            .groupBy("user_id", "isl")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("len"),
+                F.min("es").alias("start_es"),
+                F.max("es").alias("end_es"),
+                F.min("event_id").alias("first_id"),
+                F.min("rn").alias("min_rn"),
+                F.max("rn").alias("max_rn"),
+            )
+        )
+        uinfo = seq.groupBy("user_id").agg(
+            F.max("rn").alias("n_events")
+        )
+        runs = islands.join(uinfo, "user_id").select(
+            "*",
+            (F.col("min_rn") == 1).alias("leading"),
+            (F.col("max_rn") == F.col("n_events")).alias("trailing"),
+        )
+        lead = runs.filter(F.col("leading"))
+        if carry is not None:
+            lead = lead.join(carry.alias("c"), "user_id", "left").select(
+                "user_id", "trailing", "end_es",
+                (F.col("len") + F.coalesce(F.col("c.run_len"), F.lit(0)))
+                .alias("len"),
+                F.coalesce(
+                    F.col("c.start_epoch_s"), F.col("start_es")
+                ).alias("start_es"),
+                F.coalesce(
+                    F.col("c.first_event_id"), F.col("first_id")
+                ).alias("first_id"),
+            )
+        else:
+            lead = lead.select(
+                "user_id", "trailing", "end_es", "len", "start_es",
+                "first_id",
+            )
+
+        def as_report(df):
+            return df.select(
+                "user_id",
+                F.col("len").cast("bigint").alias("run_len"),
+                F.col("start_es").alias("start_epoch_s"),
+                F.col("end_es").alias("end_epoch_s"),
+                F.col("first_id").alias("first_event_id"),
+            )
+
+        emit = as_report(
+            runs.filter(~F.col("leading") & ~F.col("trailing"))
+        ).unionByName(
+            as_report(lead.filter(~F.col("trailing")))
+        ).filter(F.col("run_len") >= self.min_len)
+        new_carry = as_report(lead.filter(F.col("trailing"))).unionByName(
+            as_report(
+                runs.filter(F.col("trailing") & ~F.col("leading"))
+            )
+        )
+        if carry is not None:
+            in_batch = uinfo.select("user_id")
+            lead_users = runs.filter(F.col("leading")).select("user_id")
+            broken = (
+                carry.join(in_batch, "user_id")
+                .join(lead_users, "user_id", "left_anti")
+            )
+            emit = emit.unionByName(
+                broken.filter(F.col("run_len") >= self.min_len)
+            )
+            new_carry = new_carry.unionByName(
+                carry.join(in_batch, "user_id", "left_anti")
+            )
+
+        rows = emit.select(F.lit("run").alias("kind"), *self._CARRY_COLS)
+        rows = rows.unionByName(
+            new_carry.select(F.lit("carry").alias("kind"), *self._CARRY_COLS)
+        )
+        if runs_prev is not None:
+            rows = rows.unionByName(runs_prev)
+        tmp = f"{self.state}_tmp{batch_id}"
+        rows.write.mode("overwrite").parquet(tmp)
+        _install_state(self.state, tmp, batch_id)
+
+
+def run_error_burst_stream(spark, sf_dir: str, min_len: int = 3):
+    """Streaming burst detection end-to-end: the events table replayed
+    as FOUR time-ordered micro-batches through an ErrorBurstSink;
+    returns emitted runs plus finalized trailing carries (>= min_len)
+    — exactly the one-shot batch detector's frame."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..schemas import ensure_session_confs
+
+    ensure_session_confs(spark)
+    work = tempfile.mkdtemp(prefix="graft_burst_")
+    try:
+        from ..schemas import load_table
+
+        raw = load_table(spark, sf_dir, "events").select(
+            "user_id", "event_id", "ts", "event_type"
+        )
+        src = _stage_time_slices(raw, work, "ts")
+        sink = ErrorBurstSink(os.path.join(work, "state"), min_len)
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        st = spark.read.parquet(sink.state)
+        out = st.filter(
+            (F.col("kind") == "run")
+            | ((F.col("kind") == "carry") & (F.col("run_len") >= min_len))
+        ).select(*ErrorBurstSink._CARRY_COLS)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def run_pattern_match_stream(spark, sf_dir: str):
     """Streaming pattern detection end-to-end: the events table replayed
     as FOUR time-ordered micro-batches through a PatternMatchSink for

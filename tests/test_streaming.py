@@ -1172,3 +1172,67 @@ def test_streaming_token_freq_replay(spark, sf_dir, tmp_path):
     total = explode_tokens(raw).count()
     assert st.agg(F.sum("freq")).first()[0] == total  # conservation
     assert st.select("tok").distinct().count() == st.count()
+
+
+def test_streaming_error_burst_splices_across_batches(spark, sf_dir, tmp_path):
+    """ErrorBurstSink: (1) end-to-end equals the one-shot batch islands
+    detector; (2) a planted 5-run CUT MID-RUN by the batch boundary is
+    spliced from the carry and emitted once with exact bounds; (3) a
+    planted 2+1 split run stays excluded (len 3 only via splice, 2+1=3
+    IS emitted — boundary arithmetic, not per-batch counting); (4)
+    replaying a committed batch id is a no-op."""
+    import os
+    from datetime import datetime, timedelta
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.analytics import (
+        dq_error_burst_detector,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.plans.pipeline_ops import (
+        streaming_error_burst_state,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.streaming.sinks import (
+        ErrorBurstSink,
+    )
+
+    batch_expected = rows_multiset(dq_error_burst_detector(spark, sf_dir))
+    out = streaming_error_burst_state(spark, sf_dir)
+    assert rows_multiset(out) == batch_expected
+
+    base = datetime(2024, 7, 1)
+
+    def ev(eid, minute, typ, uid=1):
+        return (eid, base + timedelta(minutes=minute), uid, typ, 1.0, "{}")
+
+    # user 1: 5-run at events 2..6, cut after event 3 (2 in batch A,
+    # 3 in batch B), then a view breaks it in batch B.
+    # user 2: errors at 0,1 (batch A) + 2 (batch B) then view:
+    # spliced len 3 — emitted ONLY because the splice sees 2+1.
+    rows_a = [ev(1, 0, "view"), ev(2, 1, "error"), ev(3, 2, "error"),
+              ev(20, 0, "error", uid=2), ev(21, 1, "error", uid=2)]
+    rows_b = [ev(4, 3, "error"), ev(5, 4, "error"), ev(6, 5, "error"),
+              ev(7, 6, "view"),
+              ev(22, 2, "error", uid=2), ev(23, 3, "view", uid=2)]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    dfa = spark.createDataFrame(rows_a, schema)
+    dfb = spark.createDataFrame(rows_b, schema)
+
+    state = str(tmp_path / "eb" / "state")
+    sink = ErrorBurstSink(state, 3)
+    sink(dfa.select("user_id", "event_id", "ts", "event_type"), 0)
+    sink(dfb.select("user_id", "event_id", "ts", "event_type"), 1)
+    sink(dfb.select("user_id", "event_id", "ts", "event_type"), 1)  # replay
+    st = spark.read.parquet(state)
+    runs = {r.user_id: r for r in st.filter(F.col("kind") == "run").collect()}
+    es = {r.event_id: r.es
+          for r in dfa.unionByName(dfb)
+          .selectExpr("event_id", "unix_timestamp(ts) AS es").collect()}
+    assert set(runs) == {1, 2}
+    r1 = runs[1]
+    assert (r1.run_len, r1.first_event_id) == (5, 2)
+    assert (r1.start_epoch_s, r1.end_epoch_s) == (es[2], es[6])
+    r2 = runs[2]
+    assert (r2.run_len, r2.first_event_id) == (3, 20)
+    assert (r2.start_epoch_s, r2.end_epoch_s) == (es[20], es[22])
+    # replay added nothing twice
+    assert st.filter(F.col("kind") == "run").count() == 2
