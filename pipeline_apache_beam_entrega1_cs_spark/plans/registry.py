@@ -14,38 +14,25 @@ never-driver-checked set from CORRECTNESS_r*.json and fails if any
 front slot is spent on an already-checked entry while a never-checked
 one waits (the round-7/round-9 undercount failure mode, now CI-caught).
 
-CURRENT WINDOW (round 11; r10 had zero failures): 50 of the 58
-never-driver-checked round-10 late additions, execution-heaviest /
-highest-risk first (the streaming twins, the 9 container parsers, the
-statistical-inference entries, the graph family, and every entry whose
-code changed this round: dq_key_gap_audit [gap aggs coalesce to 0],
-graph_degree_assortativity / graph_clustering_coefficient /
-analytics_apriori_pairs [shared _copurchase_* helpers],
-multimodal_bmp_meta [strengthened rejection check]).
+CURRENT WINDOW (round 12; r11 was 50/50 hash-green): all 28
+never-driver-checked entries (the 8 deferred round-10 names + the 20
+round-11 additions, plus any round-12 additions as they land — the
+rotation test forces them into the front block), then the NINE
+bench-covered r04-only names (closing the r04 back-fill entirely),
+then r05-stale back-fill, execution-heaviest / non-bench-covered
+first (the five r05 streaming entries, minhash/kmeans, the heavy
+TPC-H multi-join queries).
 
-ROUND 12 CHORE: promote (a) any r11 failures; (b) the EIGHT deferred
-round-10 entries (analytics_yoy_growth, analytics_pareto_share,
-dq_outlier_iqr_fences, dq_reconciliation_totals,
-interval_gap_extraction, dq_candidate_keys,
-timeseries_interpolate_linear, dq_value_set_drift); (c) the TWENTY
-round-11 additions, named in full (dq_error_burst_detector,
-dedup_lsh_bucket_stats, text_gopher_quality_filters,
-text_zipf_tail_fit, text_token_coverage_curve,
-eval_brier_decomposition, agg_theil_sen_slope,
-timeseries_changepoint_binary, analytics_interval_proration,
-streaming_topk_state, eval_expected_calibration_error,
-text_tokenizer_fertility, dedup_cosine_threshold_sweep,
-multimodal_riff_chunk_index, pack_efficiency_report,
-analytics_peak_concurrency, window_hampel_filter,
-streaming_token_freq_state, timeseries_spectral_peak,
-streaming_error_burst_state); (d) the
-NINE bench-covered r04-only names (q3_shipping_priority,
-q5_region_revenue, join_sort_merge, join_asof_events,
-join_range_nonequi, agg_rollup, window_running_frames, topk_per_group,
-ann_cosine_topk), closing the r04 back-fill; (e) back-fill with
-r05-only entries, stalest/execution-heaviest first. 8 + 20 + 9 = 37
-named entries, so (e) gets ~13 slots. tests/test_rotation.py enforces
-(b)+(c) mechanically.
+NEXT-ROUND CHORE: no longer hand-maintained prose (VERDICT r11 item 7
+— the round-7/round-9 drift mode). It is COMPUTED from the same
+CORRECTNESS_r*.json diff the rotation test enforces:
+
+    python -m pipeline_apache_beam_entrega1_cs_spark.plans.rotation
+
+prints the pending set, the staleness histogram, and a composed
+window proposal. tests/test_rotation.py consumes the same helpers
+(plans/rotation.py), so the chore text and the CI gate can never
+disagree.
 """
 
 from __future__ import annotations
@@ -65,68 +52,70 @@ from . import (
 from .spec import QuerySpec
 
 DRIVER_PRIORITY: list[str] = [
-    # --- streaming twins (foreachBatch state machinery — heaviest) ---
-    "streaming_bottom_k_state",
-    "streaming_markov_state",
-    "streaming_countmin_state",
-    # --- the 9 round-10 container parsers (byte-walk expression trees;
-    # multimodal_bmp_meta's rejection check changed this round) ---
-    "multimodal_tiff_meta",
-    "multimodal_tar_index",
-    "multimodal_jpeg_meta",
-    "multimodal_zip_index",
-    "multimodal_gif_meta",
-    "multimodal_bmp_meta",
-    "multimodal_webp_meta",
-    "multimodal_mp4_box_index",
-    "multimodal_png_chunk_index",
-    # --- statistical inference (17-digit float strictness) ---
-    "stat_welch_ttest",
-    "stat_anova_f",
-    "agg_spearman_corr",
-    "agg_moments_skew_kurtosis",
-    # --- graph family (code refactored this round: shared
-    # _copurchase_* helpers) ---
-    "graph_degree_assortativity",
-    "graph_clustering_coefficient",
-    "analytics_apriori_pairs",
-    # --- embedding / eval ---
-    "embedding_pca_power",
-    "embedding_label_outliers",
-    "eval_average_precision",
-    "eval_model_gains_deciles",
-    # --- heavy analytics ---
-    "analytics_funnel_windowed",
-    "analytics_rfm_segmentation",
-    "analytics_cohort_ltv",
-    "analytics_fifo_allocation",
-    "analytics_markov_transitions",
-    "analytics_dau_mau_stickiness",
-    "geo_path_stats",
-    # --- dedup / text ---
-    "dedup_prefix_filter_join",
-    "dedup_phonetic_soundex",
-    "dedup_sentence_ccnet",
-    "text_vocab_growth",
-    "text_keyword_rake",
-    # --- timeseries ---
-    "timeseries_acf_lags",
-    "timeseries_m4_downsample",
-    "timeseries_rolling_regression",
-    "join_bitemporal_asof",
-    # --- DQ (dq_key_gap_audit's gap aggs coalesce to 0 this round) ---
-    "dq_k_anonymity",
-    "dq_l_diversity",
-    "dq_chi2_categorical_drift",
-    "dq_functional_dependency",
-    "dq_key_gap_audit",
-    # --- maintenance / dataset mechanics / sketch ---
-    "maintenance_orphan_files",
-    "maintenance_file_skipping_stats",
-    "maintenance_clustering_depth",
-    "dataset_split_group_aware",
-    "sample_bottom_k_sketch",
-    "agg_bloom_filter_stats",
+    # ================= round-12 window =================
+    # --- the 20 round-11 additions + 8 deferred round-10 entries:
+    # never driver-checked (tests/test_rotation.py enforces that ALL
+    # of these sit ahead of any already-checked entry). Heaviest /
+    # highest-risk first: the 3 foreachBatch streaming twins, then
+    # the two dedup-governance reports (dedup_cosine_threshold_sweep's
+    # plan gains a per-block cap this round), the RIFF walk, the
+    # tokenizer-governance family, eval/robust-stats, timeseries,
+    # interval analytics, then the DQ reports. ---
+    "streaming_topk_state",
+    "streaming_token_freq_state",
+    "streaming_error_burst_state",
+    "dedup_cosine_threshold_sweep",
+    "dedup_lsh_bucket_stats",
+    "multimodal_riff_chunk_index",
+    "pack_efficiency_report",
+    "text_tokenizer_fertility",
+    "text_token_coverage_curve",
+    "text_gopher_quality_filters",
+    "text_zipf_tail_fit",
+    "eval_brier_decomposition",
+    "eval_expected_calibration_error",
+    "agg_theil_sen_slope",
+    "timeseries_changepoint_binary",
+    "timeseries_spectral_peak",
+    "timeseries_interpolate_linear",
+    "window_hampel_filter",
+    "analytics_interval_proration",
+    "analytics_peak_concurrency",
+    "analytics_yoy_growth",
+    "analytics_pareto_share",
+    "interval_gap_extraction",
+    "dq_error_burst_detector",
+    "dq_outlier_iqr_fences",
+    "dq_reconciliation_totals",
+    "dq_candidate_keys",
+    "dq_value_set_drift",
+    # --- the NINE r04-only entries (bench-covered every round but
+    # driver-stale since r04): closes the r04 back-fill ---
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_sort_merge",
+    "join_asof_events",
+    "join_range_nonequi",
+    "agg_rollup",
+    "window_running_frames",
+    "topk_per_group",
+    "ann_cosine_topk",
+    # --- r05-stale back-fill, execution-heaviest / non-bench-covered
+    # first (round-12 additions displace from the END of this block;
+    # displaced names rejoin the round-13 back-fill) ---
+    "streaming_dedup_watermark",
+    "streaming_neardup_dedup",
+    "streaming_stateful_counter",
+    "streaming_stream_join",
+    "streaming_tumbling",
+    "dedup_minhash_banded",
+    "embedding_kmeans_lloyd",
+    "profile_documents",
+    "multimodal_byte_entropy",
+    "multimodal_format_detect",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
+    "q8_market_share",
 ]
 
 

@@ -1,11 +1,14 @@
-"""Mechanized driver-window composition check (round-10 VERDICT item 5).
+"""Mechanized driver-window composition check (round-10 VERDICT item 5;
+computation shared with plans/rotation.py per round-11 VERDICT item 7).
 
 The driver's per-round correctness gate reads the FIRST 50 registry
 entries. Twice (rounds 7 and 9) a hand-maintained DRIVER_PRIORITY
 undercounted the never-driver-checked backlog and spent front slots on
 already-checked entries while unchecked ones waited — caught only by
-judge review. This test derives the never-checked set from the
-CORRECTNESS_r*.json evidence files and fails the suite if the front of
+judge review. These tests derive the never-checked set from the
+CORRECTNESS_r*.json evidence files — via the SAME helpers the
+human-facing chore generator uses (`plans/rotation.py`), so the chore
+text and this gate cannot drift — and fail the suite if the front of
 DRIVER_PRIORITY wastes a slot:
 
 - every DRIVER_PRIORITY name must exist in the registry (no ghosts);
@@ -18,25 +21,16 @@ DRIVER_PRIORITY wastes a slot:
 
 from __future__ import annotations
 
-import glob
-import json
-import os
-
 from pipeline_apache_beam_entrega1_cs_spark.plans.registry import (
     DRIVER_PRIORITY,
     all_queries,
 )
-
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-WINDOW = 50
-
-
-def _driver_checked() -> set[str]:
-    checked: set[str] = set()
-    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
-        with open(path) as f:
-            checked.update(json.load(f).keys())
-    return checked
+from pipeline_apache_beam_entrega1_cs_spark.plans.rotation import (
+    WINDOW,
+    compose_window,
+    driver_checked,
+    pending,
+)
 
 
 def test_driver_priority_has_no_ghosts():
@@ -46,8 +40,7 @@ def test_driver_priority_has_no_ghosts():
 
 
 def test_driver_priority_front_spends_no_slot_on_checked_entries():
-    reg = set(all_queries())
-    never = reg - _driver_checked()
+    never = set(pending())
     front = DRIVER_PRIORITY[: min(WINDOW, len(DRIVER_PRIORITY))]
     if len(never) >= WINDOW:
         wasted = [n for n in front if n not in never]
@@ -68,5 +61,17 @@ def test_correctness_history_has_no_ghost_names():
     """Every name the driver ever checked must still exist — a renamed
     or deleted entry would silently orphan its evidence trail."""
     reg = set(all_queries())
-    ghosts = sorted(_driver_checked() - reg)
+    ghosts = sorted(set(driver_checked()) - reg)
     assert not ghosts, f"CORRECTNESS history names missing from registry: {ghosts}"
+
+
+def test_composed_window_is_valid_and_pending_first():
+    """The chore generator's proposal must itself satisfy the gate:
+    registry-valid names, no duplicates, pending entries first."""
+    reg = set(all_queries())
+    win = compose_window()
+    assert len(win) == min(WINDOW, len(reg))
+    assert len(set(win)) == len(win), "composed window has duplicates"
+    assert all(n in reg for n in win)
+    pend = pending()
+    assert win[: min(len(pend), WINDOW)] == pend[:WINDOW]
