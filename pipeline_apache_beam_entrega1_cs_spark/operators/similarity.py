@@ -74,23 +74,45 @@ def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> Data
 
 
 def embedding_cosine_pairs(
-    embeddings: DataFrame, block_col: str = "label", threshold: float = 0.99
+    embeddings: DataFrame,
+    block_col: str = "label",
+    threshold: float = 0.99,
+    block_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs: pairwise cosine within a blocking key.
     Blocking keeps the pair count at Σ block² instead of n²; at scale the
     block key comes from LSH bucketing (see lsh_ann_topk) rather than a
-    semantic label."""
+    semantic label.
+
+    ``block_cap`` bounds the quadratic (VERDICT r11 item 2): semantic
+    labels have FIXED cardinality, so at 100× data each block is 100×
+    larger and pairs grow 10,000×. With a cap, each block contributes at
+    most C(cap, 2) pairs — a deterministic hash-ordered sample (rank by
+    md5(vec_id), the same expression DuckDB evaluates, so oracles can
+    replicate the kept set exactly). Capped-block losses are reported by
+    ``dedup_cosine_threshold_sweep``'s n_capped_blocks / n_rows_dropped
+    columns, mirroring dedup_lsh_bucket_stats."""
     from .dedup import _shuffle_partitions
 
-    a = embeddings.select(
+    base = embeddings.select(
         F.col(block_col).alias("blk"),
-        F.col("vec_id").alias("vec_a"),
-        _as_double("embedding").alias("emb_a"),
+        F.col("vec_id"),
+        _as_double("embedding").alias("emb"),
     )
-    b = embeddings.select(
-        F.col(block_col).alias("blk"),
-        F.col("vec_id").alias("vec_b"),
-        _as_double("embedding").alias("emb_b"),
+    if block_cap is not None:
+        wcap = Window.partitionBy("blk").orderBy(
+            F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc()
+        )
+        base = (
+            base.withColumn("_rk", F.row_number().over(wcap))
+            .filter(F.col("_rk") <= block_cap)
+            .drop("_rk")
+        )
+    a = base.select(
+        "blk", F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a")
+    )
+    b = base.select(
+        "blk", F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b")
     )
     # explicit-count barrier (the dedup._shuffle_partitions rule): the
     # in-block pair cosine stage is CPU-dense but byte-light, so left

@@ -227,8 +227,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+# Per-block cap for label-blocked cosine pair generation (VERDICT r11
+# item 2): labels have fixed cardinality, so uncapped pairs grow
+# quadratically with data volume. 64 keeps every test-SF block intact
+# at sf<=0.01 (max block 63) while flattening the sf0.1 growth (max
+# block 218 -> 64, i.e. C(218,2)=23.6k -> C(64,2)=2.0k pairs/block).
+# The cap is a deterministic md5(vec_id)-ordered sample replicated
+# verbatim in the DuckDB oracles; losses are REPORTED by
+# dedup_cosine_threshold_sweep (n_capped_blocks / n_rows_dropped).
+_COS_BLOCK_CAP = 64
+
+_COS_CAPPED_CTE = f"""
+WITH e0 AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+         row_number() OVER (
+           PARTITION BY label
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS _rk
+  FROM embeddings
+), e AS (
+  SELECT vec_id, label, emb FROM e0 WHERE _rk <= {_COS_BLOCK_CAP}
+)"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.embedding_cosine_pairs(_emb(spark, sf_dir), block_col="label", threshold=0.35)
+    return S.embedding_cosine_pairs(
+        _emb(spark, sf_dir),
+        block_col="label",
+        threshold=0.35,
+        block_cap=_COS_BLOCK_CAP,
+    )
 
 
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,11 +267,8 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_cosine_pairs_lsh(_emb(spark, sf_dir), threshold=0.35)
 
 
-DEDUP_EMBEDDING_COSINE_SQL = """
-WITH e AS (
-  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-  FROM embeddings
-)
+DEDUP_EMBEDDING_COSINE_SQL = f"""
+{_COS_CAPPED_CTE}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -3454,11 +3480,43 @@ def dedup_cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_lsh_bucket_stats): a cutoff that merges half the corpus is
     visible here BEFORE the merge runs.
 
-    100 TB shape: same bounded blocked pair generation as the dedup
-    entry (Σ block², LSH buckets at scale), then ONE conditional-sum
-    hash-agg over the thresholds — strictly cheaper than the dedup."""
+    100 TB shape: the pair generation is CAPPED per block (VERDICT r11
+    item 2) — a deterministic md5-ordered sample of at most
+    _COS_BLOCK_CAP rows per label, so each block contributes at most
+    C(cap, 2) pairs no matter how large the data grows — then ONE
+    conditional-sum hash-agg over the thresholds. What the cap dropped
+    is REPORTED, not hidden: n_capped_blocks / n_rows_dropped ride on
+    every row (the dedup_lsh_bucket_stats n_capped_buckets move), so
+    the capacity-planning read sees exactly how much of the corpus the
+    sweep sampled away."""
+    emb = _emb(spark, sf_dir)
     pairs = S.embedding_cosine_pairs(
-        _emb(spark, sf_dir), block_col="label", threshold=-1.0
+        emb, block_col="label", threshold=-1.0, block_cap=_COS_BLOCK_CAP
+    )
+    # 1-row loss frame: O(#labels) agg -> broadcast-bounds attach
+    losses = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("cnt") > _COS_BLOCK_CAP, F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_capped_blocks"),
+            F.coalesce(
+                F.sum(
+                    F.greatest(F.col("cnt") - F.lit(_COS_BLOCK_CAP), F.lit(0))
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_rows_dropped"),
+        )
     )
     rows = pairs.select(
         F.explode(
@@ -3477,6 +3535,7 @@ def dedup_cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("mean_cos_sim"),
         )
+        .crossJoin(F.broadcast(losses))
         .orderBy("threshold_pct")
     )
 
@@ -3484,21 +3543,25 @@ def dedup_cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cos_sweep_sql() -> str:
     ts = ", ".join(str(t) for t in _COS_SWEEP_PCTS)
     return f"""
-WITH e AS (
-  SELECT vec_id, label,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-  FROM embeddings
-), pairs AS (
+{_COS_CAPPED_CTE}, pairs AS (
   SELECT round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
   FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+), losses AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN cnt > {_COS_BLOCK_CAP} THEN 1
+                           ELSE 0 END), 0) AS BIGINT) AS n_capped_blocks,
+         CAST(COALESCE(SUM(CASE WHEN cnt > {_COS_BLOCK_CAP}
+                           THEN cnt - {_COS_BLOCK_CAP} ELSE 0 END), 0)
+              AS BIGINT) AS n_rows_dropped
+  FROM (SELECT label, COUNT(*) AS cnt FROM embeddings GROUP BY label)
 )
 SELECT CAST(threshold_pct AS BIGINT) AS threshold_pct,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
        round(CAST(CAST(SUM(CAST(cos_sim AS DECIMAL(12,6))) AS VARCHAR)
-                  AS DOUBLE) / COUNT(*), 6) AS mean_cos_sim
-FROM pairs, UNNEST([{ts}]) AS u(threshold_pct)
+                  AS DOUBLE) / COUNT(*), 6) AS mean_cos_sim,
+       losses.n_capped_blocks, losses.n_rows_dropped
+FROM pairs, UNNEST([{ts}]) AS u(threshold_pct), losses
 WHERE cos_sim >= threshold_pct / 100.0
-GROUP BY threshold_pct
+GROUP BY threshold_pct, losses.n_capped_blocks, losses.n_rows_dropped
 ORDER BY threshold_pct
 """
 

@@ -1857,11 +1857,14 @@ def test_fertility_matches_python(spark, sf_dir):
 
 def test_cosine_sweep_matches_numpy_and_is_monotone(spark, sf_dir):
     """Cumulative pair counts per threshold equal a numpy recompute
-    over the label-blocked pairs, and counts are non-increasing in the
-    threshold."""
+    over the label-blocked pairs (with the md5-ordered per-block cap
+    replicated), counts are non-increasing in the threshold, and the
+    reported cap losses equal the recomputed ones."""
+    import hashlib
     import numpy as np
     from collections import defaultdict
     from pipeline_apache_beam_entrega1_cs_spark.plans.llm_data import (
+        _COS_BLOCK_CAP,
         _COS_SWEEP_PCTS,
         dedup_cosine_threshold_sweep,
     )
@@ -1873,8 +1876,15 @@ def test_cosine_sweep_matches_numpy_and_is_monotone(spark, sf_dir):
     for e in emb:
         by_label[e.label].append((e.vec_id, np.array(e.embedding, float)))
     sims = []
+    n_capped = n_dropped = 0
     for vs in by_label.values():
-        vs.sort()
+        if len(vs) > _COS_BLOCK_CAP:
+            n_capped += 1
+            n_dropped += len(vs) - _COS_BLOCK_CAP
+        # the deterministic cap: rank by (md5 hex of vec_id, vec_id)
+        vs.sort(key=lambda t: (
+            hashlib.md5(str(t[0]).encode()).hexdigest(), t[0]))
+        vs = sorted(vs[:_COS_BLOCK_CAP])
         for i in range(len(vs)):
             for j in range(i + 1, len(vs)):
                 a, b = vs[i][1], vs[j][1]
@@ -1890,9 +1900,47 @@ def test_cosine_sweep_matches_numpy_and_is_monotone(spark, sf_dir):
         r = got[pct]
         assert r.n_pairs == len(hits), pct
         assert abs(r.mean_cos_sim - round(sum(hits) / len(hits), 6)) < 1e-5
+        assert (r.n_capped_blocks, r.n_rows_dropped) == (n_capped, n_dropped)
         if prev is not None:
             assert r.n_pairs <= prev
         prev = r.n_pairs
+
+
+def test_cosine_block_cap_binds_and_is_deterministic(spark):
+    """With a cap smaller than a block, embedding_cosine_pairs keeps
+    exactly C(cap,2) pairs per block from the md5-ordered sample, the
+    kept set is stable across runs, and capping never INVENTS pairs:
+    the capped pair set is a subset of the uncapped one."""
+    import hashlib
+    from pipeline_apache_beam_entrega1_cs_spark.operators import (
+        similarity as S,
+    )
+
+    rows = [(i, "A", [float(i % 7 + 1), 1.0]) for i in range(10)] + [
+        (100 + i, "B", [1.0, float(i % 5 + 1)]) for i in range(3)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id BIGINT, label STRING, embedding ARRAY<DOUBLE>"
+    )
+    capped = S.embedding_cosine_pairs(
+        emb, block_col="label", threshold=-1.0, block_cap=4
+    ).collect()
+    uncapped = S.embedding_cosine_pairs(
+        emb, block_col="label", threshold=-1.0
+    ).collect()
+    # block A (10 rows) -> C(4,2)=6 pairs; block B (3 rows) uncapped -> 3
+    assert len(capped) == 6 + 3
+    assert len(uncapped) == 45 + 3
+    assert {(r.vec_a, r.vec_b) for r in capped} <= {
+        (r.vec_a, r.vec_b) for r in uncapped
+    }
+    # the kept-set rule is the md5 order, reproducible in pure python
+    keep = sorted(
+        range(10),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+    )[:4]
+    a_ids = {v for r in capped for v in (r.vec_a, r.vec_b) if v < 100}
+    assert a_ids == set(keep)
 
 
 def test_riff_walker_matches_struct_walk_and_detects_corruption(spark):
