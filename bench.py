@@ -145,6 +145,20 @@ BENCH_QUERIES = [
     # headline covers.
     "embedding_pca_power",
     "text_keyword_rake",
+    # round-12 additions (subtotal_r01_comparable excludes all three;
+    # VERDICT r11 item 4): the round-11 full-registry timing sweep
+    # found 93 s / 25 s / 13 s regressions in exactly these families —
+    # grouped-pandas (Arrow batch exchange + per-key Python) and the
+    # LSH candidate join — which had ZERO bench representation, so the
+    # regressions stayed invisible for rounds. applyinpandas_trimmed_mean
+    # and cogroup_order_gaps are the AQE-coalesce-to-one-partition
+    # canaries (explicit-count key repartition keeps the Python work
+    # parallel); dedup_embedding_cosine_lsh is the geometry-bounded
+    # near-dup join (bare-id candidate dedup before re-attaching 1 KB
+    # embeddings).
+    "applyinpandas_trimmed_mean",
+    "cogroup_order_gaps",
+    "dedup_embedding_cosine_lsh",
 ]
 
 
