@@ -234,6 +234,27 @@ AUDIT = [
     "window_hampel_filter",
     "dedup_cosine_threshold_sweep",
     "multimodal_riff_chunk_index",
+    # round-12 extension (VERDICT r11 item 6): the remaining round-11
+    # governance reports, the deferred round-10 entries now in the
+    # driver window, the two grouped-pandas bench canaries, and the
+    # three streaming read-offs (their fn() executes the stream, then
+    # the audited plan is the bounded state read-off).
+    "eval_expected_calibration_error",
+    "text_tokenizer_fertility",
+    "pack_efficiency_report",
+    "analytics_yoy_growth",
+    "analytics_pareto_share",
+    "dq_outlier_iqr_fences",
+    "dq_reconciliation_totals",
+    "interval_gap_extraction",
+    "dq_candidate_keys",
+    "timeseries_interpolate_linear",
+    "dq_value_set_drift",
+    "applyinpandas_trimmed_mean",
+    "cogroup_order_gaps",
+    "streaming_topk_state",
+    "streaming_token_freq_state",
+    "streaming_error_burst_state",
 ]
 
 

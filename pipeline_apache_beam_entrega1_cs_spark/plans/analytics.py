@@ -7862,7 +7862,509 @@ FROM g
 """
 
 
+# ---------------------------------------------------------------------------
+# Round 12: rank-based inference (Mann-Whitney U, Kruskal-Wallis H)
+# ---------------------------------------------------------------------------
+# Exact average ranks WITHOUT a global sort: collapse to distinct
+# micro-grid values (groupBy v), then a TWO-LEVEL prefix sum — a
+# partitioned cumulative within coarse value buckets plus an O(#buckets)
+# cross-bucket carry (the analytics_peak_concurrency idiom) — so the
+# only single-partition window runs over the bounded bucket frame, not
+# the data. All rank sums are kept as 2x-integers (avg rank of a tie
+# group is a half-integer, so 2*R is exact) in DECIMAL(38,0).
+
+
+def _rank_below(byv: DataFrame) -> DataFrame:
+    """Attach below(v) = #observations with value < v to a distinct-
+    value frame carrying (v, c): partitioned prefix within the integer
+    value-part bucket + cross-bucket carry."""
+    byv = byv.withColumn(
+        "bkt", F.floor(F.col("v") / F.lit(_STAT_U)).cast("long")
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    byv = byv.withColumn("cum_in", F.sum("c").over(w_in))
+    btot = byv.groupBy("bkt").agg(F.sum("c").alias("bc"))
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    btot = btot.withColumn(
+        "carry", F.coalesce(F.sum("bc").over(w_b), F.lit(0))
+    )
+    j = byv.join(btot.select("bkt", "carry"), "bkt")
+    return j.withColumn(
+        "below", (F.col("carry") + F.col("cum_in") - F.col("c")).cast("long")
+    )
+
+
+_MWU_A, _MWU_B = "purchase", "click"
+
+
+def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) of event value, 'purchase' vs
+    'click' — the NON-parametric sibling of stat_welch_ttest: exact
+    tie-averaged ranks on the micro-unit grid, U for the purchase side,
+    the tie-corrected normal-approximation z. 2*R_A stays integer
+    (DECIMAL(38,0)); the tie term Σc(c²-1) likewise; z is one fixed
+    double expression on the 1-row frame.
+
+    100 TB shape: one distinct-value hash-agg, the two-level exact
+    prefix sum (partitioned within integer-value buckets + an
+    O(#buckets) carry), one mergeable final agg — no global sort of
+    observations anywhere."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin(_MWU_A, _MWU_B)
+    )
+    v = F.floor(F.col("value") * _STAT_U).cast("long")
+    base = ev.select(
+        (F.col("event_type") == _MWU_A).cast("int").alias("g"), v.alias("v")
+    )
+    byv = base.groupBy("v").agg(
+        F.sum("g").cast("bigint").alias("ca"),
+        F.sum(F.lit(1) - F.col("g")).cast("bigint").alias("cb"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    r = _rank_below(byv)
+    dec = "decimal(38,0)"
+    m = r.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+        _dec_to_double(
+            F.sum(
+                (
+                    F.col("ca")
+                    * (F.lit(2) * F.col("below") + F.col("c") + F.lit(1))
+                ).cast(dec)
+            )
+        ).alias("ra2"),
+        _dec_to_double(
+            F.sum(
+                (
+                    F.col("c") * (F.col("c") * F.col("c") - F.lit(1))
+                ).cast(dec)
+            )
+        ).alias("tie"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    nn = na + nb
+    u_a = F.col("ra2") / 2 - na * (na + 1) / 2
+    sigma2 = na * nb / 12 * ((nn + 1) - F.col("tie") / (nn * (nn - 1)))
+    z = (u_a - na * nb / 2) / F.sqrt(sigma2)
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(u_a, 6).alias("u_stat"),
+        F.round(F.col("ra2") / (2 * na), 6).alias("mean_rank_a"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+STAT_MWU_SQL = f"""
+WITH f AS (
+  SELECT CASE WHEN event_type = '{_MWU_A}' THEN 1 ELSE 0 END AS g,
+         CAST(floor(value * {_STAT_U}) AS BIGINT) AS v
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('{_MWU_A}', '{_MWU_B}')
+), byv AS (
+  SELECT v, CAST(SUM(g) AS BIGINT) AS ca,
+         CAST(SUM(1 - g) AS BIGINT) AS cb,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM f GROUP BY v
+), r AS (
+  SELECT *, CAST(COALESCE(SUM(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS below
+  FROM byv
+), m AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+         CAST(CAST(SUM(CAST(ca AS HUGEINT) * (2 * below + c + 1))
+              AS VARCHAR) AS DOUBLE) AS ra2,
+         CAST(CAST(SUM(CAST(c AS HUGEINT) * (CAST(c AS HUGEINT) * c - 1))
+              AS VARCHAR) AS DOUBLE) AS tie
+  FROM r
+)
+SELECT n_a, n_b,
+       round(ra2 / 2 - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) / 2,
+             6) AS u_stat,
+       round(ra2 / (2 * CAST(n_a AS DOUBLE)), 6) AS mean_rank_a,
+       round((ra2 / 2 - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) / 2
+              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2)
+             / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12
+                    * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1)
+                       - tie / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                                * (CAST(n_a AS DOUBLE)
+                                   + CAST(n_b AS DOUBLE) - 1)))),
+             6) AS z_stat
+FROM m
+"""
+
+
+def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five event types — the rank-based
+    one-way ANOVA (stat_anova_f's non-parametric sibling): exact
+    tie-averaged rank sums per type from the same two-level prefix-sum
+    machinery as stat_mann_whitney_u, H folded in alphabetical type
+    order, plus the tie-corrected H'. Per-type rows carry n and mean
+    rank; the two H columns ride on every row (broadcast attach).
+
+    100 TB shape: distinct-value hash-agg with 5 pivoted conditional
+    counts, the bucketed exact prefix sum, ONE mergeable final agg
+    (11 sums), O(1) arithmetic after."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isin(*_ANOVA_TYPES)
+    )
+    v = F.floor(F.col("value") * _STAT_U).cast("long")
+    base = ev.select("event_type", v.alias("v"))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("c")]
+    for t in _ANOVA_TYPES:
+        aggs.append(
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c_{t}")
+        )
+    byv = base.groupBy("v").agg(*aggs)
+    r = _rank_below(byv)
+    dec = "decimal(38,0)"
+    final = [
+        _dec_to_double(
+            F.sum(
+                (F.col("c") * (F.col("c") * F.col("c") - F.lit(1))).cast(dec)
+            )
+        ).alias("tie")
+    ]
+    for t in _ANOVA_TYPES:
+        final.append(F.sum(f"c_{t}").cast("bigint").alias(f"n_{t}"))
+        final.append(
+            _dec_to_double(
+                F.sum(
+                    (
+                        F.col(f"c_{t}")
+                        * (F.lit(2) * F.col("below") + F.col("c") + F.lit(1))
+                    ).cast(dec)
+                )
+            ).alias(f"r2_{t}")
+        )
+    m = r.agg(*final)
+    nn = sum((F.col(f"n_{t}") for t in _ANOVA_TYPES), F.lit(0)).cast("double")
+    # H = 12/(N(N+1)) * Σ R_g²/n_g − 3(N+1), alphabetical fold
+    srr = None
+    for t in _ANOVA_TYPES:
+        term = (
+            (F.col(f"r2_{t}") / 2)
+            * (F.col(f"r2_{t}") / 2)
+            / F.col(f"n_{t}").cast("double")
+        )
+        srr = term if srr is None else srr + term
+    h = F.lit(12.0) / (nn * (nn + 1)) * srr - 3 * (nn + 1)
+    h_corr = h / (F.lit(1.0) - F.col("tie") / (nn * nn * nn - nn))
+    one = m.select(
+        F.round(h, 6).alias("h_stat"),
+        F.round(h_corr, 6).alias("h_tie_corrected"),
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("event_type"),
+                        F.col(f"n_{t}").alias("n"),
+                        F.round(
+                            F.col(f"r2_{t}")
+                            / (2 * F.col(f"n_{t}").cast("double")),
+                            6,
+                        ).alias("mean_rank"),
+                    )
+                    for t in _ANOVA_TYPES
+                ]
+            )
+        ),
+    )
+    return one.select("event_type", "n", "mean_rank", "h_stat", "h_tie_corrected")
+
+
+def _kruskal_sql() -> str:
+    conds = "\n".join(
+        f"         CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS c_{t}," for t in _ANOVA_TYPES
+    )
+    sums = "\n".join(
+        f"         CAST(SUM(c_{t}) AS BIGINT) AS n_{t},\n"
+        f"         CAST(CAST(SUM(CAST(c_{t} AS HUGEINT) * (2 * below + c + 1))"
+        f" AS VARCHAR) AS DOUBLE) AS r2_{t}," for t in _ANOVA_TYPES
+    )
+    nn = " + ".join(f"CAST(n_{t} AS DOUBLE)" for t in _ANOVA_TYPES)
+    srr = " + ".join(
+        f"(r2_{t} / 2) * (r2_{t} / 2) / CAST(n_{t} AS DOUBLE)"
+        for t in _ANOVA_TYPES
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS event_type, n_{t} AS n,"
+        f" round(r2_{t} / (2 * CAST(n_{t} AS DOUBLE)), 6) AS mean_rank,"
+        f" h_stat, h_tie_corrected FROM h"
+        for t in _ANOVA_TYPES
+    )
+    types = ", ".join(f"'{t}'" for t in _ANOVA_TYPES)
+    return f"""
+WITH f AS (
+  SELECT event_type, CAST(floor(value * {_STAT_U}) AS BIGINT) AS v
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ({types})
+), byv AS (
+  SELECT v,
+{conds}
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM f GROUP BY v
+), r AS (
+  SELECT *, CAST(COALESCE(SUM(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS below
+  FROM byv
+), m AS (
+  SELECT
+{sums}
+         CAST(CAST(SUM(CAST(c AS HUGEINT) * (CAST(c AS HUGEINT) * c - 1))
+              AS VARCHAR) AS DOUBLE) AS tie
+  FROM r
+), h AS (
+  SELECT *,
+         round(12.0 / (({nn}) * (({nn}) + 1)) * ({srr})
+               - 3 * (({nn}) + 1), 6) AS h_stat,
+         round((12.0 / (({nn}) * (({nn}) + 1)) * ({srr})
+                - 3 * (({nn}) + 1))
+               / (1.0 - tie / (({nn}) * ({nn}) * ({nn}) - ({nn}))), 6)
+           AS h_tie_corrected
+  FROM m
+)
+{rows}
+"""
+
+
+def analytics_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC×XYZ inventory classification matrix over parts: ABC from
+    cumulative revenue share (A ≤ 80%, B ≤ 95%, C rest — the Pareto
+    cut, cumulative INCLUSIVE of the current part, ordered by revenue
+    desc then partkey) × XYZ from demand variability (population CV of
+    monthly quantity over the table's global month spine, zero months
+    included: X cv ≤ 0.5, Y cv ≤ 1.0, Z above — compared as cv² against
+    0.25 / 1.0, so no sqrt enters the classification). Revenue and
+    quantity run on exact cent grids; cv² is a double built from exact
+    BIGINT/DECIMAL sums, identical in both engines.
+
+    100 TB shape: per-(part, month) partial agg, per-part rollup, the
+    two-level exact prefix sum for the cumulative share (partitioned
+    within 256 revenue-magnitude buckets + an O(256) carry), 1-row
+    scalar attaches for the global totals — no global sort of parts."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_trunc("month", F.col("l_shipdate")).alias("mth"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("rev_c"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
+    )
+    pm = li.groupBy("l_partkey", "mth").agg(
+        F.sum("qty_c").cast("bigint").alias("mq"),
+        F.sum("rev_c").cast("bigint").alias("mrev"),
+    )
+    dec = "decimal(38,0)"
+    per_part = pm.groupBy("l_partkey").agg(
+        F.sum("mrev").cast("bigint").alias("rev"),
+        F.sum("mq").cast("bigint").alias("s_q"),
+        _dec_to_double(
+            F.sum((F.col("mq").cast(dec) * F.col("mq").cast(dec)))
+        ).alias("q_q"),
+    )
+    globals_ = pm.agg(
+        F.countDistinct("mth").cast("bigint").alias("n_months"),
+        F.sum("mrev").cast("bigint").alias("total_rev"),
+    )
+    max_rev = per_part.agg(F.max("rev").alias("max_rev"))
+    p = per_part.crossJoin(F.broadcast(globals_)).crossJoin(
+        F.broadcast(max_rev)
+    )
+    # two-level exact prefix (descending revenue): 256 magnitude buckets
+    p = p.withColumn(
+        "bkt",
+        F.floor(
+            F.col("rev").cast("double")
+            * 256
+            / (F.col("max_rev").cast("double") + 1)
+        ).cast("long"),
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy(F.col("rev").desc(), F.col("l_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = p.withColumn("cum_in", F.sum("rev").over(w_in))
+    btot = p.groupBy("bkt").agg(F.sum("rev").alias("brev"))
+    w_b = Window.orderBy(F.col("bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    btot = btot.withColumn(
+        "carry", F.coalesce(F.sum("brev").over(w_b), F.lit(0))
+    )
+    p = p.join(btot.select("bkt", "carry"), "bkt").withColumn(
+        "cum", (F.col("carry") + F.col("cum_in")).cast(dec)
+    )
+    tot = F.col("total_rev").cast(dec)
+    abc = (
+        F.when(F.col("cum") * 100 <= tot * 80, "A")
+        .when(F.col("cum") * 100 <= tot * 95, "B")
+        .otherwise("C")
+    )
+    # cv² = (M·Q − S²)/S² on doubles built from exact sums
+    md = F.col("n_months").cast("double")
+    sd = F.col("s_q").cast("double")
+    cv2 = (md * F.col("q_q") - sd * sd) / (sd * sd)
+    xyz = (
+        F.when(cv2 <= 0.25, "X").when(cv2 <= 1.0, "Y").otherwise("Z")
+    )
+    return (
+        p.select(abc.alias("abc_class"), xyz.alias("xyz_class"), "rev")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("rev").cast("bigint").alias("revenue_cents"),
+        )
+    )
+
+
+ANALYTICS_ABC_XYZ_SQL = """
+WITH li AS (
+  SELECT l_partkey, date_trunc('month', l_shipdate) AS mth,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS rev_c,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qty_c
+  FROM lineitem
+), pm AS (
+  SELECT l_partkey, mth, CAST(SUM(qty_c) AS BIGINT) AS mq,
+         CAST(SUM(rev_c) AS BIGINT) AS mrev
+  FROM li GROUP BY l_partkey, mth
+), per_part AS (
+  SELECT l_partkey, CAST(SUM(mrev) AS BIGINT) AS rev,
+         CAST(SUM(mq) AS BIGINT) AS s_q,
+         CAST(CAST(SUM(CAST(mq AS HUGEINT) * mq) AS VARCHAR) AS DOUBLE) AS q_q
+  FROM pm GROUP BY l_partkey
+), g AS (
+  SELECT CAST(COUNT(DISTINCT mth) AS BIGINT) AS n_months,
+         CAST(SUM(mrev) AS BIGINT) AS total_rev
+  FROM pm
+), ranked AS (
+  SELECT p.*, g.n_months, g.total_rev,
+         SUM(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM per_part p CROSS JOIN g
+), classed AS (
+  SELECT CASE WHEN CAST(cum AS HUGEINT) * 100 <= CAST(total_rev AS HUGEINT) * 80 THEN 'A'
+              WHEN CAST(cum AS HUGEINT) * 100 <= CAST(total_rev AS HUGEINT) * 95 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         CASE WHEN (CAST(n_months AS DOUBLE) * q_q
+                    - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                   / (CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE)) <= 0.25
+              THEN 'X'
+              WHEN (CAST(n_months AS DOUBLE) * q_q
+                    - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                   / (CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE)) <= 1.0
+              THEN 'Y' ELSE 'Z' END AS xyz_class,
+         rev
+  FROM ranked
+)
+SELECT abc_class, xyz_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev) AS BIGINT) AS revenue_cents
+FROM classed GROUP BY abc_class, xyz_class
+"""
+
+
+def dq_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order arrival audit — THE report you read before choosing
+    a streaming watermark delay: per user, events in arrival order
+    (event_id is the ingest sequence); an adjacent pair is 'backwards'
+    when its event time precedes the previous event's. Per event type
+    (of the later event): pair count, backwards count, the worst
+    backwards gap in seconds, and backwards parts-per-million. A
+    watermark shorter than max_backwards_seconds WILL drop rows —
+    dq_event_freshness tells you lag vs wall clock; this tells you
+    intra-key disorder.
+
+    100 TB shape: one partitioned lag window (user_id — millions of
+    partitions, no skew) + one mergeable hash-agg; epoch math stays on
+    exact BIGINT seconds."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_timestamp("ts").cast("long").alias("epo"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    pairs = ev.select(
+        "event_type",
+        (F.lag("epo").over(w) - F.col("epo")).alias("back_s"),
+    ).filter(F.col("back_s").isNotNull())
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("back_s") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_backwards"),
+        F.coalesce(
+            F.max(F.when(F.col("back_s") > 0, F.col("back_s"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("max_backwards_seconds"),
+        F.round(
+            F.sum(F.when(F.col("back_s") > 0, 1).otherwise(0))
+            .cast("double")
+            * 1000000
+            / F.count(F.lit(1)),
+            6,
+        ).alias("backwards_ppm"),
+    )
+
+
+DQ_OUT_OF_ORDER_SQL = """
+WITH seq AS (
+  SELECT event_type,
+         lag(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY event_id)
+         - CAST(floor(epoch(ts)) AS BIGINT) AS back_s
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN back_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_backwards,
+       CAST(COALESCE(MAX(CASE WHEN back_s > 0 THEN back_s END), 0) AS BIGINT)
+         AS max_backwards_seconds,
+       round(CAST(SUM(CASE WHEN back_s > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             * 1000000 / COUNT(*), 6) AS backwards_ppm
+FROM seq WHERE back_s IS NOT NULL
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stat_mann_whitney_u": QuerySpec(
+        stat_mann_whitney_u, STAT_MWU_SQL, "stat",
+        plan_waivers={
+            "global_window": (
+                "cross-bucket carry runs over the O(#integer-value-"
+                "buckets) frame (bounded by the value domain, not the "
+                "data); within-bucket prefixes are partitioned"),
+        }),
+    "stat_kruskal_wallis": QuerySpec(
+        stat_kruskal_wallis, _kruskal_sql(), "stat",
+        plan_waivers={
+            "global_window": (
+                "same bounded cross-bucket carry as stat_mann_whitney_u"),
+        }),
+    "analytics_abc_xyz_matrix": QuerySpec(
+        analytics_abc_xyz_matrix, ANALYTICS_ABC_XYZ_SQL, "analytics",
+        plan_waivers={
+            "bnlj": (
+                "1-row global month-count/total-revenue/max-revenue "
+                "scalar attaches"),
+            "global_window": (
+                "cross-bucket carry over the 256-row revenue-magnitude "
+                "bucket frame (O(1)); within-bucket prefixes are "
+                "partitioned"),
+        }),
+    "dq_out_of_order_audit": QuerySpec(
+        dq_out_of_order_audit, DQ_OUT_OF_ORDER_SQL, "dq"),
     "timeseries_interpolate_linear": QuerySpec(
         timeseries_interpolate_linear, TIMESERIES_INTERP_SQL, "timeseries"),
     "dq_value_set_drift": QuerySpec(

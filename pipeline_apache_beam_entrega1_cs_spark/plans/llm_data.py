@@ -6457,7 +6457,392 @@ FROM nk CROSS JOIN occ CROSS JOIN hits
 """
 
 
+# ---------------------------------------------------------------------------
+# Round 12: KN bigram LM, filter ablation, matryoshka eval, incremental dedup
+# ---------------------------------------------------------------------------
+
+
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (absolute discount
+    D = 0.75) — the LM-quality scorer one tier above
+    text_perplexity_backoff's stupid backoff: per document, the mean
+    ln P_KN(w2|w1) over its adjacent bigrams, where
+
+        P_KN(w2|w1) = (c(w1w2) − D)/c(w1)
+                      + (D·N1+(w1·)/c(w1)) · N1+(·w2)/N1+(··)
+
+    (continuation counts, not raw unigrams — the KN insight). Scoring
+    the training corpus itself means every bigram has c ≥ 1, so the
+    discount never clips. The probability is assembled as one FIXED
+    double expression from exact integer counts — num/den with
+    numerator (4c−3)·T + 3·f(w1)·b(w2) and denominator 4·c(w1)·T, the
+    ¾-discount cleared of fractions — so both engines evaluate the
+    identical ln() input at any scale.
+
+    100 TB shape: three mergeable count aggregates over the bigram
+    frame (types, per-w1 totals+fanout, per-w2 continuation), keyed
+    shuffle joins back to instances, one per-doc hash-agg. No vocab
+    broadcast assumption — the same shape as the backoff scorer."""
+    docs = _docs(spark, sf_dir)
+    base = docs.select("doc_id", T.tokens(F.col("text")).alias("_tk")).filter(
+        F.size("_tk") > 1
+    )
+    inst = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_tk) - 1), "
+                "i -> struct(element_at(_tk, i) AS w1, "
+                "element_at(_tk, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    big = inst.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_xy")
+    )
+    w1c = big.groupBy("w1").agg(
+        F.sum("c_xy").cast("bigint").alias("c_w1"),
+        F.count(F.lit(1)).cast("bigint").alias("f_w1"),
+    )
+    w2c = big.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("b_w2")
+    )
+    types = big.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    scored = (
+        big.join(w1c, "w1")
+        .join(w2c, "w2")
+        .crossJoin(F.broadcast(types))
+    )
+    num = (
+        (F.lit(4.0) * F.col("c_xy").cast("double") - 3)
+        * F.col("n_types").cast("double")
+        + F.lit(3.0)
+        * F.col("f_w1").cast("double")
+        * F.col("b_w2").cast("double")
+    )
+    den = (
+        F.lit(4.0)
+        * F.col("c_w1").cast("double")
+        * F.col("n_types").cast("double")
+    )
+    logp = F.log(num / den)
+    return (
+        inst.join(
+            scored.select("w1", "w2", logp.alias("logp")), ["w1", "w2"]
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg("logp"), 6).alias("avg_kn_logprob"),
+        )
+    )
+
+
+TEXT_KNESER_NEY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+  WHERE trim(text) <> '' AND len({_TOKS}) > 1
+), inst AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+  FROM base, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+), big AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy FROM inst GROUP BY w1, w2
+), w1c AS (
+  SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS c_w1,
+         CAST(COUNT(*) AS BIGINT) AS f_w1
+  FROM big GROUP BY w1
+), w2c AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS b_w2 FROM big GROUP BY w2
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM big
+), scored AS (
+  SELECT big.w1, big.w2,
+         ln(((4.0 * CAST(c_xy AS DOUBLE) - 3)
+             * CAST(n_types AS DOUBLE)
+             + 3.0 * CAST(f_w1 AS DOUBLE) * CAST(b_w2 AS DOUBLE))
+            / (4.0 * CAST(c_w1 AS DOUBLE) * CAST(n_types AS DOUBLE)))
+           AS logp
+  FROM big JOIN w1c USING (w1) JOIN w2c USING (w2) CROSS JOIN t
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(AVG(logp), 6) AS avg_kn_logprob
+FROM inst JOIN scored USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
+_GOPHER_FLAGS = (
+    "word_count_ok",
+    "mwl_ok",
+    "symbol_ok",
+    "bullet_ok",
+    "ellipsis_ok",
+    "alpha_ok",
+    "stopword_ok",
+)
+
+
+def curation_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-stack ablation over the Gopher quality gate — the report
+    you read BEFORE shipping a filter change: per rule, how many
+    documents it flags, how many it flags UNIQUELY (no other rule
+    fires — the rule's marginal contribution; removing a rule recovers
+    exactly its unique count), and the flag rate. Built from the same
+    flags frame text_gopher_quality_filters emits, so the ablation can
+    never drift from the gate itself.
+
+    100 TB shape: the map-only gopher metrics pass + a 7× struct
+    explode + ONE mergeable hash-agg — no joins, no second corpus
+    scan."""
+    flags = T.gopher_quality_filters(_docs(spark, sf_dir))
+    n_fail = sum(
+        ((~F.col(c)).cast("int") for c in _GOPHER_FLAGS), F.lit(0)
+    )
+    per = flags.withColumn("n_fail", n_fail).select(
+        "n_fail",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("filter_name"),
+                        (~F.col(c)).cast("int").alias("failed"),
+                    )
+                    for c in _GOPHER_FLAGS
+                ]
+            )
+        ),
+    )
+    return per.groupBy("filter_name").agg(
+        F.sum("failed").cast("bigint").alias("n_flagged"),
+        F.sum(
+            F.when((F.col("failed") == 1) & (F.col("n_fail") == 1), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_unique_flagged"),
+        F.round(
+            F.sum("failed").cast("double") / F.count(F.lit(1)), 6
+        ).alias("pct_flagged"),
+    )
+
+
+def _filter_ablation_sql() -> str:
+    n_fail = " + ".join(
+        f"(1 - CAST({c} AS INT))" for c in _GOPHER_FLAGS
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS filter_name,"
+        f" (1 - CAST({c} AS INT)) AS failed, n_fail FROM d"
+        for c in _GOPHER_FLAGS
+    )
+    return f"""
+WITH g AS ({_gopher_sql()}),
+d AS (SELECT *, {n_fail} AS n_fail FROM g),
+f AS (
+{rows}
+)
+SELECT filter_name, CAST(SUM(failed) AS BIGINT) AS n_flagged,
+       CAST(SUM(CASE WHEN failed = 1 AND n_fail = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unique_flagged,
+       round(CAST(SUM(failed) AS DOUBLE) / COUNT(*), 6) AS pct_flagged
+FROM f GROUP BY filter_name
+"""
+
+
+_MATRYOSHKA_DIMS = (8, 16, 32, 64)
+_MATRYOSHKA_K = 10
+_MATRYOSHKA_QMOD = 97
+
+
+def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation evaluation — how much retrieval quality
+    survives using only the first d dimensions of each embedding
+    (the MRL deployment question: serve 8/16/32 dims instead of 64?):
+    for each truncation dim, exact top-10 cosine retrieval for a
+    deterministic query panel (vec_id ≡ 0 mod 97) and recall@10
+    against the full-dimension top-10. Ranking is on round(cos, 6)
+    with cand_id tiebreak, so both engines pick identical lists.
+
+    100 TB shape: the query panel is tiny and BROADCAST; the corpus is
+    scanned once and exploded 4× (once per dim); top-k is a
+    partitioned window per (dim, query) — never a global sort. At real
+    scale the brute-force stage swaps for the IVF/LSH candidate path
+    (ann_* entries); the eval harness shape is unchanged."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    q = emb.filter(F.col("vec_id") % _MATRYOSHKA_QMOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("q_e")
+    )
+    pairs = (
+        emb.select(F.col("vec_id").alias("cand_id"), F.col("e").alias("c_e"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.explode(
+                F.array(*[F.lit(d) for d in _MATRYOSHKA_DIMS])
+            ).alias("trunc_dim"),
+            "q_e",
+            "c_e",
+        )
+    )
+    cos = F.round(
+        S.cosine(
+            F.slice("q_e", F.lit(1), F.col("trunc_dim")),
+            F.slice("c_e", F.lit(1), F.col("trunc_dim")),
+        ),
+        6,
+    )
+    w = Window.partitionBy("trunc_dim", "query_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id").asc()
+    )
+    topk = (
+        pairs.withColumn("cos", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MATRYOSHKA_K)
+        .select("trunc_dim", "query_id", "cand_id")
+    )
+    full = topk.filter(F.col("trunc_dim") == 64).select(
+        "query_id", "cand_id"
+    )
+    hits = topk.join(full, ["query_id", "cand_id"]).groupBy(
+        "trunc_dim"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    nq = topk.groupBy("trunc_dim").agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries")
+    )
+    return (
+        nq.join(hits, "trunc_dim")
+        .select(
+            F.col("trunc_dim").cast("bigint").alias("trunc_dim"),
+            "n_queries",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double")
+                / (F.col("n_queries").cast("double") * _MATRYOSHKA_K),
+                6,
+            ).alias("recall_at_10"),
+        )
+    )
+
+
+def _matryoshka_sql() -> str:
+    dims = ", ".join(str(d) for d in _MATRYOSHKA_DIMS)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, emb AS q_e FROM e
+  WHERE vec_id % {_MATRYOSHKA_QMOD} = 0
+), scored AS (
+  SELECT d.trunc_dim, q.query_id, c.vec_id AS cand_id,
+         round(list_cosine_similarity(list_slice(q.q_e, 1, d.trunc_dim),
+                                      list_slice(c.emb, 1, d.trunc_dim)),
+               6) AS cos
+  FROM e c CROSS JOIN q CROSS JOIN UNNEST([{dims}]) AS d(trunc_dim)
+  WHERE c.vec_id <> q.query_id
+), topk AS (
+  SELECT trunc_dim, query_id, cand_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY trunc_dim, query_id
+                                     ORDER BY cos DESC, cand_id ASC) AS rk
+        FROM scored)
+  WHERE rk <= {_MATRYOSHKA_K}
+), full_k AS (
+  SELECT query_id, cand_id FROM topk WHERE trunc_dim = 64
+), hits AS (
+  SELECT trunc_dim, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM topk JOIN full_k USING (query_id, cand_id)
+  GROUP BY trunc_dim
+), nq AS (
+  SELECT trunc_dim, CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries
+  FROM topk GROUP BY trunc_dim
+)
+SELECT CAST(nq.trunc_dim AS BIGINT) AS trunc_dim, n_queries, n_hits,
+       round(CAST(n_hits AS DOUBLE)
+             / (CAST(n_queries AS DOUBLE) * {_MATRYOSHKA_K}), 6)
+         AS recall_at_10
+FROM nq JOIN hits ON nq.trunc_dim = hits.trunc_dim
+"""
+
+
+def dedup_incremental_new_vs_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the shape a DAILY 100 TB pipeline
+    actually runs (never all-pairs over history): a deterministic 20%
+    of documents play the 'new batch' (md5 bucket 0 of 5), the rest
+    the deduped 'base'. Each new document is classified dup_of_base
+    (its text digest already exists in base), dup_within_new (an
+    earlier new doc — smaller doc_id — has the same digest), or
+    unique; the report counts docs and distinct digests per class.
+
+    100 TB shape: base collapses to DISTINCT digests before the join
+    (old×old is never touched — the incremental invariant); the
+    within-batch window partitions by digest over only the new 20%."""
+    from ..functions.hashing import md5_u32
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp"),
+        (
+            md5_u32(F.concat(F.lit("inc:"), F.col("doc_id").cast("string")))
+            % 5
+        ).alias("b"),
+    )
+    base_fps = (
+        docs.filter(F.col("b") != 0).select("fp").distinct()
+        .withColumn("in_base", F.lit(1))
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    new = (
+        docs.filter(F.col("b") == 0)
+        .withColumn("rk", F.row_number().over(w))
+        .join(base_fps, "fp", "left")
+    )
+    cat = (
+        F.when(F.col("in_base") == 1, "dup_of_base")
+        .when(F.col("rk") > 1, "dup_within_new")
+        .otherwise("unique")
+    )
+    return new.groupBy(cat.alias("category")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("fp").cast("bigint").alias("n_distinct_fps"),
+    )
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH d AS (
+  SELECT doc_id, md5(text) AS fp,
+         CAST(('0x' || substr(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 5 AS b
+  FROM documents
+), base_fps AS (
+  SELECT DISTINCT fp FROM d WHERE b <> 0
+), new AS (
+  SELECT doc_id, fp,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+  FROM d WHERE b = 0
+)
+SELECT CASE WHEN bf.fp IS NOT NULL THEN 'dup_of_base'
+            WHEN rk > 1 THEN 'dup_within_new'
+            ELSE 'unique' END AS category,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT n.fp) AS BIGINT) AS n_distinct_fps
+FROM new n LEFT JOIN base_fps bf ON n.fp = bf.fp
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_kneser_ney_bigram": QuerySpec(
+        text_kneser_ney_bigram, TEXT_KNESER_NEY_SQL, "text"),
+    "curation_filter_ablation": QuerySpec(
+        curation_filter_ablation, _filter_ablation_sql(), "quality"),
+    "embedding_matryoshka_eval": QuerySpec(
+        embedding_matryoshka_eval, _matryoshka_sql(), "similarity"),
+    "dedup_incremental_new_vs_base": QuerySpec(
+        dedup_incremental_new_vs_base, DEDUP_INCREMENTAL_SQL, "dedup"),
     "dedup_sentence_ccnet": QuerySpec(
         dedup_sentence_ccnet, DEDUP_SENTENCE_CCNET_SQL, "dedup"),
     # the three 1-row sketch-stat frames assemble by tagged union and

@@ -1839,7 +1839,182 @@ FROM ovl GROUP BY layout
 """
 
 
+# ---------------------------------------------------------------------------
+# Round 12: dataset reproducibility + table statistics
+# ---------------------------------------------------------------------------
+
+# order-insensitive content fingerprint: per-row 60-bit md5 value
+# reduced mod a prime, summed exactly (DECIMAL(38,0)), reduced again —
+# addition commutes, so the fingerprint is independent of row order,
+# partitioning, and engine, and two runs produced identical data iff
+# the fingerprints match.
+_FP_PRIME = 2147483647  # 2^31 − 1
+
+
+def dataset_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split dataset version stamp — the reproducibility audit a
+    training pipeline runs after any rebuild: for each train/val/test
+    split (the same md5 assignment as split_train_val_test), row count,
+    total chars, exact distinct-text count, and an ORDER-INSENSITIVE
+    content fingerprint (sum of per-row md5-derived values mod 2³¹−1).
+    Row order, shard layout, and partition count cannot change the
+    stamp; any changed/added/dropped row does.
+
+    100 TB shape: map-only hash + one mergeable 3-group agg (the modular
+    sum is associative-commutative, so it partial-aggregates); the
+    distinct-text count is the only shuffle-heavy term and is exact on
+    digests, not texts."""
+    docs = _t(spark, sf_dir, "documents")
+    row_h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("fp:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.md5(F.col("text")),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _FP_PRIME
+    )
+    base = docs.select(
+        _split_col().alias("split"),
+        "n_chars",
+        row_h.alias("h"),
+        F.md5(F.col("text")).alias("td"),
+    )
+    return base.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("td").cast("bigint").alias("n_distinct_texts"),
+        (F.sum(F.col("h").cast("decimal(38,0)")) % _FP_PRIME)
+        .cast("bigint")
+        .alias("content_fingerprint"),
+    )
+
+
+DATASET_FINGERPRINT_SQL = f"""
+WITH base AS (
+  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_TRAIN_MAX}'
+              THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_VAL_MAX}'
+              THEN 'val' ELSE 'test' END AS split,
+         n_chars,
+         CAST(('0x' || substr(md5('fp:' || CAST(doc_id AS VARCHAR) || ':'
+                                  || md5(text)), 1, 15)) AS BIGINT)
+           % {_FP_PRIME} AS h,
+         md5(text) AS td
+  FROM documents
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT td) AS BIGINT) AS n_distinct_texts,
+       CAST(SUM(CAST(h AS HUGEINT)) % {_FP_PRIME} AS BIGINT)
+         AS content_fingerprint
+FROM base GROUP BY split
+"""
+
+
+# ANALYZE-style column statistics: the numbers a cost-based optimizer
+# (and a data engineer sizing a join) reads off a table. Timestamps are
+# formatted explicitly so min/max strings match across engines.
+_ANALYZE_COLS = (
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "cents"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "string"),
+)
+
+
+def maintenance_analyze_column_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANALYZE TABLE orders: per column — non-null count, exact NDV,
+    min/max (as strings on an explicit engine-portable format). One
+    pass: all 6 columns' aggregates run in a single Aggregate node
+    (Spark plans the multi-distinct via Expand, a 6× row blow-up that
+    is still one scan); the per-column rows come from exploding a
+    6-struct literal array over the 1-row result.
+
+    100 TB shape: one scan + one Expand-aggregate; the exact-NDV
+    variant is the oracle-checkable tier — production at 100 TB flips
+    to approx_count_distinct (documented here, same plan minus
+    Expand)."""
+    o = _t(spark, sf_dir, "orders")
+    # value expression per kind: numerics stay NUMERIC so min/max order
+    # numerically (a string min would rank '10027940' < '132051');
+    # min/max are stringified AFTER aggregation for the uniform report
+    norm = {
+        "bigint": lambda c: F.col(c),
+        "string": lambda c: F.col(c),
+        "cents": lambda c: F.round(F.col(c) * 100).cast("long"),
+        "ts": lambda c: F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss"),
+    }
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for col, kind in _ANALYZE_COLS:
+        e = norm[kind](col)
+        aggs += [
+            F.count(e).cast("bigint").alias(f"nn_{col}"),
+            F.countDistinct(e).cast("bigint").alias(f"ndv_{col}"),
+            F.min(e).cast("string").alias(f"min_{col}"),
+            F.max(e).cast("string").alias(f"max_{col}"),
+        ]
+    one = o.agg(*aggs)
+    return one.select(
+        "n_rows",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(col).alias("col_name"),
+                        F.col(f"nn_{col}").alias("n_nonnull"),
+                        F.col(f"ndv_{col}").alias("ndv_exact"),
+                        F.col(f"min_{col}").alias("min_val"),
+                        F.col(f"max_{col}").alias("max_val"),
+                    )
+                    for col, _ in _ANALYZE_COLS
+                ]
+            )
+        ),
+    ).select("col_name", "n_rows", "n_nonnull", "ndv_exact", "min_val", "max_val")
+
+
+def _analyze_sql() -> str:
+    norm = {
+        "bigint": lambda c: c,
+        "string": lambda c: c,
+        "cents": lambda c: f"CAST(round({c} * 100) AS BIGINT)",
+        "ts": lambda c: f"strftime({c}, '%Y-%m-%d %H:%M:%S')",
+    }
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{col}' AS col_name, n_rows,"
+        f" CAST(COUNT({norm[kind](col)}) AS BIGINT) AS n_nonnull,"
+        f" CAST(COUNT(DISTINCT {norm[kind](col)}) AS BIGINT) AS ndv_exact,"
+        f" CAST(MIN({norm[kind](col)}) AS VARCHAR) AS min_val,"
+        f" CAST(MAX({norm[kind](col)}) AS VARCHAR) AS max_val"
+        f" FROM orders CROSS JOIN n GROUP BY n_rows"
+        for col, kind in _ANALYZE_COLS
+    )
+    return f"""
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders)
+{rows}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dataset_content_fingerprint": QuerySpec(
+        dataset_content_fingerprint, DATASET_FINGERPRINT_SQL, "pipeline"),
+    "maintenance_analyze_column_stats": QuerySpec(
+        maintenance_analyze_column_stats, _analyze_sql(), "maintenance"),
     "maintenance_file_skipping_stats": QuerySpec(
         maintenance_file_skipping_stats, MAINTENANCE_FILE_SKIPPING_SQL,
         "maintenance"),

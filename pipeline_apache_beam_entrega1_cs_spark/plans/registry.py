@@ -89,6 +89,19 @@ DRIVER_PRIORITY: list[str] = [
     "dq_reconciliation_totals",
     "dq_candidate_keys",
     "dq_value_set_drift",
+    # --- round-12 additions (never checked by construction; the
+    # rotation test forces them into the front block) ---
+    "text_kneser_ney_bigram",
+    "curation_filter_ablation",
+    "embedding_matryoshka_eval",
+    "dedup_incremental_new_vs_base",
+    "stat_mann_whitney_u",
+    "stat_kruskal_wallis",
+    "analytics_abc_xyz_matrix",
+    "dq_out_of_order_audit",
+    "dataset_content_fingerprint",
+    "maintenance_analyze_column_stats",
+    "pandas_udf_scalar_iter",
     # --- the NINE r04-only entries (bench-covered every round but
     # driver-stale since r04): closes the r04 back-fill ---
     "q3_shipping_priority",

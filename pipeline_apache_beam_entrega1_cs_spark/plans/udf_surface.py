@@ -292,7 +292,75 @@ GROUP BY event_type
 """
 
 
+# fixed surcharge schedule, percent by priority class — the "expensive
+# model" the iterator UDF loads once per executor task, not once per
+# batch (the whole point of SCALAR_ITER over plain SCALAR)
+_SURCHARGE_PCT = {
+    "1-URGENT": 7,
+    "2-HIGH": 4,
+    "3-MEDIUM": 2,
+    "4-NOT SPECIFIED": 0,
+    "5-LOW": 0,
+}
+
+
+def pandas_udf_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-batches pandas UDF (SCALAR_ITER — completes the UDF
+    matrix next to SCALAR / GROUPED_AGG / applyInPandas / cogroup /
+    mapInArrow / UDTF): priority-surcharged order totals in exact int64
+    cents. The surcharge table is built ONCE per iterator, before the
+    batch loop — the init-amortization pattern for per-task model/
+    tokenizer loads that a plain SCALAR pandas UDF would repeat every
+    ~10k-row Arrow batch. Arithmetic is integer cents end-to-end, so
+    the Python side and the SQL oracle agree bit-for-bit."""
+    from pyspark.sql.functions import pandas_udf
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+    @pandas_udf("long")
+    def surcharged(
+        it: Iterator[tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        table = dict(_SURCHARGE_PCT)  # the once-per-task "model load"
+        for prio, price in it:
+            cents = price.mul(100).round().astype("int64")
+            pct = prio.map(table).fillna(0).astype("int64")
+            yield cents + cents * pct // 100
+
+    return orders.select(
+        "o_orderkey",
+        surcharged(F.col("o_orderpriority"), F.col("o_totalprice")).alias(
+            "adjusted_cents"
+        ),
+    )
+
+
+def _scalar_iter_sql() -> str:
+    cases = "\n".join(
+        f"         WHEN o_orderpriority = '{k}' THEN {v}"
+        for k, v in _SURCHARGE_PCT.items()
+    )
+    return f"""
+WITH c AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(CASE
+{cases}
+         ELSE 0 END AS BIGINT) AS pct
+  FROM orders
+)
+SELECT o_orderkey,
+       CAST(cents + (cents * pct) // 100 AS BIGINT) AS adjusted_cents
+FROM c
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pandas_udf_scalar_iter": QuerySpec(
+        pandas_udf_scalar_iter, _scalar_iter_sql(), "udf-surface"
+    ),
     "pandas_udf_grouped_agg": QuerySpec(
         pandas_udf_grouped_agg, PANDAS_GROUPED_AGG_SQL, "udf-surface"
     ),

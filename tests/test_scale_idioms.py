@@ -804,3 +804,34 @@ def test_cpu_dense_barriers_carry_explicit_partition_count(spark, sf_dir):
             f"{name}: no explicit {n}-partition doc_id exchange in plan "
             "— the CPU-dense stage would inherit the scan split layout"
         )
+
+
+def test_rollup_then_window_discipline(spark, sf_dir):
+    """The robust/seasonal timeseries entries (round-11 family) must
+    keep their Window over the ROLLED-UP hourly/daily frame, never the
+    raw events — a refactor that windows raw rows first would still be
+    value-correct but 1000x heavier at scale. In the formatted plan the
+    root prints first, so 'Window consumes the rollup' appears as the
+    first Window line sitting ABOVE the first HashAggregate line; the
+    inverse order (aggregate above a raw-row window) or a missing
+    rollup aggregate fails."""
+    from pipeline_apache_beam_entrega1_cs_spark.plans.registry import (
+        all_queries,
+    )
+
+    reg = all_queries()
+    for name in (
+        "window_hampel_filter",
+        "timeseries_changepoint_binary",
+        "timeseries_interpolate_linear",
+        "timeseries_spectral_peak",
+        "timeseries_acf_lags",
+        "timeseries_m4_downsample",
+    ):
+        plan = physical_plan(reg[name].fn(spark, sf_dir))
+        assert "HashAggregate" in plan, f"{name}: no rollup aggregate"
+        if "Window" in plan:
+            assert plan.index("Window") < plan.index("HashAggregate"), (
+                f"{name}: a Window runs BELOW the rollup aggregate — "
+                "windowing raw rows instead of the rolled-up series"
+            )
