@@ -252,6 +252,18 @@ AUDIT = [
     "dq_value_set_drift",
     "applyinpandas_trimmed_mean",
     "cogroup_order_gaps",
+    # round-12 additions
+    "stat_mann_whitney_u",
+    "stat_kruskal_wallis",
+    "analytics_abc_xyz_matrix",
+    "dq_out_of_order_audit",
+    "dataset_content_fingerprint",
+    "maintenance_analyze_column_stats",
+    "text_kneser_ney_bigram",
+    "curation_filter_ablation",
+    "embedding_matryoshka_eval",
+    "dedup_incremental_new_vs_base",
+    "pandas_udf_scalar_iter",
     "streaming_topk_state",
     "streaming_token_freq_state",
     "streaming_error_burst_state",

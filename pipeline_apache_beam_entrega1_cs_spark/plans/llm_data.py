@@ -6836,11 +6836,19 @@ GROUP BY 1
 
 QUERIES: dict[str, QuerySpec] = {
     "text_kneser_ney_bigram": QuerySpec(
-        text_kneser_ney_bigram, TEXT_KNESER_NEY_SQL, "text"),
+        text_kneser_ney_bigram, TEXT_KNESER_NEY_SQL, "text",
+        plan_waivers={
+            "bnlj": "1-row bigram-type-count scalar attach"}),
     "curation_filter_ablation": QuerySpec(
         curation_filter_ablation, _filter_ablation_sql(), "quality"),
     "embedding_matryoshka_eval": QuerySpec(
-        embedding_matryoshka_eval, _matryoshka_sql(), "similarity"),
+        embedding_matryoshka_eval, _matryoshka_sql(), "similarity",
+        plan_waivers={
+            "bnlj": (
+                "broadcast side is the deterministic query panel "
+                "(vec_id ≡ 0 mod 97 — |corpus|/97 rows); the brute-force "
+                "exact stage of the eval harness, swapped for the "
+                "IVF/LSH candidate path at real scale")}),
     "dedup_incremental_new_vs_base": QuerySpec(
         dedup_incremental_new_vs_base, DEDUP_INCREMENTAL_SQL, "dedup"),
     "dedup_sentence_ccnet": QuerySpec(
@@ -7021,7 +7029,9 @@ QUERIES: dict[str, QuerySpec] = {
     "text_tokenizer_fertility": QuerySpec(
         text_tokenizer_fertility, TEXT_FERTILITY_SQL, "text"),
     "dedup_cosine_threshold_sweep": QuerySpec(
-        dedup_cosine_threshold_sweep, _cos_sweep_sql(), "dedup"),
+        dedup_cosine_threshold_sweep, _cos_sweep_sql(), "dedup",
+        plan_waivers={
+            "bnlj": "1-row cap-loss (n_capped_blocks/n_rows_dropped) attach"}),
     "eval_retrieval_metrics": QuerySpec(
         eval_retrieval_metrics, _retrieval_eval_sql(), "similarity",
         plan_waivers={"bnlj": (

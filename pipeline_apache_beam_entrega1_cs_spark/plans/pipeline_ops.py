@@ -1939,53 +1939,47 @@ def maintenance_analyze_column_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """ANALYZE TABLE orders: per column — non-null count, exact NDV,
-    min/max (as strings on an explicit engine-portable format). One
-    pass: all 6 columns' aggregates run in a single Aggregate node
-    (Spark plans the multi-distinct via Expand, a 6× row blow-up that
-    is still one scan); the per-column rows come from exploding a
-    6-struct literal array over the 1-row result.
+    min/max (as strings on an explicit engine-portable format;
+    numerics aggregate as NUMBERS so min/max order numerically).
 
-    100 TB shape: one scan + one Expand-aggregate; the exact-NDV
-    variant is the oracle-checkable tier — production at 100 TB flips
-    to approx_count_distinct (documented here, same plan minus
-    Expand)."""
+    Plan shape: one column-pruned scan + one SINGLE-distinct aggregate
+    PER COLUMN, unioned. The tempting alternative — all six
+    countDistincts in one Aggregate — plans as an Expand (6× rows)
+    into a GLOBAL final aggregate, i.e. every expanded row funnels
+    through ONE reducer task: measured 5.25 s vs 0.9 s at sf0.1 and
+    8.4× growth over 100× rows (SCALING.md round 12). Per-column
+    single-distinct aggs keep both phases hash-partitioned by the
+    value, and each branch's scan reads exactly one column — at 100 TB
+    on columnar storage the union costs ≈ one full-width scan, fully
+    parallel. Production flips exact NDV to approx_count_distinct
+    (sketch-mergeable, no distinct shuffle); the exact tier here is
+    the oracle-checkable one."""
     o = _t(spark, sf_dir, "orders")
-    # value expression per kind: numerics stay NUMERIC so min/max order
-    # numerically (a string min would rank '10027940' < '132051');
-    # min/max are stringified AFTER aggregation for the uniform report
     norm = {
         "bigint": lambda c: F.col(c),
         "string": lambda c: F.col(c),
         "cents": lambda c: F.round(F.col(c) * 100).cast("long"),
         "ts": lambda c: F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss"),
     }
-    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    parts = []
     for col, kind in _ANALYZE_COLS:
         e = norm[kind](col)
-        aggs += [
-            F.count(e).cast("bigint").alias(f"nn_{col}"),
-            F.countDistinct(e).cast("bigint").alias(f"ndv_{col}"),
-            F.min(e).cast("string").alias(f"min_{col}"),
-            F.max(e).cast("string").alias(f"max_{col}"),
-        ]
-    one = o.agg(*aggs)
-    return one.select(
-        "n_rows",
-        F.inline(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(col).alias("col_name"),
-                        F.col(f"nn_{col}").alias("n_nonnull"),
-                        F.col(f"ndv_{col}").alias("ndv_exact"),
-                        F.col(f"min_{col}").alias("min_val"),
-                        F.col(f"max_{col}").alias("max_val"),
-                    )
-                    for col, _ in _ANALYZE_COLS
-                ]
+        parts.append(
+            o.select(e.alias("v")).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.count("v").cast("bigint").alias("n_nonnull"),
+                F.countDistinct("v").cast("bigint").alias("ndv_exact"),
+                F.min("v").cast("string").alias("min_val"),
+                F.max("v").cast("string").alias("max_val"),
+            ).select(
+                F.lit(col).alias("col_name"),
+                "n_rows", "n_nonnull", "ndv_exact", "min_val", "max_val",
             )
-        ),
-    ).select("col_name", "n_rows", "n_nonnull", "ndv_exact", "min_val", "max_val")
+        )
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionAll(pdf)
+    return out
 
 
 def _analyze_sql() -> str:
