@@ -257,6 +257,8 @@ def embedding_cosine_pairs_lsh(
     num_tables: int = 6,
     seed: int = 42,
     max_bucket: int = 1024,
+    dim: int = 64,
+    arrow_verify: bool = True,
 ) -> DataFrame:
     """Near-duplicate vector pairs with LSH-bucket blocking — the 100 TB
     variant of ``embedding_cosine_pairs``.
@@ -264,41 +266,50 @@ def embedding_cosine_pairs_lsh(
     ``embedding_cosine_pairs`` blocks on a SEMANTIC column (label): its
     pairwise cost is Σ block², which degenerates toward all-pairs when
     labels are coarse. Here the block key is data-independent geometry:
-    BucketedRandomProjectionLSH assigns each vector ``num_tables`` bucket
-    ids; candidate pairs are generated only inside a (table, bucket)
-    cell, deduped across tables, then exact-cosine verified.
+    ``num_tables`` p-stable random projections (fixed-seed Gaussian
+    planes, evaluated as literal-array expressions inside the scan
+    stage — the MLlib BucketedRandomProjectionLSH fit/transform this
+    replaced cost ~2 s of driver fit + vector<->array conversions per
+    run for the identical math, measured in SCALING.md round 12) assign
+    each vector a bucket per table; candidate pairs are generated only
+    inside a (table, bucket) cell, deduped across tables on BARE IDS
+    (the round-11 93 s -> 6.4 s fix: the distinct runs on 16-byte id
+    pairs, never on 1 KB embedding rows), then exact-cosine verified.
+
+    The verify stage is the irreducible cost — on near-uniform data a
+    low threshold makes candidates ~= all pairs (measured round 12:
+    recall at 0.35 collapses below 0.9 for ANY bucket_length that
+    actually prunes, because 0.35-pairs are the bulk tail, not a
+    near-dup cluster) — so it runs VECTORIZED: one mapInArrow pass,
+    numpy dot products over Arrow batches (~128 M flops for 2 M
+    64-dim pairs) instead of 2 M interpreted 64-step Catalyst folds.
+    ``arrow_verify=False`` keeps the pure-expression fold for the A/B.
 
     Two knobs bound the pairwise cost: ``bucket_length`` sets the
-    expected bucket population (tune DOWN as density grows — measured:
-    4.0 on dense 64-dim uniform data degenerates into mega-buckets), and
-    ``max_bucket`` hard-caps it — cells above the cap are dropped before
-    pair generation, exactly like the n-gram dedup's frequency cap, so
-    worst-case join output is <= max_bucket * num_tables * n no matter
-    how degenerate the geometry. Recall vs the exact all-pairs baseline
-    is asserted in tests (rows-only oracle: bucket boundaries are not
+    expected bucket population, and ``max_bucket`` hard-caps it — cells
+    above the cap are dropped before pair generation, exactly like the
+    n-gram dedup's frequency cap, so worst-case join output is
+    <= max_bucket * num_tables * n no matter how degenerate the
+    geometry. Recall vs the exact all-pairs baseline is asserted in
+    tests (rows-only oracle: bucket boundaries are not
     SQL-expressible)."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    import numpy as np
 
-    vecs = embeddings.select(
-        "vec_id",
-        _as_double("embedding").alias("emb"),
-        array_to_vector(_as_double("embedding")).alias("features"),
-    )
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="hashes",
-        bucketLength=bucket_length,
-        numHashTables=num_tables,
-        seed=seed,
-    )
-    hashed = (
-        lsh.fit(vecs)
-        .transform(vecs)
-        .select("vec_id", "emb", F.posexplode("hashes").alias("tbl", "h"))
-        .select(
-            "vec_id", "emb", "tbl", vector_to_array(F.col("h"))[0].cast("long").alias("bucket")
+    planes = np.random.RandomState(seed).standard_normal((num_tables, dim))
+    vecs = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+    bucket_exprs = []
+    for t in range(num_tables):
+        plane = F.array(*[F.lit(float(x)) for x in planes[t]])
+        dot = F.aggregate(
+            F.zip_with(F.col("emb"), plane, lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
         )
+        bucket_exprs.append(
+            F.floor(dot / F.lit(float(bucket_length))).cast("long")
+        )
+    hashed = vecs.select(
+        "vec_id", F.posexplode(F.array(*bucket_exprs)).alias("tbl", "bucket")
     )
     live = (
         hashed.groupBy("tbl", "bucket")
@@ -307,15 +318,6 @@ def embedding_cosine_pairs_lsh(
         .select("tbl", "bucket")
     )
     pruned = hashed.join(live, ["tbl", "bucket"])
-    # Pair dedup runs on BARE IDS; embeddings re-attach afterwards by
-    # two joins against the vector table. The first cut carried both
-    # 64-dim arrays through the cross-table distinct() — every
-    # candidate-pair row was ~1 KB wide and a mega-bucket geometry
-    # shuffled GBs to dedup what is logically a 16-byte id pair:
-    # measured ~93 s -> 6.4 s at sf0.1, bit-identical output
-    # (SCALING.md round 11). At 100 TB the same holds: the distinct is
-    # the multiplied frame (x num_tables collisions), so it must be
-    # narrow; the embedding re-attach touches each unique pair once.
     a = pruned.select("tbl", "bucket", F.col("vec_id").alias("vec_a"))
     b = pruned.select("tbl", "bucket", F.col("vec_id").alias("vec_b"))
     pair_ids = (
@@ -326,15 +328,51 @@ def embedding_cosine_pairs_lsh(
     )
     ea = vecs.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
     eb = vecs.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
-    return (
-        pair_ids.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select(
+    cand = pair_ids.join(ea, "vec_a").join(eb, "vec_b")
+    if not arrow_verify:
+        return cand.select(
             "vec_a",
             "vec_b",
             F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+        ).filter(F.col("cos_sim") >= threshold)
+
+    def verify(batches):
+        import numpy as _np
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ma = _np.asarray(
+                batch.column("emb_a").flatten(), dtype=_np.float64
+            ).reshape(batch.num_rows, -1)
+            mb = _np.asarray(
+                batch.column("emb_b").flatten(), dtype=_np.float64
+            ).reshape(batch.num_rows, -1)
+            cs = _np.round(
+                (ma * mb).sum(axis=1)
+                / (
+                    _np.sqrt((ma * ma).sum(axis=1))
+                    * _np.sqrt((mb * mb).sum(axis=1))
+                ),
+                6,
+            )
+            keep = cs >= threshold
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        _np.asarray(batch.column("vec_a"))[keep], pa.int64()
+                    ),
+                    pa.array(
+                        _np.asarray(batch.column("vec_b"))[keep], pa.int64()
+                    ),
+                    pa.array(cs[keep], pa.float64()),
+                ],
+                ["vec_a", "vec_b", "cos_sim"],
+            )
+
+    return cand.mapInArrow(
+        verify, "vec_a long, vec_b long, cos_sim double"
     )
 
 
