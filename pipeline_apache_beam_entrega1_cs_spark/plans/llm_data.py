@@ -6768,6 +6768,134 @@ FROM nq JOIN hits ON nq.trunc_dim = hits.trunc_dim
 """
 
 
+_KENDALL_K = 20
+_KENDALL_TRUNC = 16
+
+
+def eval_kendall_tau_rankers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranker ORDER agreement without ground truth — Kendall tau-b per
+    query between the full-dimension cosine ranking and the
+    16-dim-truncated one, over the full ranker's top-20 items: the
+    question embedding_matryoshka_eval's recall@k can't answer (two
+    lists can overlap 100% yet order items oppositely — recall 1.0,
+    tau −1.0). Tie-corrected tau-b from exact integer concordant /
+    discordant / tied-pair counts on round-6 cosines (ties then count
+    identically in both engines); C(20,2)=190 pairs per query, so the
+    pairwise stage is k²-bounded per query, never corpus-quadratic.
+
+    100 TB shape: the query panel broadcasts; item lists come from a
+    partitioned per-(query) top-k window; the pair stage self-joins
+    k-row groups on the query key. Swap the brute-force scorer for the
+    ANN candidate path at scale; the agreement harness is unchanged."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    q = emb.filter(F.col("vec_id") % _MATRYOSHKA_QMOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("q_e")
+    )
+    scored = (
+        emb.select(F.col("vec_id").alias("cand_id"), F.col("e").alias("c_e"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(S.cosine(F.col("q_e"), F.col("c_e")), 6).alias("ca"),
+            F.round(
+                S.cosine(
+                    F.slice("q_e", 1, _KENDALL_TRUNC),
+                    F.slice("c_e", 1, _KENDALL_TRUNC),
+                ),
+                6,
+            ).alias("cb"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ca").desc(), F.col("cand_id").asc()
+    )
+    items = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KENDALL_K)
+        .select("query_id", "cand_id", "ca", "cb")
+    )
+    i = items.select(
+        "query_id", F.col("cand_id").alias("id_i"),
+        F.col("ca").alias("ca_i"), F.col("cb").alias("cb_i"),
+    )
+    j = items.select(
+        "query_id", F.col("cand_id").alias("id_j"),
+        F.col("ca").alias("ca_j"), F.col("cb").alias("cb_j"),
+    )
+    pr = i.join(j, "query_id").filter(F.col("id_i") < F.col("id_j"))
+    sa = F.signum(F.col("ca_i") - F.col("ca_j"))
+    sb = F.signum(F.col("cb_i") - F.col("cb_j"))
+    agg = pr.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(sa * sb > 0, 1).otherwise(0))
+        .cast("bigint").alias("n_concordant"),
+        F.sum(F.when(sa * sb < 0, 1).otherwise(0))
+        .cast("bigint").alias("n_discordant"),
+        F.sum(F.when(sa == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_tied_a"),
+        F.sum(F.when(sb == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_tied_b"),
+    )
+    n0 = F.col("n_pairs").cast("double")
+    tau = (
+        (F.col("n_concordant") - F.col("n_discordant")).cast("double")
+        / F.sqrt(
+            (n0 - F.col("n_tied_a").cast("double"))
+            * (n0 - F.col("n_tied_b").cast("double"))
+        )
+    )
+    return agg.select(
+        "query_id", "n_pairs", "n_concordant", "n_discordant",
+        F.round(tau, 6).alias("tau_b"),
+    )
+
+
+EVAL_KENDALL_TAU_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, emb AS q_e FROM e
+  WHERE vec_id % {_MATRYOSHKA_QMOD} = 0
+), scored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         round(list_cosine_similarity(q.q_e, c.emb), 6) AS ca,
+         round(list_cosine_similarity(list_slice(q.q_e, 1, {_KENDALL_TRUNC}),
+                                      list_slice(c.emb, 1, {_KENDALL_TRUNC})),
+               6) AS cb
+  FROM e c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+), items AS (
+  SELECT query_id, cand_id, ca, cb
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ca DESC, cand_id ASC) AS rk
+        FROM scored)
+  WHERE rk <= {_KENDALL_K}
+), pr AS (
+  SELECT i.query_id,
+         sign(i.ca - j.ca) AS sa, sign(i.cb - j.cb) AS sb
+  FROM items i JOIN items j
+    ON i.query_id = j.query_id AND i.cand_id < j.cand_id
+)
+SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN sa * sb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_concordant,
+       CAST(SUM(CASE WHEN sa * sb < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_discordant,
+       round((SUM(CASE WHEN sa * sb > 0 THEN 1 ELSE 0 END)
+              - SUM(CASE WHEN sa * sb < 0 THEN 1 ELSE 0 END))
+             / sqrt((COUNT(*) - SUM(CASE WHEN sa = 0 THEN 1 ELSE 0 END))
+                    * (COUNT(*) - SUM(CASE WHEN sb = 0 THEN 1 ELSE 0 END))),
+             6) AS tau_b
+FROM pr GROUP BY query_id
+"""
+
+
 def dedup_incremental_new_vs_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup — the shape a DAILY 100 TB pipeline
     actually runs (never all-pairs over history): a deterministic 20%
@@ -6851,6 +6979,13 @@ QUERIES: dict[str, QuerySpec] = {
                 "IVF/LSH candidate path at real scale")}),
     "dedup_incremental_new_vs_base": QuerySpec(
         dedup_incremental_new_vs_base, DEDUP_INCREMENTAL_SQL, "dedup"),
+    "eval_kendall_tau_rankers": QuerySpec(
+        eval_kendall_tau_rankers, EVAL_KENDALL_TAU_SQL, "quality",
+        plan_waivers={
+            "bnlj": (
+                "broadcast side is the deterministic query panel "
+                "(vec_id ≡ 0 mod 97) — same brute-force eval tier as "
+                "embedding_matryoshka_eval")}),
     "dedup_sentence_ccnet": QuerySpec(
         dedup_sentence_ccnet, DEDUP_SENTENCE_CCNET_SQL, "dedup"),
     # the three 1-row sketch-stat frames assemble by tagged union and

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import md5_u32
 from ..functions.numeric import dsum, sql_dsum
 from ..schemas import load_table
-from .analytics import DQ_ERROR_BURST_SQL
+from .analytics import DQ_ERROR_BURST_SQL, DQ_OUT_OF_ORDER_SQL
 from .llm_data import _coverage_sql
 from .relational2 import AGG_COUNTMIN_SQL
 from .spec import QuerySpec
@@ -1714,6 +1714,22 @@ def streaming_error_burst_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_error_burst_stream(spark, sf_dir)
 
 
+def streaming_out_of_order_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming out-of-order arrival audit: events replayed as FOUR
+    INGEST-ordered (event_id-sliced) micro-batches through a
+    foreachBatch state machine carrying each user's last-seen event
+    time (streaming/sinks.OutOfOrderAuditSink) — the cross-batch twin
+    of dq_out_of_order_audit, and the ONLINE form of the report that
+    sizes a watermark delay: the boundary pair between a user's carry
+    and their next batch's first event is spliced, the per-type
+    counters are additive/max-mergeable, so cold replay over any ingest
+    slicing equals the one-shot batch audit — the oracle is
+    DQ_OUT_OF_ORDER_SQL verbatim."""
+    from ..streaming.sinks import run_out_of_order_stream
+
+    return run_out_of_order_stream(spark, sf_dir)
+
+
 _TOPK_STATE_K = 10
 
 
@@ -2026,6 +2042,8 @@ QUERIES: dict[str, QuerySpec] = {
         streaming_token_freq_state, _coverage_sql(), "streaming"),
     "streaming_error_burst_state": QuerySpec(
         streaming_error_burst_state, DQ_ERROR_BURST_SQL, "streaming"),
+    "streaming_out_of_order_state": QuerySpec(
+        streaming_out_of_order_state, DQ_OUT_OF_ORDER_SQL, "streaming"),
     # the 1-row MAX-scalar BNLJ lives in the eager compaction WRITE, not
     # in the returned report plan (a plain scan + groupBy over the
     # compacted files) — so no plan waiver is needed or allowed here

@@ -102,6 +102,8 @@ DRIVER_PRIORITY: list[str] = [
     "dataset_content_fingerprint",
     "maintenance_analyze_column_stats",
     "pandas_udf_scalar_iter",
+    "streaming_out_of_order_state",
+    "eval_kendall_tau_rankers",
     # --- the NINE r04-only entries (bench-covered every round but
     # driver-stale since r04): closes the r04 back-fill ---
     "q3_shipping_priority",

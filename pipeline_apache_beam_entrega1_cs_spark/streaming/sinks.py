@@ -1297,6 +1297,218 @@ class ErrorBurstSink:
         _install_state(self.state, tmp, batch_id)
 
 
+def _stage_id_slices(raw, work: str, id_col: str, n: int = 4) -> str:
+    """Sibling of _stage_time_slices that partitions by equal-width
+    ranges of an INTEGER sequence column instead of a timestamp — the
+    replay order an INGEST-sequenced stream has (event_id is the
+    arrival order; event time may run backwards inside it, which is
+    exactly what the out-of-order audit measures)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    mn, mx = raw.agg(F.min(id_col), F.max(id_col)).first()
+    span = max(int(mx) - int(mn), 1)
+    bucket = F.least(
+        F.floor((F.col(id_col) - F.lit(int(mn))) * n / F.lit(span + 1)),
+        F.lit(n - 1),
+    )
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    for i in range(n):
+        stage = os.path.join(work, f"stage_{i}")
+        raw.filter(bucket == i).coalesce(1).write.mode("overwrite").parquet(
+            stage
+        )
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.copy(glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
+    return src
+
+
+class OutOfOrderAuditSink:
+    """``foreachBatch`` state machine for the CROSS-BATCH out-of-order
+    arrival audit — the streaming twin of plans/analytics.
+    dq_out_of_order_audit: batches arrive in INGEST order (event_id
+    slices), each user's LAST-SEEN event time is carried forward (one
+    row per user), and the pair between a user's carry and their first
+    event of the next batch is spliced so no adjacent pair is ever lost
+    to a batch boundary. The per-type counters (pairs, backwards, max
+    backwards gap) are ADDITIVE / max-mergeable, hence replay-order
+    independent: cold replay over any ingest slicing equals the
+    one-shot batch audit (the SQL oracle verbatim). Exactly-once
+    follows the FingerprintMergeSink contract.
+
+    100 TB shape: per batch, one per-user lag window over batch rows
+    only + an O(#active users) join against the carry; state is one
+    (user, last_epoch) row per user ever seen plus O(#types) counter
+    rows."""
+
+    _COLS = ["kind", "event_type", "n_pairs", "n_backwards",
+             "max_backwards_seconds", "user_id", "last_epo"]
+
+    def __init__(self, state_dir: str) -> None:
+        self.state = state_dir
+        os.makedirs(os.path.dirname(state_dir), exist_ok=True)
+
+    def is_committed(self, batch_id: int) -> bool:
+        return _state_committed(self.state, batch_id)
+
+    def __call__(self, batch_df, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        prev = _current_state(self.state)
+        if prev is not None:
+            st = spark.read.parquet(prev)
+            carry = st.filter(F.col("kind") == "carry").select(
+                "user_id", "last_epo"
+            )
+            counters = st.filter(F.col("kind") == "type").select(
+                "event_type", "n_pairs", "n_backwards",
+                "max_backwards_seconds",
+            )
+        else:
+            carry = counters = None
+
+        w = Window.partitionBy("user_id").orderBy("event_id")
+        seq = batch_df.select(
+            "user_id", "event_id", "event_type",
+            F.unix_timestamp("ts").cast("long").alias("epo"),
+        ).withColumn("prev_epo", F.lag("epo").over(w))
+        if carry is not None:
+            seq = seq.withColumn("rn", F.row_number().over(w)).join(
+                carry, "user_id", "left"
+            ).withColumn(
+                "prev_epo",
+                F.when(
+                    F.col("rn") == 1, F.col("last_epo")
+                ).otherwise(F.col("prev_epo")),
+            )
+        pairs = seq.filter(F.col("prev_epo").isNotNull()).select(
+            "event_type", (F.col("prev_epo") - F.col("epo")).alias("back_s")
+        )
+        batch_counts = pairs.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("back_s") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_backwards"),
+            F.coalesce(
+                F.max(F.when(F.col("back_s") > 0, F.col("back_s"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("max_backwards_seconds"),
+        )
+        if counters is not None:
+            merged = (
+                counters.select(
+                    "event_type",
+                    F.col("n_pairs").alias("p0"),
+                    F.col("n_backwards").alias("b0"),
+                    F.col("max_backwards_seconds").alias("m0"),
+                )
+                .join(batch_counts, "event_type", "full_outer")
+                .select(
+                    "event_type",
+                    (F.coalesce(F.col("p0"), F.lit(0))
+                     + F.coalesce(F.col("n_pairs"), F.lit(0)))
+                    .cast("bigint").alias("n_pairs"),
+                    (F.coalesce(F.col("b0"), F.lit(0))
+                     + F.coalesce(F.col("n_backwards"), F.lit(0)))
+                    .cast("bigint").alias("n_backwards"),
+                    F.greatest(
+                        F.coalesce(F.col("m0"), F.lit(0)),
+                        F.coalesce(
+                            F.col("max_backwards_seconds"), F.lit(0)
+                        ),
+                    ).cast("bigint").alias("max_backwards_seconds"),
+                )
+            )
+        else:
+            merged = batch_counts
+        last_in_batch = seq.groupBy("user_id").agg(
+            F.expr("max_by(epo, event_id)").cast("long").alias("last_epo")
+        )
+        if carry is not None:
+            new_carry = last_in_batch.unionByName(
+                carry.join(last_in_batch, "user_id", "left_anti")
+            )
+        else:
+            new_carry = last_in_batch
+
+        rows = merged.select(
+            F.lit("type").alias("kind"), "event_type", "n_pairs",
+            "n_backwards", "max_backwards_seconds",
+            F.lit(None).cast("long").alias("user_id"),
+            F.lit(None).cast("long").alias("last_epo"),
+        ).unionByName(
+            new_carry.select(
+                F.lit("carry").alias("kind"),
+                F.lit(None).cast("string").alias("event_type"),
+                F.lit(None).cast("long").alias("n_pairs"),
+                F.lit(None).cast("long").alias("n_backwards"),
+                F.lit(None).cast("long").alias("max_backwards_seconds"),
+                "user_id", "last_epo",
+            )
+        )
+        tmp = f"{self.state}_tmp{batch_id}"
+        rows.write.mode("overwrite").parquet(tmp)
+        _install_state(self.state, tmp, batch_id)
+
+
+def run_out_of_order_stream(spark, sf_dir: str):
+    """Streaming out-of-order audit end-to-end: the events table
+    replayed as FOUR ingest-ordered (event_id-sliced) micro-batches
+    through an OutOfOrderAuditSink; returns the per-type report with
+    backwards_ppm derived at read-off — exactly the one-shot batch
+    audit's frame."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..schemas import ensure_session_confs, load_table
+
+    ensure_session_confs(spark)
+    work = tempfile.mkdtemp(prefix="graft_ooo_")
+    try:
+        raw = load_table(spark, sf_dir, "events").select(
+            "user_id", "event_id", "ts", "event_type"
+        )
+        src = _stage_id_slices(raw, work, "event_id")
+        sink = OutOfOrderAuditSink(os.path.join(work, "state"))
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        st = spark.read.parquet(sink.state)
+        out = st.filter(F.col("kind") == "type").select(
+            "event_type", "n_pairs", "n_backwards", "max_backwards_seconds",
+            F.round(
+                F.col("n_backwards").cast("double") * 1000000
+                / F.col("n_pairs"),
+                6,
+            ).alias("backwards_ppm"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def run_error_burst_stream(spark, sf_dir: str, min_len: int = 3):
     """Streaming burst detection end-to-end: the events table replayed
     as FOUR time-ordered micro-batches through an ErrorBurstSink;

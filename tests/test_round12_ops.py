@@ -395,3 +395,58 @@ def test_scalar_iter_udf_exact_cents(spark, sf_dir):
     for key, prio, price in rows:
         cents = round(price * 100)
         assert got[key] == cents + cents * _SURCHARGE_PCT[prio] // 100
+
+
+def test_kendall_tau_matches_direct_pair_count(spark, sf_dir):
+    import numpy as np
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.llm_data import (
+        _KENDALL_K,
+        _KENDALL_TRUNC,
+        _MATRYOSHKA_QMOD,
+        eval_kendall_tau_rankers,
+    )
+
+    got = {r.query_id: r for r in eval_kendall_tau_rankers(spark, sf_dir).collect()}
+    rows = _duck(sf_dir, "SELECT vec_id, embedding FROM embeddings")
+    ids = [r[0] for r in rows]
+    mat = np.array([[float(x) for x in r[1]] for r in rows])
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    checked = 0
+    for qi, qid in enumerate(ids):
+        if qid % _MATRYOSHKA_QMOD != 0:
+            continue
+        scored = [
+            (cos(mat[qi], mat[ci]), cos(mat[qi][: _KENDALL_TRUNC],
+                                        mat[ci][: _KENDALL_TRUNC]), ids[ci])
+            for ci in range(len(ids)) if ci != qi
+        ]
+        scored.sort(key=lambda t: (-t[0], t[2]))
+        items = scored[: _KENDALL_K]
+        c = d = ta = tb = 0
+        for x in range(len(items)):
+            for y in range(x + 1, len(items)):
+                a, b = items[x], items[y]
+                if a[2] > b[2]:
+                    a, b = b, a  # pair keyed by cand_id order, like the plan
+                sa = (a[0] > b[0]) - (a[0] < b[0])
+                sb = (a[1] > b[1]) - (a[1] < b[1])
+                if sa * sb > 0:
+                    c += 1
+                elif sa * sb < 0:
+                    d += 1
+                if sa == 0:
+                    ta += 1
+                if sb == 0:
+                    tb += 1
+        n0 = len(items) * (len(items) - 1) // 2
+        tau = (c - d) / ((n0 - ta) * (n0 - tb)) ** 0.5
+        r = got[qid]
+        assert (r.n_pairs, r.n_concordant, r.n_discordant) == (n0, c, d)
+        assert abs(r.tau_b - round(tau, 6)) < 1e-9
+        assert -1.0 <= r.tau_b <= 1.0
+        checked += 1
+    assert checked > 0

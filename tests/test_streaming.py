@@ -1236,3 +1236,63 @@ def test_streaming_error_burst_splices_across_batches(spark, sf_dir, tmp_path):
     assert (r2.start_epoch_s, r2.end_epoch_s) == (es[20], es[22])
     # replay added nothing twice
     assert st.filter(F.col("kind") == "run").count() == 2
+
+
+def test_streaming_out_of_order_splices_and_replays(spark, sf_dir, tmp_path):
+    """OutOfOrderAuditSink: (1) end-to-end equals the one-shot batch
+    audit; (2) a planted backwards pair SPLIT by the batch boundary
+    (last event of batch A has a later event time than the first event
+    of batch B) is counted exactly once via the carry splice, with the
+    exact gap surviving as max_backwards_seconds; (3) replaying a
+    committed batch id is a no-op."""
+    from datetime import datetime, timedelta
+
+    from pipeline_apache_beam_entrega1_cs_spark.plans.analytics import (
+        dq_out_of_order_audit,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.plans.pipeline_ops import (
+        streaming_out_of_order_state,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.streaming.sinks import (
+        OutOfOrderAuditSink,
+    )
+
+    assert rows_multiset(streaming_out_of_order_state(spark, sf_dir)) == \
+        rows_multiset(dq_out_of_order_audit(spark, sf_dir))
+
+    base = datetime(2024, 7, 1)
+
+    def ev(eid, minute, typ, uid=1):
+        return (eid, base + timedelta(minutes=minute), uid, typ, 1.0, "{}")
+
+    # user 1: ingest order 1,2 | 3,4 — event 3's time is 10 min BEFORE
+    # event 2's (the boundary backwards pair), event 4 goes forward.
+    # user 2: entirely in batch A, one in-batch backwards pair of 120 s.
+    rows_a = [ev(1, 0, "view"), ev(2, 20, "view"),
+              ev(20, 5, "click", uid=2), ev(21, 3, "click", uid=2)]
+    rows_b = [ev(3, 10, "purchase"), ev(4, 30, "view")]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    dfa = spark.createDataFrame(rows_a, schema)
+    dfb = spark.createDataFrame(rows_b, schema)
+
+    state = str(tmp_path / "ooo" / "state")
+    sink = OutOfOrderAuditSink(state)
+    sink(dfa.select("user_id", "event_id", "ts", "event_type"), 0)
+    sink(dfb.select("user_id", "event_id", "ts", "event_type"), 1)
+    sink(dfb.select("user_id", "event_id", "ts", "event_type"), 1)  # replay
+    st = spark.read.parquet(state)
+    got = {r.event_type: r for r in st.filter(F.col("kind") == "type").collect()}
+    # pairs: view->view (fwd), view->PURCHASE (backwards 600 s, spliced
+    # across the boundary), purchase->view (fwd), click->click (back 120 s)
+    assert (got["purchase"].n_pairs, got["purchase"].n_backwards,
+            got["purchase"].max_backwards_seconds) == (1, 1, 600)
+    assert (got["view"].n_pairs, got["view"].n_backwards) == (2, 0)
+    assert (got["click"].n_pairs, got["click"].n_backwards,
+            got["click"].max_backwards_seconds) == (1, 1, 120)
+    # replay added nothing: total pairs == 4
+    assert sum(r.n_pairs for r in got.values()) == 4
+    # carry holds both users' LAST-SEEN times (by ingest order)
+    carry = {r.user_id: r.last_epo
+             for r in st.filter(F.col("kind") == "carry").collect()}
+    assert set(carry) == {1, 2}
