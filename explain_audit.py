@@ -264,7 +264,9 @@ AUDIT = [
     "embedding_matryoshka_eval",
     "dedup_incremental_new_vs_base",
     "pandas_udf_scalar_iter",
+    "eval_kendall_tau_rankers",
     "streaming_topk_state",
+    "streaming_out_of_order_state",
     "streaming_token_freq_state",
     "streaming_error_burst_state",
 ]
@@ -275,6 +277,18 @@ AUDIT = [
 # reference, so entries that materialize a bounded frame (the MMR
 # candidate/pair cache) show far more Exchanges in TEXT than execute.
 NOTES = {
+    "embedding_matryoshka_eval": (
+        "plan-TEXT inflation: the topk subtree is re-printed at each of "
+        "its two consumers (per-dim lists and the dim-64 baseline) and "
+        "the waived BNLJ is the broadcast query-panel attach re-printed "
+        "per reference; an eager cache+release was tried and measured "
+        "1.6x SLOWER than the double execution (docstring A/B)"
+    ),
+    "eval_kendall_tau_rankers": (
+        "same double-reference shape as embedding_matryoshka_eval: the "
+        "top-20 item list feeds both sides of the k^2-bounded pair "
+        "self-join; BNLJ = the broadcast query-panel attach"
+    ),
     "graph_sssp_weighted": (
         "cached-subtree inflation (see graph_bfs_levels): each "
         "Bellman-Ford round's dist frame is a cached materialization "
