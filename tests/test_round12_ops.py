@@ -450,3 +450,27 @@ def test_kendall_tau_matches_direct_pair_count(spark, sf_dir):
         assert -1.0 <= r.tau_b <= 1.0
         checked += 1
     assert checked > 0
+
+
+def test_rank_below_prefix_machinery_on_adversarial_values(spark):
+    """_rank_below (the bucketed two-level prefix sum behind MWU/KW)
+    must equal a direct computation on values chosen to stress it:
+    negatives (floor-division buckets), exact bucket-boundary values,
+    a bucket containing a single value, and heavy ties."""
+    from pipeline_apache_beam_entrega1_cs_spark.plans.analytics import (
+        _STAT_U,
+        _rank_below,
+    )
+
+    U = _STAT_U
+    vals = [-3 * U, -3 * U, -1, 0, 0, 0, 1, U - 1, U, U, 2 * U + 5,
+            7 * U, 7 * U + 1]
+    from collections import Counter
+
+    cnt = Counter(vals)
+    df = spark.createDataFrame(
+        [(v, c) for v, c in cnt.items()], "v long, c long"
+    )
+    got = {r.v: r.below for r in _rank_below(df).collect()}
+    for v in cnt:
+        assert got[v] == sum(c for w, c in cnt.items() if w < v), v
