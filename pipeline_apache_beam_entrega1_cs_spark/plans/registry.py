@@ -14,14 +14,14 @@ never-driver-checked set from CORRECTNESS_r*.json and fails if any
 front slot is spent on an already-checked entry while a never-checked
 one waits (the round-7/round-9 undercount failure mode, now CI-caught).
 
-CURRENT WINDOW (round 12; r11 was 50/50 hash-green): all 28
+CURRENT WINDOW (round 12; r11 was 50/50 hash-green): all 41
 never-driver-checked entries (the 8 deferred round-10 names + the 20
-round-11 additions, plus any round-12 additions as they land — the
-rotation test forces them into the front block), then the NINE
-bench-covered r04-only names (closing the r04 back-fill entirely),
-then r05-stale back-fill, execution-heaviest / non-bench-covered
-first (the five r05 streaming entries, minhash/kmeans, the heavy
-TPC-H multi-join queries).
+round-11 additions + the 13 round-12 additions — the rotation test
+forces them into the front block), then the NINE bench-covered
+r04-only names (closing the r04 back-fill entirely). 41 + 9 = the full
+50-slot window; the r05-stale back-fill names sit at slots 51+ and
+lead the round-13 back-fill (the five r05 streaming entries,
+minhash/kmeans, the heavy TPC-H multi-join queries).
 
 NEXT-ROUND CHORE: no longer hand-maintained prose (VERDICT r11 item 7
 — the round-7/round-9 drift mode). It is COMPUTED from the same
