@@ -277,6 +277,13 @@ AUDIT = [
 # reference, so entries that materialize a bounded frame (the MMR
 # candidate/pair cache) show far more Exchanges in TEXT than execute.
 NOTES = {
+    "analytics_abc_xyz_matrix": (
+        "exchange count is inflated by the two 1-row scalar attaches "
+        "(month-count/total and max-revenue, the waived BNLJs) re-printed "
+        "per reference; executed work is two rollups, the 256-bucket "
+        "two-level prefix, and one final hash-agg (2.3 s at sf0.1, "
+        "2.4x over 100x rows — SCALING.md round 12)"
+    ),
     "embedding_matryoshka_eval": (
         "plan-TEXT inflation: the topk subtree is re-printed at each of "
         "its two consumers (per-dim lists and the dim-64 baseline) and "
