@@ -14,14 +14,19 @@ never-driver-checked set from CORRECTNESS_r*.json and fails if any
 front slot is spent on an already-checked entry while a never-checked
 one waits (the round-7/round-9 undercount failure mode, now CI-caught).
 
-CURRENT WINDOW (round 12; r11 was 50/50 hash-green): all 41
-never-driver-checked entries (the 8 deferred round-10 names + the 20
-round-11 additions + the 13 round-12 additions — the rotation test
-forces them into the front block), then the NINE bench-covered
-r04-only names (closing the r04 back-fill entirely). 41 + 9 = the full
-50-slot window; the r05-stale back-fill names sit at slots 51+ and
-lead the round-13 back-fill (the five r05 streaming entries,
-minhash/kmeans, the heavy TPC-H multi-join queries).
+CURRENT WINDOW (round 13; r12 was 50/50 green): the pending set is
+EMPTY (cumulative driver evidence reached 400/400 in r12), so the
+window is pure staleness back-fill — byte-exactly the 50-entry
+proposal `python -m …plans.rotation` printed at the start of the
+round: the entire r05-stale class (the five streaming-core entries,
+dedup_minhash_banded, embedding_kmeans_lloyd, profile_documents, the
+two multimodal profiles, the heavy TPC-H multi-join queries q8/q9/q21
+plus the remaining sixteen TPC-H queries, the scalar-function
+families, the set ops, and the three batch windows). Retiring all 50
+moves the staleness histogram's oldest class from r05 to r06 (the
+monotone-shrink invariant, VERDICT r12 item 1). NO new registry
+entries this round by design: the window is exactly 50 wide and the
+r05 class is exactly 50 deep — an addition would displace one.
 
 NEXT-ROUND CHORE: no longer hand-maintained prose (VERDICT r11 item 7
 — the round-7/round-9 drift mode). It is COMPUTED from the same
@@ -52,72 +57,11 @@ from . import (
 from .spec import QuerySpec
 
 DRIVER_PRIORITY: list[str] = [
-    # ================= round-12 window =================
-    # --- the 20 round-11 additions + 8 deferred round-10 entries:
-    # never driver-checked (tests/test_rotation.py enforces that ALL
-    # of these sit ahead of any already-checked entry). Heaviest /
-    # highest-risk first: the 3 foreachBatch streaming twins, then
-    # the two dedup-governance reports (dedup_cosine_threshold_sweep's
-    # plan gains a per-block cap this round), the RIFF walk, the
-    # tokenizer-governance family, eval/robust-stats, timeseries,
-    # interval analytics, then the DQ reports. ---
-    "streaming_topk_state",
-    "streaming_token_freq_state",
-    "streaming_error_burst_state",
-    "dedup_cosine_threshold_sweep",
-    "dedup_lsh_bucket_stats",
-    "multimodal_riff_chunk_index",
-    "pack_efficiency_report",
-    "text_tokenizer_fertility",
-    "text_token_coverage_curve",
-    "text_gopher_quality_filters",
-    "text_zipf_tail_fit",
-    "eval_brier_decomposition",
-    "eval_expected_calibration_error",
-    "agg_theil_sen_slope",
-    "timeseries_changepoint_binary",
-    "timeseries_spectral_peak",
-    "timeseries_interpolate_linear",
-    "window_hampel_filter",
-    "analytics_interval_proration",
-    "analytics_peak_concurrency",
-    "analytics_yoy_growth",
-    "analytics_pareto_share",
-    "interval_gap_extraction",
-    "dq_error_burst_detector",
-    "dq_outlier_iqr_fences",
-    "dq_reconciliation_totals",
-    "dq_candidate_keys",
-    "dq_value_set_drift",
-    # --- round-12 additions (never checked by construction; the
-    # rotation test forces them into the front block) ---
-    "text_kneser_ney_bigram",
-    "curation_filter_ablation",
-    "embedding_matryoshka_eval",
-    "dedup_incremental_new_vs_base",
-    "stat_mann_whitney_u",
-    "stat_kruskal_wallis",
-    "analytics_abc_xyz_matrix",
-    "dq_out_of_order_audit",
-    "dataset_content_fingerprint",
-    "maintenance_analyze_column_stats",
-    "pandas_udf_scalar_iter",
-    "streaming_out_of_order_state",
-    "eval_kendall_tau_rankers",
-    # --- the NINE r04-only entries (bench-covered every round but
-    # driver-stale since r04): closes the r04 back-fill ---
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "join_sort_merge",
-    "join_asof_events",
-    "join_range_nonequi",
-    "agg_rollup",
-    "window_running_frames",
-    "topk_per_group",
-    "ann_cosine_topk",
-    # --- r05-stale back-fill, execution-heaviest / non-bench-covered
-    # first (round-12 additions displace from the END of this block;
-    # displaced names rejoin the round-13 back-fill) ---
+    # ================= round-13 window =================
+    # Pure r05-staleness back-fill (pending set is empty; this list is
+    # byte-exactly the `plans.rotation` proposal computed at the start
+    # of round 13 — execution-heaviest first within the class, the
+    # order the r12 registry already encoded at slots 51+).
     "streaming_dedup_watermark",
     "streaming_neardup_dedup",
     "streaming_stateful_counter",
@@ -131,6 +75,43 @@ DRIVER_PRIORITY: list[str] = [
     "q9_product_profit",
     "q21_waiting_suppliers",
     "q8_market_share",
+    "agg_approx_top_k",
+    "agg_grouping_id",
+    "array_functions",
+    "conditional_functions",
+    "curation_pipeline",
+    "date_functions",
+    "dedup_keyed_first",
+    "higher_order_functions",
+    "json_functions",
+    "map_functions",
+    "math_functions",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q20_heavy_suppliers",
+    "q22_inactive_customers",
+    "q2_min_cost_supplier",
+    "q4_late_shipments",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "set_except",
+    "set_except_all",
+    "set_intersect",
+    "set_intersect_all",
+    "set_union",
+    "set_union_all",
+    "string_functions",
+    "window_session",
+    "window_sliding",
+    "window_tumbling",
 ]
 
 

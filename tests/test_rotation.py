@@ -65,6 +65,23 @@ def test_correctness_history_has_no_ghost_names():
     assert not ghosts, f"CORRECTNESS history names missing from registry: {ghosts}"
 
 
+def test_window_is_exactly_the_composed_proposal_when_no_pending():
+    """VERDICT r12 item 4: with an empty pending set the 50-slot window
+    must be BYTE-EXACTLY the mechanized stalest-first proposal — no
+    hand-picked deviations. (With pending entries the weaker
+    pending-first membership test above governs, because the builder
+    may order the pending block heaviest-first by judgment.) Because
+    compose_window() ranks within a staleness class by current
+    DRIVER_PRIORITY order, this reduces to: the front 50 are exactly
+    the 50 stalest entries."""
+    if pending():
+        return  # membership gate above governs mid-round additions
+    assert DRIVER_PRIORITY[:WINDOW] == compose_window(), (
+        "DRIVER_PRIORITY front window deviates from the mechanized "
+        "stalest-first proposal (python -m …plans.rotation)"
+    )
+
+
 def test_composed_window_is_valid_and_pending_first():
     """The chore generator's proposal must itself satisfy the gate:
     registry-valid names, no duplicates, pending entries first."""
