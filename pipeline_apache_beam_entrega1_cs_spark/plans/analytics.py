@@ -7898,6 +7898,26 @@ def _rank_below(byv: DataFrame) -> DataFrame:
     )
 
 
+_RANK_DEC = "decimal(38,0)"
+
+
+def _rank_sum_2x(cg, below, c):
+    """2·Σ(rank·count) for a group with per-distinct-value group count
+    ``cg``: cg·(2·below + c + 1), promoted to DECIMAL(38,0) BEFORE the
+    multiply. In int64 this wraps (non-ANSI Spark) once below ≳ 1.5e18
+    or the product exceeds 2⁶³ — at-scale regimes the DuckDB oracle
+    handles via HUGEINT (ADVICE r12 medium)."""
+    return cg.cast(_RANK_DEC) * (
+        F.lit(2) * below.cast(_RANK_DEC) + c + F.lit(1)
+    )
+
+
+def _rank_tie_term(c):
+    """Σc·(c²−1) tie-correction addend, decimal-promoted before the
+    multiply: c ≳ 2.1M tied rows overflows int64 c³."""
+    return c.cast(_RANK_DEC) * (c.cast(_RANK_DEC) * c - F.lit(1))
+
+
 _MWU_A, _MWU_B = "purchase", "click"
 
 
@@ -7927,25 +7947,13 @@ def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("c"),
     )
     r = _rank_below(byv)
-    dec = "decimal(38,0)"
     m = r.agg(
         F.sum("ca").cast("bigint").alias("n_a"),
         F.sum("cb").cast("bigint").alias("n_b"),
         _dec_to_double(
-            F.sum(
-                (
-                    F.col("ca")
-                    * (F.lit(2) * F.col("below") + F.col("c") + F.lit(1))
-                ).cast(dec)
-            )
+            F.sum(_rank_sum_2x(F.col("ca"), F.col("below"), F.col("c")))
         ).alias("ra2"),
-        _dec_to_double(
-            F.sum(
-                (
-                    F.col("c") * (F.col("c") * F.col("c") - F.lit(1))
-                ).cast(dec)
-            )
-        ).alias("tie"),
+        _dec_to_double(F.sum(_rank_tie_term(F.col("c")))).alias("tie"),
     )
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
     nn = na + nb
@@ -8026,24 +8034,14 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     byv = base.groupBy("v").agg(*aggs)
     r = _rank_below(byv)
-    dec = "decimal(38,0)"
     final = [
-        _dec_to_double(
-            F.sum(
-                (F.col("c") * (F.col("c") * F.col("c") - F.lit(1))).cast(dec)
-            )
-        ).alias("tie")
+        _dec_to_double(F.sum(_rank_tie_term(F.col("c")))).alias("tie")
     ]
     for t in _ANOVA_TYPES:
         final.append(F.sum(f"c_{t}").cast("bigint").alias(f"n_{t}"))
         final.append(
             _dec_to_double(
-                F.sum(
-                    (
-                        F.col(f"c_{t}")
-                        * (F.lit(2) * F.col("below") + F.col("c") + F.lit(1))
-                    ).cast(dec)
-                )
+                F.sum(_rank_sum_2x(F.col(f"c_{t}"), F.col("below"), F.col("c")))
             ).alias(f"r2_{t}")
         )
     m = r.agg(*final)

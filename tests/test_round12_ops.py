@@ -11,6 +11,7 @@ import math
 from collections import Counter, defaultdict
 
 import duckdb
+from pyspark.sql import functions as F
 
 
 def _duck(sf_dir: str, sql: str):
@@ -474,3 +475,35 @@ def test_rank_below_prefix_machinery_on_adversarial_values(spark):
     got = {r.v: r.below for r in _rank_below(df).collect()}
     for v in cnt:
         assert got[v] == sum(c for w, c in cnt.items() if w < v), v
+
+
+def test_rank_expressions_exact_beyond_int64(spark):
+    """ADVICE r12 (medium): the rank-sum and tie-term products must be
+    computed in DECIMAL(38,0), not int64 — c·(c²−1) wraps silently in
+    non-ANSI Spark once a tie class has c ≳ 2.1M rows, and
+    ca·(2·below+c+1) wraps for below near the int64 range. Feed the
+    shared expression helpers count/offset values PAST the int64 wrap
+    point and compare against exact Python integer arithmetic (the same
+    regime the DuckDB oracle reaches via HUGEINT)."""
+    from pipeline_apache_beam_entrega1_cs_spark.plans.analytics import (
+        _rank_sum_2x,
+        _rank_tie_term,
+    )
+
+    cases = [
+        # (cg, below, c): c=5M → c³ ≈ 1.25e20 > 2⁶³ ≈ 9.2e18
+        (1_000_000, 4_000_000_000_000_000_000, 5_000_000),
+        (7, 0, 3_000_000),
+        (2, 10, 3),  # small sanity row
+    ]
+    df = spark.createDataFrame(cases, "cg long, below long, c long")
+    rows = df.select(
+        "cg",
+        "below",
+        "c",
+        _rank_sum_2x(F.col("cg"), F.col("below"), F.col("c")).alias("r2"),
+        _rank_tie_term(F.col("c")).alias("tie"),
+    ).collect()
+    for r in rows:
+        assert int(r.r2) == r.cg * (2 * r.below + r.c + 1), r
+        assert int(r.tie) == r.c * (r.c * r.c - 1), r
