@@ -257,7 +257,7 @@ def embedding_cosine_pairs_lsh(
     num_tables: int = 6,
     seed: int = 42,
     max_bucket: int = 1024,
-    dim: int = 64,
+    dim: int | None = None,
     arrow_verify: bool = True,
 ) -> DataFrame:
     """Near-duplicate vector pairs with LSH-bucket blocking — the 100 TB
@@ -295,8 +295,34 @@ def embedding_cosine_pairs_lsh(
     SQL-expressible)."""
     import numpy as np
 
+    # The plane literals must match the embedding length: zip_with pads
+    # the shorter array with nulls, so a dim mismatch would null every
+    # dot/bucket and the bucket equi-join would silently return ZERO
+    # pairs (ADVICE r12). Derive dim from the data by default (one
+    # limit-1 scan — bounded), and guard every row in-plan so a ragged
+    # corpus fails loudly instead of dropping rows.
+    if dim is None:
+        first = embeddings.select(F.size("embedding").alias("d")).first()
+        if first is None:
+            dim = 1  # empty input: any planes work, output is empty
+        else:
+            dim = int(first["d"])
     planes = np.random.RandomState(seed).standard_normal((num_tables, dim))
-    vecs = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+    emb_col = _as_double("embedding")
+    guarded = F.when(F.size("embedding") == dim, emb_col).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "embedding_cosine_pairs_lsh: embedding length "
+                ),
+                F.size("embedding").cast("string"),
+                F.lit(f" != expected dim {dim} (vec_id "),
+                F.col("vec_id").cast("string"),
+                F.lit(")"),
+            )
+        )
+    )
+    vecs = embeddings.select("vec_id", guarded.alias("emb"))
     bucket_exprs = []
     for t in range(num_tables):
         plane = F.array(*[F.lit(float(x)) for x in planes[t]])
@@ -349,14 +375,16 @@ def embedding_cosine_pairs_lsh(
             mb = _np.asarray(
                 batch.column("emb_b").flatten(), dtype=_np.float64
             ).reshape(batch.num_rows, -1)
-            cs = _np.round(
-                (ma * mb).sum(axis=1)
-                / (
-                    _np.sqrt((ma * ma).sum(axis=1))
-                    * _np.sqrt((mb * mb).sum(axis=1))
-                ),
-                6,
+            raw = (ma * mb).sum(axis=1) / (
+                _np.sqrt((ma * ma).sum(axis=1))
+                * _np.sqrt((mb * mb).sum(axis=1))
             )
+            # HALF_UP (away from zero), matching F.round and the DuckDB
+            # oracle — np.round is half-to-even, which diverges on
+            # exact 6th-decimal midpoints (ADVICE r12).
+            cs = _np.copysign(
+                _np.floor(_np.abs(raw) * 1e6 + 0.5), raw
+            ) / 1e6
             keep = cs >= threshold
             yield pa.RecordBatch.from_arrays(
                 [

@@ -1987,3 +1987,48 @@ def test_riff_walker_matches_struct_walk_and_detects_corruption(spark):
     assert all(r.end_ok for r in d1)  # odd final chunk: end lands +1
     assert all(r.end_ok is False for r in by_doc[2])  # corrupted size
     assert by_doc[3][0].is_riff == 0 and by_doc[3][0].fourcc is None
+
+
+def test_cosine_lsh_dim_guard_and_ab_paths_agree(spark, sf_dir):
+    """ADVICE r12: (1) the arrow-verify and pure-expression paths must
+    agree pair-for-pair INCLUDING the rounded cosine (common HALF_UP
+    rounding); (2) dim is derived from the data by default; (3) a
+    ragged / wrong-dim corpus must fail loudly instead of silently
+    returning zero pairs (zip_with null-padding trap)."""
+    import pytest
+
+    from pipeline_apache_beam_entrega1_cs_spark.operators.similarity import (
+        embedding_cosine_pairs_lsh,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fast = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in embedding_cosine_pairs_lsh(emb, threshold=0.35).collect()
+    }
+    slow = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in embedding_cosine_pairs_lsh(
+            emb, threshold=0.35, arrow_verify=False
+        ).collect()
+    }
+    assert fast.keys() == slow.keys()
+    for k, v in fast.items():
+        assert abs(v - slow[k]) < 1e-12, (k, v, slow[k])
+
+    # wrong explicit dim → every row trips the in-plan guard
+    with pytest.raises(Exception) as ei:
+        embedding_cosine_pairs_lsh(emb, threshold=0.35, dim=7).collect()
+    assert "dim" in str(ei.value)
+
+    # ragged corpus → loud failure, not silent row drop
+    ragged = emb.limit(20).union(
+        emb.limit(1).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            F.slice("embedding", 1, 3).alias("embedding"),
+            *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+        ).select(*emb.columns)
+    )
+    with pytest.raises(Exception):
+        embedding_cosine_pairs_lsh(ragged, threshold=0.35).collect()
