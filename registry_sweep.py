@@ -29,9 +29,15 @@ def main() -> None:
     # one entry's work. The final JSON file is assembled at the end.
     jsonl_path = out_path + ".jsonl"
 
+    from bench import read_steal_ticks
     from pipeline_apache_beam_entrega1_cs_spark.plans.registry import all_queries
     from pipeline_apache_beam_entrega1_cs_spark.session import get_spark
 
+    # Machine-noise telemetry: tests/test_sweep_baseline.py's regression
+    # diff (VERDICT r12 item 5) skips itself when a sweep self-reports a
+    # dirty window, the same guard bench.py applies.
+    load_avg_start = round(os.getloadavg()[0], 2)
+    steal_t0 = read_steal_ticks()
     spark = get_spark("sweep")
     registry = all_queries()
     results: dict[str, dict] = {}
@@ -66,8 +72,19 @@ def main() -> None:
             file=sys.stderr,
             flush=True,
         )
+    steal_t1 = read_steal_ticks()
     payload = {
         "sf": sf,
+        "load_avg_start": load_avg_start,
+        "load_avg_end": round(os.getloadavg()[0], 2),
+        "steal_delta_s": (
+            round((steal_t1 - steal_t0) / os.sysconf("SC_CLK_TCK"), 2)
+            if steal_t0 is not None and steal_t1 is not None
+            else None
+        ),
+        # name -> reason; tests/test_sweep_baseline.py exempts these
+        # from the cross-round regression diff (adjudicate in SCALING.md)
+        "regression_waivers": {},
         "n_entries": len(results),
         "total_min_s": round(sum(r["min"] for r in results.values() if r["min"] > 0), 1),
         "entries": results,

@@ -1,30 +1,70 @@
 """The full-registry timing-sweep baseline must stay in lockstep with
 the registry (VERDICT r11 item 3 made the sweep a standing ritual; this
 test makes skipping it impossible, the same forcing-function move as
-tests/test_rotation.py): the newest committed SWEEP_*.json must cover
-EVERY registry entry (an entry added without re-running
+tests/test_rotation.py): the newest committed SWEEP_r<N>_*.json must
+cover EVERY registry entry (an entry added without re-running
 `python registry_sweep.py <newest>` fails here — the resumable sweep
 only measures the missing names, so the fix is one command) and must
-contain no errored rows."""
+contain no errored rows.
+
+Round-13 additions (VERDICT r12 items 5 + ADVICE): the baseline is
+selected by the ROUND NUMBER parsed from the filename, not mtime (a
+fresh checkout's mtimes reflect checkout order, so mtime could pick an
+arbitrary stale file once several sweeps are committed), and the newest
+sweep is DIFFED against the previous round's: a per-entry min-time
+regression > 2x with > 0.75 s absolute growth fails the suite — the
+sweep caught real defects three rounds running (93 s pair explosion,
+25 s fit-per-run, 5.25 s single-reducer Expand); this mechanizes the
+catch. The diff is skipped when either sweep self-reports a noisy
+machine (steal_delta > 1 s or load_avg_start > 8), mirroring bench.py's
+quiet-window guard.
+"""
 
 from __future__ import annotations
 
 import glob
 import json
 import os
+import re
 
 from pipeline_apache_beam_entrega1_cs_spark.plans.registry import all_queries
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Regression thresholds: ratio AND absolute floor must both trip, so
+# sub-second jitter on cheap entries never fails the gate.
+_RATIO = 2.0
+_ABS_FLOOR_S = 0.75
+# Noisy-machine guard (matches the bench harness's quiet posture).
+_MAX_STEAL_S = 1.0
+_MAX_LOAD = 8.0
+
+
+def _sweeps_by_round() -> list[tuple[int, str]]:
+    """(round, path) for every committed SWEEP_r<N>_*.json, ascending."""
+    out = []
+    for p in glob.glob(os.path.join(REPO, "SWEEP_*.json")):
+        if p.endswith(".jsonl"):
+            continue
+        m = re.search(r"SWEEP_r(\d+)", os.path.basename(p))
+        if m:
+            out.append((int(m.group(1)), p))
+    return sorted(out)
+
+
+def _load(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)
+
 
 def _newest_sweep() -> tuple[str, dict]:
-    paths = glob.glob(os.path.join(REPO, "SWEEP_*.json"))
-    paths = [p for p in paths if not p.endswith(".jsonl")]
-    assert paths, "no committed sweep baseline (run registry_sweep.py)"
-    newest = max(paths, key=os.path.getmtime)
-    with open(newest) as f:
-        return newest, json.load(f)
+    sweeps = _sweeps_by_round()
+    assert sweeps, (
+        "no committed SWEEP_r<N>_*.json baseline (run "
+        "`python registry_sweep.py SWEEP_r<N>_sf0.1.json`)"
+    )
+    path = sweeps[-1][1]
+    return path, _load(path)
 
 
 def test_sweep_baseline_covers_registry():
@@ -41,3 +81,42 @@ def test_sweep_baseline_has_no_errors():
     path, data = _newest_sweep()
     bad = sorted(n for n, r in data["entries"].items() if "error" in r)
     assert not bad, f"errored sweep rows in {os.path.basename(path)}: {bad}"
+
+
+def _noisy(data: dict) -> str | None:
+    steal = data.get("steal_delta_s")
+    load = data.get("load_avg_start")
+    if steal is not None and steal > _MAX_STEAL_S:
+        return f"steal_delta_s={steal}"
+    if load is not None and load > _MAX_LOAD:
+        return f"load_avg_start={load}"
+    return None
+
+
+def test_sweep_no_per_entry_regression_vs_previous_round():
+    sweeps = _sweeps_by_round()
+    if len(sweeps) < 2:
+        return  # first mechanized round: nothing to diff against
+    (prev_rnd, prev_path), (cur_rnd, cur_path) = sweeps[-2], sweeps[-1]
+    prev, cur = _load(prev_path), _load(cur_path)
+    for data, path in ((prev, prev_path), (cur, cur_path)):
+        why = _noisy(data)
+        if why:
+            return  # noisy window: ratios are ambient, not code
+    waived = set(cur.get("regression_waivers", {}))
+    regressions = []
+    for name, rec in cur["entries"].items():
+        if name in waived or name not in prev["entries"]:
+            continue
+        p, c = prev["entries"][name].get("min", -1), rec.get("min", -1)
+        if p <= 0 or c <= 0:
+            continue
+        if c > p * _RATIO and c - p > _ABS_FLOOR_S:
+            regressions.append(f"{name}: {p}s -> {c}s ({c / p:.1f}x)")
+    assert not regressions, (
+        f"per-entry sweep regressions r{prev_rnd} -> r{cur_rnd} "
+        f"(re-measure on a quiet machine — delete the entry's line from "
+        f"{os.path.basename(cur_path)}.jsonl and rerun registry_sweep.py — "
+        f"or adjudicate in SCALING.md and add a regression_waivers entry): "
+        + "; ".join(regressions)
+    )
