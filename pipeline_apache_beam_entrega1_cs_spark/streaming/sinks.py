@@ -1331,13 +1331,24 @@ class OutOfOrderAuditSink:
     arrival audit — the streaming twin of plans/analytics.
     dq_out_of_order_audit: batches arrive in INGEST order (event_id
     slices), each user's LAST-SEEN event time is carried forward (one
-    row per user), and the pair between a user's carry and their first
-    event of the next batch is spliced so no adjacent pair is ever lost
-    to a batch boundary. The per-type counters (pairs, backwards, max
-    backwards gap) are ADDITIVE / max-mergeable, hence replay-order
-    independent: cold replay over any ingest slicing equals the
-    one-shot batch audit (the SQL oracle verbatim). Exactly-once
-    follows the FingerprintMergeSink contract.
+    row per user, keyed max-by-event_id), and the pair between a user's
+    carry and their first event of the next batch is spliced so no
+    adjacent pair is ever lost to a batch boundary.
+
+    Replay-order contract (ADVICE r12): the per-type counters (pairs,
+    backwards, max backwards gap) are ADDITIVE / max-mergeable and thus
+    batch-order independent, but the carry SPLICE pairs a user's
+    carried last event with their next batch's first event — adjacency
+    that only means "consecutive by event_id" when micro-batches are
+    delivered in ascending event_id order (which _stage_id_slices'
+    FileStreamSource staging guarantees). Equality with the one-shot
+    batch audit therefore holds for ingest-ordered delivery; under
+    out-of-order delivery the sink DEGRADES SAFELY rather than
+    fabricating pairs: the carry keeps the max-by-event_id row across
+    batches (a late batch can never regress it) and the splice is
+    guarded to fire only when the carried event_id precedes the batch
+    row's event_id (a non-adjacent pair is skipped, never invented).
+    Exactly-once follows the FingerprintMergeSink contract.
 
     100 TB shape: per batch, one per-user lag window over batch rows
     only + an O(#active users) join against the carry; state is one
@@ -1345,7 +1356,7 @@ class OutOfOrderAuditSink:
     rows."""
 
     _COLS = ["kind", "event_type", "n_pairs", "n_backwards",
-             "max_backwards_seconds", "user_id", "last_epo"]
+             "max_backwards_seconds", "user_id", "last_epo", "last_eid"]
 
     def __init__(self, state_dir: str) -> None:
         self.state = state_dir
@@ -1365,7 +1376,7 @@ class OutOfOrderAuditSink:
         if prev is not None:
             st = spark.read.parquet(prev)
             carry = st.filter(F.col("kind") == "carry").select(
-                "user_id", "last_epo"
+                "user_id", "last_epo", "last_eid"
             )
             counters = st.filter(F.col("kind") == "type").select(
                 "event_type", "n_pairs", "n_backwards",
@@ -1380,12 +1391,18 @@ class OutOfOrderAuditSink:
             F.unix_timestamp("ts").cast("long").alias("epo"),
         ).withColumn("prev_epo", F.lag("epo").over(w))
         if carry is not None:
+            # Splice guard: the carry is a true PREDECESSOR only when
+            # its event_id precedes this batch's first row for the user
+            # — a late-delivered batch must skip the splice, not invent
+            # a non-adjacent pair (see class docstring).
             seq = seq.withColumn("rn", F.row_number().over(w)).join(
                 carry, "user_id", "left"
             ).withColumn(
                 "prev_epo",
                 F.when(
-                    F.col("rn") == 1, F.col("last_epo")
+                    (F.col("rn") == 1)
+                    & (F.col("last_eid") < F.col("event_id")),
+                    F.col("last_epo"),
                 ).otherwise(F.col("prev_epo")),
             )
         pairs = seq.filter(F.col("prev_epo").isNotNull()).select(
@@ -1431,11 +1448,21 @@ class OutOfOrderAuditSink:
         else:
             merged = batch_counts
         last_in_batch = seq.groupBy("user_id").agg(
-            F.expr("max_by(epo, event_id)").cast("long").alias("last_epo")
+            F.expr("max_by(epo, event_id)").cast("long").alias("last_epo"),
+            F.max("event_id").cast("long").alias("last_eid"),
         )
         if carry is not None:
-            new_carry = last_in_batch.unionByName(
-                carry.join(last_in_batch, "user_id", "left_anti")
+            # Max-by-event_id merge: a late batch never regresses the
+            # carried frontier (batch-order robustness, ADVICE r12).
+            new_carry = (
+                last_in_batch.unionByName(carry)
+                .groupBy("user_id")
+                .agg(
+                    F.expr("max_by(last_epo, last_eid)")
+                    .cast("long")
+                    .alias("last_epo"),
+                    F.max("last_eid").cast("long").alias("last_eid"),
+                )
             )
         else:
             new_carry = last_in_batch
@@ -1445,6 +1472,7 @@ class OutOfOrderAuditSink:
             "n_backwards", "max_backwards_seconds",
             F.lit(None).cast("long").alias("user_id"),
             F.lit(None).cast("long").alias("last_epo"),
+            F.lit(None).cast("long").alias("last_eid"),
         ).unionByName(
             new_carry.select(
                 F.lit("carry").alias("kind"),
@@ -1452,7 +1480,7 @@ class OutOfOrderAuditSink:
                 F.lit(None).cast("long").alias("n_pairs"),
                 F.lit(None).cast("long").alias("n_backwards"),
                 F.lit(None).cast("long").alias("max_backwards_seconds"),
-                "user_id", "last_epo",
+                "user_id", "last_epo", "last_eid",
             )
         )
         tmp = f"{self.state}_tmp{batch_id}"

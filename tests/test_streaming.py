@@ -1296,3 +1296,41 @@ def test_streaming_out_of_order_splices_and_replays(spark, sf_dir, tmp_path):
     carry = {r.user_id: r.last_epo
              for r in st.filter(F.col("kind") == "carry").collect()}
     assert set(carry) == {1, 2}
+
+
+def test_streaming_out_of_order_late_batch_degrades_safely(spark, tmp_path):
+    """ADVICE r12: under OUT-OF-ORDER batch delivery the sink must not
+    fabricate pairs — the splice fires only when the carried event_id
+    precedes the batch row's, and the carry keeps the max-by-event_id
+    frontier (a late batch never regresses it)."""
+    from datetime import datetime, timedelta
+
+    from pipeline_apache_beam_entrega1_cs_spark.streaming.sinks import (
+        OutOfOrderAuditSink,
+    )
+
+    base = datetime(2024, 7, 1)
+
+    def ev(eid, minute):
+        return (eid, base + timedelta(minutes=minute), 1, "view")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    # Delivered LATE: ids 10,11 arrive first, then ids 1,2.
+    first = spark.createDataFrame([ev(10, 50), ev(11, 60)], schema)
+    late = spark.createDataFrame([ev(1, 0), ev(2, 10)], schema)
+
+    state = str(tmp_path / "ooo_late" / "state")
+    sink = OutOfOrderAuditSink(state)
+    sink(first, 0)
+    sink(late, 1)
+    st = spark.read.parquet(state)
+    got = {r.event_type: r for r in st.filter(F.col("kind") == "type").collect()}
+    # In-batch pairs only: (10,11) and (1,2), both forward. The carry
+    # (id 11, minute 60) must NOT splice onto late id 1 (which would
+    # invent a 3600 s backwards pair).
+    assert (got["view"].n_pairs, got["view"].n_backwards) == (2, 0)
+    carry = st.filter(F.col("kind") == "carry").collect()
+    assert len(carry) == 1
+    # frontier did not regress to the late batch
+    assert (carry[0].last_eid, carry[0].last_epo) == (
+        11, int(datetime(2024, 7, 1, 1, 0).timestamp()))
