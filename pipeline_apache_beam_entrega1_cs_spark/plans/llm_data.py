@@ -6651,7 +6651,38 @@ FROM f GROUP BY filter_name
 
 _MATRYOSHKA_DIMS = (8, 16, 32, 64)
 _MATRYOSHKA_K = 10
-_MATRYOSHKA_QMOD = 97
+# Fixed-SIZE deterministic query panel (VERDICT r12 item 2): the r12
+# panel was `vec_id % 97 == 0`, which grows WITH the corpus — the
+# brute-force scoring stage was corpus²/97 pairs, the one unbounded
+# in-plan growth left in the registry. Now the panel is the first
+# _EVAL_PANEL_N ids by (md5(vec_id), vec_id) — the _COS_BLOCK_CAP
+# move: pseudo-random but engine-portable and ORDER-STABLE, planned as
+# a TakeOrderedAndProject (map-side partial top-N, never a global
+# sort), so the scoring stage is corpus × panel = LINEAR in the corpus.
+_EVAL_PANEL_N = 24
+
+
+def _eval_panel(emb: DataFrame) -> DataFrame:
+    """Deterministic fixed-size query panel: top-_EVAL_PANEL_N vec_ids
+    by (md5(vec_id), vec_id). Bounded: TakeOrderedAndProject."""
+    return (
+        emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("q_e"),
+            F.md5(F.col("vec_id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "query_id")
+        .limit(_EVAL_PANEL_N)
+        .drop("_h")
+    )
+
+
+def _eval_panel_sql() -> str:
+    return (
+        "SELECT vec_id AS query_id, emb AS q_e FROM e "
+        "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id "
+        f"LIMIT {_EVAL_PANEL_N}"
+    )
 
 
 def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6659,21 +6690,23 @@ def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives using only the first d dimensions of each embedding
     (the MRL deployment question: serve 8/16/32 dims instead of 64?):
     for each truncation dim, exact top-10 cosine retrieval for a
-    deterministic query panel (vec_id ≡ 0 mod 97) and recall@10
-    against the full-dimension top-10. Ranking is on round(cos, 6)
-    with cand_id tiebreak, so both engines pick identical lists.
+    FIXED-SIZE deterministic query panel (_EVAL_PANEL_N ids by
+    (md5(vec_id), vec_id) — see _eval_panel) and recall@10 against the
+    full-dimension top-10. Ranking is on round(cos, 6) with cand_id
+    tiebreak, so both engines pick identical lists; panel_size is
+    reported on every output row.
 
-    100 TB shape: the query panel is tiny and BROADCAST; the corpus is
-    scanned once and exploded 4× (once per dim); top-k is a
+    100 TB shape: the query panel is CONSTANT-size and BROADCAST, so
+    the brute-force scoring stage is corpus × panel — linear (the r12
+    mod-97 panel made it corpus²/97; VERDICT r12 item 2). The corpus
+    is scanned once and exploded 4× (once per dim); top-k is a
     partitioned window per (dim, query) — never a global sort. At real
-    scale the brute-force stage swaps for the IVF/LSH candidate path
-    (ann_* entries); the eval harness shape is unchanged."""
+    scale the brute-force scorer can still swap for the IVF/LSH
+    candidate path (ann_* entries); the eval harness is unchanged."""
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
-    q = emb.filter(F.col("vec_id") % _MATRYOSHKA_QMOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("q_e")
-    )
+    q = _eval_panel(emb)
     pairs = (
         emb.select(F.col("vec_id").alias("cand_id"), F.col("e").alias("c_e"))
         .crossJoin(F.broadcast(q))
@@ -6721,6 +6754,7 @@ def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return nq.join(hits, "trunc_dim").select(
         F.col("trunc_dim").cast("bigint").alias("trunc_dim"),
+        F.lit(_EVAL_PANEL_N).cast("bigint").alias("panel_size"),
         "n_queries",
         "n_hits",
         F.round(
@@ -6738,8 +6772,7 @@ WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
   FROM embeddings
 ), q AS (
-  SELECT vec_id AS query_id, emb AS q_e FROM e
-  WHERE vec_id % {_MATRYOSHKA_QMOD} = 0
+  {_eval_panel_sql()}
 ), scored AS (
   SELECT d.trunc_dim, q.query_id, c.vec_id AS cand_id,
          round(list_cosine_similarity(list_slice(q.q_e, 1, d.trunc_dim),
@@ -6763,7 +6796,8 @@ WITH e AS (
   SELECT trunc_dim, CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries
   FROM topk GROUP BY trunc_dim
 )
-SELECT CAST(nq.trunc_dim AS BIGINT) AS trunc_dim, n_queries, n_hits,
+SELECT CAST(nq.trunc_dim AS BIGINT) AS trunc_dim,
+       CAST({_EVAL_PANEL_N} AS BIGINT) AS panel_size, n_queries, n_hits,
        round(CAST(n_hits AS DOUBLE)
              / (CAST(n_queries AS DOUBLE) * {_MATRYOSHKA_K}), 6)
          AS recall_at_10
@@ -6786,17 +6820,18 @@ def eval_kendall_tau_rankers(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in both engines); C(20,2)=190 pairs per query, so the
     pairwise stage is k²-bounded per query, never corpus-quadratic.
 
-    100 TB shape: the query panel broadcasts; item lists come from a
-    partitioned per-(query) top-k window; the pair stage self-joins
-    k-row groups on the query key. Swap the brute-force scorer for the
-    ANN candidate path at scale; the agreement harness is unchanged."""
+    100 TB shape: the query panel is the same FIXED-SIZE deterministic
+    _eval_panel as embedding_matryoshka_eval (VERDICT r12 item 2: the
+    mod-97 panel made brute-force scoring corpus²/97; a constant panel
+    makes it corpus × panel, linear) and broadcasts; item lists come
+    from a partitioned per-(query) top-k window; the pair stage
+    self-joins k-row groups on the query key. panel_size rides on
+    every output row."""
     emb = _emb(spark, sf_dir).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    q = emb.filter(F.col("vec_id") % _MATRYOSHKA_QMOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("q_e")
-    )
+    q = _eval_panel(emb)
     scored = (
         emb.select(F.col("vec_id").alias("cand_id"), F.col("e").alias("c_e"))
         .crossJoin(F.broadcast(q))
@@ -6853,7 +6888,9 @@ def eval_kendall_tau_rankers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return agg.select(
-        "query_id", "n_pairs", "n_concordant", "n_discordant",
+        "query_id",
+        F.lit(_EVAL_PANEL_N).cast("bigint").alias("panel_size"),
+        "n_pairs", "n_concordant", "n_discordant",
         F.round(tau, 6).alias("tau_b"),
     )
 
@@ -6863,8 +6900,7 @@ WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
   FROM embeddings
 ), q AS (
-  SELECT vec_id AS query_id, emb AS q_e FROM e
-  WHERE vec_id % {_MATRYOSHKA_QMOD} = 0
+  {_eval_panel_sql()}
 ), scored AS (
   SELECT q.query_id, c.vec_id AS cand_id,
          round(list_cosine_similarity(q.q_e, c.emb), 6) AS ca,
@@ -6885,7 +6921,8 @@ WITH e AS (
   FROM items i JOIN items j
     ON i.query_id = j.query_id AND i.cand_id < j.cand_id
 )
-SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+SELECT query_id, CAST({_EVAL_PANEL_N} AS BIGINT) AS panel_size,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
        CAST(SUM(CASE WHEN sa * sb > 0 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_concordant,
        CAST(SUM(CASE WHEN sa * sb < 0 THEN 1 ELSE 0 END) AS BIGINT)

@@ -319,8 +319,8 @@ def test_matryoshka_recall_full_dim_is_one_and_dim8_matches_numpy(spark, sf_dir)
     import numpy as np
 
     from pipeline_apache_beam_entrega1_cs_spark.plans.llm_data import (
+        _EVAL_PANEL_N,
         _MATRYOSHKA_K,
-        _MATRYOSHKA_QMOD,
         embedding_matryoshka_eval,
     )
 
@@ -329,8 +329,13 @@ def test_matryoshka_recall_full_dim_is_one_and_dim8_matches_numpy(spark, sf_dir)
     rows = _duck(sf_dir, "SELECT vec_id, embedding FROM embeddings")
     ids = [r[0] for r in rows]
     mat = np.array([[float(x) for x in r[1]] for r in rows])
-    qidx = [i for i, v in enumerate(ids) if v % _MATRYOSHKA_QMOD == 0]
-    assert got[64].n_queries == len(qidx)
+    # fixed-size deterministic panel: first N ids by (md5(id), id)
+    panel = set(sorted(
+        ids, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )[:_EVAL_PANEL_N])
+    qidx = [i for i, v in enumerate(ids) if v in panel]
+    assert got[64].n_queries == len(qidx) == _EVAL_PANEL_N
+    assert got[64].panel_size == _EVAL_PANEL_N
 
     def topk(d, qi):
         q = mat[qi, :d]
@@ -402,9 +407,9 @@ def test_kendall_tau_matches_direct_pair_count(spark, sf_dir):
     import numpy as np
 
     from pipeline_apache_beam_entrega1_cs_spark.plans.llm_data import (
+        _EVAL_PANEL_N,
         _KENDALL_K,
         _KENDALL_TRUNC,
-        _MATRYOSHKA_QMOD,
         eval_kendall_tau_rankers,
     )
 
@@ -416,9 +421,14 @@ def test_kendall_tau_matches_direct_pair_count(spark, sf_dir):
     def cos(a, b):
         return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
 
+    panel = set(sorted(
+        ids, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )[:_EVAL_PANEL_N])
+    assert set(got) == panel
+    assert all(r.panel_size == _EVAL_PANEL_N for r in got.values())
     checked = 0
     for qi, qid in enumerate(ids):
-        if qid % _MATRYOSHKA_QMOD != 0:
+        if qid not in panel:
             continue
         scored = [
             (cos(mat[qi], mat[ci]), cos(mat[qi][: _KENDALL_TRUNC],
