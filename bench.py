@@ -159,6 +159,19 @@ BENCH_QUERIES = [
     "applyinpandas_trimmed_mean",
     "cogroup_order_gaps",
     "dedup_embedding_cosine_lsh",
+    # round-13 additions (subtotal_r01_comparable excludes both;
+    # VERDICT r12 item 7): the two heaviest oracle-backed batch entries
+    # had zero bench representation. Both got a root-cause pass first —
+    # the round-13 filter-pushdown fix (.filter(n_sh>0) re-evaluated
+    # the whole shingle construction at the scan; drop_empty pushes a
+    # cheap token-count predicate instead) took dedup_lsh_bucket_stats
+    # 4.3 -> 1.1 s and eval_dedup_quality 5.1 -> 2.9 s warm at sf0.1.
+    # bucket-stats is the MinHash governance pre-flight (banded key
+    # construction + two hash-aggs); eval_dedup_quality composes THREE
+    # dedup methods over a planted corpus, so it's the dedup-family
+    # regression canary in one line.
+    "dedup_lsh_bucket_stats",
+    "eval_dedup_quality",
 ]
 
 
@@ -172,11 +185,20 @@ def main() -> None:
     # started right after heavy driver activity and every wall time
     # inflated uniformly. Wait (bounded) for the machine to go quiet and
     # record the load the measurements actually started under.
+    # Round-13 (VERDICT r12 item 3): BENCH_r12 started at load1=1.94 —
+    # under the 1-min threshold — while load5/load15 were 4.8/5.4 and
+    # the pass accrued 2.46 s of steal: the 1-min average dips before
+    # the machine has actually drained. Gate on the 5-MIN average too,
+    # with a larger bounded wait budget.
     pre_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_START_LOAD", "3.0"))
+    pre_threshold5 = float(os.environ.get("SPARK_GRAFT_BENCH_START_LOAD5", "4.0"))
     pre_wait_s = float(os.environ.get("SPARK_GRAFT_BENCH_START_WAIT", "30"))
-    pre_max_waits = int(os.environ.get("SPARK_GRAFT_BENCH_START_MAX_WAITS", "8"))
+    pre_max_waits = int(os.environ.get("SPARK_GRAFT_BENCH_START_MAX_WAITS", "16"))
     start_waits = 0
-    while os.getloadavg()[0] > pre_threshold and start_waits < pre_max_waits:
+    while (
+        os.getloadavg()[0] > pre_threshold
+        or os.getloadavg()[1] > pre_threshold5
+    ) and start_waits < pre_max_waits:
         time.sleep(pre_wait_s)
         start_waits += 1
     load_avg_start = [round(x, 2) for x in os.getloadavg()]
@@ -279,8 +301,11 @@ def main() -> None:
     # measured pass accrued more hypervisor steal than the threshold,
     # re-run the whole loop (bounded) and keep the LOWEST-steal pass;
     # all attempts are summarized in the JSON either way.
-    steal_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_STEAL_S", "5"))
-    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_STEAL_RETRIES", "3"))
+    # Threshold dropped 5 -> 1.5 s in round 13: BENCH_r12's kept pass
+    # carried 2.46 s of steal (a ~65% subtotal overstatement vs the
+    # quiet cross-check) without tripping a retry.
+    steal_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_STEAL_S", "1.5"))
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_STEAL_RETRIES", "4"))
     attempts: list[dict] = []
     best = None  # (steal_key, timings, runs, steal)
     for attempt in range(1, max_attempts + 1):

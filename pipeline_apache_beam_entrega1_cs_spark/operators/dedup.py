@@ -42,7 +42,9 @@ def hash_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def _shingle_arrays(docs: DataFrame, n: int) -> DataFrame:
+def _shingle_arrays(
+    docs: DataFrame, n: int, drop_empty: bool = False
+) -> DataFrame:
     """(doc_id, n_sh, shingles): per-document DISTINCT word-n-gram shingle
     set, built narrowly (no shuffle).
 
@@ -52,14 +54,25 @@ def _shingle_arrays(docs: DataFrame, n: int) -> DataFrame:
     and CollapseProject re-inlines it through plain projections (measured
     16× slower at sf0.1). The shuffle also spreads the downstream explode
     across the cluster instead of leaving it with the scan's partitioning
-    — the standard move before a row-inflating generator."""
+    — the standard move before a row-inflating generator.
+
+    ``drop_empty``: callers must NOT bolt `.filter(n_sh > 0)` onto the
+    result — PushDownPredicates rewrites that as
+    ``size(array_distinct(grams(...))) > 0`` BELOW the repartition, so
+    the scan side evaluates the whole shingle construction a second
+    time (measured 10×: 0.34 s → 3.5 s at sf0.1, round 13). Pass
+    drop_empty=True instead: n_sh > 0 ⟺ size(tokens) >= n, and THAT
+    predicate is one cheap split() at the scan."""
     tk = F.col("_tk")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(tk) - n),
         lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
     )
+    base = docs.select("doc_id", tokens(F.col("text")).alias("_tk"))
+    if drop_empty:
+        base = base.filter(F.size(tk) >= n)
     return (
-        docs.select("doc_id", tokens(F.col("text")).alias("_tk"))
+        base
         # explicit count: REPARTITION_BY_COL lets AQE size this
         # exchange by BYTES and coalesce it to ~1 partition, leaving
         # the downstream shingle/md5 work single-core (the
@@ -371,7 +384,7 @@ def minhash_banded_pairs(
     100 TB shape: one shuffle on band keys (32-hex strings), bounded
     pair fan-out, signature cost ~1 md5 + num_hashes int-ops per
     shingle."""
-    arr = _shingle_arrays(docs, 3).filter(F.col("n_sh") > 0)
+    arr = _shingle_arrays(docs, 3, drop_empty=True)
     return _minhash_banded_from_arrays(
         arr.select("doc_id", "shingles"), num_hashes, bands, max_bucket
     )
@@ -400,7 +413,7 @@ def minhash_bucket_stats(
     100 TB shape: one shuffle on band keys to the bucket-size
     hash-agg, then one mergeable per-band rollup to `bands` rows —
     strictly cheaper than the dedup pass it de-risks."""
-    arr = _shingle_arrays(docs, 3).filter(F.col("n_sh") > 0)
+    arr = _shingle_arrays(docs, 3, drop_empty=True)
     xs = F.transform(
         F.col("shingles"),
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
