@@ -7013,18 +7013,21 @@ QUERIES: dict[str, QuerySpec] = {
         embedding_matryoshka_eval, _matryoshka_sql(), "similarity",
         plan_waivers={
             "bnlj": (
-                "broadcast side is the deterministic query panel "
-                "(vec_id ≡ 0 mod 97 — |corpus|/97 rows); the brute-force "
-                "exact stage of the eval harness, swapped for the "
-                "IVF/LSH candidate path at real scale")}),
+                "broadcast side is the FIXED-SIZE deterministic query "
+                f"panel (_eval_panel: first {_EVAL_PANEL_N} ids by "
+                "(md5(vec_id), vec_id), a TakeOrderedAndProject) — the "
+                "brute-force scoring stage is corpus × panel, LINEAR "
+                "(VERDICT r12 item 2 closed the mod-97 corpus²/97 "
+                "growth); swappable for the IVF/LSH candidate path")}),
     "dedup_incremental_new_vs_base": QuerySpec(
         dedup_incremental_new_vs_base, DEDUP_INCREMENTAL_SQL, "dedup"),
     "eval_kendall_tau_rankers": QuerySpec(
         eval_kendall_tau_rankers, EVAL_KENDALL_TAU_SQL, "quality",
         plan_waivers={
             "bnlj": (
-                "broadcast side is the deterministic query panel "
-                "(vec_id ≡ 0 mod 97) — same brute-force eval tier as "
+                "broadcast side is the FIXED-SIZE deterministic "
+                f"{_EVAL_PANEL_N}-id query panel (_eval_panel) — same "
+                "linear brute-force eval tier as "
                 "embedding_matryoshka_eval")}),
     "dedup_sentence_ccnet": QuerySpec(
         dedup_sentence_ccnet, DEDUP_SENTENCE_CCNET_SQL, "dedup"),
