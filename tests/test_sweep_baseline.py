@@ -86,23 +86,30 @@ def test_sweep_baseline_has_no_errors():
 def _noisy(data: dict) -> str | None:
     steal = data.get("steal_delta_s")
     load = data.get("load_avg_start")
-    if steal is not None and steal > _MAX_STEAL_S:
-        return f"steal_delta_s={steal}"
+    # Steal accrues over the sweep's FULL window (~15 min of 32-thread
+    # burn), so the threshold scales with measured execution time: 5%
+    # of total_min_s, floored at the bench-window absolute.
+    limit = max(_MAX_STEAL_S, 0.05 * float(data.get("total_min_s", 0)))
+    if steal is not None and steal > limit:
+        return f"steal_delta_s={steal} (limit {round(limit, 1)})"
     if load is not None and load > _MAX_LOAD:
         return f"load_avg_start={load}"
     return None
 
 
 def test_sweep_no_per_entry_regression_vs_previous_round():
+    import pytest
+
     sweeps = _sweeps_by_round()
     if len(sweeps) < 2:
         return  # first mechanized round: nothing to diff against
     (prev_rnd, prev_path), (cur_rnd, cur_path) = sweeps[-2], sweeps[-1]
     prev, cur = _load(prev_path), _load(cur_path)
-    for data, path in ((prev, prev_path), (cur, cur_path)):
-        why = _noisy(data)
-        if why:
-            return  # noisy window: ratios are ambient, not code
+    # Noise only EXCUSES apparent regressions (ambient inflation can
+    # fake one) — a clean diff on a noisy window is a conservative
+    # PASS, since inflation pushes toward false regressions, so the
+    # diff always runs and the noisy-skip applies only to failures.
+    noisy = _noisy(cur) or _noisy(prev)
     waived = set(cur.get("regression_waivers", {}))
     regressions = []
     for name, rec in cur["entries"].items():
@@ -113,6 +120,11 @@ def test_sweep_no_per_entry_regression_vs_previous_round():
             continue
         if c > p * _RATIO and c - p > _ABS_FLOOR_S:
             regressions.append(f"{name}: {p}s -> {c}s ({c / p:.1f}x)")
+    if regressions and noisy:
+        pytest.skip(
+            f"apparent regressions on a noisy window ({noisy}) — "
+            f"re-measure quiet before adjudicating: {regressions}"
+        )
     assert not regressions, (
         f"per-entry sweep regressions r{prev_rnd} -> r{cur_rnd} "
         f"(re-measure on a quiet machine — delete the entry's line from "
