@@ -1203,10 +1203,23 @@ def tar_index(tar: DataFrame) -> DataFrame:
         ).cast("long")
 
     def oct_field(off, digits):  # parse fixed-width octal at 0-based off
-        out = F.lit(0).cast("long")
-        for i in range(digits):
-            out = out * 8 + (byte_at(off + i) - 48)
-        return out
+        # ONE conv() over the ASCII digits (ustar octal fields are
+        # ASCII '0'-'7'; non-octal terminators stripped), NOT a
+        # per-digit byte_at fold: the fold referenced `off` once per
+        # digit, and since each walked offset embeds the previous
+        # member's parsed size, the pass-1 expression tree grew ~11×
+        # per member (~4 MB task binary, ~9 s planning per fresh plan —
+        # the sweep's top fixed cost; round 13, SCALING.md). One
+        # reference per field keeps the walk's tree LINEAR in members.
+        return F.conv(
+            F.regexp_replace(
+                F.substring(p, (off + 1).cast("int"), digits).cast("string"),
+                "[^0-7]",
+                "",
+            ),
+            8,
+            10,
+        ).cast("long")
 
     # pass 1 (below the barrier): walk the sizes once per row
     off0 = F.lit(0).cast("long")
