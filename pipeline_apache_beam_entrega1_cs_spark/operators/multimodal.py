@@ -1038,7 +1038,17 @@ def tiff_header_meta(tiff: DataFrame) -> DataFrame:
 
     100 TB shape: fixed-offset BINARY substrings + conv arithmetic and
     one bounded transform over n_entries (2 here; tens in real EXIF) —
-    O(entries) per row, zero shuffle, zero UDF."""
+    O(entries) per row, two repartition barriers, zero UDF. Barrier 1
+    materializes `payload` as a column (without it CollapseProject
+    inlines the upstream fixture/decode expression into EVERY u16/u32
+    substring reference); barrier 2 materializes the parsed `entries`
+    array so the two tag_value() filters read a column instead of each
+    re-embedding and re-evaluating the whole interpreted conv/hex
+    entries construction. Same-session A/B at sf0.1, min-of-4 warm:
+    original zero-barrier 5.4-6.2 s → shipped two-barrier 3.2-3.3 s
+    (round 13). The second exchange carries O(entries) structs per
+    row, not the payload, so it is byte-light at any scale."""
+    tiff = tiff.repartition(_explicit_partitions(tiff), "doc_id")
     p = F.col("payload")
     le = F.hex(F.substring(p, 1, 2)) == "4949"
 
@@ -1068,21 +1078,36 @@ def tiff_header_meta(tiff: DataFrame) -> DataFrame:
     )
 
     def tag_value(tag: int):
-        hits = F.filter(entries, lambda e: e["tag"] == tag)
+        hits = F.filter(F.col("entries"), lambda e: e["tag"] == tag)
         return F.when(
             F.size(hits) == 1, F.element_at(hits, 1)["value"]
         ).cast("long")
 
     next_ifd = u32(base + 2 + 12 * n_entries)
-    return tiff.select(
+    # SECOND (byte-light) barrier: materialize the parsed entries array
+    # once — the two tag_value() filters would otherwise each re-embed
+    # and re-evaluate the whole entries construction (A/B in the
+    # docstring); the exchange carries O(entries) structs per row, not
+    # the payload.
+    parsed = tiff.select(
         "doc_id",
         le.alias("is_little_endian"),
         magic_ok.alias("magic_ok"),
         ifd_off.alias("ifd_offset"),
         n_entries.alias("n_entries"),
+        entries.alias("entries"),
+        (next_ifd == 0).alias("last_ifd"),
+    )
+    parsed = parsed.repartition(_explicit_partitions(parsed), "doc_id")
+    return parsed.select(
+        "doc_id",
+        "is_little_endian",
+        "magic_ok",
+        "ifd_offset",
+        "n_entries",
         tag_value(256).alias("width"),
         tag_value(257).alias("height"),
-        (next_ifd == 0).alias("last_ifd"),
+        "last_ifd",
     )
 
 
