@@ -1038,16 +1038,18 @@ def tiff_header_meta(tiff: DataFrame) -> DataFrame:
 
     100 TB shape: fixed-offset BINARY substrings + conv arithmetic and
     one bounded transform over n_entries (2 here; tens in real EXIF) —
-    O(entries) per row, two repartition barriers, zero UDF. Barrier 1
-    materializes `payload` as a column (without it CollapseProject
-    inlines the upstream fixture/decode expression into EVERY u16/u32
-    substring reference); barrier 2 materializes the parsed `entries`
-    array so the two tag_value() filters read a column instead of each
-    re-embedding and re-evaluating the whole interpreted conv/hex
-    entries construction. Same-session A/B at sf0.1, min-of-4 warm:
-    original zero-barrier 5.4-6.2 s → shipped two-barrier 3.2-3.3 s
-    (round 13). The second exchange carries O(entries) structs per
-    row, not the payload, so it is byte-light at any scale."""
+    O(entries) per row, one shuffle, zero UDF. The first repartition
+    materializes `payload` as a column AND spreads the interpreted
+    conv/hex parse across the cluster instead of the scan's (few-file)
+    partitioning. The second repartition's exchange is ELIDED by
+    EnsureRequirements (same key and count) — it survives only as a
+    projection boundary, which is the point: with `entries` aliased in
+    one Project and referenced as a COLUMN by the two tag_value()
+    filters in the next, CollapseProject's multi-reference/expensive
+    guard keeps the entries construction evaluated ONCE (inline, the
+    local-expression form evaluated it three times). Same-session A/B
+    at sf0.1, min-of-4 warm: original no-barrier 5.4-6.2 s → shipped
+    2.6-3.3 s (round 13)."""
     tiff = tiff.repartition(_explicit_partitions(tiff), "doc_id")
     p = F.col("payload")
     le = F.hex(F.substring(p, 1, 2)) == "4949"
@@ -1084,11 +1086,9 @@ def tiff_header_meta(tiff: DataFrame) -> DataFrame:
         ).cast("long")
 
     next_ifd = u32(base + 2 + 12 * n_entries)
-    # SECOND (byte-light) barrier: materialize the parsed entries array
-    # once — the two tag_value() filters would otherwise each re-embed
-    # and re-evaluate the whole entries construction (A/B in the
-    # docstring); the exchange carries O(entries) structs per row, not
-    # the payload.
+    # Projection boundary (exchange elided — see docstring): entries is
+    # aliased here and read as a COLUMN below, so the construction
+    # evaluates once instead of once per tag_value() consumer.
     parsed = tiff.select(
         "doc_id",
         le.alias("is_little_endian"),
