@@ -15,9 +15,10 @@ sweep is DIFFED against the previous round's: a per-entry min-time
 regression > 2x with > 0.75 s absolute growth fails the suite — the
 sweep caught real defects three rounds running (93 s pair explosion,
 25 s fit-per-run, 5.25 s single-reducer Expand); this mechanizes the
-catch. The diff is skipped when either sweep self-reports a noisy
-machine (steal_delta > 1 s or load_avg_start > 8), mirroring bench.py's
-quiet-window guard.
+catch. The diff ALWAYS runs; a noisy window (steal above 5% of the
+sweep's execution time, or load_avg_start > 8) only excuses apparent
+regressions as a skip — ambient inflation pushes toward false
+regressions, so a clean diff on a noisy window is a conservative pass.
 """
 
 from __future__ import annotations
@@ -132,3 +133,45 @@ def test_sweep_no_per_entry_regression_vs_previous_round():
         f"or adjudicate in SCALING.md and add a regression_waivers entry): "
         + "; ".join(regressions)
     )
+
+
+def test_regression_gate_logic_on_synthetic_sweeps(tmp_path, monkeypatch):
+    """Unit-test the gate's decision table on synthetic sweep files:
+    (a) a planted >2x/>0.75s regression FAILS on a quiet window;
+    (b) the same regression is excused (skip) on a noisy window;
+    (c) a waived regression passes; (d) sub-floor jitter passes."""
+    import json as _json
+
+    import pytest
+
+    import tests.test_sweep_baseline as sb
+
+    def write(rnd, entries, steal=0.0, total=10.0, waivers=None):
+        p = tmp_path / f"SWEEP_r{rnd}_sf0.1.json"
+        p.write_text(_json.dumps({
+            "sf": "0.1", "total_min_s": total, "steal_delta_s": steal,
+            "load_avg_start": 0.5, "regression_waivers": waivers or {},
+            "entries": {n: {"runs": [v], "min": v} for n, v in entries.items()},
+        }))
+        return p
+
+    monkeypatch.setattr(sb, "REPO", str(tmp_path))
+
+    # (a) quiet + regression -> AssertionError
+    write(1, {"x": 1.0, "y": 0.1})
+    write(2, {"x": 3.0, "y": 0.1})
+    with pytest.raises(AssertionError, match="x: 1.0s -> 3.0s"):
+        sb.test_sweep_no_per_entry_regression_vs_previous_round()
+
+    # (b) noisy current window -> skip, not fail
+    write(2, {"x": 3.0, "y": 0.1}, steal=5.0)
+    with pytest.raises(pytest.skip.Exception):
+        sb.test_sweep_no_per_entry_regression_vs_previous_round()
+
+    # (c) waived -> pass
+    write(2, {"x": 3.0, "y": 0.1}, waivers={"x": "adjudicated in SCALING.md"})
+    sb.test_sweep_no_per_entry_regression_vs_previous_round()
+
+    # (d) ratio >2x but under the absolute floor -> pass
+    write(2, {"x": 1.2, "y": 0.3})
+    sb.test_sweep_no_per_entry_regression_vs_previous_round()
