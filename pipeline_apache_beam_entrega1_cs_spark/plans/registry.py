@@ -57,61 +57,60 @@ from . import (
 from .spec import QuerySpec
 
 DRIVER_PRIORITY: list[str] = [
-    # ================= round-13 window =================
-    # Pure r05-staleness back-fill (pending set is empty; this list is
+    # ================= round-14 window =================
+    # Pure r06-staleness back-fill (pending set is empty; this list is
     # byte-exactly the `plans.rotation` proposal computed at the start
-    # of round 13 — execution-heaviest first within the class, the
-    # order the r12 registry already encoded at slots 51+).
-    "streaming_dedup_watermark",
-    "streaming_neardup_dedup",
-    "streaming_stateful_counter",
-    "streaming_stream_join",
-    "streaming_tumbling",
-    "dedup_minhash_banded",
-    "embedding_kmeans_lloyd",
-    "profile_documents",
-    "multimodal_byte_entropy",
-    "multimodal_format_detect",
-    "q9_product_profit",
-    "q21_waiting_suppliers",
-    "q8_market_share",
-    "agg_approx_top_k",
-    "agg_grouping_id",
-    "array_functions",
-    "conditional_functions",
-    "curation_pipeline",
-    "date_functions",
-    "dedup_keyed_first",
-    "higher_order_functions",
-    "json_functions",
-    "map_functions",
-    "math_functions",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
-    "q20_heavy_suppliers",
-    "q22_inactive_customers",
-    "q2_min_cost_supplier",
-    "q4_late_shipments",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "set_except",
-    "set_except_all",
-    "set_intersect",
-    "set_intersect_all",
-    "set_union",
-    "set_union_all",
-    "string_functions",
-    "window_session",
-    "window_sliding",
-    "window_tumbling",
+    # of round 14 from CORRECTNESS_r01-r13 evidence).
+    "agg_hll_partial_merge",
+    "ann_ivf_topk",
+    "ann_ivf_topk_det",
+    "ann_lsh_topk",
+    "ann_pq_adc_topk",
+    "ann_pq_ivf_adc_topk",
+    "basket_brand_lift",
+    "cogroup_order_gaps",
+    "dedup_components",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh",
+    "dedup_exact",
+    "dedup_hash",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_span_ngram",
+    "dq_split_leakage",
+    "embedding_centroids",
+    "embedding_pq_codes",
+    "embedding_quantize_int8",
+    "graph_label_propagation",
+    "graph_pagerank",
+    "join_bucketed",
+    "join_interval_overlap",
+    "maintenance_compact_small_files",
+    "mapinarrow_text_stats",
+    "multimodal_binary_meta",
+    "multimodal_byte_chisq",
+    "multimodal_decode_fake",
+    "multimodal_frame_sample",
+    "multimodal_png_meta",
+    "multimodal_wav_meta",
+    "sample_fixed_k_per_stratum",
+    "source_binary_files",
+    "source_custom_python",
+    "sql_udf_functions",
+    "streaming_curation_stats",
+    "streaming_ivf_state",
+    "streaming_session",
+    "streaming_sliding",
+    "streaming_tfidf_state",
+    "text_bm25_topk",
+    "text_feature_hashing",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_token_stats",
+    "text_winnow_sketch",
+    "timeseries_ewma",
 ]
 
 
