@@ -1229,18 +1229,25 @@ def tar_index(tar: DataFrame) -> DataFrame:
 
     def oct_field(off, digits):  # parse fixed-width octal at 0-based off
         # ONE conv() over the ASCII digits (ustar octal fields are
-        # ASCII '0'-'7'; non-octal terminators stripped), NOT a
-        # per-digit byte_at fold: the fold referenced `off` once per
-        # digit, and since each walked offset embeds the previous
-        # member's parsed size, the pass-1 expression tree grew ~11×
-        # per member (~4 MB task binary, ~9 s planning per fresh plan —
-        # the sweep's top fixed cost; round 13, SCALING.md). One
-        # reference per field keeps the walk's tree LINEAR in members.
+        # ASCII '0'-'7'), NOT a per-digit byte_at fold: the fold
+        # referenced `off` once per digit, and since each walked offset
+        # embeds the previous member's parsed size, the pass-1
+        # expression tree grew ~11× per member (~4 MB task binary,
+        # ~9 s planning per fresh plan — the sweep's top fixed cost;
+        # round 13, SCALING.md). One reference per field keeps the
+        # walk's tree LINEAR in members.
+        #
+        # The parse is ANCHORED to the ustar field layout (optional
+        # leading spaces, octal digits, space/NUL padding to the end):
+        # a non-conforming field (GNU base-256 size, interior junk like
+        # '12 34') fails the regexp and yields NULL — conv('') is null
+        # — instead of concatenating surviving digits into a
+        # plausible-but-wrong number (ADVICE r13).
         return F.conv(
-            F.regexp_replace(
+            F.regexp_extract(
                 F.substring(p, (off + 1).cast("int"), digits).cast("string"),
-                "[^0-7]",
-                "",
+                "^ *([0-7]*)[ \\x00]*$",
+                1,
             ),
             8,
             10,

@@ -302,9 +302,22 @@ def embedding_cosine_pairs_lsh(
     # limit-1 scan — bounded), and guard every row in-plan so a ragged
     # corpus fails loudly instead of dropping rows.
     if dim is None:
-        first = embeddings.select(F.size("embedding").alias("d")).first()
+        # Probe only non-null embeddings: size(NULL) is null, and a
+        # None probe would crash int() with a bare TypeError before the
+        # in-plan guard could produce its labeled error (ADVICE r13).
+        first = (
+            embeddings.where(F.col("embedding").isNotNull())
+            .select(F.size("embedding").alias("d"))
+            .first()
+        )
         if first is None:
-            dim = 1  # empty input: any planes work, output is empty
+            dim = 1  # no non-null embeddings: planes moot, output empty
+        elif first["d"] is None or first["d"] <= 0:
+            raise ValueError(
+                "embedding_cosine_pairs_lsh: cannot infer embedding dim "
+                f"from probe row (size={first['d']!r}); pass dim= "
+                "explicitly or clean empty embeddings first"
+            )
         else:
             dim = int(first["d"])
     planes = np.random.RandomState(seed).standard_normal((num_tables, dim))
@@ -315,9 +328,14 @@ def embedding_cosine_pairs_lsh(
                 F.lit(
                     "embedding_cosine_pairs_lsh: embedding length "
                 ),
-                F.size("embedding").cast("string"),
+                # coalesce: a NULL embedding must produce THIS labeled
+                # message, not null out the whole concat into an
+                # anonymous [USER_RAISED_EXCEPTION] null (ADVICE r13)
+                F.coalesce(
+                    F.size("embedding").cast("string"), F.lit("NULL")
+                ),
                 F.lit(f" != expected dim {dim} (vec_id "),
-                F.col("vec_id").cast("string"),
+                F.coalesce(F.col("vec_id").cast("string"), F.lit("NULL")),
                 F.lit(")"),
             )
         )

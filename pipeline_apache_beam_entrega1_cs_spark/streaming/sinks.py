@@ -1375,6 +1375,13 @@ class OutOfOrderAuditSink:
         prev = _current_state(self.state)
         if prev is not None:
             st = spark.read.parquet(prev)
+            if "last_eid" not in st.columns:
+                # Legacy state written before the carry tracked
+                # last_eid: treat the carried event_id as unknown
+                # (NULL), which makes the splice guard below skip the
+                # splice — the documented degrade-safely path — instead
+                # of failing the resume with an AnalysisException.
+                st = st.withColumn("last_eid", F.lit(None).cast("bigint"))
             carry = st.filter(F.col("kind") == "carry").select(
                 "user_id", "last_epo", "last_eid"
             )

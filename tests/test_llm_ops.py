@@ -2032,3 +2032,63 @@ def test_cosine_lsh_dim_guard_and_ab_paths_agree(spark, sf_dir):
     )
     with pytest.raises(Exception):
         embedding_cosine_pairs_lsh(ragged, threshold=0.35).collect()
+
+
+def test_cosine_lsh_dim_probe_tolerates_null_embeddings(spark, sf_dir):
+    """ADVICE r13: the dim-inference probe must skip NULL embeddings
+    (size(NULL) is null, and int(None) used to raise a bare TypeError
+    before the in-plan guard could speak) and raise a labeled
+    ValueError when no usable probe exists."""
+    import pytest
+
+    from pipeline_apache_beam_entrega1_cs_spark.operators.similarity import (
+        embedding_cosine_pairs_lsh,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(20)
+    cols = [c for c in emb.columns if c != "embedding"]
+
+    # A NULL-embedding row in front must not break dim inference...
+    null_row = emb.limit(1).select(
+        *[(F.col(c) + 10_000_000).alias(c) if c == "vec_id" else F.col(c)
+          for c in cols],
+        F.lit(None).cast("array<double>").alias("embedding"),
+    ).select(*emb.columns)
+    mixed = null_row.union(emb)
+    # ...the probe skips it; the in-plan guard then (correctly, loudly)
+    # rejects the null row itself as a dim violation.
+    with pytest.raises(Exception) as ei:
+        embedding_cosine_pairs_lsh(mixed, threshold=0.35).collect()
+    assert "dim" in str(ei.value) or "embedding length" in str(ei.value)
+    # Dropping nulls first works end-to-end.
+    got = embedding_cosine_pairs_lsh(
+        mixed.where(F.col("embedding").isNotNull()), threshold=0.35
+    ).collect()
+    assert isinstance(got, list)
+
+    # Probe row with an EMPTY embedding -> labeled ValueError, not a
+    # TypeError from int(None)/int(0)-ambiguity.
+    empty = emb.select(
+        "vec_id",
+        F.array().cast("array<double>").alias("embedding"),
+        *[c for c in cols if c != "vec_id"],
+    ).select(*emb.columns)
+    with pytest.raises(ValueError, match="infer embedding dim"):
+        embedding_cosine_pairs_lsh(empty, threshold=0.35)
+
+    # All-NULL non-empty corpus: dim inference succeeds (fallback 1),
+    # then the in-plan guard rejects the null rows LOUDLY at execution
+    # — never a silent zero-pair result.
+    all_null = emb.select(
+        "vec_id",
+        F.lit(None).cast("array<double>").alias("embedding"),
+        *[c for c in cols if c != "vec_id"],
+    ).select(*emb.columns)
+    with pytest.raises(Exception):
+        embedding_cosine_pairs_lsh(all_null, threshold=0.35).collect()
+
+    # Truly EMPTY input: planes moot, empty output, no crash.
+    assert embedding_cosine_pairs_lsh(
+        emb.limit(0), threshold=0.35
+    ).count() == 0

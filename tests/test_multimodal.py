@@ -813,7 +813,8 @@ def test_tar_octal_parse_roundtrip_and_real_tarfile_headers(spark):
     (0, max 11-digit octal, values forcing every digit) a REAL
     Python-tarfile-written archive parses back exactly; (2) the parse
     tolerates the GNU/POSIX variants of field termination (NUL, space)
-    via the non-octal strip."""
+    via the layout-anchored regexp (leading spaces, octal digits,
+    space/NUL padding)."""
     import io
     import tarfile
 
@@ -841,3 +842,36 @@ def test_tar_octal_parse_roundtrip_and_real_tarfile_headers(spark):
             assert (r.name, r.size, r.byte_offset) == (m.name, m.size, m.offset)
             assert r.checksum_ok and r.magic_ok, (i, j)
         tf.close()
+
+
+def test_tar_octal_parse_rejects_malformed_fields(spark):
+    """ADVICE r13: the octal parse is ANCHORED to the ustar field
+    layout — a non-conforming size field (interior junk like '12 34',
+    or a GNU base-256 length) must yield NULL, not concatenate the
+    surviving octal digits into a plausible-but-wrong size."""
+    import io
+    import tarfile
+
+    from pipeline_apache_beam_entrega1_cs_spark.operators.multimodal import (
+        tar_index,
+    )
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as tf:
+        for j in range(3):
+            info = tarfile.TarInfo(name=f"member{j}.txt")
+            info.size = 10
+            tf.addfile(info, io.BytesIO(b"y" * 10))
+    blob = bytearray(buf.getvalue())
+    # Corrupt member 0's size field (offset 124, 12 bytes) with
+    # interior junk: a strip-based parse would read conv('1234',8)=668.
+    blob[124:136] = b"12 34\x00      "
+    df = spark.createDataFrame(
+        [(0, bytes(blob))], "doc_id long, payload binary"
+    )
+    rows = {r.member_idx: r for r in tar_index(df).collect()}
+    assert rows[0].size is None
+    # The walk cannot advance past an unparseable size: the next
+    # member's offset is null too — never a fabricated position.
+    assert rows[1].byte_offset is None

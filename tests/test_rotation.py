@@ -77,8 +77,15 @@ def test_window_is_exactly_the_composed_proposal_when_no_pending():
     if pending():
         return  # membership gate above governs mid-round additions
     assert DRIVER_PRIORITY[:WINDOW] == compose_window(), (
-        "DRIVER_PRIORITY front window deviates from the mechanized "
-        "stalest-first proposal (python -m …plans.rotation)"
+        "ROTATION CHORE ALARM (intended, not a product bug): the "
+        "committed DRIVER_PRIORITY front window no longer matches the "
+        "mechanized stalest-first proposal. This fires BY DESIGN the "
+        "moment the driver drops a new CORRECTNESS_r{N}.json after a "
+        "round, because that evidence shifts the staleness ranking — "
+        "it is the start-of-round order to rotate the window. Fix: "
+        "run `python -m pipeline_apache_beam_entrega1_cs_spark.plans."
+        "rotation` and make DRIVER_PRIORITY[:50] byte-exactly its "
+        "proposal (VERDICT r13 item 1)."
     )
 
 

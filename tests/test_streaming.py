@@ -1334,3 +1334,53 @@ def test_streaming_out_of_order_late_batch_degrades_safely(spark, tmp_path):
     # frontier did not regress to the late batch
     assert (carry[0].last_eid, carry[0].last_epo) == (
         11, int(datetime(2024, 7, 1, 1, 0).timestamp()))
+
+
+def test_streaming_out_of_order_resumes_over_legacy_state(spark, tmp_path):
+    """ADVICE r13: a state directory written BEFORE the carry tracked
+    last_eid must still be resumable — the missing column is tolerated
+    as NULL (so the splice guard skips the boundary splice, the
+    documented degrade-safely path) instead of the resume dying on an
+    AnalysisException selecting a column legacy state never wrote."""
+    import os
+    import shutil
+    from datetime import datetime, timedelta
+
+    from pipeline_apache_beam_entrega1_cs_spark.streaming.sinks import (
+        OutOfOrderAuditSink,
+    )
+
+    base = datetime(2024, 7, 1)
+
+    def ev(eid, minute):
+        return (eid, base + timedelta(minutes=minute), 1, "view")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    b0 = spark.createDataFrame([ev(1, 0), ev(2, 10)], schema)
+    b1 = spark.createDataFrame([ev(3, 20), ev(4, 30)], schema)
+
+    state = str(tmp_path / "ooo_legacy" / "state")
+    sink = OutOfOrderAuditSink(state)
+    sink(b0, 0)
+
+    # Rewrite the committed state in the LEGACY (pre-last_eid) layout,
+    # preserving the _merged_<id> commit markers.
+    legacy = spark.read.parquet(state).drop("last_eid")
+    rewrite = str(tmp_path / "legacy_rewrite")
+    legacy.coalesce(1).write.parquet(rewrite)
+    markers = [f for f in os.listdir(state) if f.startswith("_merged_")]
+    shutil.rmtree(state)
+    shutil.copytree(rewrite, state)
+    for m in markers:
+        open(os.path.join(state, m), "w").close()
+
+    sink(b1, 1)  # must not raise on the missing column
+    st = spark.read.parquet(state)
+    got = {r.event_type: r
+           for r in st.filter(F.col("kind") == "type").collect()}
+    # The legacy-boundary splice is skipped (unknown carried event_id),
+    # so pairs are in-batch only: (1,2) from b0 and (3,4) from b1.
+    assert (got["view"].n_pairs, got["view"].n_backwards) == (2, 0)
+    carry = st.filter(F.col("kind") == "carry").collect()
+    # The carry re-establishes the tracked frontier going forward.
+    assert len(carry) == 1 and carry[0].last_eid == 4

@@ -110,7 +110,13 @@ def test_sweep_no_per_entry_regression_vs_previous_round():
     # fake one) — a clean diff on a noisy window is a conservative
     # PASS, since inflation pushes toward false regressions, so the
     # diff always runs and the noisy-skip applies only to failures.
-    noisy = _noisy(cur) or _noisy(prev)
+    # Direction matters (ADVICE r13): only noise in the CURRENT window
+    # can fake a regression. A noisy PREVIOUS window inflates the
+    # baseline and therefore HIDES regressions — one that still trips
+    # against an inflated baseline is more credible, not less, so
+    # _noisy(prev) never downgrades a failure (at most it means the
+    # diff was insensitive, which a skip would mask).
+    noisy = _noisy(cur)
     waived = set(cur.get("regression_waivers", {}))
     regressions = []
     for name, rec in cur["entries"].items():
@@ -167,6 +173,15 @@ def test_regression_gate_logic_on_synthetic_sweeps(tmp_path, monkeypatch):
     write(2, {"x": 3.0, "y": 0.1}, steal=5.0)
     with pytest.raises(pytest.skip.Exception):
         sb.test_sweep_no_per_entry_regression_vs_previous_round()
+
+    # (b2) noisy PREVIOUS window does NOT excuse: an inflated baseline
+    # hides regressions, so tripping against it is more credible, not
+    # less (ADVICE r13) -> still AssertionError
+    write(1, {"x": 1.0, "y": 0.1}, steal=5.0)
+    write(2, {"x": 3.0, "y": 0.1})
+    with pytest.raises(AssertionError, match="x: 1.0s -> 3.0s"):
+        sb.test_sweep_no_per_entry_regression_vs_previous_round()
+    write(1, {"x": 1.0, "y": 0.1})  # restore quiet baseline
 
     # (c) waived -> pass
     write(2, {"x": 3.0, "y": 0.1}, waivers={"x": "adjudicated in SCALING.md"})
