@@ -6028,11 +6028,20 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.alias("v"),
     )
     vd = F.col("v").cast("decimal(18,0)")
+    # Σv of micro-unit longs into a BIGINT overflows int64 around
+    # 2e10 rows × avg value 500 (ANSI abort / non-ANSI silent wrap) —
+    # reachable for events at 100 TB.
+    # Decimal-promote the group sums (linear overflow class; round-14
+    # audit, VERDICT r13 item 5). The micro-unit sums are exact
+    # integers, so _dec_to_double is value-identical below 2⁵³.
+    zd = F.lit(0).cast("decimal(18,0)")
     m = tagged.agg(
         F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("bigint").alias("n_a"),
         F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("bigint").alias("n_b"),
-        F.sum(F.when(F.col("g") == 1, F.col("v")).otherwise(0)).cast("bigint").alias("sa"),
-        F.sum(F.when(F.col("g") == 0, F.col("v")).otherwise(0)).cast("bigint").alias("sb"),
+        _dec_to_double(
+            F.sum(F.when(F.col("g") == 1, vd).otherwise(zd))).alias("sa"),
+        _dec_to_double(
+            F.sum(F.when(F.col("g") == 0, vd).otherwise(zd))).alias("sb"),
         _dec_to_double(
             F.sum(F.when(F.col("g") == 1, vd * vd).otherwise(F.lit(0).cast("decimal(38,0)")))
         ).alias("qa"),
@@ -6042,7 +6051,7 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     U = float(_STAT_U)
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
-    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    sa, sb = F.col("sa"), F.col("sb")
     ma, mb = sa / na / U, sb / nb / U
     # sample variance (ddof=1), value units²
     va = (F.col("qa") - sa * sa / na) / (na - 1) / (U * U)
@@ -6106,8 +6115,8 @@ FROM m
 def stat_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA F statistic of event value across the five event
     types — the k-group generalization of stat_welch_ttest: per-type
-    n_t / Σv (exact BIGINT micro-units, pivoted to columns over the
-    FIXED 5-type domain) + the global Σv² (DECIMAL(38,0)), then
+    n_t / Σv (exact DECIMAL micro-unit sums, pivoted to columns over
+    the FIXED 5-type domain) + the global Σv² (DECIMAL(38,0)), then
     SSB = Σ_t s_t²/n_t − S²/N and SSW = SST − SSB as one fixed
     expression tree written in alphabetical type order — both engines
     evaluate the identical left-fold, so no cross-row float sum exists
@@ -6123,6 +6132,11 @@ def stat_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.floor(F.col("value") * _STAT_U).cast("long")
     base = ev.select("event_type", v.alias("v"))
     vd = F.col("v").cast("decimal(18,0)")
+    # Per-type Σv micro-unit sums decimal-promoted like stat_welch's —
+    # the same linear-overflow class (round-14 audit, VERDICT r13
+    # item 5); exact integers below 2⁵³, so the downstream double
+    # arithmetic is value-identical at any test SF.
+    zd = F.lit(0).cast("decimal(18,0)")
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n"),
             _dec_to_double(F.sum(vd * vd)).alias("q")]
     for t in _ANOVA_TYPES:
@@ -6130,16 +6144,17 @@ def stat_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
             .cast("bigint").alias(f"n_{t}"))
         aggs.append(
-            F.sum(F.when(F.col("event_type") == t, F.col("v")).otherwise(0))
-            .cast("bigint").alias(f"s_{t}"))
+            _dec_to_double(
+                F.sum(F.when(F.col("event_type") == t, vd).otherwise(zd))
+            ).alias(f"s_{t}"))
     m = base.agg(*aggs)
     U2 = float(_STAT_U) * float(_STAT_U)
     nd = F.col("n").cast("double")
-    s_tot = sum((F.col(f"s_{t}") for t in _ANOVA_TYPES), F.lit(0)).cast("double")
+    s_tot = sum((F.col(f"s_{t}") for t in _ANOVA_TYPES), F.lit(0.0))
     between = None
     for t in _ANOVA_TYPES:
         term = (
-            F.col(f"s_{t}").cast("double") * F.col(f"s_{t}").cast("double")
+            F.col(f"s_{t}") * F.col(f"s_{t}")
             / F.col(f"n_{t}").cast("double")
         )
         between = term if between is None else between + term
@@ -6259,16 +6274,22 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = li.join(F.broadcast(rx), "x").join(ry, "y")
     rx2d = F.col("rx2").cast("decimal(19,0)")
     ry2d = F.col("ry2").cast("decimal(19,0)")
+    # Σ2r̄ is n²-magnitude (mean doubled rank ≈ n), so summing the
+    # BIGINT rx2/ry2 into a BIGINT overflows int64 once n ≳ 3e9 rows
+    # (ANSI Spark aborts the job; non-ANSI wraps silently — dead
+    # either way) — lineitem at 100 TB is ~6e11. Same overflow class
+    # as the Mann-Whitney rank sum (_rank_sum_2x): promote to decimal
+    # BEFORE the aggregate (round-14 audit, VERDICT r13 item 5).
     m = ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("rx2").cast("bigint").alias("sx"),
-        F.sum("ry2").cast("bigint").alias("sy"),
+        _dec_to_double(F.sum(rx2d)).alias("sx"),
+        _dec_to_double(F.sum(ry2d)).alias("sy"),
         _dec_to_double(F.sum(rx2d * ry2d)).alias("sxy"),
         _dec_to_double(F.sum(rx2d * rx2d)).alias("sxx"),
         _dec_to_double(F.sum(ry2d * ry2d)).alias("syy"),
     )
     nd = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sx, sy = F.col("sx"), F.col("sy")
     rho = (nd * F.col("sxy") - sx * sy) / F.sqrt(
         (nd * F.col("sxx") - sx * sx) * (nd * F.col("syy") - sy * sy)
     )

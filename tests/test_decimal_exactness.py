@@ -72,3 +72,44 @@ def test_decimal_products_match_python_decimal(spark):
         # correctly-rounded double of the exact decimal == Spark's result
         assert rev_s == float(rev_e), f"group {g} rev: {rev_s!r} != {rev_e}"
         assert charge_s == float(charge_e), f"group {g} charge: {charge_s!r} != {charge_e}"
+
+
+def test_rank_and_microunit_sums_exact_beyond_int64(spark):
+    """Round-14 audit (VERDICT r13 item 5): sweeping for the
+    Mann-Whitney overflow class found three aggregate SUMS whose totals
+    outgrow int64 long before any single row does —
+    agg_spearman_corr's Σ2r̄ (n²-magnitude: wraps once n ≳ 3e9 rows),
+    and stat_welch_ttest / stat_anova_f's Σv micro-unit group sums
+    (linear: ~2e10 rows × avg value 500). All three now promote to
+    DECIMAL before the aggregate. Under this session's Spark 4 ANSI
+    default the pre-fix long sum does not even wrap — it ABORTS THE
+    JOB with ARITHMETIC_OVERFLOW (with ANSI off it would wrap
+    silently; either way the query is dead at scale). This test drives
+    the EXPRESSION SHAPE those fixes share past the int64 limit and
+    compares the promoted form against exact Python integers (the
+    regime DuckDB reaches via HUGEINT)."""
+    import pytest
+
+    from pipeline_apache_beam_entrega1_cs_spark.functions.numeric import (
+        _dec_to_double,
+    )
+
+    # Four doubled-rank / micro-unit values whose SUM is 1.6e19 > 2⁶³
+    # ≈ 9.22e18 (each value individually fits int64, as in production).
+    vals = [4_000_000_000_000_000_000] * 4
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+
+    # the pre-fix shape kills the job at scale (ANSI overflow)
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        df.agg(F.sum("x").cast("bigint").alias("s")).first()
+
+    # the promoted shape (decimal BEFORE the aggregate), both as the
+    # exact decimal and through the house string->double conversion
+    dec = df.agg(
+        F.sum(F.col("x").cast("decimal(19,0)")).alias("s")
+    ).first()["s"]
+    assert int(dec) == sum(vals)
+    dbl = df.agg(
+        _dec_to_double(F.sum(F.col("x").cast("decimal(19,0)"))).alias("s")
+    ).first()["s"]
+    assert dbl == float(sum(vals))  # correctly rounded at 1.6e19
