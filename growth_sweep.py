@@ -126,6 +126,16 @@ def main() -> None:
             sum(r["big_min"] for r in results.values() if r["big_min"] > 0),
             1,
         ),
+        # The NOISE-scaling basis: steal accrues over everything the
+        # sweep executed (both SFs, all runs), not just the big-side
+        # minimums — the gate's 5% threshold must scale off this.
+        "total_all_runs_s": round(
+            sum(
+                sum(r.get("small_runs", [])) + sum(r.get("big_runs", []))
+                for r in results.values()
+            ),
+            1,
+        ),
         "entries": results,
     }
     with open(out_path, "w") as f:

@@ -1000,6 +1000,17 @@ def retrieval_pipeline_topk(
     cand = pq_ivf_adc_topk(embeddings, query_ids, k=m, **ivf_kwargs).select(
         "query_id", "cand_id"
     )
+    # Driver-pin the index -> re-rank boundary: the candidate list is
+    # |queries|·m rows BY CONSTRUCTION (corpus-size-independent — the
+    # same bounded class as _kmeans_fit's k-row centroid pin, and the
+    # natural serving handoff: a FAISS-style index returns exactly this
+    # list). Without the pin, _mmr_core's pair self-join inlines the
+    # ENTIRE composed IVF-PQ chain twice into every MMR round's plan
+    # and Catalyst planning dominates wall time (the round-9 kmeans
+    # lesson, re-found by round-14 profiling of ann_retrieval_pipeline,
+    # VERDICT r13 item 3). Values are identical — the collect pins the
+    # deterministic ranked candidates the SQL oracle replays in full.
+    cand = cand.sparkSession.createDataFrame(cand.collect(), cand.schema)
     emb = embeddings.select(F.col("vec_id"), _as_double("embedding").alias("emb"))
     q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), _as_double("embedding").alias("q_emb")

@@ -2975,6 +2975,12 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str,
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
+    # Pin the trade graph BEFORE deriving seeds, so both the seed frame
+    # and every hop read the materialized edges (bfs_levels_loop's
+    # caller contract): 6.7 s -> 2.2 s warm at sf0.1, 3.1x (round-14
+    # profiling, VERDICT r13 item 3). On a cluster this is a checkpoint
+    # table of the edge list.
+    edges = edges.localCheckpoint()
     seeds = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -3000,7 +3006,16 @@ def bfs_levels_loop(edges: DataFrame, seeds: DataFrame,
     materialized through them MMR-style (operators/similarity.
     _mmr_core), and the per-hop caches are released — long-lived
     sessions must not accumulate frontier relations (ADVICE r7 rule).
-    At cluster scale the same points become checkpoint tables."""
+    At cluster scale the same points become checkpoint tables.
+
+    CALLER CONTRACT (round-14): pass a MATERIALIZED `edges` frame
+    (localCheckpoint / cached / pinned). The frontier/visited caches
+    break exchange reuse across hops, so an edge frame carrying a
+    derivation subtree is re-derived inside every hop's join AND the
+    seed/anti-join paths — measured 6.7 s -> 2.2 s warm at sf0.1 (3.1x)
+    when graph_bfs_levels checkpoints the trade graph before deriving
+    seeds (round-14 profiling, VERDICT r13 item 3 — the same
+    cached-static-frame class as connected_components' sym pin)."""
     reached = seeds.select("node", F.lit(0).cast("long").alias("level"))
     frontier = reached.select("node")
     hop_caches: list[DataFrame] = []
@@ -3099,6 +3114,10 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str,
     edges = pairs.select(
         F.col("c").alias("src"), F.col("s").alias("dst"), "w"
     ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
+    # Pin the weighted trade graph before deriving seeds (sssp_loop's
+    # caller contract — same cached-static-frame class as
+    # graph_bfs_levels above).
+    edges = edges.localCheckpoint()
     seeds = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -3114,7 +3133,10 @@ def sssp_loop(edges: DataFrame, seeds: DataFrame, rounds: int) -> DataFrame:
     so an uncached straight-line plan re-evaluates the lineage 2^R
     times — each round is cached (the Pregel materialization point,
     as bfs_levels_loop), the final frame materialized through the
-    caches, intermediates released."""
+    caches, intermediates released. Caller contract as bfs_levels_loop:
+    pass a MATERIALIZED edges frame (the per-round dist caches break
+    exchange reuse, so a derivation subtree would re-derive per relax
+    round)."""
     dist = seeds.select("node", F.lit(0).cast("long").alias("dist")).cache()
     caches = [dist]
     for _ in range(rounds):

@@ -7189,9 +7189,12 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_truncated_rescore": QuerySpec(
         ann_truncated_rescore, ANN_TRUNCATED_RESCORE_SQL, "similarity",
         plan_waivers={"bnlj": "|queries| x corpus stream (coarse prefix stage)"}),
+    # No plan_waivers since round 14: the IVF-PQ candidate stage (whose
+    # k-row centroid/codebook BNLJ broadcasts are waivered on
+    # ann_pq_ivf_adc_topk itself) is driver-pinned at the index ->
+    # re-rank boundary, so the FINAL plan is MMR-only.
     "ann_retrieval_pipeline": QuerySpec(
-        ann_retrieval_pipeline, _retrieval_pipeline_sql(), "similarity",
-        plan_waivers={"bnlj": "k-row centroid/codebook broadcasts (IVF-PQ stage)"}),
+        ann_retrieval_pipeline, _retrieval_pipeline_sql(), "similarity"),
     "eval_langid_confusion": QuerySpec(
         eval_langid_confusion, EVAL_LANGID_SQL, "text"),
     "eval_score_calibration": QuerySpec(

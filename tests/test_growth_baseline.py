@@ -66,9 +66,13 @@ def _newest_growth() -> tuple[str, dict]:
 def _noisy(data: dict) -> str | None:
     steal = data.get("steal_delta_s")
     load = data.get("load_avg_start")
-    limit = max(
-        _MAX_STEAL_S, 0.05 * float(data.get("total_big_min_s", 0))
+    # Scale the steal threshold off everything the sweep EXECUTED
+    # (both SFs, all runs) — a dual-SF sweep's window is ~3-4x its
+    # big-side minimums, and ~5% self-burn steal is normal.
+    basis = float(
+        data.get("total_all_runs_s") or data.get("total_big_min_s") or 0
     )
+    limit = max(_MAX_STEAL_S, 0.05 * basis)
     if steal is not None and steal > limit:
         return f"steal_delta_s={steal} (limit {round(limit, 1)})"
     if load is not None and load > _MAX_LOAD:
