@@ -14,19 +14,18 @@ never-driver-checked set from CORRECTNESS_r*.json and fails if any
 front slot is spent on an already-checked entry while a never-checked
 one waits (the round-7/round-9 undercount failure mode, now CI-caught).
 
-CURRENT WINDOW (round 13; r12 was 50/50 green): the pending set is
+CURRENT WINDOW (round 15; r14 was 50/50 green): the pending set is
 EMPTY (cumulative driver evidence reached 400/400 in r12), so the
 window is pure staleness back-fill — byte-exactly the 50-entry
 proposal `python -m …plans.rotation` printed at the start of the
-round: the entire r05-stale class (the five streaming-core entries,
-dedup_minhash_banded, embedding_kmeans_lloyd, profile_documents, the
-two multimodal profiles, the heavy TPC-H multi-join queries q8/q9/q21
-plus the remaining sixteen TPC-H queries, the scalar-function
-families, the set ops, and the three batch windows). Retiring all 50
-moves the staleness histogram's oldest class from r05 to r06 (the
+round: the entire r07-stale class (the filtered/histogram/mode/
+regression aggregates, ann_mmr_rerank, the as-of forward/nearest
+joins, the BPE trio, the sink roundtrips, the sampling/split
+utilities, and the rest listed below). Retiring all 50 moves the
+staleness histogram's oldest class from r07 to r08 (the
 monotone-shrink invariant, VERDICT r12 item 1). NO new registry
-entries this round by design: the window is exactly 50 wide and the
-r05 class is exactly 50 deep — an addition would displace one.
+entries this round by design (optimization round): the window is
+exactly 50 wide and the r07 class is exactly 50 deep.
 
 NEXT-ROUND CHORE: no longer hand-maintained prose (VERDICT r11 item 7
 — the round-7/round-9 drift mode). It is COMPUTED from the same
@@ -57,60 +56,60 @@ from . import (
 from .spec import QuerySpec
 
 DRIVER_PRIORITY: list[str] = [
-    # ================= round-14 window =================
-    # Pure r06-staleness back-fill (pending set is empty; this list is
+    # ================= round-15 window =================
+    # Pure r07-staleness back-fill (pending set is empty; this list is
     # byte-exactly the `plans.rotation` proposal computed at the start
-    # of round 14 from CORRECTNESS_r01-r13 evidence).
-    "agg_hll_partial_merge",
-    "ann_ivf_topk",
-    "ann_ivf_topk_det",
-    "ann_lsh_topk",
-    "ann_pq_adc_topk",
-    "ann_pq_ivf_adc_topk",
-    "basket_brand_lift",
-    "cogroup_order_gaps",
-    "dedup_components",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_lsh",
-    "dedup_exact",
-    "dedup_hash",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_span_ngram",
-    "dq_split_leakage",
-    "embedding_centroids",
-    "embedding_pq_codes",
-    "embedding_quantize_int8",
-    "graph_label_propagation",
-    "graph_pagerank",
-    "join_bucketed",
-    "join_interval_overlap",
-    "maintenance_compact_small_files",
-    "mapinarrow_text_stats",
-    "multimodal_binary_meta",
-    "multimodal_byte_chisq",
-    "multimodal_decode_fake",
-    "multimodal_frame_sample",
-    "multimodal_png_meta",
-    "multimodal_wav_meta",
-    "sample_fixed_k_per_stratum",
-    "source_binary_files",
-    "source_custom_python",
-    "sql_udf_functions",
-    "streaming_curation_stats",
-    "streaming_ivf_state",
-    "streaming_session",
-    "streaming_sliding",
-    "streaming_tfidf_state",
-    "text_bm25_topk",
-    "text_feature_hashing",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality",
-    "text_token_stats",
-    "text_winnow_sketch",
-    "timeseries_ewma",
+    # of round 15 from CORRECTNESS_r01-r14 evidence).
+    "agg_filtered_bool",
+    "agg_histogram",
+    "agg_mode_exact",
+    "agg_regression_stats",
+    "ann_mmr_rerank",
+    "anomaly_zscore",
+    "applyinpandas_trimmed_mean",
+    "bitwise_functions",
+    "correlated_subquery_orders",
+    "dq_constraint_report",
+    "explode_lateral",
+    "filter_null_safe_eq",
+    "funnel_conversion",
+    "graph_triangle_count",
+    "group_by_all_orders",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "join_shuffle_hash",
+    "join_skew_salted",
+    "lateral_topk_customers",
+    "maintenance_zorder_layout",
+    "mixture_by_source",
+    "pandas_udf_scalar",
+    "q10_returned_revenue",
+    "recursive_month_spine",
+    "resample_ohlc",
+    "retention_cohorts",
+    "rollup_time_hierarchy",
+    "scd2_user_state",
+    "sink_csv_roundtrip",
+    "sink_jsonl_roundtrip",
+    "sink_xml_roundtrip",
+    "source_schema_evolution",
+    "split_train_val_test",
+    "stratified_sample_hash",
+    "string_similarity",
+    "text_bpe_apply",
+    "text_bpe_fit",
+    "text_bpe_token_count",
+    "text_chunk_sliding",
+    "text_decontaminate",
+    "text_quality_model",
+    "text_repetition_stats",
+    "text_scrub_blocklist",
+    "timeseries_gapfill",
+    "udtf_order_installments",
+    "upsert_changeset",
+    "variant_functions",
+    "window_range_frame",
+    "window_value_navigation",
 ]
 
 
