@@ -53,6 +53,16 @@ def main() -> None:
     spark = get_spark("growth-sweep")
     registry = all_queries()
     results: dict[str, dict] = {}
+    # Carry hand-added waiver adjudications forward across reruns /
+    # resumes (ADVICE r14): a resumed sweep must not silently clobber
+    # growth_waivers back to {} and re-arm the gate on waived entries.
+    prior_waivers: dict[str, str] = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prior_waivers = json.load(f).get("growth_waivers", {}) or {}
+        except (OSError, ValueError):
+            pass
     if os.path.exists(jsonl_path):
         with open(jsonl_path) as f:
             for line in f:
@@ -77,9 +87,11 @@ def main() -> None:
                 err = f"{type(ex).__name__}: {ex}"[:300]
         return runs, err
 
+    session_names: set[str] = set()
     for i, (name, spec) in enumerate(registry.items(), 1):
         if name in results:
             continue
+        session_names.add(name)
         small_runs, err_s = time_runs(spec, small_dir)
         big_runs, err_b = time_runs(spec, big_dir)
         small_min = min(small_runs) if small_runs else -1.0
@@ -95,9 +107,16 @@ def main() -> None:
                 else -1.0
             ),
         }
+        # "error" means the entry produced NO valid measurement on a
+        # side; one transient failure next to a valid min is recorded
+        # separately so it cannot permanently fail the no-errors gate
+        # (ADVICE r14).
         err = err_s or err_b
         if err:
-            rec["error"] = err
+            if not small_runs or not big_runs:
+                rec["error"] = err
+            else:
+                rec["transient_error"] = err
         results[name] = rec
         with open(jsonl_path, "a") as f:
             f.write(json.dumps({"name": name, **rec}) + "\n")
@@ -119,8 +138,9 @@ def main() -> None:
             else None
         ),
         # name -> reason; every name must also appear in SCALING.md
-        # (tests/test_growth_baseline.py enforces both directions)
-        "growth_waivers": {},
+        # (tests/test_growth_baseline.py enforces both directions).
+        # Prior adjudications are carried forward verbatim (ADVICE r14).
+        "growth_waivers": prior_waivers,
         "n_entries": len(results),
         "total_big_min_s": round(
             sum(r["big_min"] for r in results.values() if r["big_min"] > 0),
@@ -133,6 +153,17 @@ def main() -> None:
             sum(
                 sum(r.get("small_runs", [])) + sum(r.get("big_runs", []))
                 for r in results.values()
+            ),
+            1,
+        ),
+        # Steal accrues only over THIS process's lifetime, so on a
+        # resumed sweep the noise gate must scale off seconds executed
+        # THIS session, not the all-sessions total above (ADVICE r14).
+        "steal_basis_s": round(
+            sum(
+                sum(results[n].get("small_runs", []))
+                + sum(results[n].get("big_runs", []))
+                for n in session_names
             ),
             1,
         ),

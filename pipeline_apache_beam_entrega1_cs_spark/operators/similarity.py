@@ -302,22 +302,30 @@ def embedding_cosine_pairs_lsh(
     # limit-1 scan — bounded), and guard every row in-plan so a ragged
     # corpus fails loudly instead of dropping rows.
     if dim is None:
-        # Probe only non-null embeddings: size(NULL) is null, and a
-        # None probe would crash int() with a bare TypeError before the
-        # in-plan guard could produce its labeled error (ADVICE r13).
+        # Probe only positive-size embeddings: size(NULL) is null (a
+        # None probe would crash int() with a bare TypeError, ADVICE
+        # r13), and an empty-embedding FIRST row must not mask valid
+        # rows behind it — the probe result would otherwise depend on
+        # partition order, not on the data (ADVICE r14). The ValueError
+        # is reserved for a corpus with NO positive-size embedding at
+        # all (ragged rows still fail loudly via the in-plan guard).
         first = (
-            embeddings.where(F.col("embedding").isNotNull())
+            embeddings.where(F.size("embedding") > 0)
             .select(F.size("embedding").alias("d"))
             .first()
         )
         if first is None:
-            dim = 1  # no non-null embeddings: planes moot, output empty
-        elif first["d"] is None or first["d"] <= 0:
-            raise ValueError(
-                "embedding_cosine_pairs_lsh: cannot infer embedding dim "
-                f"from probe row (size={first['d']!r}); pass dim= "
-                "explicitly or clean empty embeddings first"
+            has_any = (
+                embeddings.where(F.col("embedding").isNotNull()).first()
+                is not None
             )
+            if has_any:
+                raise ValueError(
+                    "embedding_cosine_pairs_lsh: cannot infer embedding "
+                    "dim (every non-null embedding is empty); pass dim= "
+                    "explicitly or clean empty embeddings first"
+                )
+            dim = 1  # no non-null embeddings: planes moot, output empty
         else:
             dim = int(first["d"])
     planes = np.random.RandomState(seed).standard_normal((num_tables, dim))

@@ -1263,8 +1263,11 @@ def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     # over-approximation of UTF8String.toLong's accepted grammar
     LONGISH = r"'^[\\x00-\\x20]*[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?[dDfFlL]?[\\x00-\\x20]*$'"
-    # over-approximation of strict 'yyyy-MM-dd' (CORRECTED parser)
-    DATEISH = r"'^[\\x00-\\x20]*[0-9]{4,6}-[0-9]{1,2}-[0-9]{1,2}[\\x00-\\x20]*$'"
+    # over-approximation of strict 'yyyy-MM-dd' (CORRECTED parser).
+    # Optional leading sign: strict 'yyyy' uses SignStyle.EXCEEDS_PAD,
+    # which accepts (indeed requires) a sign on expanded years like
+    # '+10000-01-01' — the guard must not reject those (ADVICE r14).
+    DATEISH = r"'^[\\x00-\\x20]*[+-]?[0-9]{4,6}-[0-9]{1,2}-[0-9]{1,2}[\\x00-\\x20]*$'"
     return orders.select(
         "o_orderkey",
         F.expr("try_cast(substr(o_orderpriority, 1, 1) AS BIGINT)").alias(

@@ -66,11 +66,16 @@ def _newest_growth() -> tuple[str, dict]:
 def _noisy(data: dict) -> str | None:
     steal = data.get("steal_delta_s")
     load = data.get("load_avg_start")
-    # Scale the steal threshold off everything the sweep EXECUTED
-    # (both SFs, all runs) — a dual-SF sweep's window is ~3-4x its
-    # big-side minimums, and ~5% self-burn steal is normal.
+    # Scale the steal threshold off what the sweep EXECUTED in the
+    # session that accrued the steal: steal_basis_s (per-session, the
+    # honest basis on a resumed sweep — ADVICE r14), falling back to
+    # the all-sessions totals for older artifacts. ~5% self-burn steal
+    # is normal for a dual-SF sweep.
     basis = float(
-        data.get("total_all_runs_s") or data.get("total_big_min_s") or 0
+        data.get("steal_basis_s")
+        or data.get("total_all_runs_s")
+        or data.get("total_big_min_s")
+        or 0
     )
     limit = max(_MAX_STEAL_S, 0.05 * basis)
     if steal is not None and steal > limit:

@@ -2092,3 +2092,21 @@ def test_cosine_lsh_dim_probe_tolerates_null_embeddings(spark, sf_dir):
     assert embedding_cosine_pairs_lsh(
         emb.limit(0), threshold=0.35
     ).count() == 0
+
+    # ADVICE r14: an EMPTY-embedding row that happens to be the
+    # partition-order-first probe must NOT mask valid rows behind it —
+    # dim inference is data-layout-independent. The empty row itself
+    # then trips the in-plan guard loudly at execution, same as any
+    # other wrong-dim row.
+    empty_first = empty.limit(1).select(
+        *[(F.col(c) + 20_000_000).alias(c) if c == "vec_id" else F.col(c)
+          for c in emb.columns]
+    ).select(*emb.columns).union(emb)
+    with pytest.raises(Exception) as ei:
+        embedding_cosine_pairs_lsh(empty_first, threshold=0.35).collect()
+    assert "embedding length" in str(ei.value)
+    # With the empty row removed, the same corpus works end-to-end.
+    got2 = embedding_cosine_pairs_lsh(
+        empty_first.where(F.size("embedding") > 0), threshold=0.35
+    ).collect()
+    assert isinstance(got2, list)

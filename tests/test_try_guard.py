@@ -27,6 +27,10 @@ LONG_PROBES = [
 TS_PROBES = [
     "1995-01-15", " 1995-01-15", "1995-1-5", "0001-01-01", "10000-01-01",
     "1995-13-40", "1995-01-15T00:00:00", "1995/01/15", "F", "", "x",
+    # signed expanded-year forms: strict 'yyyy' (SignStyle.EXCEEDS_PAD)
+    # accepts '+10000-…' and requires the sign beyond 4 digits, so the
+    # guard must pass them through to try_to_timestamp (ADVICE r14)
+    "+10000-01-01", "-0100-01-01", "+1995-01-15", "-1995-01-15",
 ]
 
 
@@ -57,7 +61,7 @@ def test_date_guard_over_approximates_try_to_timestamp(spark):
         "s",
         "try_to_timestamp(s, 'yyyy-MM-dd') <=> ("
         "CASE WHEN s RLIKE "
-        r"'^[\\x00-\\x20]*[0-9]{4,6}-[0-9]{1,2}-[0-9]{1,2}[\\x00-\\x20]*$' "
+        r"'^[\\x00-\\x20]*[+-]?[0-9]{4,6}-[0-9]{1,2}-[0-9]{1,2}[\\x00-\\x20]*$' "
         "THEN try_to_timestamp(s, 'yyyy-MM-dd') END) AS agree",
     ).collect()
     bad = [r["s"] for r in got if not r["agree"]]
