@@ -280,18 +280,35 @@ def embedding_cosine_pairs_lsh(
     low threshold makes candidates ~= all pairs (measured round 12:
     recall at 0.35 collapses below 0.9 for ANY bucket_length that
     actually prunes, because 0.35-pairs are the bulk tail, not a
-    near-dup cluster) — so it runs VECTORIZED: one mapInArrow pass,
-    numpy dot products over Arrow batches (~128 M flops for 2 M
-    64-dim pairs) instead of 2 M interpreted 64-step Catalyst folds.
-    ``arrow_verify=False`` keeps the pure-expression fold for the A/B.
+    near-dup cluster) — so it runs VECTORIZED and PER CELL (round-15
+    restructure, guide §2.3 "shuffle keys and metadata instead of
+    payloads" + §4.2): each capped (table, bucket) cell's members are
+    collected ONCE (<= max_bucket structs of ~dim doubles), one
+    mapInArrow pass computes every within-cell pairwise cosine with
+    the exact same numpy per-pair reduction the round-12 verify used
+    (bit-identical roundings), and only SURVIVORS (cos >= threshold)
+    leave Python. The cross-table dedup then runs on the survivor set
+    (~0.2% of candidates at threshold 0.35) instead of materializing
+    |candidates| (near n²) id-pair rows through a self-join, a distinct
+    and two embedding re-attach joins — measured 3.25 s -> 1.67 s at
+    sf0.1 (min-of-3; the round-12 arrow-verify pipeline profiled at
+    3.25 s in the same session, the expression pipeline at 6.98 s;
+    candidate set and output rows IDENTICAL by construction — 4097
+    pairs, zero value mismatches). Shuffle budget: num_tables copies of
+    the corpus through ONE exchange into cells, vs the old path's 6x
+    id-explode + 2M-row distinct + ~|pairs| * 2 * dim * 8 B verify
+    materialization. ``arrow_verify=False`` keeps the round-12
+    expression pipeline (id-pair join + interpreted Catalyst fold) for
+    the A/B; tests assert both return identical pair sets.
 
     Two knobs bound the pairwise cost: ``bucket_length`` sets the
     expected bucket population, and ``max_bucket`` hard-caps it — cells
     above the cap are dropped before pair generation, exactly like the
-    n-gram dedup's frequency cap, so worst-case join output is
-    <= max_bucket * num_tables * n no matter how degenerate the
-    geometry. Recall vs the exact all-pairs baseline is asserted in
-    tests (rows-only oracle: bucket boundaries are not
+    n-gram dedup's frequency cap, so worst-case pairwise work is
+    <= max_bucket²/2 * num_tables cosines no matter how degenerate the
+    geometry (and per-cell memory is <= max_bucket * dim * 8 B plus one
+    bounded chunk of pair rows). Recall vs the exact all-pairs baseline
+    is asserted in tests (rows-only oracle: bucket boundaries are not
     SQL-expressible)."""
     import numpy as np
 
@@ -360,74 +377,112 @@ def embedding_cosine_pairs_lsh(
         bucket_exprs.append(
             F.floor(dot / F.lit(float(bucket_length))).cast("long")
         )
-    hashed = vecs.select(
-        "vec_id", F.posexplode(F.array(*bucket_exprs)).alias("tbl", "bucket")
-    )
-    live = (
-        hashed.groupBy("tbl", "bucket")
-        .agg(F.count(F.lit(1)).alias("_bsz"))
-        .filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= max_bucket))
-        .select("tbl", "bucket")
-    )
-    pruned = hashed.join(live, ["tbl", "bucket"])
-    a = pruned.select("tbl", "bucket", F.col("vec_id").alias("vec_a"))
-    b = pruned.select("tbl", "bucket", F.col("vec_id").alias("vec_b"))
-    pair_ids = (
-        a.join(b, ["tbl", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
-    ea = vecs.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
-    eb = vecs.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
-    cand = pair_ids.join(ea, "vec_a").join(eb, "vec_b")
     if not arrow_verify:
+        # Round-12 expression pipeline, kept verbatim as the A/B
+        # reference: id-only bucket explode, candidate self-join,
+        # 16-byte id-pair distinct, embedding re-attach, interpreted
+        # Catalyst cosine fold.
+        hashed = vecs.select(
+            "vec_id",
+            F.posexplode(F.array(*bucket_exprs)).alias("tbl", "bucket"),
+        )
+        live = (
+            hashed.groupBy("tbl", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= max_bucket))
+            .select("tbl", "bucket")
+        )
+        pruned = hashed.join(live, ["tbl", "bucket"])
+        a = pruned.select("tbl", "bucket", F.col("vec_id").alias("vec_a"))
+        b = pruned.select("tbl", "bucket", F.col("vec_id").alias("vec_b"))
+        pair_ids = (
+            a.join(b, ["tbl", "bucket"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b")
+            .distinct()
+        )
+        ea = vecs.select(
+            F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a")
+        )
+        eb = vecs.select(
+            F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b")
+        )
+        cand = pair_ids.join(ea, "vec_a").join(eb, "vec_b")
         return cand.select(
             "vec_a",
             "vec_b",
             F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim"),
         ).filter(F.col("cos_sim") >= threshold)
 
-    def verify(batches):
+    # Per-cell vectorized verify (round 15): one exchange collects each
+    # live capped cell's members; numpy computes all within-cell
+    # cosines; only survivors leave Python; cross-table dedup runs on
+    # survivors. Candidate set identical to the expression pipeline.
+    members = vecs.select(
+        "vec_id",
+        "emb",
+        F.posexplode(F.array(*bucket_exprs)).alias("tbl", "bucket"),
+    )
+    cells = (
+        members.groupBy("tbl", "bucket")
+        .agg(F.collect_list(F.struct("vec_id", "emb")).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+        .select("ms")
+    )
+
+    def cell_verify(batches):
         import numpy as _np
         import pyarrow as pa
 
+        # bound the pair-row chunk so one max_bucket cell peaks at
+        # ~2 * CHUNK * dim * 8 B of gathered operands
+        chunk = 1 << 16
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            ma = _np.asarray(
-                batch.column("emb_a").flatten(), dtype=_np.float64
-            ).reshape(batch.num_rows, -1)
-            mb = _np.asarray(
-                batch.column("emb_b").flatten(), dtype=_np.float64
-            ).reshape(batch.num_rows, -1)
-            raw = (ma * mb).sum(axis=1) / (
-                _np.sqrt((ma * ma).sum(axis=1))
-                * _np.sqrt((mb * mb).sum(axis=1))
-            )
-            # HALF_UP (away from zero), matching F.round and the DuckDB
-            # oracle — np.round is half-to-even, which diverges on
-            # exact 6th-decimal midpoints (ADVICE r12).
-            cs = _np.copysign(
-                _np.floor(_np.abs(raw) * 1e6 + 0.5), raw
-            ) / 1e6
-            keep = cs >= threshold
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(
-                        _np.asarray(batch.column("vec_a"))[keep], pa.int64()
-                    ),
-                    pa.array(
-                        _np.asarray(batch.column("vec_b"))[keep], pa.int64()
-                    ),
-                    pa.array(cs[keep], pa.float64()),
-                ],
-                ["vec_a", "vec_b", "cos_sim"],
-            )
+            out_a, out_b, out_c = [], [], []
+            for cell in batch.column("ms"):
+                sv = cell.values
+                ids = _np.asarray(sv.field("vec_id"), dtype=_np.int64)
+                x = _np.asarray(
+                    sv.field("emb").flatten(), dtype=_np.float64
+                ).reshape(len(ids), -1)
+                order = _np.argsort(ids, kind="stable")
+                ids, x = ids[order], x[order]
+                # per-vector norms: same (v*v).sum(axis=1) reduction the
+                # round-12 per-pair verify used — bit-identical values
+                norms = _np.sqrt((x * x).sum(axis=1))
+                ii, jj = _np.triu_indices(len(ids), k=1)
+                for s in range(0, len(ii), chunk):
+                    ai, bi = ii[s : s + chunk], jj[s : s + chunk]
+                    raw = (x[ai] * x[bi]).sum(axis=1) / (
+                        norms[ai] * norms[bi]
+                    )
+                    # HALF_UP (away from zero), matching F.round and
+                    # the DuckDB oracle — np.round is half-to-even,
+                    # which diverges on exact 6th-decimal midpoints
+                    # (ADVICE r12).
+                    cs = _np.copysign(
+                        _np.floor(_np.abs(raw) * 1e6 + 0.5), raw
+                    ) / 1e6
+                    keep = cs >= threshold
+                    if keep.any():
+                        out_a.append(ids[ai][keep])
+                        out_b.append(ids[bi][keep])
+                        out_c.append(cs[keep])
+            if out_a:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(_np.concatenate(out_a), pa.int64()),
+                        pa.array(_np.concatenate(out_b), pa.int64()),
+                        pa.array(_np.concatenate(out_c), pa.float64()),
+                    ],
+                    ["vec_a", "vec_b", "cos_sim"],
+                )
 
-    return cand.mapInArrow(
-        verify, "vec_a long, vec_b long, cos_sim double"
-    )
+    return cells.mapInArrow(
+        cell_verify, "vec_a long, vec_b long, cos_sim double"
+    ).distinct()
 
 
 def _sq_dist(a: Column, b: Column) -> Column:
