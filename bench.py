@@ -150,12 +150,12 @@ BENCH_QUERIES = [
     # found 93 s / 25 s / 13 s regressions in exactly these families —
     # grouped-pandas (Arrow batch exchange + per-key Python) and the
     # LSH candidate join — which had ZERO bench representation, so the
-    # regressions stayed invisible for rounds. applyinpandas_trimmed_mean
-    # and cogroup_order_gaps are the AQE-coalesce-to-one-partition
-    # canaries (explicit-count key repartition keeps the Python work
-    # parallel); dedup_embedding_cosine_lsh is the geometry-bounded
-    # near-dup join (bare-id candidate dedup before re-attaching 1 KB
-    # embeddings).
+    # regressions stayed invisible for rounds. (Round 15: all three
+    # were rewritten — the two pandas entries now run native
+    # window/aggregate plans (the grouped-pandas calling convention
+    # lives on in their *_pandas twins + equivalence tests), and the
+    # LSH entry verifies per bucket cell; the lines stay in the bench
+    # as the regression canaries for exactly those rewrites.)
     "applyinpandas_trimmed_mean",
     "cogroup_order_gaps",
     "dedup_embedding_cosine_lsh",
