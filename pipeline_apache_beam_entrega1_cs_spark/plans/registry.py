@@ -14,18 +14,19 @@ never-driver-checked set from CORRECTNESS_r*.json and fails if any
 front slot is spent on an already-checked entry while a never-checked
 one waits (the round-7/round-9 undercount failure mode, now CI-caught).
 
-CURRENT WINDOW (round 15; r14 was 50/50 green): the pending set is
+CURRENT WINDOW (round 16; r15 was 50/50 green): the pending set is
 EMPTY (cumulative driver evidence reached 400/400 in r12), so the
 window is pure staleness back-fill — byte-exactly the 50-entry
 proposal `python -m …plans.rotation` printed at the start of the
-round: the entire r07-stale class (the filtered/histogram/mode/
-regression aggregates, ann_mmr_rerank, the as-of forward/nearest
-joins, the BPE trio, the sink roundtrips, the sampling/split
-utilities, and the rest listed below). Retiring all 50 moves the
-staleness histogram's oldest class from r07 to r08 (the
-monotone-shrink invariant, VERDICT r12 item 1). NO new registry
-entries this round by design (optimization round): the window is
-exactly 50 wide and the r07 class is exactly 50 deep.
+round: the entire r08-stale class (the partial-merge/bitmap/countmin
+aggregates, the ANN rescore/retrieval pair, the dedup governance
+forms, the join asof/bloom/DPP/skew family, the pattern-match trio,
+the r08 streaming entries, the timeseries robust-stats entries, and
+the rest listed below). Retiring all 50 moves the staleness
+histogram's oldest class from r08 to r09 (the monotone-shrink
+invariant, VERDICT r12 item 1). NO new registry entries this round by
+design (optimization round): the window is exactly 50 wide and the
+r08 class is exactly 50 deep.
 
 NEXT-ROUND CHORE: no longer hand-maintained prose (VERDICT r11 item 7
 — the round-7/round-9 drift mode). It is COMPUTED from the same
@@ -56,60 +57,60 @@ from . import (
 from .spec import QuerySpec
 
 DRIVER_PRIORITY: list[str] = [
-    # ================= round-15 window =================
-    # Pure r07-staleness back-fill (pending set is empty; this list is
+    # ================= round-16 window =================
+    # Pure r08-staleness back-fill (pending set is empty; this list is
     # byte-exactly the `plans.rotation` proposal computed at the start
-    # of round 15 from CORRECTNESS_r01-r14 evidence).
-    "agg_filtered_bool",
-    "agg_histogram",
-    "agg_mode_exact",
-    "agg_regression_stats",
-    "ann_mmr_rerank",
-    "anomaly_zscore",
-    "applyinpandas_trimmed_mean",
-    "bitwise_functions",
-    "correlated_subquery_orders",
-    "dq_constraint_report",
-    "explode_lateral",
-    "filter_null_safe_eq",
-    "funnel_conversion",
-    "graph_triangle_count",
-    "group_by_all_orders",
-    "join_asof_forward",
-    "join_asof_nearest",
-    "join_shuffle_hash",
-    "join_skew_salted",
-    "lateral_topk_customers",
-    "maintenance_zorder_layout",
-    "mixture_by_source",
-    "pandas_udf_scalar",
-    "q10_returned_revenue",
-    "recursive_month_spine",
-    "resample_ohlc",
-    "retention_cohorts",
-    "rollup_time_hierarchy",
-    "scd2_user_state",
-    "sink_csv_roundtrip",
-    "sink_jsonl_roundtrip",
-    "sink_xml_roundtrip",
-    "source_schema_evolution",
-    "split_train_val_test",
-    "stratified_sample_hash",
-    "string_similarity",
-    "text_bpe_apply",
-    "text_bpe_fit",
-    "text_bpe_token_count",
-    "text_chunk_sliding",
-    "text_decontaminate",
-    "text_quality_model",
-    "text_repetition_stats",
-    "text_scrub_blocklist",
-    "timeseries_gapfill",
-    "udtf_order_installments",
-    "upsert_changeset",
-    "variant_functions",
-    "window_range_frame",
-    "window_value_navigation",
+    # of round 16 from CORRECTNESS_r01-r15 evidence).
+    "agg_bitmap_distinct",
+    "agg_countmin_heavy_hitters",
+    "agg_hll_intersection",
+    "agg_quantile_partial_merge",
+    "agg_weighted_median",
+    "ann_retrieval_pipeline",
+    "ann_truncated_rescore",
+    "dataset_shuffle_shards",
+    "dedup_binary_payload",
+    "dedup_containment",
+    "dedup_cross_source_overlap",
+    "dedup_keep_best",
+    "dedup_semantic_clusters",
+    "dq_distribution_drift",
+    "dq_ks_bucketed",
+    "embedding_norm_profile",
+    "eval_langid_confusion",
+    "eval_retrieval_metrics",
+    "filter_not_in_null_trap",
+    "graph_bfs_levels",
+    "graph_link_prediction",
+    "graph_sssp_weighted",
+    "join_asof_tolerance",
+    "join_bloom_prefilter",
+    "join_dynamic_partition_pruning",
+    "join_null_skew_split",
+    "join_pointintime_scd2",
+    "maintenance_incremental_manifest",
+    "maintenance_partition_overwrite",
+    "maintenance_retention_ttl",
+    "multimodal_pcm_frame_energy",
+    "multimodal_resize_plumbing",
+    "pattern_match_runs",
+    "pattern_match_sequence",
+    "pipeline_observe_metrics",
+    "sample_neyman_allocation",
+    "sample_temperature_mixture",
+    "sample_weighted_priority",
+    "source_json_permissive",
+    "streaming_pattern_match",
+    "streaming_quantile_state",
+    "streaming_token_accounting",
+    "text_perplexity_backoff",
+    "timeseries_anomaly_mad",
+    "timeseries_forecast_backtest",
+    "timeseries_moving_median",
+    "window_interval_coalesce",
+    "window_max_drawdown",
+    "window_reset_cumsum",
+    "window_running_distinct",
 ]
 
 
