@@ -110,13 +110,20 @@ def main() -> None:
         # "error" means the entry produced NO valid measurement on a
         # side; one transient failure next to a valid min is recorded
         # separately so it cannot permanently fail the no-errors gate
-        # (ADVICE r14).
+        # (ADVICE r14). Record WHICH side failed (ADVICE r15): with a
+        # single combined message, a small-side error could mask or
+        # misattribute a big-side failure when triaging the artifact.
         err = err_s or err_b
         if err:
+            sides = "; ".join(
+                f"{label}: {e}"
+                for label, e in (("small", err_s), ("big", err_b))
+                if e
+            )
             if not small_runs or not big_runs:
-                rec["error"] = err
+                rec["error"] = sides
             else:
-                rec["transient_error"] = err
+                rec["transient_error"] = sides
         results[name] = rec
         with open(jsonl_path, "a") as f:
             f.write(json.dumps({"name": name, **rec}) + "\n")

@@ -418,15 +418,38 @@ def embedding_cosine_pairs_lsh(
     # live capped cell's members; numpy computes all within-cell
     # cosines; only survivors leave Python; cross-table dedup runs on
     # survivors. Candidate set identical to the expression pipeline.
+    #
+    # The live-cell pre-filter runs on ID-ONLY rows (ADVICE r15,
+    # medium): filtering on size AFTER collect_list means a degenerate
+    # over-cap cell (low-variance geometry hashing most of the corpus
+    # into one bucket) materializes the entire cell's embeddings
+    # (~n·dim·8 B) in a single aggregation buffer before being dropped.
+    # Counting on vec_id-only rows first and broadcast-joining members
+    # to the (tiny) live cell list guarantees no over-cap cell ever
+    # aggregates embedding payloads — the docstring's per-cell memory
+    # bound now holds DURING aggregation, not just after. Cost: the
+    # bucket expressions are evaluated twice (once id-only, once with
+    # emb attached), same as the expression pipeline's hashed/pruned
+    # split; the join adds no exchange (live is broadcast).
+    hashed = vecs.select(
+        "vec_id",
+        F.posexplode(F.array(*bucket_exprs)).alias("tbl", "bucket"),
+    )
+    live = (
+        hashed.groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= max_bucket))
+        .select("tbl", "bucket")
+    )
     members = vecs.select(
         "vec_id",
         "emb",
         F.posexplode(F.array(*bucket_exprs)).alias("tbl", "bucket"),
     )
     cells = (
-        members.groupBy("tbl", "bucket")
+        members.join(F.broadcast(live), ["tbl", "bucket"])
+        .groupBy("tbl", "bucket")
         .agg(F.collect_list(F.struct("vec_id", "emb")).alias("ms"))
-        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
         .select("ms")
     )
 
@@ -466,6 +489,11 @@ def embedding_cosine_pairs_lsh(
                         _np.floor(_np.abs(raw) * 1e6 + 0.5), raw
                     ) / 1e6
                     keep = cs >= threshold
+                    # strict vec_a < vec_b semantics (ADVICE r15): two
+                    # distinct rows sharing a vec_id would otherwise
+                    # emit an (x, x) pair that both legacy paths'
+                    # strict-inequality filter drops.
+                    keep &= ids[ai] != ids[bi]
                     if keep.any():
                         out_a.append(ids[ai][keep])
                         out_b.append(ids[bi][keep])

@@ -71,11 +71,20 @@ def _noisy(data: dict) -> str | None:
     # honest basis on a resumed sweep — ADVICE r14), falling back to
     # the all-sessions totals for older artifacts. ~5% self-burn steal
     # is normal for a dual-SF sweep.
-    basis = float(
-        data.get("steal_basis_s")
-        or data.get("total_all_runs_s")
-        or data.get("total_big_min_s")
-        or 0
+    # Distinguish missing from zero (ADVICE r15): a fully-resumed sweep
+    # that executed nothing this session writes steal_basis_s=0.0, and a
+    # truthiness fallback would silently switch to the all-sessions
+    # total — re-inflating the basis exactly when the execution window
+    # was tiny.
+    b = data.get("steal_basis_s")
+    basis = (
+        float(b)
+        if b is not None
+        else float(
+            data.get("total_all_runs_s")
+            or data.get("total_big_min_s")
+            or 0
+        )
     )
     limit = max(_MAX_STEAL_S, 0.05 * basis)
     if steal is not None and steal > limit:

@@ -2110,3 +2110,34 @@ def test_cosine_lsh_dim_probe_tolerates_null_embeddings(spark, sf_dir):
         empty_first.where(F.size("embedding") > 0), threshold=0.35
     ).collect()
     assert isinstance(got2, list)
+
+
+def test_cosine_lsh_duplicate_vec_id_pairs_match_expression_path(spark, sf_dir):
+    """ADVICE r15: two distinct rows sharing a vec_id land in the same
+    bucket cell (identical embedding -> identical bucket keys); the
+    arrow path's triu pair enumeration must NOT emit the (x, x) id pair
+    that both legacy paths' strict ``vec_a < vec_b`` filter drops — the
+    A/B contract holds even on non-unique vec_id input."""
+    from pipeline_apache_beam_entrega1_cs_spark.operators.similarity import (
+        embedding_cosine_pairs_lsh,
+    )
+    from pipeline_apache_beam_entrega1_cs_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(20)
+    dup = emb.limit(1)  # same vec_id AND same embedding as row 1
+    corpus = emb.union(dup)
+
+    fast = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in embedding_cosine_pairs_lsh(corpus, threshold=0.35).collect()
+    }
+    slow = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in embedding_cosine_pairs_lsh(
+            corpus, threshold=0.35, arrow_verify=False
+        ).collect()
+    }
+    assert all(a < b for a, b in fast), "self-pair leaked through"
+    assert fast.keys() == slow.keys()
+    for k, v in fast.items():
+        assert abs(v - slow[k]) < 1e-12, (k, v, slow[k])
