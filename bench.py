@@ -267,33 +267,83 @@ def main() -> None:
 
     hz = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
 
-    def measure_all() -> tuple[dict[str, float], dict[str, list[float]], float | None]:
+    # Executor task-time accounting (PERF_r15 scaling.suspect_cpus_ignored;
+    # VERDICT r15 item 2): at sf0.1 every wall time is overhead-dominated,
+    # so an 8-core and a 32-core run look identical and the driver cannot
+    # tell "parallelises fine, SF too small" from "serial". Summing the
+    # executor task durations (StageData.executorRunTime from the app
+    # status store — populated with or without the UI) gives a
+    # parallelism-legible signal: task_time / wall_time ≈ effective
+    # cores on the data-heavy queries, at any SF. Stage IDs increase
+    # monotonically, so "stages created by THIS run" is exactly the IDs
+    # above the pre-run max — immune to the status store evicting old
+    # stages (spark.ui.retainedStages).
+    def _stage_snapshot() -> tuple[int, dict[int, int]]:
+        """(max stage id seen, {stage_id: executorRunTime ms})."""
+        try:
+            store = spark.sparkContext._jsc.sc().statusStore()
+            # Spark 4.1 signature: stageList(statuses, details,
+            # withSummaries, quantiles, taskStatus) — py4j sees no Scala
+            # default args, so fetch each default explicitly.
+            defaults = [
+                getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)
+            ]
+            seq = store.stageList(None, *defaults)
+            out: dict[int, int] = {}
+            for i in range(seq.size()):
+                s = seq.apply(i)
+                out[s.stageId()] = int(s.executorRunTime())
+            return (max(out) if out else -1), out
+        except Exception:
+            return -1, {}
+
+    def run_with_task_time(name: str, d: str) -> tuple[float, int | None]:
+        max_before, _ = _stage_snapshot()
+        wall = run(name, d)
+        _, after = _stage_snapshot()
+        task_ms = sum(v for k, v in after.items() if k > max_before)
+        return wall, (task_ms if after else None)
+
+    def measure_all() -> tuple[
+        dict[str, float],
+        dict[str, list[float]],
+        float | None,
+        dict[str, int],
+    ]:
         """One full pass over BENCH_QUERIES; returns (timings, runs,
-        steal seconds accrued during THIS pass)."""
+        steal seconds accrued during THIS pass, per-query executor
+        task-time ms for the min-wall run)."""
         t_start = read_steal_ticks()
         timings: dict[str, float] = {}
         runs: dict[str, list[float]] = {}
+        task_times: dict[str, int] = {}
         for name in BENCH_QUERIES:
             # min of 3 measured runs: local-mode wall times swing ±20%
             # under shared-machine load; min is the stable estimator.
             # Each run gets its own try so one transient failure doesn't
             # discard valid measurements from the others.
             load_guard(name)
-            measured: list[float] = []
+            measured: list[tuple[float, int | None]] = []
             for _ in range(3):
                 try:
-                    measured.append(run(name, sf_dir))
+                    measured.append(run_with_task_time(name, sf_dir))
                 except Exception as ex:
                     print(f"bench {name} failed: {ex}", file=sys.stderr)
-            runs[name] = [round(m, 3) for m in measured]
-            timings[name] = round(min(measured), 3) if measured else -1.0
+            runs[name] = [round(m, 3) for m, _ in measured]
+            if measured:
+                best_wall, best_task = min(measured, key=lambda t: t[0])
+                timings[name] = round(best_wall, 3)
+                if best_task is not None:
+                    task_times[name] = best_task
+            else:
+                timings[name] = -1.0
         t_end = read_steal_ticks()
         steal = (
             round((t_end - t_start) / hz, 2)
             if t_start is not None and t_end is not None
             else None
         )
-        return timings, runs, steal
+        return timings, runs, steal, task_times
 
     # Steal-robust measurement (round-8 lesson: BENCH_r08 carried
     # steal_delta_s=25.4 s and every wall time inflated 7-25% — the
@@ -307,9 +357,9 @@ def main() -> None:
     steal_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_STEAL_S", "1.5"))
     max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_STEAL_RETRIES", "4"))
     attempts: list[dict] = []
-    best = None  # (steal_key, timings, runs, steal)
+    best = None  # (steal_key, timings, runs, steal, task_times)
     for attempt in range(1, max_attempts + 1):
-        timings, all_runs, steal_delta_s = measure_all()
+        timings, all_runs, steal_delta_s, task_times = measure_all()
         sub = round(
             sum(t for n, t in list(timings.items())[:R01_COMPARABLE] if t >= 0), 3
         )
@@ -319,11 +369,11 @@ def main() -> None:
         )
         key = steal_delta_s if steal_delta_s is not None else 0.0
         if best is None or key < best[0]:
-            best = (key, timings, all_runs, steal_delta_s)
+            best = (key, timings, all_runs, steal_delta_s, task_times)
         if steal_delta_s is None or steal_delta_s <= steal_threshold:
             break
         time.sleep(pre_wait_s)  # let the neighbor drain before retrying
-    _, timings, all_runs, steal_delta_s = best
+    _, timings, all_runs, steal_delta_s, task_times = best
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     subtotal = round(
@@ -355,6 +405,13 @@ def main() -> None:
         # hypervisor-steal seconds accrued DURING the kept pass
         # (/proc/stat field 9 delta): nonzero-large == inflated run.
         "steal_delta_s": steal_delta_s,
+        # per-query executor task-time (ms) for the min-wall run:
+        # task_time_ms / (wall * 1000) ≈ effective parallel cores, the
+        # scaling signal wall time alone cannot carry at sf0.1 where
+        # every query is overhead-dominated (VERDICT r15 item 2 —
+        # suspect_cpus_ignored despite session.py honoring
+        # $SPARK_GRAFT_CPUS).
+        "task_time_ms": task_times,
         # every measured pass (steal + comparable subtotal): >1 entry
         # means the steal-retry loop fired and the kept reading is the
         # lowest-steal one.
@@ -368,6 +425,19 @@ def main() -> None:
             "waits": control_waits,
         },
     }
+    # Duplicate the contract line to a file BEFORE printing (VERDICT r15
+    # item 7 / what's-wrong 5: BENCH_r14's one-line JSON was truncated in
+    # the driver's capture, leaving PERF_r15 comparison-blind with
+    # prev_bench_ok=false). A truncated stdout tail can no longer lose
+    # the measurement: BENCH_LAST.json always holds the full payload.
+    try:
+        with open(
+            os.path.join(os.path.dirname(__file__) or ".", "BENCH_LAST.json"),
+            "w",
+        ) as f:
+            json.dump(result, f, indent=1)
+    except OSError as ex:
+        print(f"BENCH_LAST.json write failed: {ex}", file=sys.stderr)
     print(json.dumps(result))
 
     # Persist the session-best QUIET reading as a first-class artifact:
