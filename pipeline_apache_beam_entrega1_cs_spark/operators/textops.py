@@ -473,16 +473,34 @@ def bpe_fit(docs: DataFrame, rounds: int = BPE_FIT_ROUNDS) -> DataFrame:
     on the pair — exact in any engine), and the winning merge is applied
     everywhere with the same plain string replace bpe_segment_expr uses.
     The fit itself shuffles only (pair -> partial count) rows, and the
-    argmax is a 1-row broadcast (sanctioned scalar attach). Fixed-round
-    unrolling keeps it one straight-line Catalyst plan; a production fit
-    (thousands of merges) would checkpoint the corpus form between
-    rounds and loop driver-side.
+    argmax is a 1-row broadcast (sanctioned scalar attach).
+
+    Round 16 (the r14 cached-loop pin rule, ordered by VERDICT r15
+    item 5): each round's winner and the merged corpus form are pinned
+    with a per-invocation localCheckpoint. Unpinned, round r's plan
+    embeds best_{r-1}, whose subtree embeds best_{r-2}'s pair-count
+    aggregation over the previous corpus form, and so on — the corpus
+    regexp + pair-count explode re-derives once per DOWNSTREAM round
+    (the graph_bfs_levels 8.16→1.94 disease). Pinning makes total work
+    the linear sum of one pair-count pass per round, exactly what a
+    production fit (thousands of merges, driver-side loop) would do
+    between rounds. Measured A/B and oracle row-parity in round 16's
+    OPTIMIZATION log.
 
     Returns the learned table: (round, left_sym, right_sym,
     n_occurrences) — one row per merge, integer counts, engine-exact.
     """
+    from .dedup import _shuffle_partitions
+
     base = F.regexp_replace(F.lower(F.col("text")), r"[^a-z]+", " ")
-    cur = docs.select(
+    # Spread the corpus BEFORE the wrapped-symbol regexp (round 16): the
+    # documents scan is one small parquet file = one partition, and every
+    # downstream stage here is CPU-bound string work whose byte footprint
+    # AQE coalesces to one partition — so the whole fit ran single-core
+    # (the _shuffle_partitions lesson, SCALING.md round 9; confirmed by
+    # the A/B's "(0 + 1) / 1" stage readouts). Explicit count, keyed on
+    # doc_id, same as every other CPU-bound barrier in this package.
+    cur = docs.repartition(_shuffle_partitions(docs), "doc_id").select(
         F.regexp_replace(base, r"([a-z])", r"($1)").alias("s")
     )
 
@@ -519,7 +537,10 @@ def bpe_fit(docs: DataFrame, rounds: int = BPE_FIT_ROUNDS) -> DataFrame:
 
     merges: list[DataFrame] = []
     for r in range(1, rounds + 1):
-        best = argmax(pair_counts(cur), r)
+        # 1-row pin: downstream rounds reference the materialized
+        # winner, not its whole pair-count lineage (per-invocation —
+        # recomputed every run, never cached across runs).
+        best = argmax(pair_counts(cur), r).localCheckpoint(eager=True)
         merges.append(best)
         if r < rounds:
             pat = F.concat(
@@ -531,6 +552,10 @@ def bpe_fit(docs: DataFrame, rounds: int = BPE_FIT_ROUNDS) -> DataFrame:
             cur = (
                 cur.crossJoin(F.broadcast(best.select("left_sym", "right_sym")))
                 .select(F.replace(F.col("s"), pat, rep).alias("s"))
+                # corpus-form pin: the next round's pair count reads
+                # materialized rows instead of re-deriving the regexp +
+                # all prior replaces from the scan.
+                .localCheckpoint(eager=True)
             )
 
     out = merges[0]
