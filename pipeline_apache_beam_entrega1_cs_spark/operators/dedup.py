@@ -128,8 +128,25 @@ def ngram_jaccard_pairs(
     and the shingle pipeline evaluates exactly once — the self-join form
     costs ~8 shuffles and recomputes the tokenizer once per branch.
     """
+    return ngram_jaccard_pairs_from_arrays(
+        _shingle_arrays(docs, n), threshold=threshold, max_df=max_df
+    )
+
+
+def ngram_jaccard_pairs_from_arrays(
+    arr: DataFrame, threshold: float = 0.5, max_df: int = 100
+) -> DataFrame:
+    """ngram_jaccard_pairs over a precomputed ``(doc_id, n_sh,
+    shingles)`` frame (the _shingle_arrays shape). Round-16 note: a
+    cross-arm shared-shingling rewrite of eval_dedup_quality through
+    this entry point was measured (eager pin / lazy pin / shared
+    exchange) and REJECTED — reading back materialized shingle arrays
+    costs what rebuilding them costs, and exchange reuse cannot help
+    because the quadratic gram construction lives above the exchange
+    (numbers in OPTIMIZATION_r16.md). Kept as the jaccard core's
+    internal seam."""
     return (
-        _pair_intersections(docs, n, max_df)
+        _pair_intersections_from_arrays(arr, max_df)
         .withColumn(
             "jaccard",
             F.round(
@@ -147,7 +164,12 @@ def _pair_intersections(docs: DataFrame, n: int, max_df: int) -> DataFrame:
     """(doc_a, doc_b, n_a, n_b, n_common): candidate pairs with exact
     shingle-intersection counts via the frequency-capped inverted index
     — the shared core of ngram_jaccard_pairs and containment_pairs."""
-    ex = _explode_shingles(_shingle_arrays(docs, n))
+    return _pair_intersections_from_arrays(_shingle_arrays(docs, n), max_df)
+
+
+def _pair_intersections_from_arrays(arr: DataFrame, max_df: int) -> DataFrame:
+    """_pair_intersections over a precomputed shingle-array frame."""
+    ex = _explode_shingles(arr)
     buckets = (
         ex.groupBy("shingle")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))

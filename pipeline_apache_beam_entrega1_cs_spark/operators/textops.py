@@ -540,7 +540,7 @@ def bpe_fit(docs: DataFrame, rounds: int = BPE_FIT_ROUNDS) -> DataFrame:
         # 1-row pin: downstream rounds reference the materialized
         # winner, not its whole pair-count lineage (per-invocation —
         # recomputed every run, never cached across runs).
-        best = argmax(pair_counts(cur), r).localCheckpoint(eager=True)
+        best = argmax(pair_counts(cur), r).localCheckpoint(eager=False)
         merges.append(best)
         if r < rounds:
             pat = F.concat(
@@ -554,8 +554,11 @@ def bpe_fit(docs: DataFrame, rounds: int = BPE_FIT_ROUNDS) -> DataFrame:
                 .select(F.replace(F.col("s"), pat, rep).alias("s"))
                 # corpus-form pin: the next round's pair count reads
                 # materialized rows instead of re-deriving the regexp +
-                # all prior replaces from the scan.
-                .localCheckpoint(eager=True)
+                # all prior replaces from the scan. eager=False keeps
+                # plan construction job-free (explain-only consumers
+                # pay nothing; the query's own action materializes) —
+                # timing-equal in the round-16 A/B.
+                .localCheckpoint(eager=False)
             )
 
     out = merges[0]

@@ -4931,10 +4931,15 @@ def eval_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-15 pin (the r14 cached-loop rule, applied to a fan-out): the
     # planted corpus feeds FOUR consumers (both sides of the exact arm,
     # the jaccard arm, the minhash arm), each of which otherwise
-    # re-derives the tokenize+union subtree from the scan. One eager
+    # re-derives the tokenize+union subtree from the scan. One
     # localCheckpoint materializes it once per invocation (never across
     # runs): measured 2.96 -> 2.26 s at sf0.1, exceptAll 0 both ways.
-    corpus = corpus.localCheckpoint(eager=True)
+    # eager=False (ADVICE r15): plan construction stays side-effect-free
+    # (explain-only consumers no longer run a materialization job); the
+    # pin materializes on the query's own first action instead —
+    # timing-neutral in the round-16 A/B (mins 2.73-3.48 eager vs
+    # 2.93-2.95 lazy on the same window), results exceptAll-identical.
+    corpus = corpus.localCheckpoint(eager=False)
 
     has_copy = docs.filter(F.col("doc_id") % 17 == 0).select("doc_id")
     has_var = docs.filter((F.col("doc_id") % 10 == 0) & (n_tok >= 5)).select(
