@@ -39,6 +39,16 @@ NOTES = {
         "per reference; an eager cache+release was tried and measured "
         "1.6x SLOWER than the double execution (docstring A/B)"
     ),
+    "text_bpe_fit": (
+        "the printed plan is a Union of three 1-row localCheckpoint "
+        "scans: the round-16 pin rewrite materializes each merge "
+        "round's winner and corpus form per invocation (inside the "
+        "timed region — never across runs), so the pair-count work "
+        "runs in the pin jobs the plan text cannot show; unpinned, "
+        "round r re-embedded every prior round's pair-count subtree "
+        "(measured 5.65-5.84 s -> 1.79-2.0 s at sf0.1 with the doc_id "
+        "spread, OPTIMIZATION_r16.md)"
+    ),
     "eval_kendall_tau_rankers": (
         "same double-reference shape as embedding_matryoshka_eval: the "
         "top-20 item list feeds both sides of the k^2-bounded pair "
